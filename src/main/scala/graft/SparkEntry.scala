@@ -47,7 +47,10 @@ object SparkEntry {
   // exercises.
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2/P3/P4/W4: dynamic conjunctive filter (string-eq + decimal ops),
     // raw passthrough mode.
     "q01_filter_passthrough" -> ((s, dir) =>
@@ -175,6 +178,72 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
+  // Training-data pipeline surface: dedup, similarity search, text
+  // analysis over documents/embeddings.
+  // ---------------------------------------------------------------------
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions
+    import graft.similarity.Similarity
+    Map(
+      // Text quality scoring: token counts, mean token length, stopword
+      // ratio, blended quality score.
+      "q14_text_stats" -> ((s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id") +: TextFunctions.qualityFeatures(col("text")): _*)
+          .orderBy("doc_id")),
+
+      // Marker-token language id heuristic.
+      "q15_text_langid" -> ((s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
+          .orderBy("doc_id")),
+
+      // Document fingerprinting (md5 of normalized text).
+      "q16_text_fingerprint" -> ((s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")),
+
+      // Exact dedup: hash-groupBy on the normalized fingerprint.
+      "q17_dedup_exact" -> ((s, dir) =>
+        Dedup.exact(table(s, dir, "documents")).orderBy("fp")),
+
+      // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+      "q18_dedup_ngram_jaccard" -> ((s, dir) =>
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.35)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("a_id", "b_id")),
+
+      // MinHash + banded LSH candidate pairs (16 hashes, 4 bands).
+      "q19_dedup_minhash_lsh" -> ((s, dir) =>
+        Dedup.minHashLshPairs(table(s, dir, "documents"), n = 3, k = 16, bands = 4)
+          .orderBy("a_id", "b_id")),
+
+      // 32-bit SimHash sketch per document.
+      "q20_dedup_simhash" -> ((s, dir) =>
+        Dedup.simHash(table(s, dir, "documents"))
+          .withColumnRenamed("sid", "doc_id")
+          .orderBy("doc_id")),
+
+      // Brute-force cosine top-5 (exact ANN baseline; query side broadcast).
+      "q21_ann_topk" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
+      }),
+
+      // Sign-bit LSH near-duplicate pairs (4 bits = 16 buckets; threshold
+      // tuned to the corpus cosine distribution, max ≈ 0.51).
+      "q22_embed_neardup_lsh" -> ((s, dir) =>
+        Similarity.lshNearDupPairs(table(s, dir, "embeddings"), bits = 4, minCosine = 0.4)
+          .orderBy("a_id", "b_id"))
+    )
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB oracles. Conventions for engine-agnostic exactness:
   //  * aggregate sums: per-value CAST to DECIMAL(38,6) then SUM (exact);
   //  * AVG: integer micro-units, (2s+n)//(2n) = ROUND_HALF_UP @ scale 6;
@@ -185,7 +254,9 @@ object SparkEntry {
   private val DEC = "DECIMAL(38,6)"
   private def sumDec(e: String) = s"CAST(SUM(CAST($e AS $DEC)) AS $DEC)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracle ++ pipelineOracle
+
+  private def coreOracle: Map[String, String] = Map(
     "q01_filter_passthrough" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE event_type = 'purchase' AND value > 50 AND value <= 180
@@ -282,4 +353,132 @@ object SparkEntry {
                 COUNT(*) AS cnt
          FROM events GROUP BY k ORDER BY k"""
   )
+
+  /** Shared DuckDB fragments for the pipeline oracles. */
+  private val tokCte =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk,
+                       text FROM documents)"""
+  private val shingleCte =
+    """sh AS (SELECT DISTINCT doc_id sid, shingle FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+                i -> array_to_string(tk[i:i+2], ' '))) shingle FROM toks))"""
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "q14_text_stats" ->
+      s"""WITH $tokCte,
+          f AS (SELECT doc_id,
+                  CAST(len(tk) AS BIGINT) n_tokens,
+                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_alpha_chars,
+                  CAST(len(list_filter(tk, x -> list_contains(
+                    ['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop
+                FROM toks)
+          SELECT doc_id, n_tokens, n_alpha_chars,
+                 round(n_alpha_chars::DOUBLE / n_tokens, 6) AS mean_token_len,
+                 round(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+                 round((n_stop::DOUBLE / n_tokens) * 0.5 +
+                       least((n_alpha_chars::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6)
+                   AS quality_score
+          FROM f ORDER BY doc_id""",
+
+    "q15_text_langid" ->
+      s"""WITH $tokCte,
+          c AS (SELECT doc_id,
+                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
+                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
+                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
+                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
+                FROM toks)
+          SELECT doc_id,
+                 CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
+                      WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
+                      WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
+                      WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
+                      ELSE 'und' END AS lang_id
+          FROM c ORDER BY doc_id""",
+
+    "q16_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q17_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+                MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY fp ORDER BY fp""",
+
+    "q18_dedup_ngram_jaccard" ->
+      s"""WITH $tokCte, $shingleCte,
+          sz AS (SELECT sid, COUNT(*) sz FROM sh GROUP BY sid),
+          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
+                FROM sh a JOIN sh b USING(shingle)
+                WHERE a.sid < b.sid GROUP BY 1, 2)
+          SELECT a_id, b_id, inter, x.sz a_size, y.sz b_size,
+                 round(inter::DOUBLE / (x.sz + y.sz - inter), 6) AS jaccard
+          FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
+          WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.35
+          ORDER BY a_id, b_id""",
+
+    "q19_dedup_minhash_lsh" ->
+      s"""WITH $tokCte, $shingleCte,
+          h AS (SELECT sid,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 hh
+                FROM sh),
+          mh AS (SELECT sid, i.i AS i,
+                   MIN(((1 + (i.i * 1000003) % 2147483647) * hh +
+                        (12345 + i.i * 999983) % 2147483647) % 2147483647) mh
+                 FROM h, range(16) i(i) GROUP BY sid, i.i),
+          bk AS (SELECT sid, i // 4 AS band,
+                   string_agg(mh::VARCHAR, ':' ORDER BY i) bkey
+                 FROM mh GROUP BY sid, i // 4)
+          SELECT DISTINCT a.sid a_id, b.sid b_id
+          FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                            AND a.sid < b.sid
+          ORDER BY a_id, b_id""",
+
+    "q20_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id sid,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) tok
+                      FROM documents),
+          h AS (SELECT sid,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 hh
+                FROM tok),
+          bits AS (SELECT sid, b.b AS b,
+                     SUM(CASE WHEN (hh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) s
+                   FROM h, range(32) b(b) GROUP BY sid, b.b)
+          SELECT sid AS doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bits GROUP BY sid ORDER BY doc_id""",
+
+    "q21_ann_topk" ->
+      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          s AS (SELECT q_id, vec_id,
+                  round(list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                        4) AS cos
+                FROM c, q WHERE vec_id != q_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+
+    "q22_embed_neardup_lsh" ->
+      """WITH b AS (SELECT vec_id sid, embedding::DOUBLE[] v,
+                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                FROM embeddings)
+          SELECT a_id, b_id, cos FROM (
+            SELECT a.sid a_id, b2.sid b_id,
+                   round(list_dot_product(a.v, b2.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))),
+                         4) AS cos
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.sid < b2.sid) p
+          WHERE cos >= 0.4
+          ORDER BY a_id, b_id""")
 }

@@ -1,0 +1,129 @@
+package graft.dedup
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, at four levels of
+  * aggressiveness. All are pure DataFrame transformations whose shuffles
+  * are keyed on hashes/buckets — no all-pairs stage anywhere, so each
+  * survives a 1000-executor scale-up:
+  *
+  *  - [[exact]]: hash-groupBy on a normalized fingerprint (one shuffle);
+  *  - [[ngramJaccardPairs]]: inverted-index join on shared shingles (the
+  *    exact-similarity baseline; shuffle keyed by shingle hash);
+  *  - [[minHashLshPairs]]: shingle → minhash signature → banded LSH
+  *    bucket join (candidate generation without computing all pairs);
+  *  - [[simHash]]: 32-bit token-weight sketch; equal sketches (or small
+  *    hamming distance over banded buckets) = near-duplicates.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one row per distinct fingerprint with
+    * the surviving (minimum) doc id and the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct (id, shingle) pairs — the shared first stage of the n-gram
+    * and minhash paths. */
+  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("sid"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle
+    * (inverted-index join — pairs that share nothing are never formed).
+    * Output: (a_id, b_id, inter, a_size, b_size, jaccard) for pairs with
+    * `jaccard >= minJaccard`. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val s = shingleTable(docs, n, textCol, idCol)
+    val sizes = s.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val a = s.select(col("sid").as("a_id"), col("shingle"))
+    val b = s.select(col("sid").as("b_id"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("sid").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sizes.select(col("sid").as("b_id"), col("sz").as("b_size")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("a_size") + col("b_size") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select("a_id", "b_id", "inter", "a_size", "b_size", "jaccard")
+  }
+
+  /** MinHash parameters: k universal-hash permutations over the prime
+    * field p = 2^31 - 1, with (aᵢ, bᵢ) derived from the permutation index
+    * by a fixed affine formula so any engine can reproduce them. */
+  val MinHashP = 2147483647L
+  def minHashA(i: Int): Long = 1L + (i.toLong * 1000003L) % MinHashP
+  def minHashB(i: Int): Long = (12345L + i.toLong * 999983L) % MinHashP
+
+  /** Per-doc minhash signature rows: (sid, perm i, minhash value). */
+  def minHashSignatures(docs: DataFrame, n: Int, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val s = shingleTable(docs, n, textCol, idCol)
+      .withColumn("h", pmod(hash60(col("shingle")), lit(MinHashP)))
+    val perms = (0 until k).map(i => struct(lit(i).as("i"),
+      lit(minHashA(i)).as("a"), lit(minHashB(i)).as("b")))
+    s.select(col("sid"), col("h"), explode(array(perms: _*)).as("p"))
+      .select(col("sid"), col("p.i").as("i"),
+        pmod(col("p.a") * col("h") + col("p.b"), lit(MinHashP)).as("hp"))
+      .groupBy("sid", "i")
+      .agg(min("hp").as("mh"))
+  }
+
+  /** MinHash + banded LSH candidate pairs: k hashes split into `bands`
+    * bands; docs sharing any full band collide. Output: distinct
+    * (a_id, b_id). The bucket join is keyed on (band, band signature) —
+    * the classic sub-quadratic near-dup candidate generator. */
+  def minHashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minHashSignatures(docs, n, k, textCol, idCol)
+      .withColumn("band", (col("i") / lit(rows)).cast("int"))
+    val bandKey = sig
+      .groupBy("sid", "band")
+      .agg(concat_ws(":",
+        sort_array(collect_list(struct(col("i"), col("mh"))))
+          .getField("mh").cast("array<string>")).as("bkey"))
+    val a = bandKey.select(col("sid").as("a_id"), col("band"), col("bkey"))
+    val b = bandKey.select(col("sid").as("b_id"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** 32-bit SimHash over word tokens: per bit, sum +1/−1 weighted by token
+    * occurrences; bit set where the sum is positive. Equal sketches =
+    * near-duplicate cluster; hamming distance over sketches = graded
+    * similarity. Output: (id, simhash). */
+  def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("sid"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", pmod(hash60(col("tok")), lit(4294967296L)))
+    val bits = tok
+      .select(col("sid"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      // variable-distance shifts: the Scala shiftright/shiftleft helpers
+      // only take a literal distance, so go through the SQL form
+      .withColumn("contrib",
+        when(expr("shiftright(h, cast(b as int)) & 1") === lit(1L),
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy("sid", "b")
+      .agg(sum("contrib").as("s"))
+    bits
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+          .otherwise(lit(0L)))
+      .groupBy("sid")
+      .agg(sum("bitval").as("simhash"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `ARRAY<FLOAT>` embedding columns, written
+  * as higher-order `functions._` expressions (codegen'd; no UDF, no
+  * driver-side math). Sums fold left-to-right in double precision.
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ — float inputs widened to double (a float×float product is
+    * exactly representable in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: a random-
+    * hyperplane sketch that uses the axis planes (valid because the
+    * embedding dimensions are already independent); 2^bits buckets.
+    * Vectors in the same bucket agree on `bits` signs, so near-duplicate
+    * candidates collide with high probability while the candidate-pair
+    * count drops by ~4^bits vs all-pairs — that is the 100 TB scale path
+    * (brute force stays as the exactness baseline). */
+  def signBucket(a: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(a, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}
