@@ -239,7 +239,46 @@ object SparkEntry {
       // tuned to the corpus cosine distribution, max ≈ 0.51).
       "q22_embed_neardup_lsh" -> ((s, dir) =>
         Similarity.lshNearDupPairs(table(s, dir, "embeddings"), bits = 4, minCosine = 0.4)
-          .orderBy("a_id", "b_id"))
+          .orderBy("a_id", "b_id")),
+
+      // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
+      // (pure-expression columns; no UDF).
+      "q23_geo_enrich" -> ((s, dir) => {
+        import graft.functions.GeoFunctions._
+        val e = events(s, dir)
+          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
+          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
+          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
+          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
+        val cell = mapToGridCell(col("lon"), col("lat"))
+        e.select(
+          col("event_id"),
+          isInNYC(col("lon"), col("lat")).as("in_nyc"),
+          cell.as("cell"),
+          round(gridCellCenterLon(cell), 6).as("center_lon"),
+          round(gridCellCenterLat(cell), 6).as("center_lat"),
+          round(euclideanDistance(col("lon"), col("lat"), col("lon2"), col("lat2")), 6)
+            .as("dist_km"),
+          directionAngle(col("lon"), col("lat"), col("lon2"), col("lat2")).as("dir_deg"))
+          .orderBy("event_id")
+      }),
+
+      // F3: path rasterization to grid cells (procedural UDF; no SQL
+      // oracle — driver records the rows-only check).
+      "q24_geo_cells_on_way" -> ((s, dir) => {
+        import graft.functions.GeoFunctions._
+        events(s, dir)
+          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
+          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
+          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
+          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
+          .select(col("event_id"),
+            mapToGridCellsOnWay(col("lon"), col("lat"), col("lon2"), col("lat2"))
+              .as("cells"))
+          .select(col("event_id"), size(col("cells")).as("n_cells"),
+            col("cells").getItem(0).as("first_cell"))
+          .orderBy("event_id")
+      })
     )
   }
 
@@ -480,5 +519,26 @@ object SparkEntry {
                          4) AS cos
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.sid < b2.sid) p
           WHERE cos >= 0.4
-          ORDER BY a_id, b_id""")
+          ORDER BY a_id, b_id""",
+
+    "q23_geo_enrich" ->
+      """WITH g AS (SELECT event_id,
+                  -74.05 + value/1000.0 AS lon, 40.5 + value/500.0 AS lat,
+                  -74.05 + (user_id % 30)::DOUBLE/100.0 AS lon2,
+                  40.5 + (user_id % 20)::DOUBLE/50.0 AS lat2
+                FROM events),
+          c AS (SELECT *,
+                  CAST(floor((abs(-74.05) - abs(lon))/0.0014) AS INT) +
+                  CAST(floor((41.0 - lat)/0.00125) AS INT) * 250 AS cell
+                FROM g)
+          SELECT event_id,
+                 (lon BETWEEN -74.05 AND -73.7 AND lat BETWEEN 40.5 AND 41.0) AS in_nyc,
+                 cell,
+                 round((abs(-74.05) - (cell % 250)*0.0014 - 0.0014/2) * -1.0, 6) AS center_lon,
+                 round(41.0 - ((cell - cell % 250)/250)*0.00125 - 0.00125/2, 6) AS center_lat,
+                 round(110.25 * sqrt((lat - lat2)*(lat - lat2) +
+                       ((lon - lon2)*cos(lat2))*((lon - lon2)*cos(lat2))), 6) AS dist_km,
+                 CAST(trunc(degrees(atan2(lat2 - lat, (lon2 - lon)*cos(lat)))) AS INT) + 179
+                   AS dir_deg
+          FROM c ORDER BY event_id""")
 }

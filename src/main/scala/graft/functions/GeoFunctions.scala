@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo helper functions (reference surface F1-F6,
+  * `common/utils/GeoUtils.java:26-234` — itself the Apache-licensed Flink
+  * training GeoUtils). All scalar functions are pure Column expressions
+  * (codegen'd); only the path rasterization (F3) is procedural and uses a
+  * UDF, exactly as the survey's custom-vs-builtin table prescribes.
+  *
+  * Coordinates are doubles (the reference stores floats and widens for
+  * math; see SURVEY §1.3).
+  */
+object GeoFunctions {
+
+  // NYC bounding box and ~100m grid (GeoUtils.java:29-47)
+  val LonEast = -73.7
+  val LonWest = -74.05
+  val LatNorth = 41.0
+  val LatSouth = 40.5
+  val DeltaLon = 0.0014
+  val DeltaLat = 0.00125
+  val GridX = 250
+  val GridY = 400
+  val DegLen = 110.25
+
+  /** F1: bounding-box containment (GeoUtils.java:57-60). */
+  def isInNYC(lon: Column, lat: Column): Column =
+    lon.between(LonWest, LonEast) && lat.between(LatSouth, LatNorth)
+
+  private def xIndex(lon: Column): Column =
+    floor((lit(math.abs(LonWest)) - abs(lon)) / lit(DeltaLon)).cast("int")
+  private def yIndex(lat: Column): Column =
+    floor((lit(LatNorth) - lat) / lit(DeltaLat)).cast("int")
+
+  /** F2: lon/lat → grid-cell id, numbered NW→SE (GeoUtils.java:71-76). */
+  def mapToGridCell(lon: Column, lat: Column): Column =
+    xIndex(lon) + yIndex(lat) * lit(GridX)
+
+  /** F4: inverse of F2 — cell center (GeoUtils.java:158-177). */
+  def gridCellCenterLon(cellId: Column): Column =
+    (lit(math.abs(LonWest)) - (cellId % lit(GridX)) * lit(DeltaLon)
+      - lit(DeltaLon / 2)) * lit(-1.0)
+  def gridCellCenterLat(cellId: Column): Column =
+    lit(LatNorth) - ((cellId - cellId % lit(GridX)) / lit(GridX)) * lit(DeltaLat) -
+      lit(DeltaLat / 2)
+
+  /** F5: approximate km distance `110.25·√(Δlat² + (Δlon·cos lat₂)²)`
+    * (GeoUtils.java:208-212; the cos argument is in *degrees* — a quirk of
+    * the reference, preserved). */
+  def euclideanDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val x = lat1 - lat2
+    val y = (lon1 - lon2) * cos(lat2)
+    lit(DegLen) * sqrt(x * x + y * y)
+  }
+
+  /** F6: bearing in degrees, 0°=E 90°=S, offset +179 (GeoUtils.java:227-234). */
+  def directionAngle(startLon: Column, startLat: Column,
+      destLon: Column, destLat: Column): Column = {
+    val x = destLat - startLat
+    val y = (destLon - startLon) * cos(startLat)
+    (degrees(atan2(x, y))).cast("int") + lit(179)
+  }
+
+  /** F3: rasterize the segment between two grid positions to the list of
+    * crossed cell ids (GeoUtils.java:89-150 — slope-walk algorithm).
+    * Procedural loop → Scala UDF returning ARRAY<INT> (the survey's one
+    * genuine UDF; promote to a codegen Expression only if it becomes hot). */
+  val mapToGridCellsOnWay =
+    udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) => {
+      def xi(lon: Double) = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
+      def yi(lat: Double) = math.floor((LatNorth - lat) / DeltaLat).toInt
+      val (x1, y1, x2, y2) = (xi(lon1), yi(lat1), xi(lon2), yi(lat2))
+      val (startX, startY, endX, endY) =
+        if (x1 <= x2) (x1, y1, x2, y2) else (x2, y2, x1, y1)
+      val slope = (endY - startY) / ((endX - startX) + 1e-8)
+      var (curX, curY) = (startX, startY)
+      val cells = scala.collection.mutable.ArrayBuffer(curX + curY * GridX)
+      var guard = 0
+      while ((curX < endX || curY != endY) && guard < 100000) {
+        guard += 1
+        if (slope > 0) {
+          val y = (curX - startX + 0.5) * slope + startY - 0.5
+          if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY += 1 }
+          else if (y < curY) curX += 1
+          else curY += 1
+        } else {
+          val y = (curX - startX + 0.5) * slope + startY + 0.5
+          if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY -= 1 }
+          if (y > curY) curX += 1 else curY -= 1
+        }
+        cells += curX + curY * GridX
+      }
+      cells.toSeq
+    })
+}
