@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.active.{EcaLoop, RuleStore, SnowflakeId}
+import graft.compile.RuleCompiler
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** The end-to-end continuous-query engine: streaming ingest → rule fan-out
+  * → windowed evaluation → HAVING → alerts → ECA rule spawning (SURVEY §3
+  * lifecycle, re-expressed on Structured Streaming).
+  *
+  * Two evaluation paths, chosen per rule exactly as the reference's mode
+  * dispatch does (`DynamicQueryFunction.java:91-147`):
+  *
+  *  - per-event emission (`frequency == 0`, W1): [[SlidingStateExec]]
+  *    (flatMapGroupsWithState) — one alert per input event;
+  *  - periodic (W2/W3): native `groupBy(window(...))` with a watermark for
+  *    state eviction (W5/W8) — see [[windowedQuery]].
+  *
+  * The ECA feedback loop (C4) runs in `foreachBatch`: firing alerts are
+  * expanded against their parent's templates and merged into the
+  * [[RuleStore]]; the spawned rules join evaluation from the next
+  * micro-batch snapshot — one trigger of loop latency, vs the reference's
+  * Kafka round trip (SURVEY §2.3.5 documents the equivalence).
+  */
+final class ActiveEngine(
+    val store: RuleStore = new RuleStore,
+    val ids: SnowflakeId = new SnowflakeId(0, 0)) {
+
+  @volatile private var alertSink: Seq[Alert] => Unit = _ => ()
+  def onAlerts(f: Seq[Alert] => Unit): this.type = { alertSink = f; this }
+
+  /** Build the W1 streaming pipeline over `events` for the per-event rules
+    * currently in the store. Returns the writer; caller starts it (tests
+    * use `.format("memory")` via their own sink, production appends to a
+    * table). */
+  /** @param stateTimeout pass `ProcessingTimeTimeout` for long-running
+    *   queries (idle-key GC; requires a real trigger interval and is
+    *   incompatible with `AvailableNow`/`processAllAvailable`, which
+    *   would re-trigger forever); default `NoTimeout` for bounded runs. */
+  def perEventWriter(events: DataFrame, tsCol: String = "ts",
+      stateTimeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      : DataStreamWriter[Alert] = {
+    val rules = store.snapshot().filter(_.isPerEventEmission)
+    val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
+    val alerts = SlidingStateExec.run(FanOut.keyed(events, rules, tsCol), rulesById,
+      stateTimeout)
+    alerts.writeStream
+      .outputMode("append")
+      // processing-time timeouts re-trigger empty batches; a real trigger
+      // interval stops the default as-fast-as-possible busy loop
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: Dataset[Alert], _: Long) =>
+        val collected = batch.collect().toSeq
+        handleAlerts(rulesById, collected)
+        ()
+      }
+  }
+
+  /** ECA step shared by streaming and batch drivers: parse each firing
+    * alert's payload back to field map, expand templates, merge spawns. */
+  def handleAlerts(parents: Map[Long, Rule], alerts: Seq[Alert]): Int = {
+    alertSink(alerts)
+    val withFields = alerts.map { a =>
+      (a, PayloadCodec.fields(a.payload))
+    }
+    EcaLoop.processAlerts(parents, withFields, store, ids)
+  }
+
+  /** W2/W3 as a continuous query: native sliding window + watermark. The
+    * watermark bound is the rule's own window (the reference evicts at the
+    * widest live window, `DynamicQueryFunction.java:243-251` — per-rule
+    * bounds are strictly tighter). Emits finalized windows (append mode).
+    */
+  def windowedQuery(events: DataFrame, rule: Rule, tsCol: String = "ts"): DataFrame = {
+    val w = rule.windowMilliseconds.getOrElse(
+      throw new IllegalArgumentException("windowedQuery needs a windowed rule"))
+    val slide = rule.frequencyMilliseconds.filter(f => f > 0 && f <= w).getOrElse(w)
+    val plan = RuleCompiler.aggPlan(rule)
+    val keys = RuleCompiler.groupColumns(rule)
+    events
+      .filter(RuleCompiler.filterColumn(rule))
+      .withWatermark(tsCol, s"$w milliseconds")
+      .groupBy(window(col(tsCol), s"$w milliseconds", s"$slide milliseconds") +: keys: _*)
+      .agg(plan.aggExprs.head, plan.aggExprs.tail: _*)
+      .withColumn("w_start", unix_timestamp(col("window.start").cast("timestamp")))
+      .select((rule.groupingKeyNames.map(col) :+ col("w_start")) :+ plan.finalExpr: _*)
+      .filter(RuleCompiler.havingColumn(rule))
+  }
+}
+
+/** Flat JSON object ↔ field map for alert payload round-trips. */
+object PayloadCodec {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import scala.jdk.CollectionConverters._
+  private val mapper = new ObjectMapper()
+  def fields(json: String): Map[String, String] = {
+    val node = mapper.readTree(json)
+    node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.sources.ShCarData
+import org.apache.spark.sql.functions._
+
+/** S3/S6/P1/P4/F7 ingest semantics + text/dedup/geo function sanity. */
+class IngestAndFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SHCarData parse: projection, dirty-date drop, +8h shift (S3/P4/F7)") {
+    val lines = Seq(
+      "00270|A|0|1|1|0|0|0|2016-08-01 13:00:00|2016-08-01 13:01:13|121.061075|31.401332|0.0|217.0|6|000",
+      "00271|A|0|1|1|0|0|0|x|2010-01-01|121.0|31.0|10.0|20.0|6|000", // dirty
+      "not|a|valid|row")
+    val raw = spark.read.schema(ShCarData.rawSchema).option("sep", "|")
+      .csv(lines.toDS())
+    val parsed = ShCarData.parse(raw)
+    val rows = parsed.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("carId") == 270)
+    // 2016-08-01 13:01:13 Asia/Shanghai = 05:01:13 UTC
+    assert(r.getAs[java.sql.Timestamp]("eventTime").toInstant.toString
+      == "2016-08-01T05:01:13Z")
+    assert(math.abs(r.getAs[Double]("speed") - 0.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("angle") - 217.0) < 1e-9)
+  }
+
+  test("shingles: n-grams, short-text guard") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextFunctions.shingles($"text", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("hash60 is stable and matches the documented DuckDB formula") {
+    val got = Seq("hello").toDF("s")
+      .select(TextFunctions.hash60($"s")).as[Long].head()
+    // ('0x'||substr(md5('hello'),1,15))::BIGINT == 419982666956583591
+    assert(got == 419982666956583591L)
+  }
+
+  test("normalization collapses punctuation and case") {
+    val got = Seq("Hello,   WORLD!!  1").toDF("t")
+      .select(TextFunctions.normalized($"t")).as[String].head()
+    assert(got == "hello world 1")
+  }
+
+  test("exact dedup groups identical normalized texts (dedup)") {
+    val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df).orderBy("keep_id")
+      .select($"keep_id", $"dup_count").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash of identical token multisets is identical; differs otherwise") {
+    val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.simHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("geo: grid cell round-trips through its center (F2/F4)") {
+    val df = Seq((-73.9, 40.75)).toDF("lon", "lat")
+    val cell = df.select(GeoFunctions.mapToGridCell($"lon", $"lat").as("c"))
+    val c = cell.as[Int].head()
+    val back = cell.select(
+      GeoFunctions.gridCellCenterLon($"c").as("clon"),
+      GeoFunctions.gridCellCenterLat($"c").as("clat"))
+      .as[(Double, Double)].head()
+    assert(math.abs(back._1 - -73.9) < GeoFunctions.DeltaLon)
+    assert(math.abs(back._2 - 40.75) < GeoFunctions.DeltaLat)
+    // and the center maps back to the same cell
+    val c2 = df.select(GeoFunctions.mapToGridCell(lit(back._1), lit(back._2)))
+      .as[Int].head()
+    assert(c2 == c)
+  }
+
+  test("geo: isInNYC boundary semantics (F1)") {
+    val df = Seq(
+      (-73.9, 40.75, true), (-73.6, 40.75, false), (-73.9, 41.5, false))
+      .toDF("lon", "lat", "want")
+    val bad = df.filter(GeoFunctions.isInNYC($"lon", $"lat") =!= $"want").count()
+    assert(bad == 0)
+  }
+}
