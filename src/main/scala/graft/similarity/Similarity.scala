@@ -40,7 +40,7 @@ object Similarity {
   def lshNearDupPairs(embeddings: DataFrame, bits: Int, minCosine: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket")).persist() // self-joined
     val l = b.select(col("sid").as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val r = b.select(col("sid").as("b_id"), col("vec").as("b_vec"), col("bucket"))
     l.join(r, "bucket")
