@@ -263,6 +263,26 @@ object SparkEntry {
           .orderBy("event_id")
       }),
 
+      // Multimodal plumbing: synthetic binary media from documents →
+      // stubbed decode → per-media feature summary + sampled-frame
+      // counts. Deterministic but codec-stubbed → rows-only check (no
+      // SQL oracle; the codec is not expressible in DuckDB).
+      "q25_multimodal_decode" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.syntheticMedia(
+          table(s, dir, "documents"), "doc_id", "text")
+        val decoded = Multimodal.decodeImages(media, featureDim = 16)
+          .withColumn("feat_sum",
+            round(aggregate(col("features"),
+              lit(0.0), (a, x) => a + x.cast("double")), 4))
+          .select(col("media_id"), col("width"), col("height"), col("feat_sum"))
+        val frames = Multimodal.sampleFrames(media, stride = 10)
+          .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+        decoded.join(frames, Seq("media_id"), "left")
+          .na.fill(0L, Seq("n_sampled"))
+          .orderBy("media_id")
+      }),
+
       // F3: path rasterization to grid cells (procedural UDF; no SQL
       // oracle — driver records the rows-only check).
       "q24_geo_cells_on_way" -> ((s, dir) => {

@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support for training-data pipelines: image/audio/
+  * video as opaque `BINARY` payloads with typed metadata, plus
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The Spark-side plumbing is real — schemas, per-partition batch
+  * iteration (the Scala analog of `mapInPandas`: one iterator in, one
+  * iterator out, never materializing a partition), frame explosion with
+  * even partitioning. The *codec* step is STUBBED: this container ships
+  * no image/audio libraries, so [[StubCodec]] produces deterministic
+  * pseudo-decodes derived from the payload bytes. Swapping in a real
+  * codec changes only that object — every operator signature, schema and
+  * shuffle stays as-is. On the Python surface the same operators are
+  * `mapInPandas` with the identical batch contract (iterator of record
+  * batches), which Arrow feeds zero-copy.
+  */
+object Multimodal {
+
+  /** The media-table schema: payload plus typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType))))))
+
+  final case class MediaMeta(width: Int, height: Int, sample_rate: Int,
+      n_frames: Int, format: String)
+  final case class Media(media_id: Long, kind: String, payload: Array[Byte],
+      meta: MediaMeta)
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, features: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** ======== STUB ======== deterministic fake codec. A real build links
+    * an image/audio library here; everything else in this file is
+    * production plumbing. Decode output is a pure function of the payload
+    * bytes so tests and retries are reproducible. */
+  object StubCodec {
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      // FNV-1a rolling over the payload, expanded to `dim` floats
+      var h = 0xcbf29ce484222325L
+      payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      val out = new Array[Float](dim)
+      var s = h
+      var i = 0
+      while (i < dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((s >>> 40).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Build a synthetic media table from any table with an id and a string
+    * column (payload = UTF-8 bytes) — the test/bench stand-in for real
+    * blob columns. */
+  def syntheticMedia(src: DataFrame, idCol: String, strCol: String): DataFrame =
+    src.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(strCol), "UTF-8").as("payload"),
+      struct(
+        (pmod(col(idCol).cast("long"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col(idCol).cast("long"), lit(480)) + 32).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col(idCol).cast("long"), lit(300)) + 1).cast("int").as("n_frames"),
+        lit("stub").as("format")).as("meta"))
+
+  /** Decode + feature-extract, batch-at-a-time per partition (the
+    * `mapInPandas` contract: Iterator→Iterator, constant memory). The
+    * work is embarrassingly parallel — no shuffle is introduced; Spark's
+    * input partitioning carries straight through. */
+  def decodeImages(media: DataFrame, featureDim: Int = 64): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    implicit val mediaEnc = Encoders.product[Media]
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        DecodedImage(m.media_id, m.meta.width, m.meta.height, 3,
+          StubCodec.decodeFeatures(m.payload, featureDim))
+      }
+    }
+  }
+
+  /** Resize: recompute features at the target geometry. STUB semantics:
+    * features re-derived from payload + target size (deterministic);
+    * real semantics: decode → resample → re-encode. Same plumbing. */
+  def resize(media: DataFrame, w: Int, h: Int, featureDim: Int = 64): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    implicit val mediaEnc = Encoders.product[Media]
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        val salted = m.payload ++ Array(w.toByte, h.toByte)
+        DecodedImage(m.media_id, w, h, 3, StubCodec.decodeFeatures(salted, featureDim))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: one row per sampled frame index
+    * (every `stride`-th of `meta.n_frames`). Pure relational explode —
+    * the expensive per-frame decode happens after the explode, so frame
+    * work distributes across the cluster instead of hiding inside one
+    * row. Repartition by (media_id, frame_idx) hash when the decode is
+    * heavy; here the explode keeps input partitioning. */
+  def sampleFrames(media: DataFrame, stride: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1,
+          lit(stride))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("int"),
+        // STUB: a real impl slices the container at the frame offset;
+        // the stand-in tags the payload with the frame index
+        concat(col("payload"), encode(concat(lit("#"), col("frame_idx")), "UTF-8"))
+          .as("payload"))
+      .as[Frame]
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.model._
+import graft.sinks.Sinks
+import graft.streaming.ActiveEngine
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** W2/W3/W5/W8: native windowed continuous query with watermark
+  * eviction, and the K2/C8 sink surfaces. */
+class WindowedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(user: Long, ts: java.sql.Timestamp, v: Double)
+  def ev(user: Long, tsMs: Long, v: Double) = Ev(user, new java.sql.Timestamp(tsMs), v)
+
+  test("windowed streaming query finalizes windows past the watermark (W2/W5/W8)") {
+    val rule = Rule(
+      queryId = Some(1L),
+      groupingKeyNames = Seq("user"),
+      aggregateFieldName = Some("v"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      windowMilliseconds = Some(60000L)) // 1-min tumbling
+    val engine = new ActiveEngine()
+    val base = 1700000000000L - (1700000000000L % 60000L) // window-aligned
+    val input = MemoryStream[Ev](spark)
+    val out = engine.windowedQuery(input.toDF(), rule, "ts")
+    val q = out.writeStream.format("memory").queryName("w2_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, base + 1000, 10), ev(1, base + 2000, 5),
+        ev(2, base + 3000, 7))
+      q.processAllAvailable()
+      // watermark still at 0 → nothing finalized
+      assert(spark.table("w2_out").count() == 0)
+      // jump 3 windows ahead: watermark = max(ts) - 60s passes window 0
+      input.addData(ev(1, base + 180000, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, base + 240000, 1)) // advance again to flush
+      q.processAllAvailable()
+      val rows = spark.table("w2_out")
+        .select($"user", $"w_start", $"agg_value".cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(rows.contains((1L, base / 1000, "15.000000")))
+      assert(rows.contains((2L, base / 1000, "7.000000")))
+    } finally q.stop()
+  }
+
+  test("demo CSV sink formats the reference line (K2)") {
+    val alerts = Seq(
+      Alert(1L, "{carId=270}", 1700000000123L, "130.000000", passed = true, "{}"))
+      .toDS()
+    val line = Sinks.demoCsvLine(alerts).as[String].head()
+    assert(line == "Rule 1,{carId=270},1700000000123,130.000000,true")
+  }
+
+  test("observe() metrics attach without changing results (C8)") {
+    val alerts = Seq(
+      Alert(1L, "a", 1L, "1", passed = true, "{}"),
+      Alert(1L, "b", 2L, "2", passed = false, "{}")).toDS()
+    val observed = Sinks.observed(alerts)
+    assert(observed.collect().length == 2)
+  }
+}
