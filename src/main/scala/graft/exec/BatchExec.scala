@@ -30,7 +30,7 @@ object BatchExec {
 
   /** Evaluate `rule` over `df`. `tsCol` is the event-time column. */
   def run(rule: Rule, df: DataFrame, tsCol: String = "ts"): DataFrame = {
-    val filtered = df.filter(RuleCompiler.filterColumn(rule))
+    val filtered = df.filter(RuleCompiler.filterColumn(rule, Some(df.schema)))
     val hasAgg = rule.isCount || rule.aggregatorFunctionType.isDefined
     if (!hasAgg) filtered
     else if (rule.isPassthrough) globalAgg(rule, filtered)

@@ -82,7 +82,7 @@ final class ActiveEngine(
     val plan = RuleCompiler.aggPlan(rule)
     val keys = RuleCompiler.groupColumns(rule)
     events
-      .filter(RuleCompiler.filterColumn(rule))
+      .filter(RuleCompiler.filterColumn(rule, Some(events.schema)))
       .withWatermark(tsCol, s"$w milliseconds")
       .groupBy(window(col(tsCol), s"$w milliseconds", s"$slide milliseconds") +: keys: _*)
       .agg(plan.aggExprs.head, plan.aggExprs.tail: _*)

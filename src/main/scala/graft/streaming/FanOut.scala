@@ -30,7 +30,7 @@ object FanOut {
         case _ => lit("")
       }
       events
-        .filter(RuleCompiler.filterColumn(r))
+        .filter(RuleCompiler.filterColumn(r, Some(events.schema)))
         .select(
           lit(r.queryId.getOrElse(-1L)).as("ruleId"),
           RuleCompiler.keyStringColumn(r).as("key"),

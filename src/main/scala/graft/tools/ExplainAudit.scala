@@ -1,0 +1,22 @@
+// Scratch explain audit — run via: sbt "runMain graft.tools.ExplainAudit"
+// (kept under tools/ so it is not part of the library surface)
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q01_filter_passthrough", "q11_join_revenue", "q10_per_event_sliding")) {
+      println(s"==== $q ====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
