@@ -44,12 +44,8 @@ object StreamDemo {
 
     val engine = new ActiveEngine()
     engine.store.merge(parent)
-    var alertCount = 0L
     var fired = 0L
-    engine.onAlerts { alerts =>
-      alertCount += alerts.size
-      fired += alerts.count(_.passed)
-    }
+    engine.onAlerts(alerts => fired += alerts.size)
 
     // stream the events table as a file source (schema from a batch peek)
     val schema = graft.sources.Tables.load(spark, sfDir, "events").schema
@@ -78,7 +74,7 @@ object StreamDemo {
       .start()
     q.awaitTermination()
 
-    println(s"[demo] alerts emitted: $alertCount, fired: $fired")
+    println(s"[demo] alerts fired: $fired")
     println(s"[demo] rules in store after ECA: ${engine.store.size}")
     engine.store.snapshot().filter(_.activeId.isDefined).take(3).foreach { r =>
       println(s"[demo] spawned: ${RuleCodec.encode(r)}")

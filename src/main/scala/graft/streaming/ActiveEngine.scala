@@ -30,6 +30,7 @@ final class ActiveEngine(
     val ids: SnowflakeId = new SnowflakeId(0, 0)) {
 
   @volatile private var alertSink: Seq[Alert] => Unit = _ => ()
+  /** Register a callback for *fired* alerts (HAVING passed) per batch. */
   def onAlerts(f: Seq[Alert] => Unit): this.type = { alertSink = f; this }
 
   /** Build the W1 streaming pipeline over `events` for the per-event rules
@@ -54,8 +55,14 @@ final class ActiveEngine(
       // interval stops the default as-fast-as-possible busy loop
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[Alert], _: Long) =>
-        val collected = batch.collect().toSeq
-        handleAlerts(rulesById, collected)
+        // collect only what the ECA step consumes — the fired alerts —
+        // instead of shipping every evaluation to the driver; persist so
+        // the stateful plan is not re-executed per action
+        batch.persist()
+        try {
+          val fired = batch.filter(_.passed).collect().toSeq
+          handleAlerts(rulesById, fired)
+        } finally batch.unpersist()
         ()
       }
   }
@@ -97,8 +104,10 @@ object PayloadCodec {
   import com.fasterxml.jackson.databind.ObjectMapper
   import scala.jdk.CollectionConverters._
   private val mapper = new ObjectMapper()
-  def fields(json: String): Map[String, String] = {
-    val node = mapper.readTree(json)
-    node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-  }
+  def fields(json: String): Map[String, String] =
+    if (json == null || json.isEmpty) Map.empty
+    else {
+      val node = mapper.readTree(json)
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
 }

@@ -29,6 +29,11 @@ object FanOut {
           col(f).cast(RuleCompiler.RuleDecimal).cast("string")
         case _ => lit("")
       }
+      // the JSON payload is only consumed by ECA template binding — rules
+      // with no alertRules skip the per-event render entirely
+      val payload =
+        if (r.alertRules.nonEmpty) to_json(struct(events.columns.map(col): _*))
+        else lit("")
       events
         .filter(RuleCompiler.filterColumn(r, Some(events.schema)))
         .select(
@@ -37,7 +42,7 @@ object FanOut {
           (unix_micros(col(tsCol).cast("timestamp")) / lit(1000)).cast("long")
             .as("tsMillis"),
           coalesce(aggIn, lit("")).as("aggIn"),
-          to_json(struct(events.columns.map(col): _*)).as("payload"))
+          payload.as("payload"))
     }.reduce(_ unionByName _).as[KeyedEvent]
   }
 }
