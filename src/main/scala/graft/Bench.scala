@@ -30,7 +30,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // operators persist() shared sub-plans internally; drop them between
+      // queries so cache pressure from one query is not billed to the next
+      spark.sharedState.cacheManager.clearCache()
+      t
     }
 
     // JVM/codegen warm-up on the smallest query (not reported)
