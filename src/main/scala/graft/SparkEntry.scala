@@ -169,6 +169,42 @@ object SparkEntry {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10)),
 
+    // Warehouse face: ROLLUP grouping sets (beyond the reference surface;
+    // Catalyst native).
+    "q26_rollup_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
+            .as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Warehouse face: ranking window function — latest order per customer.
+    "q27_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // Warehouse face: set operations — high-value event types EXCEPT
+    // error types, INTERSECT with purchase-capable users' types.
+    "q28_set_ops" -> ((s, dir) => {
+      val e = events(s, dir)
+      val highValue = e.filter(col("value") > 150).select("event_type")
+      val errors = e.filter(col("event_type") === "error").select("event_type")
+      highValue.distinct()
+        .except(errors.distinct())
+        .unionByName(e.filter(col("value") > 199).select("event_type").distinct())
+        .distinct()
+        .orderBy("event_type")
+    }),
+
     // F9: JSON field extraction from the event props payload.
     "q13_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -406,6 +442,30 @@ object SparkEntry {
     "q12_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q26_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q27_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey) AS rnk
+           FROM orders) t
+         WHERE rnk = 1 ORDER BY o_custkey""",
+
+    "q28_set_ops" ->
+      """SELECT * FROM (
+           SELECT event_type FROM (
+             SELECT DISTINCT event_type FROM events WHERE value > 150
+             EXCEPT
+             SELECT DISTINCT event_type FROM events WHERE event_type = 'error')
+           UNION
+           SELECT DISTINCT event_type FROM events WHERE value > 199) u
+         ORDER BY event_type""",
 
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
