@@ -26,6 +26,17 @@ object SparkEntry {
   private def rule(spark: SparkSession, dir: String, json: String): DataFrame =
     BatchExec.run(RuleCodec.decode(json), events(spark, dir), "ts")
 
+  /** Render the engine's exact-decimal aggregate as DOUBLE for the driver
+    * compare. Internal arithmetic stays DECIMAL (exact, order-independent);
+    * only the final value is converted. Both Spark (BigDecimal.doubleValue)
+    * and DuckDB (verified empirically) produce the correctly-rounded double,
+    * so the bits match — whereas a decimal column reaches the driver as
+    * Decimal('2006.000000') on the Spark side but float64 2006.0 through
+    * DuckDB's pandas conversion, hash-mismatching on rendering alone
+    * (CORRECTNESS_r01 q02–q11/q26). */
+  private def aggDouble(df: DataFrame): DataFrame =
+    df.withColumn("agg_value", col("agg_value").cast("double"))
+
   /** Flagship query on sf=0.001: multi-rule fan-out (D1) in the spirit of
     * the reference README's example queries. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -64,56 +75,56 @@ object SparkEntry {
 
     // A1+A8: exact-decimal SUM with HAVING.
     "q02_rule_sum_having" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":102,"windowFilterRules":[
              {"field":"event_type","operator":"=","value":"purchase"}],
            "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
-           "aggregatorFunctionType":"SUM","limitOperatorType":">","limit":500}""")
+           "aggregatorFunctionType":"SUM","limitOperatorType":">","limit":500}"""))
         .orderBy("user_id")),
 
     // A2: exact AVG (micro-unit integer arithmetic, ROUND_HALF_UP @ scale 6).
     "q03_rule_avg" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":103,"groupingKeyNames":["user_id"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"AVG"}""")
+           "aggregateFieldName":"value","aggregatorFunctionType":"AVG"}"""))
         .orderBy("user_id")),
 
     // A3: MIN.
     "q04_rule_min" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":104,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"MIN"}""")
+           "aggregateFieldName":"value","aggregatorFunctionType":"MIN"}"""))
         .orderBy("event_type")),
 
     // A4: MAX.
     "q05_rule_max" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":105,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"MAX"}""")
+           "aggregateFieldName":"value","aggregatorFunctionType":"MAX"}"""))
         .orderBy("event_type")),
 
     // A5+A8: COUNT via the reference's sentinel field, with HAVING.
     "q06_rule_count" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":106,"groupingKeyNames":["event_type"],
            "aggregateFieldName":"COUNT_FLINK",
-           "limitOperatorType":">=","limit":10}""")
+           "limitOperatorType":">=","limit":10}"""))
         .orderBy("event_type")),
 
     // W2: tumbling window (1 day), SUM per event_type.
     "q07_window_tumbling" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":107,"groupingKeyNames":["event_type"],
            "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":86400000}""")
+           "windowMilliseconds":86400000}"""))
         .orderBy("event_type", "w_start")),
 
     // W3: sliding window (1 h window, 15 min slide), SUM per event_type.
     "q08_window_sliding" -> ((s, dir) =>
-      rule(s, dir,
+      aggDouble(rule(s, dir,
         """{"queryId":108,"groupingKeyNames":["event_type"],
            "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":3600000,"frequencyMilliseconds":900000}""")
+           "windowMilliseconds":3600000,"frequencyMilliseconds":900000}"""))
         .orderBy("event_type", "w_start")),
 
     // D1+D2+D3: multi-rule fan-out with composite key strings.
@@ -131,7 +142,7 @@ object SparkEntry {
            "aggregateFieldName":"value","aggregatorFunctionType":"MAX",
            "windowMilliseconds":604800000}"""
       ).map(RuleCodec.decode)
-      BatchExec.runAll(rules, events(s, dir), "ts")
+      aggDouble(BatchExec.runAll(rules, events(s, dir), "ts"))
         .orderBy("rule_id", "group_key", "w_start")
     }),
 
@@ -145,6 +156,7 @@ object SparkEntry {
            "aggregatorFunctionType":"SUM",
            "windowMilliseconds":21600000,"frequencyMilliseconds":0}""")
         .select("event_id", "agg_value")
+        .transform(aggDouble)
         .orderBy("event_id")),
 
     // Warehouse face: broadcast dimension join (lineitem ⋈ part), revenue
@@ -157,7 +169,8 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").as("revenue"),
+            .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double")
+            .as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("p_brand")
     }),
@@ -176,7 +189,7 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
-            .as("sum_qty"),
+            .cast("double").as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
@@ -348,6 +361,10 @@ object SparkEntry {
 
   private val DEC = "DECIMAL(38,6)"
   private def sumDec(e: String) = s"CAST(SUM(CAST($e AS $DEC)) AS $DEC)"
+  // Final rendering of an exact-decimal aggregate: correctly-rounded
+  // DOUBLE (bit-identical Spark ↔ DuckDB; a DECIMAL output column is
+  // not — see aggDouble above).
+  private def sumDbl(e: String) = s"CAST(${sumDec(e)} AS DOUBLE)"
 
   def oracleSql: Map[String, String] = coreOracle ++ pipelineOracle
 
@@ -358,7 +375,7 @@ object SparkEntry {
          ORDER BY event_id""",
 
     "q02_rule_sum_having" ->
-      s"""SELECT user_id, ${sumDec("value")} AS agg_value FROM events
+      s"""SELECT user_id, ${sumDbl("value")} AS agg_value FROM events
           WHERE event_type = 'purchase' GROUP BY user_id
           HAVING ${sumDec("value")} > 500 ORDER BY user_id""",
 
@@ -369,33 +386,33 @@ object SparkEntry {
                    COUNT(value) AS c
             FROM events GROUP BY user_id)
           SELECT user_id,
-                 CAST(((2*s + c) // (2*c)) / 1000000.0 AS $DEC) AS agg_value
+                 CAST(((2*s + c) // (2*c)) / 1000000.0 AS DOUBLE) AS agg_value
           FROM a ORDER BY user_id""",
 
     "q04_rule_min" ->
-      s"""SELECT event_type, CAST(MIN(CAST(value AS $DEC)) AS $DEC) AS agg_value
+      s"""SELECT event_type, CAST(MIN(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q05_rule_max" ->
-      s"""SELECT event_type, CAST(MAX(CAST(value AS $DEC)) AS $DEC) AS agg_value
+      s"""SELECT event_type, CAST(MAX(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q06_rule_count" ->
-      s"""SELECT event_type, CAST(COUNT(*) AS $DEC) AS agg_value
+      s"""SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS agg_value
           FROM events GROUP BY event_type
           HAVING COUNT(*) >= 10 ORDER BY event_type""",
 
     "q07_window_tumbling" ->
       s"""SELECT event_type,
                  CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                 ${sumDec("value")} AS agg_value
+                 ${sumDbl("value")} AS agg_value
           FROM events GROUP BY event_type, w_start
           ORDER BY event_type, w_start""",
 
     "q08_window_sliding" ->
       s"""SELECT event_type,
                  (CAST(floor(epoch(ts)/900) AS BIGINT) - k.k)*900 AS w_start,
-                 ${sumDec("value")} AS agg_value
+                 ${sumDbl("value")} AS agg_value
           FROM events, range(4) k(k)
           GROUP BY event_type, w_start
           ORDER BY event_type, w_start""",
@@ -405,25 +422,25 @@ object SparkEntry {
             SELECT 1 AS rule_id,
                    '{user_id=' || CAST(user_id AS VARCHAR) || '}' AS group_key,
                    CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                   ${sumDec("value")} AS agg_value
+                   ${sumDbl("value")} AS agg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, w_start
           UNION ALL
             SELECT 2 AS rule_id,
                    '{event_type=' || event_type || '}' AS group_key,
                    CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                   CAST(COUNT(*) AS $DEC) AS agg_value
+                   CAST(COUNT(*) AS DOUBLE) AS agg_value
             FROM events WHERE value > 100
             GROUP BY event_type, w_start
           UNION ALL
             SELECT 3 AS rule_id, '{}' AS group_key,
                    CAST(floor(epoch(ts)/604800) AS BIGINT)*604800 AS w_start,
-                   CAST(MAX(CAST(value AS $DEC)) AS $DEC) AS agg_value
+                   CAST(MAX(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
             FROM events GROUP BY w_start)
           ORDER BY rule_id, group_key, w_start""",
 
     "q10_per_event_sliding" ->
-      s"""SELECT e.event_id, ${sumDec("b.value")} AS agg_value
+      s"""SELECT e.event_id, ${sumDbl("b.value")} AS agg_value
           FROM events e JOIN events b
             ON b.user_id = e.user_id
            AND epoch_us(b.ts) >= epoch_us(e.ts) - 21600000000
@@ -433,8 +450,8 @@ object SparkEntry {
 
     "q11_join_revenue" ->
       """SELECT p_brand,
-                CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
-                     AS DECIMAL(38,4)) AS revenue,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
                 COUNT(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
@@ -445,7 +462,8 @@ object SparkEntry {
 
     "q26_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_qty,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                     AS DOUBLE) AS sum_qty,
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",

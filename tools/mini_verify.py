@@ -11,6 +11,7 @@ Usage: python3 tools/mini_verify.py [sfdir] [--skip-spark]
 """
 import json, subprocess, sys, os
 import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
@@ -32,7 +33,14 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 def canon(df):
-    """DataFrame -> (sorted colnames, sorted row tuples as strings)."""
+    """DataFrame -> (sorted colnames, sorted row tuples as strings).
+
+    Values are stringified with NO numeric coercion or rounding: a
+    Decimal('2006.000000') from Spark parquet must literally equal what
+    DuckDB's .df() yields (float64 2006.0 -> '2006.0') or it FAILS --
+    this mirrors the driver, which reads Spark output via pyarrow and
+    hashes stringified values exactly (see CORRECTNESS_r01: every
+    decimal-output query hash-mismatched)."""
     cols = sorted(df.columns)
     df = df[cols]
     rows = []
@@ -40,7 +48,7 @@ def canon(df):
         vals = []
         for v in row:
             if isinstance(v, float):
-                vals.append(f"{v:.9g}")
+                vals.append(repr(v))
             else:
                 vals.append(str(v))
         rows.append("\x01".join(vals))
@@ -54,7 +62,9 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     try:
-        got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+        # Spark side via pyarrow/pandas (preserves Decimal objects, like
+        # the driver); oracle side via DuckDB's pandas conversion.
+        got = pd.read_parquet(pdir)
         want = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: {e}")
