@@ -332,8 +332,8 @@ object SparkEntry {
           .orderBy("media_id")
       }),
 
-      // F3: path rasterization to grid cells (procedural UDF; no SQL
-      // oracle — driver records the rows-only check).
+      // F3: path rasterization to grid cells (procedural UDF; oracle =
+      // the same slope walk as a DuckDB recursive CTE).
       "q24_geo_cells_on_way" -> ((s, dir) => {
         import graft.functions.GeoFunctions._
         events(s, dir)
@@ -618,6 +618,59 @@ object SparkEntry {
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.sid < b2.sid) p
           WHERE cos >= 0.4
           ORDER BY a_id, b_id""",
+
+    // The slope walk of GeoFunctions.mapToGridCellsOnWay, replayed as a
+    // recursive CTE: identical IEEE double math (slope, y-estimate) and
+    // identical step CASEs, so cell counts match bit-for-bit. n bounds the
+    // recursion exactly like the UDF's guard (never hit — the fixed walk
+    // terminates in ≤ |Δx|+|Δy|+1 steps).
+    "q24_geo_cells_on_way" ->
+      """WITH RECURSIVE seg AS (
+           SELECT event_id,
+                  CAST(floor((abs(-74.05) - abs(-74.05 + value/1000.0))/0.0014) AS INT) AS xa,
+                  CAST(floor((41.0 - (40.5 + value/500.0))/0.00125) AS INT) AS ya,
+                  CAST(floor((abs(-74.05) - abs(-74.05 + (user_id % 30)::DOUBLE/100.0))/0.0014) AS INT) AS xb,
+                  CAST(floor((41.0 - (40.5 + (user_id % 20)::DOUBLE/50.0))/0.00125) AS INT) AS yb
+           FROM events),
+         s3 AS (
+           SELECT event_id,
+                  CASE WHEN xa <= xb THEN xa ELSE xb END AS startX,
+                  CASE WHEN xa <= xb THEN ya ELSE yb END AS startY,
+                  CASE WHEN xa <= xb THEN xb ELSE xa END AS endX,
+                  CASE WHEN xa <= xb THEN yb ELSE ya END AS endY,
+                  ((CASE WHEN xa <= xb THEN yb ELSE ya END) -
+                   (CASE WHEN xa <= xb THEN ya ELSE yb END)) /
+                  (((CASE WHEN xa <= xb THEN xb ELSE xa END) -
+                    (CASE WHEN xa <= xb THEN xa ELSE xb END)) + 0.00000001) AS slope
+           FROM seg),
+         walk AS (
+           SELECT event_id, startX, startY, endX, endY, slope,
+                  startX AS curX, startY AS curY, 0 AS n
+           FROM s3
+           UNION ALL
+           SELECT event_id, startX, startY, endX, endY, slope,
+                  curX + CASE WHEN slope > 0 THEN
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest < curY THEN 1 ELSE 0 END
+                         ELSE
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest > curY THEN 1 ELSE 0 END END,
+                  curY + CASE WHEN slope > 0 THEN
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest < curY THEN 0 ELSE 1 END
+                         ELSE
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN -1
+                                WHEN yest > curY THEN 0 ELSE -1 END END,
+                  n + 1
+           FROM (SELECT *, CASE WHEN slope > 0
+                   THEN (curX - startX + 0.5) * slope + startY - 0.5
+                   ELSE (curX - startX + 0.5) * slope + startY + 0.5 END AS yest
+                 FROM walk) w
+           WHERE (curX < endX OR curY != endY) AND n < 100000)
+         SELECT s3.event_id, c.n_cells, s3.startX + s3.startY*250 AS first_cell
+         FROM s3 JOIN (SELECT event_id, CAST(COUNT(*) AS INT) AS n_cells
+                       FROM walk GROUP BY event_id) c USING(event_id)
+         ORDER BY event_id""",
 
     "q23_geo_enrich" ->
       """WITH g AS (SELECT event_id,

@@ -66,32 +66,46 @@ object GeoFunctions {
   /** F3: rasterize the segment between two grid positions to the list of
     * crossed cell ids (GeoUtils.java:89-150 — slope-walk algorithm).
     * Procedural loop → Scala UDF returning ARRAY<INT> (the survey's one
-    * genuine UDF; promote to a codegen Expression only if it becomes hot). */
-  val mapToGridCellsOnWay =
-    udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) => {
-      def xi(lon: Double) = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
-      def yi(lat: Double) = math.floor((LatNorth - lat) / DeltaLat).toInt
-      val (x1, y1, x2, y2) = (xi(lon1), yi(lat1), xi(lon2), yi(lat2))
-      val (startX, startY, endX, endY) =
-        if (x1 <= x2) (x1, y1, x2, y2) else (x2, y2, x1, y1)
-      val slope = (endY - startY) / ((endX - startX) + 1e-8)
-      var (curX, curY) = (startX, startY)
-      val cells = scala.collection.mutable.ArrayBuffer(curX + curY * GridX)
-      var guard = 0
-      while ((curX < endX || curY != endY) && guard < 100000) {
-        guard += 1
-        if (slope > 0) {
-          val y = (curX - startX + 0.5) * slope + startY - 0.5
-          if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY += 1 }
-          else if (y < curY) curX += 1
-          else curY += 1
-        } else {
-          val y = (curX - startX + 0.5) * slope + startY + 0.5
-          if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY -= 1 }
-          if (y > curY) curX += 1 else curY -= 1
-        }
-        cells += curX + curY * GridX
+    * genuine UDF; promote to a codegen Expression only if it becomes hot).
+    *
+    * Documented deviation: the reference's slope≤0 branch
+    * (GeoUtils.java:137-143) drops the `else` before its second `if`, so
+    * after a diagonal step the walk can move −2 cells/iteration, overshoot
+    * `endY`, and never satisfy the loop condition — an infinite loop on
+    * real inputs. We restore the `else` (mirroring the reference's own
+    * slope>0 branch); the fixed walk provably terminates in
+    * ≤ |Δx|+|Δy|+1 steps, so the guard below is a never-hit safety bound
+    * rather than a silent 100k-cell truncation. */
+  private[graft] def cellsOnWay(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Seq[Int] = {
+    def xi(lon: Double) = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
+    def yi(lat: Double) = math.floor((LatNorth - lat) / DeltaLat).toInt
+    val (x1, y1, x2, y2) = (xi(lon1), yi(lat1), xi(lon2), yi(lat2))
+    val (startX, startY, endX, endY) =
+      if (x1 <= x2) (x1, y1, x2, y2) else (x2, y2, x1, y1)
+    val slope = (endY - startY) / ((endX - startX) + 1e-8)
+    var (curX, curY) = (startX, startY)
+    val cells = scala.collection.mutable.ArrayBuffer(curX + curY * GridX)
+    var guard = 0
+    while ((curX < endX || curY != endY) && guard < 100000) {
+      guard += 1
+      if (slope > 0) {
+        val y = (curX - startX + 0.5) * slope + startY - 0.5
+        if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY += 1 }
+        else if (y < curY) curX += 1
+        else curY += 1
+      } else {
+        val y = (curX - startX + 0.5) * slope + startY + 0.5
+        if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY -= 1 }
+        else if (y > curY) curX += 1
+        else curY -= 1
       }
-      cells.toSeq
-    })
+      cells += curX + curY * GridX
+    }
+    cells.toSeq
+  }
+
+  val mapToGridCellsOnWay =
+    udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
+      cellsOnWay(lon1, lat1, lon2, lat2))
 }

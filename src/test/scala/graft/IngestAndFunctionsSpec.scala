@@ -87,4 +87,36 @@ class IngestAndFunctionsSpec extends SparkSpec {
     val bad = df.filter(GeoFunctions.isInNYC($"lon", $"lat") =!= $"want").count()
     assert(bad == 0)
   }
+
+  test("geo: cellsOnWay walk terminates, spans endpoints, stays short (F3)") {
+    import GeoFunctions._
+    def xi(lon: Double) = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
+    def yi(lat: Double) = math.floor((LatNorth - lat) / DeltaLat).toInt
+    // a spread of segments: flat, vertical, steep up/down, reversed, and a
+    // deterministic pseudo-random sample of the q24 coordinate space
+    val segs = Seq(
+      (-74.0, 40.6, -73.8, 40.6), (-73.9, 40.55, -73.9, 40.95),
+      (-74.0, 40.95, -73.8, 40.55), (-73.8, 40.55, -74.0, 40.95),
+      (-74.04, 40.51, -73.71, 40.99)) ++
+      (0 until 200).map { i =>
+        val r = new scala.util.Random(i)
+        (-74.05 + r.nextDouble() * 0.2, 40.5 + r.nextDouble() * 0.4,
+         -74.05 + r.nextDouble() * 0.3, 40.5 + r.nextDouble() * 0.4)
+      }
+    for ((lo1, la1, lo2, la2) <- segs) {
+      val cells = cellsOnWay(lo1, la1, lo2, la2)
+      val (xa, ya, xb, yb) = (xi(lo1), yi(la1), xi(lo2), yi(la2))
+      val (sx, sy, ex, ey) =
+        if (xa <= xb) (xa, ya, xb, yb) else (xb, yb, xa, ya)
+      assert(cells.head == sx + sy * GridX)
+      assert(cells.last == ex + ey * GridX)
+      // the reference's dropped-else could take 100k steps; the fixed walk
+      // is bounded by the Manhattan path length
+      assert(cells.size <= math.abs(ex - sx) + math.abs(ey - sy) + 1,
+        s"walk too long for ($lo1,$la1)->($lo2,$la2): ${cells.size}")
+      // x never decreases along the walk
+      val xs = cells.map(c => math.floorMod(c, GridX))
+      assert(xs.zip(xs.tail).forall { case (a, b) => b >= a })
+    }
+  }
 }

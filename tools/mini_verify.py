@@ -16,10 +16,16 @@ import pandas as pd
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify"
+# --only=q24_geo_cells_on_way,q18_... : restrict both sides to these names
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 
 if "--skip-spark" not in sys.argv:
+    flt = (" " + ",".join(sorted(ONLY))) if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{flt}'],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     sys.stderr.write(r.stderr[-3000:])
@@ -55,6 +61,8 @@ def canon(df):
     return cols, sorted(rows)
 
 fails = 0
+if ONLY:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 for name, sql in sorted(oracle.items()):
     pdir = f"{OUT}/{name}"
     if not os.path.isdir(pdir):
