@@ -259,9 +259,11 @@ object SparkEntry {
       "q17_dedup_exact" -> ((s, dir) =>
         Dedup.exact(table(s, dir, "documents")).orderBy("fp")),
 
-      // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+      // Exact n-gram Jaccard near-dup pairs via inverted-index join, over
+      // the df≤100-capped shingle space (the oracle states the same cap).
       "q18_dedup_ngram_jaccard" -> ((s, dir) =>
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.35)
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.35,
+            maxDf = 100)
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy("a_id", "b_id")),
 
@@ -284,11 +286,26 @@ object SparkEntry {
           .orderBy("q_id", "rnk")
       }),
 
-      // Sign-bit LSH near-duplicate pairs (4 bits = 16 buckets; threshold
-      // tuned to the corpus cosine distribution, max ≈ 0.51).
+      // Multi-band sign-LSH near-duplicate pairs: 4 bands × 8 bits (256
+      // buckets per band) over disjoint dimension ranges — bucket
+      // population O(n/256) per band, so pair generation stays near-linear
+      // where a single small-bit bucket table is O(n²/buckets). Threshold
+      // tuned to the corpus cosine distribution (max ≈ 0.51).
       "q22_embed_neardup_lsh" -> ((s, dir) =>
-        Similarity.lshNearDupPairs(table(s, dir, "embeddings"), bits = 4, minCosine = 0.4)
+        Similarity.lshNearDupPairs(table(s, dir, "embeddings"),
+            bands = 4, bitsPerBand = 8, minCosine = 0.4)
           .orderBy("a_id", "b_id")),
+
+      // Approximate top-5 via the same banded LSH: rank only the query's
+      // bucket collisions instead of the whole corpus (the sub-quadratic
+      // ANN path; q21 is the exact baseline).
+      "q29_ann_topk_lsh" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5,
+            bands = 4, bitsPerBand = 8)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
+      }),
 
       // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
       // (pure-expression columns; no UDF).
@@ -500,6 +517,17 @@ object SparkEntry {
          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
                 i -> array_to_string(tk[i:i+2], ' '))) shingle FROM toks))"""
 
+  /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
+    * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
+    * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
+  private val duckBandedCte: String =
+    (0 until 4).map { j =>
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN v[${j * 8 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT sid, $j AS band, $bucket AS bucket FROM e"
+    }.mkString("\n                 UNION ALL ")
+
   private def pipelineOracle: Map[String, String] = Map(
     "q14_text_stats" ->
       s"""WITH $tokCte,
@@ -545,11 +573,17 @@ object SparkEntry {
                 MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY fp ORDER BY fp""",
 
+    // shf = the df≤100-capped shingle space (same cap as the Spark side);
+    // sizes, intersections, and Jaccard all computed over shf.
     "q18_dedup_ngram_jaccard" ->
       s"""WITH $tokCte, $shingleCte,
-          sz AS (SELECT sid, COUNT(*) sz FROM sh GROUP BY sid),
+          shf AS (SELECT sid, shingle FROM (
+                    SELECT sid, shingle,
+                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
+                  WHERE df <= 100),
+          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
           p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
-                FROM sh a JOIN sh b USING(shingle)
+                FROM shf a JOIN shf b USING(shingle)
                 WHERE a.sid < b.sid GROUP BY 1, 2)
           SELECT a_id, b_id, inter, x.sz a_size, y.sz b_size,
                  round(inter::DOUBLE / (x.sz + y.sz - inter), 6) AS jaccard
@@ -603,21 +637,42 @@ object SparkEntry {
           SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
 
+    // Same 4-band × 8-bit sign-LSH as Similarity.bandedTable: band j
+    // hashes dims j*8+1..j*8+8; any shared (band, bucket) admits the
+    // candidate, then exact cosine ≥ 0.4.
     "q22_embed_neardup_lsh" ->
-      """WITH b AS (SELECT vec_id sid, embedding::DOUBLE[] v,
-                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-                  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-                  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
-                  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-                FROM embeddings)
+      s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          bd AS ($duckBandedCte),
+          cand AS (SELECT DISTINCT a.sid a_id, b.sid b_id
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid)
           SELECT a_id, b_id, cos FROM (
-            SELECT a.sid a_id, b2.sid b_id,
-                   round(list_dot_product(a.v, b2.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))),
+            SELECT a_id, b_id,
+                   round(list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
                          4) AS cos
-            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.sid < b2.sid) p
+            FROM cand JOIN e x ON x.sid = a_id JOIN e y ON y.sid = b_id) p
           WHERE cos >= 0.4
           ORDER BY a_id, b_id""",
+
+    // Approximate top-5 over the banded candidate set (q29's Spark side =
+    // Similarity.lshTopK); q21 stays the exact baseline.
+    "q29_ann_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          bd AS ($duckBandedCte),
+          cand AS (SELECT DISTINCT qa.sid q_id, cb.sid vec_id
+                   FROM bd qa JOIN bd cb
+                     ON qa.band = cb.band AND qa.bucket = cb.bucket
+                   WHERE qa.sid % 100 = 0 AND qa.sid != cb.sid),
+          s AS (SELECT q_id, vec_id,
+                  round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                        4) AS cos
+                FROM cand JOIN e x ON x.sid = vec_id JOIN e y ON y.sid = q_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
 
     // The slope walk of GeoFunctions.mapToGridCellsOnWay, replayed as a
     // recursive CTE: identical IEEE double math (slope, y-estimate) and

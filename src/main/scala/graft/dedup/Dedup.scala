@@ -1,7 +1,9 @@
 package graft.dedup
 
 import graft.functions.TextFunctions._
+import graft.util.CacheRegistry
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, at four levels of
@@ -36,7 +38,6 @@ object Dedup {
     * for 5,000 docs and recomputed per DAG branch. The window form is
     * linear and partitions by document, so it scales with corpus size. */
   def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("sid").orderBy("pos")
     val toks = docs.select(col(idCol).as("sid"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -50,6 +51,14 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct (sid, 60-bit shingle hash) pairs — memoized + persisted via
+    * [[CacheRegistry]] so the Jaccard and minhash paths over one corpus
+    * shingle it exactly once per session. */
+  def shingleHashes(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    CacheRegistry.cache(CacheRegistry.key(docs, "shingles", n, textCol, idCol),
+      shingleTable(docs, n, textCol, idCol)
+        .select(col("sid"), hash60(col("shingle")).as("sh")))
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     * pairs that share no shingle are never formed, and every row that
     * *is* shuffled is narrow — the shingle hash and two ids; shingle sets
@@ -59,17 +68,28 @@ object Dedup {
     * falls directly out of a count over the join; sizes join after, on
     * the tiny per-doc table.
     *
-    * Scale note: cost is Σ df(shingle)² over the vocabulary. On corpora
-    * where hot shingles make that quadratic (stopword runs), add prefix
-    * filtering (PPJoin) or a df cap on top — this corpus peaks at df=25,
-    * where the direct join is optimal.
+    * Scale guard: the join's cost is Σ df(shingle)² over the vocabulary,
+    * which a handful of hot shingles (stopword runs, boilerplate) turns
+    * quadratic at corpus scale. Shingles with document frequency above
+    * `maxDf` are dropped from the similarity space *before* the join —
+    * sizes, intersections, and Jaccard are all computed over the capped
+    * space, so the operator stays self-consistent (and the SQL oracle
+    * states the same cap). A hot shingle carries ~no pair information
+    * (it matches everything), so the cap trades no practical recall for
+    * a hard O(maxDf²) bound per vocabulary entry. The df computation
+    * partitions by the same key the join shuffles on, so the exchange is
+    * reused. Lossless alternative if a capped space is unacceptable:
+    * rarest-first prefix filtering (PPJoin), at the price of two extra
+    * joins.
     *
     * Output: (a_id, b_id, inter, a_size, b_size, jaccard ≥ minJaccard). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.4,
+      maxDf: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // the shingle table feeds three DAG branches; persist it once
-    val s = shingleTable(docs, n, textCol, idCol)
-      .select(col("sid"), hash60(col("shingle")).as("sh")).persist()
+    val s = shingleHashes(docs, n, textCol, idCol)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= lit(maxDf))
+      .select("sid", "sh")
     val sz = s.groupBy("sid").agg(count(lit(1)).as("sz"))
     val inter = s.select(col("sid").as("a_id"), col("sh"))
       .join(s.select(col("sid").as("b_id"), col("sh")), "sh")
@@ -93,11 +113,13 @@ object Dedup {
   def minHashA(i: Int): Long = 1L + (i.toLong * 1000003L) % MinHashP
   def minHashB(i: Int): Long = (12345L + i.toLong * 999983L) % MinHashP
 
-  /** Per-doc minhash signature rows: (sid, perm i, minhash value). */
+  /** Per-doc minhash signature rows: (sid, perm i, minhash value).
+    * Reuses the memoized shingle-hash table ([[shingleHashes]]):
+    * `pmod(hash60(shingle), p)` ≡ `pmod(sh, p)`. */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int,
       textCol: String, idCol: String): DataFrame = {
-    val s = shingleTable(docs, n, textCol, idCol)
-      .withColumn("h", pmod(hash60(col("shingle")), lit(MinHashP)))
+    val s = shingleHashes(docs, n, textCol, idCol)
+      .withColumn("h", pmod(col("sh"), lit(MinHashP)))
     val perms = (0 until k).map(i => struct(lit(i).as("i"),
       lit(minHashA(i)).as("a"), lit(minHashB(i)).as("b")))
     s.select(col("sid"), col("h"), explode(array(perms: _*)).as("p"))
@@ -117,12 +139,13 @@ object Dedup {
     val rows = k / bands
     val sig = minHashSignatures(docs, n, k, textCol, idCol)
       .withColumn("band", (col("i") / lit(rows)).cast("int"))
-    val bandKey = sig
-      .groupBy("sid", "band")
-      .agg(concat_ws(":",
-        sort_array(collect_list(struct(col("i"), col("mh"))))
-          .getField("mh").cast("array<string>")).as("bkey"))
-      .persist() // self-joined below
+    val bandKey = CacheRegistry.cache(
+      CacheRegistry.key(docs, "minhash-bands", n, k, bands, textCol, idCol),
+      sig
+        .groupBy("sid", "band")
+        .agg(concat_ws(":",
+          sort_array(collect_list(struct(col("i"), col("mh"))))
+            .getField("mh").cast("array<string>")).as("bkey"))) // self-joined below
 
     val a = bandKey.select(col("sid").as("a_id"), col("band"), col("bkey"))
     val b = bandKey.select(col("sid").as("b_id"), col("band"), col("bkey"))

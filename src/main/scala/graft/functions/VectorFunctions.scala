@@ -23,15 +23,17 @@ object VectorFunctions {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-bit LSH bucket over the first `bits` dimensions: a random-
-    * hyperplane sketch that uses the axis planes (valid because the
-    * embedding dimensions are already independent); 2^bits buckets.
-    * Vectors in the same bucket agree on `bits` signs, so near-duplicate
-    * candidates collide with high probability while the candidate-pair
-    * count drops by ~4^bits vs all-pairs — that is the 100 TB scale path
-    * (brute force stays as the exactness baseline). */
-  def signBucket(a: Column, bits: Int): Column =
+  /** Sign-bit LSH bucket over `bits` dimensions starting at `offset`
+    * (0-based): a random-hyperplane sketch that uses the axis planes
+    * (valid because the embedding dimensions are already independent);
+    * 2^bits buckets. Vectors in the same bucket agree on `bits` signs, so
+    * near-duplicate candidates collide with high probability while the
+    * candidate-pair count drops by ~4^bits vs all-pairs. The `offset` lets
+    * a caller derive several *independent* band hashes from disjoint
+    * dimension ranges — the multi-band OR construction that buys recall
+    * back without shrinking any single band's bucket count. */
+  def signBucket(a: Column, bits: Int, offset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(element_at(a, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+      when(element_at(a, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway profiling harness for the q24 UDF path (local iteration). */
+object ProfileQ24 {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.sources.Tables.load(spark, dir, "events")
+      .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
+      .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
+      .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
+      .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
+      .select("event_id", "lon", "lat", "lon2", "lat2")
+      .persist()
+    e.count()
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val seqUdf = GeoFunctions.mapToGridCellsOnWay
+    val arrUdf = udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) => {
+      val s = GeoFunctions.cellsOnWay(lon1, lat1, lon2, lat2)
+      s.toArray
+    })
+
+    for (_ <- 1 to 2) {
+      time("seq-udf size+first") {
+        e.select(col("event_id"),
+          seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          .select(col("event_id"), size(col("cells")), col("cells").getItem(0))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("seq-udf cells only") {
+        e.select(col("event_id"),
+          seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("mapPartitions raw compute") {
+        import spark.implicits._
+        e.select("lon", "lat", "lon2", "lat2").as[(Double, Double, Double, Double)]
+          .mapPartitions(it => it.map { case (a, b, c, d) =>
+            val cells = GeoFunctions.cellsOnWay(a, b, c, d)
+            (cells.length, cells.head)
+          }).write.format("noop").mode("overwrite").save()
+      }
+      time("seq-udf with orderBy") {
+        e.select(col("event_id"),
+          seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          .select(col("event_id"), size(col("cells")).as("n"), col("cells").getItem(0).as("f"))
+          .orderBy("event_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped registry of persisted shared sub-plans.
+  *
+  * Operators that feed several DAG branches (the shingle table under both
+  * the n-gram-Jaccard and minhash paths, the banded LSH table under both
+  * sides of a self-join) persist through here instead of calling
+  * `.persist()` inline, which fixes two round-2 review findings at once:
+  *
+  *  - the same sub-plan built twice by two operators in one session
+  *    (q18 and q19 each re-shingling the corpus) now hits the registry
+  *    and is computed once;
+  *  - `persist()` leaks in long-lived sessions: nothing ever unpersisted.
+  *    A pipeline (or the bench harness) calls [[releaseAll]] between
+  *    corpora.
+  *
+  * Keys embed the producing operator's parameters plus the *semantic* hash
+  * of the input plan, so two differently-built DataFrames over the same
+  * source share an entry only when Catalyst considers them equivalent.
+  */
+object CacheRegistry {
+  private val items = TrieMap.empty[String, DataFrame]
+
+  def key(df: DataFrame, parts: Any*): String =
+    parts.mkString(":") + ":" + df.queryExecution.analyzed.semanticHash()
+
+  def cache(k: String, build: => DataFrame): DataFrame =
+    items.getOrElseUpdate(k, build.persist())
+
+  def releaseAll(): Unit = {
+    items.values.foreach(_.unpersist(blocking = false))
+    items.clear()
+  }
+
+  def size: Int = items.size
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Banded sign-LSH similarity: recall vs the exact baseline on planted
+  * near-duplicates, and candidate-set containment properties. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  /** n seeded unit-ish vectors + one perturbed near-copy (id + 10000) for
+    * each of the first `planted` vectors. */
+  private def corpus(n: Int, planted: Int): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(42)
+    val base = (0 until n).map { i =>
+      (i.toLong, Array.fill(Dim)(r.nextGaussian().toFloat))
+    }
+    val copies = base.take(planted).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.05f * r.nextGaussian().toFloat))
+    }
+    base ++ copies
+  }
+
+  test("lshTopK finds planted near-duplicates with recall >= 0.9 (4 bands x 8 bits)") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val got = Similarity.lshTopK(df, queries, 5, bands = 4, bitsPerBand = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0 until 50).count { i =>
+      got.getOrElse(i + 10000L, Set.empty).contains(i.toLong)
+    }
+    assert(hits >= 45, s"recall ${hits / 50.0} below 0.9")
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with exact scores") {
+    val data = corpus(200, 20)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val exact = Similarity.bruteForceTopK(df, queries, data.size)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val approx = Similarity.lshTopK(df, queries, 5, bands = 4, bitsPerBand = 8)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    // every LSH-scored pair carries the identical exact cosine
+    approx.foreach { case (q, v, c) =>
+      assert(exact.get((q, v)).contains(c), s"score mismatch for ($q,$v)")
+    }
+  }
+
+  test("lshNearDupPairs finds planted pairs and never fabricates high-cos pairs") {
+    val data = corpus(300, 30)
+    val df = data.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(df, bands = 4, bitsPerBand = 8,
+        minCosine = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val found = (0 until 30).count(i => pairs.contains((i.toLong, i + 10000L)))
+    assert(found >= 27, s"planted-pair recall ${found / 30.0} below 0.9")
+    // no pair below the threshold may appear (exact re-scoring filters)
+    val scored = Similarity.lshNearDupPairs(df, bands = 4, bitsPerBand = 8,
+        minCosine = 0.9).select("cos").as[Double].collect()
+    assert(scored.forall(_ >= 0.9))
+  }
+}
