@@ -33,8 +33,11 @@ final class RuleStore {
         case QueryState.Control =>
           incoming.controlType.foreach {
             case ControlType.DeleteRulesAll => rules.clear()
-            case ControlType.ClearStateAll | ControlType.ClearStateAllStop =>
-              stateClearRequested = true
+            case ControlType.ClearStateAll => stateClearRequested = true
+            // the reference's _STOP removes the standing clear command from
+            // broadcast state (`DynamicQueryFunction.java:341-343`) — here
+            // that is cancelling a pending, not-yet-consumed clear request
+            case ControlType.ClearStateAllStop => stateClearRequested = false
             case ControlType.ExportRulesCurrent => exported = snapshot(now)
           }
         case QueryState.Delete =>

@@ -21,9 +21,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   *
   * The ECA feedback loop (C4) runs in `foreachBatch`: firing alerts are
   * expanded against their parent's templates and merged into the
-  * [[RuleStore]]; the spawned rules join evaluation from the next
-  * micro-batch snapshot — one trigger of loop latency, vs the reference's
-  * Kafka round trip (SURVEY §2.3.5 documents the equivalence).
+  * [[RuleStore]]. NOTE: this engine compiles the rule snapshot taken at
+  * plan time into a single static `flatMapGroupsWithState` plan — the
+  * fast path for a FIXED rule set (no per-batch re-plan, full Tungsten
+  * state store). Spawned/merged rules do NOT join a running query here;
+  * deployments that need the loop closed live use
+  * [[DynamicActiveEngine]], which re-snapshots the store every
+  * micro-batch.
   */
 final class ActiveEngine(
     val store: RuleStore = new RuleStore,

@@ -1,0 +1,246 @@
+package graft.streaming
+
+import graft.active.{EcaLoop, RuleStore, SnowflakeId}
+import graft.compile.RuleCompiler
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** The full-fidelity continuous engine: every micro-batch re-reads the
+  * rule store, so rules added, deleted, re-triggered or ECA-spawned
+  * between triggers take effect at the next batch — the Spark-native
+  * equivalent of the reference's broadcast rule stream connected to the
+  * event stream (`DynamicKeyFunction.java:108-144` processBroadcastElement,
+  * broadcast wiring at `App.java:58`). This closes the ECA loop inside one
+  * run: a parent rule's firing alert spawns a child into the [[RuleStore]],
+  * and the child evaluates events from the next micro-batch on (one
+  * trigger of loop latency — the reference pays a Kafka round trip).
+  *
+  * Design: state-as-table, rules-as-data-per-batch. `foreachBatch`
+  * re-plans against a fresh `store.snapshot()` and keeps a bounded *tail*
+  * of fanned-out events (everything still inside some live rule's window)
+  * instead of opaque operator state:
+  *
+  *  - fan-out (D1-D3): the new batch is fanned out under the CURRENT
+  *    snapshot via [[FanOut.keyed]] — compiled Columns rebuilt per batch,
+  *    so a rule change is a re-plan, not a restart. Events that arrive
+  *    while no rule wants them are never keyed or retained (exactly the
+  *    reference: `DynamicKeyFunction` forwards per live rule only);
+  *  - per-event rules (W1): tail ∪ fresh, grouped by (rule, key); each
+  *    fresh event's trailing `[t-w, t]` aggregate is rebuilt with the
+  *    same micro-unit bucket arithmetic as [[SlidingStateExec]]. The
+  *    tail bounds the replay, so per-batch work is O(tail + batch) per
+  *    key and state for a spawned rule starts empty at spawn time
+  *    (reference semantics: a new rule sees only events after it
+  *    reached the operator);
+  *  - periodic rules (W2/W3): aligned windows whose *end* fell inside
+  *    `(prevMax, curMax]` event time are finalized and emitted once —
+  *    the event-time-watermark rendering of the reference's emission
+  *    timers (`DynamicQueryFunction.java:118-147`). ECA `$`-parameters
+  *    for periodic alerts bind from the group key (a window has no
+  *    single triggering event);
+  *  - eviction (W5, P5): the tail keeps only events within
+  *    window(+slide) of the max seen event time, per rule, via a
+  *    broadcast join against the live-rule horizons — so a deleted
+  *    rule's state is dropped with it (reference guard
+  *    `DynamicQueryFunction.java:85-88`);
+  *  - CLEAR_STATE_ALL (C7): drops the whole tail before evaluation
+  *    (reference `DynamicQueryFunction.java:339-341`
+  *    applyToKeyedState(clear)); already-emitted windows stay emitted,
+  *    subsequent aggregates start empty;
+  *  - alert storm safety: at most `maxFiredPerBatch` fired alerts are
+  *    collected for the ECA step per batch (the driver is a control
+  *    plane, not a data plane).
+  *
+  * The tail is an ordinary DataFrame: here it is `localCheckpoint()`ed
+  * (block-store backed, lineage truncated); a production deployment
+  * writes it to a reliable checkpoint table (Delta/parquet) for fault
+  * tolerance — the logic is unchanged. [[ActiveEngine]] remains the
+  * static-rule fast path (single compiled `flatMapGroupsWithState` plan,
+  * no per-batch re-plan) for deployments whose rule set is fixed.
+  */
+final class DynamicActiveEngine(
+    val store: RuleStore = new RuleStore,
+    val ids: SnowflakeId = new SnowflakeId(0, 0),
+    val maxFiredPerBatch: Int = 10000) {
+
+  @volatile private var alertSink: Seq[Alert] => Unit = _ => ()
+  /** Register a callback for *fired* alerts (HAVING passed) per batch. */
+  def onAlerts(f: Seq[Alert] => Unit): this.type = { alertSink = f; this }
+
+  // Cross-batch state: driver-held handles, data lives on executors.
+  @volatile private var tail: Option[DataFrame] = None
+  @volatile private var maxSeenTs: Long = Long.MinValue
+  @volatile private var emittedThrough: Long = Long.MinValue
+
+  def writer(events: DataFrame, tsCol: String = "ts"): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), tsCol)
+      }
+
+  /** One micro-batch of the loop; also the batch-replay entry (tests drive
+    * it directly). */
+  private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = {
+    if (store.consumeStateClear()) {
+      tail.foreach(_.unpersist(false))
+      tail = None
+    }
+    val rules = store.snapshot()
+    if (rules.isEmpty) return
+
+    val fresh = FanOut.keyed(batch, rules, tsCol).toDF()
+      .withColumn("fresh", lit(true))
+    val combined = (tail match {
+      case Some(t) => t.withColumn("fresh", lit(false)).unionByName(fresh)
+      case None => fresh
+    }).persist()
+    try {
+      val curMaxRaw = combined.agg(max(col("tsMillis"))).head().get(0)
+      if (curMaxRaw == null) return
+      val curMax = math.max(curMaxRaw.asInstanceOf[Long], maxSeenTs)
+
+      val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
+      val passthroughIds = rules.filter(_.isPassthrough).flatMap(_.queryId)
+      val perEventIds = rules.filter(r => r.isPerEventEmission && !r.isPassthrough)
+        .flatMap(_.queryId)
+      val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
+
+      // W4: raw passthrough — one alert per fresh matching event, no state
+      // (reference `DynamicQueryFunction.java:93-116`)
+      val passthroughAlerts: Option[DataFrame] =
+        if (passthroughIds.isEmpty) None
+        else Some(combined
+          .filter(col("fresh") && col("ruleId").isin(passthroughIds: _*))
+          .select(col("ruleId"), col("key"), col("tsMillis"),
+            col("aggIn").as("aggregate"), lit(true).as("passed"), col("payload")))
+      val perEventAlerts: Option[Dataset[Alert]] =
+        if (perEventIds.isEmpty) None
+        else Some(evalPerEvent(
+          combined.filter(col("ruleId").isin(perEventIds: _*)), rulesById))
+      val periodicAlerts: Option[DataFrame] = periodic
+        .map(r => evalPeriodic(combined, r, emittedThrough, curMax))
+        .reduceOption(_ unionByName _)
+
+      implicit val alertEnc = Encoders.product[Alert]
+      val alerts: Option[Dataset[Alert]] =
+        (perEventAlerts.toSeq ++
+          (passthroughAlerts.toSeq ++ periodicAlerts.toSeq).map(_.as[Alert]))
+          .reduceOption(_ unionByName _)
+      alerts.foreach { ds =>
+        val fired = ds.filter(_.passed).limit(maxFiredPerBatch).collect().toSeq
+        alertSink(fired)
+        val withFields = fired.map(a => (a, bindFields(a)))
+        EcaLoop.processAlerts(rulesById, withFields, store, ids)
+      }
+
+      emittedThrough = math.max(emittedThrough, curMax)
+      maxSeenTs = curMax
+
+      // Tail update: per-rule retention horizon, broadcast-joined so a
+      // dropped rule's rows (= its state) vanish with it.
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val horizons = rules.flatMap(r => r.queryId.map(id => (id,
+        r.windowMilliseconds.getOrElse(0L) +
+          r.frequencyMilliseconds.filter(_ > 0).getOrElse(0L))))
+        .toDF("ruleId", "hz")
+      val newTail = combined
+        .join(broadcast(horizons), "ruleId")
+        .filter(col("tsMillis") >= lit(curMax) - col("hz"))
+        .select("ruleId", "key", "tsMillis", "aggIn", "payload")
+        .localCheckpoint(true)
+      tail.foreach(_.unpersist(false))
+      tail = Some(newTail)
+    } finally combined.unpersist(false)
+  }
+
+  /** W1 replay over tail ∪ fresh: identical bucket arithmetic to
+    * [[SlidingStateExec]], emitting only for fresh (this-batch) events. */
+  private def evalPerEvent(keyed: DataFrame,
+      rules: Map[Long, Rule]): Dataset[Alert] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    implicit val alertEnc = Encoders.product[Alert]
+    keyed.select("ruleId", "key", "tsMillis", "aggIn", "payload", "fresh")
+      .as[(Long, String, Long, String, String, Boolean)]
+      .groupByKey { case (rid, key, _, _, _, _) => (rid, key) }
+      .flatMapGroups[Alert] { (group: (Long, String),
+          it: Iterator[(Long, String, Long, String, String, Boolean)]) =>
+        val (rid, key) = group
+        rules.get(rid) match {
+          case Some(rule) if rule.isPerEventEmission =>
+            val w = rule.windowMilliseconds.getOrElse(0L)
+            // deterministic replay order, as SlidingStateExec sorts batches
+            val evs = it.toArray.sortBy { case (_, _, ts, _, p, _) => (ts, p) }
+            val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
+            var buckets = Map.empty[Long, SlidingStateExec.Bucket]
+            for ((_, _, ts, aggIn, payload, isFresh) <- evs) {
+              buckets = SlidingStateExec.insert(buckets, ts, aggIn)
+              buckets = buckets.filter { case (t, _) => t >= ts - w }
+              if (isFresh) {
+                val agg = SlidingStateExec.merge(rule, buckets, ts - w, ts)
+                out += Alert(rid, key, ts, agg.toPlainString,
+                  rule.applyLimit(BigDecimal(agg)), payload)
+              }
+            }
+            out.iterator
+          case _ => Iterator.empty
+        }
+      }
+  }
+
+  /** W2/W3: finalize aligned windows whose end fell in `(loEnd, hiEnd]`.
+    * Emitted rows are HAVING-passed (the reference's periodic path only
+    * outputs firing evaluations). */
+  private def evalPeriodic(combined: DataFrame, rule: Rule,
+      loEnd: Long, hiEnd: Long): DataFrame = {
+    val rid = rule.queryId.getOrElse(-1L)
+    val w = rule.windowMilliseconds.get
+    val slide = rule.frequencyMilliseconds.filter(f => f > 0 && f <= w).getOrElse(w)
+    val bound = if (rule.isCount) rule else rule.copy(aggregateFieldName = Some("aggIn"))
+    val plan = RuleCompiler.aggPlan(bound)
+    combined
+      .filter(col("ruleId") === lit(rid))
+      .withColumn("__ts", timestamp_millis(col("tsMillis")))
+      .groupBy(col("key"), window(col("__ts"), s"$w milliseconds", s"$slide milliseconds"))
+      .agg(plan.aggExprs.head, plan.aggExprs.tail: _*)
+      .withColumn("__w_end", unix_millis(col("window.end")))
+      .filter(col("__w_end") > lit(loEnd) && col("__w_end") <= lit(hiEnd))
+      .select(col("key"), unix_millis(col("window.start")).as("tsMillis"),
+        plan.finalExpr)
+      .filter(RuleCompiler.havingColumn(rule))
+      .select(
+        lit(rid).as("ruleId"),
+        col("key"),
+        col("tsMillis"),
+        col(RuleCompiler.AggAlias).cast("string").as("aggregate"),
+        lit(true).as("passed"),
+        lit("").as("payload"))
+  }
+
+  /** ECA `$`-binding source for one alert: the triggering event's fields
+    * (per-event alerts carry the event as JSON) or, for periodic alerts,
+    * the group-key fields — `{carId=7;lon=121.5}` → carId, lon. */
+  private def bindFields(a: Alert): Map[String, String] =
+    if (a.payload != null && a.payload.nonEmpty) PayloadCodec.fields(a.payload)
+    else DynamicActiveEngine.keyFields(a.key)
+}
+
+object DynamicActiveEngine {
+  /** Parse the reference-format composite key string
+    * (`KeysExtractor.java:19-41`) back to a field map. */
+  def keyFields(key: String): Map[String, String] = {
+    val inner = key.stripPrefix("{").stripSuffix("}")
+    if (inner.isEmpty) Map.empty
+    else inner.split(";").iterator.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+}

@@ -92,9 +92,14 @@ object SlidingStateExec {
     if (s == null || s.isEmpty) None
     else Some(new JBigDecimal(s).movePointRight(6).longValueExact())
 
-  private def insert(buckets: Map[Long, Bucket], e: KeyedEvent): Map[Long, Bucket] = {
-    val v = micro(e.aggIn)
-    val nb = buckets.get(e.tsMillis) match {
+  private def insert(buckets: Map[Long, Bucket], e: KeyedEvent): Map[Long, Bucket] =
+    insert(buckets, e.tsMillis, e.aggIn)
+
+  /** Shared with the dynamic engine's batch replay ([[DynamicActiveEngine]]). */
+  private[streaming] def insert(buckets: Map[Long, Bucket], tsMillis: Long,
+      aggIn: String): Map[Long, Bucket] = {
+    val v = micro(aggIn)
+    val nb = buckets.get(tsMillis) match {
       case None => v match {
         case Some(m) => Bucket(1, m, m, m, hasVal = true)
         case None    => Bucket(1, 0, 0, 0, hasVal = false)
@@ -108,7 +113,7 @@ object SlidingStateExec {
         case None => old.copy(cnt = old.cnt + 1)
       }
     }
-    buckets.updated(e.tsMillis, nb)
+    buckets.updated(tsMillis, nb)
   }
 
   /** Merge partials over `[lo, hi]` (inclusive both ends) and render the

@@ -1,0 +1,197 @@
+package graft
+
+import graft.active.RuleStore
+import graft.model._
+import graft.sources.RuleFileSource
+import graft.streaming.DynamicActiveEngine
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** The dynamic engine's defining behaviors, in the reference's terms:
+  * rules live-join a running query (C1/S1/S2), the ECA loop closes inside
+  * one run (C4), mixed emission modes dispatch together (W1+W2/W3+W4),
+  * and CLEAR_STATE_ALL empties window state mid-stream (C7). */
+class DynamicEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(carId: Int, ts: java.sql.Timestamp, speed: Double)
+  def ev(carId: Int, tsMs: Long, speed: Double) =
+    Ev(carId, new java.sql.Timestamp(tsMs), speed)
+
+  private def runBatches(engine: DynamicActiveEngine,
+      batches: Seq[Seq[Ev]]): Unit = {
+    val input = MemoryStream[Ev](spark)
+    val q = engine.writer(input.toDF(), "ts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("ECA loop closes in one run: spawned child rule fires an alert (C4)") {
+    val child = Rule(
+      queryId = Some(99L), // template id; spawn stamps a fresh Snowflake id
+      groupingKeyNames = Seq("$carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Max),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(100)),
+      windowMilliseconds = Some(60000L),
+      frequencyMilliseconds = Some(0L),
+      lastTime = Some(-1L))
+    val parent = Rule(
+      queryId = Some(1L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some(Rule.CountSentinel),
+      limitOperatorType = Some(CompareOp.GreaterEqual),
+      limit = Some(BigDecimal(2)),
+      windowMilliseconds = Some(60000L),
+      frequencyMilliseconds = Some(0L),
+      alertRules = Seq(child))
+
+    val engine = new DynamicActiveEngine()
+    engine.store.merge(parent)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L
+    runBatches(engine, Seq(
+      // batch 1: two events for car 7 -> parent COUNT>=2 fires -> child
+      // spawned with filter carId=7, keyed on carId
+      Seq(ev(7, base, 50), ev(7, base + 1000, 60)),
+      // batch 2: car 7 at speed 150 -> child MAX>100 fires; car 8 matches
+      // no child (its parent count is 1, and the spawned filter is carId=7)
+      Seq(ev(7, base + 2000, 150), ev(8, base + 2000, 150))))
+
+    val childLive = engine.store.snapshot().filter(_.activeId.contains(1L))
+    assert(childLive.size == 1, "exactly one child spawned (C5 dedup)")
+    val childId = childLive.head.queryId.get
+    val childAlerts = fired.synchronized(fired.filter(_.ruleId == childId))
+    assert(childAlerts.nonEmpty, "spawned child fired in the same run")
+    assert(childAlerts.forall(_.key == "{carId=7}"))
+    assert(childAlerts.exists(_.aggregate.startsWith("150")))
+  }
+
+  test("mixed store dispatches W1 per-event, W2 periodic and W4 passthrough together") {
+    val perEvent = Rule(
+      queryId = Some(10L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Avg),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(50)),
+      windowMilliseconds = Some(10000L),
+      frequencyMilliseconds = Some(0L))
+    val tumbling = Rule(
+      queryId = Some(11L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      windowMilliseconds = Some(10000L)) // frequency absent -> tumbling
+    val passthrough = Rule(
+      queryId = Some(12L),
+      windowFilterRules = Seq(FilterSpec("speed", CompareOp.Greater, "80")))
+
+    val engine = new DynamicActiveEngine()
+    Seq(perEvent, tumbling, passthrough).foreach(engine.store.merge(_))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    // base aligned to the 10 s tumbling grid so window membership is plain
+    val base = 1700000000000L - (1700000000000L % 10000L)
+    runBatches(engine, Seq(
+      Seq(ev(1, base + 1000, 60), ev(1, base + 2000, 90)),
+      // batch 2 pushes event time past the first window's end -> W2 emits
+      Seq(ev(1, base + 15000, 10))))
+
+    val got = fired.synchronized(fired.toList)
+    // W1: avg 60 > 50 fires at +1000; avg 75 > 50 fires at +2000
+    val w1 = got.filter(_.ruleId == 10L)
+    assert(w1.map(_.tsMillis).toSet == Set(base + 1000, base + 2000))
+    // W2: window [base, base+10000) closed by batch 2: SUM = 150
+    val w2 = got.filter(_.ruleId == 11L)
+    assert(w2.size == 1)
+    assert(w2.head.tsMillis == base && BigDecimal(w2.head.aggregate) == BigDecimal(150))
+    // W4: only the speed-90 event passes the filter
+    val w4 = got.filter(_.ruleId == 12L)
+    assert(w4.map(_.tsMillis) == List(base + 2000))
+  }
+
+  test("CLEAR_STATE_ALL empties window state mid-stream; _STOP cancels a pending clear (C7)") {
+    val rule = Rule(
+      queryId = Some(20L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(0)),
+      windowMilliseconds = Some(100000L),
+      frequencyMilliseconds = Some(0L))
+    val engine = new DynamicActiveEngine()
+    engine.store.merge(rule)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L
+    val input = MemoryStream[Ev](spark)
+    val q = engine.writer(input.toDF(), "ts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(ev(1, base, 10), ev(1, base + 1000, 20))
+      q.processAllAvailable()
+      // a cancelled clear leaves state intact
+      engine.store.merge(Rule(queryState = QueryState.Control,
+        controlType = Some(ControlType.ClearStateAll)))
+      engine.store.merge(Rule(queryState = QueryState.Control,
+        controlType = Some(ControlType.ClearStateAllStop)))
+      input.addData(ev(1, base + 2000, 5))
+      q.processAllAvailable()
+      // now a real clear: the next aggregate restarts from empty
+      engine.store.merge(Rule(queryState = QueryState.Control,
+        controlType = Some(ControlType.ClearStateAll)))
+      input.addData(ev(1, base + 3000, 7))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sums = fired.synchronized(fired.toList).sortBy(_.tsMillis)
+      .map(a => BigDecimal(a.aggregate).toDouble)
+    // 10, 30 (10+20), 35 (clear was cancelled), then 7 (state cleared)
+    assert(sums == List(10.0, 30.0, 35.0, 7.0))
+  }
+
+  test("a rule file dropped mid-stream becomes live (S2) and evaluates (C1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rules").toFile
+    val engine = new DynamicActiveEngine()
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val ruleQ = RuleFileSource.attach(spark, engine.store, dir.getAbsolutePath,
+      Trigger.ProcessingTime("100 milliseconds"))
+    val input = MemoryStream[Ev](spark)
+    val q = engine.writer(input.toDF(), "ts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      val base = 1700000000000L
+      // no rules yet: events pass through unretained
+      input.addData(ev(1, base, 10)); q.processAllAvailable()
+      assert(engine.store.size == 0 && fired.synchronized(fired.isEmpty))
+      // drop a rule file (one JSON line + one malformed line to drop)
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "rules.json").toPath,
+        """{"queryId":30,"groupingKeyNames":["carId"],
+           "aggregateFieldName":"speed","aggregatorFunctionType":"MAX",
+           "limitOperatorType":">","limit":50,
+           "windowMilliseconds":60000,"frequencyMilliseconds":0}"""
+          .replaceAll("\n\\s*", "") + "\nnot json\n")
+      ruleQ.processAllAvailable()
+      assert(engine.store.size == 1, "rule merged from the file stream")
+      input.addData(ev(1, base + 1000, 99)); q.processAllAvailable()
+    } finally { q.stop(); ruleQ.stop() }
+
+    val got = fired.synchronized(fired.toList)
+    assert(got.exists(a => a.ruleId == 30L && a.aggregate.startsWith("99")),
+      s"file-sourced rule fired: $got")
+  }
+}
