@@ -69,46 +69,56 @@ object BatchExec {
     finishAgg(rule, grouped, keep, plan)
   }
 
-  /** W1 (batch analog): per-event trailing-window aggregate.
+  /** W1 (batch analog): per-event trailing-window aggregate, as a native
+    * RANGE-frame window function: `AGG(x) OVER (PARTITION BY keys ORDER BY
+    * ts_us RANGE BETWEEN w PRECEDING AND CURRENT ROW)` — exactly the
+    * reference's `[t-w, t]`-inclusive definition
+    * (`DynamicQueryFunction.java:277-280`), including same-timestamp peers.
     *
-    * Bucket both sides by `ts_us div window_us`; an event at time `t` only
-    * sees rows in its own bucket or the previous one, so the build side is
-    * duplicated into (bucket, bucket+1) and the join fans out to exactly 2
-    * candidate buckets per probe row — a hash exchange on (keys, bucket)
-    * that survives a 100× scale-up where a naive range self-join (cross
-    * product per key) would not. Bounds `[t-w, t]` inclusive both ends. */
+    * One hash exchange on the grouping keys plus a per-partition sort —
+    * strictly less movement than the previous bucketed self-join (which
+    * exploded the build side 2× and re-grouped by the *whole event row*,
+    * making the shuffle key width O(columns)). Catalyst's sliding window
+    * frame processor advances two pointers over the sorted run, so the
+    * per-key cost is O(n log n) in events, not O(n·window). Keyless rules
+    * degenerate to a single partition — same caveat as any global sort. */
   private def perEventSliding(rule: Rule, df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val wUs = rule.windowMilliseconds.get * 1000L
-    val keys = rule.groupingKeyNames
-    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
-
-    val probe = df
-      .withColumn("__ts_us", tsUs)
-      .withColumn("__bucket", expr(s"__ts_us div ${wUs}L"))
-    val aggField = if (rule.isCount) None else rule.aggregateFieldName
-    val buildCols =
-      (keys.map(col) :+ col("__ts_us").as("__b_ts_us")) ++
-        aggField.map(f => col(f).as("__b_agg_in")).toSeq
-    val build = df.withColumn("__ts_us", tsUs).select(buildCols: _*)
-      .withColumn("__bucket",
-        explode(array(expr(s"__b_ts_us div ${wUs}L"),
-                      expr(s"__b_ts_us div ${wUs}L") + lit(1L))))
-
-    val joinKeys = keys :+ "__bucket"
-    val joined = probe.join(build, joinKeys, "inner")
-      .filter(col("__b_ts_us") >= col("__ts_us") - lit(wUs) &&
-              col("__b_ts_us") <= col("__ts_us"))
-
-    // rebind the rule's aggregate onto the build-side column
-    val boundRule =
-      if (rule.isCount) rule
-      else rule.copy(aggregateFieldName = Some("__b_agg_in"))
-    val plan = RuleCompiler.aggPlan(boundRule)
-    val eventCols = df.columns.map(col).toSeq
-    val grouped = joined
-      .groupBy(eventCols :+ col("__ts_us"): _*)
-      .agg(plan.aggExprs.head, plan.aggExprs.tail: _*)
-    finishAgg(rule, grouped, eventCols, plan)
+    val w: WindowSpec = Window
+      .partitionBy(rule.groupingKeyNames.map(col): _*)
+      .orderBy(col("__ts_us"))
+      .rangeBetween(-wUs, Window.currentRow)
+    val dec = RuleCompiler.RuleDecimal
+    val base = df.withColumn("__ts_us", unix_micros(col(tsCol).cast("timestamp")))
+    val withAgg =
+      if (rule.isCount)
+        base.withColumn(RuleCompiler.AggAlias, count(lit(1)).over(w).cast(dec))
+      else {
+        val c = col(rule.aggregateFieldName.get).cast(dec)
+        rule.aggregatorFunctionType.getOrElse(throw new IllegalArgumentException(
+            s"rule ${rule.queryId} has no aggregatorFunctionType")) match {
+          case AggregatorType.Sum =>
+            base.withColumn(RuleCompiler.AggAlias, sum(c).over(w).cast(dec))
+          case AggregatorType.Min =>
+            base.withColumn(RuleCompiler.AggAlias, min(c).over(w).cast(dec))
+          case AggregatorType.Max =>
+            base.withColumn(RuleCompiler.AggAlias, max(c).over(w).cast(dec))
+          case AggregatorType.Avg =>
+            // exact micro-unit AVG, identical to RuleCompiler.aggPlan:
+            // (2s + n) div (2n) = ROUND_HALF_UP at scale 6 (long integer
+            // division, so no double rounding at any magnitude)
+            base
+              .withColumn("__s2",
+                lit(2) * sum((c * lit(1000000)).cast("long")).over(w) + count(c).over(w))
+              .withColumn("__n2", lit(2) * count(c).over(w))
+              .withColumn(RuleCompiler.AggAlias,
+                (expr("__s2 div __n2") / lit(1000000.0)).cast(dec))
+        }
+      }
+    withAgg
+      .filter(RuleCompiler.havingColumn(rule))
+      .select(df.columns.map(col) :+ col(RuleCompiler.AggAlias): _*)
   }
 
   /** D1: evaluate many windowed rules in one pass — the event×rule fan-out

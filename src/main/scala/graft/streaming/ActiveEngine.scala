@@ -51,7 +51,7 @@ final class ActiveEngine(
       : DataStreamWriter[Alert] = {
     val rules = store.snapshot().filter(_.isPerEventEmission)
     val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
-    val alerts = SlidingStateExec.run(FanOut.keyed(events, rules, tsCol), rulesById,
+    val alerts = SlidingStateExec.run(FanOut.auto(events, rules, tsCol), rulesById,
       stateTimeout)
     alerts.writeStream
       .outputMode("append")
@@ -64,7 +64,9 @@ final class ActiveEngine(
         // the stateful plan is not re-executed per action
         batch.persist()
         try {
-          val fired = batch.filter(_.passed).collect().toSeq
+          // cap the driver-side collect: an alert storm must not OOM the
+          // control plane (ECA dedups per (rule, key) anyway)
+          val fired = batch.filter(_.passed).limit(10000).collect().toSeq
           handleAlerts(rulesById, fired)
         } finally batch.unpersist()
         ()

@@ -92,7 +92,7 @@ final class DynamicActiveEngine(
     val rules = store.snapshot()
     if (rules.isEmpty) return
 
-    val fresh = FanOut.keyed(batch, rules, tsCol).toDF()
+    val fresh = FanOut.auto(batch, rules, tsCol).toDF()
       .withColumn("fresh", lit(true))
     val combined = (tail match {
       case Some(t) => t.withColumn("fresh", lit(false)).unionByName(fresh)
