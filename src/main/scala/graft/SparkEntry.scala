@@ -223,8 +223,63 @@ object SparkEntry {
       events(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("k").agg(count(lit(1)).as("cnt"))
-        .orderBy("k"))
+        .orderBy("k")),
+
+    // The DYNAMIC streaming engine itself, oracle-checked: replay the
+    // events table through DynamicActiveEngine.processBatch in weekly
+    // micro-batches (arrival order = event-time order) and emit the fired
+    // alerts. q30 = W1 per-event trailing window (SUM, HAVING); q31 = W2
+    // tumbling windows finalized when event time passes the window end.
+    // Events are deduped to one per (user_id, ms) first so within-batch
+    // processing order cannot affect trailing-window membership.
+    "q30_dynamic_engine_replay" -> ((s, dir) =>
+      dynamicReplay(s, dir,
+        """{"queryId":300,"windowFilterRules":[
+             {"field":"value","operator":">","value":"5"}],
+           "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
+           "aggregatorFunctionType":"SUM","limitOperatorType":">","limit":100,
+           "windowMilliseconds":21600000,"frequencyMilliseconds":0}""")),
+
+    "q31_dynamic_periodic_replay" -> ((s, dir) =>
+      dynamicReplay(s, dir,
+        """{"queryId":310,"groupingKeyNames":["event_type"],
+           "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+           "windowMilliseconds":86400000}"""))
   )
+
+  /** Shared harness for q30/q31: dedup events to one per (user_id, ms),
+    * replay week by week through a fresh [[graft.streaming.DynamicActiveEngine]],
+    * return fired alerts as (group_key, ts_ms, agg_value). */
+  private def dynamicReplay(s: SparkSession, dir: String, ruleJson: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val engine = new graft.streaming.DynamicActiveEngine()
+    engine.store.merge(RuleCodec.decode(ruleJson))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[graft.model.Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val ms = (unix_micros(col("ts").cast("timestamp")) / lit(1000)).cast("long")
+    val base = events(s, dir)
+      .withColumn("__ms", ms)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("__ms")).orderBy(col("event_id"))))
+      .filter(col("__rn") === 1)
+      .withColumn("__wk", expr("__ms div 604800000"))
+      .drop("__rn")
+      .persist()
+    try {
+      val weeks = base.select(col("__wk")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      weeks.foreach { wk =>
+        engine.processBatch(base.filter(col("__wk") === wk).drop("__ms", "__wk"), "ts")
+      }
+    } finally base.unpersist()
+
+    import s.implicits._
+    fired.synchronized(fired.toSeq).toDF()
+      .select(col("key").as("group_key"), col("tsMillis").as("ts_ms"),
+        col("aggregate").cast("double").as("agg_value"))
+      .orderBy("group_key", "ts_ms")
+  }
 
   // ---------------------------------------------------------------------
   // Training-data pipeline surface: dedup, similarity search, text
@@ -505,7 +560,42 @@ object SparkEntry {
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
                 COUNT(*) AS cnt
-         FROM events GROUP BY k ORDER BY k"""
+         FROM events GROUP BY k ORDER BY k""",
+
+    // W1 through the dynamic engine: one fired alert per surviving event,
+    // aggregate = trailing 6 h SUM over the deduped (user_id, ms) space,
+    // HAVING compared in exact decimal (engine: applyLimit on BigDecimal).
+    "q30_dynamic_engine_replay" ->
+      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
+          e1 AS (SELECT * FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
+                 WHERE rn = 1),
+          f AS (SELECT * FROM e1 WHERE value > 5),
+          s AS (SELECT a.user_id, a.tsm, ${sumDec("b.value")} AS agg_dec
+                FROM f a JOIN f b ON b.user_id = a.user_id
+                  AND b.tsm >= a.tsm - 21600000 AND b.tsm <= a.tsm
+                GROUP BY a.user_id, a.tsm)
+          SELECT '{user_id=' || user_id || '}' AS group_key, tsm AS ts_ms,
+                 CAST(agg_dec AS DOUBLE) AS agg_value
+          FROM s WHERE agg_dec > 100 ORDER BY group_key, ts_ms""",
+
+    // W2 through the dynamic engine: tumbling day windows, emitted once
+    // their end passes the max seen event time (the engine's event-time
+    // watermark); the trailing partial window is NOT emitted.
+    "q31_dynamic_periodic_replay" ->
+      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
+          e1 AS (SELECT * FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
+                 WHERE rn = 1),
+          m AS (SELECT max(tsm) mx FROM e1),
+          w AS (SELECT event_type, (tsm // 86400000) * 86400000 AS ts_ms,
+                  ${sumDbl("value")} AS agg_value
+                FROM e1 GROUP BY event_type, ts_ms)
+          SELECT '{event_type=' || event_type || '}' AS group_key, ts_ms, agg_value
+          FROM w, m WHERE ts_ms + 86400000 <= m.mx
+          ORDER BY group_key, ts_ms"""
   )
 
   /** Shared DuckDB fragments for the pipeline oracles. */
