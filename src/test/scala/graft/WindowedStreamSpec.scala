@@ -61,4 +61,33 @@ class WindowedStreamSpec extends SparkSpec {
     val observed = Sinks.observed(alerts)
     assert(observed.collect().length == 2)
   }
+
+  test("observed metrics report counts, fired and event-time lag (K3/C8)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val now = System.currentTimeMillis()
+    val alerts = Seq(
+      Alert(1L, "a", now - 5000L, "10", passed = true, "{}"),
+      Alert(1L, "b", now - 1000L, "3", passed = false, "{}"),
+      Alert(2L, "c", now - 2000L, "7", passed = true, "{}")).toDS()
+    @volatile var got: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft_alerts").foreach(r => got = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Sinks.observed(alerts).collect()
+      // QueryExecutionListener delivery is async
+      val deadline = System.currentTimeMillis() + 20000
+      while (got.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = got.getOrElse(fail("observed metrics never delivered"))
+      assert(m.getAs[Long]("alerts") == 3L)
+      assert(m.getAs[Long]("fired") == 2L)
+      // the oldest alert is ~5 s behind wall clock at evaluation time
+      val lag = m.getAs[Long]("max_lag_ms")
+      assert(lag >= 5000L && lag < 120000L, s"lag $lag")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
