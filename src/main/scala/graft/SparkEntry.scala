@@ -314,6 +314,24 @@ object SparkEntry {
       "q17_dedup_exact" -> ((s, dir) =>
         Dedup.exact(table(s, dir, "documents")).orderBy("fp")),
 
+      // BPE-ish pre-tokenization (letter runs / digit runs / single
+      // punctuation): per-doc token and distinct-token counts.
+      "q32_text_bpe_tokens" -> ((s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.regexTokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_bpe_tokens"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+          .orderBy("doc_id")),
+
+      // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
+      // distinct selected 60-bit hashes per document.
+      "q33_winnow_fingerprint" -> ((s, dir) =>
+        Dedup.winnowFingerprints(table(s, dir, "documents"), n = 3, w = 4)
+          .withColumnRenamed("sid", "doc_id")
+          .orderBy("doc_id", "fp")),
+
       // Exact n-gram Jaccard near-dup pairs via inverted-index join, over
       // the df≤100-capped shingle space (the oracle states the same cap).
       "q18_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -662,6 +680,36 @@ object SparkEntry {
                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
                 MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY fp ORDER BY fp""",
+
+    "q32_text_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') tk
+              FROM documents)
+         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+         FROM t ORDER BY doc_id""",
+
+    // Winnowing: positional 3-gram hashes, ROWS-window minimum over 4
+    // consecutive shingles (full windows only), distinct per doc — the
+    // exact construction of Dedup.winnowFingerprints.
+    "q33_winnow_fingerprint" ->
+      s"""WITH $tokCte,
+          sq AS (SELECT doc_id sid, u['pos'] AS pos, u['shingle'] AS shingle
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)-1),
+                           i -> struct_pack(pos := i,
+                                  shingle := array_to_string(tk[i:i+2], ' ')))) u
+                       FROM toks)),
+          h AS (SELECT sid, pos,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT hh
+                FROM sq),
+          w AS (SELECT sid, pos,
+                  MIN(hh) OVER (PARTITION BY sid ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mh
+                FROM h)
+          SELECT DISTINCT sid AS doc_id, mh AS fp
+          FROM w WHERE pos >= 4
+          ORDER BY doc_id, fp""",
 
     // shf = the df≤100-capped shingle space (same cap as the Spark side);
     // sizes, intersections, and Jaccard all computed over shf.

@@ -37,7 +37,10 @@ object Dedup {
     * position, making the expression O(len²) per document — measured 7 s
     * for 5,000 docs and recomputed per DAG branch. The window form is
     * linear and partitions by document, so it scales with corpus size. */
-  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
+  /** Positional shingles (sid, pos, shingle) — `pos` is the 0-based token
+    * index of the shingle's first token; one row per occurrence (no
+    * dedup), which winnowing needs. */
+  def shingleTablePos(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("sid").orderBy("pos")
     val toks = docs.select(col(idCol).as("sid"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -46,8 +49,32 @@ object Dedup {
     }
     withLeads
       .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
-      .select(col("sid"),
+      .select(col("sid"), col("pos"),
         concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("shingle"))
+  }
+
+  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    shingleTablePos(docs, n, textCol, idCol).select("sid", "shingle").distinct()
+
+  /** Winnowing document fingerprints (the rolling local-minimum sampler of
+    * MOSS — Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every
+    * positional n-gram, slide a `w`-gram window over the hash sequence,
+    * keep each window's minimum, and emit the document's distinct selected
+    * hashes. Guarantees any shared run of ≥ `w + n − 1` tokens between two
+    * documents shares a fingerprint, at ~2/(w+1) sampling density — the
+    * standard sub-linear "did these documents share a passage" index.
+    * One shuffle (by sid) feeds both the shingling window and the min
+    * window; output is (sid, fp). */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val win = Window.partitionBy("sid").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    shingleTablePos(docs, n, textCol, idCol)
+      .withColumn("h", hash60(col("shingle")))
+      .withColumn("mh", min(col("h")).over(win))
+      // only full windows select (standard winnowing)
+      .filter(col("pos") >= w - 1)
+      .select(col("sid"), col("mh").as("fp"))
       .distinct()
   }
 

@@ -13,7 +13,11 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_filter_passthrough", "q11_join_revenue", "q10_per_event_sliding")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q01_filter_passthrough", "q11_join_revenue",
+        "q10_per_event_sliding", "q18_dedup_ngram_jaccard",
+        "q22_embed_neardup_lsh", "q29_ann_topk_lsh")
+    for (q <- qs) {
       println(s"==== $q ====")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
