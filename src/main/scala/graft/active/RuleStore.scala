@@ -79,4 +79,30 @@ final class RuleStore {
     val r = stateClearRequested; stateClearRequested = false; r
   }
   def size: Int = synchronized(rules.size)
+
+  /** Durable face of the store: the live rule set as JSON lines (the
+    * reference wire format, K4's EXPORT made persistent). [[RuleStore.load]]
+    * replays a saved file through [[merge]], so restart recovery follows
+    * the exact same MERGE path as live traffic — the promised "same MERGE
+    * lands on a rules table" without needing a table format. */
+  def save(path: java.nio.file.Path, now: Long = System.currentTimeMillis()): Unit = {
+    val lines = snapshot(now).map(graft.rules.RuleCodec.encode)
+    java.nio.file.Files.writeString(path, lines.mkString("", "\n", "\n"))
+  }
+}
+
+object RuleStore {
+  /** Rebuild a store by replaying a [[RuleStore.save]] file (or any
+    * JSON-lines rule feed) through the MERGE path; undecodable lines are
+    * dropped like the lenient deserializer (S6). */
+  def load(path: java.nio.file.Path,
+      now: Long = System.currentTimeMillis()): RuleStore = {
+    val store = new RuleStore
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.readAllLines(path).forEach { line =>
+        if (line.trim.nonEmpty)
+          graft.rules.RuleCodec.decodeOption(line).foreach(store.merge(_, now))
+      }
+    store
+  }
 }

@@ -160,6 +160,59 @@ class DynamicEngineSpec extends SparkSpec {
     assert(sums == List(10.0, 30.0, 35.0, 7.0))
   }
 
+  test("alerts are unchanged across the compiled->broadcast fan-out switch (>32 rules)") {
+    def run(extraInert: Int): List[Alert] = {
+      val active = Rule(
+        queryId = Some(50L),
+        groupingKeyNames = Seq("carId"),
+        aggregateFieldName = Some("speed"),
+        aggregatorFunctionType = Some(AggregatorType.Sum),
+        limitOperatorType = Some(CompareOp.Greater),
+        limit = Some(BigDecimal(0)),
+        windowMilliseconds = Some(10000L),
+        frequencyMilliseconds = Some(0L))
+      // inert rules: filters that match no event, so they contribute
+      // nothing but rule-count (pushing the engine over CompiledRuleLimit)
+      val inert = (0 until extraInert).map(i => active.copy(
+        queryId = Some(1000L + i),
+        windowFilterRules = Seq(FilterSpec("speed", CompareOp.Greater, "1e9"))))
+      val engine = new DynamicActiveEngine()
+      (active +: inert).foreach(engine.store.merge(_))
+      val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      engine.onAlerts(as => fired.synchronized { fired ++= as })
+      val base = 1700000000000L
+      runBatches(engine, Seq(
+        Seq(ev(1, base, 10), ev(2, base + 500, 20)),
+        Seq(ev(1, base + 1000, 5))))
+      fired.synchronized(fired.toList).sortBy(a => (a.key, a.tsMillis))
+    }
+    val few = run(0)    // 1 rule  -> compiled kernel
+    val many = run(40)  // 41 rules -> broadcast kernel
+    assert(many == few && few.size == 3)
+  }
+
+  test("RuleStore save/load round-trips through the MERGE path") {
+    val store = new RuleStore
+    val rule = Rule(
+      queryId = Some(77L),
+      windowFilterRules = Seq(FilterSpec("speed", CompareOp.Greater, "10")),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Max),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(50)),
+      windowMilliseconds = Some(5000L),
+      frequencyMilliseconds = Some(0L))
+    store.merge(rule)
+    store.merge(rule.copy(queryId = Some(78L), queryState = QueryState.Pause))
+    val f = java.nio.file.Files.createTempFile("graft-rules", ".jsonl")
+    store.save(f)
+    val back = RuleStore.load(f)
+    // save persists the ACTIVE snapshot; the paused rule is not in it
+    assert(back.snapshot().map(_.queryId) == Seq(Some(77L)))
+    assert(back.snapshot().head == store.snapshot().head)
+  }
+
   test("a rule file dropped mid-stream becomes live (S2) and evaluates (C1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rules").toFile
     val engine = new DynamicActiveEngine()
