@@ -244,8 +244,47 @@ object SparkEntry {
       dynamicReplay(s, dir,
         """{"queryId":310,"groupingKeyNames":["event_type"],
            "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":86400000}"""))
+           "windowMilliseconds":86400000}""")),
+
+    // As-of join: for each purchase, the value of the user's latest click
+    // at or before it — one union + running-window pass, no range explode
+    // (oracle: DuckDB's native ASOF JOIN).
+    "q34_asof_join" -> ((s, dir) => {
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      graft.exec.Joins.asOf(purchases, clicks, "user_id", "tsm", "tsm", "cv")
+        .filter(col("asof_value").isNotNull)
+        .select("event_id", "asof_value")
+        .orderBy("event_id")
+    }),
+
+    // Range (interval) join: clicks of the same user within ±30 min of a
+    // purchase, aggregated per purchase — bucketed equi-join (3× fan-out
+    // of the right side, never |L|·|R| per key).
+    "q35_range_join" -> ((s, dir) => {
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      aggDouble(graft.exec.Joins
+        .rangeJoin(purchases, clicks, "user_id", "tsm", "tsm", 1800000L, Seq("cv"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_near"),
+          sum(col("__r_cv").cast(graft.compile.RuleCompiler.RuleDecimal))
+            .cast(graft.compile.RuleCompiler.RuleDecimal).as("agg_value"))
+        .orderBy("event_id"))
+    })
   )
+
+  /** (purchases, deduped clicks) with ms timestamps — the two time series
+    * the as-of/range join queries relate. Click ties at one (user, ms)
+    * collapse to MAX(value), the determinism precondition both engines'
+    * as-of semantics require. */
+  private def purchasesAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = events(s, dir).withColumn("tsm",
+      (unix_micros(col("ts").cast("timestamp")) / lit(1000)).cast("long"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tsm")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "tsm").agg(max(col("value")).as("cv"))
+    (purchases, clicks)
+  }
 
   /** Shared harness for q30/q31: dedup events to one per (user_id, ms),
     * replay week by week through a fresh [[graft.streaming.DynamicActiveEngine]],
@@ -613,7 +652,27 @@ object SparkEntry {
                 FROM e1 GROUP BY event_type, ts_ms)
           SELECT '{event_type=' || event_type || '}' AS group_key, ts_ms, agg_value
           FROM w, m WHERE ts_ms + 86400000 <= m.mx
-          ORDER BY group_key, ts_ms"""
+          ORDER BY group_key, ts_ms""",
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window as-of.
+    "q34_asof_join" ->
+      """WITH e0 AS (SELECT *, epoch_us(ts)//1000 tsm FROM events),
+         p AS (SELECT event_id, user_id, tsm FROM e0 WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, tsm, MAX(value) cv FROM e0
+               WHERE event_type = 'click' GROUP BY user_id, tsm)
+         SELECT p.event_id, c.cv AS asof_value
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.tsm >= c.tsm
+         ORDER BY event_id""",
+
+    "q35_range_join" ->
+      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 tsm FROM events),
+          p AS (SELECT event_id, user_id, tsm FROM e0 WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, tsm, MAX(value) cv FROM e0
+                WHERE event_type = 'click' GROUP BY user_id, tsm)
+          SELECT p.event_id, COUNT(*) AS n_near, ${sumDbl("c.cv")} AS agg_value
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.tsm >= p.tsm - 1800000 AND c.tsm <= p.tsm + 1800000
+          GROUP BY p.event_id ORDER BY event_id"""
   )
 
   /** Shared DuckDB fragments for the pipeline oracles. */

@@ -1,0 +1,78 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark's built-ins don't express directly —
+  * composed from existing operators per the custom-operator preference
+  * order (compose > custom Expression > custom plan node), so Catalyst
+  * keeps optimizing around them.
+  */
+object Joins {
+
+  /** As-of join: for each left row, attach the `valueCol` of the single
+    * right row with the greatest `rightTs <= leftTs` within the same
+    * `key` (ties at equal ts match — the `<=` convention of SQL ASOF
+    * joins).
+    *
+    * Shape: union the two sides tagged (right sorts before left at equal
+    * ts), then one `last(ignoreNulls)` running window per key — ONE hash
+    * exchange on `key` + sort, zero row multiplication. The classic
+    * alternative (range self-join + max-per-group) shuffles |L|·|R∩window|
+    * rows; this shuffles |L|+|R| regardless of time density, which is the
+    * shape that survives 100×. Skewed keys split fine: the window is a
+    * running accumulator, so AQE-style partial ranges stay correct per
+    * partition boundary only if keys are not split — same caveat as any
+    * window function.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate ties or the
+    * matched value is undefined (the same caveat DuckDB's ASOF documents).
+    * Left rows with no prior right row get NULL (left-asof semantics). */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCol: String,
+      out: String = "asof_value"): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__v", lit(null).cast(valueType))
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      col(valueCol).as("__v"))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__ts", "__tag", "__v")
+  }
+
+  /** Range (interval) join: all (left, right) pairs with the same `key`
+    * and `|leftTs − rightTs| <= gap`. Executed as a bucketed equi-join:
+    * both sides bucket by `ts div gap`, the right side duplicates into
+    * its bucket ± 1, and the join keys on (key, bucket) — every candidate
+    * pair lands in exactly one joined bucket, the exact predicate prunes
+    * after. Fan-out is a constant 3× of the right side instead of the
+    * |L|·|R| cross product per key a naive theta-join plans, and the
+    * shuffle is a hash exchange AQE can re-balance on skew. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, gap: Long,
+      rightCols: Seq[String]): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    val l = left
+      .withColumn("__l_ts", col(leftTs).cast("long"))
+      .withColumn("__bucket", expr(s"__l_ts div ${gap}L"))
+    val r = right.select(
+      (col(key) +: col(rightTs).cast("long").as("__r_ts") +:
+        rightCols.map(c => col(c).as(s"__r_$c"))): _*)
+      .withColumn("__bucket", explode(array(
+        expr(s"__r_ts div ${gap}L") - lit(1L),
+        expr(s"__r_ts div ${gap}L"),
+        expr(s"__r_ts div ${gap}L") + lit(1L))))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col("__r_ts") >= col("__l_ts") - lit(gap) &&
+              col("__r_ts") <= col("__l_ts") + lit(gap))
+      .drop("__bucket")
+  }
+}

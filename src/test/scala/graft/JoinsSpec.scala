@@ -1,0 +1,44 @@
+package graft
+
+import graft.exec.Joins
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins vs their brute-force definitions on seeded
+  * random time series (ties, missing keys, empty-prior-history cases). */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val r = new scala.util.Random(7)
+  // (id, key, ts) left probes; (key, ts, v) right values, deduped per (key, ts)
+  private val left = (1 to 300).map(i =>
+    (i.toLong, r.nextInt(5), 1000L + r.nextInt(200) * 10L))
+  private val right = (1 to 200).map(_ =>
+    (r.nextInt(6), 1000L + r.nextInt(200) * 10L, r.nextInt(1000).toDouble))
+    .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+
+  test("asOf matches brute force (greatest right ts <= left ts per key)") {
+    val l = left.toDF("id", "key", "ts")
+    val rr = right.toDF("key", "rts", "v")
+    val got = Joins.asOf(l, rr, "key", "ts", "rts", "v")
+      .select("id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    for ((id, k, ts) <- left) {
+      val expect = right.filter(t => t._1 == k && t._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expect, s"id=$id key=$k ts=$ts")
+    }
+  }
+
+  test("rangeJoin matches brute force (|lts - rts| <= gap per key)") {
+    val gap = 70L
+    val l = left.toDF("id", "key", "ts")
+    val rr = right.toDF("key", "rts", "v")
+    val got = Joins.rangeJoin(l, rr, "key", "ts", "rts", gap, Seq("v"))
+      .select("id", "__r_ts", "__r_v").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for ((id, k, ts) <- left) {
+      val expect = right.filter(t =>
+        t._1 == k && math.abs(t._2 - ts) <= gap).map(t => (t._2, t._3)).toSet
+      assert(got.getOrElse(id, Set.empty) == expect, s"id=$id key=$k ts=$ts")
+    }
+  }
+}
