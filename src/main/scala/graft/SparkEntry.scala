@@ -941,7 +941,12 @@ object SparkEntry {
                  round(41.0 - ((cell - cell % 250)/250)*0.00125 - 0.00125/2, 6) AS center_lat,
                  round(110.25 * sqrt((lat - lat2)*(lat - lat2) +
                        ((lon - lon2)*cos(lat2))*((lon - lon2)*cos(lat2))), 6) AS dist_km,
-                 CAST(trunc(degrees(atan2(lat2 - lat, (lon2 - lon)*cos(lat)))) AS INT) + 179
+                 -- "+ 0.0" on both args mirrors Spark's Atan2, which
+                 -- normalizes -0.0 to +0.0 before java.lang.Math.atan2;
+                 -- without it, coincident points (x=+0, y=-0) give
+                 -- atan2 = pi here but 0 in Spark (found at sf0.1)
+                 CAST(trunc(degrees(atan2(lat2 - lat + 0.0,
+                      (lon2 - lon)*cos(lat) + 0.0))) AS INT) + 179
                    AS dir_deg
           FROM c ORDER BY event_id""")
 }
