@@ -20,8 +20,16 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the codegen [[CosineSimilarity]] expression
+    * (higher-order functions run on Catalyst's interpreted path; the
+    * native expression stays inside whole-stage codegen). Bit-identical
+    * to [[cosineHof]] (same element order, same widening) — asserted in
+    * SimilaritySpec, so either form satisfies the oracles. */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** The pure-`functions._` composition of [[cosine]] (kept as the
+    * reference implementation the codegen expression is checked against). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit LSH bucket over `bits` dimensions starting at `offset`
     * (0-based): a random-hyperplane sketch that uses the axis planes

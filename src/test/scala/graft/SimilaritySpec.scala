@@ -51,6 +51,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen CosineSimilarity is bit-identical to the HOF composition") {
+    import graft.functions.VectorFunctions
+    val data = corpus(100, 0)
+    val pairs = data.zip(data.reverse).map { case ((ia, va), (ib, vb)) =>
+      (ia, ib, va, vb)
+    }
+    val df = pairs.toDF("a_id", "b_id", "a", "b")
+    val got = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("c1"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("c2"))
+      .as[(Double, Double)].collect()
+    // exact double equality, not approximate — same fold order, same widening
+    got.foreach { case (c1, c2) => assert(c1 == c2) }
+    assert(got.nonEmpty)
+  }
+
   test("lshNearDupPairs finds planted pairs and never fabricates high-cos pairs") {
     val data = corpus(300, 30)
     val df = data.toDF("vec_id", "embedding")
