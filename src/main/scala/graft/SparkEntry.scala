@@ -371,6 +371,21 @@ object SparkEntry {
           .withColumnRenamed("sid", "doc_id")
           .orderBy("doc_id", "fp")),
 
+      // The composed curation pipeline a training-data user actually runs:
+      // exact-dedup survivors → quality scoring → language filter. One
+      // dataflow, three operators, no intermediate materialization.
+      "q36_curation_pipeline" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val kept = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+        docs.join(kept, "doc_id")
+          .select(col("doc_id") +:
+            TextFunctions.qualityFeatures(col("text")) :+
+            TextFunctions.langId(col("text")).as("lang_id"): _*)
+          .filter(col("quality_score") >= lit(0.25) && col("lang_id") === "en")
+          .select("doc_id", "n_tokens", "quality_score")
+          .orderBy("doc_id")
+      }),
+
       // Exact n-gram Jaccard near-dup pairs via inverted-index join, over
       // the df≤100-capped shingle space (the oracle states the same cap).
       "q18_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -769,6 +784,38 @@ object SparkEntry {
           SELECT DISTINCT sid AS doc_id, mh AS fp
           FROM w WHERE pos >= 4
           ORDER BY doc_id, fp""",
+
+    // q17's dedup survivors x q14's quality features x q15's language id,
+    // composed exactly as the Spark-side pipeline.
+    "q36_curation_pipeline" ->
+      s"""WITH $tokCte,
+          k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))),
+          f AS (SELECT doc_id,
+                  CAST(len(tk) AS BIGINT) n_tokens,
+                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
+                  CAST(len(list_filter(tk, x -> list_contains(
+                    ['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
+                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
+                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
+                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
+                FROM toks),
+          q AS (SELECT doc_id, n_tokens,
+                  round((n_stop::DOUBLE / n_tokens) * 0.5 +
+                        least((n_chr::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6)
+                    AS quality_score,
+                  CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
+                       WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
+                       WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
+                       WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
+                       ELSE 'und' END AS lang_id
+                FROM f)
+          SELECT q.doc_id, n_tokens, quality_score
+          FROM q JOIN k USING(doc_id)
+          WHERE quality_score >= 0.25 AND lang_id = 'en'
+          ORDER BY doc_id""",
 
     // shf = the df≤100-capped shingle space (same cap as the Spark side);
     // sizes, intersections, and Jaccard all computed over shf.
