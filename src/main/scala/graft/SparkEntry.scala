@@ -434,6 +434,18 @@ object SparkEntry {
           .orderBy("q_id", "rnk")
       }),
 
+      // IVF ANN: deterministic id-sampled centroids (vec_id % 25 == 7),
+      // nearest-centroid assignment, probe 4 lists per query, exact
+      // cosine top-5 inside the probed lists — the inverted-file scale
+      // path next to q29's LSH (assignment O(n·nlist), query O(n/nlist)).
+      "q37_ann_topk_ivf" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5,
+            centroidStride = 25, centroidOffset = 7, nprobe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
+      }),
+
       // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
       // (pure-expression columns; no UDF).
       "q23_geo_enrich" -> ((s, dir) => {
@@ -913,6 +925,43 @@ object SparkEntry {
                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
                         4) AS cos
                 FROM cand JOIN e x ON x.sid = vec_id JOIN e y ON y.sid = q_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+
+    // IVF replayed in SQL: same deterministic centroid sample
+    // (vec_id % 25 = 7), same rounded-cosine argmax assignment (ties to
+    // the lowest centroid id), same 4-list probe, same in-list top-5.
+    "q37_ann_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          c AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id % 25 = 7),
+          ac AS (SELECT e.vec_id, c.c_id,
+                   round(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                         4) AS cos
+                 FROM e, c),
+          asn AS (SELECT vec_id, c_id FROM (
+                    SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM ac)
+                  WHERE rn = 1),
+          q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id % 100 = 0),
+          pc AS (SELECT q.q_id, c.c_id,
+                   round(list_dot_product(q.qv, c.cv) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+                         4) AS cos
+                 FROM q, c),
+          probe AS (SELECT q_id, c_id FROM (
+                      SELECT *, row_number() OVER
+                        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM pc)
+                    WHERE rn <= 4),
+          s AS (SELECT p.q_id, a.vec_id,
+                  round(list_dot_product(x.v, y.qv) /
+                        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.qv, y.qv))),
+                        4) AS cos
+                FROM probe p JOIN asn a ON a.c_id = p.c_id
+                JOIN e x ON x.vec_id = a.vec_id JOIN q y ON y.q_id = p.q_id
+                WHERE a.vec_id != p.q_id),
           r AS (SELECT *, row_number() OVER
                   (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
           SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5

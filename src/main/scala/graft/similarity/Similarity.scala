@@ -75,6 +75,70 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to sign-LSH ([[lshTopK]]). Three phases, all linear in the
+    * corpus:
+    *
+    *  1. *coarse quantize*: every corpus vector is assigned to its
+    *     nearest centroid by cosine (`nlist` centroids, broadcast; cost
+    *     O(n·nlist) dot products, one scan, no shuffle of vectors);
+    *  2. *probe*: each query ranks the same centroid table and keeps its
+    *     `nprobe` nearest lists;
+    *  3. *score*: candidates = the union of the probed lists — an equi-
+    *     join on centroid id shipping only (id, centroid) pairs — then
+    *     exact cosine top-k within ~`nprobe/nlist` of the corpus.
+    *
+    * Centroids here are a deterministic id-sampled subset of the corpus
+    * (`vec_id % centroidStride == centroidOffset`) so the whole index is
+    * reproducible in the DuckDB oracle; a production build would k-means
+    * the sample first — the query plan (assign/probe/score) is identical,
+    * only the centroid table changes. Cosines are rounded to 4 decimals
+    * before every argmax/rank (ties break on id) so assignment, probe
+    * sets, and final ranking are engine-independent.
+    *
+    * Scale shape at 100 TB: assignment is a broadcast nested-loop over
+    * `nlist` centroids fused into the corpus scan (no shuffle); the only
+    * shuffles ship (long, long) assignment pairs, never embeddings;
+    * per-query scored set is bounded by the probed lists, so query cost
+    * is O(nprobe·n/nlist) instead of O(n). Size `nlist ≈ √n`, probe a few
+    * lists for recall (measured vs [[bruteForceTopK]] in SimilaritySpec).
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      centroidStride: Int, centroidOffset: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val cent = e.filter(pmod(col("vec_id"), lit(centroidStride)) === centroidOffset)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    // 1. coarse quantization: argmax cosine over the broadcast centroid
+    // table — max_by on (cos, -c_id) = "highest cosine, ties to lowest
+    // id", a hash agg with map-side partials (no window sort).
+    val assigned = e.join(broadcast(cent))
+      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+    // 2. probe: each query's nprobe nearest centroids (tiny: |q|·nlist).
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("p_cos"), asc("c_id"))
+    val probes = qv.join(broadcast(cent))
+      .withColumn("p_cos", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nprobe)
+      .select("q_id", "c_id")
+    // 3. exact top-k inside the probed lists (each vector lives in
+    // exactly one list, so the candidate set needs no distinct).
+    val cand = probes.join(assigned, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** Approximate top-k: exact cosine rank over the LSH candidate set
     * (corpus vectors sharing ≥1 (band, bucket) with the query). Sub-
     * quadratic: candidate generation is a (band, bucket) equi-join, and

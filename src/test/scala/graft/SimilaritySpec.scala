@@ -51,6 +51,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK finds planted near-duplicates with recall >= 0.9 (nlist=n/25, nprobe=4)") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val got = Similarity.ivfTopK(df, queries, 5,
+        centroidStride = 25, centroidOffset = 7, nprobe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0 until 50).count { i =>
+      got.getOrElse(i + 10000L, Set.empty).contains(i.toLong)
+    }
+    assert(hits >= 45, s"recall ${hits / 50.0} below 0.9")
+  }
+
+  test("ivfTopK scores are exact cosines and each query returns at most k rows") {
+    val data = corpus(200, 20)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val exact = Similarity.bruteForceTopK(df, queries, data.size)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val approx = Similarity.ivfTopK(df, queries, 5,
+        centroidStride = 25, centroidOffset = 7, nprobe = 4)
+      .select("q_id", "rank", "vec_id", "cos").as[(Long, Int, Long, Double)].collect()
+    approx.foreach { case (q, _, v, c) =>
+      assert(exact.get((q, v)).contains(c), s"score mismatch for ($q,$v)")
+    }
+    approx.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned ${rows.length} rows")
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+    }
+  }
+
   test("codegen CosineSimilarity is bit-identical to the HOF composition") {
     import graft.functions.VectorFunctions
     val data = corpus(100, 0)
