@@ -218,6 +218,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Warehouse face: session windows (gaps-and-islands) — absent from
+    // the reference (its windows are tumbling/sliding only, SURVEY §2.2).
+    // Native session_window: adjacent [ts, ts+gap) intervals merge while
+    // they touch (verified: exactly-gap-apart events DO merge, so the
+    // oracle's break condition is strictly-greater). State per (user,
+    // session), mergeable — scales as a single shuffle on user_id.
+    "q38_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,6)")).as("sv"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          unix_micros(col("session_window.end")).as("sess_end"),
+          col("n_events"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy("user_id", "sess_start")),
+
     // F9: JSON field extraction from the event props payload.
     "q13_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -640,6 +658,25 @@ object SparkEntry {
            UNION
            SELECT DISTINCT event_type FROM events WHERE value > 199) u
          ORDER BY event_type""",
+
+    // Gaps-and-islands replay of session_window: a session breaks only
+    // when the gap is STRICTLY greater than 6 h (exactly-gap-apart events
+    // merge in Spark — verified empirically); end = last event + gap.
+    // All arithmetic on epoch_us longs so ns-vs-us truncation matches
+    // the Spark side exactly.
+    "q38_session_window" ->
+      s"""WITH x AS (SELECT user_id, epoch_us(ts) tus, value FROM events),
+          d AS (SELECT *, CASE WHEN tus - lag(tus) OVER
+                  (PARTITION BY user_id ORDER BY tus) > 21600000000
+                THEN 1 ELSE 0 END AS brk FROM x),
+          g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS UNBOUNDED PRECEDING) AS sess FROM d)
+          SELECT user_id, MIN(tus) AS sess_start,
+                 MAX(tus) + 21600000000 AS sess_end,
+                 COUNT(*) AS n_events,
+                 ${sumDbl("value")} AS sum_value
+          FROM g GROUP BY user_id, sess
+          ORDER BY user_id, sess_start""",
 
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

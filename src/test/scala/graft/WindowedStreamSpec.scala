@@ -14,6 +14,25 @@ class WindowedStreamSpec extends SparkSpec {
   case class Ev(user: Long, ts: java.sql.Timestamp, v: Double)
   def ev(user: Long, tsMs: Long, v: Double) = Ev(user, new java.sql.Timestamp(tsMs), v)
 
+  test("session_window merges events exactly one gap apart (q38's oracle relies on it)") {
+    import org.apache.spark.sql.functions._
+    // Two users: one pair exactly 30 min apart (must MERGE -> end extends
+    // to last+gap), one pair 1 s closer (also merges); a third pair 1 s
+    // past the gap must split. Pins the boundary the DuckDB oracle
+    // mirrors with a strictly-greater break condition.
+    val gapMs = 30 * 60 * 1000L
+    val t0 = 1700000000000L
+    val df = Seq(
+      ev(1, t0, 1.0), ev(1, t0 + gapMs, 1.0),         // exactly gap apart
+      ev(2, t0, 1.0), ev(2, t0 + gapMs + 1000, 1.0))  // gap + 1 s
+      .toDF()
+    val sessions = df
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n")).as[(Long, Long)].collect().sorted
+    assert(sessions.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
   test("windowed streaming query finalizes windows past the watermark (W2/W5/W8)") {
     val rule = Rule(
       queryId = Some(1L),
