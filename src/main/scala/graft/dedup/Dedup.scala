@@ -123,9 +123,12 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: `sz` is one row per document — O(corpus), not a
+    // safely-broadcastable side at training-data scale. Let AQE pick BHJ
+    // when the corpus happens to be small, shuffle-hash otherwise.
     inter
-      .join(broadcast(sz.select(col("sid").as("a_id"), col("sz").as("a_size"))), "a_id")
-      .join(broadcast(sz.select(col("sid").as("b_id"), col("sz").as("b_size"))), "b_id")
+      .join(sz.select(col("sid").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sz.select(col("sid").as("b_id"), col("sz").as("b_size")), "b_id")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("a_size") + col("b_size") - col("inter")).cast("double"))

@@ -130,9 +130,12 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    // no broadcast hint on qv: the query set is user-sized (can be a large
+    // fraction of the corpus) — unlike the genuinely tiny centroid table.
+    // AQE broadcasts it when it fits, shuffles otherwise.
     cand
       .join(e, "vec_id")
-      .join(broadcast(qv), "q_id")
+      .join(qv, "q_id")
       .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -121,8 +121,14 @@ final class DynamicActiveEngine(
         if (perEventIds.isEmpty) None
         else Some(evalPerEvent(
           combined.filter(col("ruleId").isin(perEventIds: _*)), rulesById))
+      // one plan per distinct (window, slide) — NOT per rule: with
+      // thousands of periodic rules a per-rule union makes Catalyst
+      // analysis the per-batch bottleneck (same scaling argument as
+      // FanOut.CompiledRuleLimit)
       val periodicAlerts: Option[DataFrame] = periodic
-        .map(r => evalPeriodic(combined, r, emittedThrough, curMax))
+        .groupBy(r => (r.windowMilliseconds.get, slideOf(r)))
+        .values.toSeq
+        .map(group => evalPeriodic(combined, group, emittedThrough, curMax))
         .reduceOption(_ unionByName _)
 
       implicit val alertEnc = Encoders.product[Alert]
@@ -159,19 +165,23 @@ final class DynamicActiveEngine(
   }
 
   /** W1 replay over tail ∪ fresh: identical bucket arithmetic to
-    * [[SlidingStateExec]], emitting only for fresh (this-batch) events. */
+    * [[SlidingStateExec]], emitting only for fresh (this-batch) events.
+    * The rule map ships as a Spark broadcast — once per executor, not
+    * once per task closure (at the reference's thousands-of-rules scale
+    * the closure copy is per-task serialization on every batch). */
   private def evalPerEvent(keyed: DataFrame,
-      rules: Map[Long, Rule]): Dataset[Alert] = {
+      rulesById: Map[Long, Rule]): Dataset[Alert] = {
     val spark = keyed.sparkSession
     import spark.implicits._
     implicit val alertEnc = Encoders.product[Alert]
+    val bcRules = spark.sparkContext.broadcast(rulesById)
     keyed.select("ruleId", "key", "tsMillis", "aggIn", "payload", "fresh")
       .as[(Long, String, Long, String, String, Boolean)]
       .groupByKey { case (rid, key, _, _, _, _) => (rid, key) }
       .flatMapGroups[Alert] { (group: (Long, String),
           it: Iterator[(Long, String, Long, String, String, Boolean)]) =>
         val (rid, key) = group
-        rules.get(rid) match {
+        bcRules.value.get(rid) match {
           case Some(rule) if rule.isPerEventEmission =>
             val w = rule.windowMilliseconds.getOrElse(0L)
             // deterministic replay order, as SlidingStateExec sorts batches
@@ -193,31 +203,86 @@ final class DynamicActiveEngine(
       }
   }
 
-  /** W2/W3: finalize aligned windows whose end fell in `(loEnd, hiEnd]`.
-    * Emitted rows are HAVING-passed (the reference's periodic path only
-    * outputs firing evaluations). */
-  private def evalPeriodic(combined: DataFrame, rule: Rule,
+  /** Effective slide of a periodic rule: its emission frequency when it
+    * is a genuine sub-window period, else tumbling (= window). */
+  private def slideOf(r: Rule): Long = {
+    val w = r.windowMilliseconds.get
+    r.frequencyMilliseconds.filter(f => f > 0 && f <= w).getOrElse(w)
+  }
+
+  /** W2/W3: finalize aligned windows whose end fell in `(loEnd, hiEnd]`,
+    * for a whole GROUP of rules sharing one (window, slide) — one
+    * `groupBy(ruleId, key, window)` pass computes every aggregate shape
+    * (count / sum / min / max / exact micro-unit avg) once, then a
+    * broadcast per-rule meta join picks each rule's aggregate and applies
+    * its HAVING as a codegen'd CASE. Plan size is O(distinct window
+    * shapes), constant in rule count. Emitted rows are HAVING-passed
+    * (the reference's periodic path only outputs firing evaluations). */
+  private def evalPeriodic(combined: DataFrame, group: Seq[Rule],
       loEnd: Long, hiEnd: Long): DataFrame = {
-    val rid = rule.queryId.getOrElse(-1L)
-    val w = rule.windowMilliseconds.get
-    val slide = rule.frequencyMilliseconds.filter(f => f > 0 && f <= w).getOrElse(w)
-    val bound = if (rule.isCount) rule else rule.copy(aggregateFieldName = Some("aggIn"))
-    val plan = RuleCompiler.aggPlan(bound)
-    combined
-      .filter(col("ruleId") === lit(rid))
+    val spark = combined.sparkSession
+    import spark.implicits._
+    val w = group.head.windowMilliseconds.get
+    val slide = slideOf(group.head)
+    val rids = group.flatMap(_.queryId)
+    val meta = group.flatMap(r => r.queryId.map(id => (id,
+      if (r.isCount) "COUNT" else r.aggregatorFunctionType.fold("SUM")(_.name),
+      (r.limitOperatorType, r.limit) match {
+        case (Some(op), Some(_)) => op.name
+        case _                   => null
+      },
+      r.limit.map(_.bigDecimal.toPlainString).orNull)))
+      .toDF("ruleId", "aggType", "limitOp", "limitVal")
+
+    val D = RuleCompiler.RuleDecimal
+    // try_cast: COUNT-sentinel rules carry aggIn = "" (no value), which a
+    // plain ANSI cast rejects; their rows must still count via __cnt_dec
+    val dec = expr(s"try_cast(aggIn AS ${D.sql})")
+    val agged = combined
+      .filter(col("ruleId").isin(rids: _*))
       .withColumn("__ts", timestamp_millis(col("tsMillis")))
-      .groupBy(col("key"), window(col("__ts"), s"$w milliseconds", s"$slide milliseconds"))
-      .agg(plan.aggExprs.head, plan.aggExprs.tail: _*)
+      .groupBy(col("ruleId"), col("key"),
+        window(col("__ts"), s"$w milliseconds", s"$slide milliseconds"))
+      .agg(
+        count(lit(1)).cast(D).as("__cnt_dec"),
+        sum(dec).cast(D).as("__sum"),
+        min(dec).cast(D).as("__min"),
+        max(dec).cast(D).as("__max"),
+        // exact AVG partials: micro-unit integer sum, HALF_UP at the end
+        // (same arithmetic as RuleCompiler.aggPlan's Avg plan)
+        sum((dec * lit(1000000)).cast("long")).as("__sum_micro"),
+        count(dec).as("__cnt"))
       .withColumn("__w_end", unix_millis(col("window.end")))
       .filter(col("__w_end") > lit(loEnd) && col("__w_end") <= lit(hiEnd))
-      .select(col("key"), unix_millis(col("window.start")).as("tsMillis"),
-        plan.finalExpr)
-      .filter(RuleCompiler.havingColumn(rule))
+    // guard: a window whose events all lack a value has __cnt = 0 — the
+    // div would be an ANSI divide-by-zero at runtime even though only
+    // AVG rules select this branch
+    val avg = when(col("__cnt") > 0,
+      (expr("(2 * __sum_micro + __cnt) div (2 * __cnt)") / lit(1000000.0)).cast(D))
+      .otherwise(lit(null).cast(D))
+    val aggVal = when(col("aggType") === "COUNT", col("__cnt_dec"))
+      .when(col("aggType") === AggregatorType.Sum.name, col("__sum"))
+      .when(col("aggType") === AggregatorType.Min.name, col("__min"))
+      .when(col("aggType") === AggregatorType.Max.name, col("__max"))
+      .otherwise(avg)
+    val lim = col("limitVal").cast(D)
+    val a = col(RuleCompiler.AggAlias)
+    val passed = when(col("limitOp").isNull, lit(true))
+      .when(col("limitOp") === CompareOp.Equal.name, a === lim)
+      .when(col("limitOp") === CompareOp.NotEqual.name, a =!= lim)
+      .when(col("limitOp") === CompareOp.Greater.name, a > lim)
+      .when(col("limitOp") === CompareOp.Less.name, a < lim)
+      .when(col("limitOp") === CompareOp.GreaterEqual.name, a >= lim)
+      .otherwise(a <= lim)
+    agged
+      .join(broadcast(meta), "ruleId")
+      .withColumn(RuleCompiler.AggAlias, aggVal)
+      .filter(passed)
       .select(
-        lit(rid).as("ruleId"),
+        col("ruleId"),
         col("key"),
-        col("tsMillis"),
-        col(RuleCompiler.AggAlias).cast("string").as("aggregate"),
+        unix_millis(col("window.start")).as("tsMillis"),
+        a.cast("string").as("aggregate"),
         lit(true).as("passed"),
         lit("").as("payload"))
   }

@@ -95,11 +95,18 @@ object FanOut {
     val spark = events.sparkSession
     val bc = spark.sparkContext.broadcast(compiled)
 
+    // struct→JSON is the single most expensive per-row expression here;
+    // pay it only if some live rule actually consumes the payload (the
+    // compiled path makes the same gate per rule at `keyed`).
+    val anyPayload = compiled.exists(_.payload)
+    val payloadCol =
+      if (anyPayload) to_json(struct(names.map(col): _*)) else lit("")
+
     import spark.implicits._
     events
       .select(
         (unix_micros(col(tsCol).cast("timestamp")) / lit(1000)).cast("long").as("__ts"),
-        to_json(struct(names.map(col): _*)).as("__payload"),
+        payloadCol.as("__payload"),
         array(names.map(c => col(c).cast("string")): _*).as("__raw"),
         // try_cast: non-numeric columns yield null here instead of an ANSI
         // error — only columns actually used as aggregate input are read

@@ -52,6 +52,9 @@ object SlidingStateExec {
     implicit val stateEnc = Encoders.product[WinState]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val timeoutEnabled = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    // rules ship as a Spark broadcast — once per executor, not once per
+    // task closure (matters at the reference's thousands-of-rules scale)
+    val bcRules = keyed.sparkSession.sparkContext.broadcast(rules)
 
     keyed
       .groupByKey(e => (e.ruleId, e.key))
@@ -62,7 +65,7 @@ object SlidingStateExec {
             // its window — drop the whole store
             state.remove()
             Iterator.empty
-          } else rules.get(ruleId) match {
+          } else bcRules.value.get(ruleId) match {
             case None =>
               // rule no longer live (reference guard `DynamicQueryFunction
               // .java:85-88`): drop state, emit nothing

@@ -117,6 +117,45 @@ class DynamicEngineSpec extends SparkSpec {
     assert(w4.map(_.tsMillis) == List(base + 2000))
   }
 
+  test("grouped periodic pass evaluates every aggregator + HAVING shape in ONE plan (W2)") {
+    // Five periodic rules sharing (window=10s, tumbling) — the engine must
+    // evaluate them in a single groupBy pass (plan size O(window shapes),
+    // not O(rules)) and still give each rule its own aggregate and HAVING.
+    def mk(id: Long, agg: Option[AggregatorType], field: String,
+        op: Option[CompareOp], lim: Option[Int]) = Rule(
+      queryId = Some(id),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some(field),
+      aggregatorFunctionType = agg,
+      limitOperatorType = op,
+      limit = lim.map(BigDecimal(_)),
+      windowMilliseconds = Some(10000L)) // frequency absent -> tumbling
+    val rules = Seq(
+      mk(60L, Some(AggregatorType.Sum), "speed", Some(CompareOp.Greater), Some(30)),
+      mk(61L, Some(AggregatorType.Avg), "speed", None, None),
+      mk(62L, Some(AggregatorType.Min), "speed", Some(CompareOp.Less), Some(10)),
+      mk(63L, Some(AggregatorType.Max), "speed", Some(CompareOp.Greater), Some(100)),
+      mk(64L, None, Rule.CountSentinel, Some(CompareOp.GreaterEqual), Some(3)))
+
+    val engine = new DynamicActiveEngine()
+    rules.foreach(engine.store.merge(_))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L - (1700000000000L % 10000L)
+    runBatches(engine, Seq(
+      Seq(ev(1, base + 1000, 10), ev(1, base + 2000, 20), ev(1, base + 3000, 5)),
+      Seq(ev(1, base + 15000, 1)))) // closes the first window
+
+    val got = fired.synchronized(fired.toList).filter(_.tsMillis == base)
+    def aggOf(id: Long) = got.filter(_.ruleId == id).map(_.aggregate)
+    assert(aggOf(60L) == List("35.000000"))        // SUM 35 > 30 fires
+    assert(aggOf(61L) == List("11.666667"))        // AVG 35/3, HALF_UP @6
+    assert(aggOf(62L) == List("5.000000"))         // MIN 5 < 10 fires
+    assert(aggOf(63L).isEmpty, s"MAX 20 !> 100 must not fire: $got")
+    assert(aggOf(64L) == List("3.000000"))         // COUNT 3 >= 3 fires
+  }
+
   test("CLEAR_STATE_ALL empties window state mid-stream; _STOP cancels a pending clear (C7)") {
     val rule = Rule(
       queryId = Some(20L),

@@ -16,21 +16,24 @@ class WindowedStreamSpec extends SparkSpec {
 
   test("session_window merges events exactly one gap apart (q38's oracle relies on it)") {
     import org.apache.spark.sql.functions._
-    // Two users: one pair exactly 30 min apart (must MERGE -> end extends
-    // to last+gap), one pair 1 s closer (also merges); a third pair 1 s
-    // past the gap must split. Pins the boundary the DuckDB oracle
-    // mirrors with a strictly-greater break condition.
+    // Three users: one pair exactly 30 min apart (must MERGE -> end extends
+    // to last+gap), one pair 1 s closer (also merges), one pair 1 s past
+    // the gap (must SPLIT). Pins the boundary the DuckDB oracle mirrors
+    // with a strictly-greater break condition. Input built from tuples:
+    // a spec-inner case class has no usable Spark encoder for toDF.
     val gapMs = 30 * 60 * 1000L
     val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
     val df = Seq(
-      ev(1, t0, 1.0), ev(1, t0 + gapMs, 1.0),         // exactly gap apart
-      ev(2, t0, 1.0), ev(2, t0 + gapMs + 1000, 1.0))  // gap + 1 s
-      .toDF()
+      (1L, ts(t0), 1.0), (1L, ts(t0 + gapMs), 1.0),         // exactly gap apart
+      (2L, ts(t0), 1.0), (2L, ts(t0 + gapMs + 1000), 1.0),  // gap + 1 s
+      (3L, ts(t0), 1.0), (3L, ts(t0 + gapMs - 1000), 1.0))  // gap - 1 s
+      .toDF("user", "ts", "v")
     val sessions = df
       .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
       .select(col("user"), col("n")).as[(Long, Long)].collect().sorted
-    assert(sessions.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+    assert(sessions.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L), (3L, 2L)))
   }
 
   test("windowed streaming query finalizes windows past the watermark (W2/W5/W8)") {
