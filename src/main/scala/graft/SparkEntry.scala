@@ -488,17 +488,25 @@ object SparkEntry {
 
       // Multimodal plumbing: synthetic binary media from documents →
       // stubbed decode → per-media feature summary + sampled-frame
-      // counts. Deterministic but codec-stubbed → rows-only check (no
-      // SQL oracle; the codec is not expressible in DuckDB).
+      // counts. The stub codec (FNV-1a seed + LCG expansion,
+      // Multimodal.StubCodec) is a pure integer function of the payload
+      // bytes, so the oracle replays the SAME arithmetic in DuckDB with
+      // HUGEINT mod-2^64 — a full hash check, not rows-only. Features
+      // are summed in exact millis (each float is k/1000 by
+      // construction; round(x*1000) recovers k losslessly), so
+      // feat_ksum is integer-exact and feat_sum = ksum/1000.0 is one
+      // IEEE division on both engines.
       "q25_multimodal_decode" -> ((s, dir) => {
         import graft.multimodal.Multimodal
         val media = Multimodal.syntheticMedia(
           table(s, dir, "documents"), "doc_id", "text")
         val decoded = Multimodal.decodeImages(media, featureDim = 16)
-          .withColumn("feat_sum",
-            round(aggregate(col("features"),
-              lit(0.0), (a, x) => a + x.cast("double")), 4))
-          .select(col("media_id"), col("width"), col("height"), col("feat_sum"))
+          .withColumn("feat_ksum",
+            aggregate(col("features"), lit(0L),
+              (a, x) => a + round(x.cast("double") * 1000).cast("long")))
+          .withColumn("feat_sum", col("feat_ksum") / lit(1000.0))
+          .select(col("media_id"), col("width"), col("height"),
+            col("feat_ksum"), col("feat_sum"))
         val frames = Multimodal.sampleFrames(media, stride = 10)
           .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
         decoded.join(frames, Seq("media_id"), "left")
@@ -760,6 +768,49 @@ object SparkEntry {
     }.mkString("\n                 UNION ALL ")
 
   private def pipelineOracle: Map[String, String] = Map(
+    // The stub codec replayed as exact integer arithmetic: FNV-1a over
+    // the UTF-8 payload bytes (hex-pair extraction, xor, wrapping
+    // multiply as HUGEINT mod 2^64), then 16 LCG steps summing
+    // ((s >>> 40) % 1000) per feature — the identical math of
+    // Multimodal.StubCodec.decodeFeatures. width/height/kind/n_frames
+    // replay syntheticMedia's metadata formulas; n_sampled counts the
+    // stride-10 frame explode for video rows only.
+    "q25_multimodal_decode" ->
+      """WITH RECURSIVE hx AS (
+           SELECT doc_id, lower(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents),
+         fnv AS (
+           SELECT doc_id, h, len, 0 AS i,
+                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
+           UNION ALL
+           SELECT doc_id, h, len, i + 1,
+                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
+                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+           FROM fnv WHERE i < len),
+         lcg AS (
+           SELECT doc_id, 0 AS j, acc AS s, CAST(0 AS HUGEINT) AS ksum
+           FROM fnv WHERE i = len
+           UNION ALL
+           SELECT doc_id, j + 1,
+                  (s * 6364136223846793005 + 1442695040888963407)
+                    % CAST(18446744073709551616 AS HUGEINT),
+                  ksum + CASE WHEN j = 0 THEN 0
+                              ELSE (s // CAST(1099511627776 AS HUGEINT)) % 1000 END
+           FROM lcg WHERE j <= 16),
+         k AS (SELECT doc_id, CAST(ksum AS BIGINT) AS feat_ksum
+               FROM lcg WHERE j = 17)
+         SELECT d.doc_id AS media_id,
+                CAST(d.doc_id % 640 + 32 AS INT) AS width,
+                CAST(d.doc_id % 480 + 32 AS INT) AS height,
+                k.feat_ksum,
+                k.feat_ksum / 1000.0 AS feat_sum,
+                CASE WHEN d.doc_id % 3 = 2
+                     THEN (d.doc_id % 300) // 10 + 1 ELSE 0 END AS n_sampled
+         FROM documents d JOIN k USING (doc_id)
+         ORDER BY media_id""",
+
     "q14_text_stats" ->
       s"""WITH $tokCte,
           f AS (SELECT doc_id,
