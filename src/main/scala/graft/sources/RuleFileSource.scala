@@ -27,7 +27,24 @@ object RuleFileSource {
 
   def attach(spark: SparkSession, store: RuleStore, dir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    spark.readStream.text(dir)
+    attachLines(spark.readStream.text(dir).toDF(), store, trigger)
+
+  /** S1: the transport-agnostic merge point. Any line-oriented streaming
+    * DataFrame plugs in — the first column is read as the JSON rule line.
+    * The Kafka face of the reference (`App.java:34-43`) is exactly:
+    * {{{
+    * attachLines(
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", servers)
+    *     .option("subscribe", rulesTopic).load()
+    *     .selectExpr("CAST(value AS STRING)"),
+    *   store)
+    * }}}
+    * (not exercised in tests — this container has no broker; the decode,
+    * merge and lenient-drop behavior is shared with the file face). */
+  def attachLines(lines: org.apache.spark.sql.DataFrame, store: RuleStore,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    lines
       .writeStream
       .outputMode("append")
       .trigger(trigger)

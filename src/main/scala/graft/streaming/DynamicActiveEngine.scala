@@ -53,17 +53,24 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *    collected for the ECA step per batch (the driver is a control
   *    plane, not a data plane).
   *
-  * The tail is an ordinary DataFrame: here it is `localCheckpoint()`ed
-  * (block-store backed, lineage truncated); a production deployment
-  * writes it to a reliable checkpoint table (Delta/parquet) for fault
-  * tolerance — the logic is unchanged. [[ActiveEngine]] remains the
+  * The tail is an ordinary DataFrame: per batch it is `localCheckpoint()`ed
+  * (block-store backed, lineage truncated), and with `checkpointDir` set
+  * it is also persisted durably ([[saveCheckpoint]]/[[restoreCheckpoint]]
+  * + [[RuleStore.save]]) so a restarted driver resumes with full window
+  * state — the reference gets the same from Flink checkpointing.
+  * [[ActiveEngine]] remains the
   * static-rule fast path (single compiled `flatMapGroupsWithState` plan,
   * no per-batch re-plan) for deployments whose rule set is fixed.
   */
 final class DynamicActiveEngine(
     val store: RuleStore = new RuleStore,
     val ids: SnowflakeId = new SnowflakeId(0, 0),
-    val maxFiredPerBatch: Int = 10000) {
+    val maxFiredPerBatch: Int = 10000,
+    /** When set, every batch persists the cross-batch state (tail +
+      * event-time counters) under this directory — the durable form of
+      * the `localCheckpoint` tail, making the engine driver-restart
+      * recoverable (see [[saveCheckpoint]]). */
+    val checkpointDir: Option[String] = None) {
 
   @volatile private var alertSink: Seq[Alert] => Unit = _ => ()
   /** Register a callback for *fired* alerts (HAVING passed) per batch. */
@@ -161,7 +168,44 @@ final class DynamicActiveEngine(
         .localCheckpoint(true)
       tail.foreach(_.unpersist(false))
       tail = Some(newTail)
+      checkpointDir.foreach(saveCheckpoint(spark, _))
     } finally combined.unpersist(false)
+  }
+
+  /** W5/fault tolerance: persist the cross-batch state — the tail (as
+    * parquet, an executor-parallel write) and the event-time counters (a
+    * tiny driver manifest, written LAST so a torn save is detected by a
+    * counter/tail mismatch never the other way round). Together with
+    * [[RuleStore.save]] this is the reference's Flink checkpoint for the
+    * dynamic engine: [[DynamicActiveEngine.restore]] resumes evaluation
+    * with full window state after a driver restart. A cluster deployment
+    * would target a transactional table (Delta/Iceberg) instead of a
+    * parquet dir; the state being saved is identical. */
+  def saveCheckpoint(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    tail match {
+      case Some(t) => t.write.mode("overwrite").parquet(s"$dir/tail")
+      case None    => ()
+    }
+    java.nio.file.Files.writeString(d.resolve("engine_state.txt"),
+      s"maxSeenTs=$maxSeenTs\nemittedThrough=$emittedThrough\nhasTail=${tail.nonEmpty}\n")
+  }
+
+  /** Restore state saved by [[saveCheckpoint]] into THIS engine (call
+    * before attaching a stream). No-op if the directory holds no saved
+    * manifest. */
+  def restoreCheckpoint(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val manifest = java.nio.file.Paths.get(dir, "engine_state.txt")
+    if (!java.nio.file.Files.exists(manifest)) return
+    val kv = java.nio.file.Files.readAllLines(manifest).toArray(Array.empty[String])
+      .iterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    maxSeenTs = kv.getOrElse("maxSeenTs", Long.MinValue.toString).toLong
+    emittedThrough = kv.getOrElse("emittedThrough", Long.MinValue.toString).toLong
+    tail =
+      if (kv.get("hasTail").contains("true"))
+        Some(spark.read.parquet(s"$dir/tail").localCheckpoint(true))
+      else None
   }
 
   /** W1 replay over tail ∪ fresh: identical bucket arithmetic to

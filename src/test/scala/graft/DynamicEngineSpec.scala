@@ -230,6 +230,59 @@ class DynamicEngineSpec extends SparkSpec {
     assert(many == few && few.size == 3)
   }
 
+  test("driver restart recovers window state from the checkpoint (W5 fault tolerance)") {
+    val rule = Rule(
+      queryId = Some(40L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(0)),
+      windowMilliseconds = Some(100000L),
+      frequencyMilliseconds = Some(0L))
+    val base = 1700000000000L
+    val b1 = Seq(ev(1, base, 10), ev(1, base + 1000, 20))
+    val b2 = Seq(ev(1, base + 2000, 5))
+
+    def alertsOf(run: => List[Alert]): List[(Long, String)] =
+      run.sortBy(_.tsMillis).map(a => (a.tsMillis, a.aggregate))
+
+    // continuous run: both batches through one engine
+    val continuous = alertsOf {
+      val e = new DynamicActiveEngine()
+      e.store.merge(rule)
+      val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      e.onAlerts(as => fired.synchronized { fired ++= as })
+      runBatches(e, Seq(b1, b2))
+      fired.synchronized(fired.toList)
+    }
+
+    // checkpointed run: engine A takes batch 1 and dies; engine B restores
+    // (rules via RuleStore.save/load, window state via restoreCheckpoint)
+    // and takes batch 2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val rulesFile = ckpt.resolve("rules.jsonl")
+    val engineA = new DynamicActiveEngine(checkpointDir = Some(ckpt.toString))
+    engineA.store.merge(rule)
+    val firedA = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engineA.onAlerts(as => firedA.synchronized { firedA ++= as })
+    runBatches(engineA, Seq(b1))
+    engineA.store.save(rulesFile)
+
+    val engineB = new DynamicActiveEngine(store = RuleStore.load(rulesFile))
+    engineB.restoreCheckpoint(spark, ckpt.toString)
+    val firedB = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engineB.onAlerts(as => firedB.synchronized { firedB ++= as })
+    runBatches(engineB, Seq(b2))
+
+    val restarted = alertsOf(firedA.synchronized(firedA.toList)) ++
+      alertsOf(firedB.synchronized(firedB.toList))
+    // batch-2 alert must see batch-1 state: SUM = 10+20+5 = 35
+    assert(restarted == continuous,
+      s"restart diverged: $restarted vs $continuous")
+    assert(restarted.last._2.startsWith("35"))
+  }
+
   test("RuleStore save/load round-trips through the MERGE path") {
     val store = new RuleStore
     val rule = Rule(
