@@ -109,6 +109,16 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val cent = e.filter(pmod(col("vec_id"), lit(centroidStride)) === centroidOffset)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    ivfTopKWith(embeddings, queries, k, cent, nprobe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] with a caller-supplied centroid table `(c_id, c_vec)` —
+    * e.g. the [[kMeansCentroids]] refinement. The plan (assign / probe /
+    * score) is identical; only the centroid table changes. */
+  def ivfTopKWith(embeddings: DataFrame, queries: DataFrame, k: Int,
+      cent: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     // 1. coarse quantization: argmax cosine over the broadcast centroid
     // table — max_by on (cos, -c_id) = "highest cosine, ties to lowest
     // id", a hash agg with map-side partials (no window sort).
@@ -140,6 +150,57 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Lloyd's k-means refinement of the IVF centroid table — the
+    * production step the id-sampled seed stands in for. Seeded exactly
+    * like [[ivfTopK]]'s stride sample (stable `c_id`s), then `iters`
+    * rounds of:
+    *
+    *  1. *assign* a training sample (`vec_id % sampleStride == 0`) to its
+    *     nearest centroid — the same broadcast nested-loop + `max_by`
+    *     hash-agg as the query-time assignment (no shuffle of vectors
+    *     beyond the one groupBy of (id, vec));
+    *  2. *recompute* each centroid as the element-wise mean of its
+    *     members: `posexplode` to (c_id, pos, value), a (c_id, pos)
+    *     hash-agg with map-side partials, re-assembled in position order
+    *     — the shuffle ships scalar partial sums, never whole vectors;
+    *  3. clusters that lost every member keep their previous centroid
+    *     (left join + coalesce), so `nlist` never shrinks.
+    *
+    * Cost per round is O(|sample|·nlist) dot products + O(|sample|·dim)
+    * aggregated scalars — at 100 TB you run this on a stride sample
+    * (1e-3 of the corpus is plenty for √n centroids) and the centroid
+    * table stays broadcast-sized throughout. Float means depend on
+    * reduction order, so refined centroids are NOT bit-reproducible
+    * across engines — which is exactly why the oracle-checked q37 pins
+    * the stride seed and this refinement is measured by recall
+    * (SimilaritySpec), the metric it actually moves. */
+  def kMeansCentroids(embeddings: DataFrame, centroidStride: Int,
+      centroidOffset: Int, iters: Int = 2, sampleStride: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val sample = e.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+    var cent = e.filter(pmod(col("vec_id"), lit(centroidStride)) === centroidOffset)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = sample.join(broadcast(cent))
+        .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"),
+          first(col("vec")).as("vec"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("new_vec"))
+      cent = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("new_vec"), col("c_vec")).as("c_vec"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cent
   }
 
   /** Approximate top-k: exact cosine rank over the LSH candidate set

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 45, s"recall ${hits / 50.0} below 0.9")
   }
 
+  test("k-means-refined centroids keep IVF recall >= 0.9 and a stable index shape") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val seedCount = df.filter(pmod(col("vec_id"), lit(25)) === 7).count()
+    val cent = Similarity.kMeansCentroids(df,
+      centroidStride = 25, centroidOffset = 7, iters = 2)
+    val rows = cent.select("c_id", "c_vec")
+      .as[(Long, Array[Float])].collect()
+    // refinement never shrinks or grows the list count, and keeps dim
+    assert(rows.length == seedCount)
+    assert(rows.forall(_._2.length == Dim))
+    val got = Similarity.ivfTopKWith(df, queries, 5, cent, nprobe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0 until 50).count { i =>
+      got.getOrElse(i + 10000L, Set.empty).contains(i.toLong)
+    }
+    assert(hits >= 45, s"recall ${hits / 50.0} below 0.9")
+  }
+
   test("ivfTopK scores are exact cosines and each query returns at most k rows") {
     val data = corpus(200, 20)
     val df = data.toDF("vec_id", "embedding")
