@@ -143,12 +143,7 @@ final class DynamicActiveEngine(
         (perEventAlerts.toSeq ++
           (passthroughAlerts.toSeq ++ periodicAlerts.toSeq).map(_.as[Alert]))
           .reduceOption(_ unionByName _)
-      alerts.foreach { ds =>
-        val fired = ds.filter(_.passed).limit(maxFiredPerBatch).collect().toSeq
-        alertSink(fired)
-        val withFields = fired.map(a => (a, bindFields(a)))
-        EcaLoop.processAlerts(rulesById, withFields, store, ids)
-      }
+      alerts.foreach(emitAndSpawn(_, rulesById))
 
       emittedThrough = math.max(emittedThrough, curMax)
       maxSeenTs = curMax
@@ -170,6 +165,44 @@ final class DynamicActiveEngine(
       tail = Some(newTail)
       checkpointDir.foreach(saveCheckpoint(spark, _))
     } finally combined.unpersist(false)
+  }
+
+  /** W2/W3 under a STALLED source: finalize periodic windows whose end
+    * fell in `(emittedThrough, horizonMs]` using the retained tail alone —
+    * no new events required. This is the engine's rendering of the
+    * reference's processing-time emission timer
+    * (`DynamicQueryFunction.java:118-147`): drive it from any clock (a
+    * scheduled driver thread, an orchestrator tick) with
+    * `engine.finalizeThrough(System.currentTimeMillis() - allowedLateness)`
+    * and a window whose source went quiet still emits. Event-time
+    * emission in [[processBatch]] stays the primary path — this advances
+    * the same emit-once horizon, so a window never fires twice. */
+  def finalizeThrough(horizonMs: Long): Unit = {
+    if (horizonMs <= emittedThrough) return
+    val rules = store.snapshot()
+    val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
+    (tail, periodic) match {
+      case (Some(t), p) if p.nonEmpty =>
+        val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
+        implicit val alertEnc = Encoders.product[Alert]
+        p.groupBy(r => (r.windowMilliseconds.get, slideOf(r)))
+          .values.toSeq
+          .map(group => evalPeriodic(t, group, emittedThrough, horizonMs))
+          .reduceOption(_ unionByName _)
+          .foreach(df => emitAndSpawn(df.as[Alert], rulesById))
+      case _ => ()
+    }
+    emittedThrough = math.max(emittedThrough, horizonMs)
+  }
+
+  /** Collect fired alerts (bounded), deliver to the sink, and run the ECA
+    * spawn step — shared by the per-batch path and [[finalizeThrough]]. */
+  private def emitAndSpawn(ds: Dataset[Alert],
+      rulesById: Map[Long, Rule]): Unit = {
+    val fired = ds.filter(_.passed).limit(maxFiredPerBatch).collect().toSeq
+    alertSink(fired)
+    val withFields = fired.map(a => (a, bindFields(a)))
+    EcaLoop.processAlerts(rulesById, withFields, store, ids)
   }
 
   /** W5/fault tolerance: persist the cross-batch state — the tail (as

@@ -230,6 +230,34 @@ class DynamicEngineSpec extends SparkSpec {
     assert(many == few && few.size == 3)
   }
 
+  test("finalizeThrough emits a stalled source's periodic window exactly once (W2/W3)") {
+    val rule = Rule(
+      queryId = Some(45L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      windowMilliseconds = Some(10000L)) // tumbling
+    val engine = new DynamicActiveEngine()
+    engine.store.merge(rule)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L - (1700000000000L % 10000L)
+    // one batch inside the window, then the source goes quiet: event-time
+    // emission alone would never finalize the window
+    runBatches(engine, Seq(Seq(ev(1, base + 1000, 10), ev(1, base + 2000, 20))))
+    assert(fired.synchronized(fired.isEmpty), "window must not emit early")
+
+    engine.finalizeThrough(base + 10000) // the processing-time timer tick
+    val got = fired.synchronized(fired.toList)
+    assert(got.map(a => (a.ruleId, a.tsMillis, a.aggregate)) ==
+      List((45L, base, "30.000000")))
+
+    // emit-once horizon: a later tick (or late event time) must not re-fire
+    engine.finalizeThrough(base + 20000)
+    assert(fired.synchronized(fired.size) == 1)
+  }
+
   test("driver restart recovers window state from the checkpoint (W5 fault tolerance)") {
     val rule = Rule(
       queryId = Some(40L),
