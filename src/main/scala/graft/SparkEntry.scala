@@ -382,6 +382,26 @@ object SparkEntry {
             size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
           .orderBy("doc_id")),
 
+      // Deterministic stratified sampling (corpus mixing): keep 50% of
+      // English, 10% of everything else, decided by hash60(doc_id) so
+      // the sample is reproducible across engines, runs and retries.
+      "q39_stratified_sample" -> ((s, dir) => {
+        import graft.curation.Curation
+        val docs = table(s, dir, "documents")
+          .withColumn("lang_id", TextFunctions.langId(col("text")))
+        Curation.stratifiedSample(docs, col("lang_id"),
+            col("doc_id").cast("string"), Map("en" -> 0.5), defaultRate = 0.1)
+          .select("doc_id", "lang_id")
+          .orderBy("doc_id")
+      }),
+
+      // GPT-style sequence packing: concat docs in id order per shard,
+      // cut every 2048 BPE-ish tokens; per-doc sequence span.
+      "q40_sequence_pack" -> ((s, dir) =>
+        graft.curation.Curation.packSequences(
+            table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
+          .orderBy("doc_id")),
+
       // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
       // distinct selected 60-bit hashes per document.
       "q33_winnow_fingerprint" -> ((s, dir) =>
@@ -848,6 +868,50 @@ object SparkEntry {
                 md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    // The q15 language CTE + the documented hash60 formula: the keep
+    // decision is pure integer arithmetic, so the sample reproduces
+    // exactly (rates as per-million thresholds).
+    "q39_stratified_sample" ->
+      s"""WITH $tokCte,
+          c AS (SELECT doc_id,
+                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
+                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
+                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
+                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
+                FROM toks),
+          l AS (SELECT doc_id,
+                 CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
+                      WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
+                      WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
+                      WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
+                      ELSE 'und' END AS lang_id
+                FROM c)
+          SELECT doc_id, lang_id FROM l
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000
+                < CASE WHEN lang_id = 'en' THEN 500000 ELSE 100000 END
+          ORDER BY doc_id""",
+
+    // Per-shard running token offset (window cumsum), fixed 2048-token
+    // cuts; integer floor-division both sides.
+    "q40_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+                FROM documents),
+          f AS (SELECT * FROM t WHERE n_tokens > 0),
+          -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT, which pandas
+          -- renders as float64 — pin every derived column to BIGINT
+          o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f)
+          SELECT doc_id, shard, n_tokens, start_offset,
+                 CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+                 CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+                 CAST((start_offset + n_tokens - 1) // 2048
+                   - start_offset // 2048 + 1 AS BIGINT) AS n_seqs
+          FROM o ORDER BY doc_id""",
 
     "q17_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
