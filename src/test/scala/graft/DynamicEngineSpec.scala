@@ -230,6 +230,41 @@ class DynamicEngineSpec extends SparkSpec {
     assert(many == few && few.size == 3)
   }
 
+  test("200 periodic rules sharing a window evaluate in one batch without plan blowup") {
+    // The grouped pass claims plan size O(distinct window shapes): 200
+    // same-window rules must run as ONE groupBy + meta join, so the
+    // per-batch wall time stays flat (a per-rule union would analyze 200
+    // plan branches). Assert correctness of a spread of rules + a sane
+    // wall-clock bound that a 200-branch union reliably blows through.
+    val rules = (0 until 200).map { i =>
+      Rule(
+        queryId = Some(2000L + i),
+        groupingKeyNames = Seq("carId"),
+        aggregateFieldName = Some("speed"),
+        aggregatorFunctionType = Some(AggregatorType.Sum),
+        limitOperatorType = Some(CompareOp.Greater),
+        limit = Some(BigDecimal(i)), // thresholds 0..199
+        windowMilliseconds = Some(10000L))
+    }
+    val engine = new DynamicActiveEngine()
+    rules.foreach(engine.store.merge(_))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L - (1700000000000L % 10000L)
+    val t0 = System.nanoTime()
+    runBatches(engine, Seq(
+      Seq(ev(1, base + 1000, 60), ev(1, base + 2000, 40)),
+      Seq(ev(1, base + 15000, 1))))
+    val secs = (System.nanoTime() - t0) / 1e9
+    // SUM = 100 for window [base, base+10s): rules with limit < 100 fire
+    val got = fired.synchronized(fired.toList).filter(_.tsMillis == base)
+    assert(got.size == 100, s"expected 100 firing rules, got ${got.size}")
+    assert(got.forall(_.aggregate == "100.000000"))
+    assert(got.map(_.ruleId).toSet == (2000L until 2100L).toSet)
+    assert(secs < 60, s"200-rule batch took ${secs}s — plan-size blowup?")
+  }
+
   test("finalizeThrough emits a stalled source's periodic window exactly once (W2/W3)") {
     val rule = Rule(
       queryId = Some(45L),
