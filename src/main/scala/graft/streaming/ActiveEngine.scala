@@ -103,6 +103,27 @@ final class ActiveEngine(
       .select((rule.groupingKeyNames.map(col) :+ col("w_start")) :+ plan.finalExpr: _*)
       .filter(RuleCompiler.havingColumn(rule))
   }
+
+  /** Session windows as a continuous query — the streaming face of the
+    * batch q38 (beyond the reference's fixed/sliding windows). Native
+    * `session_window` keeps per-key mergeable state; the watermark (= one
+    * gap) finalizes a session once event time passes its close, so state
+    * per key is bounded by the live session. Emits (keys..., session
+    * start/end millis, n_events, exact-decimal sum) in append mode. */
+  def sessionQuery(events: DataFrame, keyCols: Seq[String], gapMs: Long,
+      aggCol: String, tsCol: String = "ts"): DataFrame = {
+    val dec = col(aggCol).cast(RuleCompiler.RuleDecimal)
+    events
+      .withWatermark(tsCol, s"$gapMs milliseconds")
+      .groupBy(keyCols.map(col) :+
+        session_window(col(tsCol), s"$gapMs milliseconds"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec).cast(RuleCompiler.RuleDecimal).as("agg_value"))
+      .select(keyCols.map(col) ++ Seq(
+        unix_millis(col("session_window.start")).as("s_start"),
+        unix_millis(col("session_window.end")).as("s_end"),
+        col("n_events"), col("agg_value")): _*)
+  }
 }
 
 /** Flat JSON object ↔ field map for alert payload round-trips. */

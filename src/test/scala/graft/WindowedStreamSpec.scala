@@ -68,6 +68,33 @@ class WindowedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session window finalizes a closed session past the watermark") {
+    val engine = new ActiveEngine()
+    val gap = 60000L
+    val base = 1700000000000L
+    val input = MemoryStream[Ev](spark)
+    val out = engine.sessionQuery(input.toDF(), Seq("user"), gap, "v", "ts")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst of 3 events within one gap = one session
+      input.addData(ev(1, base, 10), ev(1, base + 1000, 5), ev(1, base + 2000, 7))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "session still open")
+      // jump event time far past the close: watermark finalizes it
+      input.addData(ev(1, base + 10 * gap, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, base + 11 * gap, 1)) // advance again to flush
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user", $"s_start", $"s_end", $"n_events",
+          $"agg_value".cast("string"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(rows.contains((1L, base, base + 2000 + gap, 3L, "22.000000")),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("demo CSV sink formats the reference line (K2)") {
     val alerts = Seq(
       Alert(1L, "{carId=270}", 1700000000123L, "130.000000", passed = true, "{}"))
