@@ -402,6 +402,22 @@ object SparkEntry {
             table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
           .orderBy("doc_id")),
 
+      // Gopher-style repetition filters: duplicate-word fraction and the
+      // share of bigrams taken by the most frequent bigram, per doc.
+      "q41_repetition_stats" -> ((s, dir) =>
+        graft.curation.Curation.repetitionStats(table(s, dir, "documents"))
+          .orderBy("doc_id")),
+
+      // Benchmark decontamination: docs sharing any word 3-gram with the
+      // pseudo-benchmark slice (doc_id % 97 == 0) of the corpus.
+      "q42_decontaminate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), n = 3)
+          .orderBy("doc_id")
+      }),
+
       // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
       // distinct selected 60-bit hashes per document.
       "q33_winnow_fingerprint" -> ((s, dir) =>
@@ -912,6 +928,43 @@ object SparkEntry {
                  CAST((start_offset + n_tokens - 1) // 2048
                    - start_offset // 2048 + 1 AS BIGINT) AS n_seqs
           FROM o ORDER BY doc_id""",
+
+    // Longest equal run in the sorted bigram list = max bigram count;
+    // ratios as exact-integer-over-integer doubles on both sides.
+    "q41_repetition_stats" ->
+      s"""WITH $tokCte,
+          base AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+                     list_transform(range(1, len(tk)),
+                       i -> array_to_string(tk[i:i+1], ' ')) AS gs
+                   FROM toks),
+          e AS (SELECT doc_id, unnest(gs) AS g FROM base),
+          m AS (SELECT doc_id, MAX(c) AS mx FROM (
+                  SELECT doc_id, g, COUNT(*) c FROM e GROUP BY 1, 2)
+                GROUP BY doc_id)
+          SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+                 CAST(b.n - b.nd AS DOUBLE) / b.n AS dup_word_frac,
+                 CASE WHEN b.n >= 2
+                   THEN CAST(COALESCE(m.mx, 0) AS DOUBLE) / (b.n - 1)
+                   ELSE 0.0 END AS top_bigram_share
+          FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+          ORDER BY b.doc_id""",
+
+    // sh = the q18/q19 distinct 3-gram shingle table; hash60 per the
+    // documented md5 formula so the join keys match Spark's exactly.
+    "q42_decontaminate" ->
+      s"""WITH $tokCte, $shingleCte,
+          b AS (SELECT DISTINCT
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
+                FROM sh WHERE sid % 97 = 0),
+          d AS (SELECT sid, ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
+                FROM sh WHERE sid % 97 <> 0),
+          j AS (SELECT sid, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
+                FROM d LEFT JOIN b ON d.g = b.g GROUP BY sid)
+          SELECT sid AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(hits AS BIGINT) AS n_hits,
+                 CAST(hits AS DOUBLE) / n_grams AS contamination
+          FROM j WHERE hits > 0 ORDER BY doc_id""",
 
     "q17_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

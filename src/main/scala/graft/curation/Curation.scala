@@ -35,6 +35,67 @@ object Curation {
     df.filter(pmod(TextFunctions.hash60(key), lit(1000000L)) < threshold)
   }
 
+  /** Repetition-quality metrics (the Gopher-style repetition filters):
+    * per document, the fraction of words that are repeats and the share
+    * of word bigrams taken by the single most frequent bigram. High
+    * values flag boilerplate / degenerate generations for removal before
+    * training. Everything is computed inside the row — tokenize, sort
+    * the bigram array, and take the longest equal run with a single
+    * `aggregate` fold — so the operator is one scan with zero shuffle
+    * and stays in whole-stage codegen at any corpus size.
+    *
+    * Output: (id, n_words, dup_word_frac, top_bigram_share); ratios are
+    * exact-integer-over-integer IEEE doubles (engine-reproducible). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = TextFunctions.tokens(col(textCol))
+    val n = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    // longest equal run in the sorted bigram array = max bigram count
+    val maxBigram = aggregate(
+      array_sort(TextFunctions.shingles(col(textCol), 2)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st("prev"), st("run") + lit(1L)).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st("best"), run).as("best"))
+      },
+      st => st("best"))
+    docs.select(col(idCol), n.as("n_words"),
+      ((n - nDistinct).cast("double") / n).as("dup_word_frac"),
+      when(n >= 2, maxBigram.cast("double") / (n - lit(1L)))
+        .otherwise(lit(0.0)).as("top_bigram_share"))
+  }
+
+  /** Benchmark decontamination: report every document sharing at least
+    * one word `n`-gram with the benchmark set (the standard test-set
+    * contamination check run before training). Both sides reduce to
+    * distinct 60-bit shingle hashes; the corpus side streams through a
+    * join against the (small, distinct-ed) benchmark gram table — AQE
+    * broadcasts it when it fits, shuffles otherwise (no forced hint) —
+    * then one partial-aggregated `groupBy(id)` counts total vs hit
+    * grams. Nothing materializes on the driver; corpus-side cost is one
+    * scan + one shuffle on the id.
+    *
+    * Output per contaminated doc: (id, n_grams, n_hits, contamination =
+    * n_hits / n_grams as an exact-integer-ratio double). */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+          .as("gram"): _*)
+      .select(keep.map(col) :+ TextFunctions.hash60(col("gram")).as("g"): _*)
+    val benchGrams = grams(bench, Nil).distinct().withColumn("hit", lit(1L))
+    grams(docs, Seq(idCol)).join(benchGrams, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_grams"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

@@ -52,4 +52,33 @@ class CurationSpec extends SparkSpec {
     // at least one doc straddles a cut (the boundary case exists)
     assert(got.exists(_._7 == 2), "no doc crossed a sequence boundary")
   }
+
+  test("repetitionStats: duplicate-word fraction and top-bigram share") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct; "a b"×2 of 4 bigrams
+      (2L, "x y z"),     // all distinct; every bigram unique
+      (3L, "w"),         // single word: no bigrams, share 0
+      (4L, "q q q q"))   // one word: dup 3/4; "q q"×3 of 3
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 3.0 / 5, 2.0 / 4),
+      (2L, 3L, 0.0, 1.0 / 2),
+      (3L, 1L, 0.0, 0.0),
+      (4L, 4L, 3.0 / 4, 1.0)))
+  }
+
+  test("contamination: only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown cat naps"),   // shares "the quick brown" only
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox jumps high")) // shares 2 of its 3 grams
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(docs, bench, n = 3)
+      .select("doc_id", "n_grams", "n_hits", "contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 1L, 1.0 / 3), (3L, 3L, 2L, 2.0 / 3)))
+  }
 }
