@@ -48,12 +48,16 @@ object Curation {
     * exact-integer-over-integer IEEE doubles (engine-reproducible). */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ws = TextFunctions.tokens(col(textCol))
+    // tokenize ONCE into a real projection: __ws is referenced many
+    // times below, so CollapseProject keeps the split un-inlined and
+    // every use reads the materialized array (the per-shingle `slice`
+    // inside the fold would otherwise re-split per bigram)
+    val ws = col("__ws")
     val n = size(ws).cast("long")
     val nDistinct = size(array_distinct(ws)).cast("long")
     // longest equal run in the sorted bigram array = max bigram count
     val maxBigram = aggregate(
-      array_sort(TextFunctions.shingles(col(textCol), 2)),
+      array_sort(TextFunctions.shinglesOf(ws, 2)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (st, g) => {
         val run = when(g === st("prev"), st("run") + lit(1L)).otherwise(lit(1L))
@@ -61,10 +65,12 @@ object Curation {
           greatest(st("best"), run).as("best"))
       },
       st => st("best"))
-    docs.select(col(idCol), n.as("n_words"),
-      ((n - nDistinct).cast("double") / n).as("dup_word_frac"),
-      when(n >= 2, maxBigram.cast("double") / (n - lit(1L)))
-        .otherwise(lit(0.0)).as("top_bigram_share"))
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), n.as("n_words"),
+        ((n - nDistinct).cast("double") / n).as("dup_word_frac"),
+        when(n >= 2, maxBigram.cast("double") / (n - lit(1L)))
+          .otherwise(lit(0.0)).as("top_bigram_share"))
   }
 
   /** Benchmark decontamination: report every document sharing at least

@@ -27,16 +27,26 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]` (1-based slice).
-    * Empty for texts of fewer than n tokens (Spark's `sequence` counts
-    * *down* when start > stop, so the short case needs the guard). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word n-gram shingles over an already-materialized token array
+    * (an attribute or lambda-bound value — NOT a raw `tokens(text)`
+    * expression, see [[shingles]]): `["a b c", "b c d", ...]`. Empty for
+    * fewer than n tokens (Spark's `sequence` counts *down* when
+    * start > stop, so the short case needs the guard). */
+  def shinglesOf(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - lit(n - 1)),
         i => concat_ws(" ", slice(ts, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles of a text column. The token array is bound
+    * once per row as a lambda variable (`transform` over a 1-element
+    * wrapper array) before the per-shingle `slice` touches it: higher-
+    * order functions evaluate interpreted with no subexpression reuse,
+    * so slicing `tokens(text)` directly would re-run the regex split
+    * once per shingle — O(words²) per row. The let-binding keeps it
+    * O(words) and survives Catalyst project-collapsing by construction. */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), ts => shinglesOf(ts, n)), 1)
 
   /** Portable 60-bit string hash: first 15 hex digits of md5, as a long.
     * Engine-agnostic (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`). */
