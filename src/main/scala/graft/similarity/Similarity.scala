@@ -225,9 +225,12 @@ object Similarity {
     val v = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    // no broadcast hint on qv: like ivfTopKWith, the query set is
+    // user-sized and can be a large fraction of the corpus — AQE
+    // broadcasts it when it fits, shuffles otherwise.
     cand
       .join(v, "vec_id")
-      .join(broadcast(qv), "q_id")
+      .join(qv, "q_id")
       .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
