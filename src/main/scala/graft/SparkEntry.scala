@@ -418,6 +418,13 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Duplicate clustering: MinHash-LSH pairs (q19's parameters) →
+      // connected components (min-label + pointer jumping) → one kept
+      // canonical doc per cluster; singletons keep themselves.
+      "q43_dedup_clusters" -> ((s, dir) =>
+        Dedup.dedupClusters(table(s, dir, "documents"), n = 3, k = 16, bands = 4)
+          .orderBy("doc_id")),
+
       // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
       // distinct selected 60-bit hashes per document.
       "q33_winnow_fingerprint" -> ((s, dir) =>
@@ -792,6 +799,25 @@ object SparkEntry {
          SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
                 i -> array_to_string(tk[i:i+2], ' '))) shingle FROM toks))"""
 
+  /** q19's MinHash-LSH candidate pairs (16 hashes, 4 bands) as a CTE chain
+    * ending in `mhp(a_id, b_id)` — shared by q19 and q43 so the cluster
+    * oracle closes over exactly the pair set the pair oracle checks.
+    * Expects `sh(sid, shingle)` ([[shingleCte]]) in scope. */
+  private val minhashPairCte =
+    """h AS (SELECT sid,
+              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 hh
+            FROM sh),
+       mh AS (SELECT sid, i.i AS i,
+                MIN(((1 + (i.i * 1000003) % 2147483647) * hh +
+                     (12345 + i.i * 999983) % 2147483647) % 2147483647) mh
+              FROM h, range(16) i(i) GROUP BY sid, i.i),
+       bk AS (SELECT sid, i // 4 AS band,
+                string_agg(mh::VARCHAR, ':' ORDER BY i) bkey
+              FROM mh GROUP BY sid, i // 4),
+       mhp AS (SELECT DISTINCT a.sid a_id, b.sid b_id
+               FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.sid < b.sid)"""
+
   /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
     * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
     * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
@@ -1053,21 +1079,26 @@ object SparkEntry {
           ORDER BY a_id, b_id""",
 
     "q19_dedup_minhash_lsh" ->
-      s"""WITH $tokCte, $shingleCte,
-          h AS (SELECT sid,
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 hh
-                FROM sh),
-          mh AS (SELECT sid, i.i AS i,
-                   MIN(((1 + (i.i * 1000003) % 2147483647) * hh +
-                        (12345 + i.i * 999983) % 2147483647) % 2147483647) mh
-                 FROM h, range(16) i(i) GROUP BY sid, i.i),
-          bk AS (SELECT sid, i // 4 AS band,
-                   string_agg(mh::VARCHAR, ':' ORDER BY i) bkey
-                 FROM mh GROUP BY sid, i // 4)
-          SELECT DISTINCT a.sid a_id, b.sid b_id
-          FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-                            AND a.sid < b.sid
-          ORDER BY a_id, b_id""",
+      s"""WITH $tokCte, $shingleCte, $minhashPairCte
+          SELECT a_id, b_id FROM mhp ORDER BY a_id, b_id""",
+
+    // q19's candidate pairs → transitive closure by a recursive reachability
+    // walk (UNION dedup terminates it); cluster id = MIN over the reachable
+    // set, mirroring Dedup.connectedComponents' min-label fixpoint.
+    "q43_dedup_clusters" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
+          SELECT doc_id, cluster_id,
+                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+                 doc_id = cluster_id AS keep
+          FROM cl ORDER BY doc_id""",
 
     "q20_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id sid,

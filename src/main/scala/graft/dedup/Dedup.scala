@@ -185,6 +185,79 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-duplicate *pairs* into duplicate *clusters*. Iterative
+    * min-label propagation with pointer jumping (Shiloach–Vishkin style):
+    * each round every vertex takes the minimum of its own label, its
+    * neighbors' labels, and its label's label (the jump), so a component
+    * of diameter d converges in O(log d) rounds, not O(d). Labels start
+    * as vertex ids and only decrease, so the fixpoint label of every
+    * vertex is its component's minimum id.
+    *
+    * Scale shape: per round = one edge⋈label join + a min aggregation +
+    * one label self-join, all keyed by vertex id — each is a single hash
+    * shuffle and AQE skew-splits hot vertices. The label table is O(V)
+    * narrow (two longs) and the edge list O(E); both are
+    * `localCheckpoint`ed so the iterated plan stays constant-size (same
+    * device as [[graft.similarity.Similarity.kMeansCentroids]]).
+    * Convergence is detected by the label sum (strictly decreasing until
+    * fixpoint) — one lightweight action per round, no changed-row join.
+    * For adversarially skewed graphs (one giant component of hubs) the
+    * alternating large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) bounds per-round
+    * fan-in; dedup graphs — many tiny clusters — don't need it.
+    *
+    * `maxIters` bounds diameter at 2^maxIters (default: anything). Input:
+    * `pairs(a_id, b_id)` + the full vertex set (isolated vertices become
+    * singleton clusters). Output: (id, lbl = component minimum id). */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var prevSum: Option[java.math.BigDecimal] = None
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy("v").agg(min("ulbl").as("nmin"))
+        .withColumnRenamed("v", "id")
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jump: every label value is itself a vertex id, so the
+      // inner self-join always finds the label's own (smaller) label.
+      val lookup = merged.select(col("id").as("lid"), col("lbl").as("llbl"))
+      labels = merged.join(lookup, col("lbl") === col("lid"))
+        .select(col("id"), least(col("lbl"), col("llbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("lbl")).cast("decimal(38,0)").as("s"))
+        .head.getDecimal(0)
+      done = prevSum.contains(s)
+      prevSum = Some(s)
+      it += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate corpus dedup: MinHash-LSH candidate pairs
+    * ([[minHashLshPairs]]) → [[connectedComponents]] → a canonical keep
+    * decision per document. `cluster_id` is the component's minimum doc
+    * id, so `keep = (doc_id == cluster_id)` retains exactly one document
+    * per duplicate cluster (and every unpaired document, as a singleton).
+    * Output: (doc_id, cluster_id, cluster_size, keep). */
+  def dedupClusters(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minHashLshPairs(docs, n, k, bands, textCol, idCol)
+    val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
+    cc.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
   /** 32-bit SimHash over word tokens: per bit, sum +1/−1 weighted by token
     * occurrences; bit set where the sum is positive. Equal sketches =
     * near-duplicate cluster; hamming distance over sketches = graded

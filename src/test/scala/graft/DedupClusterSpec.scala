@@ -1,0 +1,49 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+
+/** Connected-components duplicate clustering (q43's operator). */
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(ps: (Long, Long)*): DataFrame = ps.toDF("a_id", "b_id")
+  private def verts(ids: Long*): DataFrame = ids.toDF("doc_id")
+
+  private def labelsOf(p: DataFrame, v: DataFrame, maxIters: Int = 25): Map[Long, Long] =
+    Dedup.connectedComponents(p, v, "doc_id", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: chain, pair, and isolated vertices") {
+    val got = labelsOf(pairs((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)),
+      verts(1L to 8L: _*))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("connectedComponents: bridging edge merges two clusters") {
+    val got = labelsOf(pairs((10L, 12L), (11L, 13L), (12L, 13L)),
+      verts(10L, 11L, 12L, 13L))
+    assert(got.values.toSet == Set(10L))
+  }
+
+  test("connectedComponents: 33-vertex chain converges in O(log d) rounds") {
+    // diameter 32; plain min propagation needs 32 rounds — pointer
+    // jumping must finish (and detect the fixpoint) within 10.
+    val chain = (1L until 33L).map(i => (i, i + 1))
+    val got = labelsOf(pairs(chain: _*), verts(1L to 33L: _*), maxIters = 10)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("dedupClusters keeps exactly one doc per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with other words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(docs, n = 3, k = 16, bands = 4)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, 2L, true), (2L, 1L, 2L, false),
+      (3L, 3L, 1L, true)))
+  }
+}
