@@ -418,6 +418,19 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Corpus vocabulary: top-100 tokens by frequency with document
+      // frequency; lexicographic tie-break makes the cut reproducible.
+      "q44_vocab_topk" -> ((s, dir) =>
+        graft.curation.Curation.vocabTopK(table(s, dir, "documents"), k = 100)
+          .orderBy("rank")),
+
+      // Exact doc-length percentiles per source by integer rank selection
+      // (basis points, rank = (bp·n+9999) div 10000 — no float ranks).
+      "q45_length_percentiles" -> ((s, dir) =>
+        graft.curation.Curation.distributionStats(table(s, dir, "documents"),
+            "source", "n_chars", "doc_id", Seq(5000, 9000, 9900))
+          .orderBy("source", "pct")),
+
       // Duplicate clustering: MinHash-LSH pairs (q19's parameters) →
       // connected components (min-label + pointer jumping) → one kept
       // canonical doc per cluster; singletons keep themselves.
@@ -1081,6 +1094,32 @@ object SparkEntry {
     "q19_dedup_minhash_lsh" ->
       s"""WITH $tokCte, $shingleCte, $minhashPairCte
           SELECT a_id, b_id FROM mhp ORDER BY a_id, b_id""",
+
+    "q44_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) token
+                      FROM documents),
+          a AS (SELECT token, CAST(COUNT(*) AS BIGINT) freq,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) df
+                FROM tok GROUP BY token),
+          r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, token) rank
+                FROM a)
+          SELECT rank, token, freq, df FROM r WHERE rank <= 100
+          ORDER BY rank""",
+
+    // Integer rank selection (ceil(p·n) via basis points) — no float
+    // ranks, no interpolation, so both engines pick the same row.
+    "q45_length_percentiles" ->
+      """WITH s AS (SELECT source, n_chars, doc_id,
+                      row_number() OVER
+                        (PARTITION BY source ORDER BY n_chars, doc_id) rn,
+                      COUNT(*) OVER (PARTITION BY source) cnt
+                    FROM documents),
+          p AS (SELECT unnest([5000, 9000, 9900]) bp)
+          SELECT source, CAST(bp AS DOUBLE) / 10000.0 AS pct,
+                 n_chars AS value
+          FROM s, p WHERE rn = (bp * cnt + 9999) // 10000
+          ORDER BY source, pct""",
 
     // q19's candidate pairs → transitive closure by a recursive reachability
     // walk (UNION dedup terminates it); cluster id = MIN over the reachable

@@ -102,6 +102,56 @@ object Curation {
       .filter(col("n_hits") > 0)
   }
 
+  /** Corpus vocabulary: the `k` most frequent word tokens with total
+    * occurrence count and document frequency — the frequency table a
+    * tokenizer/vocab build or a stopword audit starts from. One shuffle:
+    * `groupBy(token)` with map-side partial counts (the distinct-doc
+    * count is Spark's standard two-phase distinct aggregate). The top-k
+    * itself is `orderBy … limit k` — Catalyst plans TakeOrderedAndProject
+    * (per-partition heap top-k, k·partitions rows to the driver), never a
+    * global sort. Ties break lexicographically so the cut is
+    * engine-reproducible. Output: (rank, token, freq, df). */
+  def vocabTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("sid"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val top = tok.groupBy("token")
+      .agg(count(lit(1)).as("freq"), count_distinct(col("sid")).as("df"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+    // the unpartitioned window runs AFTER the limit, over k rows only
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("token"))))
+      .select("rank", "token", "freq", "df")
+  }
+
+  /** Exact per-stratum distribution percentiles by integer rank
+    * selection: the percentile value is the element at 1-based rank
+    * `ceil(p·n)` within its stratum, computed as `(bp·n + 9999) div
+    * 10000` over basis points — pure integer arithmetic, so every engine
+    * selects the same row (no interpolation, no float rank). Ties order
+    * by `tieCol` so the selected row is unique.
+    *
+    * This is the *exact* (oracle) form: rank selection needs a sort
+    * within each stratum, and Spark's window hash-partitions by the
+    * stratum key — fine for human-scale strata (sources, languages),
+    * wrong for 100 TB under a handful of strata. The one-pass production
+    * path at that scale is `approx_percentile` (a mergeable KLL-style
+    * sketch, map-side combined like any aggregate); keep this form as
+    * its accuracy oracle. Output: (stratum, pct, value). */
+  def distributionStats(df: DataFrame, stratum: String, valueCol: String,
+      tieCol: String, pctsBp: Seq[Int]): DataFrame = {
+    val wRank = Window.partitionBy(stratum).orderBy(col(valueCol), col(tieCol))
+    val wCnt = Window.partitionBy(stratum)
+    df.select(col(stratum), col(valueCol), col(tieCol))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("bp", explode(array(pctsBp.map(p => lit(p.toLong)): _*)))
+      .filter(col("rn") === expr("(bp * cnt + 9999) div 10000"))
+      .select(col(stratum), (col("bp").cast("double") / lit(10000.0)).as("pct"),
+        col(valueCol).as("value"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

@@ -81,4 +81,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 3L, 1L, 1.0 / 3), (3L, 3L, 2L, 2.0 / 3)))
   }
+
+  test("vocabTopK: counts, doc frequency, and lexicographic tie-break") {
+    val docs = Seq(
+      (1L, "b b a c"),
+      (2L, "a b"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = Curation.vocabTopK(docs, k = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // freq: b=3 a=2 c=2 — a beats c on the tie lexicographically
+    assert(got == Seq((1, "b", 3L, 2L), (2, "a", 2L, 2L)))
+  }
+
+  test("distributionStats: integer rank selection per stratum") {
+    val rows = (1L to 10L).map(v => ("x", v, v)) ++ Seq(("y", 7L, 11L), ("y", 3L, 12L))
+    val docs = rows.toDF("source", "n_chars", "doc_id")
+    val got = Curation.distributionStats(docs, "source", "n_chars", "doc_id",
+        Seq(5000, 9000, 9900))
+      .as[(String, Double, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // x (n=10): p50 → rank 5 = 5, p90 → rank 9 = 9, p99 → rank 10 = 10
+    // y (n=2):  p50 → rank 1 = 3, p90/p99 → rank 2 = 7
+    assert(got == Seq(("x", 0.5, 5L), ("x", 0.9, 9L), ("x", 0.99, 10L),
+      ("y", 0.5, 3L), ("y", 0.9, 7L), ("y", 0.99, 7L)))
+  }
 }
