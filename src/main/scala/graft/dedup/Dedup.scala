@@ -207,6 +207,13 @@ object Dedup {
     * Components in MapReduce and Beyond", SoCC'14) bounds per-round
     * fan-in; dedup graphs — many tiny clusters — don't need it.
     *
+    * Only vertices that appear in an edge enter the iteration — an
+    * isolated vertex can never change label, so it joins the output as
+    * its own singleton *after* the fixpoint. At corpus scale this is the
+    * difference between iterating over every document and iterating over
+    * the near-duplicate subset (dup-rate × corpus, usually orders of
+    * magnitude smaller).
+    *
     * `maxIters` bounds diameter at 2^maxIters (default: anything). Input:
     * `pairs(a_id, b_id)` + the full vertex set (isolated vertices become
     * singleton clusters). Output: (id, lbl = component minimum id). */
@@ -215,7 +222,8 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     var prevSum: Option[java.math.BigDecimal] = None
     var it = 0
@@ -239,7 +247,10 @@ object Dedup {
       prevSum = Some(s)
       it += 1
     }
-    labels
+    val isolated = vertices.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    labels.union(isolated)
   }
 
   /** End-to-end near-duplicate corpus dedup: MinHash-LSH candidate pairs
