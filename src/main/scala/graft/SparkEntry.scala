@@ -287,6 +287,43 @@ object SparkEntry {
           sum(col("__r_cv").cast(graft.compile.RuleCompiler.RuleDecimal))
             .cast(graft.compile.RuleCompiler.RuleDecimal).as("agg_value"))
         .orderBy("event_id"))
+    }),
+
+    // Bloom-pruned semi join: revenue of lineitems belonging to URGENT
+    // orders. The broadcast Bloom filter over the urgent order keys drops
+    // non-matching fact rows BEFORE the exchange (runtime-filter
+    // pushdown); the left-semi join then removes false positives, so the
+    // answer is exactly the plain semi join's.
+    "q46_bloom_semi_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.exec.Joins
+        .bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double")
+            .as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Salted skew join: lineitem ⋈ orders with the hot-key scatter (8
+    // sub-keys per key, small side replicated 8×) — byte-identical to the
+    // plain join, so the oracle is the plain join.
+    "q48_salted_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val ords = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.exec.Joins.saltedJoin(li, ords, "l_orderkey", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -431,6 +468,22 @@ object SparkEntry {
             "source", "n_chars", "doc_id", Seq(5000, 9000, 9900))
           .orderBy("source", "pct")),
 
+      // Global total-order numbering WITHOUT a single-reducer window:
+      // range partition on the sort key, number within partitions, shift
+      // by broadcast per-partition offsets.
+      "q47_global_rownum" -> ((s, dir) =>
+        graft.curation.Curation.globalRowNumber(table(s, dir, "documents"),
+            sortCols = Seq("n_chars", "doc_id"), keep = Seq("doc_id"),
+            nPartitions = 16)
+          .select("doc_id", "n_chars", "rn")
+          .orderBy("doc_id")),
+
+      // TF-IDF keyword extraction: top-5 scoring tokens per document
+      // (raw tf × micro-unit-quantized ln(N/df), ties lexicographic).
+      "q50_tfidf_topterms" -> ((s, dir) =>
+        graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
+          .orderBy("doc_id", "rank")),
+
       // Duplicate clustering: MinHash-LSH pairs (q19's parameters) →
       // connected components (min-label + pointer jumping) → one kept
       // canonical doc per cluster; singletons keep themselves.
@@ -516,6 +569,18 @@ object SparkEntry {
         val emb = table(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5,
             centroidStride = 25, centroidOffset = 7, nprobe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
+      }),
+
+      // Quantized-scan ANN: int8 candidate generation (4× cheaper corpus
+      // scan), exact float rerank of the top-20, final top-5 — the
+      // "shrink the cost of scoring" axis next to q29/q37's "shrink the
+      // candidate set" axis.
+      "q49_ann_topk_quantized" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5, rerankFactor = 4)
           .withColumnRenamed("rank", "rnk")
           .orderBy("q_id", "rnk")
       }),
@@ -800,7 +865,28 @@ object SparkEntry {
           SELECT p.event_id, COUNT(*) AS n_near, ${sumDbl("c.cv")} AS agg_value
           FROM p JOIN c ON c.user_id = p.user_id
             AND c.tsm >= p.tsm - 1800000 AND c.tsm <= p.tsm + 1800000
-          GROUP BY p.event_id ORDER BY event_id"""
+          GROUP BY p.event_id ORDER BY event_id""",
+
+    // The bloom filter is a pure pruning step (false positives removed by
+    // the exact semi join), so the oracle is the plain semi join.
+    "q46_bloom_semi_join" ->
+      """SELECT l_returnflag,
+                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                COUNT(*) AS cnt
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Salting is result-invariant, so the oracle is the plain join.
+    "q48_salted_join" ->
+      """SELECT o_orderpriority,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                     AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 
   /** Shared DuckDB fragments for the pipeline oracles. */
@@ -1153,6 +1239,66 @@ object SparkEntry {
                  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
                    AS simhash
           FROM bits GROUP BY sid ORDER BY doc_id""",
+
+    // Same two-phase algorithm replayed: int8 quantization (floor(x/s +
+    // 0.5), s = max|v|/127 — all-integer products stay exact in doubles),
+    // quantized-cosine top-20 candidates, exact-cosine top-5 rerank.
+    "q49_ann_topk_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          s AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x)))/127.0 sc FROM e),
+          q8 AS (SELECT vec_id, v,
+                   CASE WHEN sc = 0
+                     THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                     ELSE list_transform(v, x -> floor(x/sc + 0.5)) END qv
+                 FROM s),
+          qq AS (SELECT vec_id q_id, qv q_qv, v q_v FROM q8
+                 WHERE vec_id % 100 = 0),
+          cand AS (SELECT q_id, c.vec_id,
+                     round(list_dot_product(c.qv, q_qv) /
+                           (sqrt(list_dot_product(c.qv, c.qv)) *
+                            sqrt(list_dot_product(q_qv, q_qv))), 4) q_cos
+                   FROM q8 c, qq WHERE c.vec_id != q_id),
+          keep AS (SELECT q_id, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY q_cos DESC, vec_id) c_rank FROM cand) t
+                   WHERE c_rank <= 20),
+          scored AS (SELECT k.q_id, k.vec_id,
+                       round(list_dot_product(c.v, q.q_v) /
+                             (sqrt(list_dot_product(c.v, c.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM keep k JOIN e c ON c.vec_id = k.vec_id
+                       JOIN qq q ON q.q_id = k.q_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored)
+          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+
+    "q47_global_rownum" ->
+      """SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+         FROM documents ORDER BY doc_id""",
+
+    // tf × micro-unit-quantized ln(N/df): the ln is rounded to integer
+    // micro-units BEFORE the tf multiply (mirrors Curation.tfidfTopTerms)
+    // so a 1-ulp libm divergence cannot flip a rank.
+    "q50_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) token
+                      FROM documents),
+          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
+                 FROM tok GROUP BY doc_id, token),
+          n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) n FROM documents),
+          dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY token),
+          sc AS (SELECT doc_id, t.token, t.tf, dfr.df,
+                   t.tf * CAST(round(ln(n.n / dfr.df) * 1000000, 0) AS BIGINT)
+                     AS score_e6
+                 FROM tf t JOIN dfr USING (token), n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_e6 DESC, token) rank FROM sc)
+          SELECT doc_id, rank, token, tf, df, score_e6 FROM r
+          WHERE rank <= 5 ORDER BY doc_id, rank""",
 
     "q21_ann_topk" ->
       """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv

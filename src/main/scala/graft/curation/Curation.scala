@@ -152,6 +152,79 @@ object Curation {
         col(valueCol).as("value"))
   }
 
+  /** Global total-order row numbering — `row_number() OVER (ORDER BY …)`
+    * in a shape that survives 100 TB. The naive window funnels every row
+    * through ONE partition (an unpartitioned window is a single reducer);
+    * this form range-partitions on the sort key (Spark samples key
+    * quantiles, the same mechanism as a global `orderBy`), numbers rows
+    * within each range partition, and shifts each partition by the total
+    * count of the partitions before it. The per-partition counts are a
+    * `numPartitions`-row aggregate — driver-held and broadcast-joined
+    * back, the same O(partitions) driver state a global sort already
+    * carries. Net cost: one range exchange of the (sortCols, carried
+    * cols) projection + one O(partitions) broadcast; no single-reducer
+    * stage anywhere.
+    *
+    * `sortCols` must be a total order (include a tie-break id) or
+    * numbering within equal keys is partition-placement-dependent. The
+    * input is narrowed to `keep ++ sortCols` before the exchange — carry
+    * ids, not payloads, and join payloads back afterwards. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+      keep: Seq[String], nPartitions: Int, out: String = "rn"): DataFrame = {
+    val narrow = df.select((keep ++ sortCols).distinct.map(col): _*)
+      .repartitionByRange(nPartitions, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      // one pass feeds both the count aggregate and the window below
+      .localCheckpoint(true)
+    val offsets = narrow.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__offset")
+    val wLocal = Window.partitionBy("__pid").orderBy(sortCols.map(col): _*)
+    narrow
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, row_number().over(wLocal) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
+  /** Per-document TF-IDF keyword extraction: the `k` highest-scoring
+    * tokens per document, `score = tf · ln(N / df)` (raw term count ×
+    * natural-log inverse document frequency, no smoothing — every engine
+    * reproduces it). The document-frequency table is one `groupBy(token)`
+    * over distinct (doc, token) pairs; it re-joins the term counts by
+    * token — AQE broadcasts it when it fits (vocab tables are tiny
+    * relative to the corpus), shuffles otherwise. Per-doc top-k is a
+    * (doc)-partitioned rank window over the doc's own vocabulary — rows
+    * per group = distinct terms per doc, human-scale. Ties break
+    * lexicographically. Output: (id, rank, token, tf, df, score·1e6 as
+    * an integer-stable long). */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(desc("score_e6"), asc("token"))
+    tf.join(df, "token")
+      // quantize the ONE transcendental (ln of ≤|vocab| distinct ratios)
+      // to integer micro-units, then scale by the integer tf — a 1-ulp
+      // libm difference between engines dies in the round, and the
+      // multiply stays exact, so ranking is engine-reproducible (same
+      // reason the ANN family rounds cosines to 4 decimals pre-rank)
+      .withColumn("score_e6",
+        col("tf") * round(log(lit(nDocs.toDouble) / col("df")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score_e6"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

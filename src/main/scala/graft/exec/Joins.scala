@@ -48,6 +48,57 @@ object Joins {
       .drop("__ts", "__tag", "__v")
   }
 
+  /** Bloom-filter-pruned semi join — the runtime-filter pattern for
+    * "big fact table, selective dim predicate" joins at 100 TB. A Bloom
+    * filter over the dim keys (sized by `expectedItems`/`fpp`; a few MB
+    * for millions of keys regardless of fact size) is built driver-side
+    * and broadcast; the fact side drops non-matching rows *before* the
+    * shuffle, so the exchange ships ~|matching| + fpp·|fact| rows instead
+    * of |fact|. A left-semi join against the real dim keys then removes
+    * the false positives, so the result is EXACTLY the plain semi join —
+    * the filter only moves work, never changes the answer. (This is the
+    * same shape Spark's own runtime row-group filtering uses; expressing
+    * it explicitly keeps it under the caller's control and works for any
+    * dim predicate, not just joins AQE happens to cover.)
+    *
+    * The `mightContain` probe is a deserialized-long UDF — off codegen,
+    * but ~100 ns/row against the megabytes-per-row it saves the exchange.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey).as(factKey)).distinct()
+    val bloom = keys.stat.bloomFilter(factKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    fact
+      .filter(mightContain(col(factKey)))
+      .join(keys, Seq(factKey), "left_semi")
+  }
+
+  /** Salted equi-join for skewed keys: the big side scatters each key
+    * over `salt` sub-keys by a deterministic hash of the whole row, the
+    * small side replicates into all `salt` sub-keys, and the join keys on
+    * (key, salt). A hot key's rows land on `salt` reducers instead of
+    * one, bounding the largest partition at ~1/salt of the hottest key —
+    * the classic pre-AQE skew cure, still the right tool when skew is
+    * known ahead of time (AQE's skew split only fires after a stage
+    * materializes the skew). Row-content salting keeps the result
+    * byte-identical to the plain join: every big-side row joins the same
+    * small-side rows exactly once (the small side is replicated, so each
+    * (key, salt) cell holds a full copy).
+    *
+    * Small-side cost is `salt × |small|` shuffle rows — size `salt` to
+    * the skew ratio, not higher. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salt).map(i => lit(i)): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: all (left, right) pairs with the same `key`
     * and `|leftTs − rightTs| <= gap`. Executed as a bucketed equi-join:
     * both sides bucket by `ts div gap`, the right side duplicates into

@@ -104,4 +104,33 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("x", 0.5, 5L), ("x", 0.9, 9L), ("x", 0.99, 10L),
       ("y", 0.5, 3L), ("y", 0.9, 7L), ("y", 0.99, 7L)))
   }
+
+  test("globalRowNumber matches the single-reducer window on a total order") {
+    val r = new scala.util.Random(11)
+    val docs = (1L to 500L).map(i => (i, r.nextInt(40).toLong))
+      .toDF("doc_id", "n_chars")
+    val got = Curation.globalRowNumber(docs, Seq("n_chars", "doc_id"),
+        keep = Seq("doc_id"), nPartitions = 7)
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val want = docs.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }.toMap
+    assert(got == want)
+    // numbering is gapless 1..n
+    assert(got.values.toSeq.sorted == (1L to 500L))
+  }
+
+  test("tfidfTopTerms ranks rarer terms above common ones at equal tf") {
+    val docs = Seq(
+      (1L, "common rare common rare"), // tf ties: rare has lower df
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val got = Curation.tfidfTopTerms(docs, k = 2)
+      .select("doc_id", "rank", "token")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq("rare", "common"))
+    // 'common' appears in every doc → ln(N/df)=0 → score 0, ranked by token
+    val d2 = got.filter(_._1 == 2L).map(_._3)
+    assert(d2 == Seq("other", "common"))
+  }
 }

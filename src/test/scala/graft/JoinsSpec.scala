@@ -41,4 +41,27 @@ class JoinsSpec extends SparkSpec {
       assert(got.getOrElse(id, Set.empty) == expect, s"id=$id key=$k ts=$ts")
     }
   }
+
+  test("bloomSemiJoin equals the plain left-semi join (false positives removed)") {
+    val fact = left.toDF("id", "key", "ts")
+    val dim = right.toDF("key", "rts", "v").filter(col("v") > 500)
+    val got = Joins.bloomSemiJoin(fact, dim, "key", "key",
+        expectedItems = 100L, fpp = 0.5) // high fpp to force FP removal to matter
+      .select("id").as[Long].collect().sorted
+    val want = fact.join(dim.select("key").distinct(), Seq("key"), "left_semi")
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+  }
+
+  test("saltedJoin is byte-identical to the plain equi-join") {
+    val big = left.toDF("id", "key", "ts")
+    val small = right.toDF("key", "rts", "v")
+    val got = Joins.saltedJoin(big, small, "key", salt = 7)
+      .select("id", "rts", "v").as[(Long, Long, Double)].collect().sorted
+    val want = big.join(small, Seq("key"))
+      .select("id", "rts", "v").as[(Long, Long, Double)].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+  }
 }

@@ -51,6 +51,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK finds planted near-duplicates with recall >= 0.9 (int8, rerank 4x)") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val got = Similarity.quantizedTopK(df, queries, 5, rerankFactor = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0 until 50).count { i =>
+      got.getOrElse(i + 10000L, Set.empty).contains(i.toLong)
+    }
+    assert(hits >= 45, s"recall ${hits / 50.0} below 0.9")
+  }
+
+  test("quantizedTopK with a full-corpus rerank equals brute force exactly") {
+    val data = corpus(200, 20)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val exact = Similarity.bruteForceTopK(df, queries, 5)
+      .select("q_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    // rerankFactor covering the whole corpus → candidate filter is a no-op
+    val got = Similarity.quantizedTopK(df, queries, 5, rerankFactor = data.size)
+      .select("q_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(got == exact)
+  }
+
   test("ivfTopK finds planted near-duplicates with recall >= 0.9 (nlist=n/25, nprobe=4)") {
     val data = corpus(500, 50)
     val df = data.toDF("vec_id", "embedding")
