@@ -317,7 +317,8 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
       val ords = table(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.exec.Joins.saltedJoin(li, ords, "l_orderkey", salt = 8)
+      graft.exec.Joins.saltedJoin(li, ords, "l_orderkey", salt = 8,
+          saltCols = Seq("l_linenumber", "l_partkey"))
         .groupBy("o_orderpriority")
         .agg(
           sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")

@@ -87,13 +87,22 @@ object Joins {
     * small-side rows exactly once (the small side is replicated, so each
     * (key, salt) cell holds a full copy).
     *
+    * `saltCols` picks which big-side columns feed the salt hash — name a
+    * couple of cheap discriminating columns (a line number, a secondary
+    * id). Defaulting to ALL columns would widen the fact scan to every
+    * column just to compute the salt, silently defeating column pruning —
+    * the dominant hidden cost at 100 TB scan widths — so the discriminator
+    * set is explicit. Rows identical across `saltCols` share a sub-key;
+    * spread follows the discriminators' cardinality within each hot key.
+    *
     * Small-side cost is `salt × |small|` shuffle rows — size `salt` to
     * the skew ratio, not higher. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salt: Int): DataFrame = {
+      salt: Int, saltCols: Seq[String]): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(saltCols.nonEmpty, "name at least one salt discriminator column")
     val b = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)))
+      pmod(xxhash64(saltCols.map(col): _*), lit(salt)))
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i)): _*)))
     b.join(s, Seq(key, "__salt")).drop("__salt")

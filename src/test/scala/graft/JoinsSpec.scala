@@ -57,7 +57,8 @@ class JoinsSpec extends SparkSpec {
   test("saltedJoin is byte-identical to the plain equi-join") {
     val big = left.toDF("id", "key", "ts")
     val small = right.toDF("key", "rts", "v")
-    val got = Joins.saltedJoin(big, small, "key", salt = 7)
+    val got = Joins.saltedJoin(big, small, "key", salt = 7,
+        saltCols = Seq("id", "ts"))
       .select("id", "rts", "v").as[(Long, Long, Double)].collect().sorted
     val want = big.join(small, Seq("key"))
       .select("id", "rts", "v").as[(Long, Long, Double)].collect().sorted
