@@ -18,6 +18,36 @@ object Tables {
   /** Columns that may arrive as parquet TIMESTAMP(NANOS). */
   private val NanosColumns = Set("ts")
 
+  /** Write `df` hive-style partitioned by low-cardinality columns
+    * (`path/col=value/…`). A predicate on a partition column then prunes
+    * whole directories at planning time — the scan's `PartitionFilters`
+    * — so a per-stratum query reads `|stratum| / |corpus|` of the bytes
+    * instead of filtering after a full scan. The layout decision (which
+    * columns, how many distinct values) is the caller's: thousands of
+    * tiny partitions hurt (listing + small files) — partition on the
+    * columns queries actually filter by (source, language, date), keep
+    * high-cardinality keys in the data. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Write `df` as a parquet table bucketed (and sorted) on `bucketCol`.
+    * Two tables bucketed the same way join WITHOUT any exchange — the
+    * bucket layout IS the hash partitioning the join needs, persisted —
+    * which turns every repeated fact⋈fact / fact⋈dim join on the bucket
+    * key from a full shuffle of both sides into a local zip of bucket
+    * files. The price is paid once at write (a shuffle into `buckets`
+    * files per partition); the asserted-zero-exchange join is the payoff
+    * every subsequent query collects. Registered in the session catalog
+    * (`spark.table(name)`); bucket count should track data volume per
+    * bucket (~128-512 MB each at scale), and both join sides must agree
+    * on it. */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Storage-layout faces: hive-style partition pruning and bucketed
+  * zero-exchange joins — asserted on the physical plan, not just row
+  * equality, because the layout only earns its cost if the plan actually
+  * changes shape. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("writePartitioned: stratum predicate becomes a PartitionFilter, not a row filter") {
+    val docs = (1L to 400L)
+      .map(i => (i, s"text $i", Seq("web", "book", "code", "chat")((i % 4).toInt)))
+      .toDF("doc_id", "text", "source")
+    val path = tmpDir("graft_part")
+    Tables.writePartitioned(docs, path, Seq("source"))
+
+    val read = spark.read.parquet(path).filter(col("source") === "book")
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the predicate lands in partitionFilters (directory pruning) …
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "source")))
+    // … and only the matching directory's files are selected
+    assert(scans.head.relation.location.inputFiles.length >
+      scans.head.selectedPartitions.totalNumberOfFiles)
+    assert(read.count() == 100)
+    assert(read.select("doc_id").as[Long].collect().forall(_ % 4 == 1))
+  }
+
+  test("writeBucketed: same-bucket join plans with ZERO exchanges") {
+    val a = (1L to 300L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (1L to 200L).map(i => (i % 50, i * 10)).toDF("k", "vb")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(a, "bk_a", "k", buckets = 4)
+      Tables.writeBucketed(b, "bk_b", "k", buckets = 4)
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val rows = j.count()
+      // plain join would produce 300*4 = 1200 rows (each k joins 6*4 pairs):
+      // 50 keys x 6 a-rows x 4 b-rows
+      assert(rows == 50L * 6 * 4)
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"bucketed join still shuffles:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+}
