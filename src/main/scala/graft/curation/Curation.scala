@@ -225,6 +225,39 @@ object Curation {
         col("score_e6"))
   }
 
+  /** The one-pass sketch form of [[distributionStats]] — the 100 TB
+    * production path its scaladoc names. `approx_percentile` is a
+    * mergeable quantile sketch, so it map-side combines like any
+    * aggregate: one scan, one tiny-state shuffle per stratum, no
+    * per-stratum sort, no window. `accuracy` trades sketch size for
+    * rank error (ε ≈ 1/accuracy); the exact form stays the accuracy
+    * oracle (CurationSpec pins the error bound against it). */
+  def approxDistributionStats(df: DataFrame, stratum: String,
+      valueCol: String, pctsBp: Seq[Int],
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = array(pctsBp.map(p => lit(p / 10000.0)): _*)
+    df.groupBy(stratum)
+      .agg(percentile_approx(col(valueCol), pcts, lit(accuracy)).as("vals"))
+      .select(col(stratum),
+        posexplode(col("vals")).as(Seq("i", "value")))
+      .withColumn("pct",
+        element_at(array(pctsBp.map(p => lit(p / 10000.0)): _*),
+          col("i") + 1))
+      .select(col(stratum), col("pct"), col("value"))
+  }
+
+  /** Per-stratum cardinality by HyperLogLog++ — `approx_count_distinct`
+    * is the only distinct count that survives 100 TB (exact distinct is
+    * a full shuffle of every distinct value; the HLL sketch is a few KB
+    * per group, map-side merged). `rsd` is the target relative standard
+    * deviation (default 5%); CurationSpec pins the realized error
+    * against the exact count. */
+  def cardinalityStats(df: DataFrame, stratum: String, keyCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(stratum)
+      .agg(approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
+        count(lit(1)).as("n_rows"))
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

@@ -105,6 +105,36 @@ class CurationSpec extends SparkSpec {
       ("y", 0.5, 3L), ("y", 0.9, 7L), ("y", 0.99, 7L)))
   }
 
+  test("approxDistributionStats tracks the exact percentiles within sketch error") {
+    val r = new scala.util.Random(13)
+    val rows = (1L to 4000L).map(i =>
+      (if (i % 3 == 0) "a" else "b", math.abs(r.nextGaussian() * 1000).toLong, i))
+    val df = rows.toDF("source", "n_chars", "doc_id")
+    val pcts = Seq(5000, 9000, 9900)
+    val exact = Curation.distributionStats(df, "source", "n_chars", "doc_id", pcts)
+      .select("source", "pct", "value").as[(String, Double, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val approx = Curation.approxDistributionStats(df, "source", "n_chars", pcts)
+      .select("source", "pct", "value").as[(String, Double, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(approx.keySet == exact.keySet)
+    // at accuracy=10000 over 4k rows the sketch is near-exact; allow the
+    // value at +-1% of the stratum's rank range translated to value space
+    for ((k, ev) <- exact) {
+      val av = approx(k)
+      assert(math.abs(av - ev) <= math.max(50L, (ev * 0.05).toLong),
+        s"$k: approx $av vs exact $ev")
+    }
+  }
+
+  test("cardinalityStats HLL distinct lands within the configured rsd") {
+    val df = (1L to 30000L).map(i => ("s", i % 7919)).toDF("source", "user_id")
+    val got = Curation.cardinalityStats(df, "source", "user_id", rsd = 0.05)
+      .select("approx_distinct", "n_rows").as[(Long, Long)].head()
+    assert(got._2 == 30000L)
+    assert(math.abs(got._1 - 7919L) <= 7919 * 0.15, s"approx ${got._1} vs 7919")
+  }
+
   test("globalRowNumber matches the single-reducer window on a total order") {
     val r = new scala.util.Random(11)
     val docs = (1L to 500L).map(i => (i, r.nextInt(40).toLong))
