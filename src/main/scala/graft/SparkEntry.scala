@@ -289,6 +289,15 @@ object SparkEntry {
         .orderBy("event_id"))
     }),
 
+    // Event funnel: purchases preceded by a click of the same user
+    // within 1 h — one running range-window per user, no self-join.
+    "q52_event_funnel" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
+      graft.exec.Funnel.conversions(e, "user_id", "tsm", "event_type",
+          from = "click", to = "purchase", withinMs = 3600000L)
+        .orderBy("user_id")
+    }),
+
     // Bloom-pruned semi join: revenue of lineitems belonging to URGENT
     // orders. The broadcast Bloom filter over the urgent order keys drops
     // non-matching fact rows BEFORE the exchange (runtime-filter
@@ -484,6 +493,13 @@ object SparkEntry {
       "q50_tfidf_topterms" -> ((s, dir) =>
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
+
+      // Fixed-stride chunking (500-char chunks every 400): no shuffle,
+      // arithmetic boundaries, fingerprint instead of payload.
+      "q51_chunk_docs" -> ((s, dir) =>
+        graft.curation.Chunker.chunk(table(s, dir, "documents"),
+            size = 500, stride = 400)
+          .orderBy("doc_id", "chunk_id")),
 
       // Duplicate clustering: MinHash-LSH pairs (q19's parameters) →
       // connected components (min-label + pointer jumping) → one kept
@@ -879,6 +895,23 @@ object SparkEntry {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // The same running range-window replayed; RANGE/CURRENT ROW peer
+    // semantics (same-ms click counts) agree across engines.
+    "q52_event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_type
+                    FROM events),
+          x AS (SELECT user_id, tsm, event_type,
+                  max(CASE WHEN event_type = 'click' THEN tsm END) OVER
+                    (PARTITION BY user_id ORDER BY tsm
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                    AS last_click
+                FROM e)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_to,
+                 CAST(SUM(CASE WHEN last_click IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+          FROM x WHERE event_type = 'purchase'
+          GROUP BY user_id ORDER BY user_id""",
 
     // Salting is result-invariant, so the oracle is the plain join.
     "q48_salted_join" ->
@@ -1280,6 +1313,17 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    // Chunk boundaries are pure arithmetic on length(text); range()
+    // excludes the stop like sequence(0, n-1, stride) includes <= n-1.
+    "q51_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+                    WHERE length(text) > 0),
+          g AS (SELECT doc_id, text, n, unnest(range(0, n, 400)) st FROM d)
+          SELECT doc_id, st // 400 AS chunk_id, st AS start,
+                 least(500, n - st) AS chunk_len,
+                 md5(substr(text, CAST(st + 1 AS INT), 500)) AS chunk_fp
+          FROM g ORDER BY doc_id, chunk_id""",
 
     // tf × micro-unit-quantized ln(N/df): the ln is rounded to integer
     // micro-units BEFORE the tf multiply (mirrors Curation.tfidfTopTerms)

@@ -135,6 +135,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got._1 - 7919L) <= 7919 * 0.15, s"approx ${got._1} vs 7919")
   }
 
+  test("Chunker.chunk: stride boundaries, short final chunk, fingerprint = md5 of the slice") {
+    val text = "abcdefghij" * 5 // 50 chars
+    val docs = Seq((1L, text), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.curation.Chunker.chunk(docs, size = 25, stride = 20)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: starts 0,20,40 → lens 25,25,10; doc 2: one short chunk; doc 3: dropped
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == Seq(
+      (1L, 0L, 0L, 25L), (1L, 1L, 20L, 25L), (1L, 2L, 40L, 10L),
+      (2L, 0L, 0L, 2L)))
+    // fingerprint matches an independently computed md5 of the same slice
+    val fp0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, 25).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.head._5 == fp0)
+  }
+
   test("globalRowNumber matches the single-reducer window on a total order") {
     val r = new scala.util.Random(11)
     val docs = (1L to 500L).map(i => (i, r.nextInt(40).toLong))

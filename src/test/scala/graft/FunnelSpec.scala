@@ -1,0 +1,33 @@
+package graft
+
+import graft.exec.Funnel
+import org.apache.spark.sql.functions._
+
+/** Funnel conversions vs a brute-force scan on seeded random event
+  * histories (same-ms ties, conversions at the exact horizon edge,
+  * users with no from-events). */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conversions matches brute force over random histories") {
+    val r = new scala.util.Random(23)
+    val types = Seq("click", "purchase", "view")
+    val evs = (1 to 1500).map { i =>
+      (r.nextInt(40).toLong, 100000L + r.nextInt(500) * 100L, types(r.nextInt(3)))
+    }
+    val within = 3000L
+    val got = Funnel.conversions(evs.toDF("user_id", "tsm", "event_type"),
+        "user_id", "tsm", "event_type", "click", "purchase", within)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val byUser = evs.groupBy(_._1)
+    for ((u, es) <- byUser) {
+      val purchases = es.filter(_._3 == "purchase")
+      val clicks = es.filter(_._3 == "click").map(_._2)
+      val converted = purchases.count(p =>
+        clicks.exists(c => c <= p._2 && c >= p._2 - within))
+      if (purchases.nonEmpty) {
+        assert(got(u) == (purchases.size.toLong, converted.toLong), s"user $u")
+      } else assert(!got.contains(u), s"user $u should be absent")
+    }
+  }
+}
