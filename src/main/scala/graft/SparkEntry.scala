@@ -494,6 +494,20 @@ object SparkEntry {
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
 
+      // Deterministic fixed-size per-stratum sample: the 50 smallest
+      // hash60(doc_id) per source — a reproducible eval-set draw.
+      "q53_stratum_sample_k" -> ((s, dir) =>
+        graft.curation.Curation.stratumSampleK(
+            table(s, dir, "documents").select("doc_id", "source"),
+            "source", col("doc_id").cast("string"), k = 50)
+          .orderBy("source", "doc_id")),
+
+      // Leakage-aware split: hash the duplicate CLUSTER (q43's components)
+      // so near-duplicates never straddle train/eval.
+      "q54_leakage_safe_split" -> ((s, dir) =>
+        Dedup.leakageSafeSplit(table(s, dir, "documents"), trainPct = 80)
+          .orderBy("doc_id")),
+
       // Fixed-stride chunking (500-char chunks every 400): no shuffle,
       // arithmetic boundaries, fingerprint instead of payload.
       "q51_chunk_docs" -> ((s, dir) =>
@@ -1244,6 +1258,23 @@ object SparkEntry {
     // q19's candidate pairs → transitive closure by a recursive reachability
     // walk (UNION dedup terminates it); cluster id = MIN over the reachable
     // set, mirroring Dedup.connectedComponents' min-label fixpoint.
+    // q43's cluster walk + a hash-of-cluster split decision: doc-level
+    // membership varies only with the cluster id, never the doc id.
+    "q54_leakage_safe_split" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 80
+                   THEN 'train' ELSE 'eval' END AS split
+          FROM cl ORDER BY doc_id""",
+
     "q43_dedup_clusters" ->
       s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
           e AS (SELECT a_id u, b_id v FROM mhp
@@ -1313,6 +1344,16 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    "q53_stratum_sample_k" ->
+      """WITH h AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT hh
+                    FROM documents),
+          r AS (SELECT doc_id, source, row_number() OVER
+                  (PARTITION BY source
+                   ORDER BY hh, CAST(doc_id AS VARCHAR)) rnk FROM h)
+          SELECT doc_id, source FROM r WHERE rnk <= 50
+          ORDER BY source, doc_id""",
 
     // Chunk boundaries are pure arithmetic on length(text); range()
     // excludes the stop like sequence(0, n-1, stride) includes <= n-1.

@@ -225,6 +225,25 @@ object Curation {
         col("score_e6"))
   }
 
+  /** Deterministic fixed-size per-stratum sample: exactly `min(k, |stratum|)`
+    * rows per stratum, chosen as the k smallest `hash60(key)` values —
+    * a reservoir sample whose "random" order is a stable hash, so the
+    * selection is reproducible across engines/runs and stable under
+    * appends in expectation. Complements [[stratifiedSample]] (fixed
+    * RATE, size varies) with fixed SIZE — the shape an eval-set build
+    * needs. The rank window sorts within each stratum; for a stratum too
+    * big to sort, pre-filter with [[stratifiedSample]] at a few × k/|n|
+    * first (hash-prefix filtering composes: the k smallest survive any
+    * prefix cut that keeps ≥ k). */
+  def stratumSampleK(df: DataFrame, stratum: String, key: Column,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(TextFunctions.hash60(key), key)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__rnk")
+  }
+
   /** The one-pass sketch form of [[distributionStats]] — the 100 TB
     * production path its scaladoc names. `approx_percentile` is a
     * mergeable quantile sketch, so it map-side combines like any

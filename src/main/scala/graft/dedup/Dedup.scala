@@ -29,6 +29,26 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Leakage-aware train/eval split: the split decision is a hash of the
+    * duplicate CLUSTER, not the document, so near-duplicates can never
+    * straddle the boundary — the contamination mode a per-document split
+    * invites (train doc A, eval its near-copy A′) and the reason
+    * cluster-level splitting is standard practice for training corpora.
+    * Composes [[dedupClusters]] (MinHash-LSH → connected components)
+    * with a deterministic `hash60(cluster_id) mod 100 < trainPct` cut;
+    * singletons are their own cluster, so unique docs split uniformly.
+    * Output: (id, cluster_id, split). */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int, n: Int = 3,
+      k: Int = 16, bands: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    dedupClusters(docs, n, k, bands, textCol, idCol)
+      .select(col(idCol), col("cluster_id"))
+      .withColumn("split",
+        when(pmod(hash60(col("cluster_id").cast("string")), lit(100L))
+          < trainPct, "train").otherwise("eval"))
+  }
+
   /** Streaming face of [[exact]]: drop every document whose normalized
     * fingerprint already arrived within the watermark horizon —
     * in-flight dedup for a continuously ingested corpus. Built on

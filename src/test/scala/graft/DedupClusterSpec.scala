@@ -46,4 +46,24 @@ class DedupClusterSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L, true), (2L, 1L, 2L, false),
       (3L, 3L, 1L, true)))
   }
+
+  test("leakageSafeSplit never splits a duplicate cluster across train/eval") {
+    val docs = (1L to 60L).flatMap { i =>
+      val base = s"document number $i has its own distinct body of words " +
+        s"that repeats token$i token$i token$i across several positions"
+      // every doc gets a near-copy: same text, one token changed
+      Seq((i, base), (i + 1000L, base + " extra"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, trainPct = 80)
+      .as[(Long, Long, String)].collect()
+    // both members of every pair share a cluster and therefore a split
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.forall { case (_, ms) => ms.map(_._3).toSet.size == 1 })
+    // pairs actually clustered together (the guard is vacuous otherwise)
+    val clusterOf = out.map(t => t._1 -> t._2).toMap
+    val paired = (1L to 60L).count(i => clusterOf(i) == clusterOf(i + 1000L))
+    assert(paired >= 54, s"only $paired/60 near-copies clustered")
+    // and both splits are populated
+    assert(out.map(_._3).toSet == Set("train", "eval"))
+  }
 }
