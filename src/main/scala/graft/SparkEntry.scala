@@ -289,6 +289,15 @@ object SparkEntry {
         .orderBy("event_id"))
     }),
 
+    // Cohort retention: users bucketed by first-active week, counted in
+    // every later week they return — distinct-first, so event volume
+    // never reaches the wide aggregations.
+    "q57_cohort_retention" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
+      graft.exec.Cohort.retention(e, "user_id", "tsm", periodMs = 604800000L)
+        .orderBy("cohort", "offset")
+    }),
+
     // Event funnel: purchases preceded by a click of the same user
     // within 1 h — one running range-window per user, no self-join.
     "q52_event_funnel" -> ((s, dir) => {
@@ -493,6 +502,19 @@ object SparkEntry {
       "q50_tfidf_topterms" -> ((s, dir) =>
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
+
+      // Corpus-bigram LM scoring: mean log P(b|a) per document under the
+      // corpus MLE bigram model (cheap fluency/outlier signal).
+      "q55_bigram_logprob" -> ((s, dir) =>
+        graft.curation.Curation.bigramLogProb(table(s, dir, "documents"))
+          .orderBy("doc_id")),
+
+      // Nearest-centroid confusion matrix over the labeled embeddings —
+      // integer-sum centroids (scale-invariant under cosine) keep every
+      // score engine-reproducible.
+      "q56_centroid_confusion" -> ((s, dir) =>
+        Similarity.nearestCentroidConfusion(table(s, dir, "embeddings"))
+          .orderBy("label", "assigned")),
 
       // Deterministic fixed-size per-stratum sample: the 50 smallest
       // hash60(doc_id) per source — a reproducible eval-set draw.
@@ -909,6 +931,15 @@ object SparkEntry {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q57_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id u,
+                      (epoch_us(ts)//1000) // 604800000 p FROM events),
+          c AS (SELECT u, MIN(p) p0 FROM a GROUP BY u)
+          SELECT p0 * 604800000 AS cohort, p - p0 AS "offset",
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM a JOIN c USING (u)
+          GROUP BY 1, 2 ORDER BY cohort, "offset"""",
 
     // The same running range-window replayed; RANGE/CURRENT ROW peer
     // semantics (same-ms click counts) agree across engines.
@@ -1344,6 +1375,51 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    // Bigram MLE replay: ln of each integer count-ratio quantized to
+    // micro-units before the per-doc integer sum; avg is (sum/1e6)/n in
+    // that exact order on both engines.
+    "q55_bigram_logprob" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
+                 FROM cab GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                        AS BIGINT) lp
+                 FROM bg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(lp) AS BIGINT) AS sum_logp_e6,
+                 CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_logp
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Integer-sum centroids (cosine is scale-invariant, so the division
+    // is skipped and every component stays an exact integer); scores via
+    // the same sequential double dot/norms as the ANN family.
+    "q56_centroid_confusion" ->
+      """WITH e6 AS (SELECT vec_id, label,
+                       list_transform(embedding::DOUBLE[],
+                         x -> floor(x * 1000000 + 0.5)) qv
+                     FROM embeddings),
+          cpos AS (SELECT label c_label, i pos, SUM(qv[i]) s
+                   FROM e6, unnest(range(1, len(qv) + 1)) t(i)
+                   GROUP BY 1, 2),
+          cent AS (SELECT c_label, list(s ORDER BY pos) c_vec
+                   FROM cpos GROUP BY c_label),
+          sc AS (SELECT vec_id, label, c_label,
+                   round(list_dot_product(qv, c_vec) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(c_vec, c_vec))), 4) cos
+                 FROM e6, cent),
+          asg AS (SELECT vec_id, label, c_label AS assigned FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, c_label) rn FROM sc) t
+                  WHERE rn = 1)
+          SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
+          FROM asg GROUP BY label, assigned ORDER BY label, assigned""",
 
     "q53_stratum_sample_k" ->
       """WITH h AS (SELECT doc_id, source,

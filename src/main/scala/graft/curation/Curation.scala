@@ -277,6 +277,40 @@ object Curation {
       .agg(approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** Corpus-bigram language-model scoring: each document's mean log
+    * conditional bigram probability under the corpus MLE model
+    * `P(b|a) = count(a b) / count(a ·)` — the classic cheap fluency /
+    * outlier signal (gibberish and boilerplate both sit far from the
+    * corpus model). Narrow keyed shuffles only: bigram counts by gram,
+    * prefix counts folded from the bigram table (never a second corpus
+    * pass), one per-doc aggregation. The ln of each
+    * count-ratio is quantized to integer micro-units BEFORE summing
+    * (same engine-reproducibility device as [[tfidfTopTerms]]), so the
+    * per-doc sum is exact integer arithmetic; `avg_logp` is the one
+    * trailing IEEE division. Output: (id, n_bigrams, sum_logp_e6,
+    * avg_logp). */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bigrams = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+    val cntAb = bigrams.groupBy("g").agg(count(lit(1)).as("n_ab"))
+    // prefix counts fold the bigram table, not the corpus
+    val cntA = cntAb
+      .groupBy(substring_index(col("g"), " ", 1).as("a"))
+      .agg(sum(col("n_ab")).as("n_a"))
+    bigrams
+      .join(cntAb, "g")
+      .join(cntA, substring_index(col("g"), " ", 1) === col("a"))
+      .withColumn("logp_e6",
+        round(log(col("n_ab").cast("double") / col("n_a")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_e6")).as("sum_logp_e6"))
+      .withColumn("avg_logp",
+        col("sum_logp_e6").cast("double") / lit(1e6) / col("n_bigrams"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

@@ -266,6 +266,46 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** Nearest-centroid classification over labeled embeddings — the
+    * standard embedding-space sanity check (how separable are the
+    * labels?) and the evaluation face of the IVF machinery. Centroids
+    * are per-(label, dim) SUMS of micro-unit-quantized components, not
+    * means: cosine is scale-invariant, so the sum vector IS the centroid
+    * direction, and skipping the division keeps every centroid component
+    * an exact integer (quantize: `floor(x·1e6 + 0.5)` — sums stay well
+    * under 2^53, so both engines' doubles hold them exactly; a float
+    * mean would be reduction-order-dependent and never oracle-stable).
+    * One shuffle of (label, dim, value) triples builds the centroids;
+    * scoring is a broadcast nested-loop over |labels| rows fused into
+    * the scan, ties broken toward the lower label. Output: the confusion
+    * matrix (label, assigned, n). */
+  def nearestCentroidConfusion(embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q6 = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+    val cent = embeddings
+      .select(col(labelCol).as("c_label"), posexplode(q6).as(Seq("pos", "v")))
+      .groupBy("c_label", "pos")
+      .agg(sum(col("v")).as("s"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("c_vec"))
+    // cosineHof: double-space sequential dot/norms — the same operation
+    // stream DuckDB's list_dot_product runs, so scores are bit-identical
+    // (every product of micro-unit ints is < 2^53, hence exact)
+    val scored = embeddings
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        q6.as("qv"))
+      .join(broadcast(cent))
+      .withColumn("cos", round(cosineHof(col("qv"), col("c_vec")), 4))
+      .groupBy("vec_id", "label")
+      .agg(max_by(col("c_label"), struct(col("cos"), -col("c_label")))
+        .as("assigned"))
+    scored.groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate top-k: exact cosine rank over the LSH candidate set
     * (corpus vectors sharing ≥1 (band, bucket) with the query). Sub-
     * quadratic: candidate generation is a (band, bucket) equi-join, and

@@ -167,6 +167,21 @@ class CurationSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (1L to 500L))
   }
 
+  test("bigramLogProb: hand-computed MLE on a tiny corpus") {
+    // corpus bigrams: "a b" x2 (doc1, doc2), "a c" x1 (doc2) → P(b|a)=2/3,
+    // P(c|a)=1/3; doc3 has one token → no bigrams, absent from output
+    val docs = Seq((1L, "a b"), (2L, "a c a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = Curation.bigramLogProb(docs)
+      .select("doc_id", "n_bigrams", "sum_logp_e6")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def e6(p: Double) = math.round(math.log(p) * 1e6)
+    // doc2's bigrams: "a c" (1/3), "c a" (1/1), "a b" (2/3)
+    assert(got == Seq(
+      (1L, 1L, e6(2.0 / 3)),
+      (2L, 3L, e6(1.0 / 3) + e6(1.0) + e6(2.0 / 3))))
+  }
+
   test("tfidfTopTerms ranks rarer terms above common ones at equal tf") {
     val docs = Seq(
       (1L, "common rare common rare"), // tf ties: rare has lower df

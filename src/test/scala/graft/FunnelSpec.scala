@@ -30,4 +30,23 @@ class FunnelSpec extends SparkSpec {
       } else assert(!got.contains(u), s"user $u should be absent")
     }
   }
+
+  test("Cohort.retention matches brute force; offset 0 equals cohort size") {
+    val r = new scala.util.Random(31)
+    val period = 1000L
+    val evs = (1 to 800).map(_ =>
+      (r.nextInt(30).toLong, 10000L + r.nextInt(20) * 500L))
+    val got = graft.exec.Cohort.retention(evs.toDF("user_id", "tsm"),
+        "user_id", "tsm", period)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val byUser = evs.map { case (u, t) => (u, t / period) }.distinct
+    val first = byUser.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = byUser
+      .map { case (u, p) => (first(u) * period, p - first(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // offset 0 rows cover every user exactly once
+    assert(got.collect { case ((_, 0L), n) => n }.sum == first.size)
+  }
 }

@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("nearestCentroidConfusion recovers planted label clusters") {
+    // three well-separated direction clusters; label = cluster
+    val r = new scala.util.Random(77)
+    val centers = Seq.fill(3)(Array.fill(Dim)(r.nextGaussian().toFloat * 3f))
+    val data = (0 until 300).map { i =>
+      val c = i % 3
+      (i.toLong,
+        centers(c).map(x => x + 0.2f * r.nextGaussian().toFloat), c)
+    }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidConfusion(df)
+      .as[(Int, Int, Long)].collect()
+    val correct = got.filter(t => t._1 == t._2).map(_._3).sum
+    assert(correct >= 295, s"only $correct/300 on diagonal: ${got.toSeq}")
+    assert(got.map(_._3).sum == 300)
+  }
+
   test("ivfTopK finds planted near-duplicates with recall >= 0.9 (nlist=n/25, nprobe=4)") {
     val data = corpus(500, 50)
     val df = data.toDF("vec_id", "embedding")
