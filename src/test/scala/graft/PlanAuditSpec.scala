@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan invariants for EVERY contract query — the scale
+  * properties the per-operator scaladocs claim, asserted so a future
+  * edit cannot silently regress them:
+  *
+  *  - no cartesian product anywhere (a missing join key plans one
+  *    silently and works fine at sf0.01);
+  *  - an unpartitioned window (single-reducer sort of its whole input)
+  *    only where the input is provably tiny — q44 ranks k rows post
+  *    top-k, q47's offset table is one row per range partition;
+  *  - q01's predicate reaches the parquet scan (pushdown canary: if
+  *    this breaks, every filter query is silently scanning full files).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose unpartitioned window runs over a bounded-tiny input
+  private val tinyGlobalWindowOk = Set("q44_vocab_topk", "q47_global_rownum")
+
+  /** Physical plan with the AQE wrapper peeled (its children are fields,
+    * not `children`, so a bare `collect` sees nothing under it). */
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("no contract query plans a cartesian product") {
+    for ((name, q) <- SparkEntry.queries) {
+      val s = physical(q(spark, dir)).toString
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("unpartitioned windows only over provably tiny inputs") {
+    for ((name, q) <- SparkEntry.queries) {
+      val global = q(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      // every query ends in orderBy for the oracle dump — that is a Sort,
+      // not a Window; only rank-style global windows are flagged
+      assert(global.isEmpty || tinyGlobalWindowOk(name),
+        s"$name has an unpartitioned window over a non-tiny input")
+    }
+  }
+
+  test("q01's filter reaches the parquet scan (pushdown canary)") {
+    val plan = physical(
+      SparkEntry.queries("q01_filter_passthrough")(spark, dir))
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.flatMap(_.dataFilters).mkString(";")
+    assert(pushed.contains("event_type"), s"pushed filters: $pushed")
+  }
+}
