@@ -289,6 +289,34 @@ object SparkEntry {
         .orderBy("event_id"))
     }),
 
+    // Warehouse face: pivot — weekly event-type activity matrix. Spark
+    // pivots with an EXPLICIT value list (no extra distinct pass; plan
+    // is one hash aggregate with conditional partials, map-side
+    // combined — the at-scale form; an unlisted-values pivot adds a
+    // driver-blocking distinct first).
+    "q58_pivot_weekly" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("week", expr("(unix_micros(ts) div 1000) div 604800000"))
+      e.groupBy("week")
+        .pivot("event_type", Seq("click", "purchase", "view", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("week")
+    }),
+
+    // Warehouse face: anti join — customers with no URGENT order.
+    // Spark's left_anti is a broadcast/shuffled hash anti join, never a
+    // correlated subquery per row.
+    "q59_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
     // Cohort retention: users bucketed by first-active week, counted in
     // every later week they return — distinct-first, so event volume
     // never reaches the wide aggregations.
@@ -931,6 +959,25 @@ object SparkEntry {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q58_pivot_weekly" ->
+      """SELECT (epoch_us(ts)//1000) // 604800000 AS week,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS click,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS "view",
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS error
+         FROM events GROUP BY week ORDER BY week""",
+
+    "q59_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
 
     "q57_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id u,
