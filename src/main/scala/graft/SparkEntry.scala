@@ -289,6 +289,19 @@ object SparkEntry {
         .orderBy("event_id"))
     }),
 
+    // Z-order key: 16-bit user × 16-bit value-centi Morton interleave —
+    // the multi-dimension data-skipping sort key, statically unrolled to
+    // pure shift/mask arithmetic (codegen, exact, engine-reproducible).
+    "q60_zorder_key" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.select(col("event_id"),
+          graft.exec.ZOrder.zValue(Seq(
+            col("user_id").bitwiseAND(lit(65535L)),
+            expr("CAST(floor(value * 100) AS BIGINT)").bitwiseAND(lit(65535L))),
+            bits = 16).as("z"))
+        .orderBy("event_id")
+    }),
+
     // Warehouse face: pivot — weekly event-type activity matrix. Spark
     // pivots with an EXPLICIT value list (no extra distinct pass; plan
     // is one hash aggregate with conditional partials, map-side
@@ -960,6 +973,14 @@ object SparkEntry {
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q60_zorder_key" ->
+      s"""WITH e AS (SELECT event_id,
+             user_id & 65535 xu,
+             CAST(floor(value * 100) AS BIGINT) & 65535 xv
+           FROM events)
+          SELECT event_id, ${duckZ(Seq("xu", "xv"), 16)} AS z
+          FROM e ORDER BY event_id""",
+
     "q58_pivot_weekly" ->
       """SELECT (epoch_us(ts)//1000) // 604800000 AS week,
                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -1046,6 +1067,12 @@ object SparkEntry {
   /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
     * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
     * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
+  /** The same statically-unrolled Morton interleave as ZOrder.zValue,
+    * rendered as DuckDB shift/mask arithmetic. */
+  private def duckZ(xs: Seq[String], bits: Int): String =
+    (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex }
+      yield s"((($x >> $i) & 1) << ${i * xs.size + j})").mkString(" + ")
+
   private val duckBandedCte: String =
     (0 until 4).map { j =>
       val bucket = (0 until 8).map(i =>
