@@ -544,6 +544,33 @@ object SparkEntry {
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
 
+      // One-row corpus health report — the composed summary a pipeline
+      // owner checks before a training run: volume, exact-dup rate,
+      // language mix, exact median length, vocabulary size. Each input
+      // is one aggregation over a shared scan; the exact median reuses
+      // q45's integer rank selection.
+      "q61_corpus_report" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(TextFunctions.fingerprint(col("text")))
+            .as("n_distinct_texts"))
+        val en = docs.agg(
+          sum(when(TextFunctions.langId(col("text")) === "en", 1L)
+            .otherwise(0L)).as("n_english"))
+        val vocab = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+          .agg(count_distinct(col("t")).as("vocab_size"))
+        val med = graft.curation.Curation.distributionStats(
+            docs.withColumn("all", lit("all")), "all", "n_chars", "doc_id",
+            Seq(5000))
+          .select(col("value").as("median_n_chars"))
+        stats.crossJoin(en).crossJoin(vocab).crossJoin(med)
+          .select(col("n_docs"),
+            (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+            col("n_english"), col("vocab_size"), col("median_n_chars"))
+      }),
+
       // Corpus-bigram LM scoring: mean log P(b|a) per document under the
       // corpus MLE bigram model (cheap fluency/outlier signal).
       "q55_bigram_logprob" -> ((s, dir) =>
@@ -1449,6 +1476,34 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    // Composed corpus report: fingerprint, lang-id, vocabulary and the
+    // q45-style integer-rank median, each a one-aggregate CTE.
+    "q61_corpus_report" ->
+      s"""WITH $tokCte,
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                   CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))))
+                     AS BIGINT) n_distinct_texts
+                 FROM documents),
+          lc AS (SELECT doc_id,
+                   len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
+                   len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
+                   len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
+                   len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
+                 FROM toks),
+          eng AS (SELECT CAST(SUM(CASE WHEN en > 0 AND en >= greatest(en,de,es,fr)
+                            THEN 1 ELSE 0 END) AS BIGINT) n_english FROM lc),
+          vb AS (SELECT CAST(COUNT(DISTINCT t.t) AS BIGINT) vocab_size
+                 FROM (SELECT unnest(tk) t FROM toks) t),
+          md AS (SELECT n_chars AS median_n_chars FROM (
+                   SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) rn,
+                          COUNT(*) OVER () cnt
+                   FROM documents) s
+                 WHERE rn = (5000 * cnt + 9999) // 10000)
+          SELECT n_docs, n_docs - n_distinct_texts AS n_exact_dups,
+                 n_english, vocab_size, median_n_chars
+          FROM st, eng, vb, md""",
 
     // Bigram MLE replay: ln of each integer count-ratio quantized to
     // micro-units before the per-doc integer sum; avg is (sum/1e6)/n in
