@@ -561,10 +561,19 @@ object SparkEntry {
         val vocab = docs
           .select(explode(TextFunctions.tokens(col("text"))).as("t"))
           .agg(count_distinct(col("t")).as("vocab_size"))
-        val med = graft.curation.Curation.distributionStats(
-            docs.withColumn("all", lit("all")), "all", "n_chars", "doc_id",
-            Seq(5000))
-          .select(col("value").as("median_n_chars"))
+        // exact corpus median WITHOUT a corpus-wide sort: cumulative
+        // counts over the VALUE HISTOGRAM (|distinct lengths| rows — an
+        // aggregate-sized input), then the smallest value whose
+        // cumulative count reaches rank ceil(n/2). Same selected value
+        // as q45's row-rank form, in the shape that survives 100 TB.
+        val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val med = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(docs.agg(count(lit(1)).as("n")))
+          .filter(col("cum") >= expr("(5000 * n + 9999) div 10000"))
+          .agg(min(col("n_chars")).as("median_n_chars"))
         stats.crossJoin(en).crossJoin(vocab).crossJoin(med)
           .select(col("n_docs"),
             (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),

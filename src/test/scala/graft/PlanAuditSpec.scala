@@ -21,8 +21,12 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // queries whose unpartitioned window runs over a bounded-tiny input
-  private val tinyGlobalWindowOk = Set("q44_vocab_topk", "q47_global_rownum")
+  // queries whose unpartitioned window runs over a bounded-tiny input:
+  // q44 ranks k rows post top-k; q47's offset table is one row per range
+  // partition; q61's cumsum runs over the value HISTOGRAM (distinct
+  // lengths), never the corpus
+  private val tinyGlobalWindowOk =
+    Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report")
 
   /** Physical plan with the AQE wrapper peeled (its children are fields,
     * not `children`, so a bare `collect` sees nothing under it). */
