@@ -330,6 +330,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // First-order Markov transition matrix of user behavior: counts of
+    // consecutive (from_type -> to_type) per user sequence, totally
+    // ordered by (ts, event_id) so same-ms ties are deterministic.
+    "q62_event_transitions" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
+      graft.exec.Cohort.transitions(e, "user_id", "tsm", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
     // Cohort retention: users bucketed by first-active week, counted in
     // every later week they return — distinct-first, so event volume
     // never reaches the wide aggregations.
@@ -1035,6 +1044,17 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+
+    "q62_event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_id,
+                      event_type FROM events),
+          x AS (SELECT event_type from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY tsm, event_id) to_type
+                FROM e)
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM x WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type ORDER BY from_type, to_type""",
 
     "q57_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id u,

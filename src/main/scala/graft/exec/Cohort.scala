@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   * with a million events in a week costs one row past the first
   * aggregate. */
 object Cohort {
+  /** Event-type transition counts (the first-order Markov table of user
+    * behavior): for every consecutive pair of events of the same user —
+    * ordered by (ts, event id), a total order, so the successor is
+    * well-defined under same-ms ties — count (from_type, to_type). One
+    * shuffle on the user key for the lag window, then a tiny
+    * (|types|²-cell) aggregation; event payloads never shuffle, only
+    * (user, ts, id, type). Output: (from_type, to_type, n). */
+  def transitions(events: DataFrame, userCol: String, tsMsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsMsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsMsCol), col(idCol), col(typeCol))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Output: (cohort, offset, n_users) — users first active in period
     * `cohort` (epoch-ms bucket floor) who were active again `offset`
     * periods later (offset 0 = the cohort size itself). */

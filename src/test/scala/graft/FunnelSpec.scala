@@ -49,4 +49,24 @@ class FunnelSpec extends SparkSpec {
     // offset 0 rows cover every user exactly once
     assert(got.collect { case ((_, 0L), n) => n }.sum == first.size)
   }
+
+  test("Cohort.transitions matches brute force; total = events - users") {
+    val r = new scala.util.Random(41)
+    val types = Seq("a", "b", "c")
+    val evs = (1 to 900).map(i =>
+      (r.nextInt(25).toLong, 5000L + r.nextInt(400) * 10L, i.toLong,
+        types(r.nextInt(3))))
+    val got = graft.exec.Cohort.transitions(
+        evs.toDF("user_id", "tsm", "event_id", "event_type"),
+        "user_id", "tsm", "event_id", "event_type")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val want = evs.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+        .collect { case Seq(a, b) => (a, b) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    val nUsers = evs.map(_._1).distinct.size
+    assert(got.values.sum == evs.size - nUsers)
+  }
 }
