@@ -553,6 +553,17 @@ object SparkEntry {
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
 
+      // Token-budget selection: best-quality docs per source until the
+      // 800-token quota fills — the greedy mixture-assembly step.
+      "q63_token_budget" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val feat = docs.select(col("doc_id") +: col("source") +:
+          TextFunctions.qualityFeatures(col("text")): _*)
+        graft.curation.Curation.tokenBudgetSelect(feat, "source",
+            col("quality_score"), col("n_tokens"), lit(800L))
+          .orderBy("source", "rank_in_stratum")
+      }),
+
       // One-row corpus health report — the composed summary a pipeline
       // owner checks before a training run: volume, exact-dup rate,
       // language mix, exact median length, vocabulary size. Each input
@@ -1505,6 +1516,34 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    // Same quality formula as q36's oracle, then a per-source cumsum
+    // over the (quality DESC, doc_id) order; kept iff the running total
+    // fits the quota.
+    "q63_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\s+') tk, text
+                    FROM documents),
+          f AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) n_tokens,
+                  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) n_chr,
+                  CAST(len(list_filter(tk, x -> list_contains(
+                    ['the','a','an','and','of','to','in','is','on','for','with'], x)))
+                    AS BIGINT) n_stop
+                FROM t),
+          q AS (SELECT doc_id, source, n_tokens,
+                  round((n_stop::DOUBLE / n_tokens) * 0.5 +
+                        least((n_chr::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6) qs
+                FROM f),
+          w AS (SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY qs DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tokens,
+                  row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id)
+                    rank_in_stratum
+                FROM q)
+          SELECT doc_id, source, n_tokens,
+                 CAST(cum_tokens AS BIGINT) AS cum_tokens, rank_in_stratum
+          FROM w WHERE cum_tokens <= 800
+          ORDER BY source, rank_in_stratum""",
 
     // Composed corpus report: fingerprint, lang-id, vocabulary and the
     // q45-style integer-rank median, each a one-aggregate CTE.

@@ -225,6 +225,31 @@ object Curation {
         col("score_e6"))
   }
 
+  /** Token-budget corpus selection: per stratum, keep the best documents
+    * (by a caller-supplied score, ties on id) whose RUNNING token total
+    * stays within the stratum's quota — the greedy step of assembling a
+    * training mixture under a token budget ("up to X tokens of web, Y of
+    * code, best-first"). One cumsum window per stratum (hash-partitioned
+    * on the stratum key — strata are the shard unit); a document is kept
+    * iff its own cumulative total fits, so the selection is a prefix of
+    * the per-stratum quality ordering and reproducible anywhere the
+    * score is. Output: kept docs with (id, stratum, n_tokens, cum_tokens,
+    * rank_in_stratum). */
+  def tokenBudgetSelect(docs: DataFrame, stratum: String, score: Column,
+      nTokens: Column, quota: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(col("__score").desc, col(idCol))
+    docs
+      .select(col(idCol), col(stratum), score.as("__score"),
+        nTokens.cast("long").as("n_tokens"), quota.cast("long").as("__quota"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("cum_tokens") <= col("__quota"))
+      .drop("__score", "__quota")
+  }
+
   /** Deterministic fixed-size per-stratum sample: exactly `min(k, |stratum|)`
     * rows per stratum, chosen as the k smallest `hash60(key)` values —
     * a reservoir sample whose "random" order is a stable hash, so the

@@ -167,6 +167,21 @@ class CurationSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (1L to 500L))
   }
 
+  test("tokenBudgetSelect keeps the best-quality prefix that fits the quota") {
+    val docs = Seq(
+      // (id, stratum, score, tokens): quality order in s1 = 4,1,3 (ties none)
+      (1L, "s1", 0.8, 40L), (3L, "s1", 0.5, 50L), (4L, "s1", 0.9, 30L),
+      (5L, "s2", 0.7, 200L), (6L, "s2", 0.6, 10L))
+      .toDF("doc_id", "stratum", "q", "nt")
+    val got = Curation.tokenBudgetSelect(docs, "stratum", col("q"), col("nt"),
+        lit(100L))
+      .select("doc_id", "cum_tokens", "rank_in_stratum")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    // s1: 4 (30), 1 (70), 3 would hit 120 > 100 → cut; s2: 5 is 200 > 100 →
+    // even rank 1 is cut, and 6 (rank 2, cum 210) stays cut with it
+    assert(got == Seq((1L, 70L, 2), (4L, 30L, 1)))
+  }
+
   test("bigramLogProb: hand-computed MLE on a tiny corpus") {
     // corpus bigrams: "a b" x2 (doc1, doc2), "a c" x1 (doc2) → P(b|a)=2/3,
     // P(c|a)=1/3; doc3 has one token → no bigrams, absent from output
