@@ -20,9 +20,9 @@ import org.apache.spark.sql.graftbridge.FunctionBridge
   * reachable from SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.functions.foreach { case (name, builder) =>
+    GraftExtensions.functions.foreach { case (name, className, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        new ExpressionInfo(className, name),
         builder))
     }
 }
@@ -34,13 +34,16 @@ object GraftExtensions {
     f(args(0), args(1))
   }
 
-  /** name → expression builder for every registered SQL function. */
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> binary(CosineSimilarity(_, _)) _)
+  /** (name, implementing class for DESCRIBE FUNCTION, builder) for every
+    * registered SQL function — the class name lives in the table so each
+    * entry documents itself. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity].getName,
+      binary(CosineSimilarity(_, _)) _))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, _, builder) =>
       FunctionBridge.registerTemp(spark, name, builder)
     }
 }

@@ -566,16 +566,18 @@ object SparkEntry {
 
       // One-row corpus health report — the composed summary a pipeline
       // owner checks before a training run: volume, exact-dup rate,
-      // language mix, exact median length, vocabulary size. Each input
-      // is one aggregation over a shared scan; the exact median reuses
-      // q45's integer rank selection.
+      // language mix, exact median length, vocabulary size. Three
+      // aggregation subplans (row-shaped stats fused into ONE pass;
+      // vocabulary needs the exploded token shape; the median needs the
+      // length histogram) — at scale, cache the (text, n_chars)
+      // projection or run the report off an already-materialized stats
+      // table so the scans share one read.
       "q61_corpus_report" -> ((s, dir) => {
         val docs = table(s, dir, "documents")
         val stats = docs.agg(
           count(lit(1)).as("n_docs"),
           count_distinct(TextFunctions.fingerprint(col("text")))
-            .as("n_distinct_texts"))
-        val en = docs.agg(
+            .as("n_distinct_texts"),
           sum(when(TextFunctions.langId(col("text")) === "en", 1L)
             .otherwise(0L)).as("n_english"))
         val vocab = docs
@@ -594,7 +596,11 @@ object SparkEntry {
           .crossJoin(docs.agg(count(lit(1)).as("n")))
           .filter(col("cum") >= expr("(5000 * n + 9999) div 10000"))
           .agg(min(col("n_chars")).as("median_n_chars"))
-        stats.crossJoin(en).crossJoin(vocab).crossJoin(med)
+          // an ungrouped agg always yields one row; on an EMPTY corpus
+          // that row is (null) while the oracle's rank filter yields no
+          // rows — drop the null so both sides agree at zero rows
+          .filter(col("median_n_chars").isNotNull)
+        stats.crossJoin(vocab).crossJoin(med)
           .select(col("n_docs"),
             (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
             col("n_english"), col("vocab_size"), col("median_n_chars"))
@@ -1131,15 +1137,15 @@ object SparkEntry {
                FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
                                   AND a.sid < b.sid)"""
 
-  /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
-    * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
-    * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
   /** The same statically-unrolled Morton interleave as ZOrder.zValue,
     * rendered as DuckDB shift/mask arithmetic. */
   private def duckZ(xs: Seq[String], bits: Int): String =
     (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex }
       yield s"((($x >> $i) & 1) << ${i * xs.size + j})").mkString(" + ")
 
+  /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
+    * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
+    * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
   private val duckBandedCte: String =
     (0 until 4).map { j =>
       val bucket = (0 until 8).map(i =>

@@ -206,18 +206,23 @@ object Curation {
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // N as a lazy one-row broadcast, not an eager .count() — composing
+    // the operator must not trigger a corpus job, and the count rides
+    // the same execution as everything else
+    val n = docs.agg(
+      count_distinct(col(idCol)).cast("double").as("__n"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(desc("score_e6"), asc("token"))
     tf.join(df, "token")
+      .crossJoin(broadcast(n))
       // quantize the ONE transcendental (ln of ≤|vocab| distinct ratios)
       // to integer micro-units, then scale by the integer tf — a 1-ulp
       // libm difference between engines dies in the round, and the
       // multiply stays exact, so ranking is engine-reproducible (same
       // reason the ANN family rounds cosines to 4 decimals pre-rank)
       .withColumn("score_e6",
-        col("tf") * round(log(lit(nDocs.toDouble) / col("df")) * 1e6, 0)
+        col("tf") * round(log(col("__n") / col("df")) * 1e6, 0)
           .cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -64,9 +64,10 @@ object Dedup {
   def streamingExact(docs: DataFrame, tsCol: String, delay: String,
       textCol: String = "text"): DataFrame =
     docs
-      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("__fp", fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp") // dedup key is internal — callers get their own schema back
 
   /** Distinct (id, shingle) pairs — the shared first stage of the n-gram
     * and minhash paths.

@@ -25,6 +25,12 @@ object Funnel {
       typeCol: String, from: String, to: String,
       withinMs: Long): DataFrame = {
     require(withinMs > 0, "withinMs must be positive")
+    // the RANGE frame includes the current row, so with from == to every
+    // to-event would count ITSELF as its preceding from-event and report
+    // 100% conversion — a repeat-event funnel needs an exclusive frame
+    require(from != to,
+      "conversions: from and to must differ (the inclusive frame would " +
+        "let every to-event match itself)")
     val w = Window.partitionBy(userCol).orderBy(col(tsMsCol))
       .rangeBetween(-withinMs, 0)
     events

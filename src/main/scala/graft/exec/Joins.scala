@@ -66,12 +66,25 @@ object Joins {
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val keys = dim.select(col(dimKey).as(factKey)).distinct()
     val bloom = keys.stat.bloomFilter(factKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // the probe must match the filter's insert encoding BY TYPE — a
+    // mistyped probe returns false, and a false NEGATIVE here silently
+    // drops matching rows (the one failure a pruning step must never
+    // have), so unsupported key types are rejected loudly
+    val probe = fact.schema(factKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        udf((k: Long) => bc.value.mightContainLong(k))
+      case StringType =>
+        udf((s: String) => s != null && bc.value.mightContainString(s))
+      case dt => throw new IllegalArgumentException(
+        s"bloomSemiJoin: unsupported key type ${dt.sql} for '$factKey' " +
+          "(integral or string keys only)")
+    }
     fact
-      .filter(mightContain(col(factKey)))
+      .filter(probe(col(factKey)))
       .join(keys, Seq(factKey), "left_semi")
   }
 

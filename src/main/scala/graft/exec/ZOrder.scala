@@ -39,8 +39,9 @@ object ZOrder {
     * z-range, i.e. a small hyper-rectangle of the dimension space, which
     * is exactly what min/max pruning needs. */
   def cluster(df: DataFrame, dims: Seq[Column], bits: Int,
-      nPartitions: Int, zCol: String = "__z"): DataFrame = {
-    val z = df.withColumn(zCol, zValue(dims, bits))
-    z.repartitionByRange(nPartitions, col(zCol)).sortWithinPartitions(zCol)
-  }
+      nPartitions: Int, zCol: String = "__z"): DataFrame =
+    df.withColumn(zCol, zValue(dims, bits))
+      .repartitionByRange(nPartitions, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol) // layout key is internal; partition order is the product
 }
