@@ -330,6 +330,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // 7-day trailing moving average of daily value totals per event
+    // type: the raw stream first collapses to (type, day) partials —
+    // event volume never reaches the window — then a RANGE frame over
+    // day numbers averages the trailing week. Sums in exact decimal,
+    // ONE double division per output row (micro-unit numerator over
+    // day count) so both engines round identically.
+    "q64_moving_average" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 1000) div 86400000").as("day"))
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("decimal(38,6)")
+          .as("day_sum"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("ma_num",
+          sum((col("day_sum") * 1000000).cast("long")).over(w))
+        .withColumn("ma_days", count(lit(1)).over(w))
+        .select(col("event_type"), col("day"),
+          col("day_sum").cast("double").as("day_sum"),
+          (col("ma_num").cast("double") / col("ma_days") / 1e6).as("ma7"))
+        .orderBy("event_type", "day")
+    }),
+
     // First-order Markov transition matrix of user behavior: counts of
     // consecutive (from_type -> to_type) per user sequence, totally
     // ordered by (ts, event_id) so same-ms ties are deterministic.
@@ -1061,6 +1086,25 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+
+    // Daily decimal partials, then the same RANGE-over-days frame; the
+    // average is micro-unit-numerator / day-count / 1e6 in that order.
+    "q64_moving_average" ->
+      """WITH d AS (SELECT event_type,
+                      (epoch_us(ts)//1000) // 86400000 AS day,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                        day_sum
+                    FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, day, day_sum,
+                  SUM(CAST(day_sum * 1000000 AS BIGINT)) OVER
+                    (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ma_num,
+                  COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ma_days
+                FROM d)
+          SELECT event_type, day, CAST(day_sum AS DOUBLE) AS day_sum,
+                 CAST(ma_num AS DOUBLE) / ma_days / 1000000.0 AS ma7
+          FROM m ORDER BY event_type, day""",
 
     "q62_event_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_id,
