@@ -193,6 +193,18 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Warehouse face: CUBE grouping sets — all four (returnflag x
+    // linestatus) marginal combinations in one pass (Catalyst expands to
+    // a single aggregate over the grouping-set id; no multi-scan union).
+    "q65_cube_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // Warehouse face: ranking window function — latest order per customer.
     "q27_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -950,6 +962,14 @@ object SparkEntry {
                      AS DOUBLE) AS sum_qty,
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q65_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                     AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q27_window_rank" ->
