@@ -93,6 +93,38 @@ object Multimodal {
     }
   }
 
+  /** Audio decode + fixed-window feature extraction (the MFCC-shaped
+    * face): one feature row per `windowMs` window of the clip, so a long
+    * recording becomes many distributable rows — the same
+    * explode-then-decode shape as [[sampleFrames]], because per-window
+    * DSP (the expensive part in a real build) must land AFTER the
+    * explode to spread across executors. Window count = `meta.n_frames`
+    * (the stub's duration proxy; a real build derives it from duration /
+    * window length at `meta.sample_rate`); the STUB features are the
+    * payload hash salted by the window index (deterministic,
+    * engine-reproducible). No shuffle introduced. */
+  final case class AudioWindow(media_id: Long, window_idx: Int,
+      sample_rate: Int, features: Array[Float])
+
+  def decodeAudio(media: DataFrame,
+      featureDim: Int = 13): Dataset[AudioWindow] = {
+    implicit val enc = Encoders.product[AudioWindow]
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.BINARY, Encoders.scalaInt, Encoders.scalaInt)
+    media
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"),
+        col("meta.sample_rate").as("sample_rate"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1)).as("window_idx"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, rate, w) =>
+          val salted = payload ++ Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte)
+          AudioWindow(id, w, rate, StubCodec.decodeFeatures(salted, featureDim))
+        }
+      }
+  }
+
   /** Resize: recompute features at the target geometry. STUB semantics:
     * features re-derived from payload + target size (deterministic);
     * real semantics: decode → resample → re-encode. Same plumbing. */

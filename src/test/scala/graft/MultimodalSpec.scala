@@ -54,4 +54,21 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decodeImages(parted, 4)
     assert(decoded.rdd.getNumPartitions == 3)
   }
+
+  test("audio decode explodes only audio clips into per-window feature rows") {
+    val win = Multimodal.decodeAudio(media, featureDim = 5).collect()
+    // audio: ids ≡ 1 mod 3 → 1L, n_frames = 1%300+1 = 2 → windows 0,1
+    val byId = win.groupBy(_.media_id).view
+      .mapValues(_.map(_.window_idx).sorted).toMap
+    assert(byId.keySet == Set(1L))
+    assert(byId(1L).toSeq == Seq(0, 1))
+    assert(win.forall(w => w.sample_rate == 16000 && w.features.length == 5))
+    // window salt differentiates features; decode is deterministic
+    val w0 = win.find(_.window_idx == 0).get.features.toSeq
+    val w1 = win.find(_.window_idx == 1).get.features.toSeq
+    assert(w0 != w1)
+    val again = Multimodal.decodeAudio(media, featureDim = 5).collect()
+    assert(again.sortBy(_.window_idx).map(_.features.toSeq).toSeq ==
+      win.sortBy(_.window_idx).map(_.features.toSeq).toSeq)
+  }
 }
