@@ -48,10 +48,8 @@ class PlanAuditSpec extends SparkSpec {
   // tiny BY CONSTRUCTION (an ANN query batch, a centroid table, or a
   // one-row count), so the non-equi join is a fused scan, not a blowup
   private val tinyBnljOk = Set(
-    "q21_ann_topk", "q29_ann_topk_lsh", "q37_ann_topk_ivf",
-    "q49_ann_topk_quantized", "q56_centroid_confusion",
-    "q50_tfidf_topterms", "q61_corpus_report", "q63_token_budget",
-    "q64_moving_average")
+    "q21_ann_topk", "q37_ann_topk_ivf", "q49_ann_topk_quantized",
+    "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report")
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
