@@ -590,6 +590,15 @@ object SparkEntry {
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
 
+      // Temperature-scaled mixture (α = 0.5): strata sampled ∝ √count —
+      // flattens the source mix toward uniform at an expected 25% of
+      // the corpus; integer-quantized weights keep it engine-exact.
+      "q66_temperature_mix" -> ((s, dir) =>
+        graft.curation.Curation.temperatureSample(
+            table(s, dir, "documents").select("doc_id", "source"),
+            "source", col("doc_id").cast("string"), targetFrac = 0.25)
+          .orderBy("doc_id")),
+
       // Token-budget selection: best-quality docs per source until the
       // 800-token quota fills — the greedy mixture-assembly step.
       "q63_token_budget" -> ((s, dir) => {
@@ -1586,6 +1595,24 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    // √count weights quantized to integer micro-units pre-sum (float
+    // sums are order-dependent; integer sums aren't), then one double
+    // chain per stratum in the same op order as the Spark side.
+    "q66_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) cnt,
+                      CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) sq
+                    FROM documents GROUP BY source),
+          t AS (SELECT CAST(SUM(sq) AS BIGINT) sw,
+                       CAST(SUM(cnt) AS BIGINT) n FROM c),
+          r AS (SELECT source, least(1000000,
+                  CAST(floor(0.25 * n * sq / sw / cnt * 1000000) AS BIGINT))
+                  ppm
+                FROM c, t)
+          SELECT doc_id, source FROM documents JOIN r USING (source)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < ppm
+          ORDER BY doc_id""",
 
     // Same quality formula as q36's oracle, then a per-source cumsum
     // over the (quality DESC, doc_id) order; kept iff the running total

@@ -255,6 +255,43 @@ object Curation {
       .drop("__score", "__quota")
   }
 
+  /** Temperature-scaled corpus rebalancing (the multilingual-training
+    * mixture rule): stratum `s` is sampled at a rate proportional to
+    * `count_s^(α-1)` with α = 0.5, i.e. weight √count — big strata are
+    * DOWN-weighted so the mix flattens toward uniform while preserving
+    * order. `targetFrac` scales the whole mixture (expected kept ≈
+    * targetFrac · N). Per-stratum keep rates become per-million integer
+    * thresholds on `hash60(key)` — the [[stratifiedSample]] mechanism —
+    * so the draw is reproducible and append-stable. Deterministic across
+    * engines BY CONSTRUCTION: the only irrational op is `sqrt`, which
+    * IEEE requires correctly rounded (unlike ln/pow), and both engines
+    * evaluate the identical expression tree on identical integers.
+    * Everything is one tiny count aggregate + one broadcast join + one
+    * scan — no shuffle of the corpus. */
+  def temperatureSample(df: DataFrame, stratum: String, key: Column,
+      targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    // each √count is quantized to integer micro-units BEFORE the sum:
+    // a float sum of irrational sqrts is addition-order-dependent in the
+    // last ulp (and engines order partials differently), but an integer
+    // sum is order-free — so the weight total is exact on both engines
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__sq", floor(sqrt(col("__cnt")) * 1e6).cast("long"))
+    val tot = counts.agg(
+      sum(col("__sq")).as("__sw"),
+      sum(col("__cnt")).as("__n"))
+    // one double chain per stratum over exact-integer inputs, identical
+    // op order on both engines, floored to ppm once at the end
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__ppm", least(lit(1000000L),
+        floor(lit(targetFrac) * col("__n") * col("__sq") /
+          col("__sw") / col("__cnt") * 1e6).cast("long")))
+      .select(col(stratum), col("__ppm"))
+    df.join(broadcast(rates), stratum)
+      .filter(pmod(TextFunctions.hash60(key), lit(1000000L)) < col("__ppm"))
+      .drop("__ppm")
+  }
+
   /** Deterministic fixed-size per-stratum sample: exactly `min(k, |stratum|)`
     * rows per stratum, chosen as the k smallest `hash60(key)` values —
     * a reservoir sample whose "random" order is a stable hash, so the

@@ -167,6 +167,21 @@ class CurationSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (1L to 500L))
   }
 
+  test("temperatureSample flattens a skewed mix toward uniform at the target fraction") {
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "stratum")
+    val kept = Curation.temperatureSample(docs, "stratum",
+        col("doc_id").cast("string"), targetFrac = 0.5)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // √-weights: big 30, small 10 → expected kept 375 / 125; the small
+    // stratum's rate clamps at 1 so ALL 100 survive (deterministic)
+    assert(kept("small") == 100L)
+    val big = kept("big")
+    assert(big > 280 && big < 470, s"big=$big (expect ≈375)")
+    // the 9:1 input mix flattens to under 5:1
+    assert(big.toDouble / kept("small") < 5.0)
+  }
+
   test("tokenBudgetSelect keeps the best-quality prefix that fits the quota") {
     val docs = Seq(
       // (id, stratum, score, tokens): quality order in s1 = 4,1,3 (ties none)
