@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
   // one-row count), so the non-equi join is a fused scan, not a blowup
   private val tinyBnljOk = Set(
     "q21_ann_topk", "q37_ann_topk_ivf", "q49_ann_topk_quantized",
-    "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report")
+    "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report",
+    "q66_temperature_mix") // one-row totals table cross-joined broadcast
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
