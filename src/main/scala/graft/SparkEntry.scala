@@ -590,6 +590,43 @@ object SparkEntry {
         graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
           .orderBy("doc_id", "rank")),
 
+      // Percentile-rank normalization of doc length within each source —
+      // the feature-scaling step before cross-source thresholds can be
+      // compared ((rank-1)/(n-1), exact integers over integers, one
+      // IEEE division).
+      "q67_percentile_normalize" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            when(col("cnt") > 1,
+              (col("rn") - 1).cast("double") / (col("cnt") - 1))
+              .otherwise(lit(0.0)).as("len_pctile"))
+          .orderBy("doc_id")
+      }),
+
+      // N-gram novelty: the fraction of a doc's distinct trigrams that
+      // appear in NO other document (df == 1) — high novelty separates
+      // genuinely fresh text from recombined boilerplate. Same inverted
+      // shingle-hash index as the dedup family; df folds the gram table.
+      "q68_ngram_novelty" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.shingles(col("text"), 3)))
+            .as("g"))
+        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        grams.join(df, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            col("n_unique").cast("double") / col("n_grams"))
+          .orderBy("doc_id")
+      }),
+
       // Temperature-scaled mixture (α = 0.5): strata sampled ∝ √count —
       // flattens the source mix toward uniform at an expected 25% of
       // the corpus; integer-quantized weights keep it engine-exact.
@@ -1595,6 +1632,31 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
          FROM documents ORDER BY doc_id""",
+
+    "q67_percentile_normalize" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) rn,
+                      COUNT(*) OVER (PARTITION BY source) cnt
+                    FROM documents)
+          SELECT doc_id, source, n_chars,
+                 CASE WHEN cnt > 1
+                   THEN CAST(rn - 1 AS DOUBLE) / (cnt - 1)
+                   ELSE 0.0 END AS len_pctile
+          FROM r ORDER BY doc_id""",
+
+    // df folds the distinct (doc, gram) table; novelty = unique-gram
+    // fraction, exact integers over integers.
+    "q68_ngram_novelty" ->
+      s"""WITH $tokCte, $shingleCte,
+          d AS (SELECT shingle, COUNT(*) df FROM sh GROUP BY shingle)
+          SELECT sid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) AS novelty
+          FROM sh JOIN d USING (shingle)
+          GROUP BY sid ORDER BY doc_id""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
