@@ -53,10 +53,19 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line contract short enough to
+    // survive line-buffer tails; the full line is also dumped to a file
+    // so a truncated capture is recoverable.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
+    println(line)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, GridCellsOnWay}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,9 +37,18 @@ object GraftExtensions {
   /** (name, implementing class for DESCRIBE FUNCTION, builder) for every
     * registered SQL function — the class name lives in the table so each
     * entry documents itself. */
+  private def quaternary(
+      f: (Expression, Expression, Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 4, s"expected 4 arguments, got ${args.length}")
+    f(args(0), args(1), args(2), args(3))
+  }
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarity].getName,
-      binary(CosineSimilarity(_, _)) _))
+      binary(CosineSimilarity(_, _)) _),
+    ("grid_cells_on_way", classOf[GridCellsOnWay].getName,
+      quaternary(GridCellsOnWay(_, _, _, _)) _))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

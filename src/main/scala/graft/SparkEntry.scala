@@ -614,9 +614,14 @@ object SparkEntry {
       // shingle-hash index as the dedup family; df folds the gram table.
       "q68_ngram_novelty" -> ((s, dir) => {
         val docs = table(s, dir, "documents")
+        // grams are hashed to 60-bit longs BEFORE the df groupBy/join
+        // (house style: Curation.contamination) — the exchange ships an
+        // 8-byte key instead of the trigram text, ~8× narrower at corpus
+        // scale; df counts and the join are exact over the hash space.
         val grams = docs.select(col("doc_id"),
           explode(array_distinct(TextFunctions.shingles(col("text"), 3)))
-            .as("g"))
+            .as("gs"))
+          .select(col("doc_id"), TextFunctions.hash60(col("gs")).as("g"))
         val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
         grams.join(df, "g")
           .groupBy("doc_id")
@@ -874,8 +879,9 @@ object SparkEntry {
           .orderBy("media_id")
       }),
 
-      // F3: path rasterization to grid cells (procedural UDF; oracle =
-      // the same slope walk as a DuckDB recursive CTE).
+      // F3: path rasterization to grid cells (codegen GridCellsOnWay
+      // expression; oracle = the same slope walk as a DuckDB recursive
+      // CTE).
       "q24_geo_cells_on_way" -> ((s, dir) => {
         import graft.functions.GeoFunctions._
         events(s, dir)
@@ -1646,16 +1652,21 @@ object SparkEntry {
           FROM r ORDER BY doc_id""",
 
     // df folds the distinct (doc, gram) table; novelty = unique-gram
-    // fraction, exact integers over integers.
+    // fraction, exact integers over integers. Grams are hashed to the
+    // documented 60-bit md5 longs before the df join, mirroring the
+    // Spark side's narrow exchange.
     "q68_ngram_novelty" ->
       s"""WITH $tokCte, $shingleCte,
-          d AS (SELECT shingle, COUNT(*) df FROM sh GROUP BY shingle)
+          hs AS (SELECT sid,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
+                 FROM sh),
+          d AS (SELECT g, COUNT(*) df FROM hs GROUP BY g)
           SELECT sid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_unique,
                  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    / CAST(COUNT(*) AS DOUBLE) AS novelty
-          FROM sh JOIN d USING (shingle)
+          FROM hs JOIN d USING (g)
           GROUP BY sid ORDER BY doc_id""",
 
     // √count weights quantized to integer micro-units pre-sum (float

@@ -126,6 +126,22 @@ object Dedup {
       shingleTable(docs, n, textCol, idCol)
         .select(col("sid"), hash60(col("shingle")).as("sh")))
 
+  /** [[shingleHashes]] with the df ≤ maxDf hot-shingle cap applied —
+    * memoized per (corpus, n, maxDf) so the capped similarity space is
+    * materialized once, not recomputed per plan branch: the df window +
+    * filter sit *under* the cache boundary, which cuts the stages the
+    * Jaccard query compiles (its cold-JVM cost at small SF was dominated
+    * by plan/codegen compile over the repeated df-window sub-plan, not
+    * by data — ProfileQ18). */
+  def cappedShingleHashes(docs: DataFrame, n: Int, maxDf: Int,
+      textCol: String, idCol: String): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "shingles-capped", n, maxDf, textCol, idCol),
+      shingleHashes(docs, n, textCol, idCol)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= lit(maxDf))
+        .select("sid", "sh"))
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     * pairs that share no shingle are never formed, and every row that
     * *is* shuffled is narrow — the shingle hash and two ids; shingle sets
@@ -153,22 +169,23 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.4,
       maxDf: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val s = shingleHashes(docs, n, textCol, idCol)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= lit(maxDf))
-      .select("sid", "sh")
-    val sz = s.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val inter = s.select(col("sid").as("a_id"), col("sh"))
-      .join(s.select(col("sid").as("b_id"), col("sh")), "sh")
+    // per-(sid, sh) row annotated with its document's capped set size —
+    // a window over sid instead of a separate groupBy + two post-agg
+    // joins: the sizes ride the self-join rows (two extra longs per
+    // shuffled row) and fold out of the pair groupBy with min(), so the
+    // whole operator is window → self-join → one aggregation. The former
+    // shape (size table joined twice after the pair agg) compiled three
+    // more stages and re-planned the size table per branch; at scale the
+    // saved exchanges are two O(corpus) shuffles.
+    val s = cappedShingleHashes(docs, n, maxDf, textCol, idCol)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("sid")))
+    s.select(col("sid").as("a_id"), col("sh"), col("sz").as("a_sz"))
+      .join(s.select(col("sid").as("b_id"), col("sh"), col("sz").as("b_sz")), "sh")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-    // no broadcast hint: `sz` is one row per document — O(corpus), not a
-    // safely-broadcastable side at training-data scale. Let AQE pick BHJ
-    // when the corpus happens to be small, shuffle-hash otherwise.
-    inter
-      .join(sz.select(col("sid").as("a_id"), col("sz").as("a_size")), "a_id")
-      .join(sz.select(col("sid").as("b_id"), col("sz").as("b_size")), "b_id")
+      .agg(count(lit(1)).as("inter"),
+        // constant within a group (sz is a per-doc value); min() folds it
+        min("a_sz").as("a_size"), min("b_sz").as("b_size"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("a_size") + col("b_size") - col("inter")).cast("double"))

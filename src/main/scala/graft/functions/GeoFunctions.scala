@@ -65,8 +65,10 @@ object GeoFunctions {
 
   /** F3: rasterize the segment between two grid positions to the list of
     * crossed cell ids (GeoUtils.java:89-150 — slope-walk algorithm).
-    * Procedural loop → Scala UDF returning ARRAY<INT> (the survey's one
-    * genuine UDF; promote to a codegen Expression only if it becomes hot).
+    * Procedural loop → primitive-int walk ([[cellsOnWayInts]]) exposed as
+    * a codegen Catalyst expression ([[GridCellsOnWay]]) — the survey's
+    * custom-operator tier (b); the UDF face ([[mapToGridCellsOnWayUdf]])
+    * is kept solely as the byte-equality witness in the test suite.
     *
     * Documented deviation: the reference's slope≤0 branch
     * (GeoUtils.java:137-143) drops the `else` before its second `if`, so
@@ -75,17 +77,21 @@ object GeoFunctions {
     * real inputs. We restore the `else` (mirroring the reference's own
     * slope>0 branch); the fixed walk provably terminates in
     * ≤ |Δx|+|Δy|+1 steps, so the guard below is a never-hit safety bound
-    * rather than a silent 100k-cell truncation. */
-  private[graft] def cellsOnWay(lon1: Double, lat1: Double,
-      lon2: Double, lat2: Double): Seq[Int] = {
+    * rather than a silent 100k-cell truncation (the array doubles in the
+    * impossible event the guard path is entered). */
+  private[graft] def cellsOnWayInts(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Array[Int] = {
     def xi(lon: Double) = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
     def yi(lat: Double) = math.floor((LatNorth - lat) / DeltaLat).toInt
     val (x1, y1, x2, y2) = (xi(lon1), yi(lat1), xi(lon2), yi(lat2))
     val (startX, startY, endX, endY) =
       if (x1 <= x2) (x1, y1, x2, y2) else (x2, y2, x1, y1)
     val slope = (endY - startY) / ((endX - startX) + 1e-8)
-    var (curX, curY) = (startX, startY)
-    val cells = scala.collection.mutable.ArrayBuffer(curX + curY * GridX)
+    var curX = startX
+    var curY = startY
+    var cells = new Array[Int]((endX - startX) + math.abs(endY - startY) + 2)
+    cells(0) = curX + curY * GridX
+    var m = 1
     var guard = 0
     while ((curX < endX || curY != endY) && guard < 100000) {
       guard += 1
@@ -100,12 +106,29 @@ object GeoFunctions {
         else if (y > curY) curX += 1
         else curY -= 1
       }
-      cells += curX + curY * GridX
+      if (m == cells.length) cells = java.util.Arrays.copyOf(cells, cells.length * 2)
+      cells(m) = curX + curY * GridX
+      m += 1
     }
-    cells.toSeq
+    if (m == cells.length) cells else java.util.Arrays.copyOf(cells, m)
   }
 
-  val mapToGridCellsOnWay =
+  private[graft] def cellsOnWay(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Seq[Int] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cellsOnWayInts(lon1, lat1, lon2, lat2))
+
+  /** UDF face of the walk — retained only as the equality witness for
+    * [[GridCellsOnWay]] (GeoFunctionsExprSpec asserts udf == expression
+    * on the full q24 input shape). Production callers use
+    * [[mapToGridCellsOnWay]]. */
+  val mapToGridCellsOnWayUdf =
     udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
       cellsOnWay(lon1, lat1, lon2, lat2))
+
+  /** F3, production face: whole-stage-codegen expression — no per-row
+    * boxing, no ArrayBuffer, no Scala-UDF serialization. */
+  def mapToGridCellsOnWay(lon1: Column, lat1: Column,
+      lon2: Column, lat2: Column): Column =
+    GridCellsOnWay(lon1, lat1, lon2, lat2)
 }

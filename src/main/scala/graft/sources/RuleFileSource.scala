@@ -40,8 +40,11 @@ object RuleFileSource {
     *     .selectExpr("CAST(value AS STRING)"),
     *   store)
     * }}}
-    * (not exercised in tests — this container has no broker; the decode,
-    * merge and lenient-drop behavior is shared with the file face). */
+    * (no broker runs in tests; the merge point itself is exercised with a
+    * `MemoryStream[String]` standing in for the Kafka DataFrame —
+    * DynamicEngineSpec "attachLines takes any line-shaped stream" — so
+    * decode, upsert-merge and lenient drop are tested on exactly the
+    * single-string-column shape the snippet produces). */
   def attachLines(lines: org.apache.spark.sql.DataFrame, store: RuleStore,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     lines

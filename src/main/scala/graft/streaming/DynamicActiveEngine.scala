@@ -90,8 +90,11 @@ final class DynamicActiveEngine(
       }
 
   /** One micro-batch of the loop; also the batch-replay entry (tests drive
-    * it directly). */
-  private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = {
+    * it directly). Synchronized with [[finalizeThrough]]: both advance the
+    * emit-once horizon, and the wall-clock finalizer runs on its own
+    * thread — serializing them is what keeps "a window never fires twice"
+    * true under concurrency (batches are already serial per query). */
+  private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = synchronized {
     if (store.consumeStateClear()) {
       tail.foreach(_.unpersist(false))
       tail = None
@@ -177,7 +180,7 @@ final class DynamicActiveEngine(
     * and a window whose source went quiet still emits. Event-time
     * emission in [[processBatch]] stays the primary path — this advances
     * the same emit-once horizon, so a window never fires twice. */
-  def finalizeThrough(horizonMs: Long): Unit = {
+  def finalizeThrough(horizonMs: Long): Unit = synchronized {
     if (horizonMs <= emittedThrough) return
     val rules = store.snapshot()
     val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
@@ -193,6 +196,32 @@ final class DynamicActiveEngine(
       case _ => ()
     }
     emittedThrough = math.max(emittedThrough, horizonMs)
+  }
+
+  /** The reference's processing-time emission timer as an opt-in driver
+    * thread (`DynamicQueryFunction.java:118-147` registers one per key;
+    * one engine-level ticker is the driver-side equivalent): every
+    * `periodMs` it finalizes periodic windows through
+    * `clock() − allowedLatenessMs`, so a STALLED source still emits W2/W3
+    * windows from the retained tail. `clock` is on the *event-time*
+    * epoch — wall clock in live deployments where ingest tracks event
+    * time (the reference's operating assumption), a test-controlled
+    * clock in replay (where wall-clock emission would break determinism,
+    * the reason event-time emission stays the default path). Returns a
+    * handle; `close()` stops the ticker. */
+  def startWallClockFinalizer(periodMs: Long, allowedLatenessMs: Long,
+      clock: () => Long = () => System.currentTimeMillis()): AutoCloseable = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-wallclock-finalizer")
+        t.setDaemon(true)
+        t
+      })
+    ex.scheduleAtFixedRate(
+      () => try finalizeThrough(clock() - allowedLatenessMs)
+        catch { case _: Throwable => () }, // next tick retries; Spark job errors surface there
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { ex.shutdownNow(); () }
   }
 
   /** Collect fired alerts (bounded), deliver to the sink, and run the ECA

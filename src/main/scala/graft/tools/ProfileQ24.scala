@@ -28,35 +28,26 @@ object ProfileQ24 {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    val seqUdf = GeoFunctions.mapToGridCellsOnWay
-    val arrUdf = udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) => {
-      val s = GeoFunctions.cellsOnWay(lon1, lat1, lon2, lat2)
-      s.toArray
-    })
+    val seqUdf = GeoFunctions.mapToGridCellsOnWayUdf
 
     for (_ <- 1 to 2) {
-      time("seq-udf size+first") {
+      time("udf size+first") {
         e.select(col("event_id"),
           seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
           .select(col("event_id"), size(col("cells")), col("cells").getItem(0))
           .write.format("noop").mode("overwrite").save()
       }
-      time("seq-udf cells only") {
+      time("expr size+first") {
         e.select(col("event_id"),
-          seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          GeoFunctions.mapToGridCellsOnWay(
+            col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          .select(col("event_id"), size(col("cells")), col("cells").getItem(0))
           .write.format("noop").mode("overwrite").save()
       }
-      time("mapPartitions raw compute") {
-        import spark.implicits._
-        e.select("lon", "lat", "lon2", "lat2").as[(Double, Double, Double, Double)]
-          .mapPartitions(it => it.map { case (a, b, c, d) =>
-            val cells = GeoFunctions.cellsOnWay(a, b, c, d)
-            (cells.length, cells.head)
-          }).write.format("noop").mode("overwrite").save()
-      }
-      time("seq-udf with orderBy") {
+      time("expr with orderBy (q24 shape)") {
         e.select(col("event_id"),
-          seqUdf(col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
+          GeoFunctions.mapToGridCellsOnWay(
+            col("lon"), col("lat"), col("lon2"), col("lat2")).as("cells"))
           .select(col("event_id"), size(col("cells")).as("n"), col("cells").getItem(0).as("f"))
           .orderBy("event_id")
           .write.format("noop").mode("overwrite").save()

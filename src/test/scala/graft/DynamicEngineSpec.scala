@@ -402,4 +402,93 @@ class DynamicEngineSpec extends SparkSpec {
     assert(got.exists(a => a.ruleId == 30L && a.aggregate.startsWith("99")),
       s"file-sourced rule fired: $got")
   }
+
+  test("attachLines takes any line-shaped stream — the Kafka face (S1/S6)") {
+    // The broker-backed deployment is `kafka source → CAST(value AS
+    // STRING) → attachLines` (RuleFileSource scaladoc). This exercises
+    // that exact merge point with a MemoryStream standing in for the
+    // Kafka DataFrame: same single-string-column shape, same lenient
+    // decode — so S1's transport contract is tested, not just documented.
+    val store = new RuleStore
+    val input = MemoryStream[String](spark)
+    val q = RuleFileSource.attachLines(input.toDF(), store,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      input.addData(
+        """{"queryId":41,"groupingKeyNames":["carId"],
+           "aggregateFieldName":"speed","aggregatorFunctionType":"MAX",
+           "limitOperatorType":">","limit":50,
+           "windowMilliseconds":60000,"frequencyMilliseconds":0}"""
+          .replaceAll("\n\\s*", ""),
+        "not json",          // S6: malformed line dropped, stream lives on
+        "",                  // blank line dropped
+        """{"queryId":42,"groupingKeyNames":["carId"],
+           "aggregateFieldName":"speed","aggregatorFunctionType":"MIN",
+           "limitOperatorType":"<","limit":5,
+           "windowMilliseconds":60000,"frequencyMilliseconds":0}"""
+          .replaceAll("\n\\s*", ""))
+      q.processAllAvailable()
+      assert(store.size == 2, "both valid rules merged, junk dropped")
+      assert(store.snapshot().flatMap(_.queryId).sorted == Seq(41L, 42L))
+      // a later upsert on the same id replaces, not duplicates (C1)
+      input.addData(
+        """{"queryId":41,"groupingKeyNames":["carId"],
+           "aggregateFieldName":"speed","aggregatorFunctionType":"MAX",
+           "limitOperatorType":">","limit":80,
+           "windowMilliseconds":60000,"frequencyMilliseconds":0}"""
+          .replaceAll("\n\\s*", ""))
+      q.processAllAvailable()
+      assert(store.size == 2)
+      assert(store.snapshot().find(_.queryId.contains(41L))
+        .flatMap(_.limit).contains(BigDecimal(80)))
+    } finally q.stop()
+  }
+
+  test("W2 emits on the wall clock when the source stalls") {
+    // Reference parity: DynamicQueryFunction.java:118-147 emits periodic
+    // windows from a processing-time timer, so a quiet source still
+    // reports. The engine's event-time path can't (no events = no new
+    // event time); startWallClockFinalizer is the opt-in equivalent.
+    val rule = Rule(
+      queryId = Some(60L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some(Rule.CountSentinel),
+      limitOperatorType = Some(CompareOp.GreaterEqual),
+      limit = Some(BigDecimal(1)),
+      windowMilliseconds = Some(60000L),
+      frequencyMilliseconds = Some(60000L)) // tumbling 60 s
+    val engine = new DynamicActiveEngine()
+    engine.store.merge(rule)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    // epoch-aligned so the tumbling 60 s window is exactly [base, base+60000)
+    val base = 1699999980000L
+    // injected clock on the event-time epoch; starts before the window end
+    @volatile var now = base + 30000L
+    val input = MemoryStream[Ev](spark)
+    val q = engine.writer(input.toDF(), "ts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    val ticker = engine.startWallClockFinalizer(
+      periodMs = 50, allowedLatenessMs = 1000, clock = () => now)
+    try {
+      input.addData(ev(7, base + 1000, 42), ev(7, base + 2000, 43))
+      q.processAllAvailable()
+      assert(fired.synchronized(fired.isEmpty),
+        "window still open — nothing emitted by event time")
+      // source stalls; only the clock advances past window end + lateness
+      now = base + 61500L
+      val deadline = System.currentTimeMillis() + 10000
+      while (fired.synchronized(fired.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val got = fired.synchronized(fired.toList)
+      assert(got.exists(a => a.ruleId == 60L && a.aggregate.startsWith("2") &&
+        a.tsMillis == base),
+        s"stalled-source window finalized by the wall clock: $got")
+      // emit-once: ticks keep firing, the window must not re-emit
+      Thread.sleep(300)
+      assert(fired.synchronized(fired.size) == got.size, "no double emission")
+    } finally { ticker.close(); q.stop() }
+  }
 }
