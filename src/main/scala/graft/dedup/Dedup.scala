@@ -126,13 +126,15 @@ object Dedup {
       shingleTable(docs, n, textCol, idCol)
         .select(col("sid"), hash60(col("shingle")).as("sh")))
 
-  /** [[shingleHashes]] with the df ≤ maxDf hot-shingle cap applied —
-    * memoized per (corpus, n, maxDf) so the capped similarity space is
-    * materialized once, not recomputed per plan branch: the df window +
-    * filter sit *under* the cache boundary, which cuts the stages the
-    * Jaccard query compiles (its cold-JVM cost at small SF was dominated
-    * by plan/codegen compile over the repeated df-window sub-plan, not
-    * by data — ProfileQ18). */
+  /** [[shingleHashes]] with the df ≤ maxDf hot-shingle cap applied and
+    * the per-document capped set size (`sz`) attached — memoized per
+    * (corpus, n, maxDf) so the capped similarity space is materialized
+    * once, not recomputed per plan branch: the df window, the cap filter
+    * AND the size window all sit *under* the cache boundary, which cuts
+    * the Jaccard query itself down to join → aggregate (its cold-JVM
+    * cost at small SF was dominated by plan/codegen compile over the
+    * repeated window sub-plans, not by data — ProfileQ18).
+    * Output: (sid, sh, sz). */
   def cappedShingleHashes(docs: DataFrame, n: Int, maxDf: Int,
       textCol: String, idCol: String): DataFrame =
     CacheRegistry.cache(
@@ -140,7 +142,8 @@ object Dedup {
       shingleHashes(docs, n, textCol, idCol)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .filter(col("df") <= lit(maxDf))
-        .select("sid", "sh"))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("sid")))
+        .select("sid", "sh", "sz"))
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     * pairs that share no shingle are never formed, and every row that
@@ -169,16 +172,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.4,
       maxDf: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // per-(sid, sh) row annotated with its document's capped set size —
-    // a window over sid instead of a separate groupBy + two post-agg
-    // joins: the sizes ride the self-join rows (two extra longs per
-    // shuffled row) and fold out of the pair groupBy with min(), so the
-    // whole operator is window → self-join → one aggregation. The former
-    // shape (size table joined twice after the pair agg) compiled three
-    // more stages and re-planned the size table per branch; at scale the
-    // saved exchanges are two O(corpus) shuffles.
+    // the cached capped table already carries each document's capped set
+    // size, so the sizes ride the self-join rows (two extra longs per
+    // shuffled row) and fold out of the pair groupBy with min() — the
+    // whole operator is join → one aggregation. The former shape (size
+    // table joined twice after the pair agg, df window re-planned per
+    // branch) compiled three more stages; at scale the saved exchanges
+    // are two O(corpus) shuffles.
     val s = cappedShingleHashes(docs, n, maxDf, textCol, idCol)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("sid")))
     s.select(col("sid").as("a_id"), col("sh"), col("sz").as("a_sz"))
       .join(s.select(col("sid").as("b_id"), col("sh"), col("sz").as("b_sz")), "sh")
       .filter(col("a_id") < col("b_id"))

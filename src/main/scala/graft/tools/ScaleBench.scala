@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the heaviest operators: runs each at 1× and N×
+  * (default 10×) the sf0.1 data IN THE SAME JVM, so codegen compile and
+  * JIT — which dominate single-run wall time at small SF and swing
+  * samples 3-9× run-to-run — cancel out of the ratio. A near-linear
+  * time ratio at 10× the rows is the evidence that an operator's cost
+  * is data, not fixed overhead, i.e. that the 100 TB story rests on the
+  * algorithm, not on small inputs hiding a quadratic term.
+  *
+  * Replication is similarity-preserving, not similarity-multiplying:
+  * each document copy gets a distinct vowel-substitution alphabet
+  * (`translate`), so copies of one document share almost no shingles
+  * and the near-duplicate structure within each copy matches the
+  * original corpus. Naive duplication would give every doc N-1 exact
+  * near-dups and grow the pair space quadratically BY CONSTRUCTION —
+  * measuring that would test the input, not the operator.
+  */
+object ScaleBench {
+  private val Alphabets = Vector(
+    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxy",
+    "zbcdf", "eghij", "kmnop", "qrstu", "vwxyz",
+    "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    require(factor <= Alphabets.size, s"factor <= ${Alphabets.size}")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docsAt(k: Int): DataFrame = {
+      val d0 = graft.sources.Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "source")
+      (0 until k).map(i => d0
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", translate(col("text"), "aeiou", Alphabets(i))))
+        .reduce(_ unionByName _)
+    }
+    def eventsAt(k: Int): DataFrame = {
+      val e0 = graft.sources.Tables.load(spark, dir, "events")
+        .select("event_id", "user_id", "value")
+      (0 until k).map(i => e0
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // (name, runner at scale k). Every runner forces the full result.
+    val ops: Seq[(String, Int => Long)] = Seq(
+      ("q18_jaccard", k => Dedup.ngramJaccardPairs(docsAt(k), 3, 0.35, 100).count()),
+      ("q43_clusters", k => Dedup.dedupClusters(docsAt(k)).count()),
+      ("q54_split", k => Dedup.leakageSafeSplit(docsAt(k), 80).count()),
+      ("q68_novelty", k => {
+        val docs = docsAt(k)
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))).as("gs"))
+          .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("gs")).as("g"))
+        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        grams.join(df, "g").groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
+          .count()
+      }),
+      ("q24_cells", k => {
+        val e = eventsAt(k)
+          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
+          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
+          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
+          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
+        e.select(col("event_id"),
+          GeoFunctions.mapToGridCellsOnWay(col("lon"), col("lat"), col("lon2"), col("lat2"))
+            .as("cells"))
+          .select(sum(size(col("cells")))).head(); e.count()
+      }))
+
+    val out = ops.map { case (name, run) =>
+      // warm pass first (compile + JIT), then measured 1x, then measured Nx;
+      // caches dropped between scales so each measures a fresh corpus
+      graft.util.CacheRegistry.releaseAll()
+      run(1)
+      graft.util.CacheRegistry.releaseAll()
+      val (t1, r1) = time(run(1))
+      graft.util.CacheRegistry.releaseAll()
+      val (tn, rn) = time(run(factor))
+      graft.util.CacheRegistry.releaseAll()
+      f""""$name":{"t1":$t1%.2f,"rows1":$r1,"tN":$tn%.2f,"rowsN":$rn,"ratio":${tn / t1}%.2f}"""
+    }
+    println(s"""{"metric":"scale_ratio","factor":$factor,"sf":"$dir","ops":{${out.mkString(",")}}}""")
+    spark.stop()
+  }
+}
