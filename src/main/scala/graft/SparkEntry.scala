@@ -895,6 +895,51 @@ object SparkEntry {
           .select(col("event_id"), size(col("cells")).as("n_cells"),
             col("cells").getItem(0).as("first_cell"))
           .orderBy("event_id")
+      }),
+
+      // Cross-source duplication matrix: near-dup pair counts per
+      // unordered source pair — the "how much does crawl A overlap
+      // crawl B" report that decides which source to drop when a
+      // mixture is assembled. Reuses the q19 LSH pair set (memoized
+      // shingle + band tables), so the marginal cost is two narrow
+      // joins + a tiny aggregate; at corpus scale the pair set is
+      // dup-rate × corpus, never all-pairs.
+      "q69_cross_source_dups" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        graft.dedup.Dedup.minHashLshPairs(docs, n = 3, k = 16, bands = 4)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      }),
+
+      // Head-vocabulary coverage: the share of all token occurrences
+      // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
+      // tokenizer-sizing curve (how big must the vocab be before OOV
+      // is rare). The rank window runs over the VOCABULARY (distinct
+      // tokens — bounded by language, not corpus), so the global
+      // window is legitimately tiny; the corpus-sized work is one
+      // hash aggregate.
+      "q70_vocab_coverage" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = table(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("tok"))
+        counts
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("covered",
+            sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total",
+            sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("k").isin(1L, 5L, 10L, 25L))
+          .select(col("k"), col("covered"), col("total"),
+            (col("covered").cast("double") / col("total")).as("coverage"))
+          .orderBy("k")
       })
     )
   }
@@ -1668,6 +1713,35 @@ object SparkEntry {
                    / CAST(COUNT(*) AS DOUBLE) AS novelty
           FROM hs JOIN d USING (g)
           GROUP BY sid ORDER BY doc_id""",
+
+    // The q19 pair chain joined back to each side's source; unordered
+    // pair key via least/greatest.
+    "q69_cross_source_dups" ->
+      s"""WITH $tokCte, $shingleCte, $minhashPairCte
+          SELECT least(a.source, b.source) AS src_lo,
+                 greatest(a.source, b.source) AS src_hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM mhp
+          JOIN documents a ON mhp.a_id = a.doc_id
+          JOIN documents b ON mhp.b_id = b.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Rank + running sum over the vocabulary ordered (count DESC, token);
+    // integer sums, one double division at the end.
+    "q70_vocab_coverage" ->
+      s"""WITH $tokCte,
+          t AS (SELECT unnest(tk) tok FROM toks),
+          c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY tok),
+          r AS (SELECT cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) rk,
+                  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) cum,
+                  CAST(SUM(cnt) OVER () AS BIGINT) total
+                FROM c)
+          SELECT rk AS k, cum AS covered, total,
+                 CAST(cum AS DOUBLE) / total AS coverage
+          FROM r WHERE rk IN (1, 5, 10, 25) ORDER BY k""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
