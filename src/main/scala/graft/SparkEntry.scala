@@ -917,6 +917,50 @@ object SparkEntry {
           .orderBy("src_lo", "src_hi")
       }),
 
+      // BM25 lexical retrieval: top-5 documents per query over the
+      // corpus inverted index — the lexical face of the similarity
+      // family (the ANN queries are its dense face). Scores follow
+      // Robertson/Spärck Jones BM25 (k1 = 1.2, b = 0.75) with each
+      // per-term score quantized to integer micro-units before the
+      // per-doc sum (the q55 device: float addition is
+      // order-dependent, integer addition is not, and the 1e-6
+      // quantum absorbs any last-bit ln() divergence between
+      // engines). Shape at scale: tf/df/dl are corpus-keyed hash
+      // aggregates, the query list is a broadcast literal, and top-k
+      // is a per-query window — no corpus self-join anywhere.
+      "q71_bm25_topk" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sp = s; import sp.implicits._
+        val tok = table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qs = Seq((1, "table"), (1, "join"), (1, "spark"),
+          (2, "window"), (2, "stream"),
+          (3, "hash"), (3, "merge"), (3, "sort")).toDF("query_id", "tok")
+        val scored = qs
+          .join(tf, "tok").join(dfr, "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(stats)) // one-row stats: fused scan, not a blowup
+          .withColumn("idf",
+            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("s_e6", round(
+            col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+                (col("total_len").cast("double") / col("n_docs"))))
+              * lit(1000000)).cast("long"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("s_e6").as("score_e6"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score_e6").desc, col("doc_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("query_id", "rnk", "doc_id", "score_e6")
+          .orderBy("query_id", "rnk")
+      }),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -1725,6 +1769,43 @@ object SparkEntry {
           JOIN documents a ON mhp.a_id = a.doc_id
           JOIN documents b ON mhp.b_id = b.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // BM25 replay: identical double operation order term-by-term, each
+    // per-term score rounded to micro-units pre-sum (the q55 ln device),
+    // integer score sums, per-query rank with doc_id tie-break.
+    "q71_bm25_topk" ->
+      s"""WITH $tokCte,
+          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
+          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
+                 FROM t GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
+                 FROM t GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
+          qq(query_id, tok) AS (VALUES (1, 'table'), (1, 'join'),
+            (1, 'spark'), (2, 'window'), (2, 'stream'), (3, 'hash'),
+            (3, 'merge'), (3, 'sort')),
+          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
+                  FROM tf GROUP BY 1),
+          sc AS (SELECT qq.query_id, tf.doc_id,
+                   CAST(round(
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl /
+                         (CAST(total_len AS DOUBLE) / n_docs)))
+                     * 1000000, 0) AS BIGINT) s_e6
+                 FROM qq JOIN tf USING (tok) JOIN dfr USING (tok)
+                   JOIN dl ON tf.doc_id = dl.doc_id, st),
+          agg AS (SELECT query_id, doc_id,
+                    CAST(SUM(s_e6) AS BIGINT) score_e6
+                  FROM sc GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score_e6,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_e6 DESC, doc_id) AS BIGINT) rnk
+                FROM agg)
+          SELECT query_id, rnk, doc_id, score_e6
+          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
     // Rank + running sum over the vocabulary ordered (count DESC, token);
     // integer sums, one double division at the end.

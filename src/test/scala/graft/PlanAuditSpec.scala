@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
   private val tinyBnljOk = Set(
     "q21_ann_topk", "q37_ann_topk_ivf", "q49_ann_topk_quantized",
     "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report",
-    "q66_temperature_mix") // one-row totals table cross-joined broadcast
+    "q66_temperature_mix", // one-row totals table cross-joined broadcast
+    "q71_bm25_topk") // one-row corpus stats (n_docs, total_len) broadcast
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
