@@ -55,8 +55,11 @@ object Bench {
       .map(n => n -> exec(n))
     // millisecond precision keeps the one-line contract short enough to
     // survive line-buffer tails; the full line is also dumped to a file
-    // so a truncated capture is recoverable.
-    def fmt(v: Double): String = f"$v%.3f"
+    // so a truncated capture is recoverable. Locale.ROOT: a JVM under a
+    // comma-decimal locale would otherwise render 0,640 and break the
+    // JSON contract.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -89,7 +89,15 @@ object GeoFunctions {
     val slope = (endY - startY) / ((endX - startX) + 1e-8)
     var curX = startX
     var curY = startY
-    var cells = new Array[Int]((endX - startX) + math.abs(endY - startY) + 2)
+    // initial capacity: the walk's Manhattan bound, computed in Long (an
+    // out-of-grid coordinate can put xi/yi near Int extremes, where the
+    // Int sum overflows negative) and capped — the guard bounds the walk
+    // to 100k steps, so a larger up-front allocation could only ever be
+    // waste (or an OOM / NegativeArraySizeException on one corrupt row);
+    // the doubling path below grows within the cap when needed
+    val manhattan = (endX.toLong - startX.toLong) +
+      math.abs(endY.toLong - startY.toLong) + 2L
+    var cells = new Array[Int](math.min(manhattan, 4096L).toInt.max(2))
     cells(0) = curX + curY * GridX
     var m = 1
     var guard = 0

@@ -182,20 +182,35 @@ final class DynamicActiveEngine(
     * the same emit-once horizon, so a window never fires twice. */
   def finalizeThrough(horizonMs: Long): Unit = synchronized {
     if (horizonMs <= emittedThrough) return
+    // Never declare finality before the FIRST event: a ticker started
+    // against a source that has not delivered yet (slow start, replay
+    // about to feed historical event times) must not advance the
+    // horizon past windows whose events are still on their way — the
+    // reference's timers only exist per stateful key, so a key with no
+    // state has nothing to fire (DynamicQueryFunction.java:118-147).
+    // Once events HAVE been seen, advancing past an expired/empty tail
+    // is ordinary watermark passage.
+    if (maxSeenTs == Long.MinValue) return
     val rules = store.snapshot()
     val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
+    val loEnd = emittedThrough
+    // Advance the horizon BEFORE delivering: the ticker retries every
+    // period, so a sink/ECA failure after delivery must not re-collect
+    // the same windows next tick — on this path "a window never fires
+    // twice" outranks redelivery (the batch path keeps fail-stop
+    // semantics: a throw there kills the query, not a retry loop).
+    emittedThrough = horizonMs
     (tail, periodic) match {
       case (Some(t), p) if p.nonEmpty =>
         val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
         implicit val alertEnc = Encoders.product[Alert]
         p.groupBy(r => (r.windowMilliseconds.get, slideOf(r)))
           .values.toSeq
-          .map(group => evalPeriodic(t, group, emittedThrough, horizonMs))
+          .map(group => evalPeriodic(t, group, loEnd, horizonMs))
           .reduceOption(_ unionByName _)
           .foreach(df => emitAndSpawn(df.as[Alert], rulesById))
       case _ => ()
     }
-    emittedThrough = math.max(emittedThrough, horizonMs)
   }
 
   /** The reference's processing-time emission timer as an opt-in driver
@@ -219,7 +234,12 @@ final class DynamicActiveEngine(
       })
     ex.scheduleAtFixedRate(
       () => try finalizeThrough(clock() - allowedLatenessMs)
-        catch { case _: Throwable => () }, // next tick retries; Spark job errors surface there
+        catch { case e: Throwable =>
+          // keep ticking (a throw would cancel the schedule), but never
+          // silently: the horizon already advanced, so this tick's
+          // windows are dropped, not retried (emit-once over redelivery)
+          System.err.println(s"[graft] wall-clock finalizer tick failed: $e")
+        },
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => { ex.shutdownNow(); () }
   }

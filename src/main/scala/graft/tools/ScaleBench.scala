@@ -29,7 +29,8 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    require(factor <= Alphabets.size, s"factor <= ${Alphabets.size}")
+    require(factor >= 1 && factor <= Alphabets.size,
+      s"factor in 1..${Alphabets.size}")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -65,6 +66,8 @@ object ScaleBench {
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docsAt(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docsAt(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docsAt(k), 80).count()),
+      // mirrors SparkEntry's q68 (hash60 grams → df join); kept in sync
+      // by hand — if q68's shape changes there, change it here too
       ("q68_novelty", k => {
         val docs = docsAt(k)
         val grams = docs.select(col("doc_id"),
@@ -81,10 +84,14 @@ object ScaleBench {
           .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
           .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
           .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
-        e.select(col("event_id"),
+        // one aggregate forces every walk; count rows in the SAME pass
+        // (a separate e.count() would re-scan the k-way union inside the
+        // timed section and bias the ratio)
+        val r = e.select(col("event_id"),
           GeoFunctions.mapToGridCellsOnWay(col("lon"), col("lat"), col("lon2"), col("lat2"))
             .as("cells"))
-          .select(sum(size(col("cells")))).head(); e.count()
+          .agg(sum(size(col("cells"))), count(lit(1))).head()
+        r.getLong(1)
       }))
 
     val out = ops.map { case (name, run) =>
@@ -97,7 +104,9 @@ object ScaleBench {
       graft.util.CacheRegistry.releaseAll()
       val (tn, rn) = time(run(factor))
       graft.util.CacheRegistry.releaseAll()
-      f""""$name":{"t1":$t1%.2f,"rows1":$r1,"tN":$tn%.2f,"rowsN":$rn,"ratio":${tn / t1}%.2f}"""
+      // Locale.ROOT: comma-decimal JVM locales would break the JSON line
+      def d(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      s""""$name":{"t1":${d(t1)},"rows1":$r1,"tN":${d(tn)},"rowsN":$rn,"ratio":${d(tn / t1)}}"""
     }
     println(s"""{"metric":"scale_ratio","factor":$factor,"sf":"$dir","ops":{${out.mkString(",")}}}""")
     spark.stop()
