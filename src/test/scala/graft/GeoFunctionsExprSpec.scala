@@ -54,6 +54,30 @@ class GeoFunctionsExprSpec extends SparkSpec {
     assert(df.select(size($"cells")).as[Int].collect().forall(_ >= 1))
   }
 
+  test("out-of-grid coordinates stay bounded: guard-limited, no crash (F3)") {
+    // coordinates far outside the NYC box drive the cell indices to
+    // extremes; the walk must terminate at the 100k-step guard with a
+    // bounded result — not overflow the allocation size or blow memory
+    // (the Int sum of the deltas would be negative for these inputs)
+    val extremes = Seq(
+      (-74.05, 40.5, 2600.0, 40.5),         // xi(lon2) near Int extreme
+      (-74.05, -4.0e6, -73.7, 41.0),        // yi(lat1) huge
+      (3.0e6, 40.5, -3.0e6, 41.0),          // both ends far out
+      (Double.MaxValue / 1e300, 40.5, -73.7, 41.0))
+    for ((a, b, c, d) <- extremes) {
+      val cells = GeoFunctions.cellsOnWayInts(a, b, c, d)
+      assert(cells.length >= 1 && cells.length <= 100001,
+        s"walk for ($a,$b)->($c,$d) returned ${cells.length} cells")
+    }
+    // and the expression path returns the identical bounded result
+    val df = Seq((-74.05, 40.5, 2600.0, 40.5)).toDF("a", "b", "c", "d")
+      .select(
+        size(GeoFunctions.mapToGridCellsOnWay($"a", $"b", $"c", $"d")).as("n_expr"),
+        size(GeoFunctions.mapToGridCellsOnWayUdf($"a", $"b", $"c", $"d")).as("n_udf"))
+    val r = df.head()
+    assert(r.getInt(0) == r.getInt(1))
+  }
+
   test("grid_cells_on_way is registered in SQL (extensions face)") {
     GraftExtensions.register(spark)
     val n = spark.sql(
