@@ -707,6 +707,13 @@ object SparkEntry {
         Similarity.nearestCentroidConfusion(table(s, dir, "embeddings"))
           .orderBy("label", "assigned")),
 
+      // Cluster-cohesion report: per label, mean cosine to own centroid
+      // vs best other centroid — the label-cleanliness check before
+      // training on the labels (same integer-centroid machinery as q56).
+      "q72_embed_cohesion" -> ((s, dir) =>
+        Similarity.clusterCohesion(table(s, dir, "embeddings"))
+          .orderBy("label")),
+
       // Deterministic fixed-size per-stratum sample: the 50 smallest
       // hash60(doc_id) per source — a reproducible eval-set draw.
       "q53_stratum_sample_k" -> ((s, dir) =>
@@ -1942,6 +1949,40 @@ object SparkEntry {
                   WHERE rn = 1)
           SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
           FROM asg GROUP BY label, assigned ORDER BY label, assigned""",
+
+    // q56's centroid machinery; per-vector self/best-other scores
+    // quantized to micro-units pre-sum, one double division chain per
+    // aggregate in the same op order as the Spark side.
+    "q72_embed_cohesion" ->
+      """WITH e6 AS (SELECT vec_id, label,
+                       list_transform(embedding::DOUBLE[],
+                         x -> floor(x * 1000000 + 0.5)) qv
+                     FROM embeddings),
+          cpos AS (SELECT label c_label, i pos, SUM(qv[i]) s
+                   FROM e6, unnest(range(1, len(qv) + 1)) t(i)
+                   GROUP BY 1, 2),
+          cent AS (SELECT c_label, list(s ORDER BY pos) c_vec
+                   FROM cpos GROUP BY c_label),
+          sc AS (SELECT vec_id, label, c_label,
+                   CAST(round(list_dot_product(qv, c_vec) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(c_vec, c_vec)))
+                         * 1000000, 0) AS BIGINT) s_e6
+                 FROM e6, cent),
+          pv AS (SELECT vec_id, label,
+                   MAX(CASE WHEN c_label = label THEN s_e6 END) self_e6,
+                   MAX(CASE WHEN c_label <> label THEN s_e6 END) other_e6
+                 FROM sc GROUP BY vec_id, label),
+          ag AS (SELECT label, CAST(COUNT(*) AS BIGINT) n,
+                   CAST(SUM(self_e6) AS BIGINT) sum_self_e6,
+                   CAST(SUM(other_e6) AS BIGINT) sum_other_e6
+                 FROM pv GROUP BY label)
+          SELECT label, n, sum_self_e6, sum_other_e6,
+                 sum_self_e6 / 1000000.0 / n AS avg_self,
+                 sum_other_e6 / 1000000.0 / n AS avg_other,
+                 sum_self_e6 / 1000000.0 / n -
+                   sum_other_e6 / 1000000.0 / n AS margin
+          FROM ag ORDER BY label""",
 
     "q53_stratum_sample_k" ->
       """WITH h AS (SELECT doc_id, source,

@@ -306,6 +306,52 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Cluster-cohesion report over the labeled embeddings — the "are my
+    * labels clean" check run before training on them: per label, the
+    * mean cosine of its members to their OWN centroid (cohesion) vs to
+    * the best OTHER centroid (separation), and the margin between the
+    * two. A label whose margin approaches zero is blending into a
+    * neighbor — the per-cluster rendering of a silhouette score, built
+    * from the same integer-micro-unit centroids as
+    * [[nearestCentroidConfusion]] (float centroid means are
+    * reduction-order-dependent; integer sums are not — and cosine's
+    * scale invariance makes the division unnecessary). Per-vector
+    * scores are quantized to 1e-6 before the per-label integer sum, so
+    * every aggregate is engine-exact (the q55/q71 device). Scale shape:
+    * one (label, dim) shuffle for centroids + a broadcast of |labels|
+    * centroid rows scored in-scan — no all-pairs anywhere.
+    * Output: (label, n, sum_self_e6, sum_other_e6, avg_self,
+    * avg_other, margin). */
+  def clusterCohesion(embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q6 = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+    val cent = embeddings
+      .select(col(labelCol).as("c_label"), posexplode(q6).as(Seq("pos", "v")))
+      .groupBy("c_label", "pos")
+      .agg(sum(col("v")).as("s"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("c_vec"))
+    val perVec = embeddings
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"), q6.as("qv"))
+      .join(broadcast(cent))
+      .withColumn("s_e6",
+        round(cosineHof(col("qv"), col("c_vec")) * lit(1000000)).cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("c_label") === col("label"), col("s_e6"))).as("self_e6"),
+        max(when(col("c_label") =!= col("label"), col("s_e6"))).as("other_e6"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum("self_e6").as("sum_self_e6"),
+        sum("other_e6").as("sum_other_e6"))
+      .withColumn("avg_self", col("sum_self_e6") / lit(1000000.0) / col("n"))
+      .withColumn("avg_other", col("sum_other_e6") / lit(1000000.0) / col("n"))
+      .withColumn("margin", col("avg_self") - col("avg_other"))
+  }
+
   /** Approximate top-k: exact cosine rank over the LSH candidate set
     * (corpus vectors sharing ≥1 (band, bucket) with the query). Sub-
     * quadratic: candidate generation is a (band, bucket) equi-join, and

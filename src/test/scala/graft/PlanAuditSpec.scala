@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q21_ann_topk", "q37_ann_topk_ivf", "q49_ann_topk_quantized",
     "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report",
     "q66_temperature_mix", // one-row totals table cross-joined broadcast
-    "q71_bm25_topk") // one-row corpus stats (n_docs, total_len) broadcast
+    "q71_bm25_topk", // one-row corpus stats (n_docs, total_len) broadcast
+    "q72_embed_cohesion") // |labels| centroid rows broadcast, as q56
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
