@@ -971,26 +971,35 @@ object SparkEntry {
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
-      // is rare). The rank window runs over the VOCABULARY (distinct
-      // tokens — bounded by language, not corpus), so the global
-      // window is legitimately tiny; the corpus-sized work is one
-      // hash aggregate.
+      // is rare). Scale shape: on a 100 TB web corpus the RAW-token
+      // vocabulary is itself corpus-scale (typo/unicode tail), so no
+      // stage may rank it globally. The only corpus-sized work here is
+      // one hash aggregate (token counts, memoized); the head is
+      // `orderBy … limit 25` — Catalyst plans TakeOrderedAndProject
+      // (per-partition heap, k·partitions rows to the driver, never a
+      // global sort); the grand total is a one-row aggregate over the
+      // same memoized counts; and the cumulative curve is folded over
+      // the 25 head rows on the driver (bounded by the constant k).
       "q70_vocab_coverage" -> ((s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val counts = table(s, dir, "documents")
-          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy(col("cnt").desc, col("tok"))
-        counts
-          .withColumn("k", row_number().over(w).cast("long"))
-          .withColumn("covered",
-            sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("total",
-            sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .filter(col("k").isin(1L, 5L, 10L, 25L))
-          .select(col("k"), col("covered"), col("total"),
-            (col("covered").cast("double") / col("total")).as("coverage"))
-          .orderBy("k")
+        val counts = graft.util.CacheRegistry.cache(
+          graft.util.CacheRegistry.key(table(s, dir, "documents"), "q70tokcnt"),
+          table(s, dir, "documents")
+            .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("cnt")))
+        val head = counts.orderBy(col("cnt").desc, col("tok")).limit(25)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (tok, cnt) => (-cnt, tok) } // re-assert head order
+        val total = counts.agg(sum(col("cnt")).cast("long").as("t"))
+          .first().getLong(0)
+        val ks = Set(1, 5, 10, 25)
+        var cum = 0L
+        val rows = head.iterator.zipWithIndex.flatMap { case ((_, cnt), i) =>
+          cum += cnt
+          if (ks(i + 1)) Some(((i + 1).toLong, cum, total, cum.toDouble / total))
+          else None
+        }.toVector
+        import s.implicits._
+        rows.toDF("k", "covered", "total", "coverage").orderBy("k")
       })
     )
   }

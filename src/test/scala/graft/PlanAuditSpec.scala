@@ -25,11 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   // q44 ranks k rows post top-k; q47's offset table is one row per range
   // partition; q61's cumsum runs over the value HISTOGRAM (distinct
   // lengths), never the corpus
-  // ... q70's rank/cumsum windows run over the VOCABULARY (distinct
-  // tokens — bounded by language, not corpus size)
   private val tinyGlobalWindowOk =
-    Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report",
-      "q70_vocab_coverage")
+    Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report")
 
   /** Physical plan with the AQE wrapper peeled (its children are fields,
     * not `children`, so a bare `collect` sees nothing under it). */
