@@ -1000,6 +1000,71 @@ object SparkEntry {
         }.toVector
         import s.implicits._
         rows.toDF("k", "covered", "total", "coverage").orderBy("k")
+      }),
+
+      // Streaming exact dedup, oracle-checked: the corpus plus a
+      // deterministic echo stream (every 5th doc's text re-emitted
+      // 33 + 300·(doc_id mod 11) s later under id = −doc_id) replays
+      // through Dedup.streamingExact in fixed 64-row event-time
+      // micro-batches. Echo gaps span 33..3033 s against a 600.25 s
+      // watermark horizon, so ~half the echoes are dropped as
+      // in-horizon duplicates and ~half are re-admitted after state
+      // eviction — both sides of the dropDuplicatesWithinWatermark
+      // state machine, across batches. Only one row per (fingerprint,
+      // batch) is fed because the engine's IN-batch pick is
+      // partition-order nondeterministic (that face is covered by
+      // StreamingDedupSpec). The driver-side feed is the MemoryStream
+      // replay harness, not a data path: production reads a real
+      // stream source and the operator's state stays bounded by
+      // ingest-rate × horizon regardless of corpus size.
+      "q73_streaming_dedup" -> ((s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val orig = base.zipWithIndex.map { case ((id, fp), i) =>
+          (id, fp, 10L * (i + 1)) }
+        val echoes = orig.collect { case (id, fp, pos) if id % 5 == 0 =>
+          (-id, fp, pos + 33 + 300 * (id % 11)) }
+        // micro-batch count capped at ~16: per-trigger machinery is the
+        // replay's cost, so batch size grows with the corpus (the
+        // oracle computes the same size from its own row count)
+        val batchRows = math.max(64L, (orig.size + echoes.size + 15L) / 16L)
+        val fed = (orig ++ echoes)
+          .sortBy { case (id, _, pos) => (pos, id) }
+          .zipWithIndex
+          .map { case ((id, fp, pos), idx) => (id, fp, pos, idx.toLong / batchRows) }
+          .groupBy { case (_, fp, _, b) => (fp, b) }
+          .map(_._2.minBy { case (id, _, pos, _) => (pos, id) })
+          .toVector
+
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Long)](s)
+        val stream = input.toDF().toDF("doc_id", "fp", "pos")
+          .withColumn("ts", timestamp_seconds(col("pos")))
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        val q = Dedup.streamingExact(stream, "ts", "600250 milliseconds", "fp")
+          .select("doc_id", "fp", "pos")
+          .writeStream.outputMode("append")
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            val rows = bdf.select("doc_id", "fp", "pos").collect()
+            kept.synchronized {
+              kept ++= rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            }
+            () // foreachBatch wants (DataFrame, Long) => Unit
+          }
+          .start()
+        try {
+          fed.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+            input.addData(rows.sortBy(r => (r._3, r._1))
+              .map { case (id, fp, pos, _) => (id, fp, pos) })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        kept.synchronized(kept.toVector)
+          .toDF("doc_id", "fp", "pos")
+          .orderBy("doc_id", "pos")
       })
     )
   }
@@ -1839,6 +1904,62 @@ object SparkEntry {
           SELECT rk AS k, cum AS covered, total,
                  CAST(cum AS DOUBLE) / total AS coverage
           FROM r WHERE rk IN (1, 5, 10, 25) ORDER BY k""",
+
+    // Replays the engine's micro-batch state machine exactly: batch
+    // assignment over (pos, doc_id) order, one fed row per
+    // (fingerprint, batch), watermark = running max fed event time of
+    // PRIOR batches minus the 600.25 s delay, state expiry = kept
+    // event time + delay, strict-< eviction (the 250 ms offset makes
+    // ties impossible, so < vs <= cannot diverge). The per-fingerprint
+    // keep/drop chain is a recursive CTE — the q24 device.
+    "q73_streaming_dedup" ->
+      """WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp,
+                   CAST(10 * ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) pos
+            FROM documents),
+          allr AS (
+            SELECT doc_id, fp, pos FROM doc
+            UNION ALL
+            SELECT -doc_id, fp, pos + 33 + 300 * (doc_id % 11)
+            FROM doc WHERE doc_id % 5 = 0),
+          bsz AS (SELECT GREATEST(64, (COUNT(*) + 15) // 16) bs FROM allr),
+          idx AS (
+            SELECT doc_id, fp, pos,
+                   CAST((ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1)
+                        // (SELECT bs FROM bsz) AS BIGINT) b
+            FROM allr),
+          fed AS (
+            SELECT doc_id, fp, pos, b
+            FROM idx
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp, b
+                                       ORDER BY pos, doc_id) = 1),
+          bmax AS (SELECT b, MAX(pos) mx FROM fed GROUP BY b),
+          wmrun AS (SELECT b, MAX(mx) OVER (ORDER BY b) mp FROM bmax),
+          wmprev AS (
+            SELECT b,
+                   GREATEST(COALESCE(LAG(mp) OVER (ORDER BY b), 0) * 1000
+                            - 600250, 0) wm
+            FROM wmrun),
+          occ AS (
+            SELECT doc_id, fp, pos, b,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY b)
+                        AS BIGINT) seq
+            FROM fed),
+          chain AS (
+            SELECT fp, seq, doc_id, pos, b, pos AS lastk, TRUE AS kept
+            FROM occ WHERE seq = 1
+            UNION ALL
+            SELECT o.fp, o.seq, o.doc_id, o.pos, o.b,
+                   CASE WHEN c.lastk * 1000 + 600250 < w.wm
+                        THEN o.pos ELSE c.lastk END,
+                   c.lastk * 1000 + 600250 < w.wm
+            FROM occ o
+            JOIN chain c ON o.fp = c.fp AND o.seq = c.seq + 1
+            JOIN wmprev w ON w.b = o.b)
+          SELECT doc_id, fp, pos FROM chain WHERE kept
+          ORDER BY doc_id, pos""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
