@@ -41,6 +41,65 @@ object Multimodal {
       channels: Int, features: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
+  /** The codec seam: decode a payload into geometry + a fixed-dim
+    * feature vector, or None for an undecodable blob (real pipelines
+    * drop corrupt media rather than fail the job). Implementations must
+    * be serializable — they ride the `mapPartitions` closure to
+    * executors. [[StubImageCodec]] is the deterministic oracle path
+    * (q25's DuckDB-replayable hash features); [[ImageIOCodec]] is a
+    * REAL decoder via the JDK's ImageIO (PNG/JPEG/BMP/GIF, zero added
+    * dependencies). A native build (libjpeg-turbo, ffmpeg) would sit
+    * behind this same trait in a provided-scoped module. */
+  trait ImageCodec extends Serializable {
+    def decode(payload: Array[Byte], meta: MediaMeta,
+        dim: Int): Option[(Int, Int, Int, Array[Float])]
+  }
+
+  /** Oracle path: always decodes, geometry from metadata, features from
+    * the payload hash — exactly [[StubCodec.decodeFeatures]]. */
+  object StubImageCodec extends ImageCodec {
+    def decode(payload: Array[Byte], meta: MediaMeta,
+        dim: Int): Option[(Int, Int, Int, Array[Float])] =
+      Some((meta.width, meta.height, 3, StubCodec.decodeFeatures(payload, dim)))
+  }
+
+  /** Real decoder over the JDK's `javax.imageio`: geometry and channel
+    * count come from the DECODED image (not the metadata), features are
+    * `dim` bucketed mean luminances over the raster in row-major order —
+    * deterministic, library-stable arithmetic (integer BT.601 luma).
+    * Undecodable payloads yield None and are dropped. */
+  object ImageIOCodec extends ImageCodec {
+    def decode(payload: Array[Byte], meta: MediaMeta,
+        dim: Int): Option[(Int, Int, Int, Array[Float])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val sum = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        val n = w.toLong * h
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val b = ((y.toLong * w + x) * dim / n).toInt
+            sum(b) += lum / 255.0f
+            cnt(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) { if (cnt(i) > 0) sum(i) /= cnt(i); i += 1 }
+        (w, h, im.getColorModel.getNumComponents, sum)
+      }
+    }
+  }
+
   /** ======== STUB ======== deterministic fake codec. A real build links
     * an image/audio library here; everything else in this file is
     * production plumbing. Decode output is a pure function of the payload
@@ -82,13 +141,15 @@ object Multimodal {
     * `mapInPandas` contract: Iterator→Iterator, constant memory). The
     * work is embarrassingly parallel — no shuffle is introduced; Spark's
     * input partitioning carries straight through. */
-  def decodeImages(media: DataFrame, featureDim: Int = 64): Dataset[DecodedImage] = {
+  def decodeImages(media: DataFrame, featureDim: Int = 64,
+      codec: ImageCodec = StubImageCodec): Dataset[DecodedImage] = {
     implicit val enc = Encoders.product[DecodedImage]
     implicit val mediaEnc = Encoders.product[Media]
     media.as[Media].mapPartitions { it =>
-      it.map { m =>
-        DecodedImage(m.media_id, m.meta.width, m.meta.height, 3,
-          StubCodec.decodeFeatures(m.payload, featureDim))
+      it.flatMap { m =>
+        codec.decode(m.payload, m.meta, featureDim).map {
+          case (w, h, c, f) => DecodedImage(m.media_id, w, h, c, f)
+        }
       }
     }
   }

@@ -71,4 +71,40 @@ class MultimodalSpec extends SparkSpec {
     assert(again.sortBy(_.window_idx).map(_.features.toSeq).toSeq ==
       win.sortBy(_.window_idx).map(_.features.toSeq).toSeq)
   }
+
+  test("ImageIOCodec decodes a real PNG through the decodeImages surface") {
+    import java.awt.image.BufferedImage
+    // two real PNGs encoded in-memory with the JDK, one corrupt payload
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(4, 3)((_, _) => 0xff0000)            // solid red
+    val grad = png(8, 1)((x, _) => x * 32 * 0x010101)  // left-dark gray ramp
+    val rows = Seq(
+      (10L, "image", red, (4, 3, 0, 1, "png")),
+      (11L, "image", grad, (8, 1, 0, 1, "png")),
+      (12L, "image", "not an image".getBytes("UTF-8"), (1, 1, 0, 1, "txt")))
+    val df = rows.toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"), struct(
+        col("m._1").as("width"), col("m._2").as("height"),
+        col("m._3").as("sample_rate"), col("m._4").as("n_frames"),
+        col("m._5").as("format")).as("meta"))
+    val out = Multimodal.decodeImages(df, 4, Multimodal.ImageIOCodec)
+      .collect().sortBy(_.media_id)
+    // corrupt payload dropped; geometry and channel count come from the
+    // DECODED image, not the metadata
+    assert(out.map(_.media_id).toSeq == Seq(10L, 11L))
+    assert(out(0).width == 4 && out(0).height == 3 && out(0).channels == 3)
+    // BT.601 integer luma of pure red = 255*299/1000 = 76
+    assert(out(0).features.forall(f => math.abs(f - 76 / 255.0f) < 1e-6))
+    // the gray ramp brightens left to right across the 4 buckets
+    val g = out(1).features
+    assert(out(1).width == 8 && g.length == 4 && g(0) < g(1) && g(1) < g(2) && g(2) < g(3))
+    // and the oracle path is untouched: stub still decodes everything
+    assert(Multimodal.decodeImages(df, 4).collect().length == 3)
+  }
 }
