@@ -1065,7 +1065,56 @@ object SparkEntry {
         kept.synchronized(kept.toVector)
           .toDF("doc_id", "fp", "pos")
           .orderBy("doc_id", "pos")
-      })
+      }),
+
+      // Sketch-path tolerance oracle (percentiles): approx_percentile's
+      // value is NOT engine-reproducible by design, so the contract
+      // output is the BOUND VERDICT — per (source, pct): stratum size
+      // and ok=1 iff the sketch value's exact rank interval
+      // [count(<)+1, count(<=)] overlaps the target rank ± the declared
+      // tolerance (2·n/accuracy + 1 at accuracy 100, i.e. twice the GK
+      // ε·n guarantee plus rank-convention slack). The oracle emits the
+      // same exact rows with ok=1, so any out-of-bounds sketch value
+      // hash-fails the gate. Exact values stay q45's job; this entry
+      // gates the 100 TB production path (one scan, mergeable sketch,
+      // broadcast of the |sources|×|pcts| sketch table for the rank
+      // probe — no sort, no window).
+      "q74_sketch_percentiles" -> ((s, dir) => {
+        val pcts = Seq(2500, 5000, 7500, 9000)
+        val data = table(s, dir, "documents")
+          .select(col("source"), length(col("text")).cast("long").as("v"))
+        val ap = graft.curation.Curation
+          .approxDistributionStats(data, "source", "v", pcts, accuracy = 100)
+        val tol = lit(2.0) * col("n") / lit(100) + lit(1.0)
+        data.join(broadcast(ap), "source")
+          .groupBy(col("source"), col("pct"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") <= col("value"), 1L).otherwise(0L)).as("le"),
+            sum(when(col("v") < col("value"), 1L).otherwise(0L)).as("lt"))
+          .select(col("source"), col("pct"), col("n"),
+            when((col("lt") + 1).cast("double") <= col("pct") * col("n") + tol &&
+                 col("le").cast("double") >= col("pct") * col("n") - tol,
+              1L).otherwise(0L).as("ok"))
+          .orderBy("source", "pct")
+      }),
+
+      // Sketch-path tolerance oracle (cardinality): HyperLogLog++
+      // approx_count_distinct at rsd 0.05 vs the exact distinct count,
+      // same verdict device — ok=1 iff |approx − exact| ≤ 3·rsd·exact
+      // + 1 (3σ of the declared relative standard deviation, +1 for
+      // tiny strata). Both counts ride one grouped aggregate; the HLL
+      // sketch is the only distinct count that survives 100 TB, the
+      // exact twin is its per-stratum audit.
+      "q75_sketch_cardinality" -> ((s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("source")
+          .agg(approx_count_distinct(col("text"), 0.05).as("approx"),
+            count_distinct(col("text")).as("n_distinct"))
+          .select(col("source"), col("n_distinct"),
+            when(abs(col("approx") - col("n_distinct")).cast("double") <=
+                 lit(0.15) * col("n_distinct") + lit(1.0), 1L)
+              .otherwise(0L).as("ok"))
+          .orderBy("source"))
     )
   }
 
@@ -1960,6 +2009,22 @@ object SparkEntry {
             JOIN wmprev w ON w.b = o.b)
           SELECT doc_id, fp, pos FROM chain WHERE kept
           ORDER BY doc_id, pos""",
+
+    // Tolerance-mode oracles: the sketch value itself is not
+    // engine-reproducible, so the contract row carries the exact
+    // stratum stats plus the bound verdict, and the oracle asserts the
+    // verdict is 1 everywhere — an out-of-bounds sketch hash-fails.
+    "q74_sketch_percentiles" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) n
+                    FROM documents GROUP BY source)
+         SELECT source, pct, n, CAST(1 AS BIGINT) AS ok
+         FROM s CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) p(pct)
+         ORDER BY source, pct""",
+
+    "q75_sketch_cardinality" ->
+      """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+                CAST(1 AS BIGINT) AS ok
+         FROM documents GROUP BY source ORDER BY source""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
