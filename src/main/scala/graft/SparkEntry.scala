@@ -612,25 +612,11 @@ object SparkEntry {
       // appear in NO other document (df == 1) — high novelty separates
       // genuinely fresh text from recombined boilerplate. Same inverted
       // shingle-hash index as the dedup family; df folds the gram table.
-      "q68_ngram_novelty" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        // grams are hashed to 60-bit longs BEFORE the df groupBy/join
-        // (house style: Curation.contamination) — the exchange ships an
-        // 8-byte key instead of the trigram text, ~8× narrower at corpus
-        // scale; df counts and the join are exact over the hash space.
-        val grams = docs.select(col("doc_id"),
-          explode(array_distinct(TextFunctions.shingles(col("text"), 3)))
-            .as("gs"))
-          .select(col("doc_id"), TextFunctions.hash60(col("gs")).as("g"))
-        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-        grams.join(df, "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-          .withColumn("novelty",
-            col("n_unique").cast("double") / col("n_grams"))
-          .orderBy("doc_id")
-      }),
+      // 60-bit gram-hash df join shared with the scale benches —
+      // see [[graft.curation.Curation.noveltyStats]]
+      "q68_ngram_novelty" -> ((s, dir) =>
+        graft.curation.Curation.noveltyStats(table(s, dir, "documents"))
+          .orderBy("doc_id")),
 
       // Temperature-scaled mixture (α = 0.5): strata sampled ∝ √count —
       // flattens the source mix toward uniform at an expected 25% of

@@ -102,6 +102,30 @@ object Curation {
       .filter(col("n_hits") > 0)
   }
 
+  /** Per-document n-gram novelty: the share of a document's distinct
+    * n-grams that appear nowhere else in the corpus — high novelty marks
+    * original text, low novelty marks boilerplate/templating. Grams are
+    * hashed to 60-bit longs BEFORE the df groupBy/join (the
+    * [[contamination]] device: the exchange ships an 8-byte key instead
+    * of the gram text, ~8× narrower at corpus scale); df counts and the
+    * join are exact over the hash space. Shared by SparkEntry's q68 and
+    * the scale benches so the measured shape IS the contract shape.
+    * Output: (id, n_grams, n_unique, novelty). */
+  def noveltyStats(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+          .as("gs"))
+      .select(col(idCol), TextFunctions.hash60(col("gs")).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent word tokens with total
     * occurrence count and document frequency — the frequency table a
     * tokenizer/vocab build or a stopword audit starts from. One shuffle:

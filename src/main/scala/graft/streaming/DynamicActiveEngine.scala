@@ -73,8 +73,18 @@ final class DynamicActiveEngine(
     val checkpointDir: Option[String] = None) {
 
   @volatile private var alertSink: Seq[Alert] => Unit = _ => ()
-  /** Register a callback for *fired* alerts (HAVING passed) per batch. */
+  /** Register a callback for *fired* alerts (HAVING passed) per batch.
+    * Delivery happens OUTSIDE the engine monitor (a slow or blocking
+    * sink cannot wedge micro-batch progress or the finalizer), which
+    * also means the batch path and a finalizer tick may each invoke the
+    * sink concurrently — implementations must be thread-safe. */
   def onAlerts(f: Seq[Alert] => Unit): this.type = { alertSink = f; this }
+
+  /** Count of wall-clock finalizer ticks that failed (compute OR
+    * delivery) — the observable form of the ticker's catch, so an
+    * operator can alarm on silent periodic-emission loss instead of
+    * watching stderr. */
+  val tickFailures = new java.util.concurrent.atomic.AtomicLong(0)
 
   // Cross-batch state: driver-held handles, data lives on executors.
   @volatile private var tail: Option[DataFrame] = None
@@ -90,17 +100,25 @@ final class DynamicActiveEngine(
       }
 
   /** One micro-batch of the loop; also the batch-replay entry (tests drive
-    * it directly). Synchronized with [[finalizeThrough]]: both advance the
-    * emit-once horizon, and the wall-clock finalizer runs on its own
-    * thread — serializing them is what keeps "a window never fires twice"
-    * true under concurrency (batches are already serial per query). */
-  private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = synchronized {
+    * it directly). Compute and state advance are synchronized with
+    * [[finalizeThrough]]: both advance the emit-once horizon, and the
+    * wall-clock finalizer runs on its own thread — serializing them is
+    * what keeps "a window never fires twice" true under concurrency
+    * (batches are already serial per query). Sink/ECA delivery happens
+    * AFTER the monitor is released (see [[onAlerts]]). */
+  private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = {
+    val delivery = synchronized { processBatchLocked(batch, tsCol) }
+    delivery.foreach { case (fired, rulesById) => deliver(fired, rulesById) }
+  }
+
+  private def processBatchLocked(batch: DataFrame,
+      tsCol: String): Option[(Seq[Alert], Map[Long, Rule])] = {
     if (store.consumeStateClear()) {
       tail.foreach(_.unpersist(false))
       tail = None
     }
     val rules = store.snapshot()
-    if (rules.isEmpty) return
+    if (rules.isEmpty) return None
 
     val fresh = FanOut.auto(batch, rules, tsCol).toDF()
       .withColumn("fresh", lit(true))
@@ -110,7 +128,7 @@ final class DynamicActiveEngine(
     }).persist()
     try {
       val curMaxRaw = combined.agg(max(col("tsMillis"))).head().get(0)
-      if (curMaxRaw == null) return
+      if (curMaxRaw == null) return None
       val curMax = math.max(curMaxRaw.asInstanceOf[Long], maxSeenTs)
 
       val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
@@ -146,7 +164,10 @@ final class DynamicActiveEngine(
         (perEventAlerts.toSeq ++
           (passthroughAlerts.toSeq ++ periodicAlerts.toSeq).map(_.as[Alert]))
           .reduceOption(_ unionByName _)
-      alerts.foreach(emitAndSpawn(_, rulesById))
+      // collect (a Spark action) under the monitor — emit-once depends on
+      // the horizon and the collected set advancing together; the sink
+      // and ECA spawn run after the monitor is released
+      val fired = alerts.map(collectFired).getOrElse(Seq.empty)
 
       emittedThrough = math.max(emittedThrough, curMax)
       maxSeenTs = curMax
@@ -167,6 +188,7 @@ final class DynamicActiveEngine(
       tail.foreach(_.unpersist(false))
       tail = Some(newTail)
       checkpointDir.foreach(saveCheckpoint(spark, _))
+      if (fired.nonEmpty) Some((fired, rulesById)) else None
     } finally combined.unpersist(false)
   }
 
@@ -179,38 +201,65 @@ final class DynamicActiveEngine(
     * `engine.finalizeThrough(System.currentTimeMillis() - allowedLateness)`
     * and a window whose source went quiet still emits. Event-time
     * emission in [[processBatch]] stays the primary path — this advances
-    * the same emit-once horizon, so a window never fires twice. */
-  def finalizeThrough(horizonMs: Long): Unit = synchronized {
-    if (horizonMs <= emittedThrough) return
-    // Never declare finality before the FIRST event: a ticker started
-    // against a source that has not delivered yet (slow start, replay
-    // about to feed historical event times) must not advance the
-    // horizon past windows whose events are still on their way — the
-    // reference's timers only exist per stateful key, so a key with no
-    // state has nothing to fire (DynamicQueryFunction.java:118-147).
-    // Once events HAVE been seen, advancing past an expired/empty tail
-    // is ordinary watermark passage.
-    if (maxSeenTs == Long.MinValue) return
-    val rules = store.snapshot()
-    val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
-    val loEnd = emittedThrough
-    // Advance the horizon BEFORE delivering: the ticker retries every
-    // period, so a sink/ECA failure after delivery must not re-collect
-    // the same windows next tick — on this path "a window never fires
-    // twice" outranks redelivery (the batch path keeps fail-stop
-    // semantics: a throw there kills the query, not a retry loop).
-    emittedThrough = horizonMs
-    (tail, periodic) match {
-      case (Some(t), p) if p.nonEmpty =>
-        val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
-        implicit val alertEnc = Encoders.product[Alert]
-        p.groupBy(r => (r.windowMilliseconds.get, slideOf(r)))
-          .values.toSeq
-          .map(group => evalPeriodic(t, group, loEnd, horizonMs))
-          .reduceOption(_ unionByName _)
-          .foreach(df => emitAndSpawn(df.as[Alert], rulesById))
-      case _ => ()
+    * the same emit-once horizon, so a window never fires twice.
+    *
+    * Failure semantics: window results are COLLECTED first and the
+    * horizon advances only after a successful collect — a transient
+    * compute failure leaves the horizon untouched, so the next tick
+    * retries the same windows. Once the horizon has advanced, a
+    * sink/ECA delivery failure is emit-once loss (counted in
+    * [[tickFailures]]), never a re-fire.
+    *
+    * Runaway-clock safety: the horizon is clamped to
+    * `maxSeenTs + max(window + slide)` over the live periodic rules.
+    * Every window that can still hold tail data ends at or before that
+    * bound, so nothing emittable is delayed — but a wall clock racing
+    * far ahead of event time (ingest lag, historical replay against the
+    * default `System.currentTimeMillis` clock) can no longer advance
+    * the emit-once horizon past event time and mass-suppress emission
+    * once the source resumes. */
+  def finalizeThrough(horizonMs: Long): Unit = {
+    val delivery = synchronized {
+      // Never declare finality before the FIRST event: a ticker started
+      // against a source that has not delivered yet (slow start, replay
+      // about to feed historical event times) must not advance the
+      // horizon past windows whose events are still on their way — the
+      // reference's timers only exist per stateful key, so a key with no
+      // state has nothing to fire (DynamicQueryFunction.java:118-147).
+      // Once events HAVE been seen, advancing within the clamp over an
+      // expired/empty tail is ordinary watermark passage.
+      if (maxSeenTs == Long.MinValue) None
+      else {
+        val rules = store.snapshot()
+        val periodic = rules.filter(r => !r.isPerEventEmission && !r.isPassthrough)
+        if (periodic.isEmpty) None
+        else {
+          val maxHz = periodic
+            .map(r => r.windowMilliseconds.get + slideOf(r)).max
+          val horizon = math.min(horizonMs, maxSeenTs + maxHz)
+          if (horizon <= emittedThrough) None
+          else {
+            val loEnd = emittedThrough
+            val fired = tail match {
+              case Some(t) =>
+                implicit val alertEnc = Encoders.product[Alert]
+                periodic.groupBy(r => (r.windowMilliseconds.get, slideOf(r)))
+                  .values.toSeq
+                  .map(group => evalPeriodic(t, group, loEnd, horizon))
+                  .reduceOption(_ unionByName _)
+                  .map(df => collectFired(df.as[Alert]))
+                  .getOrElse(Seq.empty)
+              case None => Seq.empty
+            }
+            // collect succeeded — advance the emit-once horizon now
+            emittedThrough = horizon
+            if (fired.isEmpty) None
+            else Some((fired, rules.flatMap(r => r.queryId.map(_ -> r)).toMap))
+          }
+        }
+      }
     }
+    delivery.foreach { case (fired, rulesById) => deliver(fired, rulesById) }
   }
 
   /** The reference's processing-time emission timer as an opt-in driver
@@ -235,20 +284,27 @@ final class DynamicActiveEngine(
     ex.scheduleAtFixedRate(
       () => try finalizeThrough(clock() - allowedLatenessMs)
         catch { case e: Throwable =>
-          // keep ticking (a throw would cancel the schedule), but never
-          // silently: the horizon already advanced, so this tick's
-          // windows are dropped, not retried (emit-once over redelivery)
+          // keep ticking (a throw would cancel the schedule). A compute
+          // failure left the horizon untouched, so those windows retry
+          // next tick; a delivery failure after the horizon advanced is
+          // emit-once loss. Either way it is counted, not just printed.
+          tickFailures.incrementAndGet()
           System.err.println(s"[graft] wall-clock finalizer tick failed: $e")
         },
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => { ex.shutdownNow(); () }
   }
 
-  /** Collect fired alerts (bounded), deliver to the sink, and run the ECA
-    * spawn step — shared by the per-batch path and [[finalizeThrough]]. */
-  private def emitAndSpawn(ds: Dataset[Alert],
-      rulesById: Map[Long, Rule]): Unit = {
-    val fired = ds.filter(_.passed).limit(maxFiredPerBatch).collect().toSeq
+  /** Collect fired alerts (bounded) — the Spark-action half, run under
+    * the engine monitor by both paths. */
+  private def collectFired(ds: Dataset[Alert]): Seq[Alert] =
+    ds.filter(_.passed).limit(maxFiredPerBatch).collect().toSeq
+
+  /** Deliver to the sink and run the ECA spawn step — run OUTSIDE the
+    * monitor so a blocking sink never wedges batch progress or the
+    * finalizer ([[RuleStore]] is internally synchronized, so the spawn
+    * merge is safe without the engine lock). */
+  private def deliver(fired: Seq[Alert], rulesById: Map[Long, Rule]): Unit = {
     alertSink(fired)
     val withFields = fired.map(a => (a, bindFields(a)))
     EcaLoop.processAlerts(rulesById, withFields, store, ids)

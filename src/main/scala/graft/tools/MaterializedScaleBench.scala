@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk complement to [[ScaleBench]]: the in-memory probe isolates
+  * algorithmic scaling (codegen/JIT cancel out of the ratio) but never
+  * pays real parquet scan + shuffle I/O at the larger volume. This one
+  * MATERIALIZES the replicated corpus to parquet first, then benches
+  * the five heaviest operators reading from disk in a fresh
+  * SparkSession (fresh file index, fresh plan cache), so the 1× vs N×
+  * ratio includes scan, decode and shuffle spill exactly as a cluster
+  * run would. Page cache stays warm between runs on one box — the
+  * measured I/O is decode + shuffle, which is what scales with data;
+  * cold-device read bandwidth is a cluster-provisioning constant, not
+  * an operator property.
+  *
+  * Usage: runMain graft.tools.MaterializedScaleBench [factor] [outDir]
+  */
+object MaterializedScaleBench {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def session(): SparkSession = {
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    // ---- phase 1: materialize both scales to parquet ----
+    locally {
+      val s = session()
+      ScaleCorpus.docsAt(s, dir, 1).write.mode("overwrite")
+        .parquet(s"$out/docs1")
+      ScaleCorpus.docsAt(s, dir, factor).write.mode("overwrite")
+        .parquet(s"$out/docs$factor")
+      ScaleCorpus.eventsAt(s, dir, 1).write.mode("overwrite")
+        .parquet(s"$out/events1")
+      ScaleCorpus.eventsAt(s, dir, factor).write.mode("overwrite")
+        .parquet(s"$out/events$factor")
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    // ---- phase 2: fresh session, everything read from disk ----
+    val spark = session()
+    def docs(k: Int): DataFrame = spark.read.parquet(s"$out/docs$k")
+    def events(k: Int): DataFrame = spark.read.parquet(s"$out/events$k")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val ops: Seq[(String, Int => Long)] = Seq(
+      ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
+      ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
+      ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
+      ("q68_novelty", k =>
+        graft.curation.Curation.noveltyStats(docs(k)).count()),
+      ("q24_cells", k => {
+        val e = events(k)
+          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
+          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
+          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
+          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
+        e.select(col("event_id"),
+          GeoFunctions.mapToGridCellsOnWay(col("lon"), col("lat"),
+            col("lon2"), col("lat2")).as("cells"))
+          .agg(sum(size(col("cells"))), count(lit(1))).head().getLong(1)
+      }))
+
+    val results = ops.map { case (name, run) =>
+      graft.util.CacheRegistry.releaseAll()
+      run(1) // warm pass: codegen + JIT, off the clock (I/O stays timed)
+      graft.util.CacheRegistry.releaseAll()
+      val (t1, r1) = time(run(1))
+      graft.util.CacheRegistry.releaseAll()
+      val (tn, rn) = time(run(factor))
+      graft.util.CacheRegistry.releaseAll()
+      def d(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      s""""$name":{"t1":${d(t1)},"rows1":$r1,"tN":${d(tn)},"rowsN":$rn,"ratio":${d(tn / t1)}}"""
+    }
+    println(s"""{"metric":"disk_scale_ratio","factor":$factor,"sf":"$dir","ops":{${results.mkString(",")}}}""")
+    spark.stop()
+  }
+}

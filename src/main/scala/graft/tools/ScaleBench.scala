@@ -22,15 +22,10 @@ import org.apache.spark.sql.functions._
   * measuring that would test the input, not the operator.
   */
 object ScaleBench {
-  private val Alphabets = Vector(
-    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxy",
-    "zbcdf", "eghij", "kmnop", "qrstu", "vwxyz",
-    "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd")
-
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    require(factor >= 1 && factor <= Alphabets.size,
-      s"factor in 1..${Alphabets.size}")
+    require(factor >= 1 && factor <= ScaleCorpus.Alphabets.size,
+      s"factor in 1..${ScaleCorpus.Alphabets.size}")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -39,22 +34,10 @@ object ScaleBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def docsAt(k: Int): DataFrame = {
-      val d0 = graft.sources.Tables.load(spark, dir, "documents")
-        .select("doc_id", "text", "source")
-      (0 until k).map(i => d0
-        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-        .withColumn("text", translate(col("text"), "aeiou", Alphabets(i))))
-        .reduce(_ unionByName _)
-    }
-    def eventsAt(k: Int): DataFrame = {
-      val e0 = graft.sources.Tables.load(spark, dir, "events")
-        .select("event_id", "user_id", "value")
-      (0 until k).map(i => e0
-        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
-        .reduce(_ unionByName _)
-    }
+    def docsAt(k: Int): DataFrame =
+      ScaleCorpus.docsAt(spark, dir, k)
+    def eventsAt(k: Int): DataFrame =
+      ScaleCorpus.eventsAt(spark, dir, k)
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
@@ -66,18 +49,9 @@ object ScaleBench {
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docsAt(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docsAt(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docsAt(k), 80).count()),
-      // mirrors SparkEntry's q68 (hash60 grams → df join); kept in sync
-      // by hand — if q68's shape changes there, change it here too
-      ("q68_novelty", k => {
-        val docs = docsAt(k)
-        val grams = docs.select(col("doc_id"),
-          explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))).as("gs"))
-          .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("gs")).as("g"))
-        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-        grams.join(df, "g").groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
-          .count()
-      }),
+      // the contract shape itself — shared helper, never a hand copy
+      ("q68_novelty", k =>
+        graft.curation.Curation.noveltyStats(docsAt(k)).count()),
       ("q24_cells", k => {
         val e = eventsAt(k)
           .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))

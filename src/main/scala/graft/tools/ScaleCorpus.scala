@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared similarity-preserving corpus replication for the scale
+  * probes ([[ScaleBench]] in-memory, [[MaterializedScaleBench]]
+  * on-disk): each document copy gets a distinct vowel-substitution
+  * alphabet, so copies of one document share almost no shingles and the
+  * near-duplicate structure within each copy matches the original
+  * corpus — naive duplication would grow the pair space quadratically
+  * by construction and measure the input, not the operator. */
+object ScaleCorpus {
+  val Alphabets: Vector[String] = Vector(
+    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxy",
+    "zbcdf", "eghij", "kmnop", "qrstu", "vwxyz",
+    "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd")
+
+  /** Offset applied to replicated doc_ids; real ids must stay below it
+    * or replicas would collide and corrupt the measured ratio. */
+  val IdOffset = 10000000L
+
+  def docsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= Alphabets.size, s"k in 1..${Alphabets.size}")
+    val d0 = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    if (k > 1) {
+      val maxId = d0.agg(max("doc_id")).head().getLong(0)
+      require(maxId < IdOffset,
+        s"doc_id $maxId >= $IdOffset: replica ids would collide")
+    }
+    (0 until k).map(i => d0
+      .withColumn("doc_id", col("doc_id") + lit(i.toLong * IdOffset))
+      .withColumn("text", translate(col("text"), "aeiou", Alphabets(i))))
+      .reduce(_ unionByName _)
+  }
+
+  def eventsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e0 = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "value")
+    (0 until k).map(i => e0
+      .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+  }
+}
