@@ -1100,7 +1100,72 @@ object SparkEntry {
             when(abs(col("approx") - col("n_distinct")).cast("double") <=
                  lit(0.15) * col("n_distinct") + lit(1.0), 1L)
               .otherwise(0L).as("ok"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // Bucketed storage round-trip: orders and customer are WRITTEN as
+      // bucketed tables (hash layout persisted on custkey — the shuffle
+      // a join needs, paid once at write), read back through the session
+      // catalog, joined and aggregated. The RESULT is the correctness
+      // face (the zero-exchange plan property is asserted in
+      // StorageSpec with broadcast disabled); the oracle is the plain
+      // relational join — bucketing must never change answers.
+      "q76_bucketed_join" -> ((s, dir) => {
+        import graft.sources.Tables
+        val tmp = "/tmp/graft_bucketed"
+        Tables.writeBucketed(
+          table(s, dir, "orders")
+            .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+          "graft_b_orders", "custkey", 8, Some(s"$tmp/orders"))
+        Tables.writeBucketed(
+          table(s, dir, "customer")
+            .select(col("c_custkey").as("custkey"), col("c_nationkey")),
+          "graft_b_customer", "custkey", 8, Some(s"$tmp/customer"))
+        s.table("graft_b_orders").join(s.table("graft_b_customer"), "custkey")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,6)")).cast("decimal(38,6)")
+              .cast("double").as("revenue"))
+          .orderBy("c_nationkey")
+      }),
+
+      // Audio decode windows: the q25 oracle device extended to the
+      // per-window face — the payload's FNV hash is rolled two more
+      // salt bytes (window_idx lo/hi) and expanded by the 13-step LCG;
+      // the oracle replays the exact integer arithmetic in DuckDB
+      // HUGEINT. Promotes the last multimodal spec-only face to a
+      // CORRECTNESS row: window explosion count, per-window salt, and
+      // feature derivation are all hash-checked.
+      "q77_audio_windows" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.syntheticMedia(
+          table(s, dir, "documents"), "doc_id", "text")
+        Multimodal.decodeAudio(media, featureDim = 13).toDF()
+          .withColumn("feat_ksum",
+            aggregate(col("features"), lit(0L),
+              (a, x) => a + round(x.cast("double") * 1000).cast("long")))
+          .select(col("media_id"), col("window_idx"), col("sample_rate"),
+            col("feat_ksum"))
+          .orderBy("media_id", "window_idx")
+      }),
+
+      // SQL registry face: the custom codegen CosineSimilarity
+      // expression reached through PURE SQL — GraftExtensions.register +
+      // spark.sql text, no DataFrame API in the query itself. The
+      // arithmetic is the q21-proven double path (round 4dp matches
+      // DuckDB bit-exactly); what this entry gates is the extension
+      // wiring: FunctionIdentifier registration, unresolved-function
+      // binding, and codegen through the SQL parser path.
+      "q78_sql_registry" -> ((s, dir) => {
+        graft.GraftExtensions.register(s)
+        table(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+        s.sql("""
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(cosine_sim(a.embedding, b.embedding), 4) AS cos
+          FROM graft_embeddings a
+          JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 50 = 0
+          ORDER BY a_id""")
+      })
     )
   }
 
@@ -2011,6 +2076,73 @@ object SparkEntry {
       """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
                 CAST(1 AS BIGINT) AS ok
          FROM documents GROUP BY source ORDER BY source""",
+
+    // Bucketing must never change answers: the oracle is the plain join.
+    "q76_bucketed_join" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                     AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // The q25 FNV/LCG HUGEINT replay, extended per window: the payload
+    // hash is rolled two salt bytes (window lo/hi) then expanded by the
+    // 13-step LCG; ksum = Σ (state >> 40) % 1000 over the 13 states.
+    "q77_audio_windows" ->
+      """WITH RECURSIVE hx AS (
+           SELECT doc_id, lower(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE doc_id % 3 = 1),
+         fnv AS (
+           SELECT doc_id, h, len, 0 AS i,
+                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
+           UNION ALL
+           SELECT doc_id, h, len, i + 1,
+                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
+                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+           FROM fnv WHERE i < len),
+         base AS (SELECT doc_id, acc FROM fnv WHERE i = len),
+         wins AS (
+           SELECT doc_id, acc, unnest(range(0, (doc_id % 300) + 1)) AS w
+           FROM base),
+         s1 AS (
+           SELECT doc_id, w,
+                  (xor(acc, CAST(w % 256 AS HUGEINT)) * 1099511628211)
+                    % CAST(18446744073709551616 AS HUGEINT) AS acc
+           FROM wins),
+         s2 AS (
+           SELECT doc_id, w,
+                  (xor(acc, CAST((w // 256) % 256 AS HUGEINT)) * 1099511628211)
+                    % CAST(18446744073709551616 AS HUGEINT) AS acc
+           FROM s1),
+         lcg AS (
+           SELECT doc_id, w, 0 AS j, acc AS st, CAST(0 AS HUGEINT) AS ksum
+           FROM s2
+           UNION ALL
+           SELECT doc_id, w, j + 1,
+                  (st * 6364136223846793005 + 1442695040888963407)
+                    % CAST(18446744073709551616 AS HUGEINT),
+                  ksum + CASE WHEN j = 0 THEN 0
+                              ELSE (st // CAST(1099511627776 AS HUGEINT)) % 1000 END
+           FROM lcg WHERE j <= 13),
+         k AS (SELECT doc_id, w, CAST(ksum AS BIGINT) AS feat_ksum
+               FROM lcg WHERE j = 14)
+         SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
+                CAST(16000 AS INT) AS sample_rate, feat_ksum
+         FROM k ORDER BY media_id, window_idx""",
+
+    // Same double arithmetic as the q21 cosine oracle (round 4dp).
+    "q78_sql_registry" ->
+      """WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS av
+                    FROM embeddings WHERE vec_id % 50 = 0),
+          b AS (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_dot_product(av, bv) /
+                      (sqrt(list_dot_product(av, av)) *
+                       sqrt(list_dot_product(bv, bv))), 4) AS cos
+         FROM a JOIN b ON b.vec_id = a.vec_id + 1
+         ORDER BY a_id""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

@@ -43,10 +43,13 @@ object Tables {
     * bucket (~128-512 MB each at scale), and both join sides must agree
     * on it. */
   def writeBucketed(df: DataFrame, name: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(name)
+    // explicit path → external table (data anchored there instead of the
+    // session warehouse dir, which defaults to the process CWD)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(name)
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
