@@ -1030,24 +1030,34 @@ object SparkEntry {
         val stream = input.toDF().toDF("doc_id", "fp", "pos")
           .withColumn("ts", timestamp_seconds(col("pos")))
         val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-        val q = Dedup.streamingExact(stream, "ts", "600250 milliseconds", "fp")
-          .select("doc_id", "fp", "pos")
-          .writeStream.outputMode("append")
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            val rows = bdf.select("doc_id", "fp", "pos").collect()
-            kept.synchronized {
-              kept ++= rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-            }
-            () // foreachBatch wants (DataFrame, Long) => Unit
-          }
-          .start()
+        // state-partition count sized to the replay, not the session:
+        // the dedup state store pays a commit per partition per batch,
+        // so 32 session partitions × ~16 batches is pure fixed cost for
+        // a corpus-scale state of a few thousand fingerprints. The
+        // partition count is fixed at stream start; the kept SET is
+        // partition-invariant (one fed row per fingerprint per batch).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
-          fed.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
-            input.addData(rows.sortBy(r => (r._3, r._1))
-              .map { case (id, fp, pos, _) => (id, fp, pos) })
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+          val q = Dedup.streamingExact(stream, "ts", "600250 milliseconds", "fp")
+            .select("doc_id", "fp", "pos")
+            .writeStream.outputMode("append")
+            .foreachBatch { (bdf: DataFrame, _: Long) =>
+              val rows = bdf.select("doc_id", "fp", "pos").collect()
+              kept.synchronized {
+                kept ++= rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+              }
+              () // foreachBatch wants (DataFrame, Long) => Unit
+            }
+            .start()
+          try {
+            fed.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+              input.addData(rows.sortBy(r => (r._3, r._1))
+                .map { case (id, fp, pos, _) => (id, fp, pos) })
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         kept.synchronized(kept.toVector)
           .toDF("doc_id", "fp", "pos")
           .orderBy("doc_id", "pos")
