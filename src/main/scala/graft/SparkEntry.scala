@@ -1158,6 +1158,31 @@ object SparkEntry {
           .orderBy("media_id", "window_idx")
       }),
 
+      // Partitioned storage round-trip (q76's device for the OTHER
+      // layout): documents written hive-partitioned by source, read
+      // back through a partition-column predicate — the scan prunes
+      // directories (PartitionFilters, asserted in StorageSpec); the
+      // oracle is the plain filtered aggregate, pinning that the
+      // partition layout never changes answers (values round-tripping
+      // through partition-directory STRINGS and back is exactly where
+      // a type-coercion bug would corrupt silently).
+      "q79_partitioned_read" -> ((s, dir) => {
+        import graft.sources.Tables
+        val tmp = "/tmp/graft_partitioned/documents"
+        Tables.writePartitioned(
+          table(s, dir, "documents").select("doc_id", "source", "text"),
+          tmp, Seq("source"))
+        val sources = table(s, dir, "documents")
+          .select("source").distinct().orderBy("source")
+          .collect().map(_.getString(0)).take(3)
+        s.read.parquet(tmp)
+          .filter(col("source").isin(sources: _*))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("total_chars"))
+          .orderBy("source")
+      }),
+
       // SQL registry face: the custom codegen CosineSimilarity
       // expression reached through PURE SQL — GraftExtensions.register +
       // spark.sql text, no DataFrame API in the query itself. The
@@ -2141,6 +2166,15 @@ object SparkEntry {
          SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
                 CAST(16000 AS INT) AS sample_rate, feat_ksum
          FROM k ORDER BY media_id, window_idx""",
+
+    // Partition layout must never change answers: plain filtered agg.
+    "q79_partitioned_read" ->
+      """WITH s3 AS (SELECT DISTINCT source FROM documents
+                     ORDER BY source LIMIT 3)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         FROM documents WHERE source IN (SELECT source FROM s3)
+         GROUP BY source ORDER BY source""",
 
     // Same double arithmetic as the q21 cosine oracle (round 4dp).
     "q78_sql_registry" ->
