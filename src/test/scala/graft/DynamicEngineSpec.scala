@@ -293,6 +293,43 @@ class DynamicEngineSpec extends SparkSpec {
     assert(fired.synchronized(fired.size) == 1)
   }
 
+  test("runaway finalizer clock cannot suppress future event-time windows (horizon clamp)") {
+    // The hazard: a wall-clock ticker against lagging/replayed event
+    // times used to advance the emit-once horizon arbitrarily far ahead,
+    // permanently suppressing every window the source would fill after
+    // catching up. The clamp bounds the advance to
+    // maxSeenTs + max(window + slide) over live periodic rules.
+    val rule = Rule(
+      queryId = Some(46L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      windowMilliseconds = Some(10000L)) // tumbling 10 s
+    val engine = new DynamicActiveEngine()
+    engine.store.merge(rule)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+
+    val base = 1700000000000L - (1700000000000L % 10000L)
+    runBatches(engine, Seq(Seq(ev(1, base + 1000, 10), ev(1, base + 2000, 20))))
+
+    // a wall clock 100 days ahead of event time ticks the finalizer:
+    // window 1 (has data) must emit; the horizon must NOT race ahead
+    engine.finalizeThrough(base + 100L * 86400000L)
+    assert(fired.synchronized(fired.toList).map(_.tsMillis) == List(base),
+      "window holding data finalizes even under a runaway clock")
+
+    // the source catches up: events land in window 3 and a later batch
+    // advances event time past its end — event-time emission must still
+    // work (pre-clamp, emittedThrough sat 100 days ahead and ate it)
+    runBatches(engine, Seq(
+      Seq(ev(1, base + 21000, 5), ev(1, base + 22000, 7)),
+      Seq(ev(1, base + 31000, 1))))
+    val got = fired.synchronized(fired.toList).map(a => (a.tsMillis, a.aggregate))
+    assert(got.contains((base + 20000, "12.000000")),
+      s"window after the clock jump still emits by event time: $got")
+  }
+
   test("driver restart recovers window state from the checkpoint (W5 fault tolerance)") {
     val rule = Rule(
       queryId = Some(40L),
