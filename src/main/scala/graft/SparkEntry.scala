@@ -1183,6 +1183,19 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+      // Engine-exact k-means refinement (two rounds, stride-100 init):
+      // all-integer micro-unit arithmetic makes the ITERATION itself
+      // reproducible, so the last algorithmic spec-only face gets a
+      // CORRECTNESS row — the oracle unrolls both rounds (assignment by
+      // exact integer squared distance, half-up integer means) in plain
+      // SQL. The float kMeansCentroids stays the production path; this
+      // is its exactness oracle (the sketch-path relationship, pointed
+      // the other way).
+      "q80_kmeans_exact" -> ((s, dir) =>
+        Similarity.kMeansCentroidsExact(
+            table(s, dir, "embeddings"), centroidStride = 100, iters = 2)
+          .orderBy("c_id", "pos")),
+
       // SQL registry face: the custom codegen CosineSimilarity
       // expression reached through PURE SQL — GraftExtensions.register +
       // spark.sql text, no DataFrame API in the query itself. The
@@ -2175,6 +2188,52 @@ object SparkEntry {
                 CAST(SUM(length(text)) AS BIGINT) AS total_chars
          FROM documents WHERE source IN (SELECT source FROM s3)
          GROUP BY source ORDER BY source""",
+
+    // Two unrolled k-means rounds in integer micro-units: quantize with
+    // floor(x*1e6 + 0.5) + 1e7 (positive domain, so // == Spark's div),
+    // assign by exact integer squared distance (ties to lower centroid
+    // id), means by the half-up (2s+n)//(2n) device, empty clusters
+    // keep their centroid.
+    "q80_kmeans_exact" ->
+      """WITH q AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)
+                       AS BIGINT) + 10000000 AS v
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS c_id, pos, v FROM q WHERE vec_id % 100 = 0),
+         d1 AS (SELECT q.vec_id, c.c_id,
+                       SUM((q.v - c.v) * (q.v - c.v)) AS dist
+                FROM q JOIN c0 c ON q.pos = c.pos
+                GROUP BY q.vec_id, c.c_id),
+         b1 AS (SELECT vec_id, c_id FROM (
+                  SELECT vec_id, c_id, ROW_NUMBER() OVER
+                    (PARTITION BY vec_id ORDER BY dist, c_id) rn FROM d1)
+                WHERE rn = 1),
+         m1 AS (SELECT b.c_id, q.pos,
+                       (2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*)) AS v
+                FROM b1 b JOIN q ON q.vec_id = b.vec_id
+                GROUP BY b.c_id, q.pos),
+         c1 AS (SELECT c0.c_id, c0.pos, COALESCE(m1.v, c0.v) AS v
+                FROM c0 LEFT JOIN m1
+                  ON m1.c_id = c0.c_id AND m1.pos = c0.pos),
+         d2 AS (SELECT q.vec_id, c.c_id,
+                       SUM((q.v - c.v) * (q.v - c.v)) AS dist
+                FROM q JOIN c1 c ON q.pos = c.pos
+                GROUP BY q.vec_id, c.c_id),
+         b2 AS (SELECT vec_id, c_id FROM (
+                  SELECT vec_id, c_id, ROW_NUMBER() OVER
+                    (PARTITION BY vec_id ORDER BY dist, c_id) rn FROM d2)
+                WHERE rn = 1),
+         m2 AS (SELECT b.c_id, q.pos,
+                       (2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*)) AS v
+                FROM b2 b JOIN q ON q.vec_id = b.vec_id
+                GROUP BY b.c_id, q.pos),
+         c2 AS (SELECT c1.c_id, c1.pos, COALESCE(m2.v, c1.v) AS v
+                FROM c1 LEFT JOIN m2
+                  ON m2.c_id = c1.c_id AND m2.pos = c1.pos)
+         SELECT c_id, CAST(pos AS INT) AS pos,
+                CAST(v - 10000000 AS BIGINT) AS m_e6
+         FROM c2 ORDER BY c_id, pos""",
 
     // Same double arithmetic as the q21 cosine oracle (round 4dp).
     "q78_sql_registry" ->

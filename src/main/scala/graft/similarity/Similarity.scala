@@ -203,6 +203,64 @@ object Similarity {
     cent
   }
 
+  /** Engine-exact k-means twin of [[kMeansCentroids]]: every quantity is
+    * integer, so the result is bit-reproducible across engines and the
+    * whole refinement becomes DuckDB-oracle-able — the device that keeps
+    * q56/q72's centroids exact, applied to the ITERATION itself.
+    *
+    *  - components quantize to micro-units with the engine-identical
+    *    `floor(x·1e6 + 0.5)`, then shift by +1e7 so every value (and
+    *    every mean numerator) is positive — integer division then
+    *    truncates identically in Spark (`div`, toward zero) and DuckDB
+    *    (`//`, toward −∞): the two only disagree on negatives;
+    *  - assignment is argmin of the exact integer squared distance
+    *    (offset cancels in differences; |diff| ≤ ~4e6 so the 64-dim sum
+    *    is far under Long range), ties to the lower centroid id;
+    *  - new means are the half-up integer `(2s+n) div (2n)` per
+    *    dimension (the repo's AVG device); empty clusters keep their
+    *    previous centroid, as the float path does.
+    *
+    * The float [[kMeansCentroids]] stays the production path (real
+    * deployments don't need quantized means); this twin is its
+    * correctness oracle, the same relationship the sketch paths have to
+    * their exact forms — just pointing the other way. Scale shape is
+    * identical: per-round broadcast of k centroids, one narrow
+    * (c_id, pos) shuffle for the means. Output: (c_id, pos, m_e6). */
+  def kMeansCentroidsExact(embeddings: DataFrame, centroidStride: Int,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val Off = 10000000L
+    val q = embeddings.select(col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long") +
+          lit(Off)).as("qv"))
+    var cent = q.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+    for (_ <- 1 to iters) {
+      val dist = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val assigned = q.join(broadcast(cent))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("c_id"), col("qv")),
+          struct(col("dist"), col("c_id"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.qv").as("qv"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos")
+        .agg(expr("(2 * sum(v) + count(v)) div (2 * count(v))").as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("nv"))
+      cent = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent.select(col("c_id"), posexplode(col("cv")).as(Seq("pos", "q")))
+      .select(col("c_id"), col("pos"), (col("q") - lit(Off)).as("m_e6"))
+  }
+
   /** Symmetric int8 quantization of a float vector: `q_i = floor(v_i /
     * s + 0.5)` with per-vector scale `s = max|v| / 127` — the standard
     * scalar-quantized ANN storage format (4× less memory/bandwidth than
