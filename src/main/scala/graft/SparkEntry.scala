@@ -975,15 +975,20 @@ object SparkEntry {
         val head = counts.orderBy(col("cnt").desc, col("tok")).limit(25)
           .collect().map(r => (r.getString(0), r.getLong(1)))
           .sortBy { case (tok, cnt) => (-cnt, tok) } // re-assert head order
-        val total = counts.agg(sum(col("cnt")).cast("long").as("t"))
+        // sum() over zero rows is NULL — coalesce so an empty corpus
+        // yields an empty curve instead of an NPE on getLong
+        val total = counts.agg(coalesce(sum(col("cnt")), lit(0L))
+            .cast("long").as("t"))
           .first().getLong(0)
         val ks = Set(1, 5, 10, 25)
         var cum = 0L
-        val rows = head.iterator.zipWithIndex.flatMap { case ((_, cnt), i) =>
-          cum += cnt
-          if (ks(i + 1)) Some(((i + 1).toLong, cum, total, cum.toDouble / total))
-          else None
-        }.toVector
+        val rows: Vector[(Long, Long, Long, Double)] =
+          if (total == 0L) Vector.empty
+          else head.iterator.zipWithIndex.flatMap { case ((_, cnt), i) =>
+            cum += cnt
+            if (ks(i + 1)) Some(((i + 1).toLong, cum, total, cum.toDouble / total))
+            else None
+          }.toVector
         import s.implicits._
         rows.toDF("k", "covered", "total", "coverage").orderBy("k")
       }),
@@ -1121,7 +1126,10 @@ object SparkEntry {
       // relational join — bucketing must never change answers.
       "q76_bucketed_join" -> ((s, dir) => {
         import graft.sources.Tables
-        val tmp = "/tmp/graft_bucketed"
+        // scratch path scoped to THIS Spark application so two
+        // concurrent runs on one machine never overwrite each other's
+        // bucket files mid-read (catalog names are already per-session)
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/bucketed"
         Tables.writeBucketed(
           table(s, dir, "orders")
             .select(col("o_custkey").as("custkey"), col("o_totalprice")),
@@ -1168,7 +1176,8 @@ object SparkEntry {
       // a type-coercion bug would corrupt silently).
       "q79_partitioned_read" -> ((s, dir) => {
         import graft.sources.Tables
-        val tmp = "/tmp/graft_partitioned/documents"
+        // per-application scratch path — same isolation rationale as q76
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/partitioned/documents"
         Tables.writePartitioned(
           table(s, dir, "documents").select("doc_id", "source", "text"),
           tmp, Seq("source"))

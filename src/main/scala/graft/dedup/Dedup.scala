@@ -318,14 +318,22 @@ object Dedup {
     * per duplicate cluster (and every unpaired document, as a singleton).
     * Output: (doc_id, cluster_id, cluster_size, keep). */
   def dedupClusters(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = minHashLshPairs(docs, n, k, bands, textCol, idCol)
-    val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
-    cc.select(col("id").as(idCol), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .withColumn("keep", col(idCol) === col("cluster_id"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // Memoized per (corpus plan, params): the CC fixpoint runs actions
+    // eagerly, so a second caller in the same session (the leakage-safe
+    // split hashing these clusters) would otherwise pay the full
+    // shingle + minhash + fixpoint pipeline again. The key embeds the
+    // docs plan's semantic hash, so two corpora (or two SF dirs) never
+    // alias one cluster table.
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "dedup-clusters", n, k, bands, textCol, idCol), {
+        val pairs = minHashLshPairs(docs, n, k, bands, textCol, idCol)
+        val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
+        cc.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .withColumn("keep", col(idCol) === col("cluster_id"))
+      })
 
   /** 32-bit SimHash over word tokens: per bit, sum +1/−1 weighted by token
     * occurrences; bit set where the sum is positive. Equal sketches =

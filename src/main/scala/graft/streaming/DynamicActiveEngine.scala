@@ -107,18 +107,30 @@ final class DynamicActiveEngine(
     * (batches are already serial per query). Sink/ECA delivery happens
     * AFTER the monitor is released (see [[onAlerts]]). */
   private[graft] def processBatch(batch: DataFrame, tsCol: String = "ts"): Unit = {
-    val delivery = synchronized { processBatchLocked(batch, tsCol) }
+    val (delivery, ckpt) = synchronized { processBatchLocked(batch, tsCol) }
     delivery.foreach { case (fired, rulesById) => deliver(fired, rulesById) }
+    // At-least-once on the fault-tolerant batch path: the checkpoint
+    // (which persists the advanced emit-once horizon) is written only
+    // AFTER sink/ECA delivery succeeded. A crash mid-delivery leaves the
+    // previous checkpoint's horizon on disk, so restoreCheckpoint
+    // re-emits this batch's alerts (duplicate delivery on recovery, the
+    // fail-stop trade) instead of silently losing them — the state
+    // values written are the locked section's snapshot, so a concurrent
+    // finalizer tick cannot smuggle ITS un-delivered horizon into this
+    // batch's checkpoint.
+    ckpt()
   }
 
+  private val noCkpt: () => Unit = () => ()
+
   private def processBatchLocked(batch: DataFrame,
-      tsCol: String): Option[(Seq[Alert], Map[Long, Rule])] = {
+      tsCol: String): (Option[(Seq[Alert], Map[Long, Rule])], () => Unit) = {
     if (store.consumeStateClear()) {
       tail.foreach(_.unpersist(false))
       tail = None
     }
     val rules = store.snapshot()
-    if (rules.isEmpty) return None
+    if (rules.isEmpty) return (None, noCkpt)
 
     val fresh = FanOut.auto(batch, rules, tsCol).toDF()
       .withColumn("fresh", lit(true))
@@ -128,7 +140,7 @@ final class DynamicActiveEngine(
     }).persist()
     try {
       val curMaxRaw = combined.agg(max(col("tsMillis"))).head().get(0)
-      if (curMaxRaw == null) return None
+      if (curMaxRaw == null) return (None, noCkpt)
       val curMax = math.max(curMaxRaw.asInstanceOf[Long], maxSeenTs)
 
       val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
@@ -187,8 +199,13 @@ final class DynamicActiveEngine(
         .localCheckpoint(true)
       tail.foreach(_.unpersist(false))
       tail = Some(newTail)
-      checkpointDir.foreach(saveCheckpoint(spark, _))
-      if (fired.nonEmpty) Some((fired, rulesById)) else None
+      // snapshot the post-batch state under the monitor; the WRITE runs
+      // after delivery (see processBatch) so a crash mid-delivery keeps
+      // the pre-batch checkpoint and recovery re-emits, never loses
+      val (ckptTail, ckptMax, ckptEmitted) = (tail, maxSeenTs, emittedThrough)
+      val ckpt: () => Unit = () =>
+        checkpointDir.foreach(writeCheckpoint(spark, _, ckptTail, ckptMax, ckptEmitted))
+      (if (fired.nonEmpty) Some((fired, rulesById)) else None, ckpt)
     } finally combined.unpersist(false)
   }
 
@@ -320,14 +337,25 @@ final class DynamicActiveEngine(
     * would target a transactional table (Delta/Iceberg) instead of a
     * parquet dir; the state being saved is identical. */
   def saveCheckpoint(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (t, m, e) = synchronized { (tail, maxSeenTs, emittedThrough) }
+    writeCheckpoint(spark, dir, t, m, e)
+  }
+
+  /** The write half of [[saveCheckpoint]], over an explicit state
+    * snapshot — the batch path snapshots under the monitor but writes
+    * after delivery (at-least-once), so the values must not be re-read
+    * from the mutable fields at write time. */
+  private def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tailSnap: Option[DataFrame],
+      maxSeen: Long, emitted: Long): Unit = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
-    tail match {
+    tailSnap match {
       case Some(t) => t.write.mode("overwrite").parquet(s"$dir/tail")
       case None    => ()
     }
     java.nio.file.Files.writeString(d.resolve("engine_state.txt"),
-      s"maxSeenTs=$maxSeenTs\nemittedThrough=$emittedThrough\nhasTail=${tail.nonEmpty}\n")
+      s"maxSeenTs=$maxSeen\nemittedThrough=$emitted\nhasTail=${tailSnap.nonEmpty}\n")
   }
 
   /** Restore state saved by [[saveCheckpoint]] into THIS engine (call

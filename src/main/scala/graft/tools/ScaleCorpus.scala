@@ -16,19 +16,23 @@ object ScaleCorpus {
     "zbcdf", "eghij", "kmnop", "qrstu", "vwxyz",
     "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd")
 
-  /** Offset applied to replicated doc_ids; real ids must stay below it
+  /** Offsets applied to replicated ids; real ids must stay below them
     * or replicas would collide and corrupt the measured ratio. */
   val IdOffset = 10000000L
+  val EventIdOffset = 100000000L
+  val UserIdOffset = 1000000L
+
+  private def guardMaxId(df: DataFrame, idCol: String, offset: Long): Unit = {
+    val maxId = df.agg(max(idCol)).head().getLong(0)
+    require(maxId < offset,
+      s"$idCol $maxId >= $offset: replica ids would collide")
+  }
 
   def docsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k >= 1 && k <= Alphabets.size, s"k in 1..${Alphabets.size}")
     val d0 = graft.sources.Tables.load(spark, dir, "documents")
       .select("doc_id", "text", "source")
-    if (k > 1) {
-      val maxId = d0.agg(max("doc_id")).head().getLong(0)
-      require(maxId < IdOffset,
-        s"doc_id $maxId >= $IdOffset: replica ids would collide")
-    }
+    if (k > 1) guardMaxId(d0, "doc_id", IdOffset)
     (0 until k).map(i => d0
       .withColumn("doc_id", col("doc_id") + lit(i.toLong * IdOffset))
       .withColumn("text", translate(col("text"), "aeiou", Alphabets(i))))
@@ -38,9 +42,13 @@ object ScaleCorpus {
   def eventsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e0 = graft.sources.Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "value")
+    if (k > 1) { // same collision guard as docsAt, for both replicated ids
+      guardMaxId(e0, "event_id", EventIdOffset)
+      guardMaxId(e0, "user_id", UserIdOffset)
+    }
     (0 until k).map(i => e0
-      .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-      .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .withColumn("event_id", col("event_id") + lit(i.toLong * EventIdOffset))
+      .withColumn("user_id", col("user_id") + lit(i.toLong * UserIdOffset)))
       .reduce(_ unionByName _)
   }
 }

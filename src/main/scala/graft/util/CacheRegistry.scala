@@ -35,5 +35,17 @@ object CacheRegistry {
     items.clear()
   }
 
+  /** Release every entry whose kind (the first `:`-separated key part,
+    * e.g. "shingles", "minhash-bands", "dedup-clusters") is NOT in
+    * `retainKinds`. Returns the number of entries released — lets a
+    * harness decide whether a GC pass is owed. */
+  def releaseExcept(retainKinds: Set[String]): Int = {
+    val victims = items.keySet.filter(k => !retainKinds.contains(k.takeWhile(_ != ':')))
+    victims.foreach { k =>
+      items.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    victims.size
+  }
+
   def size: Int = items.size
 }

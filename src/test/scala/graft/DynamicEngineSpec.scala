@@ -383,6 +383,60 @@ class DynamicEngineSpec extends SparkSpec {
     assert(restarted.last._2.startsWith("35"))
   }
 
+  test("checkpoint persists the horizon only after delivery succeeds (at-least-once)") {
+    // A periodic window's emission is gated by the checkpointed emit-once
+    // horizon, so checkpoint-before-delivery would turn a crash between
+    // the two into SILENT loss: the restored horizon suppresses the
+    // never-delivered window forever. The engine must write the
+    // checkpoint after the sink returns — a failed delivery keeps the
+    // previous horizon on disk and recovery re-emits (duplicate, not loss).
+    val rule = Rule(
+      queryId = Some(41L),
+      groupingKeyNames = Seq("carId"),
+      aggregateFieldName = Some("speed"),
+      aggregatorFunctionType = Some(AggregatorType.Sum),
+      limitOperatorType = Some(CompareOp.Greater),
+      limit = Some(BigDecimal(0)),
+      windowMilliseconds = Some(10000L),
+      frequencyMilliseconds = Some(10000L)) // tumbling 10 s
+    val base = 1700000000000L // aligned to the 10 s window grid
+    def batchDf(evs: (Int, Long, Double)*) =
+      evs.map { case (c, ts, sp) => (c, new java.sql.Timestamp(ts), sp) }
+        .toDF("carId", "ts", "speed")
+    val b1 = batchDf((1, base + 1000, 10), (1, base + 10500, 20))
+    val b2 = batchDf((1, base + 20500, 5))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-alo")
+    val engineA = new DynamicActiveEngine(checkpointDir = Some(ckpt.toString))
+    engineA.store.merge(rule)
+    @volatile var sinkUp = true
+    val firedA = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engineA.onAlerts { as =>
+      if (!sinkUp) throw new RuntimeException("sink down")
+      firedA.synchronized { firedA ++= as }
+    }
+    // batch 1 delivers fine: window [base, base+10s) fires (sum 10),
+    // checkpoint lands with horizon base+10.5s
+    engineA.processBatch(b1, "ts")
+    assert(firedA.synchronized(firedA.toList).map(_.aggregate).exists(_.startsWith("10")))
+    // batch 2: window [base+10s, base+20s) (sum 20) fires but the sink is
+    // down — the engine dies mid-delivery, BEFORE its checkpoint write
+    sinkUp = false
+    intercept[RuntimeException] { engineA.processBatch(b2, "ts") }
+
+    // recovery: a fresh engine restores the surviving checkpoint and
+    // replays batch 2 — the window the crash swallowed must RE-EMIT
+    val engineB = new DynamicActiveEngine()
+    engineB.store.merge(rule)
+    engineB.restoreCheckpoint(spark, ckpt.toString)
+    val firedB = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engineB.onAlerts(as => firedB.synchronized { firedB ++= as })
+    engineB.processBatch(b2, "ts")
+    val got = firedB.synchronized(firedB.toList).map(a => (a.tsMillis, a.aggregate))
+    assert(got.exists { case (ts, agg) => ts == base + 10000 && agg.startsWith("20") },
+      s"batch-2 window lost after recovery (at-most-once regression): $got")
+  }
+
   test("RuleStore save/load round-trips through the MERGE path") {
     val store = new RuleStore
     val rule = Rule(
