@@ -186,6 +186,155 @@ object Multimodal {
       }
   }
 
+  /** The audio codec seam, mirroring [[ImageCodec]]: `probe` parses the
+    * container header into (sampleRate, totalPcmFrames); `decodeRange`
+    * decodes frames `[start, start+len)` to channel-averaged mono floats
+    * in [-1, 1]. The range form is the scale-relevant part of the
+    * contract: PCM containers are frame-addressable, so a window's task
+    * decodes ONLY its slice instead of the whole clip — per-window cost
+    * stays O(window) no matter how long the recording is.
+    * Implementations must be serializable (they ride the `mapPartitions`
+    * closure). [[JavaSoundCodec]] is a REAL decoder over the JDK's
+    * `javax.sound.sampled` (WAV/AU/AIFF PCM, zero added dependencies);
+    * a native build (ffmpeg) would sit behind this same trait. */
+  trait AudioCodec extends Serializable {
+    def probe(payload: Array[Byte]): Option[(Int, Long)]
+    def decodeRange(payload: Array[Byte], start: Long, len: Int): Option[Array[Float]]
+  }
+
+  /** Real PCM decoder via the JDK's `javax.sound.sampled` — the
+    * [[ImageIOCodec]] move repeated for audio. Supports signed/unsigned
+    * 8- and 16-bit PCM, any channel count (channels are averaged to
+    * mono), both endiannesses. Undecodable or non-PCM payloads yield
+    * None and are dropped, like corrupt media in a real pipeline. */
+  object JavaSoundCodec extends AudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    private def open(payload: Array[Byte]) =
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+
+    def probe(payload: Array[Byte]): Option[(Int, Long)] =
+      try {
+        val s = open(payload)
+        try {
+          val n = s.getFrameLength
+          if (n >= 0) Some((s.getFormat.getSampleRate.toInt, n)) else None
+        } finally s.close()
+      } catch { case _: Exception => None }
+
+    def decodeRange(payload: Array[Byte], start: Long,
+        len: Int): Option[Array[Float]] =
+      try {
+        val s = open(payload)
+        try {
+          val f = s.getFormat
+          val signed = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = f.getSampleSizeInBits
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val ch = f.getChannels
+            val fsz = f.getFrameSize
+            // skip() may be partial (and may return 0 on some stream
+            // stacks) — fall back to draining reads so a mid-file start
+            // is still reached deterministically
+            var toSkip = start * fsz
+            val scratch = new Array[Byte](8192)
+            while (toSkip > 0) {
+              val sk = s.skip(toSkip)
+              if (sk > 0) toSkip -= sk
+              else {
+                val r = s.read(scratch, 0, math.min(toSkip, scratch.length.toLong).toInt)
+                if (r <= 0) toSkip = 0 else toSkip -= r
+              }
+            }
+            val buf = new Array[Byte](len * fsz)
+            var off = 0
+            var eof = false
+            while (off < buf.length && !eof) {
+              val r = s.read(buf, off, buf.length - off)
+              if (r < 0) eof = true else off += r
+            }
+            val nFrames = off / fsz
+            val out = new Array[Float](nFrames)
+            val big = f.isBigEndian
+            val bytesPer = bits / 8
+            var i = 0
+            while (i < nFrames) {
+              var sum = 0f
+              var c = 0
+              while (c < ch) {
+                val base = i * fsz + c * bytesPer
+                val v =
+                  if (bits == 8) {
+                    if (signed) buf(base) / 128f
+                    else ((buf(base) & 0xff) - 128) / 128f
+                  } else {
+                    val b0 = buf(base) & 0xff
+                    val b1 = buf(base + 1) & 0xff
+                    val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                    val sv = if (signed) raw.toShort.toInt else raw - 32768
+                    sv / 32768f
+                  }
+                sum += v
+                c += 1
+              }
+              out(i) = sum / ch
+              i += 1
+            }
+            Some(out)
+          }
+        } finally s.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Real-codec face of [[decodeAudio]]: fixed-length PCM windows
+    * decoded from the payload itself (window length = `windowMs` at the
+    * clip's OWN sample rate, from the container header — not the
+    * metadata). Same explode-then-decode distribution as the stub path:
+    * the probe is one cheap header parse per clip, the fan-out happens
+    * relationally, and the per-window DSP (range decode + features)
+    * lands after it — with [[AudioCodec.decodeRange]] seeking straight
+    * to the window's frame offset, so each window's task touches
+    * O(window) bytes. Features are `featureDim` bucketed mean absolute
+    * amplitudes over the window (row-major buckets — the audio analog
+    * of [[ImageIOCodec]]'s bucketed luma; deterministic arithmetic).
+    * Undecodable payloads are dropped; a final partial window is
+    * emitted (len < full window). No shuffle introduced. */
+  def decodeAudioPcm(media: DataFrame, windowMs: Int = 25,
+      featureDim: Int = 13,
+      codec: AudioCodec = JavaSoundCodec): Dataset[AudioWindow] = {
+    implicit val enc = Encoders.product[AudioWindow]
+    implicit val mediaEnc = Encoders.product[Media]
+    media.filter(col("kind") === "audio").as[Media].mapPartitions { it =>
+      it.flatMap { m =>
+        codec.probe(m.payload).iterator.flatMap { case (rate, total) =>
+          val wlen = math.max(1L, rate.toLong * windowMs / 1000)
+          val nWin = ((total + wlen - 1) / wlen).toInt
+          (0 until nWin).iterator.flatMap { w =>
+            val startF = w.toLong * wlen
+            val lenF = math.min(wlen, total - startF).toInt
+            codec.decodeRange(m.payload, startF, lenF).map { samples =>
+              val sum = new Array[Float](featureDim)
+              val cnt = new Array[Int](featureDim)
+              val n = math.max(samples.length, 1)
+              var i = 0
+              while (i < samples.length) {
+                val b = (i.toLong * featureDim / n).toInt
+                sum(b) += math.abs(samples(i))
+                cnt(b) += 1
+                i += 1
+              }
+              var j = 0
+              while (j < featureDim) { if (cnt(j) > 0) sum(j) /= cnt(j); j += 1 }
+              AudioWindow(m.media_id, w, rate, sum)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Resize: recompute features at the target geometry. STUB semantics:
     * features re-derived from payload + target size (deterministic);
     * real semantics: decode → resample → re-encode. Same plumbing. */

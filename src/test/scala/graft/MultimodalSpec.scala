@@ -107,4 +107,79 @@ class MultimodalSpec extends SparkSpec {
     // and the oracle path is untouched: stub still decodes everything
     assert(Multimodal.decodeImages(df, 4).collect().length == 3)
   }
+
+  test("JavaSoundCodec decodes real WAV PCM into sample-accurate windows") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // in-memory WAV writer: 16-bit signed little-endian PCM
+    def wav(samples: Array[Short], rate: Float, channels: Int): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono ramp: 1000 frames at 8 kHz; 50 ms windows → 400 frames/window
+    // → windows of 400, 400, 200 (final partial emitted)
+    val monoSamples = Array.tabulate[Short](1000)(i => ((i % 200 - 100) * 300).toShort)
+    val mono = wav(monoSamples, 8000f, 1)
+    // stereo: L/R averaged to mono; L = 12000, R = -4000 → mean 4000
+    val stereoSamples = Array.tabulate[Short](160 * 2)(i =>
+      if (i % 2 == 0) 12000.toShort else (-4000).toShort)
+    val stereo = wav(stereoSamples, 16000f, 2)
+    val rows = Seq(
+      (20L, "audio", mono, (0, 0, 8000, 0, "wav")),
+      (21L, "audio", stereo, (0, 0, 16000, 0, "wav")),
+      (22L, "audio", "not a wav".getBytes("UTF-8"), (0, 0, 0, 0, "txt")))
+    val df = rows.toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"), struct(
+        col("m._1").as("width"), col("m._2").as("height"),
+        col("m._3").as("sample_rate"), col("m._4").as("n_frames"),
+        col("m._5").as("format")).as("meta"))
+    val out = Multimodal.decodeAudioPcm(df, windowMs = 50, featureDim = 4)
+      .collect().sortBy(w => (w.media_id, w.window_idx))
+    // corrupt payload dropped; window count and sample rate come from the
+    // DECODED container, not the metadata
+    val byId = out.groupBy(_.media_id)
+    assert(byId.keySet == Set(20L, 21L))
+    assert(byId(20L).map(_.window_idx).toSeq == Seq(0, 1, 2))
+    assert(byId(20L).forall(_.sample_rate == 8000))
+    // 16 kHz × 50 ms = 800 frames/window; the 160-frame clip is one
+    // partial window
+    assert(byId(21L).map(_.window_idx).toSeq == Seq(0))
+    // sample accuracy: recompute the expected features with the same
+    // bucketed mean-|amplitude| arithmetic from the known PCM values
+    def expected(samples: Seq[Short], dim: Int): Seq[Float] = {
+      val fl = samples.map(_ / 32768f)
+      val sum = new Array[Float](dim); val cnt = new Array[Int](dim)
+      val n = fl.length
+      fl.zipWithIndex.foreach { case (v, i) =>
+        val b = (i.toLong * dim / n).toInt
+        sum(b) += math.abs(v); cnt(b) += 1
+      }
+      (0 until dim).map(j => if (cnt(j) > 0) sum(j) / cnt(j) else 0f)
+    }
+    val w2 = byId(20L).find(_.window_idx == 2).get // the 200-frame partial
+    val exp2 = expected(monoSamples.slice(800, 1000).toSeq, 4)
+    w2.features.toSeq.zip(exp2).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-6f, s"partial-window feature $a vs $e") }
+    val w0 = byId(20L).find(_.window_idx == 0).get
+    val exp0 = expected(monoSamples.slice(0, 400).toSeq, 4)
+    w0.features.toSeq.zip(exp0).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-6f) }
+    // stereo channel averaging: |mean(12000, -4000)| / 32768 everywhere
+    val s0 = byId(21L).head
+    assert(s0.features.forall(f => math.abs(f - 4000f / 32768f) < 1e-6f))
+    // determinism: a second run reproduces the features bit-for-bit
+    val again = Multimodal.decodeAudioPcm(df, windowMs = 50, featureDim = 4)
+      .collect().sortBy(w => (w.media_id, w.window_idx))
+    assert(again.map(_.features.toSeq).toSeq == out.map(_.features.toSeq).toSeq)
+  }
 }
