@@ -494,6 +494,69 @@ class DynamicEngineSpec extends SparkSpec {
       s"file-sourced rule fired: $got")
   }
 
+  test("rule ingest across a real process boundary (S1 transport face)") {
+    // The reference's S1 is rules arriving from OUTSIDE the engine's
+    // process (a Kafka topic, App.java:34-43); its own S2 alternative is
+    // tailing a file another process writes (RuleFromFile.java:15-43).
+    // This drives that exact shape with no broker: a SEPARATE OS process
+    // (/bin/sh) produces rule JSON files into a directory the running
+    // engine tails via readStream.text — same seam, real process
+    // boundary, multiple files over time (tailing, not a one-shot load),
+    // ending with a control command through the same transport.
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xproc").toFile
+    val engine = new DynamicActiveEngine()
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    engine.onAlerts(as => fired.synchronized { fired ++= as })
+    val ruleQ = RuleFileSource.attach(spark, engine.store, dir.getAbsolutePath,
+      Trigger.ProcessingTime("100 milliseconds"))
+    val input = MemoryStream[Ev](spark)
+    val q = engine.writer(input.toDF(), "ts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def extWrite(name: String, json: String): Unit = {
+      // write via a child process + atomic rename so the file source
+      // never observes a half-written file (the reference's file feed
+      // has the same whole-line guarantee from Flink's text format)
+      val tmp = new java.io.File(dir, s".$name.tmp")
+      val cmd = Seq("/bin/sh", "-c",
+        s"printf '%s\\n' '$json' > '${tmp.getAbsolutePath}' && " +
+          s"mv '${tmp.getAbsolutePath}' '${new java.io.File(dir, name).getAbsolutePath}'")
+      assert(cmd.! == 0, s"external writer process failed for $name")
+    }
+    try {
+      val base = 1700000000000L
+      extWrite("r1.json",
+        """{"queryId":91,"groupingKeyNames":["carId"],""" +
+          """"aggregateFieldName":"speed","aggregatorFunctionType":"MAX",""" +
+          """"limitOperatorType":">","limit":50,""" +
+          """"windowMilliseconds":60000,"frequencyMilliseconds":0}""")
+      ruleQ.processAllAvailable()
+      assert(engine.store.size == 1, "externally-produced rule merged")
+      input.addData(ev(7, base, 88)); q.processAllAvailable()
+      // a SECOND file later proves tailing: the source keeps listing
+      extWrite("r2.json",
+        """{"queryId":92,"groupingKeyNames":["carId"],""" +
+          """"aggregateFieldName":"speed","aggregatorFunctionType":"MIN",""" +
+          """"limitOperatorType":"<","limit":5,""" +
+          """"windowMilliseconds":60000,"frequencyMilliseconds":0}""")
+      ruleQ.processAllAvailable()
+      assert(engine.store.size == 2, "second external file activates live")
+      input.addData(ev(7, base + 1000, 2)); q.processAllAvailable()
+      // C7 control command over the same transport: targeted delete
+      extWrite("r3.json", """{"queryId":91,"queryState":"DELETE"}""")
+      ruleQ.processAllAvailable()
+      assert(engine.store.size == 1 &&
+        engine.store.snapshot().flatMap(_.queryId) == Seq(92L),
+        "DELETE command delivered across the process boundary")
+    } finally { q.stop(); ruleQ.stop() }
+    val got = fired.synchronized(fired.toList)
+    assert(got.exists(a => a.ruleId == 91L && a.aggregate.startsWith("88")),
+      s"externally-fed MAX rule fired: $got")
+    assert(got.exists(a => a.ruleId == 92L && a.aggregate.startsWith("2")),
+      s"externally-fed MIN rule fired after live activation: $got")
+  }
+
   test("attachLines takes any line-shaped stream — the Kafka face (S1/S6)") {
     // The broker-backed deployment is `kafka source → CAST(value AS
     // STRING) → attachLines` (RuleFileSource scaladoc). This exercises
