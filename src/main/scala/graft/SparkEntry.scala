@@ -1222,6 +1222,32 @@ object SparkEntry {
           JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
           WHERE a.vec_id % 50 = 0
           ORDER BY a_id""")
+      }),
+
+      // Second SQL-registry consumer: the codegen GridCellsOnWay
+      // expression through pure spark.sql text — grid-cell visit
+      // hotspots over every event's start→end walk (explode the cell
+      // array, count per cell, top 20 with a total tie-break order).
+      // q78 proved the extension wiring for a scalar binary function;
+      // this gates the quaternary array-producing one plus
+      // explode-over-a-registered-function through the SQL parser
+      // path. Scale shape: one scan, the walk is per-row codegen, the
+      // aggregate is one hash shuffle on cell — top-k via
+      // TakeOrderedAndProject.
+      "q81_sql_cell_hotspots" -> ((s, dir) => {
+        graft.GraftExtensions.register(s)
+        events(s, dir).createOrReplaceTempView("graft_events")
+        s.sql("""
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_visits
+          FROM (
+            SELECT explode(grid_cells_on_way(
+                     -74.05 + value/1000.0, 40.5 + value/500.0,
+                     -74.05 + CAST(user_id % 30 AS DOUBLE)/100.0,
+                     40.5 + CAST(user_id % 20 AS DOUBLE)/50.0)) AS cell
+            FROM graft_events)
+          GROUP BY cell
+          ORDER BY n_visits DESC, cell
+          LIMIT 20""")
       })
     )
   }
@@ -2255,6 +2281,60 @@ object SparkEntry {
                        sqrt(list_dot_product(bv, bv))), 4) AS cos
          FROM a JOIN b ON b.vec_id = a.vec_id + 1
          ORDER BY a_id""",
+
+    // The q24 recursive-CTE slope walk, re-aggregated: every walk row IS
+    // one visited cell, so hotspot counts are a GROUP BY over the same
+    // CTE (identical IEEE doubles → identical cells → identical counts).
+    // Total tie-break (n_visits DESC, cell) makes LIMIT 20 deterministic.
+    "q81_sql_cell_hotspots" ->
+      """WITH RECURSIVE seg AS (
+           SELECT event_id,
+                  CAST(floor((abs(-74.05) - abs(-74.05 + value/1000.0))/0.0014) AS INT) AS xa,
+                  CAST(floor((41.0 - (40.5 + value/500.0))/0.00125) AS INT) AS ya,
+                  CAST(floor((abs(-74.05) - abs(-74.05 + (user_id % 30)::DOUBLE/100.0))/0.0014) AS INT) AS xb,
+                  CAST(floor((41.0 - (40.5 + (user_id % 20)::DOUBLE/50.0))/0.00125) AS INT) AS yb
+           FROM events),
+         s3 AS (
+           SELECT event_id,
+                  CASE WHEN xa <= xb THEN xa ELSE xb END AS startX,
+                  CASE WHEN xa <= xb THEN ya ELSE yb END AS startY,
+                  CASE WHEN xa <= xb THEN xb ELSE xa END AS endX,
+                  CASE WHEN xa <= xb THEN yb ELSE ya END AS endY,
+                  ((CASE WHEN xa <= xb THEN yb ELSE ya END) -
+                   (CASE WHEN xa <= xb THEN ya ELSE yb END)) /
+                  (((CASE WHEN xa <= xb THEN xb ELSE xa END) -
+                    (CASE WHEN xa <= xb THEN xa ELSE xb END)) + 0.00000001) AS slope
+           FROM seg),
+         walk AS (
+           SELECT event_id, startX, startY, endX, endY, slope,
+                  startX AS curX, startY AS curY, 0 AS n
+           FROM s3
+           UNION ALL
+           SELECT event_id, startX, startY, endX, endY, slope,
+                  curX + CASE WHEN slope > 0 THEN
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest < curY THEN 1 ELSE 0 END
+                         ELSE
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest > curY THEN 1 ELSE 0 END END,
+                  curY + CASE WHEN slope > 0 THEN
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
+                                WHEN yest < curY THEN 0 ELSE 1 END
+                         ELSE
+                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN -1
+                                WHEN yest > curY THEN 0 ELSE -1 END END,
+                  n + 1
+           FROM (SELECT *, CASE WHEN slope > 0
+                   THEN (curX - startX + 0.5) * slope + startY - 0.5
+                   ELSE (curX - startX + 0.5) * slope + startY + 0.5 END AS yest
+                 FROM walk) w
+           WHERE (curX < endX OR curY != endY) AND n < 100000)
+         SELECT CAST(curX + curY*250 AS INT) AS cell,
+                CAST(COUNT(*) AS BIGINT) AS n_visits
+         FROM walk
+         GROUP BY 1
+         ORDER BY n_visits DESC, cell
+         LIMIT 20""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
