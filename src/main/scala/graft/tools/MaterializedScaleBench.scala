@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * cold-device read bandwidth is a cluster-provisioning constant, not
   * an operator property.
   *
-  * Usage: runMain graft.tools.MaterializedScaleBench [factor] [outDir]
+  * Usage: runMain graft.tools.MaterializedScaleBench [factor] [outDir] [ops]
+  * (`ops` = comma-separated op-name filter, e.g. at the 30× decade only
+  * the heavy trio is worth the disk: q18_jaccard,q43_clusters,q68_novelty)
   */
 object MaterializedScaleBench {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def session(): SparkSession = {
@@ -79,14 +82,20 @@ object MaterializedScaleBench {
           .agg(sum(size(col("cells"))), count(lit(1))).head().getLong(1)
       }))
 
-    val results = ops.map { case (name, run) =>
-      graft.util.CacheRegistry.releaseAll()
+    // release + COLLECT between timed regions: ProfileQ68 measured the
+    // probe's q68 sample at 42 s where the isolated run is 6.7 s — the
+    // released predecessor caches' GC debt was landing inside the next
+    // timed region, the exact mechanism ProfileQ26 pinned in the bench
+    // (Bench.exec collects outside the clock for the same reason)
+    def release(): Unit = { graft.util.CacheRegistry.releaseAll(); System.gc() }
+    val results = ops.filter(o => only.forall(_.contains(o._1))).map { case (name, run) =>
+      release()
       run(1) // warm pass: codegen + JIT, off the clock (I/O stays timed)
-      graft.util.CacheRegistry.releaseAll()
+      release()
       val (t1, r1) = time(run(1))
-      graft.util.CacheRegistry.releaseAll()
+      release()
       val (tn, rn) = time(run(factor))
-      graft.util.CacheRegistry.releaseAll()
+      release()
       def d(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       s""""$name":{"t1":${d(t1)},"rows1":$r1,"tN":${d(tn)},"rowsN":$rn,"ratio":${d(tn / t1)}}"""
     }

@@ -14,7 +14,14 @@ object ScaleCorpus {
   val Alphabets: Vector[String] = Vector(
     "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxy",
     "zbcdf", "eghij", "kmnop", "qrstu", "vwxyz",
-    "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd")
+    "abcde", "fghij", "klmno", "pqrst", "uvwxy", "zabcd",
+    // extension to 32 distinct substitutions for the 30× decade probe —
+    // same property as the first 16: each copy's vowel mapping differs
+    // from every other copy's, so cross-copy shingle collisions stay
+    // negligible and the pair space grows linearly, not quadratically
+    "bdfhj", "cegik", "lnprt", "mosuw", "vxzbd",
+    "cfilo", "drugx", "egjmp", "hkntw", "iqyce",
+    "jslvz", "kotxb", "lpuyd", "mqvze", "nrwaf", "osbgh")
 
   /** Offsets applied to replicated ids; real ids must stay below them
     * or replicas would collide and corrupt the measured ratio. */
