@@ -68,16 +68,21 @@ object ScaleBench {
         r.getLong(1)
       }))
 
+    // release + collect OFF the clock — without the collection the
+    // released caches' GC debt lands inside the next timed region
+    // (ProfileQ68 measured 6× inflation in the on-disk probe; same fix
+    // as Bench.exec and MaterializedScaleBench)
+    def release(): Unit = { graft.util.CacheRegistry.releaseAll(); System.gc() }
     val out = ops.map { case (name, run) =>
       // warm pass first (compile + JIT), then measured 1x, then measured Nx;
       // caches dropped between scales so each measures a fresh corpus
-      graft.util.CacheRegistry.releaseAll()
+      release()
       run(1)
-      graft.util.CacheRegistry.releaseAll()
+      release()
       val (t1, r1) = time(run(1))
-      graft.util.CacheRegistry.releaseAll()
+      release()
       val (tn, rn) = time(run(factor))
-      graft.util.CacheRegistry.releaseAll()
+      release()
       // Locale.ROOT: comma-decimal JVM locales would break the JSON line
       def d(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       s""""$name":{"t1":${d(t1)},"rows1":$r1,"tN":${d(tn)},"rowsN":$rn,"ratio":${d(tn / t1)}}"""
