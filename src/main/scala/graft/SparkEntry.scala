@@ -1248,6 +1248,34 @@ object SparkEntry {
           GROUP BY cell
           ORDER BY n_visits DESC, cell
           LIMIT 20""")
+      }),
+
+      // PII redaction audit: the synthetic corpus carries no natural
+      // PII, so the query plants a deterministic email + IP + phone
+      // per document (same string arithmetic on both sides) and then
+      // redacts — every row exercises all three patterns, and the
+      // md5 of the full redacted text makes ANY regex-semantics
+      // divergence between engines a hash failure, not a silent
+      // partial match. One scan, no shuffle (the redaction is pure
+      // codegen'd column work; only the final presentation sort
+      // exchanges).
+      "q82_pii_redaction" -> ((s, dir) => {
+        val salted = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10."),
+            pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(200L)).cast("string"),
+            lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+            lit("-1234 done")).as("text"))
+        graft.curation.Curation.redactPii(salted)
+          .select(col("doc_id"),
+            col("n_emails").cast("long").as("n_emails"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("n_phones").cast("long").as("n_phones"),
+            md5(col("text")).as("red_md5"))
+          .orderBy("doc_id")
       })
     )
   }
@@ -2335,6 +2363,37 @@ object SparkEntry {
          GROUP BY 1
          ORDER BY n_visits DESC, cell
          LIMIT 20""",
+
+    // Same RE2-safe patterns (no lookaround, so Java and RE2 agree),
+    // same email→IP→phone replacement order, counts pre-redaction;
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default.
+    "q82_pii_redaction" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@mail.example.com or 10.'
+                       || (doc_id % 256) || '.0.' || (doc_id % 200)
+                       || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-1234 done' AS text
+           FROM documents),
+         red AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS rtext
+           FROM salted)
+         SELECT doc_id,
+                CAST(n_emails AS BIGINT) AS n_emails,
+                CAST(n_ips AS BIGINT) AS n_ips,
+                CAST(n_phones AS BIGINT) AS n_phones,
+                md5(rtext) AS red_md5
+         FROM red ORDER BY doc_id""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

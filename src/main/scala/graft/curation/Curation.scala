@@ -430,4 +430,35 @@ object Curation {
         floor((col("start_offset") + col("n_tokens") - 1) / lit(maxTokens)))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
+
+  /** PII scrubbing — the standard redaction pass a training corpus gets
+    * before anything else reads it: emails, dotted-quad IPs and
+    * NNN-NNN-NNNN phone numbers are replaced with sentinel tags, with
+    * per-document match counts reported (the audit trail a compliance
+    * review wants). Patterns are deliberately RE2-safe (character
+    * classes, bounded repetition, `\b` — no lookaround), so the same
+    * regex text runs identically on Spark's Java engine, RE2-based
+    * engines (DuckDB, Go tooling) and GPU regex libraries; email is
+    * redacted first so an address's host part can never be re-matched
+    * as an IP fragment. Pure `regexp_count`/`regexp_replace` column
+    * expressions: codegen'd, one scan, no shuffle — at 100 TB this is
+    * scan-bound, exactly as cheap as a filter.
+    *
+    * Output: the input schema with `textCol` redacted in place plus
+    * (n_emails, n_ips, n_phones) counted pre-redaction. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
 }

@@ -225,4 +225,27 @@ class CurationSpec extends SparkSpec {
     val d2 = got.filter(_._1 == 2L).map(_._3)
     assert(d2 == Seq("other", "common"))
   }
+
+  test("redactPii scrubs emails, IPs and phones with pre-redaction counts") {
+    val docs = Seq(
+      (1L, "mail a.b-c@sub.example.org then 192.168.0.1 and 555-123-4567 end"),
+      (2L, "two mails x@y.io z@w.co, ip 999.1.1.1 still dotted-quad shaped"),
+      (3L, "clean text, no pii; 1234-5678 and 12.34 must not match"),
+      (4L, "version 1.2.3.4 of lib")) // dotted quad = IP by the pattern, documented
+      .toDF("doc_id", "text")
+    val got = Curation.redactPii(docs)
+      .select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, "mail <EMAIL> then <IP> and <PHONE> end", 1, 1, 1)))
+    assert(got(1)._3 == 2 && got(1)._4 == 1 &&
+      got(1)._2.startsWith("two mails <EMAIL> <EMAIL>, ip <IP> still"))
+    assert(got(2) == ((3L, "clean text, no pii; 1234-5678 and 12.34 must not match", 0, 0, 0)))
+    assert(got(3)._2 == "version <IP> of lib")
+    // order of passes: an email's dotted host is consumed by the email
+    // redaction, never re-matched as an IP
+    val host = Curation.redactPii(Seq((9L, "a@10.0.0.1x no b@c.de"))
+      .toDF("doc_id", "text")).select("text", "n_ips")
+      .as[(String, Int)].head()
+    assert(host._1 == "a@10.0.0.1x no <EMAIL>" && host._2 == 0)
+  }
 }
