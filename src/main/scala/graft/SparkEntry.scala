@@ -1276,6 +1276,19 @@ object SparkEntry {
             col("n_phones").cast("long").as("n_phones"),
             md5(col("text")).as("red_md5"))
           .orderBy("doc_id")
+      }),
+
+      // Incremental dedup: the landed/incoming split is derived
+      // deterministically from doc_id (landed = 2/3 of the corpus,
+      // incoming = the rest), so the oracle can replay the same
+      // partition; admitted = incoming fingerprints absent from the
+      // landed set, within-batch duplicates collapsed to min id.
+      "q83_incremental_dedup" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.dedup.Dedup.exactIncrement(
+            docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 0))
+          .orderBy("fp")
       })
     )
   }
@@ -2394,6 +2407,22 @@ object SparkEntry {
                 CAST(n_phones AS BIGINT) AS n_phones,
                 md5(rtext) AS red_md5
          FROM red ORDER BY doc_id""",
+
+    // Same normalized-md5 fingerprint as q16/q17; landed/incoming split
+    // replayed from the doc_id arithmetic; NOT IN over a distinct
+    // landed-fp set = the left-anti join.
+    "q83_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         landed AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 != 0),
+         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 0)
+         SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
+         FROM incoming
+         WHERE fp NOT IN (SELECT fp FROM landed)
+         GROUP BY fp ORDER BY fp""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

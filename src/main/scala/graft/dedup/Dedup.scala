@@ -49,6 +49,31 @@ object Dedup {
           < trainPct, "train").otherwise("eval"))
   }
 
+  /** Incremental face of [[exact]] for append-only ingestion: admit
+    * only incoming documents whose normalized fingerprint appears
+    * neither in the already-landed corpus nor earlier in this batch —
+    * the operational middle ground between the one-shot batch [[exact]]
+    * (recomputes over all history) and the horizon-bounded
+    * [[streamingExact]] (forgets old fingerprints). The landed corpus
+    * participates only as a distinct-fingerprint projection: one narrow
+    * column off its scan, then a left-anti join keyed on fp (AQE
+    * broadcasts it while it fits, shuffles both sides by fp at scale —
+    * either way no history rescan per batch beyond that projection;
+    * materialize the fp set once and append to it per batch in real
+    * deployments). Output per admitted fingerprint: (fp, keep_id,
+    * batch_dups) — the minimum incoming id survives, within-batch
+    * duplicate count reported. */
+  def exactIncrement(landed: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val landedFp = landed
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+    incoming
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(landedFp, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
+  }
+
   /** Streaming face of [[exact]]: drop every document whose normalized
     * fingerprint already arrived within the watermark horizon —
     * in-flight dedup for a continuously ingested corpus. Built on

@@ -57,6 +57,20 @@ class IngestAndFunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup admits only fingerprints new to landed AND batch") {
+    val landed = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (30L, "ALPHA  text!"),  // dup of landed 1 (normalized) → rejected
+      (31L, "gamma text"),    // new → admitted
+      (32L, "Gamma, TEXT"),   // within-batch dup of 31 → collapsed
+      (33L, "delta text"))    // new → admitted
+      .toDF("doc_id", "text")
+    val got = Dedup.exactIncrement(landed, incoming)
+      .select($"keep_id", $"batch_dups").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((31L, 2L), (33L, 1L)))
+  }
+
   test("simhash of identical token multisets is identical; differs otherwise") {
     val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r s t")).toDF("doc_id", "text")
     val got = Dedup.simHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
