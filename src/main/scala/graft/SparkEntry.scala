@@ -1289,6 +1289,28 @@ object SparkEntry {
             docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
             docs.filter(pmod(col("doc_id"), lit(3L)) === 0))
           .orderBy("fp")
+      }),
+
+      // Within-document line dedup: the corpus has no newlines, so the
+      // query builds line-structured text deterministically on both
+      // sides (8-token lines) and plants exactly one duplicate per
+      // document (the first line re-appended) — every row exercises
+      // the drop path, and the md5 of the re-joined cleaned text pins
+      // order preservation, not just counts.
+      "q84_line_dedup" -> ((s, dir) => {
+        import graft.functions.TextFunctions
+        val built = table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+          .withColumn("nl", ceil(size(col("t")) / lit(8.0)).cast("int"))
+          .withColumn("lines", transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("t"), i * lit(8) + lit(1), lit(8)), " ")))
+          .select(col("doc_id"),
+            array_join(concat(col("lines"), slice(col("lines"), 1, 1)), "\n")
+              .as("text"))
+        graft.dedup.Dedup.lineDedup(built)
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy("doc_id")
       })
     )
   }
@@ -2423,6 +2445,40 @@ object SparkEntry {
          FROM incoming
          WHERE fp NOT IN (SELECT fp FROM landed)
          GROUP BY fp ORDER BY fp""",
+
+    // Same 8-token line construction (1-based inclusive list slice ==
+    // Spark's slice(start, length)), same planted first-line duplicate;
+    // parallel unnests zip line with its 1-based ordinal, min-ordinal
+    // keeps the first occurrence, string_agg ORDER BY re-joins in
+    // original order for the md5.
+    "q84_line_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         built AS (
+           SELECT doc_id,
+                  list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                    i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS lines
+           FROM tk),
+         withdup AS (
+           SELECT doc_id, list_append(lines, lines[1]) AS lines FROM built),
+         ln AS (
+           SELECT doc_id, unnest(lines) AS line,
+                  unnest(range(1, len(lines)+1)) AS lno
+           FROM withdup),
+         kept AS (
+           SELECT doc_id, line, MIN(lno) AS lno
+           FROM ln GROUP BY doc_id, line),
+         agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(line, chr(10) ORDER BY lno)) AS clean_md5
+           FROM kept GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines
+           FROM withdup)
+         SELECT t.doc_id, t.n_lines, a.n_kept, a.clean_md5
+         FROM tot t JOIN agg a USING(doc_id)
+         ORDER BY doc_id""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

@@ -49,6 +49,38 @@ object Dedup {
           < trainPct, "train").otherwise("eval"))
   }
 
+  /** Within-document line deduplication — the page-cleaning step the
+    * C4/RefinedWeb pipelines apply before any corpus-level dedup:
+    * boilerplate (nav bars, cookie banners, repeated headers) shows up
+    * as the same line occurring multiple times in one document; keep
+    * each distinct line's FIRST occurrence, preserve original order,
+    * and report kept/total counts per document. Shape at scale: one
+    * explode + one (doc, line) window + one per-doc aggregate — every
+    * stage is keyed on the document id, so the whole operator is a
+    * single hash shuffle on `idCol` (the window and the re-assembly
+    * share it); no corpus-level state anywhere.
+    *
+    * Output: (id, n_lines, n_kept, clean) with `clean` the re-joined
+    * deduplicated text. */
+  def lineDedup(docs: DataFrame, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .withColumn("n_lines", size(split(col(textCol), sepRe)).cast("long"))
+      .select(col(idCol), col("n_lines"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("ln", "line")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("ln"))
+    lines
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(idCol)
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ln"), col("line")))),
+            x => x.getField("line")), sep).as("clean"))
+  }
+
   /** Incremental face of [[exact]] for append-only ingestion: admit
     * only incoming documents whose normalized fingerprint appears
     * neither in the already-landed corpus nor earlier in this batch —

@@ -71,6 +71,17 @@ class IngestAndFunctionsSpec extends SparkSpec {
     assert(got == Seq((31L, 2L), (33L, 1L)))
   }
 
+  test("lineDedup keeps first occurrences in original order, drops repeats") {
+    val doc = Seq(
+      (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+      (2L, "only line")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(doc).orderBy("doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 5L, 3L, "nav bar\nreal content one\nreal content two")))
+    assert(got(1) == ((2L, 1L, 1L, "only line")))
+  }
+
   test("simhash of identical token multisets is identical; differs otherwise") {
     val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r s t")).toDF("doc_id", "text")
     val got = Dedup.simHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
