@@ -1311,6 +1311,30 @@ object SparkEntry {
           .select(col("doc_id"), col("n_lines"), col("n_kept"),
             md5(col("clean")).as("clean_md5"))
           .orderBy("doc_id")
+      }),
+
+      // JSONL export/ingest round-trip — the q76/q79 storage device for
+      // the TEXT format at the pipeline boundary: documents written as
+      // JSON lines, read back with an explicit schema (never
+      // inference), and summarized per source with order-insensitive
+      // content integrity (bounded hash60 sums + min/max md5, so a
+      // single corrupted or re-escaped text hash-fails); the oracle
+      // computes the same summary from the ORIGINAL parquet — the
+      // round-trip must change nothing.
+      "q85_jsonl_roundtrip" -> ((s, dir) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.sources.Tables
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/jsonl/documents"
+        Tables.writeJsonl(
+          table(s, dir, "documents").select("doc_id", "source", "text"), tmp)
+        Tables.readJsonl(s, tmp, "doc_id LONG, source STRING, text STRING")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(pmod(hash60(col("text")), lit(1000000000L))).as("text_hsum"),
+            min(md5(col("text"))).as("min_md5"),
+            max(md5(col("text"))).as("max_md5"))
+          .orderBy("source")
       })
     )
   }
@@ -2479,6 +2503,19 @@ object SparkEntry {
          SELECT t.doc_id, t.n_lines, a.n_kept, a.clean_md5
          FROM tot t JOIN agg a USING(doc_id)
          ORDER BY doc_id""",
+
+    // Computed from the ORIGINAL parquet (the round-trip must preserve
+    // every byte); hash60 = first 15 md5 hex digits as a 60-bit int,
+    // the q20/q54 device.
+    "q85_jsonl_roundtrip" ->
+      """SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM((('0x' || substr(md5(text), 1, 15))::BIGINT)
+                         % 1000000000) AS BIGINT) AS text_hsum,
+                MIN(md5(text)) AS min_md5,
+                MAX(md5(text)) AS max_md5
+         FROM documents GROUP BY source ORDER BY source""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

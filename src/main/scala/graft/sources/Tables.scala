@@ -51,6 +51,24 @@ object Tables {
     path.fold(w)(p => w.option("path", p)).saveAsTable(name)
   }
 
+  /** Write `df` as JSON Lines — the interchange format training
+    * pipelines actually emit and consume (one JSON object per line,
+    * splittable, tool-agnostic). Parquet stays the warehouse format
+    * (columnar pruning, stats); JSONL is the EXPORT face at the
+    * pipeline boundary. One file per partition, no shuffle — at scale,
+    * `repartition(n)` first to control output file count. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSON Lines with an EXPLICIT schema — never schema inference,
+    * which costs a full extra pass over the data and silently widens
+    * types (a driver-side sample deciding your longs are doubles is the
+    * classic 100 TB ingest bug). Corrupt lines land in the default
+    * PERMISSIVE null-row handling; count them against a threshold in a
+    * real ingest. */
+  def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -57,4 +57,22 @@ class StorageSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("JSONL round-trips rows; corrupt lines land as PERMISSIVE null rows") {
+    val dir = tmpDir("graft-jsonl")
+    Tables.writeJsonl(
+      Seq((1L, "a", "t one"), (2L, "b", "t two")).toDF("doc_id", "source", "text"),
+      dir)
+    // a corrupt line dropped into the dataset by some other producer
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-corrupt.json"), "not json at all\n")
+    val back = Tables.readJsonl(spark, dir,
+      "doc_id LONG, source STRING, text STRING")
+    assert(back.count() == 3)
+    assert(back.filter(col("doc_id").isNull).count() == 1,
+      "corrupt line surfaces as a countable null row, not a job failure")
+    val ok = back.filter(col("doc_id").isNotNull).orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(ok == Seq((1L, "a", "t one"), (2L, "b", "t two")))
+  }
 }
