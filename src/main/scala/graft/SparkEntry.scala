@@ -1335,6 +1335,21 @@ object SparkEntry {
             min(md5(col("text"))).as("min_md5"),
             max(md5(col("text"))).as("max_md5"))
           .orderBy("source")
+      }),
+
+      // Hard-negative mining: top-5 below cos < 0.25 per query — the
+      // q21 brute-force face with the positive threshold applied
+      // before ranking (above-threshold neighbors are presumed
+      // positives and would be false negatives in a contrastive
+      // batch). 0.25 sits inside this corpus's neighbor-cosine range
+      // (max ~0.45, 9-56 exclusions per query at every SF), so the
+      // threshold provably changes the answer vs plain top-k.
+      "q86_hard_negatives" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.hardNegatives(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5, 0.25)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
       })
     )
   }
@@ -2516,6 +2531,23 @@ object SparkEntry {
                 MIN(md5(text)) AS min_md5,
                 MAX(md5(text)) AS max_md5
          FROM documents GROUP BY source ORDER BY source""",
+
+    // The q21 oracle with the positive-threshold WHERE before the rank
+    // window — identical double cosine arithmetic, 4dp round.
+    "q86_hard_negatives" ->
+      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          s AS (SELECT q_id, vec_id,
+                  round(list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                        4) AS cos
+                FROM c, q WHERE vec_id != q_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                FROM s WHERE cos < 0.25)
+          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
 
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double

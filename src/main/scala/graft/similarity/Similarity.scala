@@ -42,6 +42,31 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive embedding training: per
+    * query, the `k` MOST similar corpus vectors strictly BELOW the
+    * positive threshold — near-but-not-duplicate neighbors, the
+    * negatives that actually move a contrastive loss (random negatives
+    * are trivially separable; above-threshold neighbors are presumed
+    * positives/duplicates and would be false negatives). Same
+    * broadcast-queries shape as [[bruteForceTopK]] with the threshold
+    * applied BEFORE ranking, so the rank-k cut selects from the
+    * eligible band only. At corpus scale the scan side swaps for an
+    * ANN candidate set ([[lshTopK]]/[[ivfTopK]]) exactly as the plain
+    * top-k does — the threshold filter composes unchanged. */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int,
+      posThreshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
+      .filter(col("cos") < posThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** (sid, band, bucket) rows: one row per vector per band. Narrow on
     * purpose — vectors join back by id *after* candidate pairs are formed,
     * so the shuffle ships (long, int, long) triples, never embeddings. */

@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "q56_centroid_confusion", "q50_tfidf_topterms", "q61_corpus_report",
     "q66_temperature_mix", // one-row totals table cross-joined broadcast
     "q71_bm25_topk", // one-row corpus stats (n_docs, total_len) broadcast
-    "q72_embed_cohesion") // |labels| centroid rows broadcast, as q56
+    "q72_embed_cohesion", // |labels| centroid rows broadcast, as q56
+    "q86_hard_negatives") // the q21 ANN query batch (|corpus|/100), threshold-filtered
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {

@@ -178,4 +178,23 @@ class SimilaritySpec extends SparkSpec {
         minCosine = 0.9).select("cos").as[Double].collect()
     assert(scored.forall(_ >= 0.9))
   }
+
+  test("hardNegatives excludes above-threshold neighbors, ranks the rest") {
+    // corpus with planted near-copies: the copy of query 0 has cos ≈ 1
+    // and must NOT appear among its hard negatives, while plain top-k
+    // would rank it first
+    val df = corpus(50, planted = 5).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" === 0L)
+    val plain = Similarity.bruteForceTopK(df, queries, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain.contains(10000L), "sanity: the near-copy tops plain top-k")
+    val hard = Similarity.hardNegatives(df, queries, 5, posThreshold = 0.9)
+      .select($"rank", $"vec_id", $"cos").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(hard.size == 5)
+    assert(!hard.exists(_._2 == 10000L), "near-copy excluded as presumed positive")
+    assert(hard.forall(_._3 < 0.9))
+    // still the MOST similar eligible ones: descending cosine order
+    assert(hard.map(_._3) == hard.map(_._3).sorted.reverse)
+  }
 }
