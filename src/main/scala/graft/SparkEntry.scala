@@ -1350,7 +1350,47 @@ object SparkEntry {
             emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5, 0.25)
           .withColumnRenamed("rank", "rnk")
           .orderBy("q_id", "rnk")
-      })
+      }),
+
+      // Count-min heavy hitters: the mergeable sketch twin of q44 (the
+      // relationship q75 has to exact distinct). Every hash is
+      // md5-derived, so the oracle replays the EXACT cell counters —
+      // est is hash-checked, not tolerance-banded; ok carries the
+      // unconditional no-underestimate guarantee.
+      "q87_countmin_heavy_hitters" -> ((s, dir) =>
+        graft.curation.Curation.countMinTopK(table(s, dir, "documents"), k = 25)
+          .orderBy(desc("freq"), asc("token"))),
+
+      // Bloom-gated incremental dedup: q83's answer through the 100 TB
+      // plumbing — landed fingerprints folded into a broadcast Bloom
+      // filter; bloom-negative rows are provably novel and skip the
+      // verification join. Different incoming slice (mod 3 = 1) than
+      // q83, so the two contract rows are distinct answers.
+      "q88_bloom_incremental_dedup" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.dedup.Dedup.exactIncrementBloom(
+            docs.filter(pmod(col("doc_id"), lit(3L)) =!= 1),
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+            expectedItems = 1L << 20)
+          .orderBy("fp")
+      }),
+
+      // LM quality filter: bottom 10% of each source by corpus-bigram
+      // mean log-probability (q55's exact integer scores), flagged by
+      // per-stratum integer rank selection — the CCNet/Gopher quality
+      // cut with the corpus LM standing in for the real one.
+      "q89_perplexity_filter" -> ((s, dir) =>
+        graft.curation.Curation.perplexityFlag(table(s, dir, "documents"),
+            cutBp = 1000)
+          .orderBy("doc_id")),
+
+      // Mixture rebalancing: per-source natural token share vs a uniform
+      // target at the corpus's own budget, and the ×1e6 sampling weight
+      // realizing it — all BIGINT `div` arithmetic, bit-identical
+      // everywhere.
+      "q90_mixture_weights" -> ((s, dir) =>
+        graft.curation.Curation.mixtureWeights(table(s, dir, "documents"))
+          .orderBy("source"))
     )
   }
 
@@ -2549,6 +2589,44 @@ object SparkEntry {
           SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
 
+    // Full count-min replay: the md5-derived cell hash makes the sketch
+    // itself engine-reproducible, so the oracle rebuilds every counter
+    // and the estimate column hash-matches exactly (no tolerance band).
+    "q87_countmin_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+          cells AS (SELECT r,
+                      ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
+                        % 256 AS b,
+                      CAST(COUNT(*) AS BIGINT) AS c
+                    FROM tok CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+          top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+                  GROUP BY token ORDER BY freq DESC, token LIMIT 25),
+          probes AS (SELECT token, freq, r,
+                       ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
+                         % 256 AS b
+                     FROM top CROSS JOIN range(4) t(r)),
+          e AS (SELECT token, MIN(freq) AS freq, MIN(c) AS est
+                FROM probes JOIN cells USING (r, b) GROUP BY token)
+          SELECT token, freq, est,
+                 CAST(CASE WHEN est >= freq THEN 1 ELSE 0 END AS BIGINT) AS ok
+          FROM e ORDER BY freq DESC, token""",
+
+    // The Bloom gate must never change the answer: the oracle is q83's
+    // exact NOT-IN form over the q88 slice (incoming = mod 3 = 1).
+    "q88_bloom_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         landed AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 != 1),
+         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 1)
+         SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
+         FROM incoming
+         WHERE fp NOT IN (SELECT fp FROM landed)
+         GROUP BY fp ORDER BY fp""",
+
     // √count weights quantized to integer micro-units pre-sum (float
     // sums are order-dependent; integer sums aren't), then one double
     // chain per stratum in the same op order as the Spark side.
@@ -2642,6 +2720,51 @@ object SparkEntry {
                  CAST(SUM(lp) AS BIGINT) AS sum_logp_e6,
                  CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_logp
           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // q55's exact integer scoring, then a per-source integer rank cut
+    // (rn·10⁴ ≤ n·1000, doc-id tiebreak on the one trailing IEEE
+    // division's order) — bottom decile flagged, same rows everywhere.
+    "q89_perplexity_filter" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
+                 FROM cab GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                        AS BIGINT) lp
+                 FROM bg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a),
+          sco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+                    CAST(SUM(lp) AS BIGINT) sum_logp_e6,
+                    CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) avg_logp
+                  FROM sc GROUP BY doc_id),
+          j AS (SELECT d.doc_id, d.source, s.n_bigrams, s.sum_logp_e6,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY s.avg_logp, d.doc_id) rn,
+                  COUNT(*) OVER (PARTITION BY d.source) cnt
+                FROM documents d JOIN sco s USING (doc_id))
+          SELECT doc_id, source, n_bigrams, sum_logp_e6,
+                 CAST(CASE WHEN rn * 10000 <= cnt * 1000 THEN 1 ELSE 0 END
+                      AS BIGINT) AS flagged
+          FROM j ORDER BY doc_id""",
+
+    // Pure BIGINT `//` arithmetic — natural share, uniform target, and
+    // the ×1e6 sampling weight are all integer divisions, so the report
+    // is bit-identical by construction.
+    "q90_mixture_weights" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                             AS BIGINT) n_tokens
+                      FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+                         CAST(COUNT(*) AS BIGINT) n_strata FROM per)
+          SELECT source, n_docs, n_tokens,
+                 n_tokens * 1000000 // total_tokens AS natural_share_e6,
+                 total_tokens // n_strata AS target_tokens,
+                 (total_tokens // n_strata) * 1000000 // n_tokens AS weight_e6
+          FROM per, tot ORDER BY source""",
 
     // Integer-sum centroids (cosine is scale-invariant, so the division
     // is skipped and every component stays an exact integer); scores via

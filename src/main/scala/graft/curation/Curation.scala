@@ -461,4 +461,104 @@ object Curation {
             regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
+
+  /** Count-min-sketch audit of the vocabulary heavy hitters — the
+    * mergeable scale path for "what are the most frequent tokens" (the
+    * relationship [[vocabTopK]] ↔ this is the same as exact distinct ↔
+    * HLL in q75): the sketch is `depth · width` counters TOTAL regardless
+    * of corpus size, each occurrence increments `depth` cells, and the
+    * cell table is an ordinary map-side-combined aggregate, so the
+    * shuffle carries ≤ depth·width rows no matter how many tokens were
+    * scanned. At 100 TB the exact per-token groupBy (whose shuffle is
+    * the full vocabulary) is the side you drop; here it stays as the
+    * audit twin that the sketch estimate is checked against row by row.
+    *
+    * Every hash is [[TextFunctions.hash60]] (md5-derived), so the WHOLE
+    * sketch — cell values included — is engine-reproducible: the oracle
+    * replays the exact counters, not a tolerance band. `ok` carries the
+    * one unconditional count-min guarantee (the estimate never
+    * underestimates); the spec pins the overestimate against the ε·N
+    * bound. Output: (token, freq, est, ok) for the exact top `k`. */
+  def countMinTopK(docs: DataFrame, k: Int, depth: Int = 4,
+      width: Int = 256, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // (row, bucket) cell of token t in sketch row r — md5-portable
+    def cellsOf(t: Column) =
+      transform(sequence(lit(0), lit(depth - 1)),
+        r => struct(r.cast("int").as("r"),
+          pmod(TextFunctions.hash60(concat_ws(" ", r.cast("string"), t)),
+            lit(width.toLong)).cast("int").as("b")))
+    val cells = tok
+      .select(explode(cellsOf(col("token"))).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(k)
+    top
+      .select(col("token"), col("freq"), explode(cellsOf(col("token"))).as("cell"))
+      .select(col("token"), col("freq"),
+        col("cell.r").as("r"), col("cell.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("token")
+      .agg(first(col("freq")).as("freq"), min(col("c")).as("est"))
+      .select(col("token"), col("freq"), col("est"),
+        when(col("est") >= col("freq"), 1L).otherwise(0L).as("ok"))
+  }
+
+  /** LM-based quality filter — what CCNet/Gopher do with a real language
+    * model, done with the corpus bigram model: score every document by
+    * [[bigramLogProb]] (mean log conditional bigram probability; exact
+    * integer micro-unit sums, one trailing IEEE division) and flag the
+    * bottom `cutBp` basis points of each stratum as low-quality. The cut
+    * is per-stratum integer rank selection (`rn·10⁴ ≤ n·cutBp`, doc-id
+    * tiebreak) — no float percentile, so every engine flags the same
+    * rows. The rank window hash-partitions by the stratum key: fine for
+    * human-scale strata; at 100 TB under a handful of strata the cut
+    * threshold comes from the mergeable sketch ([[approxDistributionStats]])
+    * and the flag becomes a stateless comparison — keep this exact form
+    * as that path's oracle, same pairing as [[distributionStats]].
+    * Documents with fewer than two tokens have no bigrams and no score;
+    * they are excluded (score-free rows can't rank). Output:
+    * (id, stratum, n_bigrams, sum_logp_e6, flagged). */
+  def perplexityFlag(docs: DataFrame, cutBp: Int = 1000,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(cutBp > 0 && cutBp < 10000, "cutBp in (0, 10000)")
+    val scored = bigramLogProb(docs, idCol, textCol)
+    val w = Window.partitionBy(stratum).orderBy(col("avg_logp"), col(idCol))
+    docs.select(col(idCol), col(stratum))
+      .join(scored, idCol)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(stratum)))
+      .select(col(idCol), col(stratum), col("n_bigrams"), col("sum_logp_e6"),
+        when(col("rn") * lit(10000L) <= col("cnt") * lit(cutBp.toLong), 1L)
+          .otherwise(0L).as("flagged"))
+  }
+
+  /** Mixture-rebalancing report — the "data mixing" decision a training
+    * run makes before sampling: given the natural per-stratum token mass
+    * and a uniform target mixture at the corpus's own token budget,
+    * report each stratum's natural share, its target token allocation,
+    * and the sampling weight (×1e6) that realizes it — weight > 1e6
+    * means the stratum is upsampled (epochs > 1), < 1e6 downsampled.
+    * The weight column is what [[stratifiedSample]]/[[temperatureSample]]
+    * consume as their per-stratum rate. All arithmetic is BIGINT
+    * micro-unit division (`div`), so the report is bit-identical on any
+    * engine. One scan + one tiny aggregate + a one-row totals broadcast;
+    * nothing here grows with corpus size except the scan. Output:
+    * (stratum, n_docs, n_tokens, natural_share_e6, target_tokens,
+    * weight_e6). */
+  def mixtureWeights(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_strata"))
+    per.crossJoin(broadcast(tot))
+      .select(col(stratum), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L div total_tokens").as("natural_share_e6"),
+        expr("total_tokens div n_strata").as("target_tokens"),
+        expr("(total_tokens div n_strata) * 1000000L div n_tokens").as("weight_e6"))
+  }
 }

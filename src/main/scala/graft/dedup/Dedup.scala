@@ -106,6 +106,39 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
   }
 
+  /** Bloom-gated form of [[exactIncrement]] — identical answer, different
+    * plumbing for the 100 TB shape of the problem: when the landed corpus
+    * is orders of magnitude bigger than the batch, the plain left-anti
+    * join ships/probes the full landed fingerprint set for every batch.
+    * Here the landed fingerprints are folded once into a Bloom filter (a
+    * few MB broadcast regardless of corpus size); a bloom-NEGATIVE
+    * incoming row is PROVABLY novel (Bloom filters have no false
+    * negatives) and skips the join entirely, so only the maybe-set —
+    * true duplicates plus fpp·|incoming| false positives — reaches the
+    * verification anti-join that removes the false positives. The filter
+    * only moves work, never changes the answer (same contract as
+    * [[graft.exec.Joins.bloomSemiJoin]], whose probe-type discipline the
+    * UDF follows); at scale the filter itself is maintained
+    * incrementally as batches land rather than rebuilt per batch.
+    * Output schema identical to [[exactIncrement]]. */
+  def exactIncrementBloom(landed: DataFrame, incoming: DataFrame,
+      expectedItems: Long, fpp: Double = 0.03,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val landedFp = landed
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+    val bloom = landedFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bc = landed.sparkSession.sparkContext.broadcast(bloom)
+    val maybe = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val inc = incoming
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val novel = inc.filter(!maybe(col("fp")))
+    val verified = inc.filter(maybe(col("fp")))
+      .join(landedFp, Seq("fp"), "left_anti")
+    novel.unionByName(verified)
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
+  }
+
   /** Streaming face of [[exact]]: drop every document whose normalized
     * fingerprint already arrived within the watermark horizon —
     * in-flight dedup for a continuously ingested corpus. Built on

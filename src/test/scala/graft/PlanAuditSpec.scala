@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     "q66_temperature_mix", // one-row totals table cross-joined broadcast
     "q71_bm25_topk", // one-row corpus stats (n_docs, total_len) broadcast
     "q72_embed_cohesion", // |labels| centroid rows broadcast, as q56
-    "q86_hard_negatives") // the q21 ANN query batch (|corpus|/100), threshold-filtered
+    "q86_hard_negatives", // the q21 ANN query batch (|corpus|/100), threshold-filtered
+    "q90_mixture_weights") // one-row totals table cross-joined broadcast, as q66
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
