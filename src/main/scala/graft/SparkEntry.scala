@@ -1365,13 +1365,15 @@ object SparkEntry {
       // plumbing — landed fingerprints folded into a broadcast Bloom
       // filter; bloom-negative rows are provably novel and skip the
       // verification join. Different incoming slice (mod 3 = 1) than
-      // q83, so the two contract rows are distinct answers.
+      // q83, so the two contract rows are distinct answers. The filter
+      // is sized from the landed distinct-fp count (expectedItems
+      // default), not a hardcoded guess that would silently inflate
+      // fpp at larger corpora.
       "q88_bloom_incremental_dedup" -> ((s, dir) => {
         val docs = table(s, dir, "documents")
         graft.dedup.Dedup.exactIncrementBloom(
             docs.filter(pmod(col("doc_id"), lit(3L)) =!= 1),
-            docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
-            expectedItems = 1L << 20)
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 1))
           .orderBy("fp")
       }),
 
@@ -2518,8 +2520,10 @@ object SparkEntry {
                   md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
            FROM documents),
-         landed AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 != 0),
-         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 0)
+         landed AS (SELECT DISTINCT fp FROM fp
+                    WHERE doc_id % 3 != 0 AND fp IS NOT NULL),
+         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 0
+                      AND fp IS NOT NULL)
          SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
          FROM incoming
          WHERE fp NOT IN (SELECT fp FROM landed)
@@ -2620,8 +2624,10 @@ object SparkEntry {
                   md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
            FROM documents),
-         landed AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 != 1),
-         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 1)
+         landed AS (SELECT DISTINCT fp FROM fp
+                    WHERE doc_id % 3 != 1 AND fp IS NOT NULL),
+         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 1
+                      AND fp IS NOT NULL)
          SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
          FROM incoming
          WHERE fp NOT IN (SELECT fp FROM landed)
@@ -2750,9 +2756,10 @@ object SparkEntry {
                       AS BIGINT) AS flagged
           FROM j ORDER BY doc_id""",
 
-    // Pure BIGINT `//` arithmetic — natural share, uniform target, and
-    // the ×1e6 sampling weight are all integer divisions, so the report
-    // is bit-identical by construction.
+    // Integer `//` arithmetic with the ×1e6 products widened to HUGEINT
+    // (the Spark side widens to DECIMAL(38,0)) — same truncating
+    // division on positive values, so the report is bit-identical by
+    // construction and never wraps at 100 TB token masses.
     "q90_mixture_weights" ->
       """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
                         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
@@ -2761,9 +2768,11 @@ object SparkEntry {
           tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total_tokens,
                          CAST(COUNT(*) AS BIGINT) n_strata FROM per)
           SELECT source, n_docs, n_tokens,
-                 n_tokens * 1000000 // total_tokens AS natural_share_e6,
+                 CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total_tokens
+                      AS BIGINT) AS natural_share_e6,
                  total_tokens // n_strata AS target_tokens,
-                 (total_tokens // n_strata) * 1000000 // n_tokens AS weight_e6
+                 CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
+                      // n_tokens AS BIGINT) AS weight_e6
           FROM per, tot ORDER BY source""",
 
     // Integer-sum centroids (cosine is scale-invariant, so the division

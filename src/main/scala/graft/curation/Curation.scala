@@ -526,10 +526,14 @@ object Curation {
     require(cutBp > 0 && cutBp < 10000, "cutBp in (0, 10000)")
     val scored = bigramLogProb(docs, idCol, textCol)
     val w = Window.partitionBy(stratum).orderBy(col("avg_logp"), col(idCol))
-    docs.select(col(idCol), col(stratum))
-      .join(scored, idCol)
+    val joined = docs.select(col(idCol), col(stratum)).join(scored, idCol)
+    // stratum sizes as a tiny aggregate + broadcast join, NOT a second
+    // unbounded `count().over(partitionBy(stratum))` window — the window
+    // form re-traverses every stratum partition just to learn its size
+    val sizes = joined.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+    joined
       .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(stratum)))
+      .join(broadcast(sizes), stratum)
       .select(col(idCol), col(stratum), col("n_bigrams"), col("sum_logp_e6"),
         when(col("rn") * lit(10000L) <= col("cnt") * lit(cutBp.toLong), 1L)
           .otherwise(0L).as("flagged"))
@@ -542,12 +546,18 @@ object Curation {
     * and the sampling weight (×1e6) that realizes it — weight > 1e6
     * means the stratum is upsampled (epochs > 1), < 1e6 downsampled.
     * The weight column is what [[stratifiedSample]]/[[temperatureSample]]
-    * consume as their per-stratum rate. All arithmetic is BIGINT
-    * micro-unit division (`div`), so the report is bit-identical on any
-    * engine. One scan + one tiny aggregate + a one-row totals broadcast;
-    * nothing here grows with corpus size except the scan. Output:
-    * (stratum, n_docs, n_tokens, natural_share_e6, target_tokens,
-    * weight_e6). */
+    * consume as their per-stratum rate. All arithmetic is integer
+    * micro-unit division (`div`) with the ×1e6 products widened to
+    * DECIMAL(38,0) first — a BIGINT product would silently wrap past
+    * ~9.2e12 tokens per stratum, well inside the 100 TB regime this
+    * report targets — so the report is bit-identical on any engine
+    * (the oracle widens to HUGEINT, same truncating division on
+    * positive values). One scan + one tiny aggregate + a one-row totals
+    * broadcast; nothing here grows with corpus size except the scan.
+    * Output: (stratum, n_docs, n_tokens, natural_share_e6,
+    * target_tokens, weight_e6) — weight_e6 is BIGINT, which bounds a
+    * stratum's upsampling factor at ~9.2e12×; a stratum tiny enough to
+    * exceed that is a data bug, not a mixture. */
   def mixtureWeights(docs: DataFrame, stratum: String = "source",
       textCol: String = "text"): DataFrame = {
     val per = docs.groupBy(stratum)
@@ -557,8 +567,10 @@ object Curation {
       count(lit(1)).as("n_strata"))
     per.crossJoin(broadcast(tot))
       .select(col(stratum), col("n_docs"), col("n_tokens"),
-        expr("n_tokens * 1000000L div total_tokens").as("natural_share_e6"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total_tokens")
+          .as("natural_share_e6"),
         expr("total_tokens div n_strata").as("target_tokens"),
-        expr("(total_tokens div n_strata) * 1000000L div n_tokens").as("weight_e6"))
+        expr("CAST(total_tokens div n_strata AS DECIMAL(38,0)) * 1000000" +
+          " div n_tokens").as("weight_e6"))
   }
 }

@@ -92,15 +92,21 @@ object Dedup {
     * broadcasts it while it fits, shuffles both sides by fp at scale —
     * either way no history rescan per batch beyond that projection;
     * materialize the fp set once and append to it per batch in real
-    * deployments). Output per admitted fingerprint: (fp, keep_id,
+    * deployments). NULL-text rows fingerprint to NULL and are excluded
+    * on BOTH sides — a null key is "no content to dedup", and keeping
+    * the exclusion explicit makes the contract null-safe (a SQL
+    * `NOT IN` over a landed set containing NULL would otherwise return
+    * nothing). Output per admitted fingerprint: (fp, keep_id,
     * batch_dups) — the minimum incoming id survives, within-batch
     * duplicate count reported. */
   def exactIncrement(landed: DataFrame, incoming: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val landedFp = landed
-      .select(fingerprint(col(textCol)).as("fp")).distinct()
+      .select(fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
     incoming
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .join(landedFp, Seq("fp"), "left_anti")
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
@@ -120,23 +126,47 @@ object Dedup {
     * [[graft.exec.Joins.bloomSemiJoin]], whose probe-type discipline the
     * UDF follows); at scale the filter itself is maintained
     * incrementally as batches land rather than rebuilt per batch.
+    *
+    * Plumbing discipline (both fixes demanded by review): the batch is
+    * aggregated FIRST — the same one batch-keyed shuffle
+    * [[exactIncrement]] pays — and the narrow grouped projection is
+    * persisted through [[CacheRegistry]], so `incoming` is scanned once
+    * and `fingerprint()` (a regex-normalize + md5 chain) runs once per
+    * row; the Bloom gate then splits DISTINCT fingerprints, not raw
+    * rows (gating commutes with the groupBy because `maybe` is a pure
+    * function of the group key). Sizing: with `expectedItems <= 0` the
+    * filter is sized from the landed distinct-fp count itself — a
+    * hardcoded guess that undershoots the corpus drifts fpp toward 1
+    * and the gate stops gating (answer unchanged, benefit gone). The
+    * landed fp projection is persisted too: sizing count, filter build
+    * and verification join all read it once. NULL fingerprints are
+    * excluded on both sides, as in [[exactIncrement]].
     * Output schema identical to [[exactIncrement]]. */
   def exactIncrementBloom(landed: DataFrame, incoming: DataFrame,
-      expectedItems: Long, fpp: Double = 0.03,
+      expectedItems: Long = 0L, fpp: Double = 0.03,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val landedFp = landed
-      .select(fingerprint(col(textCol)).as("fp")).distinct()
-    val bloom = landedFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val landedFp = CacheRegistry.cache(
+      CacheRegistry.key(landed, "landed-fp", textCol),
+      landed
+        .select(fingerprint(col(textCol)).as("fp"))
+        .filter(col("fp").isNotNull).distinct())
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1024L, landedFp.count())
+    val bloom = landedFp.stat.bloomFilter("fp", items, fpp)
     val bc = landed.sparkSession.sparkContext.broadcast(bloom)
     val maybe = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val inc = incoming
-      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
-    val novel = inc.filter(!maybe(col("fp")))
-    val verified = inc.filter(maybe(col("fp")))
+    val grouped = CacheRegistry.cache(
+      CacheRegistry.key(incoming, "inc-grouped", textCol, idCol),
+      incoming
+        .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+        .filter(col("fp").isNotNull)
+        .groupBy("fp")
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups")))
+    val novel = grouped.filter(!maybe(col("fp")))
+    val verified = grouped.filter(maybe(col("fp")))
       .join(landedFp, Seq("fp"), "left_anti")
     novel.unionByName(verified)
-      .groupBy("fp")
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
   }
 
   /** Streaming face of [[exact]]: drop every document whose normalized

@@ -248,4 +248,98 @@ class CurationSpec extends SparkSpec {
       .as[(String, Int)].head()
     assert(host._1 == "a@10.0.0.1x no <EMAIL>" && host._2 == 0)
   }
+
+  test("countMinTopK: never underestimates; overestimate within the ε·N bound") {
+    // deterministic corpus: token i of 60 appears (61−i)² times — a heavy
+    // head over a tail, with real collision pressure at width 256. The
+    // md5-derived hashes make the sketch a pure function of the corpus,
+    // so the ε·N bound is a hard assert here, not a flaky probabilistic
+    // one: if it holds once it holds every run.
+    val words = (1 to 60).flatMap(i => Seq.fill((61 - i) * (61 - i))(s"tok$i"))
+    val docs = words.grouped(97).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val n = words.size.toLong // N: total token occurrences in the bound
+    val width = 256
+    val got = Curation.countMinTopK(docs, k = 10, depth = 4, width = width)
+      .select("token", "freq", "est", "ok")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.map(_._1).toSet == (1 to 10).map(i => s"tok$i").toSet,
+      "exact top-10 must be tok1..tok10 by construction")
+    val epsN = (math.E / width * n).toLong
+    got.foreach { case (t, freq, est, ok) =>
+      assert(est >= freq, s"$t: count-min underestimated ($est < $freq)")
+      assert(ok == 1L, s"$t: ok flag contradicts est >= freq")
+      assert(est <= freq + epsN,
+        s"$t: est $est exceeds freq $freq + ε·N $epsN")
+    }
+  }
+
+  test("perplexityFlag: <2-token docs excluded; cut exactly at the rank boundary") {
+    // stratum a: 20 scorable docs, cutBp 1000 → rn·10⁴ ≤ 20·10³ flags
+    // exactly rn ∈ {1, 2} (rn = 2 sits ON the boundary: 20000 = 20000);
+    // stratum b: 19 scorable docs → rn ≤ 1.9 flags exactly rn = 1;
+    // two unscorable docs (<2 tokens: no bigrams) must vanish entirely.
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    val scorable = (0 until 39).map { i =>
+      val src = if (i < 20) "a" else "b"
+      val text = (0 to 5).map(j => vocab((i * (j + 3) + j * j) % vocab.size))
+        .mkString(" ")
+      (i.toLong, src, text)
+    }
+    val docs = (scorable ++ Seq((1000L, "a", "one"), (1001L, "b", "")))
+      .toDF("doc_id", "source", "text")
+    // ranking oracle: the op's own scorer + the documented rank rule
+    val sc = Curation.bigramLogProb(docs)
+      .select($"doc_id", $"avg_logp", $"n_bigrams", $"sum_logp_e6")
+      .as[(Long, Double, Long, Long)].collect()
+    val srcOf = scorable.map(d => d._1 -> d._2).toMap
+    val expected = sc.groupBy(d => srcOf(d._1)).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.toSeq.sortBy(d => (d._2, d._1))
+      sorted.zipWithIndex.map { case ((id, _, nb, sum), idx) =>
+        val flag = if ((idx + 1) * 10000L <= sorted.length * 1000L) 1L else 0L
+        (id, src, nb, sum, flag)
+      }
+    }.toSet
+    val got = Curation.perplexityFlag(docs, cutBp = 1000)
+      .select("doc_id", "source", "n_bigrams", "sum_logp_e6", "flagged")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(!got.exists(r => r._1 == 1000L || r._1 == 1001L),
+      "score-free (<2 token) docs must be excluded, not flagged")
+    assert(got == expected)
+    val flaggedBySrc = got.toSeq.filter(_._5 == 1L).groupBy(_._2)
+      .view.mapValues(_.size).toMap
+    assert(flaggedBySrc == Map("a" -> 2, "b" -> 1),
+      s"rank boundary wrong: $flaggedBySrc")
+  }
+
+  test("mixtureWeights: weight > 1e6 iff stratum under uniform share; exact BIGINTs") {
+    // token masses 10 / 30 / 20, total 60, 3 strata → uniform target 20
+    val docs = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(13)("w").mkString(" ")),
+      (3L, "b", Seq.fill(17)("w").mkString(" ")),
+      (4L, "c", Seq.fill(20)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixtureWeights(docs)
+    // the DECIMAL(38,0) widening must still land in BIGINT columns —
+    // the overflow fix may not change the engine-portable output type
+    import org.apache.spark.sql.types.LongType
+    Seq("natural_share_e6", "target_tokens", "weight_e6").foreach { c =>
+      assert(out.schema(c).dataType == LongType, s"$c must stay BIGINT") }
+    val got = out
+      .select("source", "n_docs", "n_tokens", "natural_share_e6",
+        "target_tokens", "weight_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 1L, 10L, 166666L, 20L, 2000000L),
+      ("b", 2L, 30L, 500000L, 20L, 666666L),
+      ("c", 1L, 20L, 333333L, 20L, 1000000L)))
+    // the iff: upsampled (weight > 1e6) exactly when below the uniform
+    // token share — c sits exactly AT the share and must NOT upsample
+    got.foreach { case (s, _, nt, _, tgt, w) =>
+      assert((w > 1000000L) == (nt < tgt),
+        s"$s: weight $w inconsistent with tokens $nt vs target $tgt") }
+  }
 }

@@ -71,6 +71,57 @@ class IngestAndFunctionsSpec extends SparkSpec {
     assert(got == Seq((31L, 2L), (33L, 1L)))
   }
 
+  test("exactIncrementBloom ≡ exactIncrement on planted landed + batch dups") {
+    // every admission path planted: landed dup, within-batch dup pair,
+    // plain novel, and a landed dup that ALSO has a within-batch twin
+    val landed = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "beta TEXT"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (30L, "ALPHA  text!"),  // landed dup → rejected
+      (31L, "gamma text"),    // novel → admitted
+      (32L, "Gamma, TEXT"),   // within-batch dup of 31 → collapsed
+      (33L, "delta text"),    // novel → admitted
+      (34L, "beta text"),     // landed dup …
+      (35L, "BETA text"))     // … with a batch twin — still rejected
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"fp", $"keep_id", $"batch_dups")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = canon(Dedup.exactIncrement(landed, incoming))
+    val bloom = canon(Dedup.exactIncrementBloom(landed, incoming))
+    assert(bloom == exact, "Bloom gate changed the answer")
+    assert(exact.map(t => (t._2, t._3)).toSet == Set((31L, 2L), (33L, 1L)))
+    // an adversarially tiny filter (fpp → 1, every probe a maybe) only
+    // moves rows to the verification join — answer still identical
+    val tiny = canon(Dedup.exactIncrementBloom(landed, incoming,
+      expectedItems = 1L, fpp = 0.5))
+    assert(tiny == exact, "saturated Bloom filter changed the answer")
+  }
+
+  test("exactIncrementBloom: incoming scanned once; nulls dropped both sides") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val landed = Seq((1L, Option("alpha text")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, Option("alpha text")), (11L, Option("new text")),
+      (12L, Option.empty[String])).toDF("doc_id", "text")
+    val got = Dedup.exactIncrementBloom(landed, incoming)
+    // the result plan reads ONLY the two persisted projections (grouped
+    // batch ×2 branches + landed fps) — the raw incoming relation is
+    // scanned exactly once, inside the cache build, and fingerprint()
+    // runs once per row (the r10 double-scan finding)
+    val leaves = got.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[InMemoryRelation]),
+      s"expected only InMemoryRelation leaves, got:\n${got.queryExecution.optimizedPlan}")
+    val rows = got.select($"keep_id", $"batch_dups").as[(Long, Long)]
+      .collect().toSeq
+    // null-text rows fingerprint to NULL and are excluded on both sides:
+    // landed NULL must not poison the anti-join, incoming NULL not admitted
+    assert(rows == Seq((11L, 1L)), s"got $rows")
+    val exact = Dedup.exactIncrement(landed, incoming)
+      .select($"keep_id", $"batch_dups").as[(Long, Long)].collect().toSeq
+    assert(exact == rows, "null handling diverges between the two forms")
+  }
+
   test("lineDedup keeps first occurrences in original order, drops repeats") {
     val doc = Seq(
       (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
