@@ -38,14 +38,40 @@ object Bench {
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),
       "q69_cross_source_dups"   -> Set("shingles", "minhash-bands"))
 
-    def exec(name: String, retainKinds: Set[String]): Double = {
+    // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
+    // each burned a round on "regression or contended box?" — these
+    // columns let every future driver sample answer that itself):
+    //  gc_ms  — process GC time inside the timed region (collector
+    //           MXBean delta; covers cache-release debt + box memory
+    //           pressure landing on this query's wall clock);
+    //  jit_ms — JVM JIT compile time inside the region (codegen-heavy
+    //           first executions bill here, steady-state reruns don't);
+    //  cg_n   — Janino whole-stage-codegen compilations in the region
+    //           (CodegenMetrics counter; distinguishes "new plan
+    //           compiled" from "same plan re-ran slower").
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+    def jitMs(): Long = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    def cgN(): Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+    final case class Sample(sec: Double, gcMs: Long, jitMs: Long, cgN: Long)
+
+    def exec(name: String, retainKinds: Set[String]): Sample = {
+      val (gc0, jit0, cg0) = (gcMs(), jitMs(), cgN())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return Sample(-1.0, 0, 0, 0)
       }
       val t = (System.nanoTime() - t0) / 1e9
+      val sample = Sample(t, gcMs() - gc0, jitMs() - jit0, cgN() - cg0)
       val released = graft.util.CacheRegistry.releaseExcept(retainKinds)
       if (retainKinds.isEmpty) spark.sharedState.cacheManager.clearCache()
       // ProfileQ26 measured the released blocks' GC debt landing on
@@ -54,7 +80,7 @@ object Bench {
       // Collect it here, outside the timed region, so a cache-heavy
       // query's cleanup is not billed to its innocent successor.
       if (released > 0) System.gc()
-      t
+      sample
     }
 
     // JVM/codegen warm-up on the smallest query (not reported)
@@ -79,14 +105,20 @@ object Bench {
     // JSON contract.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.sec) }
+      .mkString("{", ",", "}")
+    // per-query [gc_ms, jit_ms, cg_n] triples — compact arrays keep the
+    // one-line contract short; same key order as "queries"
+    val attrib = results
+      .map { case (k, v) => "\"" + k + s"""\":[${v.gcMs},${v.jitMs},${v.cgN}]""" }
       .mkString("{", ",", "}")
     // total = sum of the ROUNDED per-query values, so re-summing the
     // printed queries reproduces "value" exactly (no 3-dp drift)
-    val total = results.map(_._2).filter(_ >= 0)
+    val total = results.map(_._2.sec).filter(_ >= 0)
       .map(v => math.rint(v * 1000) / 1000).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
     // anchored at the launch directory (the build root when run via sbt /
     // spark-submit from the checkout) rather than a hardcoded absolute
     // path, so the artifact lands next to whichever checkout ran it

@@ -1392,7 +1392,38 @@ object SparkEntry {
       // everywhere.
       "q90_mixture_weights" -> ((s, dir) =>
         graft.curation.Curation.mixtureWeights(table(s, dir, "documents"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // q89's production twin (the q74 device over the quality cut):
+      // the per-source cut threshold comes from the mergeable
+      // percentile sketch over avg_logp — no rank window, no
+      // single-reducer stratum — and the verdict pins the sketch
+      // threshold inside its declared rank-error band: with lt/le the
+      // counts strictly-below/at-or-below the threshold, ok = 1 iff
+      // lt+1 ≤ 0.1·n + tol AND le ≥ 0.1·n − tol (tie-robust: a run of
+      // equal scores straddling the cut widens le−lt, not the verdict).
+      // An out-of-band sketch hash-fails against the oracle's ok=1.
+      "q91_perplexity_sketch_cut" -> ((s, dir) => {
+        import graft.curation.Curation
+        val docs = table(s, dir, "documents")
+        val scored = Curation.bigramLogProb(docs)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select(col("source"), col("avg_logp").as("v"))
+        val ap = Curation.approxDistributionStats(scored, "source", "v",
+          Seq(1000), accuracy = 1000)
+        val target = lit(0.1) * col("n")
+        val tol = lit(2.0) * col("n") / lit(1000) + lit(1.0)
+        scored.join(broadcast(ap), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") <= col("value"), 1L).otherwise(0L)).as("le"),
+            sum(when(col("v") < col("value"), 1L).otherwise(0L)).as("lt"))
+          .select(col("source"), col("n"),
+            when((col("lt") + 1).cast("double") <= target + tol &&
+                 col("le").cast("double") >= target - tol, 1L)
+              .otherwise(0L).as("ok"))
+          .orderBy("source")
+      })
     )
   }
 
@@ -2774,6 +2805,18 @@ object SparkEntry {
                  CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
                       // n_tokens AS BIGINT) AS weight_e6
           FROM per, tot ORDER BY source""",
+
+    // Deterministic face of the q91 sketch verdict: scorable docs (≥2
+    // tokens → ≥1 bigram) counted per source; the sketch threshold's
+    // rank-band verdict is computed Spark-side and must be 1 everywhere
+    // — an out-of-band percentile sketch hash-fails (q74's device).
+    "q91_perplexity_sketch_cut" ->
+      s"""WITH $tokCte
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(1 AS BIGINT) AS ok
+          FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+          WHERE len(t.tk) >= 2
+          GROUP BY d.source ORDER BY d.source""",
 
     // Integer-sum centroids (cosine is scale-invariant, so the division
     // is skipped and every component stays an exact integer); scores via

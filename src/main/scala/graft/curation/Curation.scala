@@ -539,6 +539,35 @@ object Curation {
           .otherwise(0L).as("flagged"))
   }
 
+  /** Sketch-threshold face of [[perplexityFlag]] — the 100 TB production
+    * path the exact form's scaladoc names. The per-stratum cut value
+    * comes from the mergeable percentile sketch
+    * ([[approxDistributionStats]]: map-side-combined, no per-stratum
+    * sort, no rank window funneling a whole stratum through one
+    * reducer), and flagging is a stateless comparison against the
+    * broadcast threshold — two narrow aggregates + one broadcast join,
+    * immune to stratum skew. The trade: the threshold lands within rank
+    * error ±n/accuracy of the exact boundary and ties at the threshold
+    * flag wholesale, so boundary documents may differ from
+    * [[perplexityFlag]]; q91 pins the agreement band as a contract row
+    * (q74's le/lt bound-verdict device), CurationSpec pins per-doc
+    * agreement away from the boundary. Schema identical to
+    * [[perplexityFlag]]. */
+  def perplexityFlagApprox(docs: DataFrame, cutBp: Int = 1000,
+      accuracy: Int = 10000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cutBp > 0 && cutBp < 10000, "cutBp in (0, 10000)")
+    val scored = bigramLogProb(docs, idCol, textCol)
+    val joined = docs.select(col(idCol), col(stratum)).join(scored, idCol)
+    val thr = approxDistributionStats(
+      joined.select(col(stratum), col("avg_logp").as("v")),
+      stratum, "v", Seq(cutBp), accuracy)
+      .select(col(stratum), col("value").as("__thr"))
+    joined.join(broadcast(thr), stratum)
+      .select(col(idCol), col(stratum), col("n_bigrams"), col("sum_logp_e6"),
+        when(col("avg_logp") <= col("__thr"), 1L).otherwise(0L).as("flagged"))
+  }
+
   /** Mixture-rebalancing report — the "data mixing" decision a training
     * run makes before sampling: given the natural per-stratum token mass
     * and a uniform target mixture at the corpus's own token budget,

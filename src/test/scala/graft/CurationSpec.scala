@@ -314,6 +314,37 @@ class CurationSpec extends SparkSpec {
       s"rank boundary wrong: $flaggedBySrc")
   }
 
+  test("perplexityFlagApprox agrees with the exact form away from the boundary") {
+    // every doc mixes the common "p q" bigram with the rarer "p r" in a
+    // ratio unique to its id, so all 40 scores are DISTINCT — ties at
+    // the cut (which flag wholesale by design) can't blur the boundary;
+    // high accuracy keeps the sketch exact at this size, so any
+    // disagreement is confined to the one rank at the cut itself
+    val docs = (0 until 40).map { i =>
+      val src = if (i < 20) "a" else "b"
+      val text = ("p q " * (41 - i)) + ("p r " * (i + 1))
+      (i.toLong, src, text.trim)
+    }.toDF("doc_id", "source", "text")
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "flagged").as[(Long, Long)].collect().toMap
+    val exact = flags(Curation.perplexityFlag(docs, cutBp = 2000))
+    val approx = flags(Curation.perplexityFlagApprox(docs, cutBp = 2000,
+      accuracy = 10000))
+    assert(exact.keySet == approx.keySet, "same scorable docs on both paths")
+    // flag-count agreement within one boundary rank per stratum
+    val srcOf = (0 until 40).map(i => i.toLong -> (if (i < 20) "a" else "b")).toMap
+    Seq("a", "b").foreach { s =>
+      val e = exact.count { case (id, f) => srcOf(id) == s && f == 1L }
+      val a = approx.count { case (id, f) => srcOf(id) == s && f == 1L }
+      assert(math.abs(e - a) <= 1, s"stratum $s: exact $e vs approx $a")
+    }
+    // and per-doc: every disagreement sits at the flag boundary — the
+    // union minus intersection of the flagged sets is at most one doc
+    // per stratum
+    val diff = exact.keySet.filter(id => exact(id) != approx(id))
+    assert(diff.size <= 2, s"non-boundary disagreement: $diff")
+  }
+
   test("mixtureWeights: weight > 1e6 iff stratum under uniform share; exact BIGINTs") {
     // token masses 10 / 30 / 20, total 60, 3 strata → uniform target 20
     val docs = Seq(
