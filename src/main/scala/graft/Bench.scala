@@ -31,12 +31,16 @@ object Bench {
     // reuse is the point, so the bench measures it) survives the gap:
     // q18→q19 (shingles), q19→q43→q69 (shingles + minhash-bands),
     // q43→q54 (dedup-clusters).
+    // q89→q91 (ppl-scored: the bigram-LM scored projection the whole
+    // perplexity family shares).
     val cacheKindsUsed: Map[String, Set[String]] = Map(
       "q18_dedup_ngram_jaccard" -> Set("shingles", "shingles-capped"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),
-      "q69_cross_source_dups"   -> Set("shingles", "minhash-bands"))
+      "q69_cross_source_dups"   -> Set("shingles", "minhash-bands"),
+      "q89_perplexity_filter"      -> Set("ppl-scored"),
+      "q91_perplexity_sketch_cut"  -> Set("ppl-scored"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these
@@ -68,7 +72,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return Sample(-1.0, 0, 0, 0)
+        // attrib sentinel matches the -1.0 sec sentinel: a failed query
+        // reads [-1,-1,-1], never confusable with a real zero-GC/zero-JIT
+        // sample (review finding)
+        return Sample(-1.0, -1, -1, -1)
       }
       val t = (System.nanoTime() - t0) / 1e9
       val sample = Sample(t, gcMs() - gc0, jitMs() - jit0, cgN() - cg0)
@@ -99,16 +106,32 @@ object Bench {
       n -> exec(n, retain)
     }
     // millisecond precision keeps the one-line contract short enough to
-    // survive line-buffer tails; the full line is also dumped to a file
-    // so a truncated capture is recoverable. Locale.ROOT: a JVM under a
+    // survive line-buffer tails. Locale.ROOT: a JVM under a
     // comma-decimal locale would otherwise render 0,640 and break the
     // JSON contract.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.sec) }
+    // stdout uses the brief's short-key form ("q1":sec): the driver
+    // keeps only a 2000-char tail of stdout, and full query names ×91
+    // overflow it (every round since r06 recorded `parsed: null`).
+    // Short keys put the whole map near 1.3 KB with headroom to ~140
+    // queries; the full-name map still goes to bench_out.json. Falls
+    // back to full names if short ids ever collide.
+    val shortIds = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+    val useShort = shortIds.map(_._2).distinct.size == shortIds.size
+    val qs = results.zip(shortIds).map { case ((k, v), (_, sid)) =>
+      "\"" + (if (useShort) sid else k) + "\":" + fmt(v.sec)
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.sec) }
       .mkString("{", ",", "}")
-    // per-query [gc_ms, jit_ms, cg_n] triples — compact arrays keep the
-    // one-line contract short; same key order as "queries"
+    // per-query [gc_ms, jit_ms, cg_n] triples — same key order as
+    // "queries". These go ONLY to the bench_out.json file: round 11's
+    // driver capture kept a bounded tail of stdout, and the attrib map
+    // pushed the one-line contract past that window — the driver
+    // recorded `parsed: null` and the round lost its bench sample. The
+    // stdout line therefore stays minimal (metric/value/queries/sf)
+    // and the self-attribution columns live in the file artifact the
+    // judge reads (bench_out.json).
     val attrib = results
       .map { case (k, v) => "\"" + k + s"""\":[${v.gcMs},${v.jitMs},${v.cgN}]""" }
       .mkString("{", ",", "}")
@@ -117,15 +140,18 @@ object Bench {
     val total = results.map(_._2.sec).filter(_ >= 0)
       .map(v => math.rint(v * 1000) / 1000).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
+        s""","sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull""" +
+        s""","attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
     // anchored at the launch directory (the build root when run via sbt /
     // spark-submit from the checkout) rather than a hardcoded absolute
     // path, so the artifact lands next to whichever checkout ran it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       sys.props.getOrElse("user.dir", ".") + "/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => // stdout line is the contract; the file is best-effort
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -1406,8 +1406,11 @@ object SparkEntry {
       "q91_perplexity_sketch_cut" -> ((s, dir) => {
         import graft.curation.Curation
         val docs = table(s, dir, "documents")
-        val scored = Curation.bigramLogProb(docs)
-          .join(docs.select("doc_id", "source"), "doc_id")
+        // derives from the SAME registry-persisted scored projection as
+        // q89 (kind "ppl-scored"): the LM chain runs once for the whole
+        // perplexity family, and this harness's two branches (sketch +
+        // verdict aggregate) read the cache instead of re-scoring
+        val scored = Curation.perplexityScored(docs)
           .select(col("source"), col("avg_logp").as("v"))
         val ap = Curation.approxDistributionStats(scored, "source", "v",
           Seq(1000), accuracy = 1000)

@@ -505,6 +505,27 @@ object Curation {
         when(col("est") >= col("freq"), 1L).otherwise(0L).as("ok"))
   }
 
+  /** Shared scored projection of the perplexity family — (idCol,
+    * stratum, n_bigrams, sum_logp_e6, avg_logp), the [[bigramLogProb]]
+    * chain joined back to its stratum. The chain (tokenize + LM join +
+    * integer log sums) is the expensive part and EVERY consumer —
+    * [[perplexityFlag]]'s sizes aggregate + rank pass,
+    * [[perplexityFlagApprox]]'s sketch + verdict pass, and the q91
+    * bound-verdict harness — derives two branches from it, so it is
+    * persisted through [[graft.util.CacheRegistry]] (kind "ppl-scored",
+    * keyed by the docs plan + column params): one evaluation per
+    * corpus, shared across the exact form and its sketch twin rather
+    * than relying on Spark exchange reuse to deduplicate the work.
+    * Released by the standard releaseExcept/releaseAll harness
+    * contract. */
+  def perplexityScored(docs: DataFrame, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = bigramLogProb(docs, idCol, textCol)
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(docs, "ppl-scored", stratum, idCol, textCol),
+      docs.select(col(idCol), col(stratum)).join(scored, idCol))
+  }
+
   /** LM-based quality filter — what CCNet/Gopher do with a real language
     * model, done with the corpus bigram model: score every document by
     * [[bigramLogProb]] (mean log conditional bigram probability; exact
@@ -524,9 +545,8 @@ object Curation {
       stratum: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(cutBp > 0 && cutBp < 10000, "cutBp in (0, 10000)")
-    val scored = bigramLogProb(docs, idCol, textCol)
     val w = Window.partitionBy(stratum).orderBy(col("avg_logp"), col(idCol))
-    val joined = docs.select(col(idCol), col(stratum)).join(scored, idCol)
+    val joined = perplexityScored(docs, stratum, idCol, textCol)
     // stratum sizes as a tiny aggregate + broadcast join, NOT a second
     // unbounded `count().over(partitionBy(stratum))` window — the window
     // form re-traverses every stratum partition just to learn its size
@@ -557,8 +577,7 @@ object Curation {
       accuracy: Int = 10000, stratum: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(cutBp > 0 && cutBp < 10000, "cutBp in (0, 10000)")
-    val scored = bigramLogProb(docs, idCol, textCol)
-    val joined = docs.select(col(idCol), col(stratum)).join(scored, idCol)
+    val joined = perplexityScored(docs, stratum, idCol, textCol)
     val thr = approxDistributionStats(
       joined.select(col(stratum), col("avg_logp").as("v")),
       stratum, "v", Seq(cutBp), accuracy)

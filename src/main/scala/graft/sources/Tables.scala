@@ -75,6 +75,16 @@ object Tables {
     df.schema.fields.foldLeft(df) {
       case (d, StructField(n, LongType, _, _)) if NanosColumns(n) =>
         d.withColumn(n, timestamp_micros(expr(s"$n div 1000")))
+      // parquet TIMESTAMP(isAdjustedToUTC=false) arrives as
+      // TimestampNTZType, on which the engine's integer-microsecond
+      // clock (`unix_micros`) is a type error. The session timezone is
+      // pinned to UTC everywhere in this engine, so casting NTZ →
+      // TimestampType reinterprets the same wall-clock instant at the
+      // same epoch micros DuckDB's epoch extraction yields on the same
+      // file — timestamp semantics identical to data generations that
+      // wrote adjusted-to-UTC micros.
+      case (d, StructField(n, org.apache.spark.sql.types.TimestampNTZType, _, _)) =>
+        d.withColumn(n, col(n).cast("timestamp"))
       case (d, _) => d
     }
   }

@@ -100,18 +100,21 @@ class IngestAndFunctionsSpec extends SparkSpec {
 
   test("exactIncrementBloom: incoming scanned once; nulls dropped both sides") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.LogicalRDD
     val landed = Seq((1L, Option("alpha text")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
     val incoming = Seq((10L, Option("alpha text")), (11L, Option("new text")),
       (12L, Option.empty[String])).toDF("doc_id", "text")
     val got = Dedup.exactIncrementBloom(landed, incoming)
-    // the result plan reads ONLY the two persisted projections (grouped
-    // batch ×2 branches + landed fps) — the raw incoming relation is
-    // scanned exactly once, inside the cache build, and fingerprint()
-    // runs once per row (the r10 double-scan finding)
+    // the result plan reads ONLY materialized projections — the grouped
+    // batch checkpoint (LogicalRDD, ×2 branches) + the registry-persisted
+    // landed fps (InMemoryRelation) — so the raw incoming relation is
+    // scanned exactly once, inside the checkpoint build, and
+    // fingerprint() runs once per row (the r10 double-scan finding)
     val leaves = got.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[InMemoryRelation]),
-      s"expected only InMemoryRelation leaves, got:\n${got.queryExecution.optimizedPlan}")
+    assert(leaves.nonEmpty && leaves.forall(l =>
+        l.isInstanceOf[InMemoryRelation] || l.isInstanceOf[LogicalRDD]),
+      s"expected only materialized leaves, got:\n${got.queryExecution.optimizedPlan}")
     val rows = got.select($"keep_id", $"batch_dups").as[(Long, Long)]
       .collect().toSeq
     // null-text rows fingerprint to NULL and are excluded on both sides:
