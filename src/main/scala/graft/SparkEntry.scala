@@ -1426,7 +1426,54 @@ object SparkEntry {
                  col("le").cast("double") >= target - tol, 1L)
               .otherwise(0L).as("ok"))
           .orderBy("source")
-      })
+      }),
+
+      // Self-contained heavy hitters: q87's candidate gap closed — the
+      // candidate set comes from per-partition Misra–Gries summaries
+      // (union provably ⊇ every token with freq·64 > N), then an exact
+      // recount of candidates only. The exact filter makes the answer
+      // partition-independent, so the exact vocabulary top-k (q44's
+      // shape) is demoted from dependency to oracle.
+      "q92_mg_heavy_hitters" -> ((s, dir) =>
+        graft.curation.Curation.heavyHittersMG(
+            table(s, dir, "documents"), k = 25, capacity = 64)
+          .orderBy(desc("freq"), asc("token"))),
+
+      // Ingest-robustness face of q85: a JSONL drop with deterministic
+      // planted corruption (every doc_id % 20 == 0 line prefixed into
+      // invalid JSON) read back PERMISSIVE — per-source good counts
+      // plus the __malformed__ count. The oracle derives the same
+      // numbers from the plant rule, so a parser that silently drops
+      // or mis-attributes lines hash-fails.
+      "q93_jsonl_malformed_rate" -> ((s, dir) => {
+        import graft.sources.Tables
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/jsonl_corrupt/documents"
+        val line = to_json(struct(col("doc_id"), col("source"), col("text")))
+        table(s, dir, "documents")
+          .select(when(pmod(col("doc_id"), lit(20L)) === 0,
+              concat(lit("{oops "), line)).otherwise(line).as("value"))
+          .write.mode("overwrite").text(tmp)
+        Tables.jsonlIngestStats(s, tmp,
+            "doc_id LONG, source STRING, text STRING")
+          .orderBy("source")
+      }),
+
+      // Gopher-style composite quality gate: reason bitmask + keep
+      // verdict, all comparisons integer cross-multiplication so the
+      // verdict can never flip on float rounding at a threshold.
+      "q94_quality_gate" -> ((s, dir) =>
+        graft.curation.Curation.qualityGate(table(s, dir, "documents"))
+          .orderBy("doc_id")),
+
+      // Per-source unigram KL vs the corpus over the head-200
+      // vocabulary: the content-distance mixture diagnostic. Integer
+      // micro-unit ln sums (q50's device); the numerator ships
+      // undivided because Spark `div` truncates while DuckDB `//`
+      // floors on negatives.
+      "q95_source_unigram_kl" -> ((s, dir) =>
+        graft.curation.Curation.sourceUnigramKL(
+            table(s, dir, "documents"), headV = 200)
+          .orderBy("source"))
     )
   }
 
@@ -3086,5 +3133,77 @@ object SparkEntry {
                  CAST(trunc(degrees(atan2(lat2 - lat + 0.0,
                       (lon2 - lon)*cos(lat) + 0.0))) AS INT) + 179
                    AS dir_deg
-          FROM c ORDER BY event_id""")
+          FROM c ORDER BY event_id""",
+
+    // The Misra–Gries candidate union is partition-dependent, but the
+    // exact recount + freq·capacity > N filter makes the ANSWER a pure
+    // function of the data — which is exactly what this replays.
+    "q92_mg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_total FROM tok),
+          f AS (SELECT token, CAST(COUNT(*) AS BIGINT) freq FROM tok
+                GROUP BY token)
+          SELECT token, freq, n_total FROM f, tot
+          WHERE freq * 64 > n_total
+          ORDER BY freq DESC, token LIMIT 25""",
+
+    // The plant rule (doc_id % 20 == 0 lines corrupted) IS the oracle:
+    // a PERMISSIVE reader that drops, double-counts, or mis-attributes
+    // a line disagrees with the rule's arithmetic.
+    "q93_jsonl_malformed_rate" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) n_rows FROM documents
+          WHERE doc_id % 20 != 0 GROUP BY source
+          UNION ALL
+          SELECT '__malformed__' AS source, CAST(COUNT(*) AS BIGINT) n_rows
+          FROM documents WHERE doc_id % 20 = 0
+          ORDER BY source""",
+
+    // Integer cross-multiplied thresholds — both engines compare
+    // products of exact BIGINTs, so no rounding can flip a verdict.
+    "q94_quality_gate" ->
+      """WITH f AS (SELECT doc_id,
+                      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_tok,
+                      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) n_chr,
+                      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                      CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) n_uniq
+                    FROM documents),
+          g AS (SELECT doc_id, n_tok,
+                  (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
+                  (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
+                  (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
+                  (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
+                FROM f)
+          SELECT doc_id, n_tok AS n_tokens, CAST(reasons AS BIGINT) reasons,
+                 CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) keep
+          FROM g ORDER BY doc_id""",
+
+    // Micro-unit-ln KL numerator (q50's quantization device); the
+    // numerator ships undivided — Spark `div` truncates toward zero,
+    // DuckDB `//` floors, and a head-restricted sum can be negative.
+    "q95_source_unigram_kl" ->
+      """WITH tok AS (SELECT source,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+          head AS (SELECT token, CAST(COUNT(*) AS BIGINT) c_t FROM tok
+                   GROUP BY token ORDER BY c_t DESC, token LIMIT 200),
+          ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_s FROM tok
+                 GROUP BY source),
+          nc AS (SELECT CAST(COUNT(*) AS BIGINT) n_c FROM tok),
+          st AS (SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) c_st,
+                   MAX(h.c_t) c_t
+                 FROM tok t JOIN head h USING (token)
+                 GROUP BY t.source, t.token),
+          sc AS (SELECT st.source, ns.n_s, st.c_st,
+                   st.c_st * (CAST(round(ln(st.c_st)*1000000, 0) AS BIGINT)
+                            - CAST(round(ln(ns.n_s)*1000000, 0) AS BIGINT)
+                            - CAST(round(ln(st.c_t)*1000000, 0) AS BIGINT)
+                            + CAST(round(ln(nc.n_c)*1000000, 0) AS BIGINT))
+                     AS contrib
+                 FROM st JOIN ns USING (source), nc)
+          SELECT source, CAST(MAX(n_s) AS BIGINT) n_tokens,
+                 CAST(SUM(c_st) AS BIGINT) head_tokens,
+                 CAST(SUM(contrib) AS BIGINT) kl_num_e6
+          FROM sc GROUP BY source ORDER BY source""")
 }

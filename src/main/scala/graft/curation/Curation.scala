@@ -621,4 +621,160 @@ object Curation {
         expr("CAST(total_tokens div n_strata AS DECIMAL(38,0)) * 1000000" +
           " div n_tokens").as("weight_e6"))
   }
+
+  /** Self-contained distributed heavy hitters — the token-frequency scale
+    * path that needs NO vocabulary-wide groupBy at any stage (the gap
+    * [[countMinTopK]] left open: its sketch is mergeable, but its
+    * candidate set still came from the exact top-k it is meant to
+    * replace).
+    *
+    * Shape: one Misra–Gries summary of `capacity` counters per
+    * partition (`mapPartitions`, O(capacity) memory, decrement-all on
+    * overflow), then an exact recount restricted to the union of the
+    * partition summaries. The candidate union is provably sufficient:
+    * if a token's global count f exceeds N/capacity while its local
+    * count is ≤ nᵖ/capacity in every partition p, summing gives
+    * f ≤ Σ nᵖ/capacity = N/capacity — contradiction; so some partition
+    * had local count > nᵖ/capacity, and Misra–Gries guarantees such an
+    * item survives in that partition's summary (each decrement-all
+    * event destroys `capacity` occurrence credits, and a partition has
+    * only nᵖ credits to destroy). The recount then filters to
+    * `freq · capacity > N` EXACTLY, which makes the final answer a pure
+    * function of the data — the partition-dependent candidate set only
+    * ever adds rows the filter removes — so it is DuckDB-replayable
+    * even though the intermediate summaries are not.
+    *
+    * Scale: the only vocabulary-sized object anywhere is each
+    * partition's local hash map, capped at `capacity` entries; the
+    * candidate shuffle carries ≤ capacity × partitions tokens, the
+    * recount aggregates only candidate rows (broadcast semi join gates
+    * the scan), and the total N is a one-row broadcast. Compare q44's
+    * exact top-k, whose groupBy shuffles the full vocabulary — on web
+    * text that is corpus-scale — and which this operator demotes to
+    * audit twin.
+    *
+    * Output: (token, freq, n_total) for the ≤ k most frequent tokens
+    * with freq · capacity > n_total, ordered (freq desc, token). */
+  def heavyHittersMG(docs: DataFrame, k: Int, capacity: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(capacity > 0 && k > 0, "k and capacity must be positive")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val tok = docs.select(
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val candidates = tok.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < capacity => counters.update(t, 1L)
+          case None =>
+            // decrement-all: kills one credit of `capacity` distinct
+            // tokens at once; keys reaching zero drop out
+            val dead = counters.iterator.collect {
+              case (key, 1L) => key
+            }.toArray
+            counters.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * lit(capacity.toLong) > col("n_total"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+  }
+
+  /** Gopher-style composite quality gate: every document gets a reason
+    * BITMASK of failed heuristics and a keep verdict (reasons == 0) —
+    * the auditable form a production filter needs (how many docs each
+    * rule kills, which rules co-fire, what a threshold change would do)
+    * rather than a bare boolean.
+    *
+    * Rules (bit set = failed):
+    *   1 — too short: n_tokens < 30;
+    *   2 — mean word length outside [3.8, 5.0] (gibberish / code);
+    *   4 — stopword ratio < 5% (non-prose);
+    *   8 — unique-token fraction < 0.4 (repetitive boilerplate).
+    *
+    * Every comparison is integer cross-multiplication (`n_chars·10 <
+    * n_tokens·38` instead of `n_chars/n_tokens < 3.8`) — no float
+    * division anywhere, so the verdict is bit-identical on any engine
+    * and immune to rounding-at-the-threshold flips. Pure codegen
+    * column expressions over one scan, no shuffle: at 100 TB this
+    * gate costs exactly what reading the corpus costs.
+    *
+    * Output: (idCol, n_tokens, reasons, keep). */
+  def qualityGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val nTok = size(tk).cast("long")
+    val nChr = TextFunctions.nonSpaceChars(col(textCol)).cast("long")
+    val nStop = TextFunctions.tokensIn(col(textCol),
+      TextFunctions.EnStopwords).cast("long")
+    val nUniq = size(array_distinct(tk)).cast("long")
+    val reasons =
+      when(nTok < 30, 1L).otherwise(0L) +
+      when(nChr * 10 < nTok * 38 || nChr * 10 > nTok * 50, 2L).otherwise(0L) +
+      when(nStop * 20 < nTok, 4L).otherwise(0L) +
+      when(nUniq * 5 < nTok * 2, 8L).otherwise(0L)
+    docs.select(col(idCol), nTok.as("n_tokens"), reasons.as("reasons"),
+      when(reasons === 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** Per-source unigram KL divergence against the corpus distribution,
+    * restricted to the `headV` most frequent corpus tokens — the
+    * mixture diagnostic that says WHICH sources are distributionally
+    * far from the blend (a source whose head-token profile diverges is
+    * over/under-represented or off-domain; the mixture weights q90
+    * assigns by volume say nothing about content).
+    *
+    * KL(source ‖ corpus) over head token t is
+    * Σ (c_st/n_s)·(ln(c_st/n_s) − ln(c_t/N)); this computes the
+    * numerator Σ c_st·(lnq c_st − lnq n_s − lnq c_t + lnq N) with
+    * lnq(x) = round(ln(x)·1e6) as BIGINT — the [[tfidfTopTerms]]
+    * micro-unit-ln device — and returns it UNdivided next to n_s.
+    * Integer sums are order-independent (exact under any partitioning)
+    * and the division is left to the consumer because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors: on a negative
+    * head-restricted sum the two would legally disagree by one.
+    *
+    * Scale: tokens semi-join the broadcast head BEFORE the per-source
+    * aggregate, so the (source, token) shuffle is ≤ sources × headV
+    * rows — never vocabulary-sized; per-source totals are a tiny
+    * map-side-combined aggregate; corpus totals a one-row broadcast.
+    * The head selection itself is the q44 top-k shape
+    * (TakeOrderedAndProject over the token aggregate), the one
+    * vocabulary-wide stage, shared and unavoidable in any frequency
+    * ranking.
+    *
+    * Output: (stratum, n_tokens, head_tokens, kl_num_e6), ordered by
+    * stratum. */
+  def sourceUnigramKL(docs: DataFrame, headV: Int = 200,
+      stratum: String = "source", textCol: String = "text"): DataFrame = {
+    require(headV > 0, "headV must be positive")
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+    val tok = docs.select(col(stratum),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val head = tok.groupBy("token").agg(count(lit(1)).as("c_t"))
+      .orderBy(desc("c_t"), asc("token")).limit(headV)
+    val perSource = tok.groupBy(stratum).agg(count(lit(1)).as("n_s"))
+    val corpusN = tok.agg(count(lit(1)).as("n_c"))
+    tok.join(broadcast(head), Seq("token"))
+      .groupBy(col(stratum), col("token"))
+      .agg(count(lit(1)).as("c_st"), max(col("c_t")).as("c_t"))
+      .join(broadcast(perSource), stratum)
+      .crossJoin(broadcast(corpusN))
+      .withColumn("contrib", col("c_st") *
+        (lnq(col("c_st")) - lnq(col("n_s")) - lnq(col("c_t")) + lnq(col("n_c"))))
+      .groupBy(stratum)
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("c_st")).as("head_tokens"),
+        sum(col("contrib")).as("kl_num_e6"))
+  }
 }

@@ -69,6 +69,27 @@ object Tables {
   def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Ingest-robustness report over a JSONL drop: per-`srcCol` good-row
+    * counts plus one `__malformed__` row counting lines the PERMISSIVE
+    * parser rejected. This is the threshold a real 100 TB ingest gates
+    * on — a feed whose malformed rate jumps is quarantined, not
+    * crashed on (and not silently swallowed: the default null-row
+    * behavior [[readJsonl]] documents is only safe if somebody counts).
+    * The corrupt-record column exists only inside this aggregate; the
+    * report is one scan + one tiny groupBy, the same cost as counting
+    * by source. */
+  def jsonlIngestStats(spark: SparkSession, path: String, schema: String,
+      srcCol: String = "source"): DataFrame = {
+    val df = spark.read
+      .schema(schema + ", _corrupt STRING")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+    df.groupBy(
+        when(col("_corrupt").isNotNull, lit("__malformed__"))
+          .otherwise(col(srcCol)).as(srcCol))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

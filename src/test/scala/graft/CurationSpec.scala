@@ -373,4 +373,72 @@ class CurationSpec extends SparkSpec {
       assert((w > 1000000L) == (nt < tgt),
         s"$s: weight $w inconsistent with tokens $nt vs target $tgt") }
   }
+
+  test("heavyHittersMG: exactly the above-threshold tokens, partition-invariant") {
+    // 100 tokens total: "hot" ×40, 60 singletons. capacity 8 → bar
+    // N/8 = 12.5, so ONLY hot qualifies — and the answer must not
+    // depend on how the Misra–Gries summaries were partitioned.
+    val words = Seq.fill(40)("hot") ++ (1 to 60).map(i => f"w$i%03d")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    for (p <- Seq(1, 3, 7)) {
+      val out = Curation.heavyHittersMG(docs.repartition(p), k = 5, capacity = 8)
+        .select("token", "freq", "n_total")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(out == Seq(("hot", 40L, 100L)), s"at $p partitions: $out")
+    }
+    // with a capacity ABOVE the vocabulary every token clears freq ·
+    // capacity > N, so the op degenerates to exact top-k — order pinned
+    // by (freq desc, token asc)
+    val all = Curation.heavyHittersMG(docs, k = 3, capacity = 200)
+      .select("token").as[String].collect().toSeq
+    assert(all == Seq("hot", "w001", "w002"))
+  }
+
+  test("qualityGate: each heuristic sets its own bit; a clean doc keeps") {
+    // clean: 36 tokens, 6 stopwords (17%), mean word len 165/36 ≈ 4.58
+    // ∈ [3.8, 5.0], all tokens unique
+    val clean = (Seq("the", "and", "of", "is", "on", "for") ++
+      (1 to 30).map(i => f"wrd$i%02d")).mkString(" ")
+    // short: 2 tokens (bit 1) of mean len 3.0 < 3.8 (bit 2)
+    val short = "the cat"
+    // junk: 30 identical 14-char non-words → mean len > 5.0 (bit 2),
+    // zero stopwords (bit 4), unique fraction 1/30 (bit 8)
+    val junk = Seq.fill(30)("abcdefghijklmn").mkString(" ")
+    val docs = Seq((1L, clean), (2L, short), (3L, junk))
+      .toDF("doc_id", "text")
+    val got = Curation.qualityGate(docs)
+      .select("doc_id", "n_tokens", "reasons", "keep")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 36L, 0L, 1L),
+      (2L, 2L, 1L + 2L, 0L),
+      (3L, 30L, 2L + 4L + 8L, 0L)), got.toString)
+  }
+
+  test("sourceUnigramKL: identical sources ~zero; a skewed source diverges") {
+    val same = Seq(
+      (1L, "a", "x x x y y z"),
+      (2L, "b", "x x x y y z")).toDF("doc_id", "source", "text")
+    val kl0 = Curation.sourceUnigramKL(same)
+      .select("source", "n_tokens", "head_tokens", "kl_num_e6")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kl0.map(_._1) == Seq("a", "b"))
+    kl0.foreach { case (s, n, h, kl) =>
+      assert(n == 6L && h == 6L, s"$s: n=$n head=$h")
+      // identical distributions: true KL is 0; only per-term ±1-µ-unit
+      // ln-quantization residue (≤ one µ-unit per occurrence) survives
+      assert(math.abs(kl) <= 6L, s"$s: kl=$kl")
+    }
+    val skew = Seq(
+      (1L, "c", "q q q q q q"),
+      (2L, "d", "t u v w x y")).toDF("doc_id", "source", "text")
+    val kl1 = Curation.sourceUnigramKL(skew)
+      .select("source", "kl_num_e6").as[(String, Long)]
+      .collect().toMap
+    // c concentrates all mass on q (corpus share 1/2) → per-token gap
+    // ln2; 6 occurrences ≈ 4.159M µ-units
+    assert(kl1("c") > 4000000L, s"c: ${kl1("c")}")
+  }
 }

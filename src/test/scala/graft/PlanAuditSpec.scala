@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "q71_bm25_topk", // one-row corpus stats (n_docs, total_len) broadcast
     "q72_embed_cohesion", // |labels| centroid rows broadcast, as q56
     "q86_hard_negatives", // the q21 ANN query batch (|corpus|/100), threshold-filtered
-    "q90_mixture_weights") // one-row totals table cross-joined broadcast, as q66
+    "q90_mixture_weights", // one-row totals table cross-joined broadcast, as q66
+    "q92_mg_heavy_hitters", // one-row token total cross-joined broadcast
+    "q95_source_unigram_kl") // one-row corpus-N cross-joined broadcast
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {

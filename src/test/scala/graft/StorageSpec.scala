@@ -75,4 +75,22 @@ class StorageSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSeq
     assert(ok == Seq((1L, "a", "t one"), (2L, "b", "t two")))
   }
+
+  test("jsonlIngestStats: malformed lines counted once, good rows attributed") {
+    val dir = tmpDir("graft-jsonl-stats")
+    Tables.writeJsonl(
+      Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "a", "t3"),
+        (4L, "b", "t4"), (5L, "b", "t5")).toDF("doc_id", "source", "text"),
+      dir)
+    // two corrupt lines from a sloppy upstream producer: invalid JSON
+    // and a truncated object — both must land in __malformed__, neither
+    // may abort the scan or leak into a source's count
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-corrupt.json"),
+      "not json at all\n{\"doc_id\": 9, \"source\": \"a\", \"tex\n")
+    val got = Tables.jsonlIngestStats(spark, dir,
+        "doc_id LONG, source STRING, text STRING")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("__malformed__", 2L), ("a", 3L), ("b", 2L)), got.toString)
+  }
 }
