@@ -40,7 +40,8 @@ object Bench {
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),
       "q69_cross_source_dups"   -> Set("shingles", "minhash-bands"),
       "q89_perplexity_filter"      -> Set("ppl-scored"),
-      "q91_perplexity_sketch_cut"  -> Set("ppl-scored"))
+      "q91_perplexity_sketch_cut"  -> Set("ppl-scored"),
+      "q98_lsh_precision"          -> Set("shingles", "minhash-bands"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -1473,7 +1473,28 @@ object SparkEntry {
       "q95_source_unigram_kl" -> ((s, dir) =>
         graft.curation.Curation.sourceUnigramKL(
             table(s, dir, "documents"), headV = 200)
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // Per-dimension embedding moment sums in exact integers (Σx² in
+      // DECIMAL(38,0) internally, DOUBLE on the wire) — the whitening /
+      // drift-monitoring statistics, bit-identical on any engine.
+      "q96_embedding_dim_stats" -> ((s, dir) =>
+        Similarity.embeddingDimStats(table(s, dir, "embeddings"))
+          .orderBy("pos")),
+
+      // PMI collocations over the corpus: all-integer micro-unit-ln
+      // chain, rare-pair floor applied before ranking.
+      "q97_pmi_collocations" -> ((s, dir) =>
+        graft.curation.Curation.pmiTopK(table(s, dir, "documents"),
+            k = 25, minCount = 5)
+          .orderBy(desc("pmi_e6"), asc("bigram"))),
+
+      // LSH candidate-precision audit: the q19 candidate set priced
+      // against uncapped n-gram-Jaccard truth — the (k, bands) tuning
+      // metric for the entire banded dedup family.
+      "q98_lsh_precision" -> ((s, dir) =>
+        graft.dedup.Dedup.lshCandidatePrecision(
+          table(s, dir, "documents")))
     )
   }
 
@@ -3205,5 +3226,75 @@ object SparkEntry {
           SELECT source, CAST(MAX(n_s) AS BIGINT) n_tokens,
                  CAST(SUM(c_st) AS BIGINT) head_tokens,
                  CAST(SUM(contrib) AS BIGINT) kl_num_e6
-          FROM sc GROUP BY source ORDER BY source""")
+          FROM sc GROUP BY source ORDER BY source""",
+
+    // Micro-unit quantization then exact integer sums; Σx² widened to
+    // DECIMAL before summing, surfaced as the correctly-rounded DOUBLE
+    // (a DECIMAL output column would hash-mismatch on rendering).
+    "q96_embedding_dim_stats" ->
+      """WITH e6 AS (SELECT list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) qv
+                     FROM embeddings),
+          d AS (SELECT CAST(i - 1 AS INT) pos, qv[i] x
+                FROM e6, unnest(range(1, len(qv) + 1)) t(i))
+          SELECT pos, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sum_e6,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) sumsq_e12
+          FROM d GROUP BY pos ORDER BY pos""",
+
+    // The lnq(·) = round(ln·1e6) chain term by term; pairs below the
+    // noise floor cut before the unigram joins, as on the Spark side.
+    "q97_pmi_collocations" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
+                      FROM documents),
+          toks2 AS (SELECT regexp_split_to_array(trim(text), '\s+') tk
+                    FROM documents),
+          bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) g
+                 FROM toks2 WHERE len(tk) >= 2),
+          cb AS (SELECT g, CAST(COUNT(*) AS BIGINT) c_xy FROM bi
+                 GROUP BY g HAVING COUNT(*) >= 5),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) n_bi FROM bi),
+          un AS (SELECT t, CAST(COUNT(*) AS BIGINT) c_t FROM tok GROUP BY t),
+          nu AS (SELECT CAST(COUNT(*) AS BIGINT) n_uni FROM tok),
+          j AS (SELECT cb.g, cb.c_xy, x.c_t c_x, y.c_t c_y
+                FROM cb JOIN un x ON x.t = split_part(cb.g, ' ', 1)
+                        JOIN un y ON y.t = split_part(cb.g, ' ', 2)),
+          sc AS (SELECT g AS bigram, c_xy, c_x, c_y,
+                   CAST(round(ln(c_xy) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(n_bi) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(c_x) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(c_y) * 1000000, 0) AS BIGINT)
+                   + 2 * CAST(round(ln(n_uni) * 1000000, 0) AS BIGINT)
+                     AS pmi_e6
+                 FROM j, nb, nu)
+          SELECT bigram, c_xy, c_x, c_y, CAST(pmi_e6 AS BIGINT) pmi_e6
+          FROM sc ORDER BY pmi_e6 DESC, bigram LIMIT 25""",
+
+    // q19's replayed candidate set priced against UNCAPPED Jaccard
+    // truth; the threshold compares in the identical inter/union
+    // double-division form, and the ppm division is non-negative so
+    // trunc (Spark div) == floor (//) holds.
+    "q98_lsh_precision" ->
+      s"""WITH $tokCte, $shingleCte, $minhashPairCte,
+          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
+          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
+                 FROM mhp m JOIN sh a ON a.sid = m.a_id
+                            JOIN sh b ON b.sid = m.b_id
+                                     AND b.shingle = a.shingle
+                 GROUP BY m.a_id, m.b_id),
+          jc AS (SELECT m.a_id, m.b_id, COALESCE(it.inter, 0) inter,
+                   x.sz a_size, y.sz b_size
+                 FROM mhp m
+                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
+                 JOIN hsz x ON x.sid = m.a_id
+                 JOIN hsz y ON y.sid = m.b_id)
+          SELECT CAST(COUNT(*) AS BIGINT) n_pairs,
+                 CAST(SUM(CASE WHEN inter::DOUBLE /
+                     (a_size + b_size - inter) >= 0.35
+                   THEN 1 ELSE 0 END) AS BIGINT) n_true,
+                 CAST(SUM(CASE WHEN inter::DOUBLE /
+                     (a_size + b_size - inter) >= 0.35
+                   THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                   precision_ppm
+          FROM jc""")
 }

@@ -777,4 +777,50 @@ object Curation {
         sum(col("c_st")).as("head_tokens"),
         sum(col("contrib")).as("kl_num_e6"))
   }
+
+  /** Top-k collocations by pointwise mutual information — the classic
+    * "which word pairs travel together" corpus statistic (phrase
+    * detection, tokenizer-merge candidates, collocation features).
+    * PMI(x,y) = ln(p(xy)/(p(x)p(y))) with p(xy) = c_xy/M over bigram
+    * occurrences and p(x) = c_x/N over unigram occurrences, computed as
+    * the all-integer micro-unit chain lnq(c_xy) − lnq(M) − lnq(c_x) −
+    * lnq(c_y) + 2·lnq(N) (lnq = round(ln·1e6), the [[tfidfTopTerms]]
+    * device) — exact integer sums and ranks, engine-reproducible.
+    * `minCount` is the standard PMI noise floor: a pair seen once is
+    * "perfectly associated" by raw PMI, so rare pairs are cut BEFORE
+    * ranking (and before the unigram joins, which shrinks the join
+    * input to the surviving pairs).
+    *
+    * Scale: bigram and unigram counts are one hash-shuffle each (the
+    * q55 bigram-LM shape — vocabulary-keyed, map-side combined); the
+    * two unigram joins key on the filtered pair table; totals are
+    * one-row broadcasts; the final rank is TakeOrderedAndProject over
+    * the ≥ minCount survivors. Output: (bigram, c_xy, c_x, c_y,
+    * pmi_e6) for the top `k` by (pmi desc, bigram asc). */
+  def pmiTopK(docs: DataFrame, k: Int = 25, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0 && minCount >= 1, "k >= 1 and minCount >= 1")
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+    val tok = docs.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val nUni = tok.agg(count(lit(1)).as("n_uni"))
+    val bi = docs.select(
+      explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+    val cntBi = bi.groupBy("g").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    cntBi
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(uni.select(col("t").as("w1"), col("c_t").as("c_x")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c_t").as("c_y")), "w2")
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .select(col("g").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        (lnq(col("c_xy")) - lnq(col("n_bi")) - lnq(col("c_x")) -
+          lnq(col("c_y")) + lit(2L) * lnq(col("n_uni"))).as("pmi_e6"))
+      .orderBy(desc("pmi_e6"), asc("bigram"))
+      .limit(k)
+  }
 }

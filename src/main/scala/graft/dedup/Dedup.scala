@@ -498,4 +498,48 @@ object Dedup {
       .groupBy("sid")
       .agg(sum("bitval").as("simhash"))
   }
+
+  /** Candidate-precision audit of the MinHash-LSH dedup path: of the
+    * pairs [[minHashLshPairs]] surfaces, what fraction are TRUE
+    * near-duplicates at the n-gram-Jaccard threshold? This is the
+    * tuning dial for the whole banded family — precision too low means
+    * the verification joins downstream (clustering, cross-source
+    * matrices) pay for false candidates; recall is the other half and
+    * is measured by SimilaritySpec's planted-pair checks. Run it on a
+    * sample whenever (k, bands) or the corpus profile changes.
+    *
+    * Truth is UNCAPPED Jaccard over the same shingle space the
+    * signatures hash (no df cap — the audit must not inherit the
+    * approximation it audits), with the threshold compared in the same
+    * `inter/union >= minJaccard` double form on both engines. A
+    * candidate pair can in principle share zero shingles (band-key
+    * hash collision), so the intersection join is an outer fill-zero,
+    * not inner. Scale: the intersection join fans each candidate pair
+    * by its shingle lists — candidate-volume × doc-shingles, the same
+    * order as the verification work the metric prices; everything else
+    * is per-doc sizes and a two-long final fold. Output: one row
+    * (n_pairs, n_true, precision_ppm); ppm uses integer `div` (both
+    * operands non-negative, so trunc == floor across engines). */
+  def lshCandidatePrecision(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, minJaccard: Double = 0.35,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minHashLshPairs(docs, n, k, bands, textCol, idCol)
+    val s = shingleHashes(docs, n, textCol, idCol)
+    val sz = s.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(s.select(col("sid").as("a_id"), col("sh")), "a_id")
+      .join(s.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sz.select(col("sid").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sz.select(col("sid").as("b_id"), col("sz").as("b_size")), "b_id")
+      .withColumn("tru",
+        when(col("inter").cast("double") /
+            (col("a_size") + col("b_size") - col("inter")).cast("double")
+            >= lit(minJaccard), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tru")).as("n_true"))
+      .withColumn("precision_ppm", expr("n_true * 1000000 div n_pairs"))
+  }
 }

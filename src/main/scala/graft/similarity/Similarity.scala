@@ -468,4 +468,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
   }
+
+  /** Per-dimension moment sums over an embedding corpus — the
+    * normalization statistics (mean/variance per dimension) every
+    * embedding pipeline computes before whitening, PCA, or drift
+    * monitoring, shipped as EXACT integers: components quantize to
+    * micro-units (`floor(x·1e6 + 0.5)`, the house device) and the
+    * per-dimension Σx and Σx² are integer sums — order-independent
+    * under any partitioning, so a 100 TB run, its retry, and the SQL
+    * oracle agree bit for bit.
+    *
+    * The squared sums are accumulated in DECIMAL(38,0) — Σx² grows as
+    * rows × 1e12 and would wrap BIGINT past ~9.2 M rows per dimension —
+    * and surface as DOUBLE (both engines emit the correctly-rounded
+    * double of the same exact decimal; a DECIMAL output column would
+    * hash-mismatch on rendering, per the house rule). The mean/variance
+    * divisions are left to the consumer: Σx can be negative and Spark's
+    * `div` truncates where DuckDB's `//` floors.
+    *
+    * Scale: one scan; the explode fans each row into `dim` narrow
+    * (pos, x_e6) pairs and the aggregate is map-side combined down to
+    * `dim` rows before the only shuffle. Output: (pos, n, sum_e6,
+    * sumsq_e12), ordered by dimension. */
+  def embeddingDimStats(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("x_e6"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sum_e6"),
+        sum(col("x_e6").cast("decimal(38,0)") * col("x_e6"))
+          .cast("double").as("sumsq_e12"))
 }

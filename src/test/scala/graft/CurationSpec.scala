@@ -441,4 +441,20 @@ class CurationSpec extends SparkSpec {
     // ln2; 6 occurrences ≈ 4.159M µ-units
     assert(kl1("c") > 4000000L, s"c: ${kl1("c")}")
   }
+
+  test("pmiTopK: exact integer PMI; noise floor cuts the sub-minCount pair") {
+    // corpus: "new york" ×5 docs (bigram ×5) + one alternating doc
+    // ("aa bb" ×5, "bb aa" ×4). N_uni = 20, M_bi = 14; both surviving
+    // pairs score ln(5/14) − 2·ln(5/20) → 1742969 µ-units; "bb aa"
+    // sits at count 4 < minCount and must be gone — raw PMI would
+    // rank it identically
+    val docs = ((1 to 5).map(i => (i.toLong, "new york")) :+
+      (6L, Seq.fill(5)("aa bb").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.pmiTopK(docs, k = 5, minCount = 5)
+      .select("bigram", "c_xy", "c_x", "c_y", "pmi_e6")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("aa bb", 5L, 5L, 5L, 1742969L),
+      ("new york", 5L, 5L, 5L, 1742969L)), got.toString)
+  }
 }

@@ -66,4 +66,18 @@ class DedupClusterSpec extends SparkSpec {
     // and both splits are populated
     assert(out.map(_._3).toSet == Set("train", "eval"))
   }
+
+  test("lshCandidatePrecision: identical pair is a true candidate at ppm 1e6") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words about entirely unrelated things here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshCandidatePrecision(docs)
+      .select("n_pairs", "n_true", "precision_ppm")
+      .as[(Long, Long, Long)].collect().head
+    // identical docs share every band key and have Jaccard 1; doc 3
+    // shares no shingle, so it can neither pair nor pollute precision
+    assert(got == ((1L, 1L, 1000000L)), got.toString)
+  }
 }

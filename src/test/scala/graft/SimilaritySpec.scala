@@ -197,4 +197,20 @@ class SimilaritySpec extends SparkSpec {
     // still the MOST similar eligible ones: descending cosine order
     assert(hard.map(_._3) == hard.map(_._3).sorted.reverse)
   }
+
+  test("embeddingDimStats: hand-computed integer moments per dimension") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.25f)),
+      (2L, Seq(0.1f, 0.75f))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDimStats(emb)
+      .orderBy("pos")
+      .select("pos", "n", "sum_e6", "sumsq_e12")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // e6 quantization: 0.5→500000, -0.25→-250000, 0.1f→100000 (the
+    // float 0.1 is 0.100000001…; floor(·1e6 + 0.5) still lands 100000),
+    // 0.75→750000
+    assert(got == Seq(
+      (0, 2L, 600000L, 2.6e11),
+      (1, 2L, 500000L, 6.25e11)), got.toString)
+  }
 }
