@@ -33,7 +33,11 @@ object Bench {
     // q43→q54 (dedup-clusters).
     // q89→q91 (ppl-scored: the bigram-LM scored projection the whole
     // perplexity family shares).
+    // NOTE sort order: "q100..." < "q11..." lexicographically, so q100
+    // runs just after q10 and its cluster build SEEDS the caches the
+    // later dedup family reuses.
     val cacheKindsUsed: Map[String, Set[String]] = Map(
+      "q100_cluster_size_histogram" -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q18_dedup_ngram_jaccard" -> Set("shingles", "shingles-capped"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
@@ -41,7 +45,8 @@ object Bench {
       "q69_cross_source_dups"   -> Set("shingles", "minhash-bands"),
       "q89_perplexity_filter"      -> Set("ppl-scored"),
       "q91_perplexity_sketch_cut"  -> Set("ppl-scored"),
-      "q98_lsh_precision"          -> Set("shingles", "minhash-bands"))
+      "q98_lsh_precision"          -> Set("shingles", "minhash-bands"),
+      "q99_lsh_incremental"        -> Set("shingles", "minhash-bands"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

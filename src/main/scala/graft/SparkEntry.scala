@@ -1494,7 +1494,30 @@ object SparkEntry {
       // metric for the entire banded dedup family.
       "q98_lsh_precision" -> ((s, dir) =>
         graft.dedup.Dedup.lshCandidatePrecision(
-          table(s, dir, "documents")))
+          table(s, dir, "documents"))),
+
+      // Incremental NEAR-dup dedup: q83's append-only shape for the
+      // LSH family — batch probes the landed band-key index, verified
+      // at Jaccard >= 0.35, then clusters within-batch survivors; per
+      // incoming doc a landed_dup / batch_dup / keep verdict. Slice
+      // mod 5 == 2, distinct from q83/q88's mod-3 slices.
+      "q99_lsh_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.dedup.Dedup.lshIncrement(
+            docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+            docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
+          .orderBy("doc_id")
+      }),
+
+      // Duplicate-cluster size histogram: the dedup health report
+      // (how much of the corpus sits in how-big clusters) folded from
+      // the memoized q43 cluster table — one row per distinct size.
+      "q100_cluster_size_histogram" -> ((s, dir) =>
+        graft.dedup.Dedup.dedupClusters(table(s, dir, "documents"))
+          .filter(col("keep"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size"))
     )
   }
 
@@ -3296,5 +3319,70 @@ object SparkEntry {
                      (a_size + b_size - inter) >= 0.35
                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
                    precision_ppm
-          FROM jc""")
+          FROM jc""",
+
+    // Band keys are per-doc, so the all-docs pair table restricted to
+    // (inc × lnd) / (inc × inc) slices replays exactly the Spark
+    // side's index probes; verification is the identical inter/union
+    // double form; batch clustering is q43's recursive walk over
+    // verified batch-only edges.
+    "q99_lsh_incremental" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
+          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
+                 FROM mhp m JOIN sh a ON a.sid = m.a_id
+                            JOIN sh b ON b.sid = m.b_id
+                                     AND b.shingle = a.shingle
+                 GROUP BY m.a_id, m.b_id),
+          vp AS (SELECT m.a_id, m.b_id
+                 FROM mhp m
+                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
+                 JOIN hsz x ON x.sid = m.a_id
+                 JOIN hsz y ON y.sid = m.b_id
+                 WHERE COALESCE(it.inter, 0)::DOUBLE /
+                       (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
+          ldup AS (SELECT DISTINCT i FROM (
+                     SELECT a_id i FROM vp
+                     WHERE a_id % 5 = 2 AND b_id % 5 != 2
+                     UNION ALL
+                     SELECT b_id FROM vp
+                     WHERE b_id % 5 = 2 AND a_id % 5 != 2) t),
+          be AS (SELECT a_id u, b_id v FROM vp
+                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
+                   AND a_id NOT IN (SELECT i FROM ldup)
+                   AND b_id NOT IN (SELECT i FROM ldup)
+                 UNION ALL
+                 SELECT b_id, a_id FROM vp
+                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
+                   AND a_id NOT IN (SELECT i FROM ldup)
+                   AND b_id NOT IN (SELECT i FROM ldup)),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            WHERE doc_id % 5 = 2 AND doc_id NOT IN (SELECT i FROM ldup)
+            UNION
+            SELECT w.u, be.v FROM walk w JOIN be ON be.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS lbl FROM walk GROUP BY u)
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id IN (SELECT i FROM ldup) THEN 'landed_dup'
+                      WHEN cl.lbl != d.doc_id THEN 'batch_dup'
+                      ELSE 'keep' END AS verdict
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+          WHERE d.doc_id % 5 = 2
+          ORDER BY d.doc_id""",
+
+    // q43's walk + per-cluster fold: representatives (doc_id =
+    // cluster min) counted per cluster size.
+    "q100_cluster_size_histogram" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+          sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) cluster_size
+                 FROM cl GROUP BY cluster_id)
+          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) n_clusters
+          FROM sz GROUP BY cluster_size ORDER BY cluster_size""")
 }

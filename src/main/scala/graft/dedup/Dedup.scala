@@ -360,20 +360,29 @@ object Dedup {
     * bands; docs sharing any full band collide. Output: distinct
     * (a_id, b_id). The bucket join is keyed on (band, band signature) —
     * the classic sub-quadratic near-dup candidate generator. */
-  def minHashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+  /** The per-document banded signature table (sid, band, bkey) —
+    * memoized per (corpus, n, k, bands). This IS the LSH index: the
+    * batch path self-joins it ([[minHashLshPairs]]); the incremental
+    * path ([[lshIncrement]]) probes a landed corpus's table with a
+    * batch's — same keys, no recomputation of the landed side. */
+  def bandKeyTable(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minHashSignatures(docs, n, k, textCol, idCol)
       .withColumn("band", (col("i") / lit(rows)).cast("int"))
-    val bandKey = CacheRegistry.cache(
+    CacheRegistry.cache(
       CacheRegistry.key(docs, "minhash-bands", n, k, bands, textCol, idCol),
       sig
         .groupBy("sid", "band")
         .agg(concat_ws(":",
           sort_array(collect_list(struct(col("i"), col("mh"))))
-            .getField("mh").cast("array<string>")).as("bkey"))) // self-joined below
+            .getField("mh").cast("array<string>")).as("bkey")))
+  }
 
+  def minHashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bandKey = bandKeyTable(docs, n, k, bands, textCol, idCol)
     val a = bandKey.select(col("sid").as("a_id"), col("band"), col("bkey"))
     val b = bandKey.select(col("sid").as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -541,5 +550,78 @@ object Dedup {
             >= lit(minJaccard), 1L).otherwise(0L))
       .agg(count(lit(1)).as("n_pairs"), sum(col("tru")).as("n_true"))
       .withColumn("precision_ppm", expr("n_true * 1000000 div n_pairs"))
+  }
+
+  /** Incremental NEAR-duplicate dedup for append-only ingest — the LSH
+    * counterpart of [[exactIncrement]]: an incoming batch is screened
+    * against a landed corpus's banded index, then against itself,
+    * without ever recomputing anything landed-side. Per incoming doc
+    * the verdict is
+    *  - `landed_dup` — Jaccard-verified near-dup of some landed doc;
+    *  - `batch_dup`  — near-dup of another surviving batch doc whose
+    *    duplicate-cluster representative (min id, [[connectedComponents]]
+    *    over the verified batch pairs) it is not;
+    *  - `keep`       — everything else (including each batch cluster's
+    *    representative).
+    *
+    * Unlike the batch clustering ([[dedupClusters]], which buckets on
+    * raw LSH candidates), every candidate here is VERIFIED at
+    * `minJaccard` n-gram Jaccard before it can cost a document — an
+    * ingest gate drops real data, so the false-positive band collisions
+    * [[lshCandidatePrecision]] measures must not.
+    *
+    * Scale: the landed side contributes exactly two memoized
+    * projections — its band-key table (the LSH index, `bands` rows per
+    * doc) and its shingle table for verification — both keyed by the
+    * landed plan, reused batch over batch; the batch probes them with
+    * equi-joins sized by the batch. The CC fixpoint runs over verified
+    * BATCH pairs only (dup-rate × batch, not corpus). Output:
+    * (idCol, verdict), one row per incoming doc. */
+  def lshIncrement(landed: DataFrame, incoming: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.35,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lb = bandKeyTable(landed, n, k, bands, textCol, idCol)
+    val ib = bandKeyTable(incoming, n, k, bands, textCol, idCol)
+    val ls = shingleHashes(landed, n, textCol, idCol)
+    val is0 = shingleHashes(incoming, n, textCol, idCol)
+    val lsz = ls.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val isz = is0.groupBy("sid").agg(count(lit(1)).as("sz"))
+
+    // Jaccard-verify candidate (a_id from side A, b_id from side B)
+    def verify(cand: DataFrame, sA: DataFrame, szA: DataFrame,
+        sB: DataFrame, szB: DataFrame): DataFrame =
+      cand
+        .join(sA.select(col("sid").as("a_id"), col("sh")), "a_id")
+        .join(sB.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(szA.select(col("sid").as("a_id"), col("sz").as("a_sz")), "a_id")
+        .join(szB.select(col("sid").as("b_id"), col("sz").as("b_sz")), "b_id")
+        .filter(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double")
+          >= lit(minJaccard))
+        .select("a_id", "b_id")
+
+    val landCand = ib.select(col("sid").as("a_id"), col("band"), col("bkey"))
+      .join(lb.select(col("sid").as("b_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("a_id", "b_id").distinct()
+    val landedDup = verify(landCand, is0, isz, ls, lsz)
+      .select(col("a_id").as(idCol)).distinct()
+    // within-batch verified pairs among docs the landed pass kept
+    val batchPairs = verify(
+        minHashLshPairs(incoming, n, k, bands, textCol, idCol),
+        is0, isz, is0, isz)
+      .join(landedDup.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+      .join(landedDup.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
+    val fresh = incoming.select(col(idCol))
+      .join(landedDup, Seq(idCol), "left_anti")
+    val labels = connectedComponents(batchPairs, fresh, idCol)
+    incoming.select(col(idCol))
+      .join(landedDup.withColumn("__ld", lit(1L)), Seq(idCol), "left")
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ld").isNotNull, lit("landed_dup"))
+          .when(col("lbl") =!= col(idCol), lit("batch_dup"))
+          .otherwise(lit("keep")).as("verdict"))
   }
 }

@@ -80,4 +80,37 @@ class DedupClusterSpec extends SparkSpec {
     // shares no shingle, so it can neither pair nor pollute precision
     assert(got == ((1L, 1L, 1000000L)), got.toString)
   }
+
+  test("lshIncrement: landed dups drop first; batch clusters keep their min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val landed = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, base),   // copy of landed 1 → landed_dup
+      (102L, other),  // batch pair {102, 103}: 102 is the min → keep
+      (103L, other),  // → batch_dup
+      (104L, "completely fresh words never seen anywhere else around here"),
+      (105L, base))   // ALSO a landed copy: must be landed_dup, and must
+                      // NOT form a batch cluster with 101
+      .toDF("doc_id", "text")
+    val got = Dedup.lshIncrement(landed, incoming)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      101L -> "landed_dup", 102L -> "keep", 103L -> "batch_dup",
+      104L -> "keep", 105L -> "landed_dup"), got.toString)
+  }
+
+  test("cluster size histogram: one pair cluster + two singletons") {
+    val dup = "shared duplicate text repeated across this pair of documents exactly"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "unique content alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "another unique body one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(docs)
+      .filter($"keep")
+      .groupBy("cluster_size").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L), got.toString)
+  }
 }
