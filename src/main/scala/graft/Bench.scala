@@ -46,7 +46,8 @@ object Bench {
       "q89_perplexity_filter"      -> Set("ppl-scored"),
       "q91_perplexity_sketch_cut"  -> Set("ppl-scored"),
       "q98_lsh_precision"          -> Set("shingles", "minhash-bands"),
-      "q99_lsh_incremental"        -> Set("shingles", "minhash-bands"))
+      "q99_lsh_incremental"        -> Set("shingles", "minhash-bands"),
+      "q101_lsh_recall"            -> Set("shingles", "shingles-capped", "minhash-bands"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -1517,7 +1517,20 @@ object SparkEntry {
           .filter(col("keep"))
           .groupBy("cluster_size")
           .agg(count(lit(1)).as("n_clusters"))
-          .orderBy("cluster_size"))
+          .orderBy("cluster_size")),
+
+      // LSH candidate RECALL: q98's other half — of the df-capped
+      // exact Jaccard pairs (q18's truth), the fraction the banded
+      // generator surfaces. Precision prices wasted verification;
+      // recall prices silently missed duplicates.
+      "q101_lsh_recall" -> ((s, dir) =>
+        graft.dedup.Dedup.lshCandidateRecall(table(s, dir, "documents"))),
+
+      // Per-source exact-duplication report: the crawl-health dial —
+      // rows, distinct fingerprints, dup rate in ppm per source.
+      "q102_source_dup_rate" -> ((s, dir) =>
+        graft.dedup.Dedup.sourceDupRate(table(s, dir, "documents"))
+          .orderBy("source"))
     )
   }
 
@@ -3384,5 +3397,43 @@ object SparkEntry {
           sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) cluster_size
                  FROM cl GROUP BY cluster_id)
           SELECT cluster_size, CAST(COUNT(*) AS BIGINT) n_clusters
-          FROM sz GROUP BY cluster_size ORDER BY cluster_size""")
+          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q18's capped truth table left-joined to q19's candidate set;
+    // both sides carry a<b ordering, so the pair join is direct.
+    "q101_lsh_recall" ->
+      s"""WITH $tokCte, $shingleCte, $minhashPairCte,
+          shf AS (SELECT sid, shingle FROM (
+                    SELECT sid, shingle,
+                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
+                  WHERE df <= 100),
+          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
+          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
+                FROM shf a JOIN shf b USING(shingle)
+                WHERE a.sid < b.sid GROUP BY 1, 2),
+          tr AS (SELECT p.a_id, p.b_id
+                 FROM p JOIN sz x ON x.sid = p.a_id
+                        JOIN sz y ON y.sid = p.b_id
+                 WHERE p.inter::DOUBLE / (x.sz + y.sz - p.inter) >= 0.35)
+          SELECT CAST(COUNT(*) AS BIGINT) n_true,
+                 CAST(SUM(CASE WHEN m.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) n_found,
+                 CAST(SUM(CASE WHEN m.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1000000 // COUNT(*) AS BIGINT) recall_ppm
+          FROM tr LEFT JOIN mhp m ON m.a_id = tr.a_id AND m.b_id = tr.b_id""",
+
+    // The q88 fingerprint chain folded per source; NULL fingerprints
+    // excluded as across the exact family.
+    "q102_source_dup_rate" ->
+      """WITH fp AS (SELECT source,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                     FROM documents),
+          g AS (SELECT source, fp, COUNT(*) c FROM fp
+                WHERE fp IS NOT NULL GROUP BY source, fp)
+          SELECT source, CAST(SUM(c) AS BIGINT) n_docs,
+                 CAST(COUNT(*) AS BIGINT) n_distinct,
+                 CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+                   dup_ppm
+          FROM g GROUP BY source ORDER BY source""")
 }

@@ -624,4 +624,54 @@ object Dedup {
           .when(col("lbl") =!= col(idCol), lit("batch_dup"))
           .otherwise(lit("keep")).as("verdict"))
   }
+
+  /** Candidate-RECALL audit of the MinHash-LSH path — the other half of
+    * [[lshCandidatePrecision]]: of the TRUE near-duplicate pairs at the
+    * Jaccard threshold (the df-capped inverted-index truth,
+    * [[ngramJaccardPairs]] — the exact operator LSH approximates), what
+    * fraction does the banded candidate generator surface? Precision
+    * prices wasted verification; recall prices MISSED duplicates — the
+    * one that silently degrades a training corpus. Together they are
+    * the (k, bands) tuning pair: more bands raise recall and lower
+    * precision, and this pair of one-row audits makes the trade
+    * measurable on the actual corpus instead of assumed from the
+    * banding S-curve.
+    *
+    * Scale: both sides are the family's memoized tables (capped
+    * shingles; band keys); the audit adds one pair-keyed left join and
+    * a two-long fold. ppm division is non-negative (trunc == floor on
+    * both engines). Output: one row (n_true, n_found, recall_ppm). */
+  def lshCandidateRecall(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, minJaccard: Double = 0.35, maxDf: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, minJaccard, maxDf, textCol, idCol)
+      .select("a_id", "b_id")
+    val cand = minHashLshPairs(docs, n, k, bands, textCol, idCol)
+      .withColumn("__hit", lit(1L))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm", expr("n_found * 1000000 div n_true"))
+  }
+
+  /** Per-stratum duplication report over exact fingerprints — which
+    * sources are duplicate-heavy (a crawl re-fetching itself, a mirror
+    * in the mix) is the first dial an ingest operator reads. Counts
+    * per stratum: rows with a fingerprintable body, distinct
+    * fingerprints, and the duplicate rate in ppm. One scan + one
+    * map-side-combined (stratum, fp) aggregate + a stratum fold —
+    * nothing here is wider than the exact-dedup pass itself. NULL
+    * fingerprints (empty/whitespace bodies) are excluded, as across
+    * the exact family. Output: (stratum, n_docs, n_distinct,
+    * dup_ppm). */
+  def sourceDupRate(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(stratum), fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy(stratum, "fp").agg(count(lit(1)).as("c"))
+      .groupBy(stratum)
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_distinct) * 1000000 div n_docs"))
 }

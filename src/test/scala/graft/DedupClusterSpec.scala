@@ -113,4 +113,33 @@ class DedupClusterSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 1L), got.toString)
   }
+
+  test("lshCandidateRecall: identical true pair is surfaced; ppm bounded") {
+    val dup = "the quick brown fox jumps over the lazy dog again tonight"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "entirely different content with no overlapping shingles at all today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshCandidateRecall(docs)
+      .select("n_true", "n_found", "recall_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 1000000L)), got.toString)
+  }
+
+  test("sourceDupRate: per-source rates; null-fingerprint rows excluded") {
+    val docs = Seq(
+      (1L, "a", Option("same body of text here")),
+      (2L, "a", Option("same body of text here")),
+      (3L, "a", Option("a different body entirely")),
+      (4L, "b", Option("unique one")),
+      (5L, "b", Option("unique two")),
+      (6L, "b", Option.empty[String])) // NULL text → no fingerprint
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceDupRate(docs)
+      .select("source", "n_docs", "n_distinct", "dup_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 3L, 2L, 333333L),
+      ("b", 2L, 2L, 0L)), got.toString)
+  }
 }
