@@ -1530,7 +1530,31 @@ object SparkEntry {
       // rows, distinct fingerprints, dup rate in ppm per source.
       "q102_source_dup_rate" -> ((s, dir) =>
         graft.dedup.Dedup.sourceDupRate(table(s, dir, "documents"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // Passage-overlap pairs: winnowing fingerprints (q33's table)
+      // self-joined under a hot-fingerprint df cap — which document
+      // PAIRS share passages (quotation / syndication / template
+      // reuse), the MOSS question as distinct from whole-doc near-dup.
+      "q103_passage_overlap" -> ((s, dir) =>
+        graft.dedup.Dedup.passageOverlapPairs(table(s, dir, "documents"),
+            minShared = 3)
+          .orderBy("a_id", "b_id")),
+
+      // Mergeable-partials face of q90: the mixture report computed by
+      // FOLDING two slice partials (mod-2 split) — the incremental
+      // path that never rescans landed data. The oracle is the
+      // one-shot full-corpus computation: merge ≡ recompute, proven
+      // by hash.
+      "q104_mixture_merge" -> ((s, dir) => {
+        import graft.curation.Curation
+        val docs = table(s, dir, "documents")
+        val pa = Curation.mixturePartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = Curation.mixturePartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        Curation.mixtureFromPartials(pa.union(pb)).orderBy("source")
+      })
     )
   }
 
@@ -3435,5 +3459,52 @@ object SparkEntry {
                  CAST(COUNT(*) AS BIGINT) n_distinct,
                  CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
                    dup_ppm
-          FROM g GROUP BY source ORDER BY source""")
+          FROM g GROUP BY source ORDER BY source""",
+
+    // q33's winnow table + the q18-style hot-fingerprint cap, paired
+    // and floored at minShared = 3.
+    "q103_passage_overlap" ->
+      s"""WITH $tokCte,
+          sq AS (SELECT doc_id sid, u['pos'] AS pos, u['shingle'] AS shingle
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)-1),
+                           i -> struct_pack(pos := i,
+                                  shingle := array_to_string(tk[i:i+2], ' ')))) u
+                       FROM toks)),
+          h AS (SELECT sid, pos,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT hh
+                FROM sq),
+          w AS (SELECT sid, pos,
+                  MIN(hh) OVER (PARTITION BY sid ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mh
+                FROM h),
+          fps AS (SELECT DISTINCT sid, mh fp FROM w WHERE pos >= 4),
+          capped AS (SELECT sid, fp FROM (
+                       SELECT sid, fp, COUNT(*) OVER (PARTITION BY fp) df
+                       FROM fps) t
+                     WHERE df <= 100),
+          p AS (SELECT a.sid a_id, b.sid b_id,
+                  CAST(COUNT(*) AS BIGINT) shared_fps
+                FROM capped a JOIN capped b USING (fp)
+                WHERE a.sid < b.sid GROUP BY 1, 2)
+          SELECT a_id, b_id, shared_fps FROM p
+          WHERE shared_fps >= 3 ORDER BY a_id, b_id""",
+
+    // The ONE-SHOT full-corpus computation (q90's SQL): the Spark side
+    // folds two slice partials, so a hash match here IS the
+    // merge ≡ recompute proof.
+    "q104_mixture_merge" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                             AS BIGINT) n_tokens
+                      FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+                         CAST(COUNT(*) AS BIGINT) n_strata FROM per)
+          SELECT source, n_docs, n_tokens,
+                 CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total_tokens
+                      AS BIGINT) AS natural_share_e6,
+                 total_tokens // n_strata AS target_tokens,
+                 CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
+                      // n_tokens AS BIGINT) AS weight_e6
+          FROM per, tot ORDER BY source""")
 }

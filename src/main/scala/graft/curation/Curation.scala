@@ -607,10 +607,31 @@ object Curation {
     * stratum's upsampling factor at ~9.2e12×; a stratum tiny enough to
     * exceed that is a data bug, not a mixture. */
   def mixtureWeights(docs: DataFrame, stratum: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val per = docs.groupBy(stratum)
+      textCol: String = "text"): DataFrame =
+    mixtureFromPartials(mixturePartials(docs, stratum, textCol), stratum)
+
+  /** Per-stratum partial aggregate of the mixture report — (stratum,
+    * n_docs, n_tokens). The partials are MERGEABLE (plain sums), which
+    * is the whole incremental story: a landed corpus's partials are a
+    * few rows persisted once; each new batch contributes its own few
+    * rows; [[mixtureFromPartials]] over their union is the exact
+    * full-corpus report without ever rescanning landed data. This is
+    * the same exact-path mergeability the sketch family (q74/q75/q87)
+    * has by construction, made explicit for an exact report. */
+  def mixturePartials(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(stratum)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("n_tokens"))
+
+  /** Fold any union of [[mixturePartials]] outputs into the mixture
+    * report. Arithmetic identical to the one-shot path — see
+    * [[mixtureWeights]] for the DECIMAL(38,0) widening rationale. */
+  def mixtureFromPartials(partials: DataFrame,
+      stratum: String = "source"): DataFrame = {
+    val per = partials.groupBy(stratum)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_strata"))
     per.crossJoin(broadcast(tot))

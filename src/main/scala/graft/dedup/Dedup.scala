@@ -654,6 +654,35 @@ object Dedup {
       .withColumn("recall_ppm", expr("n_found * 1000000 div n_true"))
   }
 
+  /** Passage-overlap pair report over winnowing fingerprints — the MOSS
+    * use case at corpus scale: which document PAIRS share passages
+    * (quotation, syndication, template reuse), as opposed to being
+    * whole-document near-duplicates. Winnowing guarantees any shared
+    * run of ≥ w + n − 1 tokens shares a fingerprint at ~2/(w+1)
+    * sampling density, so the fingerprint table is sub-linear in the
+    * text; requiring `minShared` distinct shared fingerprints filters
+    * the one-collision noise floor to pairs with real shared passages.
+    *
+    * Scale: the self-join is capped the same way the Jaccard index is —
+    * a fingerprint shared by > maxDf documents (site chrome, legal
+    * boilerplate) is dropped before the join, bounding the pair
+    * fan-out by Σ df² over surviving fingerprints. Output:
+    * (a_id, b_id, shared_fps), a < b. */
+  def passageOverlapPairs(docs: DataFrame, minShared: Long = 3,
+      n: Int = 3, w: Int = 4, maxDf: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w, textCol, idCol)
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select("sid", "fp")
+    capped.select(col("sid").as("a_id"), col("fp"))
+      .join(capped.select(col("sid").as("b_id"), col("fp")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Per-stratum duplication report over exact fingerprints — which
     * sources are duplicate-heavy (a crawl re-fetching itself, a mirror
     * in the mix) is the first dial an ingest operator reads. Counts

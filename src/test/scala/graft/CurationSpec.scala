@@ -457,4 +457,24 @@ class CurationSpec extends SparkSpec {
       ("aa bb", 5L, 5L, 5L, 1742969L),
       ("new york", 5L, 5L, 5L, 1742969L)), got.toString)
   }
+
+  test("mixture partials merge to exactly the one-shot report") {
+    val docs = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(13)("w").mkString(" ")),
+      (3L, "b", Seq.fill(17)("w").mkString(" ")),
+      (4L, "c", Seq.fill(20)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "n_docs", "n_tokens", "natural_share_e6",
+        "target_tokens", "weight_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = rows(Curation.mixtureWeights(docs))
+    // split on doc_id parity: stratum b straddles the two partials, so
+    // the merge path exercises a real cross-partial sum
+    val merged = rows(Curation.mixtureFromPartials(
+      Curation.mixturePartials(docs.filter($"doc_id" % 2 === 0))
+        .union(Curation.mixturePartials(docs.filter($"doc_id" % 2 === 1)))))
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+  }
 }

@@ -142,4 +142,20 @@ class DedupClusterSpec extends SparkSpec {
       ("a", 3L, 2L, 333333L),
       ("b", 2L, 2L, 0L)), got.toString)
   }
+
+  test("passageOverlapPairs: a shared passage pairs its hosts; strangers don't") {
+    val passage = (1 to 24).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words before anything $passage and then one ending"),
+      (2L, s"totally different lead in text $passage closing remarks differ"),
+      (3L, "no common passage here at all just independent words flowing onward"))
+      .toDF("doc_id", "text")
+    val got = Dedup.passageOverlapPairs(docs, minShared = 3)
+      .select("a_id", "b_id", "shared_fps")
+      .as[(Long, Long, Long)].collect().toSeq
+    // winnowing guarantees a shared run of >= w+n-1 tokens shares a
+    // fingerprint; a 24-token run shares many interior window minima
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)), got.toString)
+    assert(got.head._3 >= 3L, got.toString)
+  }
 }

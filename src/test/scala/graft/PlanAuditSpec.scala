@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "q90_mixture_weights", // one-row totals table cross-joined broadcast, as q66
     "q92_mg_heavy_hitters", // one-row token total cross-joined broadcast
     "q95_source_unigram_kl", // one-row corpus-N cross-joined broadcast
-    "q97_pmi_collocations") // two one-row totals (N_bi, N_uni) broadcast
+    "q97_pmi_collocations", // two one-row totals (N_bi, N_uni) broadcast
+    "q104_mixture_merge") // one-row totals broadcast, as q90
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
