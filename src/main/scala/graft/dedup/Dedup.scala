@@ -584,33 +584,40 @@ object Dedup {
     val ib = bandKeyTable(incoming, n, k, bands, textCol, idCol)
     val ls = shingleHashes(landed, n, textCol, idCol)
     val is0 = shingleHashes(incoming, n, textCol, idCol)
-    val lsz = ls.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val isz = is0.groupBy("sid").agg(count(lit(1)).as("sz"))
-
-    // Jaccard-verify candidate (a_id from side A, b_id from side B)
-    def verify(cand: DataFrame, sA: DataFrame, szA: DataFrame,
-        sB: DataFrame, szB: DataFrame): DataFrame =
-      cand
-        .join(sA.select(col("sid").as("a_id"), col("sh")), "a_id")
-        .join(sB.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        .join(szA.select(col("sid").as("a_id"), col("sz").as("a_sz")), "a_id")
-        .join(szB.select(col("sid").as("b_id"), col("sz").as("b_sz")), "b_id")
-        .filter(col("inter").cast("double") /
-          (col("a_sz") + col("b_sz") - col("inter")).cast("double")
-          >= lit(minJaccard))
-        .select("a_id", "b_id")
+    // One unified shingle space for BOTH verification branches (doc ids
+    // are disjoint across the two slices of one corpus): candidates
+    // against landed and candidates within the batch verify through the
+    // SAME join/aggregate plan, tagged by side — one set of codegen'd
+    // stages instead of two structurally-identical ones. The bench
+    // attribution for this operator's first version read 18.9 s of JIT
+    // and 190 whole-stage compilations at sf0.1; halving the distinct
+    // plan count is the direct lever on exactly that column.
+    val s = is0.union(ls).localCheckpoint(true)
+    val sz = s.groupBy("sid").agg(count(lit(1)).as("sz"))
 
     val landCand = ib.select(col("sid").as("a_id"), col("band"), col("bkey"))
       .join(lb.select(col("sid").as("b_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select("a_id", "b_id").distinct()
-    val landedDup = verify(landCand, is0, isz, ls, lsz)
+      .withColumn("side", lit("landed"))
+    val batchCand = minHashLshPairs(incoming, n, k, bands, textCol, idCol)
+      .withColumn("side", lit("batch"))
+    val verified = landCand.union(batchCand)
+      .join(s.select(col("sid").as("a_id"), col("sh")), "a_id")
+      .join(s.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id", "side").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("sid").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sz.select(col("sid").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .filter(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double")
+        >= lit(minJaccard))
+      .select("a_id", "b_id", "side")
+      .localCheckpoint(true)
+    val landedDup = verified.filter(col("side") === "landed")
       .select(col("a_id").as(idCol)).distinct()
     // within-batch verified pairs among docs the landed pass kept
-    val batchPairs = verify(
-        minHashLshPairs(incoming, n, k, bands, textCol, idCol),
-        is0, isz, is0, isz)
+    val batchPairs = verified.filter(col("side") === "batch")
+      .select("a_id", "b_id")
       .join(landedDup.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
       .join(landedDup.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
     val fresh = incoming.select(col(idCol))
