@@ -1554,7 +1554,14 @@ object SparkEntry {
         val pb = Curation.mixturePartials(
           docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
         Curation.mixtureFromPartials(pa.union(pb)).orderBy("source")
-      })
+      }),
+
+      // RAG-index hygiene: chunks (q51's table) whose fingerprint
+      // appears in >= 2 distinct docs — the boilerplate a retriever
+      // serves over and over; ranked by occurrence count.
+      "q105_duplicate_chunks" -> ((s, dir) =>
+        graft.curation.Chunker.duplicateChunks(table(s, dir, "documents"))
+          .orderBy(desc("n_occurrences"), asc("chunk_fp")))
     )
   }
 
@@ -3506,5 +3513,22 @@ object SparkEntry {
                  total_tokens // n_strata AS target_tokens,
                  CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
                       // n_tokens AS BIGINT) AS weight_e6
-          FROM per, tot ORDER BY source""")
+          FROM per, tot ORDER BY source""",
+
+    // q51's chunk arithmetic folded per fingerprint; the >= 2
+    // distinct-doc filter is the boilerplate definition.
+    "q105_duplicate_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+                    WHERE length(text) > 0),
+          g AS (SELECT doc_id, unnest(range(0, n, 400)) st, text FROM d),
+          c AS (SELECT doc_id,
+                  md5(substr(text, CAST(st + 1 AS INT), 500)) chunk_fp
+                FROM g),
+          a AS (SELECT chunk_fp,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs,
+                  CAST(COUNT(*) AS BIGINT) n_occurrences
+                FROM c GROUP BY chunk_fp)
+          SELECT chunk_fp, n_docs, n_occurrences FROM a
+          WHERE n_docs >= 2
+          ORDER BY n_occurrences DESC, chunk_fp LIMIT 25""")
 }

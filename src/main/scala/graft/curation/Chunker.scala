@@ -34,4 +34,28 @@ object Chunker {
         least(lit(size.toLong), col("__n") - col("start")).as("chunk_len"),
         md5(expr(s"substring(__t, start + 1, $size)")).as("chunk_fp"))
   }
+
+  /** Cross-document duplicate-CHUNK report — the RAG-index hygiene
+    * check: a chunk whose fingerprint appears in ≥ 2 distinct
+    * documents is boilerplate or syndication that will be retrieved
+    * over and over, crowding real context out of the window (and in a
+    * training mixture, the same chunk sampled many times). Output: the
+    * top `k` duplicated fingerprints by occurrence count with their
+    * document spread — the rows an operator actually deletes or
+    * downweights.
+    *
+    * Scale: [[chunk]] is a zero-shuffle generate-and-project carrying
+    * fingerprints, not payloads; this adds one fp-keyed
+    * map-side-combined aggregate and a TakeOrderedAndProject — the
+    * same shape as exact dedup, at chunk granularity. */
+  def duplicateChunks(docs: DataFrame, size: Int = 500, stride: Int = 400,
+      k: Int = 25, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    chunk(docs, size, stride, idCol, textCol)
+      .groupBy("chunk_fp")
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_occurrences"), asc("chunk_fp"))
+      .limit(k)
 }

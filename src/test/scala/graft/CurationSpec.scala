@@ -1,6 +1,6 @@
 package graft
 
-import graft.curation.Curation
+import graft.curation.{Chunker, Curation}
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators: hash-deterministic stratified sampling and
@@ -476,5 +476,18 @@ class CurationSpec extends SparkSpec {
       Curation.mixturePartials(docs.filter($"doc_id" % 2 === 0))
         .union(Curation.mixturePartials(docs.filter($"doc_id" % 2 === 1)))))
     assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+  }
+
+  test("duplicateChunks: identical docs share every chunk; unique docs none") {
+    val body = ("x" * 899) + "y" // 900 chars → starts 0/400/800 → 3 chunks
+    val docs = Seq(
+      (1L, body), (2L, body),
+      (3L, "z" * 900)).toDF("doc_id", "text")
+    val got = Chunker.duplicateChunks(docs)
+      .select("n_docs", "n_occurrences")
+      .as[(Long, Long)].collect().toSeq
+    // all 3 chunk fingerprints of the duplicated body appear in both
+    // docs; doc 3's chunks are unique and must not report
+    assert(got == Seq((2L, 2L), (2L, 2L), (2L, 2L)), got.toString)
   }
 }
