@@ -1561,7 +1561,22 @@ object SparkEntry {
       // serves over and over; ranked by occurrence count.
       "q105_duplicate_chunks" -> ((s, dir) =>
         graft.curation.Chunker.duplicateChunks(table(s, dir, "documents"))
-          .orderBy(desc("n_occurrences"), asc("chunk_fp")))
+          .orderBy(desc("n_occurrences"), asc("chunk_fp"))),
+
+      // Deterministic hash-banded train/val/test assignment, reported
+      // as per-(source, split) counts — membership is a pure function
+      // of doc_id, so growing the corpus never reassigns a doc.
+      "q106_three_way_split" -> ((s, dir) =>
+        graft.curation.Curation.threeWaySplit(table(s, dir, "documents"))
+          .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "split")),
+
+      // Per-source log2 token-length histogram — integer-binary bucket
+      // (length of bin(n)), immune to float-log boundary flips.
+      "q107_token_length_histogram" -> ((s, dir) =>
+        graft.curation.Curation.tokenLengthHistogram(
+            table(s, dir, "documents"))
+          .orderBy("source", "bucket"))
     )
   }
 
@@ -3530,5 +3545,33 @@ object SparkEntry {
                 FROM c GROUP BY chunk_fp)
           SELECT chunk_fp, n_docs, n_occurrences FROM a
           WHERE n_docs >= 2
-          ORDER BY n_occurrences DESC, chunk_fp LIMIT 25""")
+          ORDER BY n_occurrences DESC, chunk_fp LIMIT 25""",
+
+    // hash60(doc_id) basis-point bands; the md5-derived hash is the
+    // cross-engine replay device used by every sampling face.
+    "q106_three_way_split" ->
+      """WITH h AS (SELECT source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 10000 hb
+                    FROM documents),
+          s AS (SELECT source,
+                  CASE WHEN hb < 8000 THEN 'train'
+                       WHEN hb < 9000 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM h)
+          SELECT source, split, CAST(COUNT(*) AS BIGINT) n_docs
+          FROM s GROUP BY source, split ORDER BY source, split""",
+
+    // bucket = length of the integer's binary rendering = floor(log2)+1,
+    // exact on both engines (a float log would flip at powers of two).
+    "q107_token_length_histogram" ->
+      """WITH t AS (SELECT source,
+                      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n
+                    FROM documents),
+          b AS (SELECT source,
+                  CASE WHEN n <= 0 THEN 0
+                       ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket
+                FROM t)
+          SELECT source, bucket, CAST(COUNT(*) AS BIGINT) n_docs
+          FROM b GROUP BY source, bucket ORDER BY source, bucket""")
 }

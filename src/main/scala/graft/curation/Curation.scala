@@ -799,6 +799,42 @@ object Curation {
         sum(col("contrib")).as("kl_num_e6"))
   }
 
+  /** Deterministic three-way train/val/test assignment by hashed id —
+    * the standard eval-split face next to [[stratifiedSample]] (rate
+    * sampling), [[stratumSampleK]] (fixed-k draw) and
+    * `leakageSafeSplit` (cluster-aware): split = the basis-point band
+    * `hash60(id) mod 10000` falls in, so membership is a pure function
+    * of the row's stable key — growing the corpus never reassigns an
+    * existing doc, retries are idempotent, and any engine with md5
+    * reproduces the split. Returns per-document assignments; callers
+    * aggregate or join as needed. One scan, zero shuffle. */
+  def threeWaySplit(docs: DataFrame, trainBp: Int = 8000, valBp: Int = 9000,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainBp > 0 && trainBp < valBp && valBp < 10000,
+      "need 0 < trainBp < valBp < 10000")
+    val h = pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(10000L))
+    docs.withColumn("split",
+      when(h < trainBp, "train").when(h < valBp, "val").otherwise("test"))
+  }
+
+  /** Per-stratum log₂ token-length histogram — the length-distribution
+    * report behind context-window budgeting and packing-efficiency
+    * estimates. The bucket is `length(bin(n_tokens))` = ⌊log₂ n⌋ + 1
+    * computed on the INTEGER's binary rendering, not on a float log —
+    * `floor(ln(n)/ln 2)` flips at exact powers of two under 1-ulp libm
+    * divergence, the integer form cannot. Zero-token docs land in
+    * bucket 0. One scan + a (stratum, bucket) map-side-combined
+    * aggregate. Output: (stratum, bucket, n_docs). */
+  def tokenLengthHistogram(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val n = size(TextFunctions.tokens(col(textCol))).cast("long")
+    docs
+      .select(col(stratum),
+        when(n <= 0, 0L).otherwise(length(bin(n)).cast("long")).as("bucket"))
+      .groupBy(stratum, "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Top-k collocations by pointwise mutual information — the classic
     * "which word pairs travel together" corpus statistic (phrase
     * detection, tokenizer-merge candidates, collocation features).

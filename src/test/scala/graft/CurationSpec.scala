@@ -490,4 +490,34 @@ class CurationSpec extends SparkSpec {
     // docs; doc 3's chunks are unique and must not report
     assert(got == Seq((2L, 2L), (2L, 2L), (2L, 2L)), got.toString)
   }
+
+  test("threeWaySplit: stable under corpus growth; all bands populated") {
+    val full = (0L until 400L).toDF("doc_id")
+    val half = full.filter($"doc_id" < 200)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.threeWaySplit(df).select("doc_id", "split")
+        .as[(Long, String)].collect().toMap
+    val sHalf = splits(half)
+    val sFull = splits(full)
+    // growing the corpus never reassigns an existing doc
+    assert(sFull.view.filterKeys(_ < 200).toMap == sHalf)
+    // 80/10/10 bands all land in loose Bernoulli bounds on 400 draws
+    val n = sFull.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 280 && n("train") < 360, n.toString)
+    assert(n("val") > 15 && n("val") < 75, n.toString)
+    assert(n("test") > 15 && n("test") < 75, n.toString)
+  }
+
+  test("tokenLengthHistogram: integer-binary buckets at power-of-two edges") {
+    val docs = Seq(
+      (1L, "s", "w"),                          // 1 token  → bucket 1
+      (2L, "s", "w w w"),                      // 3 tokens → bucket 2
+      (3L, "s", "w w w w"),                    // 4 tokens → bucket 3 (the
+                                               //   float-log flip case)
+      (4L, "s", Seq.fill(8)("w").mkString(" ")) // 8 → bucket 4
+      ).toDF("doc_id", "source", "text")
+    val got = Curation.tokenLengthHistogram(docs)
+      .select("bucket", "n_docs").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), got.toString)
+  }
 }
