@@ -65,6 +65,16 @@ object MaterializedScaleBench {
     }
 
     val ops: Seq[(String, Int => Long)] = Seq(
+      // round-12 rows: the new heavy trio, probed the round they landed
+      ("q92_mg_hh", k =>
+        graft.curation.Curation.heavyHittersMG(docs(k), 25, 64).count()),
+      ("q99_lsh_inc", k => {
+        val d = docs(k)
+        Dedup.lshIncrement(
+          d.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          d.filter(pmod(col("doc_id"), lit(5L)) === 2)).count()
+      }),
+      ("q103_passages", k => Dedup.passageOverlapPairs(docs(k), 3).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
