@@ -38,6 +38,7 @@ object Bench {
     // later dedup family reuses.
     val cacheKindsUsed: Map[String, Set[String]] = Map(
       "q100_cluster_size_histogram" -> Set("shingles", "minhash-bands", "dedup-clusters"),
+      "q108_dedup_verdicts"         -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q18_dedup_ngram_jaccard" -> Set("shingles", "shingles-capped"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),

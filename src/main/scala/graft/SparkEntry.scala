@@ -1576,7 +1576,14 @@ object SparkEntry {
       "q107_token_length_histogram" -> ((s, dir) =>
         graft.curation.Curation.tokenLengthHistogram(
             table(s, dir, "documents"))
-          .orderBy("source", "bucket"))
+          .orderBy("source", "bucket")),
+
+      // Unified dedup verdict: exact_dup / near_dup / keep per doc —
+      // the auditable "why was this dropped" stitched from the exact
+      // fingerprint pass and the memoized near-dup cluster table.
+      "q108_dedup_verdicts" -> ((s, dir) =>
+        graft.dedup.Dedup.dedupVerdicts(table(s, dir, "documents"))
+          .orderBy("doc_id"))
     )
   }
 
@@ -3573,5 +3580,34 @@ object SparkEntry {
                        ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket
                 FROM t)
           SELECT source, bucket, CAST(COUNT(*) AS BIGINT) n_docs
-          FROM b GROUP BY source, bucket ORDER BY source, bucket""")
+          FROM b GROUP BY source, bucket ORDER BY source, bucket""",
+
+    // exact = non-min id within a normalized-md5 fingerprint group
+    // (NULL fps excluded); near = non-min label in the q43 cluster
+    // walk; exact wins the tie, as on the Spark side.
+    "q108_dedup_verdicts" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          fp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                 FROM documents),
+          ex AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
+                   FROM fp WHERE fp IS NOT NULL) t
+                 WHERE doc_id != keep_id),
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                        THEN 'exact_dup'
+                      WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
+                      ELSE 'keep' END AS verdict
+          FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+          ORDER BY d.doc_id""")
 }

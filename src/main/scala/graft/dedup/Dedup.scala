@@ -690,6 +690,38 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Unified per-document dedup verdict — the "why was this document
+    * dropped" report a curation pipeline owes its operators: each doc
+    * is `exact_dup` (a smaller id shares its normalized fingerprint),
+    * else `near_dup` (a non-representative member of its [[dedupClusters]]
+    * near-duplicate cluster), else `keep`. Exact wins the tie because
+    * its evidence is stronger — a byte-identical body needs no
+    * similarity argument. NULL fingerprints (empty bodies) can only be
+    * near_dup or keep, as across the exact family.
+    *
+    * Scale: one fp-keyed aggregate + the memoized cluster table + two
+    * id-keyed joins — the same passes the individual operators already
+    * pay, stitched into one auditable answer. Output: (idCol, verdict),
+    * one row per doc. */
+  def dedupVerdicts(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val minFp = fp.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
+    val exact = fp.join(minFp, Seq("fp"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol)).withColumn("__ex", lit(1L))
+    val clusters = dedupClusters(docs, textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(clusters, Seq(idCol))
+      .select(col(idCol),
+        when(col("__ex").isNotNull, lit("exact_dup"))
+          .when(col("cluster_id") =!= col(idCol), lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Per-stratum duplication report over exact fingerprints — which
     * sources are duplicate-heavy (a crawl re-fetching itself, a mirror
     * in the mix) is the first dial an ingest operator reads. Counts

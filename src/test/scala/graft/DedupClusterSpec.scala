@@ -143,6 +143,21 @@ class DedupClusterSpec extends SparkSpec {
       ("b", 2L, 2L, 0L)), got.toString)
   }
 
+  test("dedupVerdicts: exact beats near; representatives and uniques keep") {
+    val body = "the quick brown fox jumps over the lazy dog again tonight"
+    val docs = Seq(
+      (1L, body),            // representative of both pairs → keep
+      (2L, body),            // byte-identical → exact_dup (also near; exact wins)
+      (3L, body + " extra"), // near-copy of 1 → near_dup
+      (4L, "entirely different words about unrelated things flowing here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupVerdicts(docs)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "keep", 2L -> "exact_dup", 3L -> "near_dup", 4L -> "keep"),
+      got.toString)
+  }
+
   test("passageOverlapPairs: a shared passage pairs its hosts; strangers don't") {
     val passage = (1 to 24).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
