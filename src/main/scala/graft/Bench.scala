@@ -98,9 +98,34 @@ object Bench {
       sample
     }
 
-    // JVM/codegen warm-up on the smallest query (not reported)
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).limit(1).count())
-    catch { case _: Throwable => }
+    // Untimed JVM/codegen warm-up (not reported): a throwaway composite
+    // — parquet scan + filter + broadcast join + hash agg + window +
+    // sort, fully executed via the noop sink — compiles the machinery
+    // every contract query shares (vectorized parquet reader, Janino
+    // pipeline, BufferedRowIterator/hash-agg/-join codegen bases,
+    // Tungsten sort, noop write path). BENCH_r12 attrib showed the
+    // suite's entire first-compile JIT (909–2050 ms each) billed to the
+    // lexicographically-first family q05–q09 — the only >2×-of-floor
+    // entries left. Repeated 3× so tiered compilation (C1→C2) finishes
+    // promoting the hot paths before q01 is timed.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+      val reg = spark.read.parquet(s"$sfDir/region.parquet")
+      val warm = nat.filter(col("n_nationkey") >= 0)
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("c"), sum("n_nationkey").as("s"))
+        .withColumn("rk", row_number().over(
+          // partitioned window (like every contract query); an empty
+          // partition spec would also WARN into the driver's stdout tail
+          Window.partitionBy(col("s") % 2).orderBy(col("c").desc, col("r_name"))))
+      (1 to 3).foreach { _ =>
+        warm.write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+    } catch { case _: Throwable => }
 
     // optional comma-separated name filter for local iteration (the
     // driver sets no filter and measures everything)

@@ -690,6 +690,71 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Substring-level deduplication — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL'22) granularity
+    * the document- (q17), line- (q84), chunk- (q105) and passage-report
+    * (q103) faces don't reach: EXCISE from every document each token
+    * run of length ≥ `k` that occurs at least twice in the corpus
+    * (in another document or elsewhere in the same one), crossing
+    * line/chunk boundaries freely. The published pipelines build a
+    * corpus-wide suffix array; the distributed equivalent here is
+    * k-gram cover marking, which needs only hash shuffles:
+    *
+    *  1. positional k-grams (one row per occurrence, [[shingleTablePos]]);
+    *  2. a gram is DUPLICATED iff its 60-bit hash occurs ≥ 2 times
+    *     corpus-wide (hash-keyed count — the only corpus-global stage,
+    *     a plain aggregate);
+    *  3. a token is COVERED iff some duplicated gram's k-token span
+    *     contains it — a per-document window `max` over the gram-start
+    *     flags at offsets [pos−k+1, pos];
+    *  4. cleaned text = the uncovered tokens re-joined in order.
+    *
+    * Any repeated run of length L ≥ k makes all of its L−k+1 grams
+    * duplicated, and every one of its L tokens lies in one of those
+    * spans — so exactly the tokens of repeated-run cover are removed,
+    * the same spans a suffix-array pass selects (self-overlap of
+    * periodic text resolves identically because cover is per-token).
+    *
+    * Scale shape: grams are O(total tokens) narrow rows; the df count
+    * shuffles on the gram hash; the cover join is keyed (sid, pos); the
+    * window and final re-assembly share one sid-keyed shuffle. No
+    * all-pairs stage, no driver state. 60-bit hashing makes a
+    * cross-gram collision (which could only over-delete one k-span)
+    * ~n²/2⁶¹-improbable; the SQL oracle replays the identical hash.
+    *
+    * Output: (id, n_tokens, n_removed, clean_md5) — md5 of the cleaned
+    * text, one row per input document (null-text docs report 0/0 and
+    * md5 of the empty string). */
+  def substringDedup(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = shingleTablePos(docs, k, textCol, idCol)
+      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("gh"), lit(1L).as("__dup"))
+    val dupStarts = grams.join(dup, Seq("gh")).select("sid", "pos", "__dup")
+    val toks = docs.select(col(idCol).as("sid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val covWin = Window.partitionBy("sid").orderBy("pos")
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val marked = toks
+      .join(dupStarts, Seq("sid", "pos"), "left")
+      .withColumn("cov", max(coalesce(col("__dup"), lit(0L))).over(covWin))
+    val perDoc = marked.groupBy("sid").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("cov")).as("n_removed"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_md5"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("sid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   /** Unified per-document dedup verdict — the "why was this document
     * dropped" report a curation pipeline owes its operators: each doc
     * is `exact_dup` (a smaller id shares its normalized fingerprint),
