@@ -1583,6 +1583,16 @@ object SparkEntry {
       // fingerprint pass and the memoized near-dup cluster table.
       "q108_dedup_verdicts" -> ((s, dir) =>
         graft.dedup.Dedup.dedupVerdicts(table(s, dir, "documents"))
+          .orderBy("doc_id")),
+
+      // Substring-level dedup (the Lee-et-al granularity): excise every
+      // token run of >= 8 tokens occurring >= 2x corpus-wide — across
+      // documents or within one — and report per-doc token/removed
+      // counts plus the md5 of the cleaned text. The oracle replays the
+      // identical 60-bit gram hash, k-gram cover window, and ordered
+      // re-join in SQL, so the hash match proves span-exact excision.
+      "q109_substring_dedup" -> ((s, dir) =>
+        graft.dedup.Dedup.substringDedup(table(s, dir, "documents"), k = 8)
           .orderBy("doc_id"))
     )
   }
@@ -3609,5 +3619,43 @@ object SparkEntry {
                       WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
                       ELSE 'keep' END AS verdict
           FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
+
+    // k=8 gram cover marking: a token is excised iff some duplicated
+    // (count >= 2 corpus-wide) 8-gram's span contains it. Same 60-bit
+    // md5-prefix hash as the Spark side (q103's device); cleaned text
+    // re-joined in token order and md5'd — the hash IS the span proof.
+    "q109_substring_dedup" ->
+      s"""WITH $tokCte,
+          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk)+1),
+                          i -> struct_pack(pos := i, tok := tk[i]))) u
+                      FROM toks)),
+          g AS (SELECT doc_id, u['pos'] pos,
+                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk) - 6),
+                          i -> struct_pack(pos := i,
+                            gram := array_to_string(tk[i:i+7], ' ')))) u
+                      FROM toks)),
+          dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+          m AS (SELECT t.doc_id, t.pos, t.tok,
+                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
+                FROM t LEFT JOIN ds
+                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
+          p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+                  CAST(SUM(cov) AS BIGINT) n_removed,
+                  md5(coalesce(string_agg(CASE WHEN cov = 0 THEN tok END,
+                    ' ' ORDER BY pos), '')) clean_md5
+                FROM m GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                 coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+                 coalesce(clean_md5, md5('')) AS clean_md5
+          FROM documents d LEFT JOIN p USING (doc_id)
           ORDER BY d.doc_id""")
 }

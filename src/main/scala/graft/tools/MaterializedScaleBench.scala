@@ -75,6 +75,19 @@ object MaterializedScaleBench {
           d.filter(pmod(col("doc_id"), lit(5L)) === 2)).count()
       }),
       ("q103_passages", k => Dedup.passageOverlapPairs(docs(k), 3).count()),
+      // round-13 rows + the three r12 rows the probe history lacked
+      ("q109_substring", k => Dedup.substringDedup(docs(k), 8).count()),
+      ("q104_mix_merge", k => {
+        val d = docs(k)
+        val pa = graft.curation.Curation.mixturePartials(
+          d.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.curation.Curation.mixturePartials(
+          d.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.curation.Curation.mixtureFromPartials(pa.union(pb)).count()
+      }),
+      ("q105_dup_chunks", k =>
+        graft.curation.Chunker.duplicateChunks(docs(k)).count()),
+      ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),

@@ -1,0 +1,82 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Substring-level dedup (q109's operator): excise token runs of
+  * length >= k occurring >= 2x corpus-wide, across or within docs. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val passage =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+  private def run(docs: Seq[(Long, String)], k: Int = 8) =
+    Dedup.substringDedup(docs.toDF("doc_id", "text"), k = k)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, r, m) => id -> ((n, r, m)) }.toMap
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("a passage shared by two docs is excised from both, rest kept") {
+    val got = run(Seq(
+      (1L, s"unique one text here $passage and a tail follows now"),
+      (2L, s"different head entirely $passage closing words differ too"),
+      (3L, "completely unrelated document with no repeated content at all")))
+    // passage = 10 tokens -> all 10 removed from both carriers
+    val (n1, r1, m1) = got(1L)
+    assert((n1, r1) == ((19L, 10L)))
+    assert(m1 == md5Of("unique one text here and a tail follows now"))
+    val (n2, r2, m2) = got(2L)
+    assert((n2, r2) == ((17L, 10L)))
+    assert(m2 == md5Of("different head entirely closing words differ too"))
+    // untouched doc: nothing removed, md5 of its own text
+    val (n3, r3, m3) = got(3L)
+    assert((n3, r3) == ((9L, 0L)))
+    assert(m3 == md5Of("completely unrelated document with no repeated content at all"))
+  }
+
+  test("within-document repetition is excised (both occurrences)") {
+    val got = run(Seq(
+      (1L, s"$passage middle filler words $passage"),
+      (2L, "independent second doc keeps the corpus honest here")))
+    // both 10-token runs covered; the 3 middle tokens survive
+    val (n1, r1, m1) = got(1L)
+    assert((n1, r1) == ((23L, 20L)))
+    assert(m1 == md5Of("middle filler words"))
+  }
+
+  test("runs shorter than k survive; docs shorter than k are untouched") {
+    val shared7 = "one two three four five six seven" // 7 tokens < k=8
+    val got = run(Seq(
+      (1L, s"$shared7 aa bb"),
+      (2L, s"$shared7 cc dd"),
+      (3L, "tiny doc")))
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L && got(3L)._2 == 0L)
+    assert(got(3L)._1 == 2L)
+  }
+
+  test("maximal repeated run longer than k is fully excised") {
+    // 12-token shared run: every token of the run is covered by some
+    // duplicated 8-gram, including the edges
+    val run12 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val got = run(Seq(
+      (1L, s"head $run12 tail"),
+      (2L, s"other start $run12 other end")))
+    assert(got(1L) == ((14L, 12L, md5Of("head tail"))))
+    assert(got(2L) == ((16L, 12L, md5Of("other start other end"))))
+  }
+
+  test("one row per input doc; all-duplicate doc cleans to empty string") {
+    val got = run(Seq(
+      (1L, passage),
+      (2L, passage),
+      (3L, "a filler doc so the corpus is not only the duplicate pair")))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((10L, 10L, md5Of(""))))
+    assert(got(2L) == ((10L, 10L, md5Of(""))))
+  }
+}
