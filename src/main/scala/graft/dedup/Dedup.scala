@@ -153,6 +153,13 @@ object Dedup {
     * `CacheRegistry.releaseExcept`/`releaseAll`, as the bench harness
     * does between queries.
     *
+    * Durability caveat (cluster deployments): the batch projection's
+    * `localCheckpoint` blocks live only on their computing executors —
+    * an executor loss mid-batch loses them unrecoverably (local
+    * checkpoints sever lineage). Fine single-JVM and for batch-sized
+    * data; swap for reliable `checkpoint()` where a mid-batch retry is
+    * unacceptable.
+    *
     * Eagerness: this call runs Spark actions at DataFrame-construction
     * time — the batch checkpoint, the landed sizing count (skipped when
     * `expectedItems > 0` is passed from a cheaper known count), and the
@@ -575,8 +582,18 @@ object Dedup {
     * doc) and its shingle table for verification — both keyed by the
     * landed plan, reused batch over batch; the batch probes them with
     * equi-joins sized by the batch. The CC fixpoint runs over verified
-    * BATCH pairs only (dup-rate × batch, not corpus). Output:
-    * (idCol, verdict), one row per incoming doc. */
+    * BATCH pairs only (dup-rate × batch, not corpus).
+    *
+    * Durability caveat (cluster deployments): the verified-pair table
+    * is pinned with `localCheckpoint`, which stores blocks on the
+    * executors that computed them and CANNOT be recomputed after an
+    * executor loss (unlike the registry's MEMORY_AND_DISK persists,
+    * which re-derive from lineage). That is the right trade in the
+    * single-JVM bench topology and for the small per-batch pair table;
+    * a multi-executor deployment that cannot tolerate a mid-batch
+    * retry should swap it for reliable `checkpoint()` against the
+    * cluster's checkpoint dir (one-line change, same semantics).
+    * Output: (idCol, verdict), one row per incoming doc. */
   def lshIncrement(landed: DataFrame, incoming: DataFrame, n: Int = 3,
       k: Int = 16, bands: Int = 4, minJaccard: Double = 0.35,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -592,17 +609,34 @@ object Dedup {
     // attribution for this operator's first version read 18.9 s of JIT
     // and 190 whole-stage compilations at sf0.1; halving the distinct
     // plan count is the direct lever on exactly that column.
-    val s = is0.union(ls).localCheckpoint(true)
+    // Both sides are [[CacheRegistry]]-persisted projections — the
+    // landed entries reused batch over batch — so the union is a plain
+    // lazy plan over two cached tables: per-batch cost is the
+    // batch-side build plus cache reads. (An earlier version eagerly
+    // `localCheckpoint`ed this union, re-materializing O(landed+batch)
+    // blocks on every batch call — review finding, fixed.)
+    val s = is0.union(ls)
     val sz = s.groupBy("sid").agg(count(lit(1)).as("sz"))
 
-    val landCand = ib.select(col("sid").as("a_id"), col("band"), col("bkey"))
-      .join(lb.select(col("sid").as("b_id"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .select("a_id", "b_id").distinct()
-      .withColumn("side", lit("landed"))
-    val batchCand = minHashLshPairs(incoming, n, k, bands, textCol, idCol)
-      .withColumn("side", lit("batch"))
-    val verified = landCand.union(batchCand)
+    // One unified BAND space likewise (plan-count phase 2): the
+    // landed-probe and within-batch candidate branches are the same
+    // equi-join of the batch band-key table against the tagged union of
+    // both memoized band-key tables — one codegen'd join pipeline
+    // instead of two structurally-identical ones ([[minHashLshPairs]]
+    // would rebuild the within-batch branch from its own band-table
+    // scans). `side` falls directly out of which slice the b-row came
+    // from; the within-batch branch keeps the a < b dedup the batch
+    // self-join needs, the landed branch pairs all (batch, landed).
+    val allBands = ib
+      .select(col("sid"), col("band"), col("bkey"), lit("batch").as("src"))
+      .unionByName(lb
+        .select(col("sid"), col("band"), col("bkey"), lit("landed").as("src")))
+    val cand = ib.select(col("sid").as("a_id"), col("band"), col("bkey"))
+      .join(allBands.select(col("sid").as("b_id"), col("band"), col("bkey"),
+        col("src").as("side")), Seq("band", "bkey"))
+      .filter(col("side") === "landed" || col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "side").distinct()
+    val verified = cand
       .join(s.select(col("sid").as("a_id"), col("sh")), "a_id")
       .join(s.select(col("sid").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy("a_id", "b_id", "side").agg(count(lit(1)).as("inter"))
