@@ -1593,7 +1593,21 @@ object SparkEntry {
       // re-join in SQL, so the hash match proves span-exact excision.
       "q109_substring_dedup" -> ((s, dir) =>
         graft.dedup.Dedup.substringDedup(table(s, dir, "documents"), k = 8)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Incremental EMBEDDING near-dup (q99's shape on the vector
+      // modality): the vec_id%5==2 slice arrives as a batch against the
+      // landed rest; sign-LSH banded index probed by batch equi-joins,
+      // exact-cosine verification at 0.3 (the threshold that exercises
+      // BOTH dup branches on this corpus), CC over verified batch pairs.
+      "q110_embed_incremental" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.lshIncrement(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2),
+          bands = 4, bitsPerBand = 8, minCosine = 0.3)
+          .orderBy("vec_id")
+      })
     )
   }
 
@@ -3657,5 +3671,46 @@ object SparkEntry {
                  coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
                  coalesce(clean_md5, md5('')) AS clean_md5
           FROM documents d LEFT JOIN p USING (doc_id)
-          ORDER BY d.doc_id""")
+          ORDER BY d.doc_id""",
+
+    // q22's banded sign-LSH + exact-cosine verification, side-tagged by
+    // slice (batch = vec_id%5=2), then q108's recursive reachability
+    // walk over verified BATCH pairs whose endpoints survived the
+    // landed screen — landed_dup beats batch_dup beats keep.
+    "q110_embed_incremental" ->
+      s"""WITH RECURSIVE
+          e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          bd AS ($duckBandedCte),
+          cand AS (SELECT DISTINCT a.sid a_id, b.sid b_id,
+                     CASE WHEN b.sid % 5 = 2 THEN 'batch'
+                          ELSE 'landed' END side
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                   WHERE a.sid % 5 = 2
+                     AND (b.sid % 5 != 2 OR a.sid < b.sid)),
+          ver AS (SELECT a_id, b_id, side FROM (
+                    SELECT a_id, b_id, side,
+                           round(list_dot_product(x.v, y.v) /
+                                 (sqrt(list_dot_product(x.v, x.v)) *
+                                  sqrt(list_dot_product(y.v, y.v))), 4) cos
+                    FROM cand JOIN e x ON x.sid = a_id
+                              JOIN e y ON y.sid = b_id) t
+                  WHERE cos >= 0.3),
+          ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
+          bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
+                   AND a_id NOT IN (SELECT sid FROM ld)
+                   AND b_id NOT IN (SELECT sid FROM ld)),
+          ed AS (SELECT a_id u, b_id v FROM bp
+                 UNION ALL SELECT b_id, a_id FROM bp),
+          walk(u, r) AS (
+            SELECT sid, sid FROM e WHERE sid % 5 = 2
+            UNION
+            SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+          cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
+          SELECT cl.sid AS vec_id,
+                 CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
+                      WHEN cl.lbl != cl.sid THEN 'batch_dup'
+                      ELSE 'keep' END AS verdict
+          FROM cl
+          ORDER BY vec_id""")
 }

@@ -100,6 +100,75 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Incremental NEAR-duplicate dedup over EMBEDDINGS for append-only
+    * ingest — the sign-LSH counterpart of
+    * [[graft.dedup.Dedup.lshIncrement]] (which covers the n-gram
+    * Jaccard modality): an incoming batch of vectors is screened
+    * against a landed corpus's banded signature index, then against
+    * itself, without recomputing anything landed-side. Per incoming
+    * vector the verdict is
+    *  - `landed_dup` — exact-cosine-verified (≥ `minCosine`) near-dup
+    *    of some landed vector;
+    *  - `batch_dup`  — near-dup of another surviving batch vector
+    *    whose duplicate-cluster representative (min id, connected
+    *    components over the verified batch pairs) it is not;
+    *  - `keep`       — everything else.
+    *
+    * Same architecture as the text twin: the landed side contributes
+    * exactly one memoized projection — its [[bandedTable]] (the LSH
+    * index, `bands` narrow rows per vector), reused batch over batch —
+    * plus id-keyed vector lookups for verification; the batch probes
+    * with equi-joins sized by the batch. Candidates form as ONE
+    * equi-join of the batch band table against the tagged union of
+    * both band tables (one codegen'd pipeline, `side` from the b-row's
+    * slice; within-batch keeps the a < b dedup), every candidate is
+    * verified at exact cosine before it can cost a vector, and the CC
+    * fixpoint runs over verified BATCH pairs only. Embeddings are
+    * never shuffled pair-wise — (band, bucket) triples shuffle, then
+    * vectors join back by id. Output: (idCol, verdict), one row per
+    * incoming vector. */
+  def lshIncrement(landed: DataFrame, incoming: DataFrame,
+      bands: Int = 4, bitsPerBand: Int = 8, minCosine: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lb = bandedTable(landed, bands, bitsPerBand, idCol, vecCol)
+    val ib = bandedTable(incoming, bands, bitsPerBand, idCol, vecCol)
+    val allBands = ib
+      .select(col("sid"), col("band"), col("bucket"), lit("batch").as("src"))
+      .unionByName(lb
+        .select(col("sid"), col("band"), col("bucket"), lit("landed").as("src")))
+    val cand = ib.select(col("sid").as("a_id"), col("band"), col("bucket"))
+      .join(allBands.select(col("sid").as("b_id"), col("band"), col("bucket"),
+        col("src").as("side")), Seq("band", "bucket"))
+      .filter(col("side") === "landed" || col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "side").distinct()
+    // one unified vector-lookup space (ids disjoint across the slices)
+    val v = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+      .unionByName(landed.select(col(idCol).as("sid"), col(vecCol).as("vec")))
+    val verified = cand
+      .join(v.select(col("sid").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(v.select(col("sid").as("b_id"), col("vec").as("b_vec")), "b_id")
+      .withColumn("cos", round(cosine(col("a_vec"), col("b_vec")), 4))
+      .filter(col("cos") >= lit(minCosine))
+      .select("a_id", "b_id", "side")
+      .localCheckpoint(true)
+    val landedDup = verified.filter(col("side") === "landed")
+      .select(col("a_id").as(idCol)).distinct()
+    val batchPairs = verified.filter(col("side") === "batch")
+      .select("a_id", "b_id")
+      .join(landedDup.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+      .join(landedDup.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
+    val fresh = incoming.select(col(idCol))
+      .join(landedDup, Seq(idCol), "left_anti")
+    val labels = graft.dedup.Dedup.connectedComponents(batchPairs, fresh, idCol)
+    incoming.select(col(idCol))
+      .join(landedDup.withColumn("__ld", lit(1L)), Seq(idCol), "left")
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ld").isNotNull, lit("landed_dup"))
+          .when(col("lbl") =!= col(idCol), lit("batch_dup"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to sign-LSH ([[lshTopK]]). Three phases, all linear in the
     * corpus:

@@ -179,6 +179,47 @@ class SimilaritySpec extends SparkSpec {
     assert(scored.forall(_ >= 0.9))
   }
 
+  test("lshIncrement (vec): landed dups drop first; batch clusters keep min id") {
+    val r = new scala.util.Random(7)
+    def v(): Array[Float] = Array.fill(Dim)(r.nextGaussian().toFloat)
+    def near(a: Array[Float]): Array[Float] =
+      a.map(x => x + 0.02f * r.nextGaussian().toFloat)
+    val a = v(); val b = v()
+    // landed: vector 1 (=a) + unrelated fillers
+    val landed = (Seq((1L, a)) ++ (2L to 20L).map(i => (i, v())))
+      .toDF("vec_id", "embedding")
+    // incoming: 101 ≈ landed a -> landed_dup; 102 ≈ 103 (cluster, min
+    // keeps, 103 batch_dup); 104 unique -> keep
+    val incoming = Seq(
+      (101L, near(a)), (102L, b), (103L, near(b)), (104L, v()))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshIncrement(landed, incoming,
+        bands = 4, bitsPerBand = 8, minCosine = 0.9)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(101L -> "landed_dup", 102L -> "keep",
+      103L -> "batch_dup", 104L -> "keep"))
+  }
+
+  test("lshIncrement (vec): batch dup of a landed dup is not double-counted") {
+    val r = new scala.util.Random(11)
+    def v(): Array[Float] = Array.fill(Dim)(r.nextGaussian().toFloat)
+    def near(a: Array[Float]): Array[Float] =
+      a.map(x => x + 0.02f * r.nextGaussian().toFloat)
+    val a = v()
+    val landed = (Seq((1L, a)) ++ (2L to 10L).map(i => (i, v())))
+      .toDF("vec_id", "embedding")
+    // both incoming vectors are near the landed one (and each other):
+    // BOTH must read landed_dup — the batch-pair branch only runs over
+    // vectors that survived the landed screen
+    val incoming = Seq((101L, near(a)), (102L, near(a)), (103L, v()))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshIncrement(landed, incoming,
+        bands = 4, bitsPerBand = 8, minCosine = 0.9)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(101L -> "landed_dup", 102L -> "landed_dup",
+      103L -> "keep"))
+  }
+
   test("hardNegatives excludes above-threshold neighbors, ranks the rest") {
     // corpus with planted near-copies: the copy of query 0 has cos ≈ 1
     // and must NOT appear among its hard negatives, while plain top-k
