@@ -1447,7 +1447,15 @@ object SparkEntry {
       // or mis-attributes lines hash-fails.
       "q93_jsonl_malformed_rate" -> ((s, dir) => {
         import graft.sources.Tables
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/jsonl_corrupt/documents"
+        // keyed by the DATA DIR too (review finding): one session
+        // building q93 against two sf dirs must not clobber the first
+        // write and hand the lazily-read frame wrong-scale data
+        val dirKey = java.lang.Long.toHexString(
+          dir.hashCode.toLong & 0xffffffffL)
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"jsonl_corrupt_$dirKey/documents"
+        registerTmpCleanup(
+          new java.io.File(s"/tmp/graft_${s.sparkContext.applicationId}"))
         val line = to_json(struct(col("doc_id"), col("source"), col("text")))
         table(s, dir, "documents")
           .select(when(pmod(col("doc_id"), lit(20L)) === 0,
@@ -1938,6 +1946,23 @@ object SparkEntry {
   )
 
   /** Shared DuckDB fragments for the pipeline oracles. */
+  /** One JVM-exit hook (first q93 build wins) deleting the session's
+    * /tmp/graft_<appId> scratch tree — the corrupted-JSONL fixtures are
+    * per-run artifacts, not outputs (review finding: they were never
+    * cleaned up). */
+  private val tmpCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerTmpCleanup(base: java.io.File): Unit =
+    if (tmpCleanupRegistered.compareAndSet(false, true)) {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base)
+      }
+      ()
+    }
+
   private val tokCte =
     """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk,
                        text FROM documents)"""

@@ -669,7 +669,10 @@ object Curation {
     * partition's local hash map, capped at `capacity` entries; the
     * candidate shuffle carries ≤ capacity × partitions tokens, the
     * recount aggregates only candidate rows (broadcast semi join gates
-    * the scan), and the total N is a one-row broadcast. Compare q44's
+    * the scan), and the total N rides out of the candidate pass itself
+    * (one extra row per partition) as a one-row broadcast — the whole
+    * operator tokenizes the corpus exactly TWICE (candidates+total,
+    * recount), the minimum a candidate/verify split admits. Compare q44's
     * exact top-k, whose groupBy shuffles the full vocabulary — on web
     * text that is corpus-scale — and which this operator demotes to
     * audit twin.
@@ -683,9 +686,18 @@ object Curation {
     import ss.implicits._
     val tok = docs.select(
       explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val candidates = tok.as[String].mapPartitions { it =>
+    // ONE pass emits both outputs (review finding: a separate
+    // tok.count() scan re-tokenized the corpus a third time): candidate
+    // rows (token, 0) from each partition's MG summary, plus one
+    // (null, n-partition-tokens) row — the exact total folds out of the
+    // same iterator that feeds the counters. The summary is tiny
+    // (≤ capacity × partitions + partitions rows), pinned eagerly so
+    // the candidate and total branches don't re-run the scan.
+    val summary = tok.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { t =>
+        n += 1
         counters.get(t) match {
           case Some(c) => counters.update(t, c + 1)
           case None if counters.size < capacity => counters.update(t, 1L)
@@ -699,9 +711,12 @@ object Curation {
             dead.foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("token").distinct()
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      counters.keysIterator.map(t => (t, 0L)) ++
+        Iterator.single((null: String, n))
+    }.toDF("token", "n").localCheckpoint(true)
+    val candidates = summary.filter(col("token").isNotNull)
+      .select("token").distinct()
+    val total = summary.agg(sum(col("n")).as("n_total"))
     tok.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
