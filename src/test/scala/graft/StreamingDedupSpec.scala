@@ -10,7 +10,11 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  // offset well above epoch: a row whose event time equals the INITIAL
+  // watermark (0) is silently late-dropped before its fingerprint enters
+  // state — at ts(0) exactly, doc 1 was being "deduplicated" by the
+  // late-data path, not the state store (found via StreamingPipelineSpec)
+  private def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
 
   test("streamingExact drops cross-batch dups within the horizon, re-admits after eviction") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
