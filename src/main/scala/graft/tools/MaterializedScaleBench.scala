@@ -49,6 +49,10 @@ object MaterializedScaleBench {
         .parquet(s"$out/events1")
       ScaleCorpus.eventsAt(s, dir, factor).write.mode("overwrite")
         .parquet(s"$out/events$factor")
+      ScaleCorpus.embeddingsAt(s, dir, 1).write.mode("overwrite")
+        .parquet(s"$out/emb1")
+      ScaleCorpus.embeddingsAt(s, dir, factor).write.mode("overwrite")
+        .parquet(s"$out/emb$factor")
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -58,6 +62,7 @@ object MaterializedScaleBench {
     val spark = session()
     def docs(k: Int): DataFrame = spark.read.parquet(s"$out/docs$k")
     def events(k: Int): DataFrame = spark.read.parquet(s"$out/events$k")
+    def emb(k: Int): DataFrame = spark.read.parquet(s"$out/emb$k")
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
@@ -88,6 +93,13 @@ object MaterializedScaleBench {
       ("q105_dup_chunks", k =>
         graft.curation.Chunker.duplicateChunks(docs(k)).count()),
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
+      ("q110_emb_inc", k => {
+        val e = emb(k)
+        graft.similarity.Similarity.lshIncrement(
+          e.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          e.filter(pmod(col("vec_id"), lit(5L)) === 2),
+          bands = 4, bitsPerBand = 8, minCosine = 0.3).count()
+      }),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),

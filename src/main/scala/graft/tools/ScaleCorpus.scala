@@ -46,6 +46,33 @@ object ScaleCorpus {
       .reduce(_ unionByName _)
   }
 
+  /** Similarity-preserving embedding replication: copy i's vectors get
+    * a cyclic DIMENSION shift of 5·i (distinct mod the 64-dim space for
+    * every probe factor; 5 is coprime with 64). Cosine is invariant
+    * under any fixed permutation applied to both vectors, so each
+    * copy's internal near-dup structure matches the original corpus
+    * exactly, while cos(v, shift(v)) across copies is the lag
+    * autocorrelation of a random-ish vector — ~0. Naive duplication
+    * would make every replica an exact near-dup of its original
+    * (cos = 1) and grow the verified-pair space quadratically by
+    * construction. */
+  def embeddingsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e0 = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    if (k > 1) guardMaxId(e0, "vec_id", IdOffset)
+    (0 until k).map { i =>
+      val s = (5 * i) % 64
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(s + 1), size(col("embedding")) - lit(s)),
+          slice(col("embedding"), lit(1), lit(s)))
+      e0.select(
+        (col("vec_id") + lit(i.toLong * IdOffset)).as("vec_id"),
+        shifted.as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   def eventsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e0 = graft.sources.Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "value")
