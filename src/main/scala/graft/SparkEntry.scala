@@ -1615,6 +1615,20 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5L)) === 2),
           bands = 4, bitsPerBand = 8, minCosine = 0.3)
           .orderBy("vec_id")
+      }),
+
+      // Incremental substring dedup (q109's rule on an append-only
+      // split): the doc_id%4==1 slice arrives as a batch; a batch token
+      // run >= 8 is excised iff its grams exist in the landed rest OR
+      // occur >= 2x within the batch — "occurs >= 2x in landed ∪ batch"
+      // evaluated batch-side, with the landed corpus contributing only
+      // its memoized distinct gram-hash set.
+      "q111_substring_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.dedup.Dedup.substringDedupIncrement(
+          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1),
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 1), k = 8)
+          .orderBy("doc_id")
       })
     )
   }
@@ -3737,5 +3751,47 @@ object SparkEntry {
                       WHEN cl.lbl != cl.sid THEN 'batch_dup'
                       ELSE 'keep' END AS verdict
           FROM cl
-          ORDER BY vec_id""")
+          ORDER BY vec_id""",
+
+    // q109's cover arithmetic restricted to the batch slice, with the
+    // dup set = (batch grams with count >= 2) ∪ (landed grams) — the
+    // same 60-bit hash, window and re-join; landed tokens never enter
+    // the cover pass.
+    "q111_substring_incremental" ->
+      s"""WITH $tokCte,
+          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk)+1),
+                          i -> struct_pack(pos := i, tok := tk[i]))) u
+                      FROM toks WHERE doc_id % 4 = 1)),
+          g AS (SELECT doc_id, u['pos'] pos,
+                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk) - 6),
+                          i -> struct_pack(pos := i,
+                            gram := array_to_string(tk[i:i+7], ' ')))) u
+                      FROM toks)),
+          gb AS (SELECT * FROM g WHERE doc_id % 4 = 1),
+          dup AS (SELECT gh FROM gb GROUP BY gh HAVING COUNT(*) >= 2
+                  UNION
+                  SELECT DISTINCT gh FROM g WHERE doc_id % 4 != 1),
+          ds AS (SELECT doc_id, pos FROM gb JOIN dup USING (gh)),
+          m AS (SELECT t.doc_id, t.pos, t.tok,
+                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
+                FROM t LEFT JOIN ds
+                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
+          p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+                  CAST(SUM(cov) AS BIGINT) n_removed,
+                  md5(coalesce(string_agg(CASE WHEN cov = 0 THEN tok END,
+                    ' ' ORDER BY pos), '')) clean_md5
+                FROM m GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                 coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+                 coalesce(clean_md5, md5('')) AS clean_md5
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+          LEFT JOIN p USING (doc_id)
+          ORDER BY d.doc_id""")
 }

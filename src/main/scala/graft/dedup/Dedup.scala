@@ -764,8 +764,57 @@ object Dedup {
     val grams = shingleTablePos(docs, k, textCol, idCol)
       .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select(col("gh"), lit(1L).as("__dup"))
-    val dupStarts = grams.join(dup, Seq("gh")).select("sid", "pos", "__dup")
+      .filter(col("cnt") >= 2).select("gh")
+    exciseCovered(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
+  }
+
+  /** Incremental face of [[substringDedup]] for append-only ingest —
+    * the last cell of the incremental matrix (exact: [[exactIncrement]]
+    * / [[exactIncrementBloom]]; near-dup: [[lshIncrement]] and its
+    * embedding twin; mixture: mergeable partials): clean each INCOMING
+    * document by excising every token run of ≥ `k` whose k-grams
+    * already exist in the LANDED corpus (copied/quoted landed content)
+    * or occur ≥ 2 times within the batch (fresh duplication), without
+    * recomputing anything landed-side. Per batch occurrence the
+    * excision rule is `landed-hit OR batch-count ≥ 2` — exactly
+    * "occurs ≥ 2 times in landed ∪ batch" evaluated for batch rows,
+    * since a landed hit implies a second occurrence by itself.
+    *
+    * Scale: the landed side contributes ONE memoized projection — its
+    * distinct gram-hash set (kind "gram-hashes", keyed by the landed
+    * plan + k), built once and reused batch over batch; the batch's
+    * gram table probes it with a gh-keyed join sized by the batch (at
+    * 100 TB landed, front this join with a Bloom gate exactly as
+    * [[exactIncrementBloom]] fronts the fingerprint anti-join — a
+    * bloom-negative gram is provably novel and skips the probe). The
+    * cover window and re-assembly run over BATCH tokens only. Output:
+    * q109's schema, one row per incoming doc. */
+  def substringDedupIncrement(landed: DataFrame, incoming: DataFrame,
+      k: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val landedGh = CacheRegistry.cache(
+      CacheRegistry.key(landed, "gram-hashes", k, textCol, idCol),
+      shingleTablePos(landed, k, textCol, idCol)
+        .select(hash60(col("shingle")).as("gh")).distinct())
+    val grams = shingleTablePos(incoming, k, textCol, idCol)
+      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
+    val batchDup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val dup = batchDup
+      .unionByName(landedGh.join(
+        grams.select("gh").distinct(), Seq("gh"), "left_semi"))
+      .distinct()
+    exciseCovered(incoming, grams.join(dup, Seq("gh")), k, textCol, idCol)
+  }
+
+  /** Shared excision tail of the substring-dedup family: given the
+    * documents and the duplicated gram START rows (sid, pos, …), mark
+    * every token covered by a duplicated k-span via a per-doc window
+    * max over [pos−k+1, pos], drop covered tokens, and re-join the
+    * survivors in order. One sid-keyed shuffle serves the cover window
+    * and the final aggregate. */
+  private def exciseCovered(docs: DataFrame, dupStarts0: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val dupStarts = dupStarts0.select(col("sid"), col("pos"), lit(1L).as("__dup"))
     val toks = docs.select(col(idCol).as("sid"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val covWin = Window.partitionBy("sid").orderBy("pos")

@@ -82,6 +82,12 @@ object MaterializedScaleBench {
       ("q103_passages", k => Dedup.passageOverlapPairs(docs(k), 3).count()),
       // round-13 rows + the three r12 rows the probe history lacked
       ("q109_substring", k => Dedup.substringDedup(docs(k), 8).count()),
+      ("q111_substr_inc", k => {
+        val d = docs(k)
+        Dedup.substringDedupIncrement(
+          d.filter(pmod(col("doc_id"), lit(4L)) =!= 1),
+          d.filter(pmod(col("doc_id"), lit(4L)) === 1), 8).count()
+      }),
       ("q104_mix_merge", k => {
         val d = docs(k)
         val pa = graft.curation.Curation.mixturePartials(

@@ -70,6 +70,65 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(2L) == ((16L, 12L, md5Of("other start other end"))))
   }
 
+  test("incremental: landed content excised from batch; landed side untouched") {
+    val landed = Seq(
+      (1L, s"landed carrier of $passage right here"),
+      (2L, "some other landed document with plainly unrelated words inside"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // quotes the landed passage once — excised on the landed hit alone
+      (101L, s"fresh head then $passage and fresh tail"),
+      // unique content — untouched
+      (102L, "entirely novel batch document nothing shared with anything"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupIncrement(landed, incoming, k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, r, m) => id -> ((n, r, m)) }.toMap
+    // output covers ONLY the incoming slice
+    assert(got.keySet == Set(101L, 102L))
+    assert(got(101L) == ((16L, 10L, md5Of("fresh head then and fresh tail"))))
+    assert(got(102L)._2 == 0L)
+  }
+
+  test("incremental: within-batch repetition excised without any landed hit") {
+    val landed = Seq((1L, "landed filler totally unrelated to the batch content here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, s"alpha start $passage"),
+      (102L, s"$passage omega end"),
+      (103L, "standalone batch doc sharing no long runs with its peers"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupIncrement(landed, incoming, k = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, r, m) => id -> ((n, r, m)) }.toMap
+    assert(got(101L) == ((12L, 10L, md5Of("alpha start"))))
+    assert(got(102L) == ((12L, 10L, md5Of("omega end"))))
+    assert(got(103L)._2 == 0L)
+  }
+
+  test("incremental ≡ batch substringDedup restricted to the batch slice") {
+    // the defining identity: cleaning a batch against landed ∪ batch
+    // equals running the ONE-SHOT operator over landed ∪ batch and
+    // keeping the batch rows — landed-side runs of length < 2x never
+    // differ because a landed-only dup cannot excise batch tokens
+    val all = Seq(
+      (1L, s"landed one with $passage inside it"),
+      (2L, "landed two distinct filler material here"),
+      (101L, s"batch quoting $passage verbatim"),
+      (102L, "batch unique content with no repeats at all"),
+      (103L, "batch unique content with no repeats at all padded"))
+      .toDF("doc_id", "text")
+    val landed = all.filter($"doc_id" < 100L)
+    val incoming = all.filter($"doc_id" >= 100L)
+    val inc = Dedup.substringDedupIncrement(landed, incoming, k = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val oneShot = Dedup.substringDedup(all, k = 8)
+      .filter($"doc_id" >= 100L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(inc == oneShot)
+  }
+
   test("one row per input doc; all-duplicate doc cleans to empty string") {
     val got = run(Seq(
       (1L, passage),
