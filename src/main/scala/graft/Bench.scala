@@ -94,7 +94,13 @@ object Bench {
       // after an explicit collection — same session, same plan).
       // Collect it here, outside the timed region, so a cache-heavy
       // query's cleanup is not billed to its innocent successor.
-      if (released > 0) System.gc()
+      // UNCONDITIONAL since round 13: a cache-LESS heavy query (q109's
+      // corpus-wide gram table) leaves the same garbage, and G1's
+      // concurrent cycles then steal worker cores from the successor
+      // WITHOUT billing gc_ms (STW-only MXBean) — q10_per read 5.3 s
+      // vs its 0.89 floor with attrib [0, 973, 17] right after q109.
+      val _ = released
+      System.gc()
       sample
     }
 
