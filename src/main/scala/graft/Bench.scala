@@ -48,7 +48,13 @@ object Bench {
       "q91_perplexity_sketch_cut"  -> Set("ppl-scored"),
       "q98_lsh_precision"          -> Set("shingles", "minhash-bands"),
       "q99_lsh_incremental"        -> Set("shingles", "minhash-bands"),
-      "q101_lsh_recall"            -> Set("shingles", "shingles-capped", "minhash-bands"))
+      "q101_lsh_recall"            -> Set("shingles", "shingles-capped", "minhash-bands"),
+      // q22 and q29 build the SAME full-embeddings sign-LSH band table
+      // (identical plan + params -> one registry key); retaining the
+      // kind across the gap indexes the corpus once per session, the
+      // production shape (round-13 addition)
+      "q22_embed_neardup_lsh"      -> Set("sign-bands"),
+      "q29_ann_topk_lsh"           -> Set("sign-bands"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these
