@@ -101,10 +101,19 @@ object MaterializedScaleBench {
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
+        // Size bitsPerBand to keep bucket population constant
+        // (n/2^bits) — the operator's documented banding contract
+        // ("size bitsPerBand ≈ log2(n)"). Probing FIXED bits at
+        // growing n measured the quadratic bucket-population growth
+        // the contract exists to prevent (9.75x at 30x with bits=8),
+        // not the operator: with contract sizing the candidate space
+        // stays ~linear. Cap at dim/bands = 16.
+        val bits = math.min(16,
+          8 + (math.log(k.toDouble) / math.log(2)).ceil.toInt)
         graft.similarity.Similarity.lshIncrement(
           e.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           e.filter(pmod(col("vec_id"), lit(5L)) === 2),
-          bands = 4, bitsPerBand = 8, minCosine = 0.3).count()
+          bands = 4, bitsPerBand = bits, minCosine = 0.3).count()
       }),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
