@@ -129,6 +129,42 @@ class SubstringDedupSpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("matches an O(n²) brute-force reference on random corpora (5 seeds)") {
+    // independent oracle: count every positional k-gram by VALUE (not
+    // hash), mark covered tokens by direct interval painting, excise
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 12).map(i => f"w$i%02d")
+      val passage = (1 to 9).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (1L to 12L).map { id =>
+        val body = (1 to 6 + rnd.nextInt(20))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // a third of the docs embed the shared passage somewhere
+        val text = if (id % 3 == 0) s"$body $passage" else body
+        (id, text)
+      }
+      val k = 4
+      // brute force
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+        .withDefaultValue(0)
+      toks.values.foreach(_.sliding(k).filter(_.size == k)
+        .foreach(g => gramCount(g) += 1))
+      val expect = toks.map { case (id, ts) =>
+        val covered = Array.fill(ts.size)(false)
+        (0 to ts.size - k).foreach { s =>
+          if (gramCount(ts.slice(s, s + k)) >= 2)
+            (s until s + k).foreach(covered(_) = true)
+        }
+        val clean = ts.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t }.mkString(" ")
+        id -> ((ts.size.toLong, covered.count(identity).toLong, md5Of(clean)))
+      }
+      val got = run(docs, k = k)
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("one row per input doc; all-duplicate doc cleans to empty string") {
     val got = run(Seq(
       (1L, passage),
