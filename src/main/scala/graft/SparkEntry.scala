@@ -1629,7 +1629,15 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1),
           docs.filter(pmod(col("doc_id"), lit(4L)) === 1), k = 8)
           .orderBy("doc_id")
-      })
+      }),
+
+      // Per-source substring-duplication impact: the fraction of each
+      // source's tokens inside duplicated >= 8-token runs (the number
+      // the published substring-dedup pipelines report), exact-integer
+      // ppm with DECIMAL(38,0) widening.
+      "q112_substring_stats" -> ((s, dir) =>
+        graft.dedup.Dedup.substringDedupStats(table(s, dir, "documents"))
+          .orderBy("source"))
     )
   }
 
@@ -3793,5 +3801,45 @@ object SparkEntry {
                  coalesce(clean_md5, md5('')) AS clean_md5
           FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
           LEFT JOIN p USING (doc_id)
-          ORDER BY d.doc_id""")
+          ORDER BY d.doc_id""",
+
+    // q109's cover arithmetic folded per source; ppm via HUGEINT
+    // (Spark side: DECIMAL(38,0)) so a huge source cannot wrap the
+    // BIGINT product.
+    "q112_substring_stats" ->
+      s"""WITH $tokCte,
+          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk)+1),
+                          i -> struct_pack(pos := i, tok := tk[i]))) u
+                      FROM toks)),
+          g AS (SELECT doc_id, u['pos'] pos,
+                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk) - 6),
+                          i -> struct_pack(pos := i,
+                            gram := array_to_string(tk[i:i+7], ' ')))) u
+                      FROM toks)),
+          dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+          m AS (SELECT t.doc_id, t.pos,
+                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
+                FROM t LEFT JOIN ds
+                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
+          p AS (SELECT doc_id, COUNT(*) n_tok, SUM(cov) n_rem
+                FROM m GROUP BY doc_id),
+          j AS (SELECT d.source, d.doc_id,
+                  coalesce(n_tok, 0) n_tok, coalesce(n_rem, 0) n_rem
+                FROM documents d LEFT JOIN p USING (doc_id))
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) n_tokens,
+                 CAST(SUM(n_rem) AS BIGINT) n_removed,
+                 CAST(SUM(CASE WHEN n_rem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   n_docs_hit,
+                 CAST(CAST(SUM(n_rem) AS HUGEINT) * 1000000 // SUM(n_tok)
+                   AS BIGINT) removed_ppm
+          FROM j GROUP BY source ORDER BY source""")
 }

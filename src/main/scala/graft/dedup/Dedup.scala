@@ -806,22 +806,62 @@ object Dedup {
     exciseCovered(incoming, grams.join(dup, Seq("gh")), k, textCol, idCol)
   }
 
-  /** Shared excision tail of the substring-dedup family: given the
-    * documents and the duplicated gram START rows (sid, pos, …), mark
-    * every token covered by a duplicated k-span via a per-doc window
-    * max over [pos−k+1, pos], drop covered tokens, and re-join the
-    * survivors in order. One sid-keyed shuffle serves the cover window
-    * and the final aggregate. */
-  private def exciseCovered(docs: DataFrame, dupStarts0: DataFrame, k: Int,
+  /** Cover-marked token table of the substring-dedup family: every
+    * token of `docs` with a `cov` 0/1 flag — 1 iff some duplicated
+    * k-gram's span contains it (per-doc window max over the duplicated
+    * START rows at offsets [pos−k+1, pos]). Output: (sid, pos, tok,
+    * cov); one sid-keyed shuffle. */
+  private def coverMarked(docs: DataFrame, dupStarts0: DataFrame, k: Int,
       textCol: String, idCol: String): DataFrame = {
     val dupStarts = dupStarts0.select(col("sid"), col("pos"), lit(1L).as("__dup"))
     val toks = docs.select(col(idCol).as("sid"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val covWin = Window.partitionBy("sid").orderBy("pos")
       .rowsBetween(-(k - 1), Window.currentRow)
-    val marked = toks
+    toks
       .join(dupStarts, Seq("sid", "pos"), "left")
       .withColumn("cov", max(coalesce(col("__dup"), lit(0L))).over(covWin))
+      .select("sid", "pos", "tok", "cov")
+  }
+
+  /** Per-stratum substring-duplication impact report — the number the
+    * published substring-dedup pipelines actually report (what fraction
+    * of each source's tokens sits inside duplicated ≥ k-token runs):
+    * per stratum, doc count, token count, covered-token count, docs
+    * with any covered run, and removed_ppm (exact integer div, widened
+    * per the DECIMAL(38,0) budget — a 100 TB source's token count
+    * overflows a BIGINT × 1e6). Same dup-gram space as
+    * [[substringDedup]]; one extra per-doc fold + a stratum aggregate. */
+  def substringDedupStats(docs: DataFrame, k: Int = 8,
+      stratum: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = shingleTablePos(docs, k, textCol, idCol)
+      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val perDoc = coverMarked(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_tok"), sum(col("cov")).as("n_rem"))
+    docs.select(col(idCol).as("sid"), col(stratum))
+      .join(perDoc, Seq("sid"), "left")
+      .na.fill(0L, Seq("n_tok", "n_rem"))
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_rem")).as("n_removed"),
+        sum(when(col("n_rem") > 0, 1L).otherwise(0L)).as("n_docs_hit"))
+      .withColumn("removed_ppm",
+        expr("CAST(n_removed AS DECIMAL(38,0)) * 1000000 div n_tokens"))
+  }
+
+  /** Shared excision tail of the substring-dedup family: given the
+    * documents and the duplicated gram START rows (sid, pos, …), mark
+    * every token covered by a duplicated k-span via a per-doc window
+    * max over [pos−k+1, pos] ([[coverMarked]]), drop covered tokens,
+    * and re-join the survivors in order. */
+  private def exciseCovered(docs: DataFrame, dupStarts0: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val marked = coverMarked(docs, dupStarts0, k, textCol, idCol)
     val perDoc = marked.groupBy("sid").agg(
       count(lit(1)).as("n_tokens"),
       sum(col("cov")).as("n_removed"),

@@ -165,6 +165,23 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDedupStats: per-source counts, hit docs and exact ppm") {
+    val docs = Seq(
+      (1L, "a", s"head one $passage"),                  // 12 tok, 10 removed
+      (2L, "a", s"other opener here $passage trailer"), // 14 tok, 10 removed
+      (3L, "a", "clean source-a document with nothing repeated anywhere"), // 7, 0
+      (4L, "b", "source b stays entirely clean of long repeated runs"))    // 9, 0
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.substringDedupStats(docs, k = 8)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // source a: 3 docs, 33 tokens, 20 removed, 2 docs hit,
+    // ppm = 20e6 div 33 = 606060
+    assert(got == Seq(
+      ("a", 3L, 33L, 20L, 2L, 606060L),
+      ("b", 1L, 9L, 0L, 0L, 0L)))
+  }
+
   test("one row per input doc; all-duplicate doc cleans to empty string") {
     val got = run(Seq(
       (1L, passage),
