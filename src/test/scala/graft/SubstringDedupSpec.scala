@@ -165,6 +165,30 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental: batch-over-batch — content landed by batch A cleans batch B") {
+    val landed0 = Seq(
+      (1L, s"first landed doc holds $passage intact"),
+      (2L, "second landed doc entirely different material inside"))
+      .toDF("doc_id", "text")
+    val runA = "alpha beta gamma delta epsilon zeta eta theta iota" // 9 tokens
+    val batchA = Seq((101L, runA)).toDF("doc_id", "text")
+    val cleanA = Dedup.substringDedupIncrement(landed0, batchA, k = 8)
+      .as[(Long, Long, Long, String)].collect()
+    assert(cleanA.toSeq == Seq((101L, 9L, 0L, md5Of(runA))))
+    // batch A lands; batch B quotes the ORIGINAL landed passage and
+    // batch A's run — both must now excise
+    val landed1 = landed0.unionByName(batchA)
+    val batchB = Seq(
+      (201L, s"quoting now $passage done"),
+      (202L, s"$runA trailer"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupIncrement(landed1, batchB, k = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, r, m) => id -> ((n, r, m)) }.toMap
+    assert(got(201L) == ((13L, 10L, md5Of("quoting now done"))))
+    assert(got(202L) == ((10L, 9L, md5Of("trailer"))))
+  }
+
   test("substringDedupStats: per-source counts, hit docs and exact ppm") {
     val docs = Seq(
       (1L, "a", s"head one $passage"),                  // 12 tok, 10 removed
