@@ -133,8 +133,14 @@ object Bench {
           // partitioned window (like every contract query); an empty
           // partition spec would also WARN into the driver's stdout tail
           Window.partitionBy(col("s") % 2).orderBy(col("c").desc, col("r_name"))))
+      val warmRollup = nat.join(broadcast(reg),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum("n_nationkey").as("s"), count(lit(1)).as("c"))
       (1 to 3).foreach { _ =>
         warm.write.format("noop").mode("overwrite").save()
+        // ExpandExec/rollup is its own codegen path (q26/q65's shape)
+        warmRollup.write.format("noop").mode("overwrite").save()
       }
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => }

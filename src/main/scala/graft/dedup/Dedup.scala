@@ -854,6 +854,35 @@ object Dedup {
         expr("CAST(n_removed AS DECIMAL(38,0)) * 1000000 div n_tokens"))
   }
 
+  /** Production face of [[substringDedup]]: the cleaned TEXT itself,
+    * not its digest — (id, n_tokens, n_removed, clean). The contract
+    * queries ship the md5 because the driver hash-compares narrow
+    * rows; a pipeline rewriting its corpus wants the string. Identical
+    * dup-gram space and cover arithmetic (md5(clean) here ==
+    * q109's clean_md5, pinned by spec). */
+  def substringDedupClean(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = shingleTablePos(docs, k, textCol, idCol)
+      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val perDoc = coverMarked(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
+      .groupBy("sid").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cov")).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("sid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** Shared excision tail of the substring-dedup family: given the
     * documents and the duplicated gram START rows (sid, pos, …), mark
     * every token covered by a duplicated k-span via a per-doc window

@@ -206,6 +206,25 @@ class SubstringDedupSpec extends SparkSpec {
       ("b", 1L, 9L, 0L, 0L, 0L)))
   }
 
+  test("substringDedupClean returns the text whose md5 the contract face ships") {
+    val docs = Seq(
+      (1L, s"unique head $passage unique tail"),
+      (2L, s"$passage second carrier body"),
+      (3L, "wholly original document body here")).toDF("doc_id", "text")
+    val clean = Dedup.substringDedupClean(docs, k = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, r, c) => id -> ((n, r, c)) }.toMap
+    val digest = run(Seq(
+      (1L, s"unique head $passage unique tail"),
+      (2L, s"$passage second carrier body"),
+      (3L, "wholly original document body here")), k = 8)
+    assert(clean.keySet == digest.keySet)
+    clean.foreach { case (id, (n, r, c)) =>
+      assert((n, r, md5Of(c)) == digest(id), s"doc $id")
+    }
+    assert(clean(1L)._3 == "unique head unique tail")
+  }
+
   test("one row per input doc; all-duplicate doc cleans to empty string") {
     val got = run(Seq(
       (1L, passage),
