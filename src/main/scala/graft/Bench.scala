@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * Queries execute against the `noop` sink so the full result (every
   * column, every row) is computed — a bare `count()` would let Catalyst
   * prune the very expressions under test. A warm-up query runs first so
-  * JIT/codegen warm-up is not billed to the first query measured.
+  * JIT/codegen warm-up is not billed to the first query measured; the
+  * one-time family-index build ([[SparkEntry.buildIndexes]]) is timed
+  * as its own "index" metric, inside the reported total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +21,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Generated-class cache fix (round-14; ProfileQ99 A/B): the
+      // per-query codegen stage id is embedded in the generated class
+      // NAME by default, so two structurally-identical stages produce
+      // different source text and Janino's source-keyed compile cache
+      // can never hit across stages or plans. Dropping the id from the
+      // name (the class is held by reference, the name is cosmetic) +
+      // sizing the cache above the suite's distinct-stage count turns
+      // repeat compilations into cache hits: q99 warm 11.4 s/129
+      // compilations → 3.9 s/0 on the same box. This is the structural
+      // answer to the suite's dominant JIT bill (q99/q100 `weak`s).
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,7 +68,15 @@ object Bench {
       // kind across the gap indexes the corpus once per session, the
       // production shape (round-13 addition)
       "q22_embed_neardup_lsh"      -> Set("sign-bands"),
-      "q29_ann_topk_lsh"           -> Set("sign-bands"))
+      "q29_ann_topk_lsh"           -> Set("sign-bands"),
+      // round-14: the substring family's memoized gram spaces
+      // (q109→q112 share the corpus gram table + dup-gram set) and the
+      // incremental operators' landed-side indexes, all built in the
+      // index phase and retained until their consumers run
+      "q109_substring_dedup"       -> Set("gram-table", "dup-grams"),
+      "q110_embed_incremental"     -> Set("sign-bands", "vec-lookup"),
+      "q111_substring_incremental" -> Set("gram-hashes"),
+      "q112_substring_stats"       -> Set("gram-table", "dup-grams"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these
@@ -145,11 +167,31 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => }
 
+    // One-time family-index build, timed as its OWN metric (r13 verdict
+    // #1a): the memoized sub-plans several queries (or every batch of
+    // an incremental operator) share are a per-corpus, per-session
+    // build a production deployment amortizes across its whole query
+    // stream — billing it to whichever query runs first (q100 absorbed
+    // the dedup family's entire bill, 3.3× its floor in the r13 driver
+    // sample) misprices both. The reported total still INCLUDES it —
+    // the accounting is honest, just itemized.
     // optional comma-separated name filter for local iteration (the
     // driver sets no filter and measures everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val order = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    val tIdx0 = System.nanoTime()
+    val indexSec =
+      // under a local-iteration filter, only pay the build when some
+      // selected query actually reads an indexed kind
+      if (!order.exists(cacheKindsUsed.contains)) 0.0
+      else try { SparkEntry.buildIndexes(spark, sfDir); (System.nanoTime() - tIdx0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index build failed: ${e.getMessage}")
+        (System.nanoTime() - tIdx0) / 1e9
+      }
+    System.gc() // index-build garbage is not the first query's bill
     val results = order.zipWithIndex.map { case (n, i) =>
       // retain exactly the kinds some LATER query in this run consumes
       val retain = order.drop(i + 1)
@@ -186,15 +228,19 @@ object Bench {
     val attrib = results
       .map { case (k, v) => "\"" + k + s"""\":[${v.gcMs},${v.jitMs},${v.cgN}]""" }
       .mkString("{", ",", "}")
-    // total = sum of the ROUNDED per-query values, so re-summing the
-    // printed queries reproduces "value" exactly (no 3-dp drift)
-    val total = results.map(_._2.sec).filter(_ >= 0)
+    // total = index build + sum of the ROUNDED per-query values, so
+    // re-summing the printed parts reproduces "value" exactly (no 3-dp
+    // drift). "index" is the one-time family-index build (see above) —
+    // inside the total, itemized next to it.
+    val idxR = math.rint(indexSec * 1000) / 1000
+    val total = idxR + results.map(_._2.sec).filter(_ >= 0)
       .map(v => math.rint(v * 1000) / 1000).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
-        s""","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
+        s""","queries":$qs,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
+        s""","queries":$qsFull""" +
         s""","attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
     // anchored at the launch directory (the build root when run via sbt /
     // spark-submit from the checkout) rather than a hardcoded absolute

@@ -61,6 +61,54 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ pipelineQueries
 
+  /** One-time per-session family-index materialization: every memoized
+    * sub-plan (CacheRegistry kind) that more than one contract query —
+    * or every batch of an incremental operator — reads. A production
+    * deployment builds these once per corpus and amortizes them across
+    * the whole query stream; the bench therefore times this as its own
+    * "index" metric (still inside the reported total) instead of
+    * billing the build to whichever query happens to run first
+    * (r13 verdict: q100, lexicographically first in the dedup family,
+    * absorbed the family's entire shingle/band/cluster build).
+    *
+    * Every build below replicates the EXACT call (same table loader,
+    * same params, same filter expressions) of the consuming queries, so
+    * the registry keys — which embed the input plan's semantic hash —
+    * match and the queries hit the cache. `count()` forces every
+    * partition of the lazily-persisted entry. */
+  def buildIndexes(spark: SparkSession, dir: String): Unit = {
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    import graft.curation.Curation
+    val docs = table(spark, dir, "documents")
+    val emb = table(spark, dir, "embeddings")
+    val landedDocs5 = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2) // q99
+    val landedDocs4 = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1) // q111
+    val landedEmb5 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2) // q110
+    val builds: Seq[(String, DataFrame)] = Seq(
+      // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
+      "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
+      // minhash band keys (q19/q43/q69/q98/q99/q101)
+      "minhash-bands" -> Dedup.bandKeyTable(docs),
+      // near-dup cluster table (q43/q54/q100/q108)
+      "dedup-clusters" -> Dedup.dedupClusters(docs),
+      // bigram-LM scored projection (q89/q91)
+      "ppl-scored" -> Curation.perplexityScored(docs),
+      // full-corpus sign-LSH bands (q22/q29)
+      "sign-bands" -> Similarity.bandedTable(emb, 4, 8),
+      // substring-dedup gram table + corpus dup-gram set (q109/q112)
+      "gram-table" -> Dedup.gramTable(docs, 8),
+      "dup-grams" -> Dedup.dupGrams(docs, 8),
+      // landed-side indexes of the incremental operators — built once,
+      // probed batch over batch (q99 / q110 / q111)
+      "q99-landed-bands" -> Dedup.bandKeyTable(landedDocs5),
+      "q99-landed-shingles" -> Dedup.shingleHashes(landedDocs5, 3, "text", "doc_id"),
+      "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
+      "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
+      "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8))
+    builds.foreach { case (_, df) => df.count(); () }
+  }
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2/P3/P4/W4: dynamic conjunctive filter (string-eq + decimal ops),
     // raw passthrough mode.
@@ -1637,7 +1685,16 @@ object SparkEntry {
       // ppm with DECIMAL(38,0) widening.
       "q112_substring_stats" -> ((s, dir) =>
         graft.dedup.Dedup.substringDedupStats(table(s, dir, "documents"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // BPE merge learning (tokenizer training): 8 rounds of
+      // most-frequent-adjacent-pair count + greedy merge over the
+      // word-frequency dict, ties on (count desc, lhs, rhs); the
+      // per-step vocab digest pins every intermediate segmentation
+      // state, so the hash match proves the whole merge sequence.
+      "q113_bpe_merges" -> ((s, dir) =>
+        graft.curation.Bpe.bpeMerges(table(s, dir, "documents"), steps = 8)
+          .orderBy("step"))
     )
   }
 
@@ -1968,14 +2025,16 @@ object SparkEntry {
   )
 
   /** Shared DuckDB fragments for the pipeline oracles. */
-  /** One JVM-exit hook (first q93 build wins) deleting the session's
-    * /tmp/graft_<appId> scratch tree — the corrupted-JSONL fixtures are
-    * per-run artifacts, not outputs (review finding: they were never
-    * cleaned up). */
+  /** One JVM-exit hook PER scratch base deleting the session's
+    * /tmp/graft_<appId> tree — the corrupted-JSONL fixtures are per-run
+    * artifacts, not outputs (review finding: they were never cleaned
+    * up). Keyed by base path, not a one-shot boolean: two sessions in
+    * one JVM (Verify then Bench under one sbt run) get different
+    * applicationIds and each needs its own hook (ADVICE r13). */
   private val tmpCleanupRegistered =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerTmpCleanup(base: java.io.File): Unit =
-    if (tmpCleanupRegistered.compareAndSet(false, true)) {
+    if (tmpCleanupRegistered.add(base.getAbsolutePath)) {
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -3841,5 +3900,44 @@ object SparkEntry {
                    n_docs_hit,
                  CAST(CAST(SUM(n_rem) AS HUGEINT) * 1000000 // SUM(n_tok)
                    AS BIGINT) removed_ppm
-          FROM j GROUP BY source ORDER BY source""")
+          FROM j GROUP BY source ORDER BY source""",
+
+    "q113_bpe_merges" -> bpeOracle(8))
+
+  /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
+    * oracle replays the identical word dict, character segmentation,
+    * weighted pair count, (count desc, lhs, rhs) argmax, and greedy
+    * left-to-right `replace` merge, then digests the full post-merge
+    * dictionary state per step (Σ hash60(word|freq|seg) mod 1e9+7). */
+  private def bpeOracle(steps: Int): String = {
+    val base = """
+      w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
+               SELECT unnest(regexp_split_to_array(trim(text), '\s+')) w
+               FROM documents) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+      d0 AS (SELECT word, freq,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> ' seg
+             FROM w0)"""
+    val rounds = (1 to steps).map { i =>
+      s"""
+      s$i AS (SELECT freq, regexp_split_to_array(trim(seg), ' ') sy
+              FROM d${i - 1}),
+      p$i AS (SELECT u['l'] lhs, u['r'] rhs, CAST(SUM(freq) AS BIGINT) c
+              FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+                      k -> struct_pack(l := sy[k], r := sy[k + 1]))) u
+                    FROM s$i) GROUP BY lhs, rhs),
+      m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+      d$i AS (SELECT word, freq,
+                replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                  ' ' || m.lhs || m.rhs || ' ') seg
+              FROM d${i - 1}, m$i m),
+      g$i AS (SELECT $i step, m.lhs, m.rhs, m.c pair_count,
+                CAST(CAST(SUM(('0x' || substr(md5(word || '|' || freq ||
+                    '|' || seg), 1, 15))::BIGINT) AS HUGEINT)
+                  % 1000000007 AS BIGINT) vocab_digest
+              FROM d$i, m$i m GROUP BY m.lhs, m.rhs, m.c)"""
+    }.mkString(",")
+    val union = (1 to steps).map(i => s"SELECT * FROM g$i").mkString(" UNION ALL ")
+    s"WITH $base,$rounds SELECT * FROM ($union) ORDER BY step"
+  }
 }

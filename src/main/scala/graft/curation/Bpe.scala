@@ -1,0 +1,106 @@
+package graft.curation
+
+import graft.functions.TextFunctions._
+import graft.util.CacheRegistry
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE merge learning — tokenizer TRAINING, the iterative
+  * most-frequent-adjacent-pair loop of Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units" (ACL'16), and the one
+  * standard LLM-pipeline stage the engine lacked (r13 verdict, "What's
+  * missing" #3; no reference counterpart — the reference has no text
+  * processing). q32's BPE-ish *pre-tokenization* segments text with a
+  * fixed regex; this learns the merge table itself.
+  *
+  * Algorithm (classic, over the word-frequency dictionary — every
+  * published implementation trains on the dict, not the running text):
+  *
+  *  1. corpus → word-frequency dictionary (the ONLY corpus-global
+  *     stage: one hash aggregate with map-side combine, memoized via
+  *     [[graft.util.CacheRegistry]] kind "bpe-dict");
+  *  2. each word starts segmented as its characters + an `</w>`
+  *     end-of-word marker;
+  *  3. `steps` rounds of: count adjacent symbol pairs across the dict
+  *     weighted by word frequency (one vocab-sized hash aggregate);
+  *     pick the most frequent pair, ties broken deterministically on
+  *     (count desc, lhs asc, rhs asc) so any engine replays the same
+  *     sequence; rewrite every segmentation with the pair merged
+  *     (greedy left-to-right, the `replace` semantics both Spark and
+  *     DuckDB share).
+  *
+  * Training words are restricted to `^[a-z0-9]+$` so character
+  * segmentation is engine-portable (no multi-byte/code-unit ambiguity
+  * between JVM regex and utf8 engines); a production tokenizer would
+  * front this with byte-level pre-tokenization.
+  *
+  * Scale shape: after the one corpus scan, every round runs over the
+  * VOCABULARY (distinct words), which is orders of magnitude smaller
+  * than the corpus and bounded in practice (~millions at 100 TB) — the
+  * same driver-coordinated small-table iteration as
+  * [[graft.similarity.Similarity.kMeansCentroids]]. Each round is one
+  * pair-count aggregate + a 1-row argmax collect + a map-only rewrite;
+  * nothing per-round touches the corpus again. Segmentations are
+  * single-space-joined symbol strings padded with one leading/trailing
+  * space, so a merge is the literal string replace of `" lhs rhs "`
+  * with `" lhsrhs "` — greedy, non-overlapping, identical across
+  * engines (verified: `" a a a "` → `" aa a "` on both).
+  *
+  * Output, one row per merge step: (step, lhs, rhs, pair_count,
+  * vocab_digest) where vocab_digest = Σ hash60(word|freq|segmentation)
+  * mod 1e9+7 over the post-merge dictionary — the digest pins the FULL
+  * segmentation state after each merge, so an oracle hash-match proves
+  * the entire merge sequence and every intermediate rewrite, not just
+  * the chosen pairs. */
+object Bpe {
+
+  def bpeMerges(docs: DataFrame, steps: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val base = CacheRegistry.cache(
+      CacheRegistry.key(docs, "bpe-dict", textCol),
+      docs.select(explode(tokens(col(textCol))).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("seg",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+            lit("</w> "))))
+
+    var dict = base.select("word", "freq", "seg")
+    val merges = Seq.newBuilder[Row]
+    var digests = Seq.empty[DataFrame]
+    for (i <- 1 to steps) {
+      val pairs = dict
+        .withColumn("sy", split(trim(col("seg")), " "))
+        .select(col("freq"), explode(expr(
+          "transform(slice(sy, 1, size(sy) - 1)," +
+            " (s, i) -> struct(s as lhs, sy[i + 1] as rhs))")).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum("freq").as("c"))
+      val best = pairs.orderBy(desc("c"), asc("lhs"), asc("rhs")).limit(1).head()
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      dict = dict.withColumn("seg",
+        replace(col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
+      merges += Row(i, l, r, c)
+      digests = digests :+ dict
+        .agg((sum(hash60(concat(col("word"), lit("|"),
+            col("freq").cast("string"), lit("|"), col("seg")))
+            // per-value widening BEFORE the sum: 60-bit values overflow
+            // a BIGINT accumulator after ~8 rows (2^63 / 2^60)
+            .cast("decimal(38,0)"))
+          % lit(1000000007)).cast("long")
+          .as("vocab_digest"))
+        .withColumn("step", lit(i))
+    }
+    val mergeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.result(), 1),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+    mergeDf.join(digests.reduce(_ unionByName _), "step")
+      .select("step", "lhs", "rhs", "pair_count", "vocab_digest")
+  }
+}

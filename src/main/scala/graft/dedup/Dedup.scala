@@ -761,12 +761,35 @@ object Dedup {
     * md5 of the empty string). */
   def substringDedup(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = shingleTablePos(docs, k, textCol, idCol)
-      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("gh")
+    val grams = gramTable(docs, k, textCol, idCol)
+    val dup = dupGrams(docs, k, textCol, idCol)
     exciseCovered(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
   }
+
+  /** Memoized positional k-gram hash table (sid, pos, gh) of the
+    * substring-dedup family — kind "gram-table", keyed by (docs plan,
+    * k): [[substringDedup]], [[substringDedupStats]] and
+    * [[substringDedupClean]] over one corpus in one session re-shingle
+    * it exactly once (ADVICE r13: they each rebuilt it from scratch,
+    * unlike every other dedup family). */
+  def gramTable(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "gram-table", k, textCol, idCol),
+      shingleTablePos(docs, k, textCol, idCol)
+        .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh")))
+
+  /** Memoized corpus-wide duplicated-gram set (gh occurring ≥ 2×) —
+    * kind "dup-grams", same key space as [[gramTable]]. The gh-keyed
+    * count is the family's only corpus-global stage; caching it means
+    * the q109→q112 pair in one session pays it once. */
+  def dupGrams(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "dup-grams", k, textCol, idCol),
+      gramTable(docs, k, textCol, idCol)
+        .groupBy("gh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("gh"))
 
   /** Incremental face of [[substringDedup]] for append-only ingest —
     * the last cell of the incremental matrix (exact: [[exactIncrement]]
@@ -791,10 +814,7 @@ object Dedup {
     * q109's schema, one row per incoming doc. */
   def substringDedupIncrement(landed: DataFrame, incoming: DataFrame,
       k: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val landedGh = CacheRegistry.cache(
-      CacheRegistry.key(landed, "gram-hashes", k, textCol, idCol),
-      shingleTablePos(landed, k, textCol, idCol)
-        .select(hash60(col("shingle")).as("gh")).distinct())
+    val landedGh = landedGramHashes(landed, k, textCol, idCol)
     val grams = shingleTablePos(incoming, k, textCol, idCol)
       .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
     val batchDup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
@@ -805,6 +825,17 @@ object Dedup {
       .distinct()
     exciseCovered(incoming, grams.join(dup, Seq("gh")), k, textCol, idCol)
   }
+
+  /** The landed corpus's distinct gram-hash set — the one memoized
+    * projection [[substringDedupIncrement]] probes (kind "gram-hashes",
+    * keyed by the landed plan + k), exposed so an index-build phase can
+    * materialize it once ahead of the per-batch calls. */
+  def landedGramHashes(landed: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "gram-hashes", k, textCol, idCol),
+      shingleTablePos(landed, k, textCol, idCol)
+        .select(hash60(col("shingle")).as("gh")).distinct())
 
   /** Cover-marked token table of the substring-dedup family: every
     * token of `docs` with a `cov` 0/1 flag — 1 iff some duplicated
@@ -835,10 +866,8 @@ object Dedup {
   def substringDedupStats(docs: DataFrame, k: Int = 8,
       stratum: String = "source",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = shingleTablePos(docs, k, textCol, idCol)
-      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("gh")
+    val grams = gramTable(docs, k, textCol, idCol)
+    val dup = dupGrams(docs, k, textCol, idCol)
     val perDoc = coverMarked(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
       .groupBy("sid")
       .agg(count(lit(1)).as("n_tok"), sum(col("cov")).as("n_rem"))
@@ -862,10 +891,8 @@ object Dedup {
     * q109's clean_md5, pinned by spec). */
   def substringDedupClean(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = shingleTablePos(docs, k, textCol, idCol)
-      .select(col("sid"), col("pos"), hash60(col("shingle")).as("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("gh")
+    val grams = gramTable(docs, k, textCol, idCol)
+    val dup = dupGrams(docs, k, textCol, idCol)
     val perDoc = coverMarked(docs, grams.join(dup, Seq("gh")), k, textCol, idCol)
       .groupBy("sid").agg(
         count(lit(1)).as("n_tokens"),

@@ -125,7 +125,19 @@ object Similarity {
     * verified at exact cosine before it can cost a vector, and the CC
     * fixpoint runs over verified BATCH pairs only. Embeddings are
     * never shuffled pair-wise — (band, bucket) triples shuffle, then
-    * vectors join back by id. Output: (idCol, verdict), one row per
+    * vectors join back by id; the landed (id, vec) verification lookup
+    * is itself memoized (kind "vec-lookup"), so a batch never re-scans
+    * the landed corpus for vectors.
+    *
+    * Durability caveat (cluster deployments), as for the text twin
+    * [[graft.dedup.Dedup.lshIncrement]]: the verified-pair table is
+    * pinned with `localCheckpoint`, whose blocks live on the executors
+    * that computed them and CANNOT be recomputed after an executor
+    * loss (unlike the registry's persists, which re-derive from
+    * lineage). Right trade single-JVM and for the small per-batch pair
+    * table; a deployment that cannot tolerate a mid-batch retry should
+    * swap it for reliable `checkpoint()` against the cluster's
+    * checkpoint dir. Output: (idCol, verdict), one row per
     * incoming vector. */
   def lshIncrement(landed: DataFrame, incoming: DataFrame,
       bands: Int = 4, bitsPerBand: Int = 8, minCosine: Double = 0.4,
@@ -141,9 +153,12 @@ object Similarity {
         col("src").as("side")), Seq("band", "bucket"))
       .filter(col("side") === "landed" || col("a_id") < col("b_id"))
       .select("a_id", "b_id", "side").distinct()
-    // one unified vector-lookup space (ids disjoint across the slices)
+    // one unified vector-lookup space (ids disjoint across the slices);
+    // the landed slice is a memoized projection — reused batch over
+    // batch like the band table, instead of re-scanning the landed
+    // corpus per call (ADVICE r13)
     val v = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
-      .unionByName(landed.select(col(idCol).as("sid"), col(vecCol).as("vec")))
+      .unionByName(landedVecLookup(landed, idCol, vecCol))
     val verified = cand
       .join(v.select(col("sid").as("a_id"), col("vec").as("a_vec")), "a_id")
       .join(v.select(col("sid").as("b_id"), col("vec").as("b_vec")), "b_id")
@@ -168,6 +183,16 @@ object Similarity {
           .when(col("lbl") =!= col(idCol), lit("batch_dup"))
           .otherwise(lit("keep")).as("verdict"))
   }
+
+  /** The landed corpus's (sid, vec) verification lookup — the second
+    * memoized projection [[lshIncrement]] reads (kind "vec-lookup",
+    * keyed by the landed plan), exposed so an index-build phase can
+    * materialize it once ahead of the per-batch calls. */
+  def landedVecLookup(landed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "vec-lookup", idCol, vecCol),
+      landed.select(col(idCol).as("sid"), col(vecCol).as("vec")))
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to sign-LSH ([[lshTopK]]). Three phases, all linear in the
@@ -269,7 +294,15 @@ object Similarity {
     * reduction order, so refined centroids are NOT bit-reproducible
     * across engines — which is exactly why the oracle-checked q37 pins
     * the stride seed and this refinement is measured by recall
-    * (SimilaritySpec), the metric it actually moves. */
+    * (SimilaritySpec), the metric it actually moves.
+    *
+    * Durability caveat (cluster deployments): each round's centroid
+    * table is truncated with `localCheckpoint`, whose blocks live on
+    * the executors that computed them and are unrecoverable on
+    * executor loss — fine for the broadcast-sized centroid table in a
+    * single JVM; a fault-tolerant deployment should swap it for
+    * reliable `checkpoint()` (same semantics, survives retries), as
+    * documented on [[graft.dedup.Dedup.lshIncrement]]. */
   def kMeansCentroids(embeddings: DataFrame, centroidStride: Int,
       centroidOffset: Int, iters: Int = 2, sampleStride: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

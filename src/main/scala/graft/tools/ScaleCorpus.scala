@@ -60,8 +60,18 @@ object ScaleCorpus {
     val e0 = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding")
     if (k > 1) guardMaxId(e0, "vec_id", IdOffset)
+    // shift modulus derived from the corpus's actual dimension, not a
+    // hardcoded 64 (ADVICE r13): on a different-dim corpus a fixed mod
+    // could exceed the vector length (invalid slices) or repeat
+    // (replicas become exact dups — the case this scheme exists to
+    // avoid). Shifts 5i mod dim are pairwise distinct iff
+    // k ≤ dim / gcd(5, dim); enforce it.
+    val dim = e0.select(size(col("embedding"))).head().getInt(0)
+    require(k.toLong <= dim / BigInt(5).gcd(BigInt(dim)).toLong,
+      s"factor $k would repeat a dimension shift at dim=$dim: " +
+        "replicas would be exact duplicates")
     (0 until k).map { i =>
-      val s = (5 * i) % 64
+      val s = (5 * i) % dim
       val shifted =
         if (s == 0) col("embedding")
         else concat(

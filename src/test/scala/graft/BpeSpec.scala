@@ -1,0 +1,67 @@
+package graft
+
+import graft.curation.Bpe
+
+/** BPE merge learning (q113's operator): the iterative
+  * most-frequent-adjacent-pair merge loop over the word-frequency
+  * dict, with the deterministic (count desc, lhs, rhs) tie-break and
+  * the greedy left-to-right merge rewrite. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hash60(s: String): BigInt = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    BigInt(hex, 16)
+  }
+
+  // corpus: see×2, saw×2, sea×1 — merge sequence hand-derivable
+  private val docs = Seq((1L, "see saw see"), (2L, "saw sea"))
+
+  test("merge sequence: counts and deterministic lexicographic tie-break") {
+    val got = Bpe.bpeMerges(docs.toDF("doc_id", "text"), steps = 3)
+      .orderBy("step")
+      .select("step", "lhs", "rhs", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // step 1: (s,e) count 3 beats everything
+    // step 2: five pairs tie at 2 — 'a' < 'e' < 's' < 'se' < 'w' picks (a,w)
+    // step 3: 'aw' < 'e' < 's' < 'se' picks (aw,</w>)
+    assert(got == Seq(
+      (1, "s", "e", 3L),
+      (2, "a", "w", 2L),
+      (3, "aw", "</w>", 2L)))
+  }
+
+  test("vocab digest pins the full post-merge segmentation state") {
+    val got = Bpe.bpeMerges(docs.toDF("doc_id", "text"), steps = 1)
+      .select("vocab_digest").as[Long].head()
+    // after merging (s,e): see -> " se e </w> ", sea -> " se a </w> ",
+    // saw untouched
+    val expected = (hash60("see|2| se e </w> ") +
+      hash60("saw|2| s a w </w> ") +
+      hash60("sea|1| se a </w> ")) mod BigInt(1000000007)
+    assert(got == expected.toLong)
+  }
+
+  test("merge rewrite is greedy left-to-right on repeated symbols") {
+    // "aaa" alone: step 1 merges (a,a) — adjacent occurrences count
+    // per-position ((1,2) and (2,3) -> pair_count 2) and the rewrite is
+    // greedy LEFT-to-right: " a a a </w> " -> " aa a </w> ", never
+    // " a aa </w> ". The digest pins the post-merge segmentation, which
+    // differs between the two rewrites.
+    val got = Bpe.bpeMerges(Seq((1L, "aaa")).toDF("doc_id", "text"), steps = 1)
+      .select("lhs", "rhs", "pair_count", "vocab_digest")
+      .as[(String, String, Long, Long)].head()
+    val digest = (hash60("aaa|1| aa a </w> ") mod BigInt(1000000007)).toLong
+    assert(got == (("a", "a", 2L, digest)))
+  }
+
+  test("non-lowercase-alnum words are excluded from training") {
+    val got = Bpe.bpeMerges(
+        Seq((1L, "Hello, WORLD ab ab")).toDF("doc_id", "text"), steps = 1)
+      .select("lhs", "rhs", "pair_count")
+      .as[(String, String, Long)].head()
+    // only "ab"×2 trains: pairs (a,b)×2, (b,</w>)×2 -> tie, 'a' < 'b'
+    assert(got == (("a", "b", 2L)))
+  }
+}
