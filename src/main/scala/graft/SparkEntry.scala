@@ -1694,7 +1694,14 @@ object SparkEntry {
       // state, so the hash match proves the whole merge sequence.
       "q113_bpe_merges" -> ((s, dir) =>
         graft.curation.Bpe.bpeMerges(table(s, dir, "documents"), steps = 8)
-          .orderBy("step"))
+          .orderBy("step")),
+
+      // Semantic dedup (SemDeDup): q37's stride-centroid assignment
+      // buckets the embedding space, pairwise exact cosine >= 0.3
+      // within each bucket, CC merges verified pairs, min id kept.
+      "q114_semantic_dedup" -> ((s, dir) =>
+        graft.similarity.Similarity.semanticDedup(table(s, dir, "embeddings"))
+          .orderBy("vec_id"))
     )
   }
 
@@ -3902,7 +3909,38 @@ object SparkEntry {
                    AS BIGINT) removed_ppm
           FROM j GROUP BY source ORDER BY source""",
 
-    "q113_bpe_merges" -> bpeOracle(8))
+    "q113_bpe_merges" -> bpeOracle(8),
+
+    // q37's stride-centroid assignment (rounded-cosine argmax, ties to
+    // the lowest centroid id), within-cluster exact-cosine pairs at
+    // 0.3, then q110's recursive reachability walk over ALL vectors —
+    // min reachable id is the semantic cluster; its member keeps.
+    "q114_semantic_dedup" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
+         asn AS (SELECT sid, c_id FROM (
+                   SELECT e.sid, c.c_id,
+                          ROW_NUMBER() OVER (PARTITION BY e.sid
+                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                              DESC, c.c_id) rn
+                   FROM e, cent c) t WHERE rn = 1),
+         pr AS (SELECT a.sid a_id, b.sid b_id
+                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
+                WHERE round(list_dot_product(x.v, y.v) /
+                      (sqrt(list_dot_product(x.v, x.v)) *
+                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+         ed AS (SELECT a_id u, b_id v FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         walk(u, r) AS (SELECT sid, sid FROM e
+                        UNION
+                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
+         SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
+         FROM cl ORDER BY vec_id""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

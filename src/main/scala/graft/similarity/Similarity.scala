@@ -184,6 +184,69 @@ object Similarity {
           .otherwise(lit("keep")).as("verdict"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely, score pairwise cosine only WITHIN each
+    * cluster, and keep one representative per connected group of
+    * above-threshold pairs — the embedding-space analogue of the text
+    * near-dup clustering ([[graft.dedup.Dedup.dedupClusters]]), catching
+    * paraphrases and re-encodings that share no n-grams.
+    *
+    * Composition of existing pieces: the q37 IVF assignment (broadcast
+    * centroids, rounded-cosine argmax, ties to the lowest centroid id)
+    * buckets the space; within-cluster pairs verify at exact cosine ≥
+    * `minCosine`; [[graft.dedup.Dedup.connectedComponents]] merges the
+    * verified pairs into semantic clusters whose minimum id is the kept
+    * representative (the published heuristic keeps e.g. the member
+    * farthest from the centroid — any deterministic choice works; min
+    * id is engine-replayable).
+    *
+    * Scale: assignment is the IVF shape (no shuffle of vectors, O(n·k)
+    * dot products against broadcast centroids); the pair stage costs
+    * Σ cluster_size² — size the centroid count so clusters average the
+    * intended comparison budget B (nlist ≈ n/B ⇒ cost ≈ n·B), exactly
+    * the banding argument of the LSH family with the cluster standing
+    * for the bucket. Vectors are never shuffled pair-wise: candidates
+    * form as (a_id, b_id) off the narrow assignment table, then join
+    * vectors back by id. CC runs over edge-endpoint vertices only.
+    *
+    * This stride-seeded face is the DuckDB-oracle-able contract query
+    * (q114); [[semanticDedupWith]] takes a refined
+    * [[kMeansCentroids]] table for production use — same plan, only the
+    * centroid table changes. Output: (idCol, sem_cluster, keep). */
+  def semanticDedup(embeddings: DataFrame, centroidStride: Int = 25,
+      centroidOffset: Int = 7, minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val cent = e.filter(pmod(col("vec_id"), lit(centroidStride)) === centroidOffset)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    semanticDedupWith(embeddings, cent, minCosine, idCol, vecCol)
+  }
+
+  /** [[semanticDedup]] with a caller-supplied centroid table
+    * `(c_id, c_vec)` — e.g. the [[kMeansCentroids]] refinement. */
+  def semanticDedupWith(embeddings: DataFrame, cent: DataFrame,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+    val cand = assigned.select(col("vec_id").as("a_id"), col("c_id"))
+      .join(assigned.select(col("vec_id").as("b_id"), col("c_id")), "c_id")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val pairs = cand
+      .join(e.select(col("vec_id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("vec").as("b_vec")), "b_id")
+      .filter(round(cosine(col("a_vec"), col("b_vec")), 4) >= lit(minCosine))
+      .select("a_id", "b_id")
+    val labels = graft.dedup.Dedup.connectedComponents(pairs,
+      e.select(col("vec_id")), "vec_id")
+    labels.select(col("id").as(idCol), col("lbl").as("sem_cluster"))
+      .withColumn("keep", col(idCol) === col("sem_cluster"))
+  }
+
   /** The landed corpus's (sid, vec) verification lookup — the second
     * memoized projection [[lshIncrement]] reads (kind "vec-lookup",
     * keyed by the landed plan), exposed so an index-build phase can

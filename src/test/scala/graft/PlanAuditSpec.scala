@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "q92_mg_heavy_hitters", // one-row token total cross-joined broadcast
     "q95_source_unigram_kl", // one-row corpus-N cross-joined broadcast
     "q97_pmi_collocations", // two one-row totals (N_bi, N_uni) broadcast
-    "q104_mixture_merge") // one-row totals broadcast, as q90
+    "q104_mixture_merge", // one-row totals broadcast, as q90
+    "q114_semantic_dedup") // stride-centroid table broadcast, as q37
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {

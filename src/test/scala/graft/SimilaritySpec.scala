@@ -254,4 +254,46 @@ class SimilaritySpec extends SparkSpec {
       (0, 2L, 600000L, 2.6e11),
       (1, 2L, 500000L, 6.25e11)), got.toString)
   }
+
+  test("semanticDedup: within-cluster CC keeps min id; cross-cluster untouched") {
+    // centroids = ids % 3 == 0 -> {0, 3}. By cosine: 0,1,2 assign to
+    // c0; 3,4 to c3; 5 is orthogonal to both (cos 0 each, tie -> c0)
+    // but below 0.3 against every c0 member -> singleton.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.15f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0f, 0f, 0.9f, 0.1f)),
+      (5L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, centroidStride = 3,
+        centroidOffset = 0, minCosine = 0.3)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)), got.toString)
+  }
+
+  test("semanticDedup never merges across clusters even at high cosine") {
+    // 1 and 4 are near-identical but stride-assigned to different
+    // centroids (0->c0, 4->c3 by construction of the vectors below):
+    // SemDeDup's trade — cross-cluster dups are invisible by design,
+    // the price of the n·B comparison bound.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.6f, 0f, 0.59f, 0f)), // nearest c0 (0.713 vs 0.701)
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0.59f, 0f, 0.6f, 0f))). // nearest c3 — 0.01 from 1
+      toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, centroidStride = 3,
+        centroidOffset = 0, minCosine = 0.3)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // 1 pairs with 0 (cos 0.713 >= 0.3) inside c0; 4 pairs with 3
+    // inside c3; the 0.9998-cosine (1,4) pair never forms
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false)), got.toString)
+  }
 }
