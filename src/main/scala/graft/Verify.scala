@@ -14,6 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same generated-class cache setup as Bench (round 14): identical
+      // results, materially less Janino recompilation across 114 plans
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,6 +33,10 @@ object MaterializedScaleBench {
         .config("spark.sql.shuffle.partitions", 32)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        // same generated-class cache setup as Bench (round 14): probes
+        // should measure data scaling, not repeat compilation
+        .config("spark.sql.codegen.useIdInClassName", "false")
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -98,6 +102,16 @@ object MaterializedScaleBench {
       }),
       ("q105_dup_chunks", k =>
         graft.curation.Chunker.duplicateChunks(docs(k)).count()),
+      // round-14 rows
+      ("q112_substr_stats", k =>
+        Dedup.substringDedupStats(docs(k), 8).count()),
+      ("q113_bpe", k =>
+        graft.curation.Bpe.bpeMerges(docs(k), 8).count()),
+      ("q114_semdedup", k =>
+        // stride centroids: nlist grows with the corpus, so average
+        // cluster size (the per-vector comparison budget B) stays
+        // CONSTANT across factors — the operator's documented sizing
+        graft.similarity.Similarity.semanticDedup(emb(k)).count()),
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
