@@ -76,7 +76,11 @@ object Bench {
       "q109_substring_dedup"       -> Set("gram-table", "dup-grams"),
       "q110_embed_incremental"     -> Set("sign-bands", "vec-lookup"),
       "q111_substring_incremental" -> Set("gram-hashes"),
-      "q112_substring_stats"       -> Set("gram-table", "dup-grams"))
+      "q112_substring_stats"       -> Set("gram-table", "dup-grams"),
+      // q113/q115 share the BPE word-frequency dict (the corpus-global
+      // stage); the merge rounds themselves are vocab-sized
+      "q113_bpe_merges"            -> Set("bpe-dict"),
+      "q115_bpe_segment_stats"     -> Set("bpe-dict"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -105,7 +105,10 @@ object SparkEntry {
       "q99-landed-shingles" -> Dedup.shingleHashes(landedDocs5, 3, "text", "doc_id"),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
-      "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8))
+      "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
+      // BPE word-frequency dict (q113/q115 share it; the N merge
+      // rounds are vocab-sized and stay with the queries)
+      "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
     builds.foreach { case (_, df) => df.count(); () }
   }
 
@@ -1701,7 +1704,15 @@ object SparkEntry {
       // within each bucket, CC merges verified pairs, min id kept.
       "q114_semantic_dedup" -> ((s, dir) =>
         graft.similarity.Similarity.semanticDedup(table(s, dir, "embeddings"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+      // BPE apply face: segment the corpus with q113's learned merges,
+      // fold per-source fertility (subwords/word ×1e6) and compression
+      // vs the pre-merge character segmentation — exact-integer ppm.
+      "q115_bpe_segment_stats" -> ((s, dir) =>
+        graft.curation.Bpe.bpeSegmentStats(table(s, dir, "documents"),
+            steps = 8)
+          .orderBy("source"))
     )
   }
 
@@ -3940,7 +3951,9 @@ object SparkEntry {
                         SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
          cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
          SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
-         FROM cl ORDER BY vec_id""")
+         FROM cl ORDER BY vec_id""",
+
+    "q115_bpe_segment_stats" -> bpeApplyOracle(8))
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,
@@ -3948,6 +3961,36 @@ object SparkEntry {
     * left-to-right `replace` merge, then digests the full post-merge
     * dictionary state per step (Σ hash60(word|freq|seg) mod 1e9+7). */
   private def bpeOracle(steps: Int): String = {
+    val union = (1 to steps).map(i => s"SELECT * FROM g$i").mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(steps)} SELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** q115: the q113 merge chain applied — per-source subword stats off
+    * the final segmented dict d`steps`, ppm via HUGEINT (Spark side
+    * DECIMAL(38,0)) so corpus-scale products cannot wrap BIGINT. */
+  private def bpeApplyOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+      f AS (SELECT word,
+              CAST(len(regexp_split_to_array(trim(seg), ' ')) AS BIGINT) nsub
+            FROM d$steps),
+      cw AS (SELECT source, w word FROM (
+               SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) w
+               FROM documents) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) n_words,
+             CAST(SUM(nsub) AS BIGINT) n_subwords,
+             CAST(SUM(len(word) + 1) AS BIGINT) n_symbols0,
+             CAST(CAST(SUM(nsub) AS HUGEINT) * 1000000 // COUNT(*)
+               AS BIGINT) subwords_per_mword,
+             CAST(CAST(SUM(nsub) AS HUGEINT) * 1000000 // SUM(len(word) + 1)
+               AS BIGINT) compression_ppm
+      FROM cw JOIN f USING (word) GROUP BY source ORDER BY source"""
+
+  /** Shared CTE chain of the BPE oracles: w0/d0 (word dict + character
+    * segmentation) then `steps` unrolled merge rounds ending in
+    * d`steps` (final dict) and g1..g`steps` (per-step merge rows). */
+  private def bpeCtes(steps: Int): String = {
     val base = """
       w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) w
@@ -3975,7 +4018,6 @@ object SparkEntry {
                   % 1000000007 AS BIGINT) vocab_digest
               FROM d$i, m$i m GROUP BY m.lhs, m.rhs, m.c)"""
     }.mkString(",")
-    val union = (1 to steps).map(i => s"SELECT * FROM g$i").mkString(" UNION ALL ")
-    s"WITH $base,$rounds SELECT * FROM ($union) ORDER BY step"
+    s"$base,$rounds"
   }
 }

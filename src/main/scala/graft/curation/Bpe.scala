@@ -58,7 +58,58 @@ object Bpe {
   def bpeMerges(docs: DataFrame, steps: Int = 8,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val base = CacheRegistry.cache(
+    val (merges, digests, _) = learn(docs, steps, textCol)
+    val mergeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(merges, 1),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+    mergeDf.join(digests.reduce(_ unionByName _), "step")
+      .select("step", "lhs", "rhs", "pair_count", "vocab_digest")
+  }
+
+  /** Apply face of [[bpeMerges]] — the report a pipeline reads after
+    * training: segment every corpus word with the learned merge table
+    * and fold per-stratum subword statistics. `n_symbols0` is the
+    * pre-merge symbol count (chars + the `</w>` marker), so
+    * `compression_ppm = n_subwords/n_symbols0` prices what the learned
+    * vocabulary bought; `subwords_per_mword` is the fertility dial
+    * (subwords per word, ×1e6).
+    *
+    * Scale: ONE corpus re-tokenization scan, word-keyed join against
+    * the VOCAB-sized segmented dictionary (AQE broadcasts it — a
+    * vocabulary is broadcast-sized even at 100 TB corpus scale), then
+    * a stratum fold; both ppm divisions are DECIMAL(38,0)-widened
+    * integer `div` (BIGINT×1e6 wraps beyond ~9e12 subwords).
+    * Output: (stratum, n_words, n_subwords, n_symbols0,
+    * subwords_per_mword, compression_ppm). */
+  def bpeSegmentStats(docs: DataFrame, steps: Int = 8,
+      stratum: String = "source", textCol: String = "text"): DataFrame = {
+    val (_, _, dict) = learn(docs, steps, textCol)
+    val sub = dict.select(col("word"),
+      size(split(trim(col("seg")), " ")).cast("long").as("nsub"))
+    docs.select(col(stratum), explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .join(sub, "word")
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsub")).as("n_subwords"),
+        sum(length(col("word")).cast("long") + lit(1L)).as("n_symbols0"))
+      .withColumn("subwords_per_mword",
+        expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_words"))
+      .withColumn("compression_ppm",
+        expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_symbols0"))
+  }
+
+  /** The memoized word-frequency dictionary with its character-level
+    * starting segmentation — the ONE corpus-global stage of the BPE
+    * family (kind "bpe-dict", keyed by the docs plan), shared by
+    * [[bpeMerges]] and [[bpeSegmentStats]] in one session and exposed
+    * for an index-build phase. */
+  def baseDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    CacheRegistry.cache(
       CacheRegistry.key(docs, "bpe-dict", textCol),
       docs.select(explode(tokens(col(textCol))).as("word"))
         .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -67,7 +118,13 @@ object Bpe {
           concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
             lit("</w> "))))
 
-    var dict = base.select("word", "freq", "seg")
+  /** The shared training loop: `steps` rounds of pair-count argmax +
+    * greedy merge over the memoized word-frequency dict. Returns the
+    * merge rows, the per-step digest aggregates (lazy, one tiny plan
+    * each), and the final segmented dictionary. */
+  private def learn(docs: DataFrame, steps: Int, textCol: String)
+      : (Seq[Row], Seq[DataFrame], DataFrame) = {
+    var dict = baseDict(docs, textCol).select("word", "freq", "seg")
     val merges = Seq.newBuilder[Row]
     var digests = Seq.empty[DataFrame]
     for (i <- 1 to steps) {
@@ -93,14 +150,6 @@ object Bpe {
           .as("vocab_digest"))
         .withColumn("step", lit(i))
     }
-    val mergeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result(), 1),
-      StructType(Seq(
-        StructField("step", IntegerType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("pair_count", LongType, nullable = false))))
-    mergeDf.join(digests.reduce(_ unionByName _), "step")
-      .select("step", "lhs", "rhs", "pair_count", "vocab_digest")
+    (merges.result(), digests, dict)
   }
 }

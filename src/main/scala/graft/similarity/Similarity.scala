@@ -200,14 +200,23 @@ object Similarity {
     * farthest from the centroid — any deterministic choice works; min
     * id is engine-replayable).
     *
-    * Scale: assignment is the IVF shape (no shuffle of vectors, O(n·k)
-    * dot products against broadcast centroids); the pair stage costs
-    * Σ cluster_size² — size the centroid count so clusters average the
-    * intended comparison budget B (nlist ≈ n/B ⇒ cost ≈ n·B), exactly
-    * the banding argument of the LSH family with the cluster standing
-    * for the bucket. Vectors are never shuffled pair-wise: candidates
-    * form as (a_id, b_id) off the narrow assignment table, then join
-    * vectors back by id. CC runs over edge-endpoint vertices only.
+    * Scale: two terms. The PAIR stage costs Σ cluster_size² — size the
+    * centroid count so clusters average the intended comparison budget
+    * B (nlist ≈ n/B ⇒ pair cost ≈ n·B, linear; stride centroids give
+    * this automatically since nlist grows with the corpus), exactly the
+    * banding argument of the LSH family with the cluster standing for
+    * the bucket. The ASSIGNMENT stage costs O(n·nlist) dot products —
+    * with nlist ∝ n that term is the super-linear one (the 10× disk
+    * probe reads ~5.6×, all of it assignment); it is the standard IVF
+    * build trade, cut to ~n^1.25 by a two-level codebook (assign to
+    * √nlist coarse cells, then among that cell's children) or to fully
+    * linear by swapping the quality-refined codebook for sign-LSH
+    * bucketing — [[lshNearDupPairs]] (banding contract bits ≈ log₂ n)
+    * + [[graft.dedup.Dedup.connectedComponents]] IS that fully-linear
+    * semantic-dedup twin, already in this library (q22's path). Vectors
+    * are never shuffled pair-wise: candidates form as (a_id, b_id) off
+    * the narrow assignment table, then join vectors back by id. CC runs
+    * over edge-endpoint vertices only.
     *
     * This stride-seeded face is the DuckDB-oracle-able contract query
     * (q114); [[semanticDedupWith]] takes a refined

@@ -107,6 +107,8 @@ object MaterializedScaleBench {
         Dedup.substringDedupStats(docs(k), 8).count()),
       ("q113_bpe", k =>
         graft.curation.Bpe.bpeMerges(docs(k), 8).count()),
+      ("q115_bpe_apply", k =>
+        graft.curation.Bpe.bpeSegmentStats(docs(k), 8).count()),
       ("q114_semdedup", k =>
         // stride centroids: nlist grows with the corpus, so average
         // cluster size (the per-vector comparison budget B) stays

@@ -56,6 +56,21 @@ class BpeSpec extends SparkSpec {
     assert(got == (("a", "a", 2L, digest)))
   }
 
+  test("bpeSegmentStats: hand-computed fertility and compression per source") {
+    // 1 merge = (s,e): see -> [se, e, </w>] (3), saw -> 4 symbols,
+    // sea -> [se, a, </w>] (3)
+    val docs = Seq(
+      (1L, "see saw see", "A"), // subwords 3+4+3=10, symbols0 4*3=12
+      (2L, "saw sea", "B"))     // subwords 4+3=7,   symbols0 4+4=8
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.bpeSegmentStats(docs, steps = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 10L, 12L, 3333333L, 833333L),
+      ("B", 2L, 7L, 8L, 3500000L, 875000L)), got.toString)
+  }
+
   test("non-lowercase-alnum words are excluded from training") {
     val got = Bpe.bpeMerges(
         Seq((1L, "Hello, WORLD ab ab")).toDF("doc_id", "text"), steps = 1)
