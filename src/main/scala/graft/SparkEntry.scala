@@ -1712,7 +1712,17 @@ object SparkEntry {
       "q115_bpe_segment_stats" -> ((s, dir) =>
         graft.curation.Bpe.bpeSegmentStats(table(s, dir, "documents"),
             steps = 8)
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // Unified text+semantic dedup decision — the order a real
+      // curation pipeline applies evidence: byte-identical (exact) >
+      // n-gram near-dup > embedding semantic dup > keep. Text verdicts
+      // come from the memoized q108 lattice; the semantic residual
+      // (q114's clusters, doc_id ≡ vec_id) only fires on text-keepers.
+      "q116_unified_dedup_verdict" -> ((s, dir) =>
+        graft.dedup.Dedup.unifiedDedupVerdicts(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("doc_id"))
     )
   }
 
@@ -3953,7 +3963,62 @@ object SparkEntry {
          SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
          FROM cl ORDER BY vec_id""",
 
-    "q115_bpe_segment_stats" -> bpeApplyOracle(8))
+    "q115_bpe_segment_stats" -> bpeApplyOracle(8),
+
+    // q108's exact/near lattice composed with q114's semantic walk
+    // (doc_id ≡ vec_id): exact > near > semantic > keep, the semantic
+    // branch firing only where the text evidence said keep.
+    "q116_unified_dedup_verdict" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          fp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                 FROM documents),
+          ex AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
+                   FROM fp WHERE fp IS NOT NULL) t
+                 WHERE doc_id != keep_id),
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
+          asn AS (SELECT sid, c_id FROM (
+                    SELECT emb.sid, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM emb, centc c) t WHERE rn = 1),
+          spr AS (SELECT a.sid a_id, b.sid b_id
+                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
+                  WHERE round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) *
+                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+          sed AS (SELECT a_id u, b_id v FROM spr
+                  UNION ALL SELECT b_id, a_id FROM spr),
+          swalk(u, r) AS (SELECT sid, sid FROM emb
+                          UNION
+                          SELECT w.u, sed.v FROM swalk w
+                          JOIN sed ON sed.u = w.r),
+          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u)
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                        THEN 'exact_dup'
+                      WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
+                      WHEN scl.lbl != scl.sid THEN 'semantic_dup'
+                      ELSE 'keep' END AS verdict
+          FROM documents d
+          JOIN cl ON cl.doc_id = d.doc_id
+          JOIN scl ON scl.sid = d.doc_id
+          ORDER BY d.doc_id""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

@@ -966,6 +966,37 @@ object Dedup {
           .otherwise(lit("keep")).as("verdict"))
   }
 
+  /** Unified TEXT + SEMANTIC dedup decision — the evidence order a
+    * real curation pipeline applies: byte-identical (`exact_dup`) >
+    * n-gram near-dup (`near_dup`) > embedding semantic dup
+    * (`semantic_dup`, [[graft.similarity.Similarity.semanticDedup]]'s
+    * non-representative cluster members) > `keep`. Stronger evidence
+    * wins: the semantic branch only fires on documents the text lattice
+    * kept, mirroring how SemDeDup is deployed after exact/near dedup.
+    * `embeddings` rows join by id (`vecIdCol` ≡ `idCol` value space —
+    * one embedding per document).
+    *
+    * Scale: one id-keyed join over the two memoized verdict pipelines
+    * ([[dedupVerdicts]]'s fp aggregate + cluster table; the semantic
+    * side's assignment + within-cluster pairs) — no new corpus-wide
+    * stage. Output: (idCol, verdict). */
+  def unifiedDedupVerdicts(docs: DataFrame, embeddings: DataFrame,
+      centroidStride: Int = 25, centroidOffset: Int = 7,
+      minCosine: Double = 0.3, textCol: String = "text",
+      idCol: String = "doc_id", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val text = dedupVerdicts(docs, textCol, idCol)
+    val sem = graft.similarity.Similarity
+      .semanticDedup(embeddings, centroidStride, centroidOffset, minCosine,
+        vecIdCol, vecCol)
+      .select(col(vecIdCol).as(idCol), col("keep").as("sem_keep"))
+    text.join(sem, idCol)
+      .select(col(idCol),
+        when(col("verdict") =!= "keep", col("verdict"))
+          .when(!col("sem_keep"), lit("semantic_dup"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Per-stratum duplication report over exact fingerprints — which
     * sources are duplicate-heavy (a crawl re-fetching itself, a mirror
     * in the mix) is the first dial an ingest operator reads. Counts

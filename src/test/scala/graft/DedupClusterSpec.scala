@@ -173,4 +173,29 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)), got.toString)
     assert(got.head._3 >= 3L, got.toString)
   }
+
+  test("unifiedDedupVerdicts: exact > near > semantic > keep lattice") {
+    val text = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (0L, text),                      // exact-group rep -> keep
+      (1L, text),                      // exact_dup (also a semantic dup
+                                       //  of 0 - exact evidence wins)
+      (2L, "unrelated words entirely here now"), // text keep, embedding
+                                       //  near 0 -> semantic_dup
+      (3L, "another totally different body text")) // keep on both axes
+      .toDF("doc_id", "text")
+    // one centroid (id 3): docs 0-2 share its cluster and pair at
+    // cosine >= 0.3; doc 3 is orthogonal to them
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.995f, 0.02f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.unifiedDedupVerdicts(docs, emb,
+        centroidStride = 4, centroidOffset = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "keep"), (1L, "exact_dup"),
+      (2L, "semantic_dup"), (3L, "keep")), got.toString)
+  }
 }
