@@ -80,7 +80,10 @@ object Bench {
       // q113/q115 share the BPE word-frequency dict (the corpus-global
       // stage); the merge rounds themselves are vocab-sized
       "q113_bpe_merges"            -> Set("bpe-dict"),
-      "q115_bpe_segment_stats"     -> Set("bpe-dict"))
+      "q115_bpe_segment_stats"     -> Set("bpe-dict"),
+      // incremental semantic dedup: landed vec lookup + its memoized
+      // cluster assignment (the semantic index)
+      "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

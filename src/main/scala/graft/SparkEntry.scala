@@ -85,6 +85,7 @@ object SparkEntry {
     val landedDocs5 = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2) // q99
     val landedDocs4 = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1) // q111
     val landedEmb5 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2) // q110
+    val landedEmb3 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3) // q117
     val builds: Seq[(String, DataFrame)] = Seq(
       // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
       "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
@@ -106,6 +107,8 @@ object SparkEntry {
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
+      "q117-landed-vecs" -> Similarity.landedVecLookup(landedEmb3),
+      "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),
       // BPE word-frequency dict (q113/q115 share it; the N merge
       // rounds are vocab-sized and stay with the queries)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
@@ -1722,7 +1725,20 @@ object SparkEntry {
       "q116_unified_dedup_verdict" -> ((s, dir) =>
         graft.dedup.Dedup.unifiedDedupVerdicts(
             table(s, dir, "documents"), table(s, dir, "embeddings"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Incremental SEMANTIC dedup (the semantic cell of the
+      // incremental matrix): the vec_id%5==3 slice arrives as a batch;
+      // codebook = landed stride centroids only (batch must not move
+      // the structure it is judged by); q110's verdict lattice over
+      // cluster-mates instead of band collisions.
+      "q117_semantic_incremental" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.semanticDedupIncrement(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
+          .orderBy("vec_id")
+      })
     )
   }
 
@@ -4018,7 +4034,56 @@ object SparkEntry {
           FROM documents d
           JOIN cl ON cl.doc_id = d.doc_id
           JOIN scl ON scl.sid = d.doc_id
-          ORDER BY d.doc_id""")
+          ORDER BY d.doc_id""",
+
+    // q114's assignment restricted to LANDED centroids (every id ≡ 7
+    // mod 25 is ≡ 2 mod 5, so none is in the %5=3 batch), side-tagged
+    // cluster-mate candidates, exact-cosine verification at 0.3, then
+    // q110's recursive walk over verified batch pairs among survivors.
+    "q117_semantic_incremental" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT sid c_id, v c_vec FROM e
+                  WHERE sid % 25 = 7 AND sid % 5 != 3),
+         asn AS (SELECT sid, c_id FROM (
+                   SELECT e.sid, c.c_id,
+                          ROW_NUMBER() OVER (PARTITION BY e.sid
+                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                              DESC, c.c_id) rn
+                   FROM e, cent c) t WHERE rn = 1),
+         cand AS (SELECT a.sid a_id, b.sid b_id,
+                    CASE WHEN b.sid % 5 = 3 THEN 'batch'
+                         ELSE 'landed' END side
+                  FROM asn a JOIN asn b ON a.c_id = b.c_id
+                  WHERE a.sid % 5 = 3
+                    AND (b.sid % 5 != 3 OR a.sid < b.sid)),
+         ver AS (SELECT a_id, b_id, side FROM (
+                   SELECT a_id, b_id, side,
+                          round(list_dot_product(x.v, y.v) /
+                                (sqrt(list_dot_product(x.v, x.v)) *
+                                 sqrt(list_dot_product(y.v, y.v))), 4) cos
+                   FROM cand JOIN e x ON x.sid = a_id
+                             JOIN e y ON y.sid = b_id) t
+                 WHERE cos >= 0.3),
+         ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
+         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
+                  AND a_id NOT IN (SELECT sid FROM ld)
+                  AND b_id NOT IN (SELECT sid FROM ld)),
+         ed AS (SELECT a_id u, b_id v FROM bp
+                UNION ALL SELECT b_id, a_id FROM bp),
+         walk(u, r) AS (
+           SELECT sid, sid FROM e WHERE sid % 5 = 3
+           UNION
+           SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
+         SELECT cl.sid AS vec_id,
+                CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
+                     WHEN cl.lbl != cl.sid THEN 'batch_dup'
+                     ELSE 'keep' END AS verdict
+         FROM cl
+         ORDER BY vec_id""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

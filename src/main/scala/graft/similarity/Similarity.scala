@@ -237,10 +237,7 @@ object Similarity {
       minCosine: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val assigned = e.join(broadcast(cent))
-      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
-      .groupBy("vec_id")
-      .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+    val assigned = assignToCentroids(e, cent)
     val cand = assigned.select(col("vec_id").as("a_id"), col("c_id"))
       .join(assigned.select(col("vec_id").as("b_id"), col("c_id")), "c_id")
       .filter(col("a_id") < col("b_id"))
@@ -254,6 +251,103 @@ object Similarity {
       e.select(col("vec_id")), "vec_id")
     labels.select(col("id").as(idCol), col("lbl").as("sem_cluster"))
       .withColumn("keep", col(idCol) === col("sem_cluster"))
+  }
+
+  /** The family's shared coarse quantization: argmax rounded cosine
+    * over the broadcast centroid table, ties to the lowest centroid id
+    * (q37's assignment). Input `(vec_id, vec)`; output (vec_id, c_id). */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
+      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+
+  /** Incremental SEMANTIC dedup for append-only ingest — the semantic
+    * cell of the incremental matrix (exact: `exactIncrement` / Bloom;
+    * near-dup text: `Dedup.lshIncrement`; near-dup embedding:
+    * [[lshIncrement]]; substring: `substringDedupIncrement`; mixture:
+    * mergeable partials): an incoming vector batch is screened against
+    * the landed corpus's semantic clusters, then against itself. The
+    * CODEBOOK is a landed-side artifact — centroids come from the
+    * landed slice only, so verdicts are batch-order-independent (an
+    * incoming batch must not move the cluster structure it is judged
+    * by). Verdict lattice as [[lshIncrement]]: `landed_dup` (exact-
+    * cosine-verified ≥ `minCosine` against a landed member of its
+    * cluster), `batch_dup` (non-representative of its verified
+    * within-batch component among survivors), `keep`.
+    *
+    * Same architecture as the banded twins with the CLUSTER standing
+    * for the bucket: the landed side contributes two memoized
+    * projections — its assignment table (kind "sem-assign", the
+    * semantic index, one narrow row per vector) and the
+    * [[landedVecLookup]] for verification — both reused batch over
+    * batch; the batch assigns against the broadcast codebook
+    * (O(batch·nlist)), candidates form as ONE c_id equi-join of the
+    * batch assignment against the tagged union of both, every
+    * candidate verifies at exact cosine before costing a vector, and
+    * CC runs over verified batch pairs only. Vectors never shuffle
+    * pair-wise. Output: (idCol, verdict), one row per incoming
+    * vector. */
+  def semanticDedupIncrement(landed: DataFrame, incoming: DataFrame,
+      centroidStride: Int = 25, centroidOffset: Int = 7,
+      minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lv = landedVecLookup(landed, idCol, vecCol)
+    val cent = lv.filter(pmod(col("sid"), lit(centroidStride)) === centroidOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val lAsn = landedSemanticAssignment(landed, centroidStride, centroidOffset,
+      idCol, vecCol)
+    val iv = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val iAsn = assignToCentroids(
+      iv.select(col("sid").as("vec_id"), col("vec")), cent)
+    val allAsn = iAsn.select(col("vec_id"), col("c_id"), lit("batch").as("src"))
+      .unionByName(lAsn.select(col("vec_id"), col("c_id"),
+        lit("landed").as("src")))
+    val cand = iAsn.select(col("vec_id").as("a_id"), col("c_id"))
+      .join(allAsn.select(col("vec_id").as("b_id"), col("c_id"),
+        col("src").as("side")), "c_id")
+      .filter(col("side") === "landed" || col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "side")
+    val v = iv.unionByName(lv)
+    val verified = cand
+      .join(v.select(col("sid").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(v.select(col("sid").as("b_id"), col("vec").as("b_vec")), "b_id")
+      .filter(round(cosine(col("a_vec"), col("b_vec")), 4) >= lit(minCosine))
+      .select("a_id", "b_id", "side")
+      .localCheckpoint(true) // single-node caveat as [[lshIncrement]]
+    val landedDup = verified.filter(col("side") === "landed")
+      .select(col("a_id").as(idCol)).distinct()
+    val batchPairs = verified.filter(col("side") === "batch")
+      .select("a_id", "b_id")
+      .join(landedDup.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+      .join(landedDup.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
+    val fresh = incoming.select(col(idCol))
+      .join(landedDup, Seq(idCol), "left_anti")
+    val labels = graft.dedup.Dedup.connectedComponents(batchPairs, fresh, idCol)
+    incoming.select(col(idCol))
+      .join(landedDup.withColumn("__ld", lit(1L)), Seq(idCol), "left")
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ld").isNotNull, lit("landed_dup"))
+          .when(col("lbl") =!= col(idCol), lit("batch_dup"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** The landed corpus's memoized semantic cluster assignment (kind
+    * "sem-assign") — [[semanticDedupIncrement]]'s index, one narrow
+    * (vec_id, c_id) row per landed vector, reused batch over batch and
+    * exposed for an index-build phase. Centroids are the landed stride
+    * sample (the codebook is a landed-side artifact). */
+  def landedSemanticAssignment(landed: DataFrame, centroidStride: Int = 25,
+      centroidOffset: Int = 7, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lv = landedVecLookup(landed, idCol, vecCol)
+    val cent = lv.filter(pmod(col("sid"), lit(centroidStride)) === centroidOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "sem-assign", centroidStride, centroidOffset,
+        idCol, vecCol),
+      assignToCentroids(lv.select(col("sid").as("vec_id"), col("vec")), cent))
   }
 
   /** The landed corpus's (sid, vec) verification lookup — the second

@@ -114,6 +114,12 @@ object MaterializedScaleBench {
         // cluster size (the per-vector comparison budget B) stays
         // CONSTANT across factors — the operator's documented sizing
         graft.similarity.Similarity.semanticDedup(emb(k)).count()),
+      ("q117_sem_inc", k => {
+        val e = emb(k)
+        graft.similarity.Similarity.semanticDedupIncrement(
+          e.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
+          e.filter(pmod(col("vec_id"), lit(5L)) === 3)).count()
+      }),
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q97_pmi_collocations", // two one-row totals (N_bi, N_uni) broadcast
     "q104_mixture_merge", // one-row totals broadcast, as q90
     "q114_semantic_dedup", // stride-centroid table broadcast, as q37
-    "q116_unified_dedup_verdict") // embeds q114's centroid broadcast
+    "q116_unified_dedup_verdict", // embeds q114's centroid broadcast
+    "q117_semantic_incremental") // landed stride-centroid codebook broadcast
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {

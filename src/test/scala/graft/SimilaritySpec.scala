@@ -275,6 +275,26 @@ class SimilaritySpec extends SparkSpec {
       (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)), got.toString)
   }
 
+  test("semanticDedupIncrement: landed dups drop first; batch pairs keep min id") {
+    // landed {0, 2}; stride-2 codebook = {c0=(1,0,0,0), c2=(0,0,1,0)}
+    val landed = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // c0-mate, cos(v0)=.995 -> landed_dup
+      (3L, Seq(0f, 0.1f, 0.99f, 0f)),  // c2-mate, cos(v2)=.995 -> landed_dup
+      (5L, Seq(0.2f, 0.98f, 0f, 0f)),  // c0-mate, cos(v0)=.2 < .3 -> survives
+      (7L, Seq(0.15f, 0.99f, 0f, 0f)), // c0-mate, cos(v5)=.999 -> pair {5,7}
+      (9L, Seq(0f, 0f, 0f, 1f)))       // orthogonal everywhere -> keep
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupIncrement(landed, batch,
+        centroidStride = 2, centroidOffset = 0)
+      .orderBy("vec_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "landed_dup"), (3L, "landed_dup"),
+      (5L, "keep"), (7L, "batch_dup"), (9L, "keep")), got.toString)
+  }
+
   test("semanticDedup never merges across clusters even at high cosine") {
     // 1 and 4 are near-identical but stride-assigned to different
     // centroids (0->c0, 4->c3 by construction of the vectors below):
