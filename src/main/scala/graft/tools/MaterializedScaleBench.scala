@@ -114,12 +114,19 @@ object MaterializedScaleBench {
         // cluster size (the per-vector comparison budget B) stays
         // CONSTANT across factors — the operator's documented sizing
         graft.similarity.Similarity.semanticDedup(emb(k)).count()),
-      ("q117_sem_inc", k => {
-        val e = emb(k)
+      // Incremental-contract probe: the LANDED corpus grows with k
+      // while the BATCH stays the 1x slice, and the landed index (vec
+      // lookup + cluster assignment) is built OFF the clock (see
+      // `preps`) exactly as Bench's index phase amortizes it — the
+      // timed region is the per-batch marginal cost the incremental
+      // contract promises. (A first cut replicated everything and
+      // timed the index build in-region: 20.4x at 10x — that is the
+      // landed assignment's n·nlist INDEX-build term, the documented
+      // IVF trade, not the per-batch cost.)
+      ("q117_sem_inc", k =>
         graft.similarity.Similarity.semanticDedupIncrement(
-          e.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
-          e.filter(pmod(col("vec_id"), lit(5L)) === 3)).count()
-      }),
+          emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3),
+          emb(1).filter(pmod(col("vec_id"), lit(5L)) === 3)).count()),
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
@@ -154,6 +161,19 @@ object MaterializedScaleBench {
           .agg(sum(size(col("cells"))), count(lit(1))).head().getLong(1)
       }))
 
+    // Untimed per-scale preparation for INCREMENTAL operators: their
+    // landed-side index is a once-per-corpus build the production
+    // shape (and Bench's index phase) amortizes across batches, so the
+    // probe materializes it off the clock and times only the per-batch
+    // marginal cost the incremental contract promises.
+    val preps: Map[String, Int => Unit] = Map(
+      "q117_sem_inc" -> { k =>
+        val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
+        graft.similarity.Similarity.landedVecLookup(landed).count()
+        graft.similarity.Similarity.landedSemanticAssignment(landed).count()
+        ()
+      })
+
     // release + COLLECT between timed regions: ProfileQ68 measured the
     // probe's q68 sample at 42 s where the isolated run is 6.7 s — the
     // released predecessor caches' GC debt was landing inside the next
@@ -162,10 +182,13 @@ object MaterializedScaleBench {
     def release(): Unit = { graft.util.CacheRegistry.releaseAll(); System.gc() }
     val results = ops.filter(o => only.forall(_.contains(o._1))).map { case (name, run) =>
       release()
+      preps.get(name).foreach(_(1))
       run(1) // warm pass: codegen + JIT, off the clock (I/O stays timed)
       release()
+      preps.get(name).foreach(_(1))
       val (t1, r1) = time(run(1))
       release()
+      preps.get(name).foreach(_(factor))
       val (tn, rn) = time(run(factor))
       release()
       def d(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
