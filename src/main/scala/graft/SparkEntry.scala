@@ -1738,6 +1738,28 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
           emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
           .orderBy("vec_id")
+      }),
+
+      // Two-level codebook SemDeDup: q114's fine codebook gains a
+      // coarse quantizer (ids ≡7 mod 125 ⊂ ids ≡7 mod 25); vectors
+      // assign coarse-then-cell-local — O(n·√nlist) vs flat
+      // O(n·nlist), the measured scale answer to q114's 5.57× probe.
+      "q118_semantic_dedup_2l" -> ((s, dir) =>
+        graft.similarity.Similarity.semanticDedupTwoLevel(
+            table(s, dir, "embeddings"))
+          .orderBy("vec_id")),
+
+      // PQ-ADC ANN (Jégou et al. 2011): 4 subspaces × stride-seeded
+      // codebooks, vectors scanned as 4 small ints (16× narrower than
+      // q49's int8 row), per-query integer lookup-table scoring, exact
+      // rerank of the top-20 — completes the scoring-cost axis
+      // q21 (raw) → q49 (int8) → PQ.
+      "q119_ann_topk_pq" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.pqTopK(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
       })
     )
   }
@@ -4083,7 +4105,102 @@ object SparkEntry {
                      WHEN cl.lbl != cl.sid THEN 'batch_dup'
                      ELSE 'keep' END AS verdict
          FROM cl
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+
+    // q114's walk with the two-hop assignment replayed literally:
+    // fine→coarse routing (rt), cell lists with the coarse self row
+    // (cells), vector→coarse (vg), then cell-local argmax (asn).
+    "q118_semantic_dedup_2l" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
+         crs AS (SELECT sid g_id, v g_vec FROM e WHERE sid % 125 = 7),
+         rt AS (SELECT c_id, g_id FROM (
+                  SELECT c.c_id, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_id
+                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM cent c, crs g) t WHERE rn = 1),
+         cells AS (SELECT DISTINCT g_id, c_id FROM (
+                     SELECT g_id, c_id FROM rt
+                     UNION ALL SELECT g_id, g_id FROM crs)),
+         vg AS (SELECT sid, g_id FROM (
+                  SELECT e.sid, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.sid
+                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM e, crs g) t WHERE rn = 1),
+         asn AS (SELECT sid, c_id FROM (
+                   SELECT e.sid, cells.c_id,
+                          ROW_NUMBER() OVER (PARTITION BY e.sid
+                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                              DESC, cells.c_id) rn
+                   FROM e JOIN vg ON vg.sid = e.sid
+                          JOIN cells ON cells.g_id = vg.g_id
+                          JOIN cent c ON c.c_id = cells.c_id) t
+                 WHERE rn = 1),
+         pr AS (SELECT a.sid a_id, b.sid b_id
+                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
+                WHERE round(list_dot_product(x.v, y.v) /
+                      (sqrt(list_dot_product(x.v, x.v)) *
+                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+         ed AS (SELECT a_id u, b_id v FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         walk(u, r) AS (SELECT sid, sid FROM e
+                        UNION
+                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
+         SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
+         FROM cl ORDER BY vec_id""",
+
+    // PQ encode (argmin shifted-L2 in e4 ints, ties low code id), ADC
+    // integer-sum scoring, exact-cosine rerank of the top-20 — every
+    // comparison an order-independent BIGINT, per the repo's
+    // engine-agnostic exactness conventions.
+    "q119_ann_topk_pq" ->
+      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          appr AS (SELECT q_id, sid, SUM(term) a
+                   FROM codes JOIN lut USING (j, code)
+                   WHERE sid != q_id GROUP BY q_id, sid),
+          short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr) t
+                    WHERE cr <= 20),
+          scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM scored)
+          SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

@@ -237,7 +237,17 @@ object Similarity {
       minCosine: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val assigned = assignToCentroids(e, cent)
+    dedupFromAssignment(e, assignToCentroids(e, cent), minCosine, idCol)
+  }
+
+  /** The assignment-independent tail of the semantic-dedup family:
+    * cluster-mate candidate pairs, exact-cosine verification at
+    * `minCosine`, CC over verified pairs, keep = component minimum.
+    * Shared by the flat ([[semanticDedupWith]]) and two-level
+    * ([[semanticDedupTwoLevel]]) assignment faces — only the
+    * (vec_id, c_id) table differs. */
+  private def dedupFromAssignment(e: DataFrame, assigned: DataFrame,
+      minCosine: Double, idCol: String): DataFrame = {
     val cand = assigned.select(col("vec_id").as("a_id"), col("c_id"))
       .join(assigned.select(col("vec_id").as("b_id"), col("c_id")), "c_id")
       .filter(col("a_id") < col("b_id"))
@@ -261,6 +271,79 @@ object Similarity {
       .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+
+  /** TWO-LEVEL codebook assignment — the measured answer to the flat
+    * assignment's O(n·nlist) bill (q114's 10× probe read 5.57×, all of
+    * it the assignment term: nlist grows with n under stride seeding,
+    * so flat assignment is quadratic in n at constant stride).
+    *
+    * Structure (IVF coarse quantizer over the fine codebook, the
+    * two-level trade q114's scaladoc promised): the COARSE codebook is
+    * a stride-subset of the fine one (`coarse ⊆ fine`); each fine
+    * centroid routes once to its nearest coarse centroid (the cell
+    * lists, O(nlist·ncoarse), a codebook-side build); a vector then
+    * assigns in two hops — nearest coarse centroid (O(ncoarse)), then
+    * argmax over only that cell's fine members (expected
+    * nlist/ncoarse). Per-vector cost ncoarse + nlist/ncoarse, minimized
+    * at ncoarse ≈ √nlist → O(n·√nlist) total versus O(n·nlist) flat —
+    * the SIZING CONTRACT is `coarseFactor ≈ √nlist` (probed: the 10×
+    * disk ratio drops from flat 5.57× toward the √-law).
+    *
+    * Every cell contains its own coarse centroid (a coarse centroid IS
+    * a fine centroid and the union below adds the self row), so no
+    * cell is empty and the assignment is total. Ties break to the
+    * lowest id at every hop; cosines round to 4 decimals before
+    * comparison — both as the flat face, so the output is
+    * engine-reproducible. The assignment is APPROXIMATE in the IVF
+    * sense: a vector whose true nearest fine centroid routes to a
+    * different coarse cell gets its cell-local argmax instead
+    * (`SimilaritySpec` measures the agreement rate against the flat
+    * assignment). Input `(vec_id, vec)`; fine `(c_id, c_vec)`; coarse
+    * `(g_id, g_vec)`; output (vec_id, c_id). */
+  private def assignTwoLevel(e: DataFrame, fine: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    // codebook-side: route each fine centroid to its coarse cell
+    val route = fine.join(broadcast(coarse))
+      .withColumn("rcos", round(cosine(col("c_vec"), col("g_vec")), 4))
+      .groupBy("c_id")
+      .agg(max_by(col("g_id"), struct(col("rcos"), -col("g_id"))).as("g_id"))
+    // cell membership lists, self row guaranteeing no empty cell
+    val cells = route.select(col("g_id"), col("c_id"))
+      .unionByName(coarse.select(col("g_id"), col("g_id").as("c_id")))
+      .distinct()
+      .join(fine, "c_id") // (c_id, g_id, c_vec)
+    // hop 1: vector → coarse cell
+    val vg = e.join(broadcast(coarse))
+      .withColumn("gcos", round(cosine(col("vec"), col("g_vec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(col("g_id"), struct(col("gcos"), -col("g_id"))).as("g_id"))
+    // hop 2: argmax over the cell's fine members only — the join fans
+    // each vector out to ~nlist/ncoarse candidate rows, not nlist
+    vg.join(e, "vec_id").join(broadcast(cells), "g_id")
+      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("cos"), -col("c_id"))).as("c_id"))
+  }
+
+  /** [[semanticDedup]] with the two-level codebook assignment — the
+    * 100 TB face of SemDeDup when nlist itself is corpus-proportional:
+    * identical candidate/verify/CC tail ([[dedupFromAssignment]]), only
+    * the assignment differs. The fine codebook is the same stride
+    * sample as [[semanticDedup]]'s (`vec_id % fineStride ==
+    * fineOffset`); the coarse codebook is its stride-subset
+    * (`vec_id % (fineStride·coarseFactor) == fineOffset`). Size
+    * `coarseFactor ≈ √nlist` per [[assignTwoLevel]]'s contract. */
+  def semanticDedupTwoLevel(embeddings: DataFrame, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5, minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val fine = e.filter(pmod(col("vec_id"), lit(fineStride)) === fineOffset)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val coarse = e.filter(
+        pmod(col("vec_id"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
+      .select(col("vec_id").as("g_id"), col("vec").as("g_vec"))
+    dedupFromAssignment(e, assignTwoLevel(e, fine, coarse), minCosine, idCol)
+  }
 
   /** Incremental SEMANTIC dedup for append-only ingest — the semantic
     * cell of the incremental matrix (exact: `exactIncrement` / Bloom;
@@ -610,6 +693,84 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
     cand
       .join(v, "vec_id")
+      .join(qv, "q_id")
+      .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the far
+    * end of [[quantizedTopK]]'s "shrink the cost of scoring" axis: the
+    * vector splits into `m` disjoint subvectors, each encoded as the id
+    * of its nearest (squared-L2) codeword in a per-subspace codebook,
+    * so the scanned corpus representation is `m` SMALL INTS per vector
+    * (vs dim floats raw, dim int8s for [[quantizedTopK]]: 64× /16×
+    * narrower at m=4, dim=64) while representing ksub^m distinct cells.
+    * Scoring is ADC (asymmetric distance computation): per query, one
+    * lookup table of `m·ksub` exact sub-dot-products, then
+    * approx_dot(q,v) = Σⱼ LUT[j][codeⱼ(v)] — the corpus scan does m
+    * integer lookups + adds per vector and never touches a float
+    * vector; the top `k·rerankFactor` by approximate dot rerank at
+    * exact rounded cosine, exactly [[quantizedTopK]]'s tail.
+    *
+    * Engine-reproducibility: encode argmax is over
+    * `round((2·sv·cw − |cw|²)·1e4)` (≡ argmin squared L2 shifted by the
+    * per-(sid,j)-constant |sv|², in integer e4 units), ties to the
+    * lowest code id; ADC terms are e4-rounded BIGINTs so the per-pair
+    * sum is an order-independent integer. Codebooks here are
+    * stride-seeded (`vec_id % codeStride == codeOffset`, the family's
+    * oracle-able contract face — q37's seeding); production swaps in
+    * per-subspace k-means codewords of fixed ksub=256 (the
+    * [[kMeansCentroids]] refinement per subspace) without touching the
+    * plan — broadcast size m·ksub·(dim/m) = ksub·dim floats, constant
+    * in corpus size. At 100 TB the ADC scan reads only the (sid, j,
+    * code) table (m small ints/vector); full vectors are fetched by id
+    * join for the k·rerankFactor shortlist alone. */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    // (id, j, sv): the m disjoint subvector projections, one narrow
+    // union — each branch is a column-pruned scan, no shuffle
+    def subs(df: DataFrame, id: String, v: String): DataFrame =
+      (0 until m).map { j =>
+        df.select(col(id), lit(j).as("j"),
+          slice(col(v), j * dsub + 1, dsub).as("sv"))
+      }.reduce(_ unionByName _)
+    val sub = subs(e, "sid", "vec")
+    val cw = sub.filter(pmod(col("sid"), lit(codeStride)) === codeOffset)
+      .select(col("sid").as("code_id"), col("j"), col("sv").as("cw"))
+    // encode: per (vector, subspace) argmin L2 over the broadcast
+    // codebook as a max_by hash agg (map-side partials, no sort)
+    val codes = sub.join(broadcast(cw), "j")
+      .withColumn("score", round(
+        (dot(col("sv"), col("cw")) * 2 - dot(col("cw"), col("cw"))) * 1e4)
+        .cast("long"))
+      .groupBy("sid", "j")
+      .agg(max_by(col("code_id"), struct(col("score"), -col("code_id")))
+        .as("code"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val lut = subs(qv, "q_id", "q_vec").join(broadcast(cw), "j")
+      .select(col("q_id"), col("j"), col("code_id").as("code"),
+        round(dot(col("sv"), col("cw")) * 1e4).cast("long").as("term_e4"))
+    // ADC: m integer terms per (query, vector), summed by hash agg
+    val approx = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("sid") =!= col("q_id"))
+      .groupBy("q_id", "sid")
+      .agg(sum("term_e4").as("approx_e4"))
+    val wShort = Window.partitionBy("q_id").orderBy(desc("approx_e4"), asc("sid"))
+    val short = approx.withColumn("c_rank", row_number().over(wShort))
+      .filter(col("c_rank") <= k * rerankFactor)
+      .select("q_id", "sid")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    short.withColumnRenamed("sid", "vec_id")
+      .join(e.select(col("sid").as("vec_id"), col("vec")), "vec_id")
       .join(qv, "q_id")
       .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
       .withColumn("rank", row_number().over(w))

@@ -114,6 +114,18 @@ object MaterializedScaleBench {
         // cluster size (the per-vector comparison budget B) stays
         // CONSTANT across factors — the operator's documented sizing
         graft.similarity.Similarity.semanticDedup(emb(k)).count()),
+      // Two-level sizing contract: coarseFactor ≈ √nlist so per-vector
+      // assignment work is ncoarse + nlist/ncoarse ≈ 2√nlist — the
+      // measured answer to q114's flat-assignment ratio (its 5.57× at
+      // 10× is entirely the O(n·nlist) assignment term). The parquet
+      // footer count that sizes it is metadata-cheap and in-region.
+      ("q118_semdedup_2l", k => {
+        val e = emb(k)
+        val nlist = e.count() / 25.0
+        val cf = math.max(2, math.round(math.sqrt(nlist)).toInt)
+        graft.similarity.Similarity.semanticDedupTwoLevel(
+          e, coarseFactor = cf).count()
+      }),
       // Incremental-contract probe: the LANDED corpus grows with k
       // while the BATCH stays the 1x slice, and the landed index (vec
       // lookup + cluster assignment) is built OFF the clock (see
