@@ -1760,7 +1760,16 @@ object SparkEntry {
             emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
           .withColumnRenamed("rank", "rnk")
           .orderBy("q_id", "rnk")
-      })
+      }),
+
+      // Per-source curation funnel (the corpus "data card"): each doc
+      // attributed to the FIRST rejecting stage — q116's dedup lattice,
+      // then q94's quality gate, then q89's perplexity cut — doc and
+      // token counts per (source, stage), all exact integers.
+      "q120_curation_funnel" -> ((s, dir) =>
+        graft.curation.Curation.curationFunnel(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("source", "stage"))
     )
   }
 
@@ -4200,7 +4209,103 @@ object SparkEntry {
                   (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""")
+          ORDER BY q_id, rnk""",
+
+    // q116's dedup lattice + q94's gate + q89's perplexity decile,
+    // composed by doc id with first-rejecting-stage attribution, then
+    // one (source, stage) integer aggregate.
+    "q120_curation_funnel" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          fp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                 FROM documents),
+          ex AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
+                   FROM fp WHERE fp IS NOT NULL) t
+                 WHERE doc_id != keep_id),
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
+          asn AS (SELECT sid, c_id FROM (
+                    SELECT emb.sid, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM emb, centc c) t WHERE rn = 1),
+          spr AS (SELECT a.sid a_id, b.sid b_id
+                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
+                  WHERE round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) *
+                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+          sed AS (SELECT a_id u, b_id v FROM spr
+                  UNION ALL SELECT b_id, a_id FROM spr),
+          swalk(u, r) AS (SELECT sid, sid FROM emb
+                          UNION
+                          SELECT w.u, sed.v FROM swalk w
+                          JOIN sed ON sed.u = w.r),
+          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u),
+          f AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tok,
+                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) n_uniq
+                FROM documents),
+          g AS (SELECT doc_id, n_tok,
+                  (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
+                  (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
+                  (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
+                  (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
+                FROM f),
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
+                 FROM cab GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                        AS BIGINT) lp
+                 FROM bg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a),
+          sco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+                    CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) avg_logp
+                  FROM sc GROUP BY doc_id),
+          j AS (SELECT d.doc_id,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY s.avg_logp, d.doc_id) rn,
+                  COUNT(*) OVER (PARTITION BY d.source) cnt
+                FROM documents d JOIN sco s USING (doc_id)),
+          pf AS (SELECT doc_id,
+                   CASE WHEN rn * 10000 <= cnt * 1000 THEN 1 ELSE 0 END flagged
+                 FROM j),
+          sel AS (SELECT d.doc_id, d.source,
+                    CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                           THEN 'exact_dup'
+                         WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
+                         WHEN scl.lbl != scl.sid THEN 'semantic_dup'
+                         WHEN g.reasons != 0 THEN 'quality_fail'
+                         WHEN COALESCE(pf.flagged, 0) = 1 THEN 'ppl_cut'
+                         ELSE 'keep' END stage,
+                    g.n_tok
+                  FROM documents d
+                    JOIN cl ON cl.doc_id = d.doc_id
+                    JOIN scl ON scl.sid = d.doc_id
+                    JOIN g ON g.doc_id = d.doc_id
+                    LEFT JOIN pf ON pf.doc_id = d.doc_id)
+          SELECT source, stage, CAST(COUNT(*) AS BIGINT) n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) n_tokens
+          FROM sel GROUP BY source, stage ORDER BY source, stage""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

@@ -762,6 +762,44 @@ object Curation {
       when(reasons === 0, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Per-source curation funnel — the "data card" a corpus release
+    * publishes: every document attributed to the FIRST pipeline stage
+    * that rejects it, in the order a real curation pipeline applies
+    * evidence (cheapest-and-highest-precision first): byte-identical
+    * exact dedup > n-gram near-dup > embedding semantic dup (the
+    * [[graft.dedup.Dedup.unifiedDedupVerdicts]] lattice) > Gopher-style
+    * quality gate ([[qualityGate]]) > bottom-decile LM perplexity cut
+    * ([[perplexityFlag]]). One row per (source, stage) with document
+    * and token counts — all exact integers, so the card is
+    * engine-reproducible.
+    *
+    * Composes three independently-oracled operators by doc id: each
+    * reads its own memoized family tables (shingle/band/cluster caches,
+    * the scored-ppl projection), so in an indexed session the marginal
+    * cost is three id-keyed joins plus one (source, stage) hash
+    * aggregate — nothing here re-touches text. Documents too short to
+    * score under the bigram LM (< 2 tokens) carry flagged = 0 via the
+    * left join, mirroring the oracle. */
+  def curationFunnel(docs: DataFrame, embeddings: DataFrame,
+      cutBp: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val v = graft.dedup.Dedup.unifiedDedupVerdicts(docs, embeddings)
+    val g = qualityGate(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("reasons"))
+    val p = perplexityFlag(docs, cutBp, "source", idCol, textCol)
+      .select(col(idCol), col("flagged"))
+    docs.select(col(idCol), col("source"))
+      .join(v, idCol).join(g, idCol)
+      .join(p, Seq(idCol), "left")
+      .withColumn("stage",
+        when(col("verdict") =!= "keep", col("verdict"))
+          .when(col("reasons") =!= 0, lit("quality_fail"))
+          .when(coalesce(col("flagged"), lit(0L)) === 1, lit("ppl_cut"))
+          .otherwise(lit("keep")))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
   /** Per-source unigram KL divergence against the corpus distribution,
     * restricted to the `headV` most frequent corpus tokens — the
     * mixture diagnostic that says WHICH sources are distributionally

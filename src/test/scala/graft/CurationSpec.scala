@@ -520,4 +520,33 @@ class CurationSpec extends SparkSpec {
       .select("bucket", "n_docs").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), got.toString)
   }
+
+  test("curationFunnel: exact per-source partition of docs and tokens") {
+    // The funnel is a PARTITION: every document lands in exactly one
+    // (source, stage) cell, so per-source doc/token sums must equal
+    // the corpus's own — checked on real testdata against independent
+    // aggregates (the cell values themselves are oracle-checked).
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val funnel = Curation.curationFunnel(docs, emb)
+      .select("source", "stage", "n_docs", "n_tokens")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val stages = Set("exact_dup", "near_dup", "semantic_dup",
+      "quality_fail", "ppl_cut", "keep")
+    assert(funnel.map(_._2).toSet.subsetOf(stages), funnel.map(_._2).toSet)
+    val perSource = funnel.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    val expectDocs = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val expectToks = Curation.qualityGate(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perSource.keySet == expectDocs.keySet)
+    perSource.foreach { case (src, (nd, nt)) =>
+      assert(nd == expectDocs(src), s"$src docs $nd != ${expectDocs(src)}")
+      assert(nt == expectToks(src), s"$src tokens $nt != ${expectToks(src)}")
+    }
+  }
 }
