@@ -109,6 +109,8 @@ object SparkEntry {
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
       "q117-landed-vecs" -> Similarity.landedVecLookup(landedEmb3),
       "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),
+      "q122-landed-assign-2l" ->
+        Similarity.landedSemanticAssignment2L(landedEmb3),
       // BPE word-frequency dict (q113/q115 share it; the N merge
       // rounds are vocab-sized and stay with the queries)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
@@ -1769,7 +1771,30 @@ object SparkEntry {
       "q120_curation_funnel" -> ((s, dir) =>
         graft.curation.Curation.curationFunnel(
             table(s, dir, "documents"), table(s, dir, "embeddings"))
-          .orderBy("source", "stage"))
+          .orderBy("source", "stage")),
+
+      // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+      // (V=1024) log importance weights vs the src0 target
+      // distribution in micro-ln integers, per-source top-20%
+      // selection by integer rank — the data-selection stage between
+      // dedup and mixture.
+      "q121_dsir_select" -> ((s, dir) =>
+        graft.curation.Curation.dsirSelect(
+            table(s, dir, "documents"), "src0")
+          .orderBy("doc_id")),
+
+      // q117's incremental semantic dedup with q118's two-level
+      // codebook on both sides: landed index build AND per-batch
+      // assignment drop from O(·nlist) to O(·√nlist) — the cut for
+      // q117's documented linear-in-landed residual. Codebooks stay
+      // landed-side artifacts; verdict lattice unchanged.
+      "q122_semantic_inc_2l" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.semanticDedupIncrementTwoLevel(
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
+          .orderBy("vec_id")
+      })
     )
   }
 
@@ -4305,7 +4330,117 @@ object SparkEntry {
                     LEFT JOIN pf ON pf.doc_id = d.doc_id)
           SELECT source, stage, CAST(COUNT(*) AS BIGINT) n_docs,
                  CAST(SUM(n_tok) AS BIGINT) n_tokens
-          FROM sel GROUP BY source, stage ORDER BY source, stage""")
+          FROM sel GROUP BY source, stage ORDER BY source, stage""",
+
+    // Hashed-unigram importance weights in the micro-unit-ln BIGINT
+    // device (order-independent integer sums), add-one smoothing over
+    // 1024 buckets, per-source top-20% by integer rank.
+    "q121_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, source,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) token
+                      FROM documents),
+          tb AS (SELECT doc_id, source,
+                   ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                 FROM tok),
+          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw FROM tb GROUP BY b),
+          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_tgt FROM tb
+                  WHERE source = 'src0' GROUP BY b),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_raw,
+                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                      n_tgt
+                  FROM tb),
+          sc AS (SELECT tb.doc_id, tb.source,
+                   CAST(round(ln(COALESCE(tgt.c_tgt, 0) + 1) * 1000000, 0)
+                        AS BIGINT)
+                   - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(raw.c_raw + 1) * 1000000, 0) AS BIGINT)
+                   + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                     AS lp
+                 FROM tb JOIN raw USING (b) LEFT JOIN tgt USING (b), tot),
+          sco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) n_feat,
+                    CAST(SUM(lp) AS BIGINT) logw_e6
+                  FROM sc GROUP BY doc_id, source),
+          j AS (SELECT doc_id, source, n_feat, logw_e6,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY logw_e6 DESC, doc_id) rn,
+                  COUNT(*) OVER (PARTITION BY source) cnt
+                FROM sco)
+          SELECT doc_id, source, n_feat, logw_e6,
+                 CAST(CASE WHEN rn * 10000 <= cnt * 2000 THEN 1 ELSE 0 END
+                      AS BIGINT) selected
+          FROM j ORDER BY doc_id""",
+
+    // q117's verdict walk with q118's two-hop assignment replayed for
+    // every vector against the LANDED codebook (fine ≡7 mod 25, coarse
+    // ≡7 mod 125 — all landed: 7 mod 5 = 2).
+    "q122_semantic_inc_2l" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT sid c_id, v c_vec FROM e
+                  WHERE sid % 25 = 7 AND sid % 5 != 3),
+         crs AS (SELECT sid g_id, v g_vec FROM e
+                 WHERE sid % 125 = 7 AND sid % 5 != 3),
+         rt AS (SELECT c_id, g_id FROM (
+                  SELECT c.c_id, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_id
+                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM cent c, crs g) t WHERE rn = 1),
+         cells AS (SELECT DISTINCT g_id, c_id FROM (
+                     SELECT g_id, c_id FROM rt
+                     UNION ALL SELECT g_id, g_id FROM crs)),
+         vg AS (SELECT sid, g_id FROM (
+                  SELECT e.sid, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.sid
+                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM e, crs g) t WHERE rn = 1),
+         asn AS (SELECT sid, c_id FROM (
+                   SELECT e.sid, cells.c_id,
+                          ROW_NUMBER() OVER (PARTITION BY e.sid
+                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                              DESC, cells.c_id) rn
+                   FROM e JOIN vg ON vg.sid = e.sid
+                          JOIN cells ON cells.g_id = vg.g_id
+                          JOIN cent c ON c.c_id = cells.c_id) t
+                 WHERE rn = 1),
+         cand AS (SELECT a.sid a_id, b.sid b_id,
+                    CASE WHEN b.sid % 5 = 3 THEN 'batch'
+                         ELSE 'landed' END side
+                  FROM asn a JOIN asn b ON a.c_id = b.c_id
+                  WHERE a.sid % 5 = 3
+                    AND (b.sid % 5 != 3 OR a.sid < b.sid)),
+         ver AS (SELECT a_id, b_id, side FROM (
+                   SELECT a_id, b_id, side,
+                          round(list_dot_product(x.v, y.v) /
+                                (sqrt(list_dot_product(x.v, x.v)) *
+                                 sqrt(list_dot_product(y.v, y.v))), 4) cos
+                   FROM cand JOIN e x ON x.sid = a_id
+                             JOIN e y ON y.sid = b_id) t
+                 WHERE cos >= 0.3),
+         ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
+         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
+                  AND a_id NOT IN (SELECT sid FROM ld)
+                  AND b_id NOT IN (SELECT sid FROM ld)),
+         ed AS (SELECT a_id u, b_id v FROM bp
+                UNION ALL SELECT b_id, a_id FROM bp),
+         walk(u, r) AS (
+           SELECT sid, sid FROM e WHERE sid % 5 = 3
+           UNION
+           SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
+         SELECT cl.sid AS vec_id,
+                CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
+                     WHEN cl.lbl != cl.sid THEN 'batch_dup'
+                     ELSE 'keep' END AS verdict
+         FROM cl
+         ORDER BY vec_id""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

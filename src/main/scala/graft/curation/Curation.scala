@@ -279,6 +279,76 @@ object Curation {
       .drop("__score", "__quota")
   }
 
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the log importance weight of its HASHED n-gram
+    * features under a target distribution vs the raw corpus, then keep
+    * the per-source top quantile. Features here are hashed unigrams —
+    * [[graft.functions.TextFunctions.hash60]] mod `buckets` — so the
+    * feature space is a fixed `buckets`-row table regardless of corpus
+    * vocabulary (the paper's device, and the reason this scales: both
+    * distributions are broadcast-sized count tables, never
+    * vocabulary-sized). The target distribution is estimated from the
+    * documents of `targetSource` — "select web data that looks like
+    * wiki" with src-N standing in for wiki.
+    *
+    * log w(d) = Σ_tokens [ln p_tgt(b) − ln p_raw(b)] with add-one
+    * smoothing over the `buckets` cells, computed entirely in the
+    * micro-unit-ln BIGINT device (lnq(x) = round(ln(x)·1e6)): per-token
+    * contribution lnq(c_tgt(b)+1) − lnq(n_tgt+V) − lnq(c_raw(b)+1) +
+    * lnq(n_raw+V), summed per document as an order-independent integer.
+    * Selection is the per-stratum integer-rank quantile ([[q89]]'s
+    * device, top instead of bottom): selected ⇔ rn·10000 ≤ cnt·keepBp
+    * ranking by (logw_e6 desc, id). The paper samples with Gumbel
+    * noise; the deterministic top-quantile is the engine-reproducible
+    * contract face — a seeded [[stratifiedSample]]-style jitter column
+    * composes on top if sampling is wanted.
+    *
+    * Scale: one (token → bucket) projection feeds two ≤`buckets`-row
+    * hash aggregates (broadcast back), one one-row totals aggregate;
+    * the per-doc sum is a map-side-combined (id, stratum) aggregate;
+    * the rank window is hash-partitioned per stratum. Nothing is
+    * vocabulary- or pair-shaped. Output: (idCol, stratum, n_feat,
+    * logw_e6, selected) — one row per document with ≥ 1 token. */
+  def dsirSelect(docs: DataFrame, targetSource: String,
+      buckets: Int = 1024, keepBp: Int = 2000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(keepBp > 0 && keepBp <= 10000, "keepBp in (0, 10000]")
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+    val tb = docs.select(col(idCol), col(stratum),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
+        lit(buckets.toLong)))
+      .select(col(idCol), col(stratum), col("b"))
+    val raw = tb.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    val tgt = tb.filter(col(stratum) === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
+    val tot = tb.agg(count(lit(1)).as("n_raw"),
+      count(when(col(stratum) === targetSource, 1)).as("n_tgt"))
+    val scored = tb
+      .join(broadcast(raw), "b")
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        lnq(coalesce(col("c_tgt"), lit(0L)) + 1) -
+          lnq(col("n_tgt") + buckets) -
+          lnq(col("c_raw") + 1) +
+          lnq(col("n_raw") + buckets))
+      .groupBy(col(idCol), col(stratum))
+      .agg(count(lit(1)).as("n_feat"), sum("lp").as("logw_e6"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(col("logw_e6").desc, col(idCol))
+    val cw = Window.partitionBy(stratum)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .select(col(idCol), col(stratum), col("n_feat"), col("logw_e6"),
+        when(col("rn") * 10000 <= col("cnt") * keepBp, 1L).otherwise(0L)
+          .as("selected"))
+  }
+
   /** Temperature-scaled corpus rebalancing (the multilingual-training
     * mixture rule): stratum `s` is sampled at a rate proportional to
     * `count_s^(α-1)` with α = 0.5, i.e. weight √count — big strata are

@@ -383,6 +383,17 @@ object Similarity {
     val iv = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val iAsn = assignToCentroids(
       iv.select(col("sid").as("vec_id"), col("vec")), cent)
+    incrementFromAssignments(lv, iv, lAsn, iAsn, minCosine, idCol, incoming)
+  }
+
+  /** The assignment-independent tail of the incremental semantic
+    * family: side-tagged cluster-mate candidates, exact-cosine
+    * verification, landed-dup absorption, CC over verified batch pairs
+    * among survivors — [[semanticDedupIncrement]]'s verdict lattice.
+    * Shared by the flat and two-level assignment faces. */
+  private def incrementFromAssignments(lv: DataFrame, iv: DataFrame,
+      lAsn: DataFrame, iAsn: DataFrame, minCosine: Double,
+      idCol: String, incoming: DataFrame): DataFrame = {
     val allAsn = iAsn.select(col("vec_id"), col("c_id"), lit("batch").as("src"))
       .unionByName(lAsn.select(col("vec_id"), col("c_id"),
         lit("landed").as("src")))
@@ -431,6 +442,59 @@ object Similarity {
       CacheRegistry.key(landed, "sem-assign", centroidStride, centroidOffset,
         idCol, vecCol),
       assignToCentroids(lv.select(col("sid").as("vec_id"), col("vec")), cent))
+  }
+
+  /** [[semanticDedupIncrement]] with the TWO-LEVEL codebook
+    * ([[assignTwoLevel]]) on both sides — the cut for the family's two
+    * remaining corpus-proportional assignment terms: the landed INDEX
+    * build (O(n_landed·nlist) flat — the 20.4× reading q117's probe
+    * history records) and the per-batch assignment against a codebook
+    * whose nlist grows with the landed corpus (the linear-in-landed
+    * residual behind q117's 2.34× contract probe). Both drop to
+    * O(·√nlist) under the `coarseFactor ≈ √nlist` sizing contract.
+    * Codebooks (fine and coarse) are landed-side artifacts exactly as
+    * the flat face — batch order cannot move the cluster structure —
+    * and the verdict lattice, verification, and CC tail are shared
+    * ([[incrementFromAssignments]]). With one coarse cell this
+    * degenerates to [[semanticDedupIncrement]] (asserted in
+    * SimilaritySpec). */
+  def semanticDedupIncrementTwoLevel(landed: DataFrame, incoming: DataFrame,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lv = landedVecLookup(landed, idCol, vecCol)
+    val fine = lv.filter(pmod(col("sid"), lit(fineStride)) === fineOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val coarse = lv.filter(
+        pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
+      .select(col("sid").as("g_id"), col("vec").as("g_vec"))
+    val lAsn = landedSemanticAssignment2L(landed, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    val iv = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val iAsn = assignTwoLevel(
+      iv.select(col("sid").as("vec_id"), col("vec")), fine, coarse)
+    incrementFromAssignments(lv, iv, lAsn, iAsn, minCosine, idCol, incoming)
+  }
+
+  /** The landed corpus's memoized TWO-LEVEL semantic assignment (kind
+    * "sem-assign-2l") — [[semanticDedupIncrementTwoLevel]]'s index,
+    * built at O(n_landed·√nlist) instead of the flat index's
+    * O(n_landed·nlist), reused batch over batch and exposed for an
+    * index-build phase. */
+  def landedSemanticAssignment2L(landed: DataFrame, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lv = landedVecLookup(landed, idCol, vecCol)
+    val fine = lv.filter(pmod(col("sid"), lit(fineStride)) === fineOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val coarse = lv.filter(
+        pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
+      .select(col("sid").as("g_id"), col("vec").as("g_vec"))
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "sem-assign-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      assignTwoLevel(lv.select(col("sid").as("vec_id"), col("vec")),
+        fine, coarse))
   }
 
   /** The landed corpus's (sid, vec) verification lookup — the second

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * the heavy trio is worth the disk: q18_jaccard,q43_clusters,q68_novelty)
   */
 object MaterializedScaleBench {
+  /** The two-level sizing contract, `coarseFactor ≈ √nlist` for the
+    * default fineStride 25 — shared by the q118/q122 probe rows and
+    * their preps (prep and run must agree on the codebook). */
+  private def cf2l(landed: DataFrame): Int = {
+    val nlist = landed.count() / 25.0
+    math.max(2, math.round(math.sqrt(nlist)).toInt)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
@@ -139,7 +147,22 @@ object MaterializedScaleBench {
         graft.similarity.Similarity.semanticDedupIncrement(
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 3)).count()),
+      // Two-level incremental: the batch assigns against the landed
+      // codebook in two hops (coarseFactor ≈ √nlist), cutting q117's
+      // linear-in-landed batch-assignment residual; landed 2L index
+      // prebuilt off-clock (preps) per the incremental contract.
+      ("q122_sem_inc_2l", k => {
+        val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
+        graft.similarity.Similarity.semanticDedupIncrementTwoLevel(
+          landed, emb(1).filter(pmod(col("vec_id"), lit(5L)) === 3),
+          coarseFactor = cf2l(landed)).count()
+      }),
       ("q108_verdicts", k => Dedup.dedupVerdicts(docs(k)).count()),
+      // DSIR: token→bucket projection + two ≤1024-row aggregates + a
+      // per-stratum rank window — linear by construction; the probe
+      // certifies it
+      ("q121_dsir", k =>
+        graft.curation.Curation.dsirSelect(docs(k), "src0").count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
@@ -183,6 +206,13 @@ object MaterializedScaleBench {
         val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
         graft.similarity.Similarity.landedVecLookup(landed).count()
         graft.similarity.Similarity.landedSemanticAssignment(landed).count()
+        ()
+      },
+      "q122_sem_inc_2l" -> { k =>
+        val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
+        graft.similarity.Similarity.landedVecLookup(landed).count()
+        graft.similarity.Similarity.landedSemanticAssignment2L(
+          landed, coarseFactor = cf2l(landed)).count()
         ()
       })
 

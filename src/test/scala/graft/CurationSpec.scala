@@ -521,6 +521,30 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), got.toString)
   }
 
+  test("dsirSelect: target-like docs outrank target-absent docs within a source") {
+    // target source "t" speaks {aa,bb,cc}; in source "o", the doc made
+    // of target-frequent tokens must outscore the target-absent docs,
+    // and the top-40% integer-rank cut of o's 3 docs selects only it
+    // (rank 1: 1·10000 ≤ 3·4000). Ordering asserted, not raw ln values
+    // (robust to the micro-unit rounding).
+    val docs = Seq(
+      (1L, "t", "aa bb"),
+      (2L, "t", "aa cc"),
+      (10L, "o", "aa aa"),
+      (11L, "o", "xx yy"),
+      (12L, "o", "zz zz")).toDF("doc_id", "source", "text")
+    val got = Curation.dsirSelect(docs, "t", buckets = 1024, keepBp = 4000)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_feat", "logw_e6", "selected")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 10L, 11L, 12L), got.toString)
+    assert(got.forall(_._3 == 2L), got.toString) // 2 token features each
+    val o = got.filter(_._2 == "o").map(r => r._1 -> r._4).toMap
+    assert(o(10L) > o(11L) && o(11L) > o(12L), o.toString)
+    assert(got.filter(_._2 == "o").map(r => r._1 -> r._5).toMap ==
+      Map(10L -> 1L, 11L -> 0L, 12L -> 0L), got.toString)
+  }
+
   test("curationFunnel: exact per-source partition of docs and tokens") {
     // The funnel is a PARTITION: every document lands in exactly one
     // (source, stage) cell, so per-source doc/token sums must equal

@@ -61,7 +61,11 @@ class PlanAuditSpec extends SparkSpec {
     "q104_mixture_merge", // one-row totals broadcast, as q90
     "q114_semantic_dedup", // stride-centroid table broadcast, as q37
     "q116_unified_dedup_verdict", // embeds q114's centroid broadcast
-    "q117_semantic_incremental") // landed stride-centroid codebook broadcast
+    "q117_semantic_incremental", // landed stride-centroid codebook broadcast
+    "q118_semantic_dedup_2l", // coarse + fine codebook broadcasts, as q114
+    "q120_curation_funnel", // embeds q116's centroid broadcast
+    "q121_dsir_select", // one-row totals cross-joined broadcast, as q95
+    "q122_semantic_inc_2l") // landed two-level codebook broadcast, as q117
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {

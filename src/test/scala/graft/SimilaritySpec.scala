@@ -392,6 +392,23 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 475, s"agreement $agree/500 below 0.95")
   }
 
+  test("semanticDedupIncrementTwoLevel: single coarse cell equals the flat face") {
+    // coarse stride 60 leaves exactly one landed coarse centroid (id 7;
+    // the 10000+ planted copies miss ≡7 mod 60), so the two-level
+    // incremental face must reproduce the flat face verdict for
+    // verdict.
+    val df = corpus(60, 6).toDF("vec_id", "embedding")
+    val landed = df.filter(pmod(col("vec_id"), lit(5L)) =!= 3)
+    val batch = df.filter(pmod(col("vec_id"), lit(5L)) === 3)
+    val flat = Similarity.semanticDedupIncrement(landed, batch,
+        centroidStride = 10, centroidOffset = 7)
+      .orderBy("vec_id").as[(Long, String)].collect().toSeq
+    val two = Similarity.semanticDedupIncrementTwoLevel(landed, batch,
+        fineStride = 10, fineOffset = 7, coarseFactor = 6)
+      .orderBy("vec_id").as[(Long, String)].collect().toSeq
+    assert(two == flat)
+  }
+
   test("pqTopK finds planted near-duplicates with high recall") {
     val data = corpus(500, 50)
     val df = data.toDF("vec_id", "embedding")
