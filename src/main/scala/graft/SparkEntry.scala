@@ -1794,7 +1794,18 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
           emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
           .orderBy("vec_id")
-      })
+      }),
+
+      // Trained quality classifier (the fastText-style filter of
+      // CCNet/LLaMA pipelines): logistic regression over 64 hashed-
+      // unigram buckets + bias, 3 full-batch GD rounds with exact
+      // integer gradients (the one float op — sigma — is e6-rounded
+      // immediately), label = "is src0". Oracle replays the identical
+      // unrolled rounds, pinning every intermediate weight table.
+      "q123_quality_classifier" -> ((s, dir) =>
+        graft.curation.Curation.qualityClassifier(
+            table(s, dir, "documents"), "src0")
+          .orderBy("doc_id"))
     )
   }
 
@@ -4440,7 +4451,59 @@ object SparkEntry {
                      WHEN cl.lbl != cl.sid THEN 'batch_dup'
                      ELSE 'keep' END AS verdict
          FROM cl
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+
+    "q123_quality_classifier" -> qcOracle(3))
+
+  /** q123's logistic-regression training unrolled to `rounds` explicit
+    * CTE rounds — exact integer dot products and gradients; the one
+    * float op per round (σ) is e6-rounded the instant it appears, and
+    * the weight update's double product/divide has the same IEEE
+    * evaluation order as the Spark side, so every intermediate weight
+    * table replays bit-identically. */
+  private def qcOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""z$i AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM tb JOIN w${i - 1} USING (b) GROUP BY doc_id),
+          r$i AS (SELECT z.doc_id,
+                    CAST(round((1/(1 + exp(-CAST(z.z AS DOUBLE)/1000000))
+                      - y.y)*1000000) AS BIGINT) r
+                  FROM z$i z JOIN yy y USING (doc_id)),
+          g$i AS (SELECT b, CAST(SUM(r*x) AS BIGINT) g
+                  FROM tb JOIN r$i USING (doc_id) GROUP BY b),
+          w$i AS (SELECT w.b,
+                    w.w - CAST(round(CAST(COALESCE(g.g, 0) AS DOUBLE)
+                      * 0.5 / nn.n) AS BIGINT) w
+                  FROM w${i - 1} w LEFT JOIN g$i g USING (b), nn)"""
+    }.mkString(",\n          ")
+    s"""WITH tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
+                 SELECT doc_id,
+                   CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64
+                     AS INT) b
+                 FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           token
+                       FROM documents) t) tt
+               GROUP BY doc_id, b
+               UNION ALL
+               SELECT doc_id, CAST(64 AS INT), CAST(1 AS BIGINT)
+               FROM documents),
+        yy AS (SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END y
+               FROM documents),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+        w0 AS (SELECT CAST(t.b AS INT) b, CAST(0 AS BIGINT) w
+               FROM range(65) t(b)),
+        $roundCtes,
+        zf AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM tb JOIN w$rounds USING (b) GROUP BY doc_id)
+        SELECT d.doc_id, d.source, y.y AS label, zf.z AS z_e6,
+               CAST(CASE WHEN zf.z >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                 predicted
+        FROM documents d JOIN yy y USING (doc_id) JOIN zf USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

@@ -349,6 +349,91 @@ object Curation {
           .as("selected"))
   }
 
+  /** Trained quality classifier (the fastText-style filter of
+    * CCNet/LLaMA-era pipelines: label "does this look like the
+    * high-quality reference source?", score everything, keep the
+    * confident): logistic regression over hashed-unigram counts
+    * ([[dsirSelect]]'s fixed `buckets`-dim feature space + a bias),
+    * trained by `rounds` full-batch gradient-descent steps with
+    * label y = (stratum == targetSource).
+    *
+    * Engine-reproducible training despite float σ: each step keeps the
+    * weight vector in e6 BIGINT units and quantizes exactly once —
+    * z_d = Σ_b w_e6[b]·x_db (an EXACT integer dot product),
+    * r_d = round((σ(z_d/1e6) − y_d)·1e6) (the only float op, rounded
+    * immediately), gradient g_b = Σ_d r_d·x_db (exact integer,
+    * order-independent under any partitioning), update
+    * w ← w − round(g·lr/N). The oracle replays the identical unrolled
+    * rounds, so every intermediate weight table is pinned.
+    *
+    * Scale: the per-round shuffles are (doc, bucket)-keyed hash
+    * aggregates over ≤ `buckets`+1 columns; the weight table
+    * (`buckets`+1 rows) broadcasts, and the per-round driver fold
+    * collects exactly that many gradient rows — model size is a
+    * constant, corpus cost is `rounds` linear scans. This is the
+    * standard distributed-LR shape (aggregate gradients, broadcast
+    * weights); a production run raises `buckets` and `rounds` without
+    * changing any shuffle.
+    *
+    * Output: one row per document — (idCol, stratum, label, z_e6,
+    * predicted) under the final weights, predicted = z ≥ 0. */
+  def qualityClassifier(docs: DataFrame, targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && rounds >= 1, "buckets, rounds must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val yCol = when(col(stratum) === targetSource, 1L).otherwise(0L)
+    // (doc, y, bucket, count) + bias rows, hash-partitioned ON THE DOC
+    // ID and persisted once: every round's z aggregate and r⋈features
+    // join then reuse the cached partitioning exchange-free — per-round
+    // shuffle traffic is the doc-sized r projection, never the
+    // token-bucket table. The label rides along (constant per doc) so
+    // no per-round label join exists either.
+    val tb = docs.select(col(idCol), yCol.as("y"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
+        lit(buckets.toLong)).cast("int"))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col(idCol), yCol.as("y"),
+        lit(buckets).as("b"), lit(1L).as("x"))) // bias feature
+      .repartition(col(idCol))
+      .persist()
+    def zAgg(wDf: DataFrame): DataFrame = tb.join(broadcast(wDf), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
+    val n = docs.count().toDouble
+    var w: Map[Int, Long] = (0 to buckets).map(_ -> 0L).toMap
+    (1 to rounds).foreach { _ =>
+      val grad = zAgg(w.toSeq.toDF("b", "w"))
+        .withColumn("r", round(
+          (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / 1e6)) -
+            col("y")) * 1e6).cast("long"))
+        .select(col(idCol), col("r"))
+        .join(tb, idCol)
+        .groupBy("b")
+        .agg(sum(col("r") * col("x")).as("g"))
+        .collect() // ≤ buckets+1 rows: the model, not the data
+      w = w ++ grad.map { row =>
+        val b = row.getInt(0)
+        // HALF_UP (away from zero), matching both engines' round() —
+        // scala math.round floors at negative halves and would drift
+        val d = BigDecimal(row.getLong(1).toDouble * lr / n)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+        b -> (w(b) - d)
+      }
+    }
+    val out = zAgg(w.toSeq.toDF("b", "w"))
+      .join(docs.select(col(idCol), col(stratum)), idCol)
+      .select(col(idCol), col(stratum), col("y").as("label"),
+        col("z").as("z_e6"),
+        when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
+    tb.unpersist()
+    out
+  }
+
   /** Temperature-scaled corpus rebalancing (the multilingual-training
     * mixture rule): stratum `s` is sampled at a rate proportional to
     * `count_s^(α-1)` with α = 0.5, i.e. weight √count — big strata are

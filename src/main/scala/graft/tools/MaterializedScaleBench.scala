@@ -163,6 +163,10 @@ object MaterializedScaleBench {
       // certifies it
       ("q121_dsir", k =>
         graft.curation.Curation.dsirSelect(docs(k), "src0").count()),
+      // trained LR quality filter: rounds × linear scans, constant
+      // model; the probe certifies no hidden corpus-sized state
+      ("q123_qc", k =>
+        graft.curation.Curation.qualityClassifier(docs(k), "src0").count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant

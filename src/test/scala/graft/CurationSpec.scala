@@ -545,6 +545,28 @@ class CurationSpec extends SparkSpec {
       Map(10L -> 1L, 11L -> 0L, 12L -> 0L), got.toString)
   }
 
+  test("qualityClassifier: separates a vocabulary-disjoint target source") {
+    // target docs speak {alpha,beta,gamma}, the rest {zulu,yankee,
+    // xray}: after 3 integer-quantized GD rounds the final margin must
+    // classify every training doc correctly (bucket collisions between
+    // the two vocabularies only cancel the collided feature; the
+    // disjoint remainder still separates). Also pins determinism: a
+    // second training run must reproduce z_e6 exactly.
+    val docs = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "tgt", "alpha beta gamma alpha")
+      else (i.toLong, "oth", "zulu yankee xray zulu")
+    }.toDF("doc_id", "source", "text")
+    def run() = Curation.qualityClassifier(docs, "tgt")
+      .select("doc_id", "label", "z_e6", "predicted")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val got = run()
+    assert(got.size == 30)
+    got.foreach { case (id, label, _, pred) =>
+      assert(pred == label, s"doc $id: pred=$pred label=$label in $got")
+    }
+    assert(run() == got) // bit-identical retraining
+  }
+
   test("curationFunnel: exact per-source partition of docs and tokens") {
     // The funnel is a PARTITION: every document lands in exactly one
     // (source, stage) cell, so per-source doc/token sums must equal
