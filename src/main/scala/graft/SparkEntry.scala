@@ -1805,7 +1805,18 @@ object SparkEntry {
       "q123_quality_classifier" -> ((s, dir) =>
         graft.curation.Curation.qualityClassifier(
             table(s, dir, "documents"), "src0")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Perceptual image near-dup: pHash-style mean-threshold bits over
+      // the decoded feature vector, 4×15-bit band candidates, exact
+      // hamming verify, CC — the dedup families extended to the binary
+      // media column, end-to-end DuckDB-replayable via the stub codec.
+      "q124_image_neardup" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        Multimodal.imageNearDup(Multimodal.syntheticMedia(
+            table(s, dir, "documents"), "doc_id", "text"))
+          .orderBy("media_id")
+      })
     )
   }
 
@@ -4453,7 +4464,65 @@ object SparkEntry {
          FROM cl
          ORDER BY vec_id""",
 
-    "q123_quality_classifier" -> qcOracle(3))
+    "q123_quality_classifier" -> qcOracle(3),
+
+    // q25's FNV/LCG stub-codec replay (HUGEINT mod-2^64) extended to 60
+    // feature steps, then fingerprint (k·60 > Σk mean-threshold bits,
+    // 15-bit bands), band-bucket candidates, exact hamming via
+    // bit_count(xor), and the q43-style recursive walk.
+    "q124_image_neardup" ->
+      """WITH RECURSIVE hx AS (
+           SELECT doc_id, lower(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE doc_id % 3 = 0),
+         fnv AS (
+           SELECT doc_id, h, len, 0 AS i,
+                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
+           UNION ALL
+           SELECT doc_id, h, len, i + 1,
+                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
+                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+           FROM fnv WHERE i < len),
+         lcg AS (
+           SELECT doc_id, 0 AS j, acc AS s FROM fnv WHERE i = len
+           UNION ALL
+           SELECT doc_id, j + 1,
+                  (s * 6364136223846793005 + 1442695040888963407)
+                    % CAST(18446744073709551616 AS HUGEINT)
+           FROM lcg WHERE j < 60),
+         kk AS (SELECT doc_id, j - 1 AS pos,
+                  CAST((s // CAST(1099511627776 AS HUGEINT)) % 1000
+                    AS BIGINT) k
+                FROM lcg WHERE j >= 1),
+         tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) ksum
+                 FROM kk GROUP BY doc_id),
+         bits AS (SELECT kk.doc_id, pos,
+                    CASE WHEN k * 60 > ksum THEN 1 ELSE 0 END bt
+                  FROM kk JOIN tot USING (doc_id)),
+         bnd AS (SELECT doc_id, CAST(pos // 15 AS INT) band,
+                   CAST(SUM(bt * (CAST(1 AS BIGINT) << CAST(pos % 15 AS INT)))
+                     AS BIGINT) bval
+                 FROM bits GROUP BY doc_id, pos // 15),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bval = b.bval
+                       AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.a_id, c.b_id,
+                   CAST(SUM(bit_count(xor(x.bval, y.bval))) AS BIGINT) hm
+                 FROM cand c JOIN bnd x ON x.doc_id = c.a_id
+                   JOIN bnd y ON y.doc_id = c.b_id AND y.band = x.band
+                 GROUP BY c.a_id, c.b_id),
+         pr AS (SELECT a_id, b_id FROM ham WHERE hm <= 6),
+         ed AS (SELECT a_id u, b_id v FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         walk(u, r) AS (SELECT doc_id, doc_id FROM hx
+                        UNION
+                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u doc_id, MIN(r) lbl FROM walk GROUP BY u)
+         SELECT doc_id AS media_id, lbl AS img_cluster,
+                doc_id = lbl AS keep
+         FROM cl ORDER BY media_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

@@ -154,6 +154,75 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate detection over the IMAGE rows of a media
+    * table — the dedup families extended to the binary modality, with
+    * the pHash construction on the decoded feature vector: bit i is
+    * "feature i above the vector's own mean" (mean-threshold, the
+    * classic perceptual-hash step — scale/brightness shifts that move
+    * all features together leave the bits alone), packed into
+    * `bands` integer band values of featureDim/bands bits each. The
+    * mean comparison is exact integers (features are k/1000 by stub
+    * construction; `k·dim > Σk` needs no division), so fingerprints are
+    * engine-reproducible.
+    *
+    * Candidate generation is the banded-LSH shape shared with q19/q22:
+    * two fingerprints are compared only if they agree EXACTLY on at
+    * least one band. Pigeonhole guarantee: any pair differing in fewer
+    * than `bands` bits shares a clean band; pairs between `bands` and
+    * `maxHamming` differing bits are recalled probabilistically (the
+    * standard banding trade — raise `bands` to buy recall); survivors
+    * verify at exact
+    * hamming distance (Σ bit_count(xor) over the bands) and CC keeps
+    * the minimum id per component. No all-pairs stage: candidates are
+    * (band, value)-bucket joins, hamming is computed on `bands` small
+    * ints per surviving pair, and feature vectors never shuffle.
+    *
+    * With a real codec the features are perceptual (DCT/embedding) and
+    * this is image dedup; with [[StubImageCodec]] features are
+    * payload-hash-derived, so only byte-identical payloads collide —
+    * which is exactly what makes the full chain DuckDB-replayable
+    * (q124's oracle replays FNV/LCG/fingerprint/hamming/CC end to
+    * end). Output: (media_id, img_cluster, keep) for every image row. */
+  def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,
+      maxHamming: Int = 6,
+      codec: ImageCodec = StubImageCodec): DataFrame = {
+    require(featureDim % bands == 0, "featureDim must divide into bands")
+    val bitsPerBand = featureDim / bands
+    require(bitsPerBand <= 30, "band values must stay in integer range")
+    val images = media.filter(col("kind") === "image")
+    val dec = decodeImages(images, featureDim, codec).toDF()
+    val ks = dec.select(col("media_id"), posexplode(col("features")))
+      .withColumn("k", round(col("col").cast("double") * 1000).cast("long"))
+      .select("media_id", "pos", "k")
+    val tot = ks.groupBy("media_id").agg(sum("k").as("ksum"))
+    val bandTable = ks.join(tot, "media_id")
+      .withColumn("bit",
+        when(col("k") * featureDim > col("ksum"), 1L).otherwise(0L))
+      .groupBy(col("media_id"),
+        expr(s"CAST(pos DIV $bitsPerBand AS INT)").as("band"))
+      .agg(sum(col("bit") *
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bitsPerBand AS INT))"))
+        .as("bval"))
+    val cand = bandTable.select(col("media_id").as("a_id"), col("band"),
+        col("bval"))
+      .join(bandTable.select(col("media_id").as("b_id"), col("band"),
+        col("bval")), Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ham = cand
+      .join(bandTable.select(col("media_id").as("a_id"), col("band"),
+        col("bval").as("av")), "a_id")
+      .join(bandTable.select(col("media_id").as("b_id"), col("band"),
+        col("bval").as("bv")), Seq("b_id", "band"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(bit_count(col("av").bitwiseXOR(col("bv")))).as("ham"))
+    val pairs = ham.filter(col("ham") <= maxHamming).select("a_id", "b_id")
+    val labels = graft.dedup.Dedup.connectedComponents(pairs,
+      images.select(col("media_id")), "media_id")
+    labels.select(col("id").as("media_id"), col("lbl").as("img_cluster"))
+      .withColumn("keep", col("media_id") === col("img_cluster"))
+  }
+
   /** Audio decode + fixed-window feature extraction (the MFCC-shaped
     * face): one feature row per `windowMs` window of the clip, so a long
     * recording becomes many distributable rows — the same

@@ -182,4 +182,37 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(w => (w.media_id, w.window_idx))
     assert(again.map(_.features.toSeq).toSeq == out.map(_.features.toSeq).toSeq)
   }
+
+  test("imageNearDup: hamming-2 pair merges, hamming-20 pair does not") {
+    // Planted codec (payload byte selects the vector): ids 0 and 9
+    // share the base pattern (high features at pos 0..29), id 3 flips
+    // 2 bits of it, id 6 flips 20 — the pHash bits land exactly on the
+    // high positions, so {0,3,9} must merge (hamming 0 and 2 ≤ 6,
+    // 2 < bands=4 → pigeonhole-guaranteed candidates) and 6 must
+    // survive alone (candidate via the empty bands, rejected at
+    // hamming 20 by the exact verify).
+    object PlantedCodec extends Multimodal.ImageCodec {
+      def decode(payload: Array[Byte], meta: Multimodal.MediaMeta,
+          dim: Int): Option[(Int, Int, Int, Array[Float])] = {
+        val ks: Array[Int] = payload(0).toInt match {
+          case 0 | 9 => Array.tabulate(60)(i => if (i < 30) 900 else 100)
+          case 3 => Array.tabulate(60)(i =>
+            if (i >= 2 && i < 30) 900 else 100)
+          case _ => Array.tabulate(60)(i =>
+            if (i >= 20 && i < 30) 900 else 100)
+        }
+        Some((1, 1, 3, ks.map(_ / 1000.0f)))
+      }
+    }
+    val media = Seq(0L, 3L, 6L, 9L).map { id =>
+      Multimodal.Media(id, "image", Array(id.toByte),
+        Multimodal.MediaMeta(8, 8, 16000, 1, "stub"))
+    }.toDF()
+    val got = Multimodal.imageNearDup(media, codec = PlantedCodec)
+      .orderBy("media_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (3L, 0L, false), (6L, 6L, true), (9L, 0L, false)),
+      got.toString)
+  }
 }
