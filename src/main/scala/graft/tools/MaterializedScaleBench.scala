@@ -167,6 +167,12 @@ object MaterializedScaleBench {
       // model; the probe certifies no hidden corpus-sized state
       ("q123_qc", k =>
         graft.curation.Curation.qualityClassifier(docs(k), "src0").count()),
+      // decode (mapPartitions, no shuffle) + band-bucket join + CC over
+      // verified pairs — the q19/q43 shape on the media column
+      ("q124_img_neardup", k =>
+        graft.multimodal.Multimodal.imageNearDup(
+          graft.multimodal.Multimodal.syntheticMedia(
+            docs(k), "doc_id", "text")).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
