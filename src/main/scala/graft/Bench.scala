@@ -83,7 +83,11 @@ object Bench {
       "q115_bpe_segment_stats"     -> Set("bpe-dict"),
       // incremental semantic dedup: landed vec lookup + its memoized
       // cluster assignment (the semantic index)
-      "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"))
+      "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"),
+      // round-14 second half: two-level landed assignment, DSIR landed
+      // distribution + threshold indexes
+      "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l"),
+      "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -84,6 +84,7 @@ object SparkEntry {
     val emb = table(spark, dir, "embeddings")
     val landedDocs5 = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2) // q99
     val landedDocs4 = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1) // q111
+    val landedDocs4b = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2) // q125
     val landedEmb5 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2) // q110
     val landedEmb3 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3) // q117
     val builds: Seq[(String, DataFrame)] = Seq(
@@ -111,6 +112,9 @@ object SparkEntry {
       "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),
       "q122-landed-assign-2l" ->
         Similarity.landedSemanticAssignment2L(landedEmb3),
+      "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
+      "q125-dsir-thresholds" ->
+        Curation.landedDsirThresholds(landedDocs4b, "src0"),
       // BPE word-frequency dict (q113/q115 share it; the N merge
       // rounds are vocab-sized and stay with the queries)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
@@ -1816,6 +1820,18 @@ object SparkEntry {
         Multimodal.imageNearDup(Multimodal.syntheticMedia(
             table(s, dir, "documents"), "doc_id", "text"))
           .orderBy("media_id")
+      }),
+
+      // Incremental DSIR (the data-selection cell of the incremental
+      // matrix): the %4==2 slice arrives as a batch and scores against
+      // the LANDED distributions and LANDED per-source thresholds —
+      // the landed-codebook principle applied to data selection.
+      "q125_dsir_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.dsirScoreIncrement(
+          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 2), "src0")
+          .orderBy("doc_id")
       })
     )
   }
@@ -4522,7 +4538,65 @@ object SparkEntry {
          cl AS (SELECT u doc_id, MIN(r) lbl FROM walk GROUP BY u)
          SELECT doc_id AS media_id, lbl AS img_cluster,
                 doc_id = lbl AS keep
-         FROM cl ORDER BY media_id""")
+         FROM cl ORDER BY media_id""",
+
+    // Landed distributions + landed per-source top-20% thresholds
+    // (θ = min selected landed weight), batch scored with left-joined
+    // counts (unseen buckets contribute lnq(1)=0); batch strata with
+    // no landed threshold select nothing.
+    "q125_dsir_incremental" ->
+      """WITH tl AS (SELECT doc_id, source,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) token
+                     FROM documents WHERE doc_id % 4 != 2),
+          tbl AS (SELECT doc_id, source,
+                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                  FROM tl),
+          cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw,
+                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                      c_tgt
+                  FROM tbl GROUP BY b),
+          tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) n_raw,
+                    CAST(SUM(c_tgt) AS BIGINT) n_tgt FROM cnt),
+          lsc AS (SELECT tbl.doc_id, tbl.source,
+                    CAST(round(ln(cnt.c_tgt + 1) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(cnt.c_raw + 1) * 1000000, 0) AS BIGINT)
+                    + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM tbl JOIN cnt USING (b), tot),
+          lsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM lsc GROUP BY doc_id, source),
+          lj AS (SELECT source, logw_e6,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY logw_e6 DESC, doc_id) rn,
+                   COUNT(*) OVER (PARTITION BY source) cnt2
+                 FROM lsco),
+          th AS (SELECT source, CAST(MIN(logw_e6) AS BIGINT) logw_cut
+                 FROM lj WHERE rn * 10000 <= cnt2 * 2000 GROUP BY source),
+          tbb AS (SELECT doc_id, source,
+                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                  FROM (SELECT doc_id, source,
+                          unnest(regexp_split_to_array(trim(text), '\s+'))
+                            token
+                        FROM documents WHERE doc_id % 4 = 2) t),
+          bsc AS (SELECT tbb.doc_id, tbb.source,
+                    CAST(round(ln(COALESCE(cnt.c_tgt, 0) + 1) * 1000000, 0)
+                         AS BIGINT)
+                    - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(COALESCE(cnt.c_raw, 0) + 1) * 1000000, 0)
+                           AS BIGINT)
+                    + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM tbb LEFT JOIN cnt USING (b), tot),
+          bsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) n_feat,
+                     CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM bsc GROUP BY doc_id, source)
+          SELECT b.doc_id, b.source, b.n_feat, b.logw_e6,
+                 CAST(CASE WHEN th.logw_cut IS NOT NULL
+                             AND b.logw_e6 >= th.logw_cut
+                           THEN 1 ELSE 0 END AS BIGINT) selected
+          FROM bsco b LEFT JOIN th USING (source)
+          ORDER BY doc_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

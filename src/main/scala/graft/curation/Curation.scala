@@ -315,29 +315,9 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(keepBp > 0 && keepBp <= 10000, "keepBp in (0, 10000]")
-    def lnq(c: Column): Column =
-      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
-    val tb = docs.select(col(idCol), col(stratum),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
-        lit(buckets.toLong)))
-      .select(col(idCol), col(stratum), col("b"))
-    val raw = tb.groupBy("b").agg(count(lit(1)).as("c_raw"))
-    val tgt = tb.filter(col(stratum) === targetSource)
-      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
-    val tot = tb.agg(count(lit(1)).as("n_raw"),
-      count(when(col(stratum) === targetSource, 1)).as("n_tgt"))
-    val scored = tb
-      .join(broadcast(raw), "b")
-      .join(broadcast(tgt), Seq("b"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp",
-        lnq(coalesce(col("c_tgt"), lit(0L)) + 1) -
-          lnq(col("n_tgt") + buckets) -
-          lnq(col("c_raw") + 1) +
-          lnq(col("n_raw") + buckets))
-      .groupBy(col(idCol), col(stratum))
-      .agg(count(lit(1)).as("n_feat"), sum("lp").as("logw_e6"))
+    val tb = dsirBuckets(docs, targetSource, buckets, stratum, idCol, textCol)
+    val counts = dsirCountsOf(tb)
+    val scored = dsirDocScores(tb, counts, buckets, idCol, stratum)
     val w = Window.partitionBy(stratum)
       .orderBy(col("logw_e6").desc, col(idCol))
     val cw = Window.partitionBy(stratum)
@@ -346,6 +326,119 @@ object Curation {
       .withColumn("cnt", count(lit(1)).over(cw))
       .select(col(idCol), col(stratum), col("n_feat"), col("logw_e6"),
         when(col("rn") * 10000 <= col("cnt") * keepBp, 1L).otherwise(0L)
+          .as("selected"))
+  }
+
+  private def dsirLnq(c: Column): Column =
+    round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+
+  /** (id, stratum, b) hashed-feature projection of a corpus — the
+    * shared front of the DSIR family. `targetSource` rides along only
+    * in the count aggregate. */
+  private def dsirBuckets(docs: DataFrame, targetSource: String,
+      buckets: Int, stratum: String, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), col(stratum),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
+        lit(buckets.toLong)))
+      .withColumn("__t", when(col(stratum) === lit(targetSource), 1L)
+        .otherwise(0L))
+      .select(col(idCol), col(stratum), col("b"), col("__t"))
+
+  /** The `buckets`-row (b, c_raw, c_tgt) distribution table. */
+  private def dsirCountsOf(tb: DataFrame): DataFrame =
+    tb.groupBy("b").agg(count(lit(1)).as("c_raw"),
+      sum("__t").as("c_tgt"))
+
+  /** Per-document DSIR log importance weights of `tb`'s documents
+    * against a (possibly foreign) distribution table — add-one
+    * smoothing, micro-ln BIGINT sums; buckets unseen by the
+    * distribution contribute lnq(1)=0 through the left join. */
+  private def dsirDocScores(tb: DataFrame, counts: DataFrame, buckets: Int,
+      idCol: String, stratum: String): DataFrame = {
+    val tot = counts.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    tb.join(broadcast(counts), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        dsirLnq(coalesce(col("c_tgt"), lit(0L)) + 1) -
+          dsirLnq(col("n_tgt") + buckets) -
+          dsirLnq(coalesce(col("c_raw"), lit(0L)) + 1) +
+          dsirLnq(col("n_raw") + buckets))
+      .groupBy(col(idCol), col(stratum))
+      .agg(count(lit(1)).as("n_feat"), sum("lp").as("logw_e6"))
+  }
+
+  /** The landed corpus's memoized DSIR distribution table (kind
+    * "dsir-counts") — `buckets` rows, reused batch over batch. */
+  def landedDsirCounts(landed: DataFrame, targetSource: String,
+      buckets: Int = 1024, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "dsir-counts", targetSource,
+        buckets, stratum, idCol, textCol),
+      dsirCountsOf(dsirBuckets(landed, targetSource, buckets, stratum,
+        idCol, textCol)))
+
+  /** The landed corpus's memoized per-stratum DSIR selection thresholds
+    * (kind "dsir-thresholds"): θ_s = the minimum log weight among the
+    * landed stratum's top-`keepBp` integer-rank quantile — one row per
+    * stratum. The corpus-wide scoring+rank behind it is the one-time
+    * index build the incremental contract amortizes. */
+  def landedDsirThresholds(landed: DataFrame, targetSource: String,
+      buckets: Int = 1024, keepBp: Int = 2000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "dsir-thresholds", targetSource,
+        buckets, keepBp, stratum, idCol, textCol), {
+        val counts = landedDsirCounts(landed, targetSource, buckets,
+          stratum, idCol, textCol)
+        val scored = dsirDocScores(
+          dsirBuckets(landed, targetSource, buckets, stratum, idCol,
+            textCol), counts, buckets, idCol, stratum)
+        val w = Window.partitionBy(stratum)
+          .orderBy(col("logw_e6").desc, col(idCol))
+        val cw = Window.partitionBy(stratum)
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter(col("rn") * 10000 <= col("cnt") * keepBp)
+          .groupBy(stratum).agg(min("logw_e6").as("logw_cut"))
+      })
+
+  /** Incremental DSIR scoring for append-only ingest — the
+    * data-selection cell of the incremental matrix: an incoming batch
+    * scores against the LANDED corpus's distributions and the LANDED
+    * per-stratum selection thresholds, so verdicts are
+    * batch-order-independent (a batch must not move the distributions
+    * or thresholds it is judged by — the landed-codebook principle of
+    * the q117/q122 semantic faces applied to data selection).
+    *
+    * Landed side contributes two memoized artifacts —
+    * [[landedDsirCounts]] (`buckets` rows) and [[landedDsirThresholds]]
+    * (one row per stratum), both broadcast; per-batch cost is the
+    * batch's own token→bucket projection plus two broadcast joins.
+    * Batch strata with no landed threshold (unseen stratum, or a
+    * landed stratum too small to select anyone at `keepBp`) yield
+    * selected = 0 — no evidence, no admission. A batch doc tying the
+    * threshold exactly is admitted (θ is the minimum selected landed
+    * weight). Output as [[dsirSelect]]: (idCol, stratum, n_feat,
+    * logw_e6, selected), one row per incoming doc with ≥ 1 token. */
+  def dsirScoreIncrement(landed: DataFrame, incoming: DataFrame,
+      targetSource: String, buckets: Int = 1024, keepBp: Int = 2000,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = landedDsirCounts(landed, targetSource, buckets, stratum,
+      idCol, textCol)
+    val th = landedDsirThresholds(landed, targetSource, buckets, keepBp,
+      stratum, idCol, textCol)
+    val scored = dsirDocScores(
+      dsirBuckets(incoming, targetSource, buckets, stratum, idCol, textCol),
+      counts, buckets, idCol, stratum)
+    scored.join(broadcast(th), Seq(stratum), "left")
+      .select(col(idCol), col(stratum), col("n_feat"), col("logw_e6"),
+        when(col("logw_cut").isNotNull &&
+          col("logw_e6") >= col("logw_cut"), 1L).otherwise(0L)
           .as("selected"))
   }
 

@@ -173,6 +173,14 @@ object MaterializedScaleBench {
         graft.multimodal.Multimodal.imageNearDup(
           graft.multimodal.Multimodal.syntheticMedia(
             docs(k), "doc_id", "text")).count()),
+      // incremental contract: landed distributions + thresholds
+      // prebuilt off-clock (preps); timed region = batch projection +
+      // two broadcast joins
+      ("q125_dsir_inc", k =>
+        graft.curation.Curation.dsirScoreIncrement(
+          docs(k).filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(4L)) === 2),
+          "src0").count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
@@ -223,6 +231,12 @@ object MaterializedScaleBench {
         graft.similarity.Similarity.landedVecLookup(landed).count()
         graft.similarity.Similarity.landedSemanticAssignment2L(
           landed, coarseFactor = cf2l(landed)).count()
+        ()
+      },
+      "q125_dsir_inc" -> { k =>
+        val landed = docs(k).filter(pmod(col("doc_id"), lit(4L)) =!= 2)
+        graft.curation.Curation.landedDsirCounts(landed, "src0").count()
+        graft.curation.Curation.landedDsirThresholds(landed, "src0").count()
         ()
       })
 

@@ -545,6 +545,27 @@ class CurationSpec extends SparkSpec {
       Map(10L -> 1L, 11L -> 0L, 12L -> 0L), got.toString)
   }
 
+  test("dsirScoreIncrement: batch scores against landed distributions and thresholds") {
+    // landed "o" ranks (by target-likeness): "aa bb" > "aa aa" >
+    // "xx yy" > "zz zz"; keepBp=5000 selects the top 2, so θ_o = the
+    // landed "aa aa" score. The batch "aa aa" TIES θ exactly →
+    // admitted (θ is the min selected weight); "xx xx" scores below →
+    // rejected; a doc in a stratum the landed corpus has never seen
+    // has no threshold → rejected.
+    val landed = Seq(
+      (0L, "t", "aa bb cc"), (4L, "t", "aa bb cc"), (8L, "t", "aa bb cc"),
+      (1L, "o", "aa aa"), (3L, "o", "aa bb"),
+      (5L, "o", "xx yy"), (7L, "o", "zz zz"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (2L, "o", "aa aa"), (6L, "o", "xx xx"), (10L, "u", "aa aa"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.dsirScoreIncrement(landed, batch, "t", keepBp = 5000)
+      .orderBy("doc_id")
+      .select("doc_id", "selected").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (6L, 0L), (10L, 0L)), got.toString)
+  }
+
   test("qualityClassifier: separates a vocabulary-disjoint target source") {
     // target docs speak {alpha,beta,gamma}, the rest {zulu,yankee,
     // xray}: after 3 integer-quantized GD rounds the final margin must

@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "q118_semantic_dedup_2l", // coarse + fine codebook broadcasts, as q114
     "q120_curation_funnel", // embeds q116's centroid broadcast
     "q121_dsir_select", // one-row totals cross-joined broadcast, as q95
-    "q122_semantic_inc_2l") // landed two-level codebook broadcast, as q117
+    "q122_semantic_inc_2l", // landed two-level codebook broadcast, as q117
+    "q125_dsir_incremental") // one-row landed totals cross-joined, as q121
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
