@@ -1832,7 +1832,15 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
           docs.filter(pmod(col("doc_id"), lit(4L)) === 2), "src0")
           .orderBy("doc_id")
-      })
+      }),
+
+      // Interpolated Kneser-Ney bigram scoring (D=3/4): the smoothed
+      // LM next to q55's MLE — with the 3/4 discount every probability
+      // is an exact integer ratio, so the whole model replays in
+      // micro-ln integers.
+      "q126_kneser_ney" -> ((s, dir) =>
+        graft.curation.Curation.kneserNeyLogProb(table(s, dir, "documents"))
+          .orderBy("doc_id"))
     )
   }
 
@@ -4596,7 +4604,37 @@ object SparkEntry {
                              AND b.logw_e6 >= th.logw_cut
                            THEN 1 ELSE 0 END AS BIGINT) selected
           FROM bsco b LEFT JOIN th USING (source)
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+
+    // KN with D=3/4 as exact integers: per-token
+    // lnq((max(4c(ab)-3,0))·N + 3·N1+(a·)·N1+(·b)) − lnq(4·c(a)·N),
+    // HUGEINT products (the Spark side widens to DECIMAL(38,0)).
+    "q126_kneser_ney" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+          ca AS (SELECT split_part(g, ' ', 1) a,
+                   CAST(SUM(n_ab) AS BIGINT) n_a,
+                   CAST(COUNT(*) AS BIGINT) fert_a
+                 FROM cab GROUP BY 1),
+          cb AS (SELECT split_part(g, ' ', 2) b,
+                   CAST(COUNT(*) AS BIGINT) cont_b
+                 FROM cab GROUP BY 1),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) nn FROM cab),
+          sc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(greatest(4*cab.n_ab - 3, 0) AS HUGEINT)
+                                   * nn.nn
+                                 + CAST(3 AS HUGEINT) * ca.fert_a * cb.cont_b)
+                              * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(CAST(4 AS HUGEINT) * ca.n_a * nn.nn)
+                                * 1000000, 0) AS BIGINT) lp
+                 FROM bg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = ca.a
+                   JOIN cb ON split_part(g, ' ', 2) = cb.b, nn)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+                 CAST(SUM(lp) AS BIGINT) sum_knlogp_e6
+          FROM sc GROUP BY doc_id ORDER BY doc_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

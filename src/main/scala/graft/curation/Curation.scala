@@ -650,6 +650,60 @@ object Curation {
         col("sum_logp_e6").cast("double") / lit(1e6) / col("n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney '95; the
+    * Chen & Goodman '99 interpolated form) — the real LM smoothing the
+    * MLE face ([[bigramLogProb]]) lacks: unseen-continuation mass is
+    * redistributed by how many distinct contexts a word FOLLOWS, not
+    * how often it occurs:
+    *
+    *   p_KN(b|a) = max(c(ab)−D, 0)/c(a) + D·N1+(a·)/c(a) · N1+(·b)/N
+    *
+    * With absolute discount D = 3/4 the probability is the EXACT
+    * integer ratio
+    *   (max(4·c(ab)−3, 0)·N + 3·N1+(a·)·N1+(·b)) / (4·c(a)·N)
+    * so each token's log-prob is lnq(num) − lnq(den) in micro-ln
+    * BIGINTs and per-doc sums are order-independent integers — the
+    * q89/q95 exactness device applied to a smoothed LM. Numerator and
+    * denominator are DECIMAL(38,0)-widened before the ln cast (BIGINT
+    * products wrap at 100 TB bigram masses; DuckDB's HUGEINT is the
+    * oracle twin; both engines' integer→double casts are
+    * correctly-rounded, so the rounded micro-ln agrees).
+    *
+    * Scale: all model tables fold the BIGRAM table, not the corpus —
+    * prefix totals and right-fertility N1+(a·) in one aggregate,
+    * continuation counts N1+(·b) in another, N a one-row broadcast;
+    * the per-token join is g-keyed (q89's shape). Documents with fewer
+    * than two tokens have no bigrams and no row. Output: (idCol,
+    * n_bigrams, sum_knlogp_e6), ascending idCol order left to the
+    * caller. */
+  def kneserNeyLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bigrams = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+    val cntAb = bigrams.groupBy("g").agg(count(lit(1)).as("n_ab"))
+    val byA = cntAb.groupBy(substring_index(col("g"), " ", 1).as("a"))
+      .agg(sum("n_ab").as("n_a"), count(lit(1)).as("fert_a"))
+    val byB = cntAb.groupBy(substring_index(col("g"), " ", -1).as("b"))
+      .agg(count(lit(1)).as("cont_b"))
+    val nTot = cntAb.agg(count(lit(1)).as("nn"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    bigrams
+      .join(cntAb, "g")
+      .join(byA, substring_index(col("g"), " ", 1) === col("a"))
+      .join(byB, substring_index(col("g"), " ", -1) === col("b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("num",
+        dec(greatest(col("n_ab") * 4 - 3, lit(0L))) * dec(col("nn")) +
+          dec(col("fert_a") * 3) * dec(col("cont_b")))
+      .withColumn("den", dec(col("n_a") * 4) * dec(col("nn")))
+      .withColumn("logp_e6",
+        round(log(col("num").cast("double")) * 1e6, 0).cast("long") -
+          round(log(col("den").cast("double")) * 1e6, 0).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("logp_e6").as("sum_knlogp_e6"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut every `maxTokens` tokens; a document therefore occupies
     * sequences `first_seq .. last_seq` of its shard. Packing is

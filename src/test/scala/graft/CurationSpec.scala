@@ -545,6 +545,19 @@ class CurationSpec extends SparkSpec {
       Map(10L -> 1L, 11L -> 0L, 12L -> 0L), got.toString)
   }
 
+  test("kneserNeyLogProb: hand-computed D=3/4 interpolated probabilities") {
+    // corpus bigrams: "a b"×2 (doc 1), "b a"×2 (docs 1,2) — so for
+    // EVERY observed bigram c(ab)=2, c(a)=2, N1+(a·)=1, N1+(·b)=1,
+    // N=2: p = (max(4·2−3,0)·2 + 3·1·1)/(4·2·2) = 13/16 (checks out
+    // against the real formula: 1.25/2 + 0.75·(1/2)·(1/2) = 0.8125).
+    // lp = lnq(13) − lnq(16) = 2564949 − 2772589 = −207640.
+    val docs = Seq((1L, "s", "a b a b"), (2L, "s", "b a"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.kneserNeyLogProb(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, -622920L), (2L, 1L, -207640L)), got.toString)
+  }
+
   test("dsirScoreIncrement: batch scores against landed distributions and thresholds") {
     // landed "o" ranks (by target-likeness): "aa bb" > "aa aa" >
     // "xx yy" > "zz zz"; keepBp=5000 selects the top 2, so θ_o = the
