@@ -345,6 +345,20 @@ object Similarity {
     dedupFromAssignment(e, assignTwoLevel(e, fine, coarse), minCosine, idCol)
   }
 
+  /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
+    * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
+    * and `coarse` `(g_id, g_vec)` from a second, smaller k-means over
+    * the fine centroids (or any √nlist-sized subset). The plan
+    * (route / two-hop assign / verify / CC) is identical to the
+    * stride-seeded oracle face; only the codebook tables change —
+    * q37/q114's seeding-vs-refinement pairing. */
+  def semanticDedupTwoLevelWith(embeddings: DataFrame, fine: DataFrame,
+      coarse: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    dedupFromAssignment(e, assignTwoLevel(e, fine, coarse), minCosine, idCol)
+  }
+
   /** Incremental SEMANTIC dedup for append-only ingest — the semantic
     * cell of the incremental matrix (exact: `exactIncrement` / Bloom;
     * near-dup text: `Dedup.lshIncrement`; near-dup embedding:

@@ -409,6 +409,23 @@ class SimilaritySpec extends SparkSpec {
     assert(two == flat)
   }
 
+  test("semanticDedupTwoLevelWith: k-means-refined codebooks keep output total") {
+    // the production pairing: fine = k-means refinement of the stride
+    // seed, coarse = its stride subset; the plan must stay total (one
+    // row per vector, keep = component minimum) with ANY codebook.
+    val df = corpus(200, 10).toDF("vec_id", "embedding")
+    val fine = Similarity.kMeansCentroids(df, centroidStride = 20,
+      centroidOffset = 7, iters = 1)
+    val coarse = fine.filter(pmod(col("c_id"), lit(60L)) === 7)
+      .select(col("c_id").as("g_id"), col("c_vec").as("g_vec"))
+    val got = Similarity.semanticDedupTwoLevelWith(df, fine, coarse,
+        minCosine = 0.3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.size == 210, s"not total: ${got.size}")
+    assert(got.map(_._1).distinct.size == 210)
+    got.foreach { case (id, cl, keep) => assert(keep == (id == cl)) }
+  }
+
   test("pqTopK finds planted near-duplicates with high recall") {
     val data = corpus(500, 50)
     val df = data.toDF("vec_id", "embedding")
