@@ -86,7 +86,9 @@ object Bench {
       "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"),
       // round-14 second half: two-level landed assignment, DSIR landed
       // distribution + threshold indexes
-      "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l"),
+      "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l",
+                                          "sem-cells-2l"),
+      "q123_quality_classifier"    -> Set("qc-features"),
       "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes

@@ -110,8 +110,10 @@ object SparkEntry {
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
       "q117-landed-vecs" -> Similarity.landedVecLookup(landedEmb3),
       "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),
+      "q122-landed-cells-2l" -> Similarity.landedTwoLevelCells(landedEmb3),
       "q122-landed-assign-2l" ->
         Similarity.landedSemanticAssignment2L(landedEmb3),
+      "q123-qc-features" -> Curation.qcFeatures(docs, "src0"),
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),

@@ -320,10 +320,14 @@ object Curation {
     val scored = dsirDocScores(tb, counts, buckets, idCol, stratum)
     val w = Window.partitionBy(stratum)
       .orderBy(col("logw_e6").desc, col(idCol))
-    val cw = Window.partitionBy(stratum)
+    // stratum sizes as a tiny aggregate + broadcast join, NOT an
+    // unbounded count().over(partitionBy(stratum)) — perplexityFlag's
+    // device: the window form re-traverses every stratum partition
+    // just to learn its size
+    val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
     scored
       .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+      .join(broadcast(sizes), stratum)
       .select(col(idCol), col(stratum), col("n_feat"), col("logw_e6"),
         when(col("rn") * 10000 <= col("cnt") * keepBp, 1L).otherwise(0L)
           .as("selected"))
@@ -398,10 +402,11 @@ object Curation {
             textCol), counts, buckets, idCol, stratum)
         val w = Window.partitionBy(stratum)
           .orderBy(col("logw_e6").desc, col(idCol))
-        val cw = Window.partitionBy(stratum)
+        // stratum sizes via aggregate + broadcast, as dsirSelect
+        val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
         scored
           .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(cw))
+          .join(broadcast(sizes), stratum)
           .filter(col("rn") * 10000 <= col("cnt") * keepBp)
           .groupBy(stratum).agg(min("logw_e6").as("logw_cut"))
       })
@@ -477,23 +482,7 @@ object Curation {
     require(buckets > 0 && rounds >= 1, "buckets, rounds must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val yCol = when(col(stratum) === targetSource, 1L).otherwise(0L)
-    // (doc, y, bucket, count) + bias rows, hash-partitioned ON THE DOC
-    // ID and persisted once: every round's z aggregate and r⋈features
-    // join then reuse the cached partitioning exchange-free — per-round
-    // shuffle traffic is the doc-sized r projection, never the
-    // token-bucket table. The label rides along (constant per doc) so
-    // no per-round label join exists either.
-    val tb = docs.select(col(idCol), yCol.as("y"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
-        lit(buckets.toLong)).cast("int"))
-      .groupBy(col(idCol), col("y"), col("b"))
-      .agg(count(lit(1)).as("x"))
-      .unionByName(docs.select(col(idCol), yCol.as("y"),
-        lit(buckets).as("b"), lit(1L).as("x"))) // bias feature
-      .repartition(col(idCol))
-      .persist()
+    val tb = qcFeatures(docs, targetSource, buckets, stratum, idCol, textCol)
     def zAgg(wDf: DataFrame): DataFrame = tb.join(broadcast(wDf), "b")
       .groupBy(col(idCol))
       .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
@@ -518,13 +507,38 @@ object Curation {
         b -> (w(b) - d)
       }
     }
-    val out = zAgg(w.toSeq.toDF("b", "w"))
+    zAgg(w.toSeq.toDF("b", "w"))
       .join(docs.select(col(idCol), col(stratum)), idCol)
       .select(col(idCol), col(stratum), col("y").as("label"),
         col("z").as("z_e6"),
         when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
-    tb.unpersist()
-    out
+  }
+
+  /** The classifier's feature table — (doc, y, bucket, count) + bias
+    * rows, hash-partitioned ON THE DOC ID and memoized (kind
+    * "qc-features"): every GD round's z aggregate and r⋈features join
+    * AND the final scoring pass read one cached build exchange-free
+    * (an eager unpersist before the output was consumed used to make
+    * the final pass rebuild the whole pipeline). The label rides along
+    * (constant per doc) so no per-round label join exists. Released
+    * like every memoized family table via [[graft.util.CacheRegistry]];
+    * exposed for the bench index phase. */
+  def qcFeatures(docs: DataFrame, targetSource: String, buckets: Int = 64,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val yCol = when(col(stratum) === targetSource, 1L).otherwise(0L)
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(docs, "qc-features", targetSource,
+        buckets, stratum, idCol, textCol),
+      docs.select(col(idCol), yCol.as("y"),
+          explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .withColumn("b", pmod(TextFunctions.hash60(col("token")),
+          lit(buckets.toLong)).cast("int"))
+        .groupBy(col(idCol), col("y"), col("b"))
+        .agg(count(lit(1)).as("x"))
+        .unionByName(docs.select(col(idCol), yCol.as("y"),
+          lit(buckets).as("b"), lit(1L).as("x"))) // bias feature
+        .repartition(col(idCol)))
   }
 
   /** Temperature-scaled corpus rebalancing (the multilingual-training

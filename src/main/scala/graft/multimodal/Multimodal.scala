@@ -217,8 +217,13 @@ object Multimodal {
       .groupBy("a_id", "b_id")
       .agg(sum(bit_count(col("av").bitwiseXOR(col("bv")))).as("ham"))
     val pairs = ham.filter(col("ham") <= maxHamming).select("a_id", "b_id")
+    // CC vertices are the DECODED rows: an image the codec rejects
+    // (None — corrupt/truncated payload) gets no fingerprint, no
+    // verdict, and no keep=true — real pipelines drop corrupt media,
+    // they do not admit it unverified (with [[StubImageCodec]] every
+    // payload decodes, so the stub-oracle face is unaffected)
     val labels = graft.dedup.Dedup.connectedComponents(pairs,
-      images.select(col("media_id")), "media_id")
+      dec.select(col("media_id")), "media_id")
     labels.select(col("id").as("media_id"), col("lbl").as("img_cluster"))
       .withColumn("keep", col("media_id") === col("img_cluster"))
   }

@@ -301,17 +301,28 @@ object Similarity {
     * assignment). Input `(vec_id, vec)`; fine `(c_id, c_vec)`; coarse
     * `(g_id, g_vec)`; output (vec_id, c_id). */
   private def assignTwoLevel(e: DataFrame, fine: DataFrame,
-      coarse: DataFrame): DataFrame = {
-    // codebook-side: route each fine centroid to its coarse cell
+      coarse: DataFrame): DataFrame =
+    assignTwoLevelWithCells(e, coarse, twoLevelCells(fine, coarse))
+
+  /** The codebook-side routing structure: each fine centroid routed
+    * once to its nearest coarse centroid, plus the coarse self row
+    * guaranteeing no empty cell — (c_id, g_id, c_vec), O(nlist·ncoarse)
+    * to build, a LANDED/codebook artifact that [[landedTwoLevelCells]]
+    * memoizes for the incremental face. */
+  private def twoLevelCells(fine: DataFrame, coarse: DataFrame): DataFrame = {
     val route = fine.join(broadcast(coarse))
       .withColumn("rcos", round(cosine(col("c_vec"), col("g_vec")), 4))
       .groupBy("c_id")
       .agg(max_by(col("g_id"), struct(col("rcos"), -col("g_id"))).as("g_id"))
-    // cell membership lists, self row guaranteeing no empty cell
-    val cells = route.select(col("g_id"), col("c_id"))
+    route.select(col("g_id"), col("c_id"))
       .unionByName(coarse.select(col("g_id"), col("g_id").as("c_id")))
       .distinct()
       .join(fine, "c_id") // (c_id, g_id, c_vec)
+  }
+
+  /** The two vector hops given a prebuilt cell table. */
+  private def assignTwoLevelWithCells(e: DataFrame, coarse: DataFrame,
+      cells: DataFrame): DataFrame = {
     // hop 1: vector → coarse cell
     val vg = e.join(broadcast(coarse))
       .withColumn("gcos", round(cosine(col("vec"), col("g_vec")), 4))
@@ -477,25 +488,26 @@ object Similarity {
       minCosine: Double = 0.3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val lv = landedVecLookup(landed, idCol, vecCol)
-    val fine = lv.filter(pmod(col("sid"), lit(fineStride)) === fineOffset)
-      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
     val coarse = lv.filter(
         pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
       .select(col("sid").as("g_id"), col("vec").as("g_vec"))
+    // codebook routing (route + cell lists) is a LANDED artifact —
+    // memoized, never rebuilt per batch
+    val cells = landedTwoLevelCells(landed, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
     val lAsn = landedSemanticAssignment2L(landed, fineStride, fineOffset,
       coarseFactor, idCol, vecCol)
     val iv = incoming.select(col(idCol).as("sid"), col(vecCol).as("vec"))
-    val iAsn = assignTwoLevel(
-      iv.select(col("sid").as("vec_id"), col("vec")), fine, coarse)
+    val iAsn = assignTwoLevelWithCells(
+      iv.select(col("sid").as("vec_id"), col("vec")), coarse, cells)
     incrementFromAssignments(lv, iv, lAsn, iAsn, minCosine, idCol, incoming)
   }
 
-  /** The landed corpus's memoized TWO-LEVEL semantic assignment (kind
-    * "sem-assign-2l") — [[semanticDedupIncrementTwoLevel]]'s index,
-    * built at O(n_landed·√nlist) instead of the flat index's
-    * O(n_landed·nlist), reused batch over batch and exposed for an
-    * index-build phase. */
-  def landedSemanticAssignment2L(landed: DataFrame, fineStride: Int = 25,
+  /** The landed codebook's memoized routing/cell table (kind
+    * "sem-cells-2l") — (c_id, g_id, c_vec), the O(nlist·ncoarse)
+    * structure both the landed index build and every batch assignment
+    * read; built once per landed corpus. */
+  def landedTwoLevelCells(landed: DataFrame, fineStride: Int = 25,
       fineOffset: Int = 7, coarseFactor: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val lv = landedVecLookup(landed, idCol, vecCol)
@@ -505,10 +517,30 @@ object Similarity {
         pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
       .select(col("sid").as("g_id"), col("vec").as("g_vec"))
     CacheRegistry.cache(
+      CacheRegistry.key(landed, "sem-cells-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      twoLevelCells(fine, coarse))
+  }
+
+  /** The landed corpus's memoized TWO-LEVEL semantic assignment (kind
+    * "sem-assign-2l") — [[semanticDedupIncrementTwoLevel]]'s index,
+    * built at O(n_landed·√nlist) instead of the flat index's
+    * O(n_landed·nlist) over the memoized [[landedTwoLevelCells]],
+    * reused batch over batch and exposed for an index-build phase. */
+  def landedSemanticAssignment2L(landed: DataFrame, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lv = landedVecLookup(landed, idCol, vecCol)
+    val coarse = lv.filter(
+        pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
+      .select(col("sid").as("g_id"), col("vec").as("g_vec"))
+    val cells = landedTwoLevelCells(landed, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    CacheRegistry.cache(
       CacheRegistry.key(landed, "sem-assign-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
-      assignTwoLevel(lv.select(col("sid").as("vec_id"), col("vec")),
-        fine, coarse))
+      assignTwoLevelWithCells(lv.select(col("sid").as("vec_id"), col("vec")),
+        coarse, cells))
   }
 
   /** The landed corpus's (sid, vec) verification lookup — the second
@@ -810,7 +842,14 @@ object Similarity {
       m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
       rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // dim discovery needs one row (a driver job at construction time —
+    // unavoidable: the subvector slicing is a plan-time literal); fall
+    // back through the query side so an empty corpus yields an empty
+    // result instead of a NoSuchElementException
+    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
+      .headOption
+      .orElse(queries.select(size(col(vecCol))).limit(1).collect().headOption)
+      .map(_.getInt(0)).getOrElse(m)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))

@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
 object MaterializedScaleBench {
   /** The two-level sizing contract, `coarseFactor ≈ √nlist` for the
     * default fineStride 25 — shared by the q118/q122 probe rows and
-    * their preps (prep and run must agree on the codebook). */
+    * their preps (prep and run must agree on the codebook). Counts the
+    * ACTUAL fine-centroid population (ids ≡ 7 mod 25 surviving the
+    * caller's filter) rather than estimating rows/25 — on a filtered
+    * landed slice the two differ (every ≡7-mod-25 id survives %5!=3,
+    * so nlist = landed/20 there, not landed/25). The count scans one
+    * narrow column inside the probe region; prep and run agree. */
   private def cf2l(landed: DataFrame): Int = {
-    val nlist = landed.count() / 25.0
+    val nlist = landed
+      .filter(pmod(col("vec_id"), lit(25L)) === 7).count().toDouble
     math.max(2, math.round(math.sqrt(nlist)).toInt)
   }
 
@@ -228,9 +234,12 @@ object MaterializedScaleBench {
       },
       "q122_sem_inc_2l" -> { k =>
         val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
+        val cf = cf2l(landed)
         graft.similarity.Similarity.landedVecLookup(landed).count()
+        graft.similarity.Similarity.landedTwoLevelCells(
+          landed, coarseFactor = cf).count()
         graft.similarity.Similarity.landedSemanticAssignment2L(
-          landed, coarseFactor = cf2l(landed)).count()
+          landed, coarseFactor = cf).count()
         ()
       },
       "q125_dsir_inc" -> { k =>
