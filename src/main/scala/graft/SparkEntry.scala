@@ -1842,7 +1842,17 @@ object SparkEntry {
       // micro-ln integers.
       "q126_kneser_ney" -> ((s, dir) =>
         graft.curation.Curation.kneserNeyLogProb(table(s, dir, "documents"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Directed near-containment (Broder's containment next to q18's
+      // resemblance): |A∩B|/|A| ≥ 0.8 over the df≤100-capped shingle
+      // space — the excerpt/quote dup class symmetric Jaccard misses;
+      // both directions emitted, integer cross-multiplied threshold.
+      "q127_containment_pairs" -> ((s, dir) =>
+        Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
+            minContainBp = 8000, maxDf = 100)
+          .withColumn("containment", round(col("containment"), 6))
+          .orderBy("a_id", "b_id"))
     )
   }
 
@@ -4636,7 +4646,25 @@ object SparkEntry {
                    JOIN cb ON split_part(g, ' ', 2) = cb.b, nn)
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
                  CAST(SUM(lp) AS BIGINT) sum_knlogp_e6
-          FROM sc GROUP BY doc_id ORDER BY doc_id""")
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // q18's inverted-index join, directed (both orders), integer
+    // cross-multiplied containment threshold, one IEEE division out.
+    "q127_containment_pairs" ->
+      s"""WITH $tokCte, $shingleCte,
+          shf AS (SELECT sid, shingle FROM (
+                    SELECT sid, shingle,
+                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
+                  WHERE df <= 100),
+          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
+          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
+                FROM shf a JOIN shf b USING(shingle)
+                WHERE a.sid != b.sid GROUP BY 1, 2)
+          SELECT a_id, b_id, inter, x.sz a_size, y.sz b_size,
+                 round(inter::DOUBLE / x.sz, 6) AS containment
+          FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
+          WHERE inter * 10000 >= x.sz * 8000
+          ORDER BY a_id, b_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

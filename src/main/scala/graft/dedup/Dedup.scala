@@ -340,6 +340,38 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size", "jaccard")
   }
 
+  /** DIRECTED near-containment pairs (Broder '97's containment next to
+    * [[ngramJaccardPairs]]'s resemblance): c(A→B) = |A∩B| / |A| over
+    * the same df-capped shingle space. Containment catches wholesale
+    * EXCERPTING between size-mismatched documents — a 50-shingle doc
+    * quoted verbatim inside a 5000-shingle doc has Jaccard ≈ 0.01
+    * (invisible at any sane resemblance threshold) but containment
+    * 1.0 — the asymmetric dup class quote-heavy web text is full of.
+    * Same single join → one aggregation plan as the Jaccard face (the
+    * memoized capped table carries the set sizes), emitting BOTH
+    * directions of a qualifying pair; the threshold is an integer
+    * cross-multiplication (`inter·10⁴ ≥ |A|·minContainBp`), so
+    * qualification can never flip on float rounding. Output:
+    * (a_id, b_id, inter, a_size, b_size, containment) — containment =
+    * one IEEE division, reproducible across engines. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minContainBp: Int = 8000,
+      maxDf: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minContainBp > 0 && minContainBp <= 10000,
+      "minContainBp in (0, 10000]")
+    val s = cappedShingleHashes(docs, n, maxDf, textCol, idCol)
+    s.select(col("sid").as("a_id"), col("sh"), col("sz").as("a_sz"))
+      .join(s.select(col("sid").as("b_id"), col("sh"), col("sz").as("b_sz")), "sh")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"),
+        min("a_sz").as("a_size"), min("b_sz").as("b_size"))
+      .filter(col("inter") * 10000 >= col("a_size") * minContainBp)
+      .withColumn("containment",
+        col("inter").cast("double") / col("a_size").cast("double"))
+      .select("a_id", "b_id", "inter", "a_size", "b_size", "containment")
+  }
+
   /** MinHash parameters: k universal-hash permutations over the prime
     * field p = 2^31 - 1, with (aᵢ, bᵢ) derived from the permutation index
     * by a fixed affine formula so any engine can reproduce them. */

@@ -198,4 +198,24 @@ class DedupClusterSpec extends SparkSpec {
       (0L, "keep"), (1L, "exact_dup"),
       (2L, "semantic_dup"), (3L, "keep")), got.toString)
   }
+
+  test("containmentPairs: one-directional excerpt found where Jaccard is blind") {
+    // doc 1 (5 tokens → three 3-shingles) is quoted verbatim inside
+    // doc 2 (15 tokens → thirteen 3-shingles): c(1→2) = 3/3 = 1.0 but
+    // Jaccard = 3/13 ≈ 0.23 — below any sane resemblance threshold.
+    // Only the 1→2 direction may qualify at 0.8 (c(2→1) = 3/13).
+    val docs = Seq(
+      (1L, "s", "the quick brown fox jumps"),
+      (2L, "s", "intro words here then the quick brown fox jumps " +
+        "and more trailing words follow after it"),
+      (3L, "s", "completely different text with no overlap at all"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.containmentPairs(docs, n = 3, minContainBp = 8000)
+      .select("a_id", "b_id", "inter", "a_size", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L, 1.0)), got.toString)
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(jac.isEmpty, s"Jaccard unexpectedly fired: $jac")
+  }
 }
