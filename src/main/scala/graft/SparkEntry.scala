@@ -105,6 +105,7 @@ object SparkEntry {
       // probed batch over batch (q99 / q110 / q111)
       "q99-landed-bands" -> Dedup.bandKeyTable(landedDocs5),
       "q99-landed-shingles" -> Dedup.shingleHashes(landedDocs5, 3, "text", "doc_id"),
+      "q128-landed-sh-set" -> Dedup.landedShingleSet(landedDocs5),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
@@ -1852,7 +1853,20 @@ object SparkEntry {
         Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
             minContainBp = 8000, maxDf = 100)
           .withColumn("containment", round(col("containment"), 6))
-          .orderBy("a_id", "b_id"))
+          .orderBy("a_id", "b_id")),
+
+      // Landed-containment screen (q127's semantics with the landed
+      // corpus as the containing side): fraction of a batch doc's
+      // shingles already landed ANYWHERE — the recombination class the
+      // per-pair and substring incrementals bracket but don't score.
+      // Same landed slice as q99 (%5 != 2), so the index is shared.
+      "q128_landed_containment" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.landedContainmentScreen(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
+          .orderBy("doc_id")
+      })
     )
   }
 
@@ -4664,7 +4678,33 @@ object SparkEntry {
                  round(inter::DOUBLE / x.sz, 6) AS containment
           FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
           WHERE inter * 10000 >= x.sz * 8000
-          ORDER BY a_id, b_id""")
+          ORDER BY a_id, b_id""",
+
+    // Distinct landed shingles (the %5!=2 slice) LEFT-probed by the
+    // batch's per-doc distinct shingles; integer cross-multiplied flag.
+    "q128_landed_containment" ->
+      """WITH lt AS (SELECT regexp_split_to_array(trim(text), '\s+') tk
+                     FROM documents WHERE doc_id % 5 != 2),
+          lsh AS (SELECT DISTINCT unnest(list_transform(
+                    range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) shingle
+                  FROM lt),
+          bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+                 FROM documents WHERE doc_id % 5 = 2),
+          bsh AS (SELECT DISTINCT doc_id sid, shingle FROM (
+                    SELECT doc_id, unnest(list_transform(
+                      range(1, len(tk) - 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) shingle
+                    FROM bt)),
+          j AS (SELECT b.sid, COUNT(*) n_shingles,
+                  COUNT(l.shingle) n_landed
+                FROM bsh b LEFT JOIN lsh l USING (shingle)
+                GROUP BY b.sid)
+          SELECT sid doc_id, CAST(n_shingles AS BIGINT) n_shingles,
+                 CAST(n_landed AS BIGINT) n_landed,
+                 CAST(CASE WHEN n_landed * 10000 >= n_shingles * 8000
+                           THEN 1 ELSE 0 END AS BIGINT) contained
+          FROM j ORDER BY doc_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

@@ -372,6 +372,51 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size", "containment")
   }
 
+  /** The landed corpus's memoized DISTINCT shingle-hash set (kind
+    * "landed-sh-set") — [[landedContainmentScreen]]'s index, one
+    * narrow column, reused batch over batch and exposed for an
+    * index-build phase. */
+  def landedShingleSet(landed: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "landed-sh-set", n, textCol, idCol),
+      shingleHashes(landed, n, textCol, idCol).select("sh").distinct())
+
+  /** Landed-CONTAINMENT screen for append-only ingest — the whole-doc
+    * complement of the incremental near-dup faces: what fraction of an
+    * incoming document's shingle set already exists ANYWHERE in the
+    * landed corpus? [[lshIncrement]] flags a batch doc only when a
+    * SINGLE landed doc resembles it; [[substringDedupIncrement]]
+    * excises long repeated runs; a document stitched together from
+    * many landed sources slips both — this face scores exactly that
+    * recombination class ([[containmentPairs]]'s semantics with the
+    * landed corpus as the containing side). Verdicts are
+    * batch-order-independent: the landed shingle set is the only
+    * evidence consulted.
+    *
+    * Landed side = one memoized distinct shingle-hash projection
+    * ([[landedShingleSet]], the same "shingles" table q99's increment
+    * reads, distinct-folded once); per batch, the batch's own shingle
+    * rows probe it with ONE sh-keyed left join (Bloom-gateable at
+    * 100 TB landed — q88's pattern) and fold to a per-doc fraction.
+    * The flag is an integer cross-multiplication. Documents with fewer
+    * than `n` tokens have no shingles and no row. Output: (idCol,
+    * n_shingles, n_landed, contained). */
+  def landedContainmentScreen(landed: DataFrame, incoming: DataFrame,
+      n: Int = 3, minContainBp: Int = 8000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minContainBp > 0 && minContainBp <= 10000,
+      "minContainBp in (0, 10000]")
+    val lset = landedShingleSet(landed, n, textCol, idCol)
+    shingleHashes(incoming, n, textCol, idCol)
+      .join(lset.withColumn("__l", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__l")).as("n_landed"))
+      .select(col("sid").as(idCol), col("n_shingles"), col("n_landed"),
+        when(col("n_landed") * 10000 >= col("n_shingles") * minContainBp,
+          1L).otherwise(0L).as("contained"))
+  }
+
   /** MinHash parameters: k universal-hash permutations over the prime
     * field p = 2^31 - 1, with (aᵢ, bᵢ) derived from the permutation index
     * by a fixed affine formula so any engine can reproduce them. */

@@ -187,6 +187,12 @@ object MaterializedScaleBench {
           docs(k).filter(pmod(col("doc_id"), lit(4L)) =!= 2),
           docs(1).filter(pmod(col("doc_id"), lit(4L)) === 2),
           "src0").count()),
+      // incremental contract: landed distinct-shingle set prebuilt
+      // off-clock; timed region = batch shingling + one keyed probe
+      ("q128_landed_contain", k =>
+        Dedup.landedContainmentScreen(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2)).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
@@ -246,6 +252,11 @@ object MaterializedScaleBench {
         val landed = docs(k).filter(pmod(col("doc_id"), lit(4L)) =!= 2)
         graft.curation.Curation.landedDsirCounts(landed, "src0").count()
         graft.curation.Curation.landedDsirThresholds(landed, "src0").count()
+        ()
+      },
+      "q128_landed_contain" -> { k =>
+        Dedup.landedShingleSet(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)).count()
         ()
       })
 

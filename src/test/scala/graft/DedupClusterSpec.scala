@@ -218,4 +218,21 @@ class DedupClusterSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
     assert(jac.isEmpty, s"Jaccard unexpectedly fired: $jac")
   }
+
+  test("landedContainmentScreen: recombined landed content flagged, fresh passes") {
+    val landed = Seq(
+      (0L, "s", "alpha beta gamma delta"),
+      (1L, "s", "one two three four")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (2L, "s", "alpha beta gamma delta"), // 2/2 shingles landed → 1
+      (7L, "s", "x y z w"),                // 0/2 → 0
+      (12L, "s", "alpha beta gamma nine ten eleven twelve")) // 1/5 → 0
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.landedContainmentScreen(landed, batch)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 2L, 2L, 1L), (7L, 2L, 0L, 0L), (12L, 5L, 1L, 0L)),
+      got.toString)
+  }
 }
