@@ -106,6 +106,13 @@ object SparkEntry {
       "q99-landed-bands" -> Dedup.bandKeyTable(landedDocs5),
       "q99-landed-shingles" -> Dedup.shingleHashes(landedDocs5, 3, "text", "doc_id"),
       "q128-landed-sh-set" -> Dedup.landedShingleSet(landedDocs5),
+      // q129's gate: semantic index at the gate's offset-8 codebook and
+      // DSIR indexes on the %5 landed slice (q125's are on %4); the
+      // text/band/vec/shingle-set indexes are shared with q99/q110/q128
+      "q129-sem-assign" -> Similarity.landedSemanticAssignment(landedEmb5, 25, 8),
+      "q129-dsir-counts" -> Curation.landedDsirCounts(landedDocs5, "src0"),
+      "q129-dsir-thresholds" ->
+        Curation.landedDsirThresholds(landedDocs5, "src0"),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
@@ -1865,6 +1872,21 @@ object SparkEntry {
         Dedup.landedContainmentScreen(
           docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
+          .orderBy("doc_id")
+      }),
+
+      // The unified ingest gate: every incremental face composed in
+      // precedence order (exact landed/batch > near text > semantic >
+      // contained > DSIR not-selected > admit) on one slice — the one
+      // decision a production append-only pipeline makes per doc.
+      "q129_ingest_gate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        Dedup.ingestGate(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
           .orderBy("doc_id")
       })
     )
@@ -4704,7 +4726,183 @@ object SparkEntry {
                  CAST(n_landed AS BIGINT) n_landed,
                  CAST(CASE WHEN n_landed * 10000 >= n_shingles * 8000
                            THEN 1 ELSE 0 END AS BIGINT) contained
-          FROM j ORDER BY doc_id""")
+          FROM j ORDER BY doc_id""",
+
+    // The q83/q99/q117(offset 8)/q128/q125 oracle chains composed on
+    // one slice with first-rejecting-stage precedence — each fragment
+    // is an already-verified oracle, only the slice and CTE names
+    // change.
+    "q129_ingest_gate" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          xfp AS (SELECT doc_id,
+                    md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                  FROM documents),
+          xl AS (SELECT DISTINCT fp FROM xfp
+                 WHERE doc_id % 5 != 2 AND fp IS NOT NULL),
+          xb AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) minb
+                 FROM xfp WHERE doc_id % 5 = 2),
+          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
+          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
+                 FROM mhp m JOIN sh a ON a.sid = m.a_id
+                            JOIN sh b ON b.sid = m.b_id
+                                     AND b.shingle = a.shingle
+                 GROUP BY m.a_id, m.b_id),
+          vp AS (SELECT m.a_id, m.b_id
+                 FROM mhp m
+                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
+                 JOIN hsz x ON x.sid = m.a_id
+                 JOIN hsz y ON y.sid = m.b_id
+                 WHERE COALESCE(it.inter, 0)::DOUBLE /
+                       (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
+          ldup AS (SELECT DISTINCT i FROM (
+                     SELECT a_id i FROM vp
+                     WHERE a_id % 5 = 2 AND b_id % 5 != 2
+                     UNION ALL
+                     SELECT b_id FROM vp
+                     WHERE b_id % 5 = 2 AND a_id % 5 != 2) t),
+          be AS (SELECT a_id u, b_id v FROM vp
+                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
+                   AND a_id NOT IN (SELECT i FROM ldup)
+                   AND b_id NOT IN (SELECT i FROM ldup)
+                 UNION ALL
+                 SELECT b_id, a_id FROM vp
+                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
+                   AND a_id NOT IN (SELECT i FROM ldup)
+                   AND b_id NOT IN (SELECT i FROM ldup)),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            WHERE doc_id % 5 = 2 AND doc_id NOT IN (SELECT i FROM ldup)
+            UNION
+            SELECT w.u, be.v FROM walk w JOIN be ON be.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS lbl FROM walk GROUP BY u),
+          se AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          scent AS (SELECT sid c_id, v c_vec FROM se
+                    WHERE sid % 25 = 8 AND sid % 5 != 2),
+          sasn AS (SELECT sid, c_id FROM (
+                     SELECT se.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY se.sid
+                              ORDER BY round(list_dot_product(se.v, c.c_vec) /
+                                (sqrt(list_dot_product(se.v, se.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM se, scent c) t WHERE rn = 1),
+          scand AS (SELECT a.sid a_id, b.sid b_id,
+                      CASE WHEN b.sid % 5 = 2 THEN 'batch'
+                           ELSE 'landed' END side
+                    FROM sasn a JOIN sasn b ON a.c_id = b.c_id
+                    WHERE a.sid % 5 = 2
+                      AND (b.sid % 5 != 2 OR a.sid < b.sid)),
+          sver AS (SELECT a_id, b_id, side FROM (
+                     SELECT a_id, b_id, side,
+                            round(list_dot_product(x.v, y.v) /
+                                  (sqrt(list_dot_product(x.v, x.v)) *
+                                   sqrt(list_dot_product(y.v, y.v))), 4) cos
+                     FROM scand JOIN se x ON x.sid = a_id
+                                JOIN se y ON y.sid = b_id) t
+                   WHERE cos >= 0.3),
+          sld AS (SELECT DISTINCT a_id sid FROM sver WHERE side = 'landed'),
+          sbp AS (SELECT a_id, b_id FROM sver WHERE side = 'batch'
+                    AND a_id NOT IN (SELECT sid FROM sld)
+                    AND b_id NOT IN (SELECT sid FROM sld)),
+          sed AS (SELECT a_id u, b_id v FROM sbp
+                  UNION ALL SELECT b_id, a_id FROM sbp),
+          swalk(u, r) AS (
+            SELECT sid, sid FROM se WHERE sid % 5 = 2
+            UNION
+            SELECT w.u, sed.v FROM swalk w JOIN sed ON sed.u = w.r),
+          scl AS (SELECT u AS sid, MIN(r) AS lbl FROM swalk GROUP BY u),
+          clt AS (SELECT regexp_split_to_array(trim(text), '\\s+') tk
+                  FROM documents WHERE doc_id % 5 != 2),
+          clsh AS (SELECT DISTINCT unnest(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> array_to_string(tk[i:i+2], ' '))) shingle
+                   FROM clt),
+          cbt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+                  FROM documents WHERE doc_id % 5 = 2),
+          cbsh AS (SELECT DISTINCT doc_id sid, shingle FROM (
+                     SELECT doc_id, unnest(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(tk[i:i+2], ' '))) shingle
+                     FROM cbt)),
+          cj AS (SELECT b.sid, COUNT(*) n_shingles,
+                   COUNT(l.shingle) n_landed
+                 FROM cbsh b LEFT JOIN clsh l USING (shingle)
+                 GROUP BY b.sid),
+          tl AS (SELECT doc_id, source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) token
+                 FROM documents WHERE doc_id % 5 != 2),
+          tbl AS (SELECT doc_id, source,
+                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                  FROM tl),
+          dcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw,
+                     CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                       c_tgt
+                   FROM tbl GROUP BY b),
+          dtot AS (SELECT CAST(SUM(c_raw) AS BIGINT) n_raw,
+                     CAST(SUM(c_tgt) AS BIGINT) n_tgt FROM dcnt),
+          lsc AS (SELECT tbl.doc_id, tbl.source,
+                    CAST(round(ln(dcnt.c_tgt + 1) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(dtot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(dcnt.c_raw + 1) * 1000000, 0) AS BIGINT)
+                    + CAST(round(ln(dtot.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM tbl JOIN dcnt USING (b), dtot),
+          lsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM lsc GROUP BY doc_id, source),
+          lj AS (SELECT source, logw_e6,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY logw_e6 DESC, doc_id) rn,
+                   COUNT(*) OVER (PARTITION BY source) cnt2
+                 FROM lsco),
+          th AS (SELECT source, CAST(MIN(logw_e6) AS BIGINT) logw_cut
+                 FROM lj WHERE rn * 10000 <= cnt2 * 2000 GROUP BY source),
+          tbb AS (SELECT doc_id, source,
+                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                  FROM (SELECT doc_id, source,
+                          unnest(regexp_split_to_array(trim(text), '\\s+'))
+                            token
+                        FROM documents WHERE doc_id % 5 = 2) t),
+          bsc AS (SELECT tbb.doc_id, tbb.source,
+                    CAST(round(ln(COALESCE(dcnt.c_tgt, 0) + 1) * 1000000, 0)
+                         AS BIGINT)
+                    - CAST(round(ln(dtot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(COALESCE(dcnt.c_raw, 0) + 1) * 1000000, 0)
+                           AS BIGINT)
+                    + CAST(round(ln(dtot.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM tbb LEFT JOIN dcnt USING (b), dtot),
+          bsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM bsc GROUP BY doc_id, source),
+          dsel AS (SELECT b.doc_id,
+                     CASE WHEN th.logw_cut IS NOT NULL
+                            AND b.logw_e6 >= th.logw_cut
+                          THEN 1 ELSE 0 END selected
+                   FROM bsco b LEFT JOIN th USING (source))
+          SELECT xb.doc_id,
+                 CASE WHEN xb.fp IS NOT NULL
+                        AND xb.fp IN (SELECT fp FROM xl)
+                        THEN 'exact_landed_dup'
+                      WHEN xb.fp IS NOT NULL AND xb.doc_id != xb.minb
+                        THEN 'exact_batch_dup'
+                      WHEN xb.doc_id IN (SELECT i FROM ldup)
+                        OR (cl.lbl IS NOT NULL AND cl.lbl != xb.doc_id)
+                        THEN 'near_dup'
+                      WHEN xb.doc_id IN (SELECT sid FROM sld)
+                        OR (scl.lbl IS NOT NULL AND scl.lbl != scl.sid)
+                        THEN 'semantic_dup'
+                      WHEN COALESCE(cj.n_landed * 10000 >=
+                             cj.n_shingles * 8000, FALSE)
+                        THEN 'contained'
+                      WHEN COALESCE(dsel.selected, 0) = 0
+                        THEN 'not_selected'
+                      ELSE 'admit' END AS gate
+          FROM xb
+          LEFT JOIN cl ON cl.doc_id = xb.doc_id
+          LEFT JOIN scl ON scl.sid = xb.doc_id
+          LEFT JOIN cj ON cj.sid = xb.doc_id
+          LEFT JOIN dsel ON dsel.doc_id = xb.doc_id
+          ORDER BY xb.doc_id""")
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

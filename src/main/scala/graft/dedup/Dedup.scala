@@ -1011,6 +1011,78 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** The unified INGEST GATE — the one decision a production
+    * append-only pipeline makes per incoming document, composing every
+    * incremental face in precedence order (cheapest, highest-precision
+    * evidence first):
+    *
+    *   exact_landed_dup > exact_batch_dup > near_dup (the q99 text-LSH
+    *   lattice) > semantic_dup (landed-codebook semantic increment) >
+    *   contained ([[landedContainmentScreen]]'s recombination class) >
+    *   not_selected (DSIR against the landed target distribution) >
+    *   admit.
+    *
+    * Every stage is one of the independently-oracled incremental
+    * operators reading its own memoized landed index; the gate adds
+    * only id-keyed left joins and one when-chain — no new corpus-wide
+    * stage. All verdicts are batch-order-independent because every
+    * stage's evidence (fingerprint set, shingle/band tables, codebook,
+    * distributions, thresholds) is a landed-side artifact. The
+    * semantic stage's centroid offset must select LANDED ids under the
+    * caller's slicing (for a `%5==2` batch, offset 8 ≡ 3 mod 5 — the
+    * default; offset 7 would put every stride centroid in the batch).
+    * Documents too short for a stage (no shingles, no tokens) pass
+    * that stage via the left-join coalesce: absence of evidence never
+    * rejects — except DSIR, where no score means no admission evidence
+    * (mirroring [[graft.curation.Curation.dsirScoreIncrement]]'s
+    * unseen-stratum rule). Output: (idCol, gate), one row per
+    * incoming document. */
+  def ingestGate(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, minCosine: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val landedFp = landedDocs
+      .select(fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+    val wFp = Window.partitionBy("fp")
+    val exact = batchDocs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(landedFp.withColumn("__lx", lit(1L)), Seq("fp"), "left")
+      .withColumn("__minb", min(col(idCol)).over(wFp))
+    val near = lshIncrement(landedDocs, batchDocs,
+        textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("verdict").as("__near"))
+    val sem = graft.similarity.Similarity.semanticDedupIncrement(
+        landedEmb, batchEmb, centroidStride = 25,
+        centroidOffset = centroidOffset, minCosine = minCosine,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col(vecIdCol).as(idCol), col("verdict").as("__sem"))
+    val cont = landedContainmentScreen(landedDocs, batchDocs,
+        textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("contained").as("__cont"))
+    val sel = graft.curation.Curation.dsirScoreIncrement(
+        landedDocs, batchDocs, targetSource, idCol = idCol,
+        textCol = textCol)
+      .select(col(idCol), col("selected").as("__sel"))
+    exact
+      .join(near, Seq(idCol), "left")
+      .join(sem, Seq(idCol), "left")
+      .join(cont, Seq(idCol), "left")
+      .join(sel, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("fp").isNotNull && col("__lx").isNotNull,
+          "exact_landed_dup")
+          .when(col("fp").isNotNull && col(idCol) =!= col("__minb"),
+            "exact_batch_dup")
+          .when(coalesce(col("__near"), lit("keep")) =!= "keep", "near_dup")
+          .when(coalesce(col("__sem"), lit("keep")) =!= "keep",
+            "semantic_dup")
+          .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
+          .when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
+          .otherwise(lit("admit")).as("gate"))
+  }
+
   /** Unified per-document dedup verdict — the "why was this document
     * dropped" report a curation pipeline owes its operators: each doc
     * is `exact_dup` (a smaller id shares its normalized fingerprint),

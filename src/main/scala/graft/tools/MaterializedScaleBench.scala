@@ -193,6 +193,16 @@ object MaterializedScaleBench {
         Dedup.landedContainmentScreen(
           docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2)).count()),
+      // the composed gate under the incremental contract: every
+      // landed-side index prebuilt off-clock (preps); timed region =
+      // the batch-sized work of all six stages + the id joins
+      ("q129_gate", k =>
+        Dedup.ingestGate(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2),
+          emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
+          "src0").count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
@@ -257,6 +267,18 @@ object MaterializedScaleBench {
       "q128_landed_contain" -> { k =>
         Dedup.landedShingleSet(
           docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)).count()
+        ()
+      },
+      "q129_gate" -> { k =>
+        val ld = docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+        val le = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2)
+        Dedup.bandKeyTable(ld).count()
+        Dedup.shingleHashes(ld, 3, "text", "doc_id").count()
+        Dedup.landedShingleSet(ld).count()
+        graft.similarity.Similarity.landedVecLookup(le).count()
+        graft.similarity.Similarity.landedSemanticAssignment(le, 25, 8).count()
+        graft.curation.Curation.landedDsirCounts(ld, "src0").count()
+        graft.curation.Curation.landedDsirThresholds(ld, "src0").count()
         ()
       })
 

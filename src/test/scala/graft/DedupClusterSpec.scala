@@ -235,4 +235,36 @@ class DedupClusterSpec extends SparkSpec {
       (2L, 2L, 2L, 1L), (7L, 2L, 0L, 0L), (12L, 5L, 1L, 0L)),
       got.toString)
   }
+
+  test("ingestGate: total partition of the batch; exact evidence wins precedence") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val landed = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+    val gate = Dedup.ingestGate(landed, batch,
+        emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
+      .as[(Long, String)].collect().toMap
+    assert(gate.size == batch.count(), s"not total: ${gate.size}")
+    val allowed = Set("exact_landed_dup", "exact_batch_dup", "near_dup",
+      "semantic_dup", "contained", "not_selected", "admit")
+    assert(gate.values.toSet.subsetOf(allowed), gate.values.toSet.toString)
+    // precedence, checked against INDEPENDENTLY recomputed stage-1
+    // evidence: every batch doc whose fingerprint exists in the landed
+    // set must carry the exact_landed_dup label, whatever the later
+    // stages would have said
+    import graft.functions.TextFunctions.fingerprint
+    val landedFps = landed
+      .select(fingerprint(col("text")).as("fp")).as[String]
+      .collect().toSet
+    val batchFps = batch
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect()
+    batchFps.filter { case (_, fp) => landedFps.contains(fp) }
+      .foreach { case (id, _) =>
+        assert(gate(id) == "exact_landed_dup", s"doc $id: ${gate(id)}")
+      }
+  }
 }

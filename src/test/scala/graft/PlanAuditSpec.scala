@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "q121_dsir_select", // one-row totals cross-joined broadcast, as q95
     "q122_semantic_inc_2l", // landed two-level codebook broadcast, as q117
     "q125_dsir_incremental", // one-row landed totals cross-joined, as q121
-    "q126_kneser_ney") // one-row distinct-bigram total N cross-joined, as q95
+    "q126_kneser_ney", // one-row distinct-bigram total N cross-joined, as q95
+    "q129_ingest_gate") // embeds q117's codebook + q125's totals broadcasts
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
