@@ -57,7 +57,8 @@ object Bench {
       "q127_containment_pairs"  -> Set("shingles", "shingles-capped"),
       "q128_landed_containment" -> Set("shingles", "landed-sh-set"),
       "q129_ingest_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
-        "sem-assign", "landed-sh-set", "dsir-counts", "dsir-thresholds"),
+        "sem-assign", "landed-sh-set", "dsir-counts", "dsir-thresholds",
+        "landed-fp"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

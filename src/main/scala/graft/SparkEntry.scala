@@ -109,6 +109,7 @@ object SparkEntry {
       // q129's gate: semantic index at the gate's offset-8 codebook and
       // DSIR indexes on the %5 landed slice (q125's are on %4); the
       // text/band/vec/shingle-set indexes are shared with q99/q110/q128
+      "q129-landed-fp" -> Dedup.landedFingerprints(landedDocs5),
       "q129-sem-assign" -> Similarity.landedSemanticAssignment(landedEmb5, 25, 8),
       "q129-dsir-counts" -> Curation.landedDsirCounts(landedDocs5, "src0"),
       "q129-dsir-thresholds" ->

@@ -323,11 +323,15 @@ object Curation {
     // stratum sizes as a tiny aggregate + broadcast join, NOT an
     // unbounded count().over(partitionBy(stratum)) — perplexityFlag's
     // device: the window form re-traverses every stratum partition
-    // just to learn its size
+    // just to learn its size. NULL-SAFE equality on the stratum key:
+    // groupBy and the rank window both treat NULL as its own group,
+    // and a plain equi-join would silently drop NULL-stratum docs
+    // (review finding).
     val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed(stratum, "__st")
     scored
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(sizes), stratum)
+      .join(broadcast(sizes), col(stratum) <=> col("__st"))
       .select(col(idCol), col(stratum), col("n_feat"), col("logw_e6"),
         when(col("rn") * 10000 <= col("cnt") * keepBp, 1L).otherwise(0L)
           .as("selected"))
@@ -402,11 +406,13 @@ object Curation {
             textCol), counts, buckets, idCol, stratum)
         val w = Window.partitionBy(stratum)
           .orderBy(col("logw_e6").desc, col(idCol))
-        // stratum sizes via aggregate + broadcast, as dsirSelect
+        // stratum sizes via aggregate + null-safe broadcast join, as
+        // dsirSelect
         val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+          .withColumnRenamed(stratum, "__st")
         scored
           .withColumn("rn", row_number().over(w))
-          .join(broadcast(sizes), stratum)
+          .join(broadcast(sizes), col(stratum) <=> col("__st"))
           .filter(col("rn") * 10000 <= col("cnt") * keepBp)
           .groupBy(stratum).agg(min("logw_e6").as("logw_cut"))
       })
@@ -866,10 +872,13 @@ object Curation {
     // stratum sizes as a tiny aggregate + broadcast join, NOT a second
     // unbounded `count().over(partitionBy(stratum))` window — the window
     // form re-traverses every stratum partition just to learn its size
+    // null-safe stratum equality: a plain equi-join would drop
+    // NULL-stratum docs the rank window kept (same fix as dsirSelect)
     val sizes = joined.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed(stratum, "__st")
     joined
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(sizes), stratum)
+      .join(broadcast(sizes), col(stratum) <=> col("__st"))
       .select(col(idCol), col(stratum), col("n_bigrams"), col("sum_logp_e6"),
         when(col("rn") * lit(10000L) <= col("cnt") * lit(cutBp.toLong), 1L)
           .otherwise(0L).as("flagged"))

@@ -112,6 +112,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
   }
 
+  /** The landed corpus's memoized normalized-fingerprint set (kind
+    * "landed-fp") — the exact-dedup landed index, shared by
+    * [[exactIncrementBloom]] and [[ingestGate]]'s exact stage, reused
+    * batch over batch and exposed for an index-build phase. */
+  def landedFingerprints(landed: DataFrame,
+      textCol: String = "text"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "landed-fp", textCol),
+      landed
+        .select(fingerprint(col(textCol)).as("fp"))
+        .filter(col("fp").isNotNull).distinct())
+
   /** Bloom-gated form of [[exactIncrement]] — identical answer, different
     * plumbing for the 100 TB shape of the problem: when the landed corpus
     * is orders of magnitude bigger than the batch, the plain left-anti
@@ -172,11 +184,7 @@ object Dedup {
   def exactIncrementBloom(landed: DataFrame, incoming: DataFrame,
       expectedItems: Long = 0L, fpp: Double = 0.03,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val landedFp = CacheRegistry.cache(
-      CacheRegistry.key(landed, "landed-fp", textCol),
-      landed
-        .select(fingerprint(col(textCol)).as("fp"))
-        .filter(col("fp").isNotNull).distinct())
+    val landedFp = landedFingerprints(landed, textCol)
     val items =
       if (expectedItems > 0) expectedItems
       else math.max(1024L, landedFp.count())
@@ -360,12 +368,21 @@ object Dedup {
     require(minContainBp > 0 && minContainBp <= 10000,
       "minContainBp in (0, 10000]")
     val s = cappedShingleHashes(docs, n, maxDf, textCol, idCol)
-    s.select(col("sid").as("a_id"), col("sh"), col("sz").as("a_sz"))
+    // aggregate each UNORDERED pair once (a<b, halving the dominant
+    // pair-aggregation shuffle vs a directed self-join), then emit both
+    // directions from the grouped row — inter and both sizes already
+    // ride it
+    val grouped = s
+      .select(col("sid").as("a_id"), col("sh"), col("sz").as("a_sz"))
       .join(s.select(col("sid").as("b_id"), col("sh"), col("sz").as("b_sz")), "sh")
-      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"),
         min("a_sz").as("a_size"), min("b_sz").as("b_size"))
+    grouped
+      .unionByName(grouped.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id"), col("inter"),
+        col("b_size").as("a_size"), col("a_size").as("b_size")))
       .filter(col("inter") * 10000 >= col("a_size") * minContainBp)
       .withColumn("containment",
         col("inter").cast("double") / col("a_size").cast("double"))
@@ -1042,9 +1059,8 @@ object Dedup {
       centroidOffset: Int = 8, minCosine: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val landedFp = landedDocs
-      .select(fingerprint(col(textCol)).as("fp"))
-      .filter(col("fp").isNotNull).distinct()
+    // the memoized landed fingerprint set, built once per corpus
+    val landedFp = landedFingerprints(landedDocs, textCol)
     val wFp = Window.partitionBy("fp")
     val exact = batchDocs
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))

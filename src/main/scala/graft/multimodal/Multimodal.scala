@@ -182,7 +182,10 @@ object Multimodal {
     * payload-hash-derived, so only byte-identical payloads collide —
     * which is exactly what makes the full chain DuckDB-replayable
     * (q124's oracle replays FNV/LCG/fingerprint/hamming/CC end to
-    * end). Output: (media_id, img_cluster, keep) for every image row. */
+    * end). Output: (media_id, img_cluster, keep), one row per DECODED
+    * image — a payload the codec rejects (None) is dropped, not
+    * emitted (with the stub codec every payload decodes, so the
+    * oracle face stays total over image rows). */
   def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,
       maxHamming: Int = 6,
       codec: ImageCodec = StubImageCodec): DataFrame = {

@@ -314,10 +314,15 @@ object Similarity {
       .withColumn("rcos", round(cosine(col("c_vec"), col("g_vec")), 4))
       .groupBy("c_id")
       .agg(max_by(col("g_id"), struct(col("rcos"), -col("g_id"))).as("g_id"))
-    route.select(col("g_id"), col("c_id"))
-      .unionByName(coarse.select(col("g_id"), col("g_id").as("c_id")))
-      .distinct()
-      .join(fine, "c_id") // (c_id, g_id, c_vec)
+    // self row carries the coarse centroid's OWN vector, so the
+    // no-empty-cell guard holds even when the caller's coarse codebook
+    // is not a subset of fine (the With face allows an independent
+    // coarse k-means); under the stride faces coarse ⊆ fine and the
+    // distinct folds the duplicate row — oracle-identical
+    route.join(fine, "c_id").select("g_id", "c_id", "c_vec")
+      .unionByName(coarse.select(col("g_id"), col("g_id").as("c_id"),
+        col("g_vec").as("c_vec")))
+      .distinct() // (g_id, c_id, c_vec)
   }
 
   /** The two vector hops given a prebuilt cell table. */

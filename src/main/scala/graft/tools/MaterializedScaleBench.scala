@@ -275,6 +275,7 @@ object MaterializedScaleBench {
         Dedup.bandKeyTable(ld).count()
         Dedup.shingleHashes(ld, 3, "text", "doc_id").count()
         Dedup.landedShingleSet(ld).count()
+        Dedup.landedFingerprints(ld).count()
         graft.similarity.Similarity.landedVecLookup(le).count()
         graft.similarity.Similarity.landedSemanticAssignment(le, 25, 8).count()
         graft.curation.Curation.landedDsirCounts(ld, "src0").count()
