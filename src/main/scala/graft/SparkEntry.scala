@@ -106,14 +106,26 @@ object SparkEntry {
       "q99-landed-bands" -> Dedup.bandKeyTable(landedDocs5),
       "q99-landed-shingles" -> Dedup.shingleHashes(landedDocs5, 3, "text", "doc_id"),
       "q128-landed-sh-set" -> Dedup.landedShingleSet(landedDocs5),
-      // q129's gate: semantic index at the gate's offset-8 codebook and
-      // DSIR indexes on the %5 landed slice (q125's are on %4); the
+      // q129's gate: TWO-LEVEL semantic index at the gate's offset-8
+      // codebook (cells + assignment, the √-law pair) and DSIR indexes
+      // on the %5 landed slice (q125's are on %4); the
       // text/band/vec/shingle-set indexes are shared with q99/q110/q128
       "q129-landed-fp" -> Dedup.landedFingerprints(landedDocs5),
-      "q129-sem-assign" -> Similarity.landedSemanticAssignment(landedEmb5, 25, 8),
+      "q129-sem-cells-2l" ->
+        Similarity.landedTwoLevelCells(landedEmb5, 25, 8, 5),
+      "q129-sem-assign-2l" ->
+        Similarity.landedSemanticAssignment2L(landedEmb5, 25, 8, 5),
       "q129-dsir-counts" -> Curation.landedDsirCounts(landedDocs5, "src0"),
       "q129-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs5, "src0"),
+      // q131/q132's landed LM + boundary ratios on the same %5 slice
+      "q131-ppl-lm" -> Curation.landedBigramLm(landedDocs5),
+      "q131-ppl-thresholds" -> Curation.landedPplThresholds(landedDocs5),
+      // q130's landed image-fingerprint index — the one landed decode,
+      // paid here once; batches probe it with integer equi-joins
+      "q130-img-bands" -> graft.multimodal.Multimodal.landedImageBands(
+        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
+          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
@@ -1723,7 +1735,8 @@ object SparkEntry {
       // buckets the embedding space, pairwise exact cosine >= 0.3
       // within each bucket, CC merges verified pairs, min id kept.
       "q114_semantic_dedup" -> ((s, dir) =>
-        graft.similarity.Similarity.semanticDedup(table(s, dir, "embeddings"))
+        graft.similarity.Similarity.semanticDedupFlat(
+            table(s, dir, "embeddings"))
           .orderBy("vec_id")),
 
       // BPE apply face: segment the corpus with q113's learned merges,
@@ -1738,7 +1751,8 @@ object SparkEntry {
       // curation pipeline applies evidence: byte-identical (exact) >
       // n-gram near-dup > embedding semantic dup > keep. Text verdicts
       // come from the memoized q108 lattice; the semantic residual
-      // (q114's clusters, doc_id ≡ vec_id) only fires on text-keepers.
+      // (the TWO-LEVEL default face — q118's clusters, doc_id ≡
+      // vec_id) only fires on text-keepers.
       "q116_unified_dedup_verdict" -> ((s, dir) =>
         graft.dedup.Dedup.unifiedDedupVerdicts(
             table(s, dir, "documents"), table(s, dir, "embeddings"))
@@ -1751,7 +1765,7 @@ object SparkEntry {
       // cluster-mates instead of band collisions.
       "q117_semantic_incremental" -> ((s, dir) => {
         val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.semanticDedupIncrement(
+        graft.similarity.Similarity.semanticDedupIncrementFlat(
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
           emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
           .orderBy("vec_id")
@@ -1884,6 +1898,49 @@ object SparkEntry {
         val docs = table(s, dir, "documents")
         val emb = table(s, dir, "embeddings")
         Dedup.ingestGate(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
+          .orderBy("doc_id")
+      }),
+
+      // Incremental perceptual image near-dup — the MEDIA cell of the
+      // incremental matrix: the %5==2 slice of the media table arrives
+      // as a batch and probes the landed corpus's memoized pHash band
+      // index (zero landed decode per batch); q110's verdict lattice
+      // with band-value buckets and exact integer hamming verify.
+      "q130_image_neardup_incremental" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.syntheticMedia(
+          table(s, dir, "documents"), "doc_id", "text")
+        Multimodal.imageNearDupIncrement(
+          media.filter(pmod(col("media_id"), lit(5L)) =!= 2),
+          media.filter(pmod(col("media_id"), lit(5L)) === 2))
+          .orderBy("media_id")
+      }),
+
+      // Incremental perplexity cut — the LM cell of the incremental
+      // matrix: the %5==2 slice scores under the LANDED bigram LM
+      // only (unseen bigrams carry no landed evidence and drop) and
+      // flags against the LANDED per-source boundary ratio by exact
+      // integer cross-multiplication.
+      "q131_ppl_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.perplexityFlagIncrement(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
+          .orderBy("doc_id")
+      }),
+
+      // The FULL-funnel ingest gate: q129's lattice extended with the
+      // quality and landed-LM perplexity stages in curationFunnel's
+      // production order — exact > near > semantic > contained >
+      // quality_fail > ppl_cut > not_selected > admit, one pass.
+      "q132_ingest_gate_full" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        Dedup.ingestGateFull(
           docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
@@ -4132,9 +4189,10 @@ object SparkEntry {
 
     "q115_bpe_segment_stats" -> bpeApplyOracle(8),
 
-    // q108's exact/near lattice composed with q114's semantic walk
-    // (doc_id ≡ vec_id): exact > near > semantic > keep, the semantic
-    // branch firing only where the text evidence said keep.
+    // q108's exact/near lattice composed with the TWO-LEVEL semantic
+    // walk (q118's assignment, doc_id ≡ vec_id): exact > near >
+    // semantic > keep, the semantic branch firing only where the text
+    // evidence said keep.
     "q116_unified_dedup_verdict" ->
       s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
           fp AS (SELECT doc_id,
@@ -4155,14 +4213,37 @@ object SparkEntry {
           cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
           emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
           centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
+          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
+          rtc AS (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM centc c, crsc g) t WHERE rn = 1),
+          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM rtc
+                       UNION ALL SELECT g_id, g_id FROM crsc)),
+          vgc AS (SELECT sid, g_id FROM (
+                    SELECT emb.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM emb, crsc g) t WHERE rn = 1),
           asn AS (SELECT sid, c_id FROM (
-                    SELECT emb.sid, c.c_id,
+                    SELECT emb.sid, cellsc.c_id,
                            ROW_NUMBER() OVER (PARTITION BY emb.sid
                              ORDER BY round(list_dot_product(emb.v, c.c_vec) /
                                (sqrt(list_dot_product(emb.v, emb.v)) *
                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM emb, centc c) t WHERE rn = 1),
+                               DESC, cellsc.c_id) rn
+                    FROM emb JOIN vgc ON vgc.sid = emb.sid
+                             JOIN cellsc ON cellsc.g_id = vgc.g_id
+                             JOIN centc c ON c.c_id = cellsc.c_id) t
+                  WHERE rn = 1),
           spr AS (SELECT a.sid a_id, b.sid b_id
                   FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
                   JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
@@ -4354,14 +4435,37 @@ object SparkEntry {
           cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
           emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
           centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
+          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
+          rtc AS (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM centc c, crsc g) t WHERE rn = 1),
+          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM rtc
+                       UNION ALL SELECT g_id, g_id FROM crsc)),
+          vgc AS (SELECT sid, g_id FROM (
+                    SELECT emb.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM emb, crsc g) t WHERE rn = 1),
           asn AS (SELECT sid, c_id FROM (
-                    SELECT emb.sid, c.c_id,
+                    SELECT emb.sid, cellsc.c_id,
                            ROW_NUMBER() OVER (PARTITION BY emb.sid
                              ORDER BY round(list_dot_product(emb.v, c.c_vec) /
                                (sqrt(list_dot_product(emb.v, emb.v)) *
                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM emb, centc c) t WHERE rn = 1),
+                               DESC, cellsc.c_id) rn
+                    FROM emb JOIN vgc ON vgc.sid = emb.sid
+                             JOIN cellsc ON cellsc.g_id = vgc.g_id
+                             JOIN centc c ON c.c_id = cellsc.c_id) t
+                  WHERE rn = 1),
           spr AS (SELECT a.sid a_id, b.sid b_id
                   FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
                   JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
@@ -4729,12 +4833,221 @@ object SparkEntry {
                            THEN 1 ELSE 0 END AS BIGINT) contained
           FROM j ORDER BY doc_id""",
 
-    // The q83/q99/q117(offset 8)/q128/q125 oracle chains composed on
-    // one slice with first-rejecting-stage precedence — each fragment
-    // is an already-verified oracle, only the slice and CTE names
-    // change.
-    "q129_ingest_gate" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+    // The q83/q99/q122(offset 8, the TWO-LEVEL assignment)/q128/q125
+    // oracle chains composed on one slice with first-rejecting-stage
+    // precedence — each fragment is an already-verified oracle, only
+    // the slice and CTE names change.
+    "q129_ingest_gate" -> ingestGateOracle(full = false),
+
+    // q124's FNV/LCG stub-codec fingerprint replay with the q110
+    // verdict lattice: candidates only where the a-side is the batch
+    // (%5==2), side from the b-row's slice, landed_dup absorbing
+    // before any within-batch evidence, recursive walk over verified
+    // batch pairs among survivors.
+    "q130_image_neardup_incremental" ->
+      """WITH RECURSIVE hx AS (
+           SELECT doc_id, lower(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE doc_id % 3 = 0),
+         fnv AS (
+           SELECT doc_id, h, len, 0 AS i,
+                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
+           UNION ALL
+           SELECT doc_id, h, len, i + 1,
+                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
+                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+           FROM fnv WHERE i < len),
+         lcg AS (
+           SELECT doc_id, 0 AS j, acc AS s FROM fnv WHERE i = len
+           UNION ALL
+           SELECT doc_id, j + 1,
+                  (s * 6364136223846793005 + 1442695040888963407)
+                    % CAST(18446744073709551616 AS HUGEINT)
+           FROM lcg WHERE j < 60),
+         kk AS (SELECT doc_id, j - 1 AS pos,
+                  CAST((s // CAST(1099511627776 AS HUGEINT)) % 1000
+                    AS BIGINT) k
+                FROM lcg WHERE j >= 1),
+         tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) ksum
+                 FROM kk GROUP BY doc_id),
+         bits AS (SELECT kk.doc_id, pos,
+                    CASE WHEN k * 60 > ksum THEN 1 ELSE 0 END bt
+                  FROM kk JOIN tot USING (doc_id)),
+         bnd AS (SELECT doc_id, CAST(pos // 15 AS INT) band,
+                   CAST(SUM(bt * (CAST(1 AS BIGINT) << CAST(pos % 15 AS INT)))
+                     AS BIGINT) bval
+                 FROM bits GROUP BY doc_id, pos // 15),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                    CASE WHEN b.doc_id % 5 = 2 THEN 'batch'
+                         ELSE 'landed' END side
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bval = b.bval
+                  WHERE a.doc_id % 5 = 2
+                    AND (b.doc_id % 5 != 2 OR a.doc_id < b.doc_id)),
+         ham AS (SELECT c.a_id, c.b_id, c.side,
+                   CAST(SUM(bit_count(xor(x.bval, y.bval))) AS BIGINT) hm
+                 FROM cand c JOIN bnd x ON x.doc_id = c.a_id
+                   JOIN bnd y ON y.doc_id = c.b_id AND y.band = x.band
+                 GROUP BY c.a_id, c.b_id, c.side),
+         ver AS (SELECT a_id, b_id, side FROM ham WHERE hm <= 6),
+         ld AS (SELECT DISTINCT a_id i FROM ver WHERE side = 'landed'),
+         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
+                  AND a_id NOT IN (SELECT i FROM ld)
+                  AND b_id NOT IN (SELECT i FROM ld)),
+         ed AS (SELECT a_id u, b_id v FROM bp
+                UNION ALL SELECT b_id, a_id FROM bp),
+         walk(u, r) AS (SELECT doc_id, doc_id FROM hx WHERE doc_id % 5 = 2
+                        UNION
+                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u doc_id, MIN(r) lbl FROM walk GROUP BY u)
+         SELECT doc_id AS media_id,
+                CASE WHEN doc_id IN (SELECT i FROM ld) THEN 'landed_dup'
+                     WHEN lbl != doc_id THEN 'batch_dup'
+                     ELSE 'keep' END AS verdict
+         FROM cl ORDER BY media_id""",
+
+    // Landed bigram LM + landed per-source boundary ratio (the last
+    // flagged landed doc's exact integer (sum, nb) pair), batch
+    // scored over LM-known bigrams only, flag by integer
+    // cross-multiplication — every comparison engine-exact.
+    "q131_ppl_incremental" ->
+      """WITH lbg AS (SELECT doc_id, source, unnest(list_transform(
+                  range(1, len(tk)),
+                  i -> array_to_string(tk[i:i+1], ' '))) g
+                FROM (SELECT doc_id, source,
+                        regexp_split_to_array(trim(text), '\s+') tk
+                      FROM documents WHERE doc_id % 5 != 2) t),
+         cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM lbg
+                 GROUP BY g),
+         ca AS (SELECT split_part(g, ' ', 1) a,
+                  CAST(SUM(n_ab) AS BIGINT) n_a
+                FROM cab GROUP BY 1),
+         lsc AS (SELECT doc_id, source,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                     AS BIGINT) lp
+                 FROM lbg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a),
+         lsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
+                    CAST(SUM(lp) AS BIGINT) se
+                  FROM lsc GROUP BY doc_id, source),
+         lj AS (SELECT doc_id, source, nb, se,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY se / 1000000.0 / nb, doc_id) rn,
+                  COUNT(*) OVER (PARTITION BY source) cnt
+                FROM lsco),
+         th AS (SELECT source, se th_sum, nb th_nb FROM (
+                  SELECT source, se, nb,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY rn DESC) r2
+                  FROM lj WHERE rn * 10000 <= cnt * 1000) t
+                WHERE r2 = 1),
+         bd AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 2),
+         bbg AS (SELECT doc_id, unnest(list_transform(
+                   range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g
+                 FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') tk
+                       FROM documents WHERE doc_id % 5 = 2) t),
+         bsc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                     AS BIGINT) lp
+                 FROM bbg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a),
+         bsco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nb,
+                    CAST(SUM(lp) AS BIGINT) se
+                  FROM bsc GROUP BY doc_id)
+         SELECT bd.doc_id, bd.source,
+                COALESCE(s.nb, 0) AS n_bigrams,
+                COALESCE(s.se, 0) AS sum_logp_e6,
+                CAST(CASE WHEN th.th_sum IS NOT NULL AND s.se IS NOT NULL
+                            AND s.se * th.th_nb <= th.th_sum * s.nb
+                          THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         FROM bd LEFT JOIN bsco s USING (doc_id)
+           LEFT JOIN th ON bd.source IS NOT DISTINCT FROM th.source
+         ORDER BY bd.doc_id""",
+
+    "q132_ingest_gate_full" -> ingestGateOracle(full = true))
+
+  /** The ingest-gate oracle family: q129's precedence lattice, and —
+    * with `full` — q132's, which adds the quality (q94 fragment) and
+    * landed-LM perplexity (q131 fragment) stages between `contained`
+    * and `not_selected`. Every stage's evidence is recomputed
+    * independently in the oracle, as across the gate family. */
+  private def ingestGateOracle(full: Boolean): String = {
+    val extraCtes = if (!full) "" else s"""
+          qf AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tok,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) n_uniq
+                 FROM documents WHERE doc_id % 5 = 2),
+          qg AS (SELECT doc_id,
+                   (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
+                   (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
+                   (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
+                   (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
+                 FROM qf),
+          plbg AS (SELECT doc_id, source, unnest(list_transform(
+                     range(1, len(tk)),
+                     i -> array_to_string(tk[i:i+1], ' '))) g
+                   FROM (SELECT doc_id, source,
+                           regexp_split_to_array(trim(text), '\\s+') tk
+                         FROM documents WHERE doc_id % 5 != 2) t),
+          pcab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM plbg
+                   GROUP BY g),
+          pca AS (SELECT split_part(g, ' ', 1) a,
+                    CAST(SUM(n_ab) AS BIGINT) n_a
+                  FROM pcab GROUP BY 1),
+          plsc AS (SELECT doc_id, source,
+                     CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                       AS BIGINT) lp
+                   FROM plbg JOIN pcab USING (g)
+                     JOIN pca ON split_part(g, ' ', 1) = a),
+          plsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
+                      CAST(SUM(lp) AS BIGINT) se
+                    FROM plsc GROUP BY doc_id, source),
+          plj AS (SELECT doc_id, source, nb, se,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY se / 1000000.0 / nb, doc_id) rn,
+                    COUNT(*) OVER (PARTITION BY source) cnt
+                  FROM plsco),
+          pth AS (SELECT source, se th_sum, nb th_nb FROM (
+                    SELECT source, se, nb,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY rn DESC) r2
+                    FROM plj WHERE rn * 10000 <= cnt * 1000) t
+                  WHERE r2 = 1),
+          pbbg AS (SELECT doc_id, source, unnest(list_transform(
+                     range(1, len(tk)),
+                     i -> array_to_string(tk[i:i+1], ' '))) g
+                   FROM (SELECT doc_id, source,
+                           regexp_split_to_array(trim(text), '\\s+') tk
+                         FROM documents WHERE doc_id % 5 = 2) t),
+          pbsc AS (SELECT doc_id, source,
+                     CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                       AS BIGINT) lp
+                   FROM pbbg JOIN pcab USING (g)
+                     JOIN pca ON split_part(g, ' ', 1) = a),
+          pbsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
+                      CAST(SUM(lp) AS BIGINT) se
+                    FROM pbsc GROUP BY doc_id, source),
+          pfl AS (SELECT b.doc_id,
+                    CASE WHEN pth.th_sum IS NOT NULL
+                           AND b.se * pth.th_nb <= pth.th_sum * b.nb
+                         THEN 1 ELSE 0 END flagged
+                  FROM pbsco b LEFT JOIN pth
+                    ON b.source IS NOT DISTINCT FROM pth.source),"""
+    val extraCases = if (!full) "" else """
+                      WHEN COALESCE(qg.reasons, 0) != 0
+                        THEN 'quality_fail'
+                      WHEN COALESCE(pfl.flagged, 0) = 1
+                        THEN 'ppl_cut'"""
+    val extraJoins = if (!full) "" else """
+          LEFT JOIN qg ON qg.doc_id = xb.doc_id
+          LEFT JOIN pfl ON pfl.doc_id = xb.doc_id"""
+    s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
           xfp AS (SELECT doc_id,
                     md5(trim(regexp_replace(regexp_replace(lower(text),
                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
@@ -4780,14 +5093,38 @@ object SparkEntry {
           se AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
           scent AS (SELECT sid c_id, v c_vec FROM se
                     WHERE sid % 25 = 8 AND sid % 5 != 2),
+          scrs AS (SELECT sid g_id, v g_vec FROM se
+                   WHERE sid % 125 = 8 AND sid % 5 != 2),
+          srt AS (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM scent c, scrs g) t WHERE rn = 1),
+          scells AS (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM srt
+                       UNION ALL SELECT g_id, g_id FROM scrs)),
+          svg AS (SELECT sid, g_id FROM (
+                    SELECT se.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY se.sid
+                             ORDER BY round(list_dot_product(se.v, g.g_vec) /
+                               (sqrt(list_dot_product(se.v, se.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM se, scrs g) t WHERE rn = 1),
           sasn AS (SELECT sid, c_id FROM (
-                     SELECT se.sid, c.c_id,
+                     SELECT se.sid, scells.c_id,
                             ROW_NUMBER() OVER (PARTITION BY se.sid
                               ORDER BY round(list_dot_product(se.v, c.c_vec) /
                                 (sqrt(list_dot_product(se.v, se.v)) *
                                  sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM se, scent c) t WHERE rn = 1),
+                                DESC, scells.c_id) rn
+                     FROM se JOIN svg ON svg.sid = se.sid
+                             JOIN scells ON scells.g_id = svg.g_id
+                             JOIN scent c ON c.c_id = scells.c_id) t
+                   WHERE rn = 1),
           scand AS (SELECT a.sid a_id, b.sid b_id,
                       CASE WHEN b.sid % 5 = 2 THEN 'batch'
                            ELSE 'landed' END side
@@ -4875,6 +5212,7 @@ object SparkEntry {
                   FROM tbb LEFT JOIN dcnt USING (b), dtot),
           bsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
                    FROM bsc GROUP BY doc_id, source),
+$extraCtes
           dsel AS (SELECT b.doc_id,
                      CASE WHEN th.logw_cut IS NOT NULL
                             AND b.logw_e6 >= th.logw_cut
@@ -4895,6 +5233,7 @@ object SparkEntry {
                       WHEN COALESCE(cj.n_landed * 10000 >=
                              cj.n_shingles * 8000, FALSE)
                         THEN 'contained'
+$extraCases
                       WHEN COALESCE(dsel.selected, 0) = 0
                         THEN 'not_selected'
                       ELSE 'admit' END AS gate
@@ -4902,8 +5241,9 @@ object SparkEntry {
           LEFT JOIN cl ON cl.doc_id = xb.doc_id
           LEFT JOIN scl ON scl.sid = xb.doc_id
           LEFT JOIN cj ON cj.sid = xb.doc_id
-          LEFT JOIN dsel ON dsel.doc_id = xb.doc_id
-          ORDER BY xb.doc_id""")
+          LEFT JOIN dsel ON dsel.doc_id = xb.doc_id$extraJoins
+          ORDER BY xb.doc_id"""
+  }
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one

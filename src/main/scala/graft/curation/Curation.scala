@@ -912,6 +912,104 @@ object Curation {
         when(col("avg_logp") <= col("__thr"), 1L).otherwise(0L).as("flagged"))
   }
 
+  /** The LANDED corpus's memoized bigram language model (kind
+    * "ppl-landed-lm") — (g, n_ab, n_a), the [[bigramLogProb]] model
+    * tables built from the landed slice only, reused batch over batch
+    * by [[perplexityFlagIncrement]] and exposed for an index-build
+    * phase. The model is a landed-side artifact: an incoming batch
+    * must not move the LM it is scored by. */
+  def landedBigramLm(landed: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "ppl-landed-lm", idCol, textCol), {
+        val bigrams = landed.select(col(idCol),
+          explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+        val cntAb = bigrams.groupBy("g").agg(count(lit(1)).as("n_ab"))
+        val cntA = cntAb
+          .groupBy(substring_index(col("g"), " ", 1).as("a"))
+          .agg(sum(col("n_ab")).as("n_a"))
+        cntAb.join(cntA, substring_index(col("g"), " ", 1) === col("a"))
+          .select(col("g"), col("n_ab"), col("n_a"))
+      })
+
+  /** The LANDED per-stratum perplexity cut (kind "ppl-thresholds") —
+    * one row per stratum holding the BOUNDARY landed document's exact
+    * integer score ratio (th_sum_e6, th_nb): the last flagged doc of
+    * [[perplexityFlag]]'s rank selection over the landed slice (rank
+    * by avg_logp ascending, doc-id tiebreak; boundary = max flagged
+    * rank). Stored as the integer pair, not the divided double, so
+    * the batch comparison can cross-multiply exactly. A stratum too
+    * small to flag anyone at `cutBp` yields no row. */
+  def landedPplThresholds(landed: DataFrame, cutBp: Int = 1000,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "ppl-thresholds", cutBp, stratum,
+        idCol, textCol), {
+        val scored = perplexityScored(landed, stratum, idCol, textCol)
+        val w = Window.partitionBy(stratum)
+          .orderBy(col("avg_logp"), col(idCol))
+        val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+          .withColumnRenamed(stratum, "__st")
+        scored.withColumn("rn", row_number().over(w))
+          .join(broadcast(sizes), col(stratum) <=> col("__st"))
+          .filter(col("rn") * lit(10000L) <= col("cnt") * lit(cutBp.toLong))
+          .groupBy(stratum)
+          .agg(max_by(struct(col("sum_logp_e6"), col("n_bigrams")),
+            col("rn")).as("th"))
+          .select(col(stratum), col("th.sum_logp_e6").as("th_sum_e6"),
+            col("th.n_bigrams").as("th_nb"))
+      })
+
+  /** Incremental perplexity cut for append-only ingest — the LM-
+    * quality cell of the incremental matrix: an incoming batch is
+    * scored under the LANDED bigram LM ([[landedBigramLm]]) and
+    * flagged against the LANDED per-stratum boundary
+    * ([[landedPplThresholds]]), so verdicts are batch-order-
+    * independent (the landed-codebook principle applied to the LM: a
+    * batch must not move the model or the cut it is judged by).
+    *
+    * Scoring matches [[bigramLogProb]]'s integer device over the
+    * bigrams the landed LM KNOWS: a batch bigram unseen in the landed
+    * model contributes nothing (MLE assigns it zero mass — there is
+    * no landed evidence to score it with), `n_bigrams` counts matched
+    * bigrams only. The flag comparison is exact integer cross-
+    * multiplication — avg_b ≤ θ ⟺ sum_b·th_nb ≤ th_sum·n_b (both
+    * counts positive) — so no engine ever disagrees on a boundary.
+    * Absence of evidence never rejects: a doc with zero matched
+    * bigrams, or a stratum with no landed threshold, is not flagged.
+    *
+    * Scale: the per-batch cost is the batch's own bigram projection
+    * g-keyed-joined against the memoized LM (q89's shape) + one
+    * broadcast threshold join; landed data is never rescanned.
+    * Output: (idCol, stratum, n_bigrams, sum_logp_e6, flagged), one
+    * row per incoming doc. */
+  def perplexityFlagIncrement(landed: DataFrame, incoming: DataFrame,
+      cutBp: Int = 1000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lm = landedBigramLm(landed, idCol, textCol)
+    val th = landedPplThresholds(landed, cutBp, stratum, idCol, textCol)
+      .withColumnRenamed(stratum, "__st")
+    val scored = incoming.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .join(lm, "g")
+      .withColumn("logp_e6",
+        round(log(col("n_ab").cast("double") / col("n_a")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("logp_e6").as("sum_logp_e6"))
+    incoming.select(col(idCol), col(stratum))
+      .join(scored, Seq(idCol), "left")
+      .join(broadcast(th), col(stratum) <=> col("__st"), "left")
+      .select(col(idCol), col(stratum),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"),
+        when(col("th_sum_e6").isNotNull && col("sum_logp_e6").isNotNull &&
+          col("sum_logp_e6") * col("th_nb") <=
+            col("th_sum_e6") * col("n_bigrams"), 1L)
+          .otherwise(0L).as("flagged"))
+  }
+
   /** Mixture-rebalancing report — the "data mixing" decision a training
     * run makes before sampling: given the natural per-stratum token mass
     * and a uniform target mixture at the corpus's own token budget,
@@ -1104,7 +1202,11 @@ object Curation {
     * cost is three id-keyed joins plus one (source, stage) hash
     * aggregate — nothing here re-touches text. Documents too short to
     * score under the bigram LM (< 2 tokens) carry flagged = 0 via the
-    * left join, mirroring the oracle. */
+    * left join, mirroring the oracle. The verdict join is total even
+    * under PARTIAL embedding coverage: [[graft.dedup.Dedup
+    * .unifiedDedupVerdicts]] left-joins its semantic stage (a doc
+    * without an embedding row passes that stage), so 'every document
+    * attributed' holds unconditionally (ADVICE-r14 fix). */
   def curationFunnel(docs: DataFrame, embeddings: DataFrame,
       cutBp: Int = 1000, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

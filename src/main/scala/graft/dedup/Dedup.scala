@@ -1034,10 +1034,10 @@ object Dedup {
     * evidence first):
     *
     *   exact_landed_dup > exact_batch_dup > near_dup (the q99 text-LSH
-    *   lattice) > semantic_dup (landed-codebook semantic increment) >
-    *   contained ([[landedContainmentScreen]]'s recombination class) >
-    *   not_selected (DSIR against the landed target distribution) >
-    *   admit.
+    *   lattice) > semantic_dup (landed TWO-LEVEL-codebook semantic
+    *   increment) > contained ([[landedContainmentScreen]]'s
+    *   recombination class) > not_selected (DSIR against the landed
+    *   target distribution) > admit.
     *
     * Every stage is one of the independently-oracled incremental
     * operators reading its own memoized landed index; the gate adds
@@ -1045,9 +1045,18 @@ object Dedup {
     * stage. All verdicts are batch-order-independent because every
     * stage's evidence (fingerprint set, shingle/band tables, codebook,
     * distributions, thresholds) is a landed-side artifact. The
-    * semantic stage's centroid offset must select LANDED ids under the
-    * caller's slicing (for a `%5==2` batch, offset 8 ≡ 3 mod 5 — the
-    * default; offset 7 would put every stride centroid in the batch).
+    * semantic stage composes the √-law face
+    * ([[graft.similarity.Similarity.semanticDedupIncrementTwoLevel]],
+    * fine stride 25 / coarse factor 5): the landed index build and the
+    * per-batch assignment both cost O(·√nlist) instead of the flat
+    * face's O(·nlist) — the measured 18.67×-vs-2.86×@30× difference —
+    * and its memoized "sem-cells-2l"/"sem-assign-2l" indexes are the
+    * ones an index phase should pre-build. The centroid offset must
+    * select LANDED ids under the caller's slicing (for a `%5==2`
+    * batch, offset 8 ≡ 3 mod 5 — the default; offset 7 would put
+    * every stride centroid in the batch; a slicing that leaves the
+    * landed codebook EMPTY degenerates the semantic stage to
+    * all-pass, guarded by a construction-time require below).
     * Documents too short for a stage (no shingles, no tokens) pass
     * that stage via the left-join coalesce: absence of evidence never
     * rejects — except DSIR, where no score means no admission evidence
@@ -1058,7 +1067,30 @@ object Dedup {
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
+      centroidOffset, minCosine, textCol, idCol, vecIdCol, vecCol)
+      .select(col(idCol),
+        when(col("fp").isNotNull && col("__lx").isNotNull,
+          "exact_landed_dup")
+          .when(col("fp").isNotNull && col(idCol) =!= col("__minb"),
+            "exact_batch_dup")
+          .when(coalesce(col("__near"), lit("keep")) =!= "keep", "near_dup")
+          .when(coalesce(col("__sem"), lit("keep")) =!= "keep",
+            "semantic_dup")
+          .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
+          .when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
+          .otherwise(lit("admit")).as("gate"))
+
+  /** The five dedup/selection evidence columns of the ingest-gate
+    * family, joined id-keyed onto the batch — shared by [[ingestGate]]
+    * and [[ingestGateFull]], which differ only in their when-chains
+    * (and the full gate's two extra quality/perplexity joins). */
+  private def ingestEvidence(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int, minCosine: Double,
+      textCol: String, idCol: String,
+      vecIdCol: String, vecCol: String): DataFrame = {
     // the memoized landed fingerprint set, built once per corpus
     val landedFp = landedFingerprints(landedDocs, textCol)
     val wFp = Window.partitionBy("fp")
@@ -1069,10 +1101,20 @@ object Dedup {
     val near = lshIncrement(landedDocs, batchDocs,
         textCol = textCol, idCol = idCol)
       .select(col(idCol), col("verdict").as("__near"))
-    val sem = graft.similarity.Similarity.semanticDedupIncrement(
-        landedEmb, batchEmb, centroidStride = 25,
-        centroidOffset = centroidOffset, minCosine = minCosine,
-        idCol = vecIdCol, vecCol = vecCol)
+    // the ADVICE-r14 degeneration guard: an empty landed codebook at
+    // the chosen stride/offset would silently pass every doc through
+    // the semantic stage — fail loud instead (one cheap construction-
+    // time job over the memoized landed vec lookup's stride filter)
+    require(!landedEmb
+        .filter(pmod(col(vecIdCol), lit(25L)) === centroidOffset)
+        .isEmpty,
+      s"ingestGate: landed embedding slice yields ZERO centroids at " +
+        s"stride 25 / offset $centroidOffset — the semantic stage would " +
+        "degenerate to all-pass; pick an offset the landed slicing keeps")
+    val sem = graft.similarity.Similarity.semanticDedupIncrementTwoLevel(
+        landedEmb, batchEmb, fineStride = 25,
+        fineOffset = centroidOffset, coarseFactor = 5,
+        minCosine = minCosine, idCol = vecIdCol, vecCol = vecCol)
       .select(col(vecIdCol).as(idCol), col("verdict").as("__sem"))
     val cont = landedContainmentScreen(landedDocs, batchDocs,
         textCol = textCol, idCol = idCol)
@@ -1086,6 +1128,42 @@ object Dedup {
       .join(sem, Seq(idCol), "left")
       .join(cont, Seq(idCol), "left")
       .join(sel, Seq(idCol), "left")
+  }
+
+  /** The FULL-funnel ingest gate — [[ingestGate]]'s precedence
+    * lattice extended with the two curation stages
+    * [[graft.curation.Curation.curationFunnel]] applies after dedup,
+    * completing the production order a real append-only pipeline
+    * runs in ONE pass:
+    *
+    *   exact_landed_dup > exact_batch_dup > near_dup > semantic_dup >
+    *   contained > quality_fail ([[graft.curation.Curation.qualityGate]],
+    *   per-doc pure — no corpus state to keep batch-order-independent) >
+    *   ppl_cut ([[graft.curation.Curation.perplexityFlagIncrement]],
+    *   scored under the LANDED bigram LM against the LANDED
+    *   per-stratum boundary) > not_selected (DSIR) > admit.
+    *
+    * Marginal cost over [[ingestGate]] is exactly two more id-keyed
+    * left joins: the quality stage is pure codegen over the batch and
+    * the perplexity stage is the batch's bigram projection against
+    * the memoized landed LM plus one broadcast threshold join. Every
+    * stage's corpus-dependent evidence is a landed-side artifact, so
+    * the full gate stays batch-order-independent. Output:
+    * (idCol, gate), one row per incoming document. */
+  def ingestGateFull(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, minCosine: Double = 0.3, cutBp: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qual = graft.curation.Curation.qualityGate(batchDocs, idCol, textCol)
+      .select(col(idCol), col("reasons").as("__qr"))
+    val ppl = graft.curation.Curation.perplexityFlagIncrement(
+        landedDocs, batchDocs, cutBp, "source", idCol, textCol)
+      .select(col(idCol), col("flagged").as("__pf"))
+    ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
+      centroidOffset, minCosine, textCol, idCol, vecIdCol, vecCol)
+      .join(qual, Seq(idCol), "left")
+      .join(ppl, Seq(idCol), "left")
       .select(col(idCol),
         when(col("fp").isNotNull && col("__lx").isNotNull,
           "exact_landed_dup")
@@ -1095,6 +1173,8 @@ object Dedup {
           .when(coalesce(col("__sem"), lit("keep")) =!= "keep",
             "semantic_dup")
           .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
+          .when(coalesce(col("__qr"), lit(0L)) =!= 0, "quality_fail")
+          .when(coalesce(col("__pf"), lit(0L)) === 1, "ppl_cut")
           .when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
           .otherwise(lit("admit")).as("gate"))
   }
@@ -1135,30 +1215,34 @@ object Dedup {
     * real curation pipeline applies: byte-identical (`exact_dup`) >
     * n-gram near-dup (`near_dup`) > embedding semantic dup
     * (`semantic_dup`, [[graft.similarity.Similarity.semanticDedup]]'s
-    * non-representative cluster members) > `keep`. Stronger evidence
-    * wins: the semantic branch only fires on documents the text lattice
-    * kept, mirroring how SemDeDup is deployed after exact/near dedup.
-    * `embeddings` rows join by id (`vecIdCol` ≡ `idCol` value space —
-    * one embedding per document).
+    * — the TWO-LEVEL-codebook default face's — non-representative
+    * cluster members) > `keep`. Stronger evidence wins: the semantic
+    * branch only fires on documents the text lattice kept, mirroring
+    * how SemDeDup is deployed after exact/near dedup. `embeddings`
+    * rows join by id (`vecIdCol` ≡ `idCol` value space); a document
+    * WITHOUT an embedding row passes the semantic stage (absence of
+    * evidence never rejects — the left-join coalesce below, the
+    * ADVICE-r14 partition-totality fix: every input doc gets a
+    * verdict even under partial embedding coverage).
     *
     * Scale: one id-keyed join over the two memoized verdict pipelines
     * ([[dedupVerdicts]]'s fp aggregate + cluster table; the semantic
-    * side's assignment + within-cluster pairs) — no new corpus-wide
-    * stage. Output: (idCol, verdict). */
+    * side's two-hop assignment + within-cell pairs) — no new
+    * corpus-wide stage. Output: (idCol, verdict). */
   def unifiedDedupVerdicts(docs: DataFrame, embeddings: DataFrame,
-      centroidStride: Int = 25, centroidOffset: Int = 7,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
       minCosine: Double = 0.3, textCol: String = "text",
       idCol: String = "doc_id", vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val text = dedupVerdicts(docs, textCol, idCol)
     val sem = graft.similarity.Similarity
-      .semanticDedup(embeddings, centroidStride, centroidOffset, minCosine,
-        vecIdCol, vecCol)
+      .semanticDedup(embeddings, fineStride, fineOffset, coarseFactor,
+        minCosine, vecIdCol, vecCol)
       .select(col(vecIdCol).as(idCol), col("keep").as("sem_keep"))
-    text.join(sem, idCol)
+    text.join(sem, Seq(idCol), "left")
       .select(col(idCol),
         when(col("verdict") =!= "keep", col("verdict"))
-          .when(!col("sem_keep"), lit("semantic_dup"))
+          .when(!coalesce(col("sem_keep"), lit(true)), lit("semantic_dup"))
           .otherwise(lit("keep")).as("verdict"))
   }
 

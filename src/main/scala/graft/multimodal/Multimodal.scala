@@ -186,9 +186,15 @@ object Multimodal {
     * image — a payload the codec rejects (None) is dropped, not
     * emitted (with the stub codec every payload decodes, so the
     * oracle face stays total over image rows). */
-  def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,
-      maxHamming: Int = 6,
-      codec: ImageCodec = StubImageCodec): DataFrame = {
+  /** The pHash band-fingerprint table of a media table's IMAGE rows —
+    * (media_id, band, bval), `bands` rows per decoded image: decode,
+    * mean-threshold bits, packed band integers (the [[imageNearDup]]
+    * construction, factored out so the incremental face can memoize
+    * the landed side). Decode is paid exactly once per row here;
+    * everything downstream of this table works on `bands` small ints
+    * per image and never re-touches payload bytes. */
+  def imageBandTable(media: DataFrame, featureDim: Int = 60,
+      bands: Int = 4, codec: ImageCodec = StubImageCodec): DataFrame = {
     require(featureDim % bands == 0, "featureDim must divide into bands")
     val bitsPerBand = featureDim / bands
     require(bitsPerBand <= 30, "band values must stay in integer range")
@@ -198,7 +204,7 @@ object Multimodal {
       .withColumn("k", round(col("col").cast("double") * 1000).cast("long"))
       .select("media_id", "pos", "k")
     val tot = ks.groupBy("media_id").agg(sum("k").as("ksum"))
-    val bandTable = ks.join(tot, "media_id")
+    ks.join(tot, "media_id")
       .withColumn("bit",
         when(col("k") * featureDim > col("ksum"), 1L).otherwise(0L))
       .groupBy(col("media_id"),
@@ -206,6 +212,25 @@ object Multimodal {
       .agg(sum(col("bit") *
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bitsPerBand AS INT))"))
         .as("bval"))
+  }
+
+  /** The LANDED corpus's memoized image-fingerprint index (kind
+    * "img-bands") — [[imageNearDupIncrement]]'s landed side, built
+    * once per corpus (paying the landed decode once) and probed by
+    * batch equi-joins batch over batch, exposed for an index-build
+    * phase. */
+  def landedImageBands(landed: DataFrame, featureDim: Int = 60,
+      bands: Int = 4, codec: ImageCodec = StubImageCodec): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "img-bands", featureDim, bands),
+      imageBandTable(landed, featureDim, bands, codec))
+
+  def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,
+      maxHamming: Int = 6,
+      codec: ImageCodec = StubImageCodec): DataFrame = {
+    val images = media.filter(col("kind") === "image")
+    val dec = decodeImages(images, featureDim, codec).toDF()
+    val bandTable = imageBandTable(media, featureDim, bands, codec)
     val cand = bandTable.select(col("media_id").as("a_id"), col("band"),
         col("bval"))
       .join(bandTable.select(col("media_id").as("b_id"), col("band"),
@@ -229,6 +254,84 @@ object Multimodal {
       dec.select(col("media_id")), "media_id")
     labels.select(col("id").as("media_id"), col("lbl").as("img_cluster"))
       .withColumn("keep", col("media_id") === col("img_cluster"))
+  }
+
+  /** Incremental perceptual image near-dup for append-only ingest —
+    * the MEDIA cell of the incremental matrix (exact: q83/q88; near
+    * text: q99; near embedding: q110; substring: q111; semantic:
+    * q117/q122; selection: q125; containment: q128): an incoming
+    * media batch is screened against the landed corpus's memoized
+    * pHash fingerprint index ([[landedImageBands]], kind "img-bands"),
+    * then against itself — [[graft.similarity.Similarity.lshIncrement]]'s
+    * verdict lattice with the band-value bucket standing for the LSH
+    * bucket and exact hamming (Σ bit_count(xor) over the `bands`
+    * packed ints) standing for exact cosine.
+    *
+    * Landed-side work per batch: ZERO decode (the landed index is
+    * `bands` small ints per image, built once per corpus) — the batch
+    * pays its own decode once inside its band table and every
+    * verification afterwards reads integers. Candidates form as ONE
+    * (band, bval) equi-join of the batch band table against the
+    * tagged union of both; verification is an integer aggregate over
+    * the `bands` rows of each surviving pair; `landed_dup` wins
+    * before any within-batch evidence (batch-order-independent: the
+    * landed fingerprints cannot be moved by the batch); CC runs over
+    * verified batch pairs among survivors only. Decoded-row universe:
+    * one verdict row per DECODED batch image, as [[imageNearDup]] —
+    * a payload the codec rejects gets no verdict.
+    *
+    * Durability caveat as the other incremental faces: the verified-
+    * pair table is pinned with `localCheckpoint`, whose blocks cannot
+    * be recomputed after an executor loss; a cluster deployment that
+    * cannot tolerate a mid-batch retry should swap it for reliable
+    * `checkpoint()`. Output: (media_id, verdict ∈ {landed_dup,
+    * batch_dup, keep}). */
+  def imageNearDupIncrement(landed: DataFrame, incoming: DataFrame,
+      featureDim: Int = 60, bands: Int = 4, maxHamming: Int = 6,
+      codec: ImageCodec = StubImageCodec): DataFrame = {
+    val lb = landedImageBands(landed, featureDim, bands, codec)
+    val ib = imageBandTable(incoming, featureDim, bands, codec)
+    val allBands = ib
+      .select(col("media_id"), col("band"), col("bval"), lit("batch").as("src"))
+      .unionByName(lb
+        .select(col("media_id"), col("band"), col("bval"),
+          lit("landed").as("src")))
+    val cand = ib.select(col("media_id").as("a_id"), col("band"), col("bval"))
+      .join(allBands.select(col("media_id").as("b_id"), col("band"),
+        col("bval"), col("src").as("side")), Seq("band", "bval"))
+      .filter(col("side") === "landed" || col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "side").distinct()
+    val bu = ib.unionByName(lb)
+    val verified = cand
+      .join(ib.select(col("media_id").as("a_id"), col("band"),
+        col("bval").as("av")), "a_id")
+      .join(bu.select(col("media_id").as("b_id"), col("band"),
+        col("bval").as("bv")), Seq("b_id", "band"))
+      .groupBy("a_id", "b_id", "side")
+      .agg(sum(bit_count(col("av").bitwiseXOR(col("bv")))).as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .select("a_id", "b_id", "side")
+      .localCheckpoint(true) // single-node caveat: see scaladoc
+    val landedDup = verified.filter(col("side") === "landed")
+      .select(col("a_id").as("media_id")).distinct()
+    val batchPairs = verified.filter(col("side") === "batch")
+      .select("a_id", "b_id")
+      .join(landedDup.select(col("media_id").as("a_id")), Seq("a_id"),
+        "left_anti")
+      .join(landedDup.select(col("media_id").as("b_id")), Seq("b_id"),
+        "left_anti")
+    val universe = ib.select(col("media_id")).distinct()
+    val fresh = universe.join(landedDup, Seq("media_id"), "left_anti")
+    val labels = graft.dedup.Dedup.connectedComponents(batchPairs, fresh,
+      "media_id")
+    universe
+      .join(landedDup.withColumn("__ld", lit(1L)), Seq("media_id"), "left")
+      .join(labels.select(col("id").as("media_id"), col("lbl")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("__ld").isNotNull, lit("landed_dup"))
+          .when(col("lbl") =!= col("media_id"), lit("batch_dup"))
+          .otherwise(lit("keep")).as("verdict"))
   }
 
   /** Audio decode + fixed-window feature extraction (the MFCC-shaped

@@ -218,11 +218,15 @@ object Similarity {
     * the narrow assignment table, then join vectors back by id. CC runs
     * over edge-endpoint vertices only.
     *
-    * This stride-seeded face is the DuckDB-oracle-able contract query
-    * (q114); [[semanticDedupWith]] takes a refined
-    * [[kMeansCentroids]] table for production use — same plan, only the
-    * centroid table changes. Output: (idCol, sem_cluster, keep). */
-  def semanticDedup(embeddings: DataFrame, centroidStride: Int = 25,
+    * This FLAT stride-seeded face is the DuckDB-oracle-able contract
+    * query (q114) and the family's exact-twin oracle — new callers
+    * should land on [[semanticDedup]], which routes to the two-level
+    * codebook by default (the repo's standard exact-vs-sketch
+    * pairing, with "sketch" here meaning the √-law assignment).
+    * [[semanticDedupWith]] takes a refined [[kMeansCentroids]] table
+    * for production use — same plan, only the centroid table changes.
+    * Output: (idCol, sem_cluster, keep). */
+  def semanticDedupFlat(embeddings: DataFrame, centroidStride: Int = 25,
       centroidOffset: Int = 7, minCosine: Double = 0.3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
@@ -230,6 +234,18 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
     semanticDedupWith(embeddings, cent, minCosine, idCol, vecCol)
   }
+
+  /** THE semantic-dedup entry point — routes to the TWO-LEVEL codebook
+    * ([[semanticDedupTwoLevel]]), the scale-safe default: flat
+    * assignment is O(n·nlist) and measured 18.67× at 30× data, the
+    * two-level √-law face 2.86× at the same decade. The flat exact
+    * twin stays available as [[semanticDedupFlat]] (q114's oracle
+    * face); sizing contract `coarseFactor ≈ √nlist`. */
+  def semanticDedup(embeddings: DataFrame, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5, minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedupTwoLevel(embeddings, fineStride, fineOffset, coarseFactor,
+      minCosine, idCol, vecCol)
 
   /** [[semanticDedup]] with a caller-supplied centroid table
     * `(c_id, c_vec)` — e.g. the [[kMeansCentroids]] refinement. */
@@ -400,8 +416,12 @@ object Similarity {
     * candidate verifies at exact cosine before costing a vector, and
     * CC runs over verified batch pairs only. Vectors never shuffle
     * pair-wise. Output: (idCol, verdict), one row per incoming
-    * vector. */
-  def semanticDedupIncrement(landed: DataFrame, incoming: DataFrame,
+    * vector.
+    *
+    * This FLAT face is the oracle twin (q117) — new callers should
+    * land on [[semanticDedupIncrement]], which routes to the
+    * two-level landed codebook by default. */
+  def semanticDedupIncrementFlat(landed: DataFrame, incoming: DataFrame,
       centroidStride: Int = 25, centroidOffset: Int = 7,
       minCosine: Double = 0.3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -415,6 +435,19 @@ object Similarity {
       iv.select(col("sid").as("vec_id"), col("vec")), cent)
     incrementFromAssignments(lv, iv, lAsn, iAsn, minCosine, idCol, incoming)
   }
+
+  /** THE incremental semantic-dedup entry point — routes to the
+    * TWO-LEVEL landed codebook ([[semanticDedupIncrementTwoLevel]]),
+    * the scale-safe default for both corpus-proportional terms (the
+    * landed index build and the per-batch assignment). The flat exact
+    * twin stays available as [[semanticDedupIncrementFlat]] (q117's
+    * oracle face). */
+  def semanticDedupIncrement(landed: DataFrame, incoming: DataFrame,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedupIncrementTwoLevel(landed, incoming, fineStride, fineOffset,
+      coarseFactor, minCosine, idCol, vecCol)
 
   /** The assignment-independent tail of the incremental semantic
     * family: side-tagged cluster-mate candidates, exact-cosine
@@ -458,7 +491,7 @@ object Similarity {
   }
 
   /** The landed corpus's memoized semantic cluster assignment (kind
-    * "sem-assign") — [[semanticDedupIncrement]]'s index, one narrow
+    * "sem-assign") — [[semanticDedupIncrementFlat]]'s index, one narrow
     * (vec_id, c_id) row per landed vector, reused batch over batch and
     * exposed for an index-build phase. Centroids are the landed stride
     * sample (the codebook is a landed-side artifact). */
@@ -474,7 +507,7 @@ object Similarity {
       assignToCentroids(lv.select(col("sid").as("vec_id"), col("vec")), cent))
   }
 
-  /** [[semanticDedupIncrement]] with the TWO-LEVEL codebook
+  /** [[semanticDedupIncrementFlat]] with the TWO-LEVEL codebook
     * ([[assignTwoLevel]]) on both sides — the cut for the family's two
     * remaining corpus-proportional assignment terms: the landed INDEX
     * build (O(n_landed·nlist) flat — the 20.4× reading q117's probe
@@ -486,7 +519,7 @@ object Similarity {
     * the flat face — batch order cannot move the cluster structure —
     * and the verdict lattice, verification, and CC tail are shared
     * ([[incrementFromAssignments]]). With one coarse cell this
-    * degenerates to [[semanticDedupIncrement]] (asserted in
+    * degenerates to [[semanticDedupIncrementFlat]] (asserted in
     * SimilaritySpec). */
   def semanticDedupIncrementTwoLevel(landed: DataFrame, incoming: DataFrame,
       fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,

@@ -629,4 +629,26 @@ class CurationSpec extends SparkSpec {
       assert(nt == expectToks(src), s"$src tokens $nt != ${expectToks(src)}")
     }
   }
+  test("perplexityFlagIncrement: landed boundary ratio; ties flag; no evidence passes") {
+    // landed (source s, 10 docs): nine repetitive "a a a a a" docs and
+    // one improbable-bigram doc 9 ("a b a b") — cutBp 1000 over 10
+    // docs flags exactly rank 1, so θ = doc 9's exact (sum, nb) ratio.
+    val landed = ((0L until 9L).map(i => (i, "s", "a a a a a")) :+
+      (9L, "s", "a b a b")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (20L, "s", "a b a b"),  // ties θ exactly → flagged
+      (21L, "s", "a a a"),    // well above θ → 0
+      (22L, "s", "z z z"),    // bigram unseen in landed LM → no score → 0
+      (23L, "s", "one"),      // <2 tokens → no score → 0
+      (24L, "t", "a b a b"))  // stratum with no landed threshold → 0
+      .toDF("doc_id", "source", "text")
+    val got = Curation.perplexityFlagIncrement(landed, batch)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_bigrams", "flagged")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (20L, "s", 3L, 1L), (21L, "s", 2L, 0L), (22L, "s", 0L, 0L),
+      (23L, "s", 0L, 0L), (24L, "t", 3L, 0L)), got.toString)
+  }
+
 }

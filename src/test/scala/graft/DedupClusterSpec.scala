@@ -191,12 +191,34 @@ class DedupClusterSpec extends SparkSpec {
       (1L, Seq(0.995f, 0.02f, 0f, 0f)),
       (2L, Seq(0.98f, 0.1f, 0f, 0f)),
       (3L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    // coarseFactor 1 -> coarse ≡ fine, the two-level default
+    // degenerates to the flat one-centroid assignment this fixture
+    // hand-computes
     val got = Dedup.unifiedDedupVerdicts(docs, emb,
-        centroidStride = 4, centroidOffset = 3)
+        fineStride = 4, fineOffset = 3, coarseFactor = 1)
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(got == Seq(
       (0L, "keep"), (1L, "exact_dup"),
       (2L, "semantic_dup"), (3L, "keep")), got.toString)
+  }
+
+  test("unifiedDedupVerdicts: a doc without an embedding row still gets a verdict") {
+    // ADVICE-r14 partition totality: doc 2 has NO embedding row — it
+    // must pass the semantic stage (absence of evidence never rejects)
+    // instead of vanishing from the output.
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta"),
+      (1L, "totally different body of words"),
+      (2L, "the embedding-less document text here"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.unifiedDedupVerdicts(docs, emb,
+        fineStride = 2, fineOffset = 0, coarseFactor = 1)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "keep"), (1L, "keep"), (2L, "keep")),
+      got.toString)
   }
 
   test("containmentPairs: one-directional excerpt found where Jaccard is blind") {
@@ -266,5 +288,47 @@ class DedupClusterSpec extends SparkSpec {
       .foreach { case (id, _) =>
         assert(gate(id) == "exact_landed_dup", s"doc $id: ${gate(id)}")
       }
+  }
+
+  test("ingestGateFull: total; lattice-consistent with ingestGate; quality recomputed") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val landed = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+    val lEmb = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2)
+    val bEmb = emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+    val full = Dedup.ingestGateFull(landed, batch, lEmb, bEmb, "src0")
+      .as[(Long, String)].collect().toMap
+    val base = Dedup.ingestGate(landed, batch, lEmb, bEmb, "src0")
+      .as[(Long, String)].collect().toMap
+    assert(full.size == batch.count(), s"not total: ${full.size}")
+    val dedupStages = Set("exact_landed_dup", "exact_batch_dup",
+      "near_dup", "semantic_dup", "contained")
+    assert(full.values.toSet.subsetOf(dedupStages ++
+      Set("quality_fail", "ppl_cut", "not_selected", "admit")),
+      full.values.toSet.toString)
+    // lattice consistency: the full gate only REFINES q129's — shared
+    // stages agree verbatim; a full-gate quality/ppl rejection can
+    // only appear where q129 fell through to its own tail stages
+    full.foreach { case (id, v) =>
+      if (dedupStages.contains(v) || v == "not_selected" || v == "admit")
+        assert(base(id) == v, s"doc $id: full=$v base=${base(id)}")
+      else
+        assert(base(id) == "not_selected" || base(id) == "admit",
+          s"doc $id: full=$v base=${base(id)}")
+    }
+    // the quality stage's evidence, independently recomputed: every
+    // batch doc with nonzero Gopher reasons that no dedup stage caught
+    // must read exactly quality_fail
+    val reasons = graft.curation.Curation.qualityGate(batch)
+      .select(col("doc_id"), col("reasons"))
+      .as[(Long, Long)].collect().toMap
+    full.foreach { case (id, v) =>
+      if (!dedupStages.contains(v))
+        assert((v == "quality_fail") == (reasons(id) != 0L),
+          s"doc $id: $v but reasons=${reasons(id)}")
+    }
   }
 }

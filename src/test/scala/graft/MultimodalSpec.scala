@@ -215,4 +215,43 @@ class MultimodalSpec extends SparkSpec {
       (0L, 0L, true), (3L, 0L, false), (6L, 6L, true), (9L, 0L, false)),
       got.toString)
   }
+
+  test("imageNearDupIncrement: landed dup absorbs first; batch pairs keep min id") {
+    // stub codec: only byte-identical payloads collide (hamming 0).
+    // landed {0:"aaa", 3:"bbb"}; batch: 6 repeats "aaa" -> landed_dup;
+    // 9 and 12 share "ccc" (fresh) -> {9 keep, 12 batch_dup}; 15 is
+    // unique -> keep.
+    def media(rows: Seq[(Long, String)]) = rows.map { case (id, s) =>
+      Multimodal.Media(id, "image", s.getBytes("UTF-8"),
+        Multimodal.MediaMeta(8, 8, 16000, 1, "stub"))
+    }.toDF()
+    val landed = media(Seq(0L -> "aaa", 3L -> "bbb"))
+    val batch = media(Seq(6L -> "aaa", 9L -> "ccc", 12L -> "ccc",
+      15L -> "unique"))
+    val got = Multimodal.imageNearDupIncrement(landed, batch)
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (6L, "landed_dup"), (9L, "keep"), (12L, "batch_dup"),
+      (15L, "keep")), got.toString)
+    // batch-order independence: swapping which batch half arrives
+    // cannot change the landed verdict — rerun with batch reversed
+    val got2 = Multimodal.imageNearDupIncrement(landed,
+        media(Seq(15L -> "unique", 12L -> "ccc", 9L -> "ccc",
+          6L -> "aaa")))
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(got2 == got, got2.toString)
+  }
+
+  test("imageNearDupIncrement: non-image batch rows get no verdict row") {
+    val landed = Seq(Multimodal.Media(0L, "image", "xx".getBytes,
+      Multimodal.MediaMeta(8, 8, 16000, 1, "stub"))).toDF()
+    val batch = Seq(
+      Multimodal.Media(1L, "audio", "xx".getBytes,
+        Multimodal.MediaMeta(8, 8, 16000, 1, "stub")),
+      Multimodal.Media(2L, "image", "yy".getBytes,
+        Multimodal.MediaMeta(8, 8, 16000, 1, "stub"))).toDF()
+    val got = Multimodal.imageNearDupIncrement(landed, batch)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "keep")), got.toString)
+  }
 }

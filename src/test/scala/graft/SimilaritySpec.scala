@@ -266,7 +266,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Seq(0f, 0f, 1f, 0f)),
       (4L, Seq(0f, 0f, 0.9f, 0.1f)),
       (5L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
-    val got = Similarity.semanticDedup(emb, centroidStride = 3,
+    val got = Similarity.semanticDedupFlat(emb, centroidStride = 3,
         centroidOffset = 0, minCosine = 0.3)
       .orderBy("vec_id")
       .as[(Long, Long, Boolean)].collect().toSeq
@@ -287,7 +287,7 @@ class SimilaritySpec extends SparkSpec {
       (7L, Seq(0.15f, 0.99f, 0f, 0f)), // c0-mate, cos(v5)=.999 -> pair {5,7}
       (9L, Seq(0f, 0f, 0f, 1f)))       // orthogonal everywhere -> keep
       .toDF("vec_id", "embedding")
-    val got = Similarity.semanticDedupIncrement(landed, batch,
+    val got = Similarity.semanticDedupIncrementFlat(landed, batch,
         centroidStride = 2, centroidOffset = 0)
       .orderBy("vec_id").as[(Long, String)].collect().toSeq
     assert(got == Seq(
@@ -306,7 +306,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Seq(0f, 0f, 1f, 0f)),
       (4L, Seq(0.59f, 0f, 0.6f, 0f))). // nearest c3 — 0.01 from 1
       toDF("vec_id", "embedding")
-    val got = Similarity.semanticDedup(emb, centroidStride = 3,
+    val got = Similarity.semanticDedupFlat(emb, centroidStride = 3,
         centroidOffset = 0, minCosine = 0.3)
       .orderBy("vec_id")
       .as[(Long, Long, Boolean)].collect().toSeq
@@ -350,7 +350,7 @@ class SimilaritySpec extends SparkSpec {
     // exists -> every fine centroid routes to its one cell and the
     // cell-local argmax IS the flat argmax: outputs must be identical.
     val df = corpus(60, 6).toDF("vec_id", "embedding")
-    val flat = Similarity.semanticDedup(df, centroidStride = 10,
+    val flat = Similarity.semanticDedupFlat(df, centroidStride = 10,
         centroidOffset = 7, minCosine = 0.3)
       .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
     val two = Similarity.semanticDedupTwoLevel(df, fineStride = 10,
@@ -380,7 +380,7 @@ class SimilaritySpec extends SparkSpec {
       ((c * 25 + j).toLong,
         centers(c).map(x => x + 0.15f * r.nextGaussian().toFloat))
     val df = data.toDF("vec_id", "embedding")
-    val flat = Similarity.semanticDedup(df, centroidStride = 25,
+    val flat = Similarity.semanticDedupFlat(df, centroidStride = 25,
         centroidOffset = 7, minCosine = 0.3)
       .select("vec_id", "sem_cluster").as[(Long, Long)].collect().toMap
     val two = Similarity.semanticDedupTwoLevel(df, fineStride = 25,
@@ -400,7 +400,7 @@ class SimilaritySpec extends SparkSpec {
     val df = corpus(60, 6).toDF("vec_id", "embedding")
     val landed = df.filter(pmod(col("vec_id"), lit(5L)) =!= 3)
     val batch = df.filter(pmod(col("vec_id"), lit(5L)) === 3)
-    val flat = Similarity.semanticDedupIncrement(landed, batch,
+    val flat = Similarity.semanticDedupIncrementFlat(landed, batch,
         centroidStride = 10, centroidOffset = 7)
       .orderBy("vec_id").as[(Long, String)].collect().toSeq
     val two = Similarity.semanticDedupIncrementTwoLevel(landed, batch,
