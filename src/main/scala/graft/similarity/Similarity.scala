@@ -873,9 +873,20 @@ object Similarity {
     * per-subspace k-means codewords of fixed ksub=256 (the
     * [[kMeansCentroids]] refinement per subspace) without touching the
     * plan — broadcast size m·ksub·(dim/m) = ksub·dim floats, constant
-    * in corpus size. At 100 TB the ADC scan reads only the (sid, j,
-    * code) table (m small ints/vector); full vectors are fetched by id
-    * join for the k·rerankFactor shortlist alone. */
+    * in corpus size. THAT constant-size claim is the production
+    * (fixed-ksub) face only: under the stride seeding, ksub ≈ n/25
+    * grows with the corpus, so the codebook broadcast is ~m·n/25 rows
+    * and the per-query LUT ~nq·m·ksub rows — size the stride (or swap
+    * in the fixed-ksub codebook) before either approaches the
+    * broadcast limit; the LUT join below therefore carries NO
+    * broadcast hint and is planned from its actual size stats (AQE
+    * broadcasts it when small). At 100 TB the ADC scan reads only the
+    * (sid, j, code) table (m small ints/vector); full vectors are
+    * fetched by id join for the k·rerankFactor shortlist alone.
+    *
+    * Construction-time note: dim discovery samples ONE non-null
+    * vector row — an eager one-row driver job inside an otherwise
+    * lazy plan-construction API. */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
       rerankFactor: Int = 4,
@@ -884,9 +895,11 @@ object Similarity {
     // unavoidable: the subvector slicing is a plan-time literal); fall
     // back through the query side so an empty corpus yields an empty
     // result instead of a NoSuchElementException
-    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
+    val dim = embeddings.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
       .headOption
-      .orElse(queries.select(size(col(vecCol))).limit(1).collect().headOption)
+      .orElse(queries.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect().headOption)
       .map(_.getInt(0)).getOrElse(m)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -915,7 +928,9 @@ object Similarity {
       .select(col("q_id"), col("j"), col("code_id").as("code"),
         round(dot(col("sv"), col("cw")) * 1e4).cast("long").as("term_e4"))
     // ADC: m integer terms per (query, vector), summed by hash agg
-    val approx = codes.join(broadcast(lut), Seq("j", "code"))
+    // no broadcast hint on the LUT: its nq·m·ksub size is corpus-
+    // proportional under stride seeding (scaladoc) — let stats/AQE pick
+    val approx = codes.join(lut, Seq("j", "code"))
       .filter(col("sid") =!= col("q_id"))
       .groupBy("q_id", "sid")
       .agg(sum("term_e4").as("approx_e4"))
