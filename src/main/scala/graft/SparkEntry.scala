@@ -1946,6 +1946,19 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
           .orderBy("doc_id")
+      }),
+
+      // IVF-PQ composed ANN (the billion-vector layout): route each
+      // query to its nprobe nearest coarse cells (q37's machinery),
+      // ADC-score only the probed cells' codes (q119's LUT), exact
+      // rerank — completes the routing×scoring matrix (q37 routes
+      // raw, q119 scans all codes, q133 does both).
+      "q133_ann_ivf_pq" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.ivfPqTopK(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
       })
     )
   }
@@ -4265,7 +4278,7 @@ object SparkEntry {
                       ELSE 'keep' END AS verdict
           FROM documents d
           JOIN cl ON cl.doc_id = d.doc_id
-          JOIN scl ON scl.sid = d.doc_id
+          LEFT JOIN scl ON scl.sid = d.doc_id
           ORDER BY d.doc_id""",
 
     // q114's assignment restricted to LANDED centroids (every id ≡ 7
@@ -4524,7 +4537,7 @@ object SparkEntry {
                     g.n_tok
                   FROM documents d
                     JOIN cl ON cl.doc_id = d.doc_id
-                    JOIN scl ON scl.sid = d.doc_id
+                    LEFT JOIN scl ON scl.sid = d.doc_id
                     JOIN g ON g.doc_id = d.doc_id
                     LEFT JOIN pf ON pf.doc_id = d.doc_id)
           SELECT source, stage, CAST(COUNT(*) AS BIGINT) n_docs,
@@ -4967,7 +4980,69 @@ object SparkEntry {
            LEFT JOIN th ON bd.source IS NOT DISTINCT FROM th.source
          ORDER BY bd.doc_id""",
 
-    "q132_ingest_gate_full" -> ingestGateOracle(full = true))
+    "q132_ingest_gate_full" -> ingestGateOracle(full = true),
+
+    // q119's PQ replay composed with IVF routing: corpus assignment
+    // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
+    // restricted to probed cells, exact-cosine rerank.
+    "q133_ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
+          asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, crs c) t WHERE rn = 1),
+          prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, crs c) t WHERE rn <= 3),
+          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM cnd c JOIN codes co ON co.sid = c.sid
+                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr) t
+                    WHERE cr <= 20),
+          scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM scored)
+          SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""")
 
   /** The ingest-gate oracle family: q129's precedence lattice, and —
     * with `full` — q132's, which adds the quality (q94 fragment) and

@@ -902,8 +902,39 @@ object Similarity {
         .select(size(col(vecCol))).limit(1).collect().headOption)
       .map(_.getInt(0)).getOrElse(m)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
     val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val (codes, lut) = pqCodesAndLut(e, qv, dim, m, codeStride, codeOffset)
+    // ADC: m integer terms per (query, vector), summed by hash agg
+    // no broadcast hint on the LUT: its nq·m·ksub size is corpus-
+    // proportional under stride seeding (scaladoc) — let stats/AQE pick
+    val approx = codes.join(lut, Seq("j", "code"))
+      .filter(col("sid") =!= col("q_id"))
+      .groupBy("q_id", "sid")
+      .agg(sum("term_e4").as("approx_e4"))
+    val wShort = Window.partitionBy("q_id").orderBy(desc("approx_e4"), asc("sid"))
+    val short = approx.withColumn("c_rank", row_number().over(wShort))
+      .filter(col("c_rank") <= k * rerankFactor)
+      .select("q_id", "sid")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    short.withColumnRenamed("sid", "vec_id")
+      .join(e.select(col("sid").as("vec_id"), col("vec")), "vec_id")
+      .join(qv, "q_id")
+      .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Shared PQ machinery of the [[pqTopK]] family: subvector split,
+    * stride-seeded per-subspace codebooks, corpus code table
+    * (sid, j, code — m small ints per vector), and the per-query ADC
+    * lookup table (q_id, j, code, term_e4). Encode argmax and LUT
+    * terms are e4-rounded integers with ties to the lowest code id —
+    * the engine-reproducibility device both faces share. */
+  private def pqCodesAndLut(e: DataFrame, qv: DataFrame, dim: Int, m: Int,
+      codeStride: Int, codeOffset: Int): (DataFrame, DataFrame) = {
+    val dsub = dim / m
     // (id, j, sv): the m disjoint subvector projections, one narrow
     // union — each branch is a column-pruned scan, no shuffle
     def subs(df: DataFrame, id: String, v: String): DataFrame =
@@ -923,18 +954,76 @@ object Similarity {
       .groupBy("sid", "j")
       .agg(max_by(col("code_id"), struct(col("score"), -col("code_id")))
         .as("code"))
-    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val lut = subs(qv, "q_id", "q_vec").join(broadcast(cw), "j")
       .select(col("q_id"), col("j"), col("code_id").as("code"),
         round(dot(col("sv"), col("cw")) * 1e4).cast("long").as("term_e4"))
-    // ADC: m integer terms per (query, vector), summed by hash agg
-    // no broadcast hint on the LUT: its nq·m·ksub size is corpus-
-    // proportional under stride seeding (scaladoc) — let stats/AQE pick
-    val approx = codes.join(lut, Seq("j", "code"))
+    (codes, lut)
+  }
+
+  /** IVF-PQ composed ANN — the standard billion-vector layout (Jégou
+    * et al. 2011 §IV; every production vector store's default),
+    * completing the routing×scoring matrix this library builds up:
+    * q37 ROUTES but scores raw vectors, q119 SCORES by PQ-ADC codes
+    * but scans every code — this face does both: route each query to
+    * its `nprobe` nearest coarse cells, ADC-score ONLY the codes of
+    * vectors assigned to the probed cells, exact-cosine rerank of the
+    * shortlist.
+    *
+    * Scale: the scan term drops from n codes per query (q119) to
+    * n·nprobe/nlist — with stride-seeded cells (nlist ∝ n) that is a
+    * CONSTANT per-cell budget × nprobe, the IVF argument; routing
+    * costs O(n) dot products once per corpus (the IVF build, memoized
+    * at the ANN-index layer in production; the [[assignToCentroids]]
+    * table here) plus O(nq·nlist) for query probing. The recall
+    * trade: a true neighbor assigned to an unprobed cell is invisible
+    * — raise `nprobe` to buy recall (SimilaritySpec pins planted-dup
+    * recall against q21's exact truth).
+    *
+    * Determinism is the family's: rounded-cosine routing with ties to
+    * the lowest cell id, e4-integer ADC terms, (approx desc, sid)
+    * shortlist, exact rounded-cosine rerank — every stage
+    * DuckDB-replayable (q133). Output: (q_id, rank, vec_id, cos),
+    * ≤ k rows per query. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 3, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption
+      .orElse(queries.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect().headOption)
+      .map(_.getInt(0)).getOrElse(m)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val coarse = e.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    // the IVF build: every corpus vector routed once (q37's argmax)
+    val asn = assignToCentroids(
+      e.select(col("sid").as("vec_id"), col("vec")), coarse)
+      .select(col("vec_id").as("sid"), col("c_id"))
+    // query probing: top-nprobe cells by rounded cosine, ties low id
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(desc("gcos"), asc("c_id"))
+    val probe = qv.join(broadcast(coarse))
+      .withColumn("gcos", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .select(col("q_id"), col("c_id"), col("gcos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "c_id")
+    val (codes, lut) = pqCodesAndLut(e, qv, dim, m, codeStride, codeOffset)
+    // ADC restricted to the probed cells — the composed win
+    val cand = probe.join(asn, "c_id")
       .filter(col("sid") =!= col("q_id"))
+      .select("q_id", "sid")
+    val approx = cand.join(codes, "sid")
+      .join(lut, Seq("q_id", "j", "code"))
       .groupBy("q_id", "sid")
       .agg(sum("term_e4").as("approx_e4"))
-    val wShort = Window.partitionBy("q_id").orderBy(desc("approx_e4"), asc("sid"))
+    val wShort = Window.partitionBy("q_id")
+      .orderBy(desc("approx_e4"), asc("sid"))
     val short = approx.withColumn("c_rank", row_number().over(wShort))
       .filter(col("c_rank") <= k * rerankFactor)
       .select("q_id", "sid")

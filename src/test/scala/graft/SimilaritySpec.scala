@@ -443,6 +443,35 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 40, s"recall ${hits / 50.0} below 0.8")
   }
 
+  test("ivfPqTopK: planted near-dup recall vs exact truth; exact rerank cosines") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val got = Similarity.ivfPqTopK(df, queries, 5, nprobe = 4, m = 4,
+        codeStride = 25, codeOffset = 7, ivfStride = 50, ivfOffset = 11,
+        rerankFactor = 8)
+      .select("q_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    // recall vs q21's exact truth: a planted 0.05-noise copy must
+    // survive BOTH the IVF probe (its cell among the query's top-4)
+    // and the ADC shortlist. IVF adds the probe-miss term on top of
+    // pqTopK's sketch error, so the bound is set by measurement with
+    // margin below the flat-PQ spec's 0.8.
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0 until 50).count { i =>
+      byQ.getOrElse(i + 10000L, Set.empty).contains(i.toLong)
+    }
+    assert(hits >= 35, s"recall ${hits / 50.0} below 0.7")
+    // rerank cosines are exact (q21's scorer), never the ADC estimate
+    val exact = Similarity.bruteForceTopK(df, queries, 550)
+      .select("q_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    got.foreach { case (q, v, c) =>
+      assert(v != q); assert(exact((q, v)) == c, s"($q,$v)")
+    }
+  }
+
   test("pqTopK scores are exact cosines, at most k rows per query, no self") {
     val data = corpus(200, 20)
     val df = data.toDF("vec_id", "embedding")
