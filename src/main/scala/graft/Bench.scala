@@ -57,8 +57,15 @@ object Bench {
       "q127_containment_pairs"  -> Set("shingles", "shingles-capped"),
       "q128_landed_containment" -> Set("shingles", "landed-sh-set"),
       "q129_ingest_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
-        "sem-assign", "landed-sh-set", "dsir-counts", "dsir-thresholds",
-        "landed-fp"),
+        "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
+        "dsir-thresholds", "landed-fp"),
+      // round-15: the media, LM and full-gate incremental cells
+      "q130_image_neardup_incremental" -> Set("img-bands"),
+      "q131_ppl_incremental" -> Set("ppl-landed-lm", "ppl-thresholds"),
+      "q132_ingest_gate_full" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "landed-fp", "ppl-landed-lm",
+        "ppl-thresholds"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),
@@ -200,11 +207,17 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
 
     val tIdx0 = System.nanoTime()
+    // per-entry seconds (r14 verdict #7): itemized into bench_out.json
+    // so a loaded-box index-phase spike self-attributes like queries do
+    var indexDetail: Seq[(String, Double)] = Seq.empty
     val indexSec =
       // under a local-iteration filter, only pay the build when some
       // selected query actually reads an indexed kind
       if (!order.exists(cacheKindsUsed.contains)) 0.0
-      else try { SparkEntry.buildIndexes(spark, sfDir); (System.nanoTime() - tIdx0) / 1e9 }
+      else try {
+        indexDetail = SparkEntry.buildIndexesTimed(spark, sfDir)
+        (System.nanoTime() - tIdx0) / 1e9
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
         (System.nanoTime() - tIdx0) / 1e9
@@ -256,8 +269,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
         s""","queries":$qs,"sf":"$sfDir"}"""
+    val idxDetailJson = indexDetail
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
+        s""","index_detail":$idxDetailJson""" +
         s""","queries":$qsFull""" +
         s""","attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
     // anchored at the launch directory (the build root when run via sbt /

@@ -76,7 +76,8 @@ object SparkEntry {
     * the registry keys — which embed the input plan's semantic hash —
     * match and the queries hit the cache. `count()` forces every
     * partition of the lazily-persisted entry. */
-  def buildIndexes(spark: SparkSession, dir: String): Unit = {
+  private def indexBuilds(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     import graft.similarity.Similarity
     import graft.curation.Curation
@@ -141,8 +142,22 @@ object SparkEntry {
       // BPE word-frequency dict (q113/q115 share it; the N merge
       // rounds are vocab-sized and stay with the queries)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
-    builds.foreach { case (_, df) => df.count(); () }
+    builds
   }
+
+  def buildIndexes(spark: SparkSession, dir: String): Unit = {
+    indexBuilds(spark, dir).foreach { case (_, df) => df.count(); () }
+  }
+
+  /** [[buildIndexes]] with per-entry wall seconds — the bench's
+    * itemized "index" metric (r14 verdict #7: a loaded-box index-phase
+    * spike should self-attribute the way queries already do). */
+  def buildIndexesTimed(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    indexBuilds(spark, dir).map { case (n, df) =>
+      val t0 = System.nanoTime()
+      df.count()
+      n -> (System.nanoTime() - t0) / 1e9
+    }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2/P3/P4/W4: dynamic conjunctive filter (string-eq + decimal ops),

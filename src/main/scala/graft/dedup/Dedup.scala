@@ -1066,10 +1066,12 @@ object Dedup {
   def ingestGate(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
+      coarseFactor: Int = 5,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
-      centroidOffset, minCosine, textCol, idCol, vecIdCol, vecCol)
+      centroidOffset, minCosine, coarseFactor, textCol, idCol, vecIdCol,
+      vecCol)
       .select(col(idCol),
         when(col("fp").isNotNull && col("__lx").isNotNull,
           "exact_landed_dup")
@@ -1088,7 +1090,7 @@ object Dedup {
     * (and the full gate's two extra quality/perplexity joins). */
   private def ingestEvidence(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
-      centroidOffset: Int, minCosine: Double,
+      centroidOffset: Int, minCosine: Double, coarseFactor: Int,
       textCol: String, idCol: String,
       vecIdCol: String, vecCol: String): DataFrame = {
     // the memoized landed fingerprint set, built once per corpus
@@ -1111,9 +1113,12 @@ object Dedup {
       s"ingestGate: landed embedding slice yields ZERO centroids at " +
         s"stride 25 / offset $centroidOffset — the semantic stage would " +
         "degenerate to all-pass; pick an offset the landed slicing keeps")
+    // coarseFactor is the production sizing lever (contract:
+    // coarseFactor ≈ √nlist — q118/q122's measured √-law); the default
+    // 5 is the fixed oracle-face value at contract scale
     val sem = graft.similarity.Similarity.semanticDedupIncrementTwoLevel(
         landedEmb, batchEmb, fineStride = 25,
-        fineOffset = centroidOffset, coarseFactor = 5,
+        fineOffset = centroidOffset, coarseFactor = coarseFactor,
         minCosine = minCosine, idCol = vecIdCol, vecCol = vecCol)
       .select(col(vecIdCol).as(idCol), col("verdict").as("__sem"))
     val cont = landedContainmentScreen(landedDocs, batchDocs,
@@ -1153,6 +1158,7 @@ object Dedup {
   def ingestGateFull(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3, cutBp: Int = 1000,
+      coarseFactor: Int = 5,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qual = graft.curation.Curation.qualityGate(batchDocs, idCol, textCol)
@@ -1161,7 +1167,8 @@ object Dedup {
         landedDocs, batchDocs, cutBp, "source", idCol, textCol)
       .select(col(idCol), col("flagged").as("__pf"))
     ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
-      centroidOffset, minCosine, textCol, idCol, vecIdCol, vecCol)
+      centroidOffset, minCosine, coarseFactor, textCol, idCol, vecIdCol,
+      vecCol)
       .join(qual, Seq(idCol), "left")
       .join(ppl, Seq(idCol), "left")
       .select(col(idCol),

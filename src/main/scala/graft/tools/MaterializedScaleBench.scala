@@ -219,6 +219,28 @@ object MaterializedScaleBench {
           e.filter(pmod(col("vec_id"), lit(5L)) === 2),
           bands = 4, bitsPerBand = bits, minCosine = 0.3).count()
       }),
+      // round-15 rows: the media / LM / full-gate incremental cells —
+      // landed index prebuilt off-clock (preps), batch stays the 1×
+      // slice, timed region = per-batch marginal cost
+      ("q130_img_inc", k =>
+        graft.multimodal.Multimodal.imageNearDupIncrement(
+          graft.multimodal.Multimodal.syntheticMedia(
+            docs(k), "doc_id", "text")
+            .filter(pmod(col("media_id"), lit(5L)) =!= 2),
+          graft.multimodal.Multimodal.syntheticMedia(
+            docs(1), "doc_id", "text")
+            .filter(pmod(col("media_id"), lit(5L)) === 2)).count()),
+      ("q131_ppl_inc", k =>
+        graft.curation.Curation.perplexityFlagIncrement(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2)).count()),
+      ("q132_gate_full", k =>
+        Dedup.ingestGateFull(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2),
+          emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
+          "src0").count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
@@ -277,9 +299,41 @@ object MaterializedScaleBench {
         Dedup.landedShingleSet(ld).count()
         Dedup.landedFingerprints(ld).count()
         graft.similarity.Similarity.landedVecLookup(le).count()
-        graft.similarity.Similarity.landedSemanticAssignment(le, 25, 8).count()
+        graft.similarity.Similarity.landedTwoLevelCells(le, 25, 8, 5).count()
+        graft.similarity.Similarity.landedSemanticAssignment2L(
+          le, 25, 8, 5).count()
         graft.curation.Curation.landedDsirCounts(ld, "src0").count()
         graft.curation.Curation.landedDsirThresholds(ld, "src0").count()
+        ()
+      },
+      "q130_img_inc" -> { k =>
+        graft.multimodal.Multimodal.landedImageBands(
+          graft.multimodal.Multimodal.syntheticMedia(
+            docs(k), "doc_id", "text")
+            .filter(pmod(col("media_id"), lit(5L)) =!= 2)).count()
+        ()
+      },
+      "q131_ppl_inc" -> { k =>
+        val ld = docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+        graft.curation.Curation.landedBigramLm(ld).count()
+        graft.curation.Curation.landedPplThresholds(ld).count()
+        ()
+      },
+      "q132_gate_full" -> { k =>
+        val ld = docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+        val le = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2)
+        Dedup.bandKeyTable(ld).count()
+        Dedup.shingleHashes(ld, 3, "text", "doc_id").count()
+        Dedup.landedShingleSet(ld).count()
+        Dedup.landedFingerprints(ld).count()
+        graft.similarity.Similarity.landedVecLookup(le).count()
+        graft.similarity.Similarity.landedTwoLevelCells(le, 25, 8, 5).count()
+        graft.similarity.Similarity.landedSemanticAssignment2L(
+          le, 25, 8, 5).count()
+        graft.curation.Curation.landedDsirCounts(ld, "src0").count()
+        graft.curation.Curation.landedDsirThresholds(ld, "src0").count()
+        graft.curation.Curation.landedBigramLm(ld).count()
+        graft.curation.Curation.landedPplThresholds(ld).count()
         ()
       })
 

@@ -13,12 +13,22 @@ import org.apache.spark.sql.streaming.Trigger
   * the README example rules → per-event sliding windows → ECA), and
   * reports end-to-end events/s.
   *
-  * Usage: runMain graft.tools.ReplayBench [nEvents] [threads]
+  * Usage: runMain graft.tools.ReplayBench [nEvents] [threads] [sources]
+  *
+  * `sources` > 1 exercises the SOURCE-PARALLELISM lever the cluster
+  * story depends on (the single synthesized feed's thread curve
+  * flattens past ~4 — BASELINE.md round-10 note): the fleet splits
+  * into `sources` disjoint car populations, each written to its own
+  * directory and read by its own file stream; the engine runs over
+  * their UNION, so ingest, fan-out and keyed state all see
+  * `sources` independent partitioned feeds — the shape a cluster
+  * deployment has with one stream per Kafka partition group.
   */
 object ReplayBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(130000)
     val threads = args.lift(1).map(_.toInt).getOrElse(1)
+    val nSources = math.max(1, args.lift(2).map(_.toInt).getOrElse(1))
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-replay-bench")
@@ -36,18 +46,26 @@ object ReplayBench {
     val sdf = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     val t0 = java.time.LocalDateTime.of(2016, 8, 3, 12, 0, 0)
     val perFile = 25000
-    val lines = (0 until n).map { i =>
+    // disjoint car fleets per source: car c belongs to source c % nSources,
+    // so each feed is an independent keyed population (the Kafka-
+    // partition-group shape)
+    val bySource = (0 until n).map { i =>
       val car = 1000 + (i % 200)
       val ts = t0.plusSeconds(i / 200).format(sdf)
       val lon = 121.4 + rnd.nextDouble() * 0.2
       val lat = 31.15 + rnd.nextDouble() * 0.15
       val speed = rnd.nextInt(150)
       val angle = rnd.nextInt(360)
-      f"$car%05d|A|0|1|1|0|0|0|$ts|$ts|$lon%.6f|$lat%.6f|$speed.0|$angle.0|6|000"
-    }
-    lines.grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
-      java.nio.file.Files.write(dir.resolve(f"part-$i%04d.txt"),
-        String.join("\n", chunk: _*).getBytes)
+      (car % nSources,
+        f"$car%05d|A|0|1|1|0|0|0|$ts|$ts|$lon%.6f|$lat%.6f|$speed.0|$angle.0|6|000")
+    }.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val sub = dir.resolve(s"src$src")
+      java.nio.file.Files.createDirectories(sub)
+      rows.map(_._2).grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.write(sub.resolve(f"part-$i%04d.txt"),
+          String.join("\n", chunk: _*).getBytes)
+      }
     }
 
     // README example rules: per-car AVG speed (10s window, per-event
@@ -77,8 +95,10 @@ object ReplayBench {
 
     var fired = 0L
     engine.onAlerts(a => fired += a.size)
-    val events = graft.sources.ShCarData.readStream(spark, dir.toString,
-      maxFilesPerTrigger = 100)
+    val events = (0 until nSources).map { i =>
+      graft.sources.ShCarData.readStream(spark, dir.resolve(s"src$i").toString,
+        maxFilesPerTrigger = 100)
+    }.reduce(_ union _)
     val start = System.nanoTime()
     val q = engine.perEventWriter(events, "eventTime")
       .trigger(Trigger.AvailableNow())
@@ -87,8 +107,9 @@ object ReplayBench {
       .start()
     q.awaitTermination()
     val secs = (System.nanoTime() - start) / 1e9
-    println(f"[replay] events=$n threads=$threads wall=$secs%.1fs " +
-      f"rate=${n / secs}%.0f events/s fired=$fired spawned=${engine.store.size - 2}")
+    println(f"[replay] events=$n threads=$threads sources=$nSources " +
+      f"wall=$secs%.1fs rate=${n / secs}%.0f events/s fired=$fired " +
+      f"spawned=${engine.store.size - 2}")
     spark.stop()
   }
 }
