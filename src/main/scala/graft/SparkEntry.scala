@@ -140,8 +140,10 @@ object SparkEntry {
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
       // BPE word-frequency dict (q113/q115 share it; the N merge
-      // rounds are vocab-sized and stay with the queries)
-      "bpe-dict" -> graft.curation.Bpe.baseDict(docs))
+      // rounds are vocab-sized and stay with the queries); q134's
+      // landed-slice dict is its own entry (different input plan)
+      "bpe-dict" -> graft.curation.Bpe.baseDict(docs),
+      "q134-bpe-landed-dict" -> graft.curation.Bpe.baseDict(landedDocs5))
     builds
   }
 
@@ -1974,6 +1976,18 @@ object SparkEntry {
             emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
           .withColumnRenamed("rank", "rnk")
           .orderBy("q_id", "rnk")
+      }),
+
+      // Incremental BPE apply — the tokenizer cell of the incremental
+      // matrix: merges learned from the LANDED slice only; the %5==2
+      // batch segments under them FROM CHARACTERS, so unseen batch
+      // words still segment (the dict join would drop them).
+      "q134_bpe_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Bpe.bpeSegmentStatsIncrement(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2), steps = 8)
+          .orderBy("source")
       })
     )
   }
@@ -5057,7 +5071,42 @@ object SparkEntry {
                   (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""")
+          ORDER BY q_id, rnk""",
+
+    // Landed-trained merge rounds (the q113 CTE chain restricted to
+    // the %5!=2 slice), then every BATCH word segmented FROM
+    // CHARACTERS through the 8 merges in learned order — unseen batch
+    // words segment too, matching the Spark face.
+    "q134_bpe_incremental" -> {
+      val batchSeg = (1 to 8).map { i =>
+        s"""
+      b$i AS (SELECT source, word,
+                replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                  ' ' || m.lhs || m.rhs || ' ') seg
+              FROM b${i - 1}, m$i m)"""
+      }.mkString(",")
+      s"""WITH ${ingestBpeCtes},
+      bw AS (SELECT source, w word FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) w
+               FROM documents WHERE doc_id % 5 = 2) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+      b0 AS (SELECT source, word,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
+             FROM bw),$batchSeg
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) n_words,
+             CAST(SUM(len(regexp_split_to_array(trim(seg), ' '))) AS BIGINT)
+               n_subwords,
+             CAST(SUM(len(word) + 1) AS BIGINT) n_symbols0,
+             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
+               AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+               subwords_per_mword,
+             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
+               AS HUGEINT) * 1000000 // SUM(len(word) + 1) AS BIGINT)
+               compression_ppm
+      FROM b8 GROUP BY source ORDER BY source"""
+    })
 
   /** The ingest-gate oracle family: q129's precedence lattice, and —
     * with `full` — q132's, which adds the quality (q94 fragment) and
@@ -5420,14 +5469,17 @@ $extraCases
   /** Shared CTE chain of the BPE oracles: w0/d0 (word dict + character
     * segmentation) then `steps` unrolled merge rounds ending in
     * d`steps` (final dict) and g1..g`steps` (per-step merge rows). */
-  private def bpeCtes(steps: Int): String = {
-    val base = """
+  /** q134's landed-slice training chain. */
+  private def ingestBpeCtes: String = bpeCtes(8, " WHERE doc_id % 5 != 2")
+
+  private def bpeCtes(steps: Int, docWhere: String = ""): String = {
+    val base = s"""
       w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
-               SELECT unnest(regexp_split_to_array(trim(text), '\s+')) w
-               FROM documents) t
-             WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+               SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) w
+               FROM documents$docWhere) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
       d0 AS (SELECT word, freq,
-               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> ' seg
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
              FROM w0)"""
     val rounds = (1 to steps).map { i =>
       s"""

@@ -103,6 +103,54 @@ object Bpe {
         expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_symbols0"))
   }
 
+  /** Incremental BPE apply — the TOKENIZER cell of the incremental
+    * matrix: the merge table is a LANDED artifact (learned once from
+    * the landed corpus over its memoized "bpe-dict"; an incoming batch
+    * must not move the vocabulary it is segmented by), and the batch
+    * segments under it from characters — so batch words UNSEEN in the
+    * landed dictionary still segment (the honest tokenizer behavior;
+    * [[bpeSegmentStats]]'s dict join would silently drop them).
+    * Replaying the merge sequence in learned order on a word's
+    * character segmentation reproduces the training rewrite exactly
+    * (each merge's applicability depends only on the current
+    * segmentation, which evolves identically — the standard BPE-apply
+    * equivalence), so in-dict words read the same as the batch face.
+    *
+    * Scale: the landed side is the memoized dict + `steps` vocab-sized
+    * argmax rounds (q113's shape, amortized across batches in a
+    * production deployment that persists the merge table); per-batch
+    * cost = one tokenization scan, `steps` literal string replaces per
+    * DISTINCT batch word, a word-keyed join back (AQE broadcasts the
+    * distinct-word table), one stratum fold. Output as
+    * [[bpeSegmentStats]]: (stratum, n_words, n_subwords, n_symbols0,
+    * subwords_per_mword, compression_ppm), one row per batch
+    * stratum. */
+  def bpeSegmentStatsIncrement(landed: DataFrame, incoming: DataFrame,
+      steps: Int = 8, stratum: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val (merges, _, _) = learn(landed, steps, textCol)
+    val mseq = merges.map(r => (r.getString(1), r.getString(2)))
+    val batchWords = incoming
+      .select(col(stratum), explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val seg0 = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+      lit("</w> "))
+    val segged = mseq.foldLeft(seg0) { case (seg, (l, r)) =>
+      replace(seg, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val sub = batchWords.select("word").distinct()
+      .withColumn("nsub", size(split(trim(segged), " ")).cast("long"))
+    batchWords.join(sub, "word")
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsub")).as("n_subwords"),
+        sum(length(col("word")).cast("long") + lit(1L)).as("n_symbols0"))
+      .withColumn("subwords_per_mword",
+        expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_words"))
+      .withColumn("compression_ppm",
+        expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_symbols0"))
+  }
+
   /** The memoized word-frequency dictionary with its character-level
     * starting segmentation — the ONE corpus-global stage of the BPE
     * family (kind "bpe-dict", keyed by the docs plan), shared by

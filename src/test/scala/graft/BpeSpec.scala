@@ -71,6 +71,34 @@ class BpeSpec extends SparkSpec {
       ("B", 2L, 7L, 8L, 3500000L, 875000L)), got.toString)
   }
 
+  test("bpeSegmentStatsIncrement: landed merges only; unseen batch words still segment") {
+    // landed trains 1 merge on "see see saw": pair counts (s,e)=2,
+    // (e,e)=2, (e,</w>)=2, rest 1 — the (count desc, lhs, rhs) tie
+    // resolves to (e, </w>) ('<' sorts below 'e'). Batch:
+    //   "sea" (unseen in landed dict — the dict join would have
+    //   dropped it) -> ' s e a </w> ': merge doesn't apply, 4 subwords;
+    //   "see" -> ' s e e</w> ' = 3;
+    //   "ox" (no 'e') -> [o, x, </w>] = 3, symbols0 3.
+    val landed = Seq((0L, "see see saw", "A")).toDF("doc_id", "text", "source")
+    val batch = Seq((2L, "sea see", "A"), (7L, "ox", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.bpeSegmentStatsIncrement(landed, batch, steps = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A: words 2, subwords 4+3=7, symbols0 4+4=8 -> 3500000, 875000
+    // B: words 1, subwords 3,     symbols0 3     -> 3000000, 1000000
+    assert(got == Seq(
+      ("A", 2L, 7L, 8L, 3500000L, 875000L),
+      ("B", 1L, 3L, 3L, 3000000L, 1000000L)), got.toString)
+    // batch-order independence: reversing the batch changes nothing
+    val rev = Bpe.bpeSegmentStatsIncrement(landed,
+        Seq((7L, "ox", "B"), (2L, "sea see", "A"))
+          .toDF("doc_id", "text", "source"), steps = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rev == got, rev.toString)
+  }
+
   test("non-lowercase-alnum words are excluded from training") {
     val got = Bpe.bpeMerges(
         Seq((1L, "Hello, WORLD ab ab")).toDF("doc_id", "text"), steps = 1)

@@ -68,7 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     "q122_semantic_inc_2l", // landed two-level codebook broadcast, as q117
     "q125_dsir_incremental", // one-row landed totals cross-joined, as q121
     "q126_kneser_ney", // one-row distinct-bigram total N cross-joined, as q95
-    "q129_ingest_gate") // embeds q117's codebook + q125's totals broadcasts
+    "q129_ingest_gate", // embeds q122's codebook + q125's totals broadcasts
+    "q131_ppl_incremental", // per-stratum boundary-ratio rows, null-safe-joined broadcast
+    "q132_ingest_gate_full", // q129's broadcasts + q131's boundary rows
+    "q133_ann_ivf_pq") // stride coarse-cell + PQ codebook broadcasts, as q37/q119
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
