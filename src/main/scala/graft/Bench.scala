@@ -93,6 +93,7 @@ object Bench {
       // stage); the merge rounds themselves are vocab-sized
       "q113_bpe_merges"            -> Set("bpe-dict"),
       "q115_bpe_segment_stats"     -> Set("bpe-dict"),
+      "q134_bpe_incremental"       -> Set("bpe-dict"),
       // incremental semantic dedup: landed vec lookup + its memoized
       // cluster assignment (the semantic index)
       "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"),

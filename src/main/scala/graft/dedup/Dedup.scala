@@ -1072,17 +1072,7 @@ object Dedup {
     ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
       centroidOffset, minCosine, coarseFactor, textCol, idCol, vecIdCol,
       vecCol)
-      .select(col(idCol),
-        when(col("fp").isNotNull && col("__lx").isNotNull,
-          "exact_landed_dup")
-          .when(col("fp").isNotNull && col(idCol) =!= col("__minb"),
-            "exact_batch_dup")
-          .when(coalesce(col("__near"), lit("keep")) =!= "keep", "near_dup")
-          .when(coalesce(col("__sem"), lit("keep")) =!= "keep",
-            "semantic_dup")
-          .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
-          .when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
-          .otherwise(lit("admit")).as("gate"))
+      .select(col(idCol), gateChain(idCol, full = false))
 
   /** The five dedup/selection evidence columns of the ingest-gate
     * family, joined id-keyed onto the batch — shared by [[ingestGate]]
@@ -1106,13 +1096,18 @@ object Dedup {
     // the ADVICE-r14 degeneration guard: an empty landed codebook at
     // the chosen stride/offset would silently pass every doc through
     // the semantic stage — fail loud instead (one cheap construction-
-    // time job over the memoized landed vec lookup's stride filter)
+    // time job). The COARSE slice (stride 25·coarseFactor) is the
+    // binding one: coarse ⊆ fine under stride selection, and an empty
+    // coarse cell table empties BOTH two-level assignments even when
+    // fine centroids exist (r15 review finding).
     require(!landedEmb
-        .filter(pmod(col(vecIdCol), lit(25L)) === centroidOffset)
+        .filter(pmod(col(vecIdCol), lit(25L * coarseFactor)) ===
+          centroidOffset)
         .isEmpty,
-      s"ingestGate: landed embedding slice yields ZERO centroids at " +
-        s"stride 25 / offset $centroidOffset — the semantic stage would " +
-        "degenerate to all-pass; pick an offset the landed slicing keeps")
+      s"ingestGate: landed embedding slice yields ZERO coarse centroids " +
+        s"at stride ${25 * coarseFactor} / offset $centroidOffset — the " +
+        "semantic stage would degenerate to all-pass; pick an offset " +
+        "the landed slicing keeps")
     // coarseFactor is the production sizing lever (contract:
     // coarseFactor ≈ √nlist — q118/q122's measured √-law); the default
     // 5 is the fixed oracle-face value at contract scale
@@ -1171,19 +1166,31 @@ object Dedup {
       vecCol)
       .join(qual, Seq(idCol), "left")
       .join(ppl, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("fp").isNotNull && col("__lx").isNotNull,
-          "exact_landed_dup")
-          .when(col("fp").isNotNull && col(idCol) =!= col("__minb"),
-            "exact_batch_dup")
-          .when(coalesce(col("__near"), lit("keep")) =!= "keep", "near_dup")
-          .when(coalesce(col("__sem"), lit("keep")) =!= "keep",
-            "semantic_dup")
-          .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
-          .when(coalesce(col("__qr"), lit(0L)) =!= 0, "quality_fail")
-          .when(coalesce(col("__pf"), lit(0L)) === 1, "ppl_cut")
-          .when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
-          .otherwise(lit("admit")).as("gate"))
+      .select(col(idCol), gateChain(idCol, full = true))
+  }
+
+  /** The gate family's shared precedence when-chain — one definition
+    * for both faces (the Scala twin of the oracle side's
+    * `ingestGateOracle(full)`), so a precedence or coalesce fix can
+    * never drift between them (r15 review finding). `full` inserts
+    * the quality/perplexity branches between `contained` and
+    * `not_selected`. */
+  private def gateChain(idCol: String, full: Boolean)
+      : org.apache.spark.sql.Column = {
+    val dedup = when(col("fp").isNotNull && col("__lx").isNotNull,
+      "exact_landed_dup")
+      .when(col("fp").isNotNull && col(idCol) =!= col("__minb"),
+        "exact_batch_dup")
+      .when(coalesce(col("__near"), lit("keep")) =!= "keep", "near_dup")
+      .when(coalesce(col("__sem"), lit("keep")) =!= "keep", "semantic_dup")
+      .when(coalesce(col("__cont"), lit(0L)) === 1, "contained")
+    val funnel =
+      if (!full) dedup
+      else dedup
+        .when(coalesce(col("__qr"), lit(0L)) =!= 0, "quality_fail")
+        .when(coalesce(col("__pf"), lit(0L)) === 1, "ppl_cut")
+    funnel.when(coalesce(col("__sel"), lit(0L)) === 0, "not_selected")
+      .otherwise(lit("admit")).as("gate")
   }
 
   /** Unified per-document dedup verdict — the "why was this document

@@ -228,8 +228,6 @@ object Multimodal {
   def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,
       maxHamming: Int = 6,
       codec: ImageCodec = StubImageCodec): DataFrame = {
-    val images = media.filter(col("kind") === "image")
-    val dec = decodeImages(images, featureDim, codec).toDF()
     val bandTable = imageBandTable(media, featureDim, bands, codec)
     val cand = bandTable.select(col("media_id").as("a_id"), col("band"),
         col("bval"))
@@ -249,9 +247,12 @@ object Multimodal {
     // (None — corrupt/truncated payload) gets no fingerprint, no
     // verdict, and no keep=true — real pipelines drop corrupt media,
     // they do not admit it unverified (with [[StubImageCodec]] every
-    // payload decodes, so the stub-oracle face is unaffected)
+    // payload decodes, so the stub-oracle face is unaffected). The
+    // universe derives from the band table (distinct of its bands
+    // rows per decoded image) so decode is paid ONCE, not re-run for
+    // a second vertex-side plan (r15 review finding).
     val labels = graft.dedup.Dedup.connectedComponents(pairs,
-      dec.select(col("media_id")), "media_id")
+      bandTable.select(col("media_id")).distinct(), "media_id")
     labels.select(col("id").as("media_id"), col("lbl").as("img_cluster"))
       .withColumn("keep", col("media_id") === col("img_cluster"))
   }

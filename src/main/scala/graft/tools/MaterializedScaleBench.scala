@@ -127,7 +127,7 @@ object MaterializedScaleBench {
         // stride centroids: nlist grows with the corpus, so average
         // cluster size (the per-vector comparison budget B) stays
         // CONSTANT across factors — the operator's documented sizing
-        graft.similarity.Similarity.semanticDedup(emb(k)).count()),
+        graft.similarity.Similarity.semanticDedupFlat(emb(k)).count()),
       // Two-level sizing contract: coarseFactor ≈ √nlist so per-vector
       // assignment work is ncoarse + nlist/ncoarse ≈ 2√nlist — the
       // measured answer to q114's flat-assignment ratio (its 5.57× at
@@ -150,7 +150,9 @@ object MaterializedScaleBench {
       // landed assignment's n·nlist INDEX-build term, the documented
       // IVF trade, not the per-batch cost.)
       ("q117_sem_inc", k =>
-        graft.similarity.Similarity.semanticDedupIncrement(
+        // q117's contract face is the FLAT increment (its prep builds
+        // the flat landed index); the 2L twin is the q122 row
+        graft.similarity.Similarity.semanticDedupIncrementFlat(
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 3)).count()),
       // Two-level incremental: the batch assigns against the landed

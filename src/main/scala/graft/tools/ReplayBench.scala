@@ -59,9 +59,14 @@ object ReplayBench {
       (car % nSources,
         f"$car%05d|A|0|1|1|0|0|0|$ts|$ts|$lon%.6f|$lat%.6f|$speed.0|$angle.0|6|000")
     }.groupBy(_._1)
+    // every source dir exists even if its car-residue got no events
+    // (small nEvents or nSources > fleet) so readStream never sees a
+    // missing path
+    (0 until nSources).foreach { i =>
+      java.nio.file.Files.createDirectories(dir.resolve(s"src$i")); ()
+    }
     bySource.foreach { case (src, rows) =>
       val sub = dir.resolve(s"src$src")
-      java.nio.file.Files.createDirectories(sub)
       rows.map(_._2).grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
         java.nio.file.Files.write(sub.resolve(f"part-$i%04d.txt"),
           String.join("\n", chunk: _*).getBytes)
