@@ -1978,6 +1978,22 @@ object SparkEntry {
           .orderBy("q_id", "rnk")
       }),
 
+      // Mergeable LM partials (the model-update cell): bigram counts
+      // from the two %2 slices merged by union, all docs scored under
+      // the folded model — the oracle is the ONE-SHOT corpus LM
+      // (q55's SQL verbatim), so the hash match IS the mergeability
+      // proof, the q104 pattern applied to the model itself.
+      "q135_lm_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.curation.Curation.lmPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.curation.Curation.lmPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.curation.Curation.bigramLogProbFromPartials(
+          pa.unionByName(pb), docs)
+          .orderBy("doc_id")
+      }),
+
       // Incremental BPE apply — the tokenizer cell of the incremental
       // matrix: merges learned from the LANDED slice only; the %5==2
       // batch segments under them FROM CHARACTERS, so unseen batch
@@ -5072,6 +5088,25 @@ object SparkEntry {
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
+
+    // The ONE-SHOT corpus LM scorer (q55's SQL verbatim): the merged-
+    // partials path must reproduce it bit-for-bit.
+    "q135_lm_merge" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
+                 FROM cab GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                        AS BIGINT) lp
+                 FROM bg JOIN cab USING (g)
+                   JOIN ca ON split_part(g, ' ', 1) = a)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(lp) AS BIGINT) AS sum_logp_e6,
+                 CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_logp
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     // Landed-trained merge rounds (the q113 CTE chain restricted to
     // the %5!=2 slice), then every BATCH word segmented FROM

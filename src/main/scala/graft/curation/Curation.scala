@@ -670,6 +670,46 @@ object Curation {
         col("sum_logp_e6").cast("double") / lit(1e6) / col("n_bigrams"))
   }
 
+  /** Mergeable bigram-LM partials — (g, n_ab), the language-model
+    * analogue of [[mixturePartials]]: bigram counts are PLAIN SUMS, so
+    * a landed corpus's partials persist once and each new batch
+    * contributes its own rows; [[bigramLogProbFromPartials]] over
+    * their union scores under the exact full-corpus MLE model without
+    * ever rescanning landed data. The prefix totals n_a fold from the
+    * merged bigram table at score time (they are NOT stored — storing
+    * them would double-count under union), which keeps the partial a
+    * single mergeable table. */
+  def lmPartials(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_ab"))
+
+  /** [[bigramLogProb]] scoring under an LM folded from ANY union of
+    * [[lmPartials]] outputs — exact: integer counts merge by sum, the
+    * micro-ln quantization happens only after the fold, so the merged
+    * path is bit-identical to the one-shot corpus LM (the q104
+    * mergeability pattern applied to the model itself; the oracle IS
+    * the one-shot scorer). Output as [[bigramLogProb]]:
+    * (idCol, n_bigrams, sum_logp_e6, avg_logp). */
+  def bigramLogProbFromPartials(partials: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cntAb = partials.groupBy("g").agg(sum(col("n_ab")).as("n_ab"))
+    val cntA = cntAb
+      .groupBy(substring_index(col("g"), " ", 1).as("a"))
+      .agg(sum(col("n_ab")).as("n_a"))
+    docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .join(cntAb, "g")
+      .join(cntA, substring_index(col("g"), " ", 1) === col("a"))
+      .withColumn("logp_e6",
+        round(log(col("n_ab").cast("double") / col("n_a")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_e6")).as("sum_logp_e6"))
+      .withColumn("avg_logp",
+        col("sum_logp_e6").cast("double") / lit(1e6) / col("n_bigrams"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney '95; the
     * Chen & Goodman '99 interpolated form) — the real LM smoothing the
     * MLE face ([[bigramLogProb]]) lacks: unseen-continuation mass is

@@ -30,6 +30,18 @@ object CacheRegistry {
   def cache(k: String, build: => DataFrame): DataFrame =
     items.getOrElseUpdate(k, build.persist())
 
+  /** Seed an entry with an ALREADY-MATERIALIZED frame (e.g. a parquet
+    * read of a persisted index — [[graft.sources.IndexStore]]): the
+    * next [[cache]] call under the same key returns it instead of
+    * rebuilding. The seeded frame is persisted like a built one so
+    * repeat consumers don't re-scan the files. */
+  def seed(k: String, df: DataFrame): DataFrame =
+    items.getOrElseUpdate(k, df.persist())
+
+  /** Snapshot of the live entries — [[graft.sources.IndexStore]]'s
+    * save face iterates this. */
+  def entries: Map[String, DataFrame] = items.toMap
+
   def releaseAll(): Unit = {
     items.values.foreach(_.unpersist(blocking = false))
     items.clear()

@@ -651,4 +651,27 @@ class CurationSpec extends SparkSpec {
       (23L, "s", 0L, 0L), (24L, "t", 3L, 0L)), got.toString)
   }
 
+  test("lmPartials merge exactly reproduces the one-shot corpus LM, any split") {
+    val docs = Seq(
+      (1L, "s", "a b a b c"),
+      (2L, "s", "b c a a"),
+      (3L, "t", "c c b a b"),
+      (4L, "t", "a b")).toDF("doc_id", "source", "text")
+    val oneShot = Curation.bigramLogProb(docs)
+      .select("doc_id", "n_bigrams", "sum_logp_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    // two-way split by parity, three-way split by mod 3 — both unions
+    // must fold to the identical model (counts are plain sums; the
+    // micro-ln quantization happens only after the fold)
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(r =>
+        Curation.lmPartials(docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r)))
+      val merged = Curation.bigramLogProbFromPartials(
+          parts.reduce(_ unionByName _), docs)
+        .select("doc_id", "n_bigrams", "sum_logp_e6")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
 }
