@@ -1978,6 +1978,22 @@ object SparkEntry {
           .orderBy("q_id", "rnk")
       }),
 
+      // Mergeable count-min partials (the sketch-update cell): cell
+      // tables from the two %2 slices merged by union+sum, the exact
+      // top-25 audit re-probed against the folded sketch — the oracle
+      // is the ONE-SHOT q87 sketch, so the hash match proves the
+      // cell-additivity the sketch family's 100 TB story rests on.
+      "q136_cms_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.curation.Curation.cmsPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.curation.Curation.cmsPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.curation.Curation.countMinTopKFromPartials(
+          pa.unionByName(pb), docs, 25)
+          .orderBy(desc("freq"), asc("token"))
+      }),
+
       // Mergeable LM partials (the model-update cell): bigram counts
       // from the two %2 slices merged by union, all docs scored under
       // the folded model — the oracle is the ONE-SHOT corpus LM
@@ -5088,6 +5104,28 @@ object SparkEntry {
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
+
+    // The ONE-SHOT sketch (q87's SQL verbatim): the merged-cells path
+    // must reproduce it bit-for-bit.
+    "q136_cms_merge" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+          cells AS (SELECT r,
+                      ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
+                        % 256 AS b,
+                      CAST(COUNT(*) AS BIGINT) AS c
+                    FROM tok CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+          top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+                  GROUP BY token ORDER BY freq DESC, token LIMIT 25),
+          probes AS (SELECT token, freq, r,
+                       ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
+                         % 256 AS b
+                     FROM top CROSS JOIN range(4) t(r)),
+          e AS (SELECT token, MIN(freq) AS freq, MIN(c) AS est
+                FROM probes JOIN cells USING (r, b) GROUP BY token)
+          SELECT token, freq, est,
+                 CAST(CASE WHEN est >= freq THEN 1 ELSE 0 END AS BIGINT) AS ok
+          FROM e ORDER BY freq DESC, token""",
 
     // The ONE-SHOT corpus LM scorer (q55's SQL verbatim): the merged-
     // partials path must reproduce it bit-for-bit.

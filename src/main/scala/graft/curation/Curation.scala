@@ -842,22 +842,51 @@ object Curation {
     * underestimates); the spec pins the overestimate against the ε·N
     * bound. Output: (token, freq, est, ok) for the exact top `k`. */
   def countMinTopK(docs: DataFrame, k: Int, depth: Int = 4,
-      width: Int = 256, textCol: String = "text"): DataFrame = {
-    val tok = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-    // (row, bucket) cell of token t in sketch row r — md5-portable
-    def cellsOf(t: Column) =
-      transform(sequence(lit(0), lit(depth - 1)),
-        r => struct(r.cast("int").as("r"),
-          pmod(TextFunctions.hash60(concat_ws(" ", r.cast("string"), t)),
-            lit(width.toLong)).cast("int").as("b")))
-    val cells = tok
-      .select(explode(cellsOf(col("token"))).as("cell"))
+      width: Int = 256, textCol: String = "text"): DataFrame =
+    cmsTopKWith(cmsPartials(docs, depth, width, textCol), docs, k, depth,
+      width, textCol)
+
+  /** Mergeable count-min partials — the sketch's `depth · width` cell
+    * table (r, b, c), which is the WHOLE point of a count-min sketch
+    * at 100 TB: cells are plain sums, so a landed corpus's cell table
+    * persists once and every batch contributes its own; the union
+    * folded by [[countMinTopKFromPartials]] is the exact sketch of
+    * the combined corpus (q135's mergeability pattern applied to the
+    * sketch family — the property its scaladoc has always claimed,
+    * now oracle-proven by q136). */
+  def cmsPartials(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(explode(cmsCellsOf(col("token"), depth, width)).as("cell"))
       .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[countMinTopK]] with the sketch folded from ANY union of
+    * [[cmsPartials]] outputs — bit-identical to the one-shot sketch
+    * (cell counts are additive). The exact top-k audit twin still
+    * reads `docs` (it is the oracle side, not the scale path). */
+  def countMinTopKFromPartials(partials: DataFrame, docs: DataFrame,
+      k: Int, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame =
+    cmsTopKWith(partials.groupBy("r", "b").agg(sum(col("c")).as("c")),
+      docs, k, depth, width, textCol)
+
+  /** (row, bucket) cells of token t across the sketch rows —
+    * md5-portable. */
+  private def cmsCellsOf(t: Column, depth: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(depth - 1)),
+      r => struct(r.cast("int").as("r"),
+        pmod(TextFunctions.hash60(concat_ws(" ", r.cast("string"), t)),
+          lit(width.toLong)).cast("int").as("b")))
+
+  private def cmsTopKWith(cells: DataFrame, docs: DataFrame, k: Int,
+      depth: Int, width: Int, textCol: String): DataFrame = {
+    val tok = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
     val top = tok.groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(k)
     top
-      .select(col("token"), col("freq"), explode(cellsOf(col("token"))).as("cell"))
+      .select(col("token"), col("freq"),
+        explode(cmsCellsOf(col("token"), depth, width)).as("cell"))
       .select(col("token"), col("freq"),
         col("cell.r").as("r"), col("cell.b").as("b"))
       .join(broadcast(cells), Seq("r", "b"))

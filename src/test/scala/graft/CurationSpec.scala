@@ -674,4 +674,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cmsPartials merge exactly reproduces the one-shot sketch, any split") {
+    val docs = Seq(
+      (1L, "s", "a a a b c"),
+      (2L, "s", "b b a d"),
+      (3L, "t", "c a b e f"),
+      (4L, "t", "a")).toDF("doc_id", "source", "text")
+    val oneShot = Curation.countMinTopK(docs, 5)
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(r =>
+        Curation.cmsPartials(docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r)))
+      val merged = Curation.countMinTopKFromPartials(
+          parts.reduce(_ unionByName _), docs, 5)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
 }
