@@ -649,26 +649,12 @@ object Curation {
     * trailing IEEE division. Output: (id, n_bigrams, sum_logp_e6,
     * avg_logp). */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val bigrams = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
-    val cntAb = bigrams.groupBy("g").agg(count(lit(1)).as("n_ab"))
-    // prefix counts fold the bigram table, not the corpus
-    val cntA = cntAb
-      .groupBy(substring_index(col("g"), " ", 1).as("a"))
-      .agg(sum(col("n_ab")).as("n_a"))
-    bigrams
-      .join(cntAb, "g")
-      .join(cntA, substring_index(col("g"), " ", 1) === col("a"))
-      .withColumn("logp_e6",
-        round(log(col("n_ab").cast("double") / col("n_a")) * 1e6, 0)
-          .cast("long"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("logp_e6")).as("sum_logp_e6"))
-      .withColumn("avg_logp",
-        col("sum_logp_e6").cast("double") / lit(1e6) / col("n_bigrams"))
-  }
+      textCol: String = "text"): DataFrame =
+    // one scoring pipeline, shared with the mergeable face (the CMS
+    // pair's delegation pattern): the one-shot model IS the partials
+    // of the whole corpus folded once
+    bigramLogProbFromPartials(lmPartials(docs, textCol), docs, idCol,
+      textCol)
 
   /** Mergeable bigram-LM partials — (g, n_ab), the language-model
     * analogue of [[mixturePartials]]: bigram counts are PLAIN SUMS, so

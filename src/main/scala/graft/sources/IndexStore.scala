@@ -34,32 +34,69 @@ object IndexStore {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Persist every live [[CacheRegistry]] entry under `dir`. Returns
-    * the number of entries written. Call after an index-build phase
+  /** Persist live [[CacheRegistry]] entries under `dir`. Returns the
+    * number of entries written. Call after an index-build phase
     * ([[graft.SparkEntry.buildIndexes]]-style) has populated the
-    * registry. */
-  def saveAll(dir: String): Int = {
+    * registry.
+    *
+    * `kinds` restricts the save to those registry kinds (the first
+    * `:`-part of the key — same filter contract as
+    * [[graft.util.CacheRegistry.releaseExcept]]); empty saves all.
+    * Pass the landed-index kinds in production: the registry also
+    * holds corpus-scale intermediates ("shingles", "gram-table", …)
+    * that are cheaper to rebuild than to copy. Entries ALREADY served
+    * from this directory (a restore-then-save cycle — the daily
+    * restart) are skipped, not re-written: writing over the files a
+    * live plan reads is both illegal in Spark and pointless — they
+    * are, by construction, already persisted here. */
+  def saveAll(dir: String, kinds: Set[String] = Set.empty): Int = {
     val entries = CacheRegistry.entries
+      .filter { case (k, _) =>
+        kinds.isEmpty || kinds.contains(k.takeWhile(_ != ':')) }
+      .filter { case (_, df) => !scanRoots(df).exists(_.contains(dir)) }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     entries.foreach { case (k, df) =>
       df.write.mode("overwrite").parquet(s"$dir/${md5(k)}.parquet")
     }
-    val manifest = entries.keys.toSeq.sorted
-      .map(k => s"${md5(k)}\t$k").mkString("", "\n", "\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/manifest"),
-      manifest.getBytes("UTF-8"))
+    // the manifest keeps previously-saved (now skipped) entries: merge
+    // the old lines so a restore-then-save cycle never drops them
+    val path = java.nio.file.Paths.get(s"$dir/manifest")
+    val prior =
+      if (!java.nio.file.Files.exists(path)) Map.empty[String, String]
+      else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map { l => val Array(h, k) = l.split("\t", 2); k -> h }.toMap
+    val all = prior ++ entries.keys.map(k => k -> md5(k))
+    val manifest = all.toSeq.sortBy(_._1)
+      .map { case (k, h) => s"$h\t$k" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(path, manifest.getBytes("UTF-8"))
     entries.size
   }
 
+  /** The file-scan root paths of a frame's analyzed plan (used for the
+    * already-restored skip above; `DataFrame.inputFiles` reads empty
+    * for these relations on this Spark build). */
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+
   /** Seed the registry from a [[saveAll]] directory. Returns the
-    * number of entries restored. Existing live entries win (seed is
-    * getOrElseUpdate), so restoring into a warm session never
-    * clobbers fresher builds. */
+    * number of entries ACTUALLY inserted — existing live entries win
+    * (seed is getOrElseUpdate), so restoring into a warm session
+    * never clobbers fresher builds and skipped keys are not
+    * counted. */
   def restoreAll(spark: SparkSession, dir: String): Int = {
     val path = java.nio.file.Paths.get(s"$dir/manifest")
     if (!java.nio.file.Files.exists(path)) 0
     else {
+      val before = CacheRegistry.size
       val lines = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
       lines.foreach { line =>
@@ -67,7 +104,7 @@ object IndexStore {
         CacheRegistry.seed(k, spark.read.parquet(s"$dir/$h.parquet"))
         ()
       }
-      lines.size
+      CacheRegistry.size - before
     }
   }
 }

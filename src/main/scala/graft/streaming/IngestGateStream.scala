@@ -39,7 +39,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IngestGateStream {
 
   /** Attach the gate to a streaming `records` frame with columns
-    * `(idCol, stratum, textCol, vecCol)`. `full = true` runs the
+    * `(idCol, stratum, textCol, vecCol)` — the stratum/vector columns
+    * are renamed to the gate family's canonical `source`/`embedding`
+    * per batch, so `landedDocs` must carry its strata in `source` (as
+    * the documents table does). `full = true` runs the
     * eight-stage [[graft.dedup.Dedup.ingestGateFull]] funnel,
     * otherwise the six-stage [[graft.dedup.Dedup.ingestGate]].
     * `onVerdicts(epochId, verdicts)` receives one `(idCol, gate)` row
@@ -55,11 +58,18 @@ object IngestGateStream {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        if (!batch.isEmpty) {
-          val b = batch.persist()
-          try {
-            val docs = b.select(col(idCol), col(stratum), col(textCol))
-            val emb = b.select(col(idCol).as("vec_id"), col(vecCol))
+        val b = batch.persist()
+        try {
+          // persist FIRST: even the emptiness probe must not re-run
+          // the source (the hazard the persist exists to prevent)
+          if (!b.isEmpty) {
+            // the gate family's internal stage calls are keyed to the
+            // canonical column names — rename here so any caller-side
+            // names work (r15 second-review finding)
+            val docs = b.select(col(idCol), col(stratum).as("source"),
+              col(textCol))
+            val emb = b.select(col(idCol).as("vec_id"),
+              col(vecCol).as("embedding"))
             val verdicts =
               if (full)
                 Dedup.ingestGateFull(landedDocs, docs, landedEmb, emb,
@@ -70,8 +80,8 @@ object IngestGateStream {
                   targetSource, centroidOffset = centroidOffset,
                   textCol = textCol, idCol = idCol)
             onVerdicts(epochId, verdicts)
-          } finally { b.unpersist(); () }
-        }
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 }

@@ -35,8 +35,7 @@ object CacheRegistry {
     * next [[cache]] call under the same key returns it instead of
     * rebuilding. The seeded frame is persisted like a built one so
     * repeat consumers don't re-scan the files. */
-  def seed(k: String, df: DataFrame): DataFrame =
-    items.getOrElseUpdate(k, df.persist())
+  def seed(k: String, df: DataFrame): DataFrame = cache(k, df)
 
   /** Snapshot of the live entries — [[graft.sources.IndexStore]]'s
     * save face iterates this. */
