@@ -99,6 +99,9 @@ object SparkEntry {
       "ppl-scored" -> Curation.perplexityScored(docs),
       // full-corpus sign-LSH bands (q22/q29)
       "sign-bands" -> Similarity.bandedTable(emb, 4, 8),
+      // full-corpus two-level assignment (q116/q118/q120 all embed it
+      // through the 2L default routing — one build, three consumers)
+      "sem2l-asn" -> Similarity.twoLevelAssignment(emb),
       // substring-dedup gram table + corpus dup-gram set (q109/q112)
       "gram-table" -> Dedup.gramTable(docs, 8),
       "dup-grams" -> Dedup.dupGrams(docs, 8),

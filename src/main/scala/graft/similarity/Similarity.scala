@@ -369,13 +369,34 @@ object Similarity {
       fineOffset: Int = 7, coarseFactor: Int = 5, minCosine: Double = 0.3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val fine = e.filter(pmod(col("vec_id"), lit(fineStride)) === fineOffset)
-      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
-    val coarse = e.filter(
-        pmod(col("vec_id"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
-      .select(col("vec_id").as("g_id"), col("vec").as("g_vec"))
-    dedupFromAssignment(e, assignTwoLevel(e, fine, coarse), minCosine, idCol)
+    dedupFromAssignment(e,
+      twoLevelAssignment(embeddings, fineStride, fineOffset, coarseFactor,
+        idCol, vecCol),
+      minCosine, idCol)
   }
+
+  /** The memoized full-corpus two-level assignment (kind "sem2l-asn")
+    * — the O(n·√nlist) stage every 2L-default consumer shares: q118
+    * runs it directly, and q116/q120 embed it through
+    * [[semanticDedup]]'s default routing; before memoization each of
+    * the three recomputed it per suite run. One narrow (vec_id, c_id)
+    * row per vector, exposed for an index-build phase. */
+  def twoLevelAssignment(embeddings: DataFrame, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(embeddings, "sem2l-asn", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol), {
+        val e = embeddings.select(col(idCol).as("vec_id"),
+          col(vecCol).as("vec"))
+        val fine = e.filter(pmod(col("vec_id"), lit(fineStride)) === fineOffset)
+          .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+        val coarse = e.filter(
+            pmod(col("vec_id"), lit(fineStride.toLong * coarseFactor)) ===
+              fineOffset)
+          .select(col("vec_id").as("g_id"), col("vec").as("g_vec"))
+        assignTwoLevel(e, fine, coarse)
+      })
 
   /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
     * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
