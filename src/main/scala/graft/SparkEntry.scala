@@ -1981,6 +1981,22 @@ object SparkEntry {
           .orderBy("q_id", "rnk")
       }),
 
+      // Mergeable retrieval-index partials (the index-update cell):
+      // per-slice (token, df) + doc-count sentinel rows merged by
+      // union, all docs scored under the folded index — the oracle is
+      // the ONE-SHOT q50 TF-IDF, proving df/N additivity.
+      "q137_tfidf_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.curation.Curation.retrievalPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.curation.Curation.retrievalPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.curation.Curation.tfidfTopTermsFromPartials(
+          pa.unionByName(pb), docs, 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("doc_id", "rnk")
+      }),
+
       // Mergeable count-min partials (the sketch-update cell): cell
       // tables from the two %2 slices merged by union+sum, the exact
       // top-25 audit re-probed against the folded sketch — the oracle
@@ -5107,6 +5123,25 @@ object SparkEntry {
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
+
+    // The ONE-SHOT TF-IDF (q50's SQL with q50's rank aliased rnk):
+    // the merged-partials path must reproduce it bit-for-bit.
+    "q137_tfidf_merge" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) token
+                      FROM documents),
+          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
+                 FROM tok GROUP BY doc_id, token),
+          n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) n FROM documents),
+          dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY token),
+          sc AS (SELECT doc_id, t.token, t.tf, dfr.df,
+                   t.tf * CAST(round(ln(n.n / dfr.df) * 1000000, 0) AS BIGINT)
+                     AS score_e6
+                 FROM tf t JOIN dfr USING (token), n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_e6 DESC, token) rnk FROM sc)
+          SELECT doc_id, rnk, token, tf, df, score_e6 FROM r
+          WHERE rnk <= 5 ORDER BY doc_id, rnk""",
 
     // The ONE-SHOT sketch (q87's SQL verbatim): the merged-cells path
     // must reproduce it bit-for-bit.

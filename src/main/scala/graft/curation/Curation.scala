@@ -226,16 +226,48 @@ object Curation {
     * lexicographically. Output: (id, rank, token, tf, df, score·1e6 as
     * an integer-stable long). */
   def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    // one scoring pipeline, shared with the mergeable face (the
+    // q135/q136 delegation pattern): the one-shot index IS the
+    // partials of the whole corpus folded once
+    tfidfTopTermsFromPartials(retrievalPartials(docs, idCol, textCol),
+      docs, k, idCol, textCol)
+
+  /** Mergeable retrieval-index partials — the corpus-global state of
+    * the TF-IDF/BM25 family as plain-sum rows: (token, df) document
+    * frequencies, plus ONE null-token row carrying the slice's doc
+    * count (df counts distinct docs per token WITHIN the slice; doc
+    * ids are disjoint across slices, so both columns are additive).
+    * A landed corpus's partials persist once; each batch contributes
+    * its own; [[tfidfTopTermsFromPartials]] over the union scores
+    * under the exact combined-corpus index — the q135/q136
+    * mergeability pattern applied to the retrieval family (BM25's
+    * extra global, Σ doc length for avgdl, merges the same way and
+    * would ride a second sentinel column). */
+  def retrievalPartials(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .unionByName(docs.agg(
+        lit(null).cast("string").as("token"),
+        count_distinct(col(idCol)).as("df")))
+
+  /** [[tfidfTopTerms]] with the index folded from ANY union of
+    * [[retrievalPartials]] outputs — bit-identical to the one-shot
+    * scoring (df and N are additive; the micro-ln quantization
+    * happens only after the fold). */
+  def tfidfTopTermsFromPartials(partials: DataFrame, docs: DataFrame,
+      k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    // N as a lazy one-row broadcast, not an eager .count() — composing
-    // the operator must not trigger a corpus job, and the count rides
-    // the same execution as everything else
-    val n = docs.agg(
-      count_distinct(col(idCol)).cast("double").as("__n"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val df = partials.filter(col("token").isNotNull)
+      .groupBy("token").agg(sum(col("df")).as("df"))
+    val n = partials.filter(col("token").isNull)
+      .agg(sum(col("df")).cast("double").as("__n"))
     val w = Window.partitionBy(idCol)
       .orderBy(desc("score_e6"), asc("token"))
     tf.join(df, "token")

@@ -692,4 +692,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("retrievalPartials merge exactly reproduces the one-shot TF-IDF, any split") {
+    val docs = Seq(
+      (1L, "s", "a b a c"),
+      (2L, "s", "b c d"),
+      (3L, "t", "a d d e"),
+      (4L, "t", "e")).toDF("doc_id", "source", "text")
+    val oneShot = Curation.tfidfTopTerms(docs, 3)
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSet
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(r =>
+        Curation.retrievalPartials(docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r)))
+      val merged = Curation.tfidfTopTermsFromPartials(
+          parts.reduce(_ unionByName _), docs, 3)
+        .as[(Long, Int, String, Long, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
 }
