@@ -243,6 +243,10 @@ object MaterializedScaleBench {
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
           "src0").count()),
+      ("q134_bpe_inc", k =>
+        graft.curation.Bpe.bpeSegmentStatsIncrement(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2), 8).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
@@ -319,6 +323,11 @@ object MaterializedScaleBench {
         val ld = docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)
         graft.curation.Curation.landedBigramLm(ld).count()
         graft.curation.Curation.landedPplThresholds(ld).count()
+        ()
+      },
+      "q134_bpe_inc" -> { k =>
+        graft.curation.Bpe.baseDict(
+          docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2)).count()
         ()
       },
       "q132_gate_full" -> { k =>

@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "q129_ingest_gate", // embeds q122's codebook + q125's totals broadcasts
     "q131_ppl_incremental", // per-stratum boundary-ratio rows, null-safe-joined broadcast
     "q132_ingest_gate_full", // q129's broadcasts + q131's boundary rows
-    "q133_ann_ivf_pq") // stride coarse-cell + PQ codebook broadcasts, as q37/q119
+    "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
+    "q137_tfidf_merge") // one-row folded-N cross-joined broadcast, as q50
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
