@@ -2029,6 +2029,21 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Mergeable gradient partials (the distributed-training cell):
+      // the classifier fit data-parallel over the two %2 slices — each
+      // GD round folds per-slice integer gradient partials by plain
+      // sum, which IS the full-corpus gradient at the frozen weights,
+      // so the weight trajectory and every score are bit-identical to
+      // the one-shot fit. Oracle = q123's unrolled replay verbatim;
+      // the hash match is the data-parallelism proof.
+      "q138_qc_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.qualityClassifierFromParts(
+          Seq(docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1)), "src0")
+          .orderBy("doc_id")
+      }),
+
       // Incremental BPE apply — the tokenizer cell of the incremental
       // matrix: merges learned from the LANDED slice only; the %5==2
       // batch segments under them FROM CHARACTERS, so unseen batch
@@ -4735,6 +4750,9 @@ object SparkEntry {
          ORDER BY vec_id""",
 
     "q123_quality_classifier" -> qcOracle(3),
+    // the one-shot replay IS the oracle: folding per-slice gradient
+    // partials must land on the identical weight trajectory
+    "q138_qc_merge" -> qcOracle(3),
 
     // q25's FNV/LCG stub-codec replay (HUGEINT mod-2^64) extended to 60
     // feature steps, then fingerprint (k·60 > Σk mean-threshold bits,

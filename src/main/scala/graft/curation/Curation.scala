@@ -516,25 +516,63 @@ object Curation {
   def qualityClassifier(docs: DataFrame, targetSource: String,
       buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
       stratum: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    qualityClassifierFromParts(Seq(docs), targetSource, buckets, rounds,
+      lr, stratum, idCol, textCol)
+
+  /** [[qualityClassifier]] trained data-parallel over disjoint document
+    * slices — the DISTRIBUTED-TRAINING cell of the mergeable family
+    * (q104/q135/q136/q137's pattern applied to GRADIENTS): each GD
+    * round's gradient g_b = Σ_d r_d·x_db is a plain integer sum over
+    * documents, and r_d depends only on document d's own features and
+    * the FROZEN broadcast weights, so per-slice partial gradients fold
+    * by sum to the exact full-corpus gradient. The weight trajectory —
+    * and therefore the final model and every score — is bit-identical
+    * to the one-shot training; the oracle IS the one-shot unrolled
+    * replay, so the hash match is the data-parallelism proof. This is
+    * the property a 1000-executor LR fit rests on (each worker ships
+    * `buckets`+1 gradient rows per round, never its data); the one-shot
+    * face delegates here with a single slice (one pipeline).
+    *
+    * Exactness: identical to [[qualityClassifier]]'s contract — integer
+    * dot products and gradients, σ e6-rounded the instant it appears,
+    * HALF_UP weight update over the COMBINED N (slice counts are
+    * additive). Per-slice feature tables are memoized independently
+    * (kind "qc-features", keyed on each slice's plan), so a landed
+    * slice's features persist across rounds and sessions while each new
+    * slice adds only its own build. */
+  def qualityClassifierFromParts(slices: Seq[DataFrame],
+      targetSource: String, buckets: Int = 64, rounds: Int = 3,
+      lr: Double = 0.5, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0 && rounds >= 1, "buckets, rounds must be positive")
-    val spark = docs.sparkSession
+    require(slices.nonEmpty, "at least one document slice")
+    val spark = slices.head.sparkSession
     import spark.implicits._
-    val tb = qcFeatures(docs, targetSource, buckets, stratum, idCol, textCol)
-    def zAgg(wDf: DataFrame): DataFrame = tb.join(broadcast(wDf), "b")
-      .groupBy(col(idCol))
-      .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
-    val n = docs.count().toDouble
+    val tbs = slices.map(d =>
+      qcFeatures(d, targetSource, buckets, stratum, idCol, textCol))
+    def zAgg(tb: DataFrame, wDf: DataFrame): DataFrame =
+      tb.join(broadcast(wDf), "b")
+        .groupBy(col(idCol))
+        .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
+    // combined N: slice cardinalities are additive over a disjoint split
+    val n = slices.map(_.count()).sum.toDouble
     var w: Map[Int, Long] = (0 to buckets).map(_ -> 0L).toMap
     (1 to rounds).foreach { _ =>
-      val grad = zAgg(w.toSeq.toDF("b", "w"))
-        .withColumn("r", round(
-          (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / 1e6)) -
-            col("y")) * 1e6).cast("long"))
-        .select(col(idCol), col("r"))
-        .join(tb, idCol)
-        .groupBy("b")
-        .agg(sum(col("r") * col("x")).as("g"))
+      val wDf = w.toSeq.toDF("b", "w")
+      // per-slice partial gradients (≤ buckets+1 rows each), folded by
+      // plain sum — exactly the full-corpus gradient at the frozen w
+      val grad = tbs.map { tb =>
+        zAgg(tb, wDf)
+          .withColumn("r", round(
+            (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / 1e6)) -
+              col("y")) * 1e6).cast("long"))
+          .select(col(idCol), col("r"))
+          .join(tb, idCol)
+          .groupBy("b")
+          .agg(sum(col("r") * col("x")).as("g"))
+      }.reduce(_ unionByName _)
+        .groupBy("b").agg(sum(col("g")).as("g"))
         .collect() // ≤ buckets+1 rows: the model, not the data
       w = w ++ grad.map { row =>
         val b = row.getInt(0)
@@ -545,11 +583,14 @@ object Curation {
         b -> (w(b) - d)
       }
     }
-    zAgg(w.toSeq.toDF("b", "w"))
-      .join(docs.select(col(idCol), col(stratum)), idCol)
-      .select(col(idCol), col(stratum), col("y").as("label"),
-        col("z").as("z_e6"),
-        when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
+    val wF = w.toSeq.toDF("b", "w")
+    slices.zip(tbs).map { case (d, tb) =>
+      zAgg(tb, wF)
+        .join(d.select(col(idCol), col(stratum)), idCol)
+        .select(col(idCol), col(stratum), col("y").as("label"),
+          col("z").as("z_e6"),
+          when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
+    }.reduce(_ unionByName _)
   }
 
   /** The classifier's feature table — (doc, y, bucket, count) + bias

@@ -692,6 +692,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gradient partials fold to the one-shot classifier fit, any split") {
+    val docs = Seq(
+      (1L, "s", "good clean prose here"),
+      (2L, "s", "clean prose good text"),
+      (3L, "t", "spam spam buy now"),
+      (4L, "t", "buy spam now cheap"),
+      (5L, "s", "prose text here"),
+      (6L, "t", "cheap now spam")).toDF("doc_id", "source", "text")
+    val oneShot = Curation.qualityClassifier(docs, "s", rounds = 2)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // the fit must separate the planted sources, or the assertion
+    // below proves only that two trivial models agree
+    assert(oneShot.count(r => r._3 == r._5) == 6, oneShot.toString)
+    // per-slice gradients at frozen weights are plain integer sums
+    // over documents, so any disjoint split folds to the identical
+    // full-corpus gradient — and therefore the identical trajectory
+    for (m <- Seq(2, 3)) {
+      val merged = Curation.qualityClassifierFromParts(
+          (0 until m).map(r =>
+            docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r)),
+          "s", rounds = 2)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
   test("retrievalPartials merge exactly reproduces the one-shot TF-IDF, any split") {
     val docs = Seq(
       (1L, "s", "a b a c"),
