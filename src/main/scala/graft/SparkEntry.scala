@@ -2044,6 +2044,41 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Mergeable HLL register partials (the distinct-count cell — and
+      // the family's one MAX-merge): per-slice 64-register tables fold
+      // by per-bucket maximum to exactly the one-shot registers; the
+      // estimate is read off the fold with an integer-summed harmonic
+      // denominator (no float fold order exists). Oracle = the
+      // one-shot md5-register replay.
+      "q139_hll_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.curation.Curation.hllPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.curation.Curation.hllPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.curation.Curation.distinctFromHllPartials(
+          pa.unionByName(pb))
+          .orderBy("bucket")
+      }),
+
+      // Mergeable value-histogram quantiles (the quantile cell): for an
+      // integer-valued column the full-resolution histogram is a
+      // lossless sum-merge summary, so the folded percentiles are
+      // EXACT — oracle = q45's one-shot rank selection verbatim; the
+      // windows run over the histogram, never the corpus.
+      "q140_quantile_merge" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.curation.Curation.histPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          "source", "n_chars")
+        val pb = graft.curation.Curation.histPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+          "source", "n_chars")
+        graft.curation.Curation.distributionStatsFromPartials(
+          pa.unionByName(pb), "source", Seq(5000, 9000, 9900))
+          .orderBy("source", "pct")
+      }),
+
       // Incremental BPE apply — the tokenizer cell of the incremental
       // matrix: merges learned from the LANDED slice only; the %5==2
       // batch segments under them FROM CHARACTERS, so unseen batch
@@ -4753,6 +4788,53 @@ object SparkEntry {
     // the one-shot replay IS the oracle: folding per-slice gradient
     // partials must land on the identical weight trajectory
     "q138_qc_merge" -> qcOracle(3),
+
+    // one-shot HLL registers over the whole corpus (max absorbs both
+    // duplicates and the slice fold); the estimate's harmonic
+    // denominator is the exact integer Σ 2^(55−ρ), so the only doubles
+    // are one identically-associated expression per engine
+    "q139_hll_merge" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT h
+                    FROM documents),
+        reg0 AS (SELECT h % 64 AS bucket, h // 64 AS r FROM h),
+        reg AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                  CAST(MAX(CASE WHEN r = 0 THEN 55
+                    ELSE CAST(bit_count(CAST((r & (-r)) - 1 AS BIGINT))
+                      AS BIGINT) + 1 END) AS BIGINT) AS rho
+                FROM reg0 GROUP BY bucket),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
+                    AS BIGINT) AS sp
+                FROM reg),
+        sden AS (SELECT cnt,
+                   sp + CAST(64 - cnt AS BIGINT) * 36028797018963968 AS s
+                 FROM agg),
+        e AS (SELECT CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE
+                     * 36028797018963968.0::DOUBLE / CAST(s AS DOUBLE))
+                       <= 160.0 AND cnt < 64
+                THEN CAST(64 AS BIGINT) *
+                  CAST(round(ln(64.0::DOUBLE / CAST(64 - cnt AS DOUBLE))
+                    * 1000000) AS BIGINT)
+                ELSE CAST(round((0.709::DOUBLE * 4096.0::DOUBLE
+                  * 36028797018963968.0::DOUBLE / CAST(s AS DOUBLE))
+                  * 1000000) AS BIGINT) END AS est_e6
+              FROM sden)
+        SELECT reg.bucket, reg.rho, e.est_e6 FROM reg, e
+        ORDER BY bucket""",
+
+    // folding histogram partials must reproduce the one-shot rank
+    // selection — q45's oracle verbatim
+    "q140_quantile_merge" ->
+      """WITH s AS (SELECT source, n_chars, doc_id,
+                      row_number() OVER
+                        (PARTITION BY source ORDER BY n_chars, doc_id) rn,
+                      COUNT(*) OVER (PARTITION BY source) cnt
+                    FROM documents),
+          p AS (SELECT unnest([5000, 9000, 9900]) bp)
+          SELECT source, CAST(bp AS DOUBLE) / 10000.0 AS pct,
+                 n_chars AS value
+          FROM s, p WHERE rn = (bp * cnt + 9999) // 10000
+          ORDER BY source, pct""",
 
     // q25's FNV/LCG stub-codec replay (HUGEINT mod-2^64) extended to 60
     // feature steps, then fingerprint (k·60 > Σk mean-threshold bits,

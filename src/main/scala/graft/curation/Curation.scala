@@ -286,6 +286,102 @@ object Curation {
         col("score_e6"))
   }
 
+  /** Per-slice HyperLogLog register partials (the DISTINCT-COUNT cell
+    * of the mergeable family — and its one MAX-merge: every other
+    * partial in the family folds by plain sum, HLL registers fold by
+    * per-bucket maximum, the semiring the 100 TB distinct count rests
+    * on). 64 registers (b=6): h = hash60(value), bucket = h mod 64,
+    * the remaining 54 bits r give ρ = trailing-zeros(r)+1 (r=0 → 55),
+    * computed branch-free as `bit_count((r & -r) − 1) + 1` — pure
+    * integer ops both engines replay bit-identically. Output: one row
+    * per PRESENT register, (bucket, rho). Duplicates cost nothing
+    * (max absorbs), so the partial is insensitive to slice-local
+    * dedup. */
+  def hllPartials(df: DataFrame, valueCol: String = "text"): DataFrame =
+    df.select(TextFunctions.hash60(col(valueCol)).as("h"))
+      .select(pmod(col("h"), lit(64L)).as("bucket"),
+        expr("h div 64").as("r"))
+      .select(col("bucket"),
+        when(col("r") === 0L, lit(55L))
+          .otherwise(expr("cast(bit_count((r & -r) - 1) as bigint) + 1"))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+
+  /** The folded-register HLL estimate over ANY union of [[hllPartials]]
+    * outputs — per-bucket MAX is associative/commutative/idempotent, so
+    * the fold equals the one-shot registers of the combined corpus and
+    * the oracle is the one-shot replay. Exactness of the estimate
+    * itself (the float-looking part): the harmonic-mean denominator
+    * Σ 2^−ρ is summed as the INTEGER Σ 2^(55−ρ) (≤ 64·2^54, BIGINT-
+    * safe) so no float fold order exists; the raw estimate is then ONE
+    * identical left-associated double expression on that integer in
+    * both engines (casts and arithmetic correctly rounded), and the
+    * small-range linear-counting branch m·ln(m/V) quantizes its ln to
+    * e6 micro-units (≤64 distinct ratios — the standard lnq device).
+    * Output: the folded registers (bucket, rho) each carrying the
+    * constant est_e6 — both the sketch state and its reading, every
+    * row DuckDB-replayable. */
+  def distinctFromHllPartials(partials: DataFrame): DataFrame = {
+    val folded = partials.groupBy("bucket").agg(max(col("rho")).as("rho"))
+    val est = folded.agg(
+        count(lit(1)).as("cnt"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - rho as int))"))
+          .as("s_present"))
+      .select(col("cnt"),
+        (col("s_present") +
+          (lit(64L) - col("cnt")) * lit(36028797018963968L)).as("s"))
+      // raw = α₆₄·m²/(S/2^55) with α₆₄ = 0.709 pinned as a literal;
+      // identical literal-first association on the oracle side
+      .select(col("cnt"),
+        (lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s").cast("double")).as("raw"))
+      .select(
+        when(col("raw") <= lit(160.0) && col("cnt") < 64,
+          lit(64L) * round(log(lit(64.0) /
+            (lit(64L) - col("cnt")).cast("double")) * 1e6, 0).cast("long"))
+          .otherwise(round(col("raw") * 1e6, 0).cast("long"))
+          .as("est_e6"))
+    folded.crossJoin(broadcast(est)).select("bucket", "rho", "est_e6")
+  }
+
+  /** Per-slice value histogram (the QUANTILE cell of the mergeable
+    * family): (stratum, value, count) rows, folded by plain sum. For an
+    * integer-valued column the full-resolution histogram is a LOSSLESS
+    * summary, so quantiles read off the fold are EXACT — the mergeable
+    * path [[distributionStats]]'s scaladoc promises at 100 TB, now
+    * oracle-proven (the sketch-accuracy ladder q74 bounds, this
+    * completes exactly). */
+  def histPartials(df: DataFrame, stratum: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(stratum), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[distributionStats]] read off a histogram folded from ANY union
+    * of [[histPartials]] outputs — bit-identical to the one-shot rank
+    * selection: the value at 1-based rank `(bp·n + 9999) div 10000` is
+    * tie-order-independent, and the folded histogram pins every rank
+    * boundary with pure integer cumulative counts. The windows here run
+    * over the HISTOGRAM (|distinct values| rows per stratum), not the
+    * corpus — this is the scale path the exact form's scaladoc calls
+    * for. Output: (stratum, pct, value), as [[distributionStats]]. */
+  def distributionStatsFromPartials(partials: DataFrame, stratum: String,
+      pctsBp: Seq[Int]): DataFrame = {
+    val folded = partials.groupBy(col(stratum), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(stratum).orderBy("v")
+    val wAll = Window.partitionBy(stratum)
+    folded
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("bp", explode(array(pctsBp.map(p => lit(p.toLong)): _*)))
+      .withColumn("rank", expr("(bp * n + 9999) div 10000"))
+      // the unique histogram row whose cumulative span covers the rank
+      .filter(col("cum") >= col("rank") &&
+        col("cum") - col("cnt") < col("rank"))
+      .select(col(stratum), (col("bp").cast("double") / lit(10000.0)).as("pct"),
+        col("v").as("value"))
+  }
+
   /** Token-budget corpus selection: per stratum, keep the best documents
     * (by a caller-supplied score, ties on id) whose RUNNING token total
     * stays within the stratum's quota — the greedy step of assembling a

@@ -692,6 +692,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("HLL register partials max-fold to the one-shot sketch, any split") {
+    val docs = (1L to 40L).map(i =>
+      // 13 distinct texts under 40 rows: duplicates must not move
+      // any register (max absorbs), and the estimate should read
+      // close to 13, not 40
+      (i, if (i % 2 == 0) "s" else "t", s"text ${i % 13}"))
+      .toDF("doc_id", "source", "text")
+    val oneShot = Curation.distinctFromHllPartials(Curation.hllPartials(docs))
+      .as[(Long, Long, Long)].collect().toSet
+    val est = oneShot.head._3 / 1e6
+    assert(est > 6 && est < 26, s"estimate $est for 13 distinct")
+    for (m <- Seq(2, 3)) {
+      val merged = Curation.distinctFromHllPartials(
+          (0 until m).map(r => Curation.hllPartials(
+            docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r)))
+            .reduce(_ unionByName _))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
+  test("histogram partials fold to the one-shot exact percentiles, any split") {
+    val docs = Seq(
+      (1L, "s", 10L), (2L, "s", 30L), (3L, "s", 20L), (4L, "s", 30L),
+      (5L, "s", 50L), (6L, "t", 5L), (7L, "t", 5L), (8L, "t", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val pcts = Seq(2500, 5000, 9000)
+    val oneShot = Curation.distributionStats(
+        docs, "source", "n_chars", "doc_id", pcts)
+      .as[(String, Double, Long)].collect().toSet
+    for (m <- Seq(2, 3)) {
+      val merged = Curation.distributionStatsFromPartials(
+          (0 until m).map(r => Curation.histPartials(
+            docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r),
+            "source", "n_chars")).reduce(_ unionByName _),
+          "source", pcts)
+        .as[(String, Double, Long)].collect().toSet
+      assert(merged == oneShot, s"$m-way split: $merged")
+    }
+  }
+
   test("gradient partials fold to the one-shot classifier fit, any split") {
     val docs = Seq(
       (1L, "s", "good clean prose here"),
