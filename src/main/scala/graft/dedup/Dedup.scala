@@ -380,9 +380,19 @@ object Dedup {
       .agg(count(lit(1)).as("inter"),
         min("a_sz").as("a_size"), min("b_sz").as("b_size"))
     grouped
-      .unionByName(grouped.select(col("b_id").as("a_id"),
-        col("a_id").as("b_id"), col("inter"),
-        col("b_size").as("a_size"), col("a_size").as("b_size")))
+      // both directions off EACH aggregated row (an explode, not a
+      // self-union): the grouped subtree — the dominant pair-
+      // aggregation shuffle — is referenced exactly once, so the plan
+      // cannot evaluate it twice however exchange reuse goes
+      .select(explode(array(
+        struct(col("a_id"), col("b_id"), col("inter"),
+          col("a_size"), col("b_size")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          col("inter"), col("b_size").as("a_size"),
+          col("a_size").as("b_size")))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.inter").as("inter"), col("p.a_size").as("a_size"),
+        col("p.b_size").as("b_size"))
       .filter(col("inter") * 10000 >= col("a_size") * minContainBp)
       .withColumn("containment",
         col("inter").cast("double") / col("a_size").cast("double"))
