@@ -2044,6 +2044,20 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Deterministic integer PageRank over the event-transition graph
+      // (q62's Markov table as a weighted digraph): 5 synchronous
+      // rounds, all rank mass in pico-units with floor-division
+      // transfers, so the oracle replays the identical trajectory —
+      // iterative graph analytics under the repo's exactness contract.
+      "q141_pagerank" -> ((s, dir) => {
+        val e = events(s, dir)
+          .withColumn("tsm", expr("unix_micros(ts) div 1000"))
+        val edges = graft.exec.Cohort.transitions(
+          e, "user_id", "tsm", "event_id", "event_type")
+        graft.exec.Graph.pageRank(edges, "from_type", "to_type", "n")
+          .orderBy("node")
+      }),
+
       // Mergeable HLL register partials (the distinct-count cell — and
       // the family's one MAX-merge): per-slice 64-register tables fold
       // by per-bucket maximum to exactly the one-shot registers; the
@@ -4789,6 +4803,8 @@ object SparkEntry {
     // partials must land on the identical weight trajectory
     "q138_qc_merge" -> qcOracle(3),
 
+    "q141_pagerank" -> pageRankOracle(5, 8500),
+
     // one-shot HLL registers over the whole corpus (max absorbs both
     // duplicates and the slice fold); the estimate's harmonic
     // denominator is the exact integer Σ 2^(55−ρ), so the only doubles
@@ -5593,6 +5609,45 @@ $extraCases
           LEFT JOIN cj ON cj.sid = xb.doc_id
           LEFT JOIN dsel ON dsel.doc_id = xb.doc_id$extraJoins
           ORDER BY xb.doc_id"""
+  }
+
+  /** q141's PageRank unrolled to `iters` explicit CTE rounds — the
+    * whole trajectory is integer pico-units with floor divisions
+    * (HUGEINT-widened transfer products mirror the Spark side's
+    * DECIMAL(38,0)), so every per-round rank table replays
+    * bit-identically; the edge table is q62's transition fragment. */
+  private def pageRankOracle(iters: Int, dampBp: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+                   CAST(SUM((CAST(p.pr_e12 AS HUGEINT) * e.w) // o.out_w)
+                     AS BIGINT) cin
+                 FROM p${i - 1} p JOIN e ON p.node = e.src
+                 JOIN ow o ON e.src = o.src
+                 GROUP BY e.dst),
+          p$i AS (SELECT n.node,
+                    (SELECT tele FROM t)
+                      + ($dampBp * COALESCE(c.cin, 0)) // 10000 AS pr_e12
+                  FROM nodes n LEFT JOIN c$i c ON n.node = c.dst)"""
+    }.mkString(",\n          ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_id,
+                      event_type FROM events),
+        x AS (SELECT event_type ft,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY tsm, event_id) tt
+              FROM ev),
+        e AS (SELECT ft src, tt dst, CAST(COUNT(*) AS BIGINT) w
+              FROM x WHERE tt IS NOT NULL GROUP BY ft, tt),
+        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) out_w FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM nodes),
+        t AS (SELECT 1000000000000 // n AS base,
+                ((10000 - $dampBp) * (1000000000000 // n)) // 10000 AS tele
+              FROM nn),
+        p0 AS (SELECT node, (SELECT base FROM t) AS pr_e12 FROM nodes),
+        $rounds
+        SELECT node, CAST(pr_e12 AS BIGINT) AS pr_e12 FROM p$iters
+        ORDER BY node"""
   }
 
   /** q123's logistic-regression training unrolled to `rounds` explicit

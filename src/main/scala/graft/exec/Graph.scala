@@ -1,0 +1,80 @@
+package graft.exec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables — the operator family the
+  * warehouse needs once its dedup graphs, transition tables, and
+  * citation/link structures become first-class data: each algorithm is
+  * a fixed number of join+aggregate rounds over an edge list, the shape
+  * that distributes (edges hash-partitioned on the join key, ranks on
+  * the node key; nothing corpus-wide beyond the edge table itself).
+  *
+  * Exactness (the repo's standard contract): all rank mass lives in
+  * integer pico-units (e12) and every transfer is a floor division, so
+  * both engines replay the identical trajectory — no float sum of
+  * contributions exists anywhere, and the per-round tables are pure
+  * functions of the edge multiset (aggregation order cannot matter on
+  * integer sums). */
+object Graph {
+
+  /** Deterministic weighted PageRank with damping in basis points
+    * (`dampBp` = 8500 → d = 0.85), `iters` synchronous rounds from the
+    * uniform start 1e12 div N. Per round, node u sends
+    * `pr(u)·w(u→v) div out_w(u)` pico-units along each out-edge
+    * (DECIMAL(38,0)-widened product — corpus-scale weights cannot wrap
+    * BIGINT), and every node restarts from the same teleport base
+    * `((10000−dampBp)·(1e12 div N)) div 10000`:
+    *
+    *   pr'(v) = tele + (dampBp · Σ_u c(u→v)) div 10000
+    *
+    * Dangling nodes (no out-edges) keep receiving teleport mass but
+    * forward nothing — their outflow mass leaks, the standard
+    * simplification (documented rather than redistributed so the oracle
+    * replay stays one join per round). Floor losses make Σpr drift a
+    * few pico-units per round: deterministic, identical in both
+    * engines, and irrelevant to ranking.
+    *
+    * Scale: each round is one src-keyed join (ranks ⋈ edges ⋈ out-
+    * weights) and one dst-keyed sum — the textbook distributed-PageRank
+    * exchange pair; the edge table and node set are read once
+    * (localCheckpoint — single-node caveat: on a cluster persist to the
+    * shuffle service or a parquet round-trip instead, and checkpoint
+    * per-round once `iters` grows past plan-depth comfort; at the
+    * contract's 5 rounds the unrolled lazy plan is fine and keeps the
+    * whole trajectory in one Catalyst tree). Node count N is the one
+    * driver-side read (a scalar, as the classifier's corpus count).
+    *
+    * Output: (node, pr_e12) — one row per node, BIGINT pico-rank. */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+      wCol: String = "w", iters: Int = 5, dampBp: Int = 8500): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    require(dampBp > 0 && dampBp < 10000, "dampBp in (0, 10000)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum(col("w")).as("out_w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = 1000000000000L / n
+    val tele = (10000L - dampBp) * base / 10000L
+    var pr = nodes.withColumn("pr_e12", lit(base))
+    (1 to iters).foreach { _ =>
+      val contrib = pr.join(e, col("node") === col("src"))
+        .join(outW, "src")
+        .select(col("dst"),
+          expr("CAST((CAST(pr_e12 AS DECIMAL(38,0)) * w) div out_w" +
+            " AS BIGINT)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cin"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(tele) + expr(s"($dampBp * coalesce(cin, 0L)) div 10000"))
+            .as("pr_e12"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.Graph
+
+/** Deterministic integer PageRank: the exact pico-unit trajectory is
+  * hand-computable round by round, so one round is asserted VALUE-exact
+  * and five rounds assert the structural ranking. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hub-and-spokes: a is the hub (everyone links in, a links out to
+  // b and c); d is a pure source (dangling for in-links)
+  private def edges =
+    Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+
+  test("one round replays the hand-computed pico-unit table exactly") {
+    // N=4, base=250e9, tele=1500*base//10000=37.5e9; a receives the
+    // full rank of b, c, d (750e9), b and c half of a's (125e9 each)
+    val got = Graph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "a" -> 675000000000L, "b" -> 143750000000L,
+      "c" -> 143750000000L, "d" -> 37500000000L), got.toString)
+  }
+
+  test("five rounds: hub dominates, symmetric spokes tie, source floors") {
+    val got = Graph.pageRank(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") > got("b") && got("b") == got("c") &&
+      got("c") > got("d"), got.toString)
+    // d never receives an edge: its rank is exactly the teleport base
+    assert(got("d") == 37500000000L, got.toString)
+  }
+
+  test("weighted edges split proportionally, not per-edge") {
+    // a sends 3/4 of its forwarded mass to b, 1/4 to c
+    val e2 = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(e2, iters = 1)
+      .as[(String, Long)].collect().toMap
+    // N=3: base=333333333333, tele=1500*base//10000=49999999999 (floor)
+    // a<-b+c: cin=2*base; b<-a: (base*3)//4; c<-a: base//4
+    val base = 1000000000000L / 3
+    val tele = 1500L * base / 10000L
+    assert(got("a") == tele + 8500L * (2 * base) / 10000L, got.toString)
+    assert(got("b") == tele + 8500L * (base * 3 / 4) / 10000L, got.toString)
+    assert(got("c") == tele + 8500L * (base / 4) / 10000L, got.toString)
+  }
+}
