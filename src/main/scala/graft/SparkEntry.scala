@@ -2044,6 +2044,26 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Compaction planning: documents packed per source, in doc_id
+      // order, into contiguous ~20k-char bins — the small-files
+      // maintenance plan computed from metadata only, reproducible
+      // anywhere (pure integer prefix arithmetic, append-stable).
+      "q142_compaction_plan" -> ((s, dir) =>
+        graft.exec.Layout.compactionBins(
+            table(s, dir, "documents"), "source", "doc_id", "n_chars",
+            target = 20000L)
+          .orderBy("source", "bin")),
+
+      // Skew diagnosis + salting plan: event-type row counts against a
+      // 500-rows-per-task budget; keys over budget get ⌈n/target⌉ salt
+      // — the broadcast-sized table a salted join would consume.
+      "q143_skew_plan" -> ((s, dir) =>
+        graft.exec.Layout.skewPlan(
+            events(s, dir), col("event_type"), target = 500L)
+          .select(col("key").as("grp_key"), col("n"), col("salt"),
+            col("share_ppm"))
+          .orderBy("grp_key")),
+
       // Deterministic integer PageRank over the event-transition graph
       // (q62's Markov table as a weighted digraph): 5 synchronous
       // rounds, all rank mass in pico-units with floor-division
@@ -4804,6 +4824,27 @@ object SparkEntry {
     "q138_qc_merge" -> qcOracle(3),
 
     "q141_pagerank" -> pageRankOracle(5, 8500),
+
+    "q142_compaction_plan" ->
+      """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) sz,
+                      CAST(SUM(CAST(n_chars AS BIGINT)) OVER
+                        (PARTITION BY source ORDER BY doc_id)
+                        AS BIGINT) cum
+                    FROM documents)
+         SELECT source, CAST((cum - sz) // 20000 AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(sz) AS BIGINT) AS size_units,
+                MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM c GROUP BY source, bin ORDER BY source, bin""",
+
+    "q143_skew_plan" ->
+      """WITH c AS (SELECT event_type AS grp_key,
+                      CAST(COUNT(*) AS BIGINT) n
+                    FROM events GROUP BY event_type),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) total FROM c)
+         SELECT grp_key, n, CAST((n + 499) // 500 AS BIGINT) AS salt,
+                CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+         FROM c, t WHERE (n + 499) // 500 > 1 ORDER BY grp_key""",
 
     // one-shot HLL registers over the whole corpus (max absorbs both
     // duplicates and the slice fold); the estimate's harmonic

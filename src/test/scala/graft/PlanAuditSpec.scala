@@ -72,7 +72,9 @@ class PlanAuditSpec extends SparkSpec {
     "q131_ppl_incremental", // per-stratum boundary-ratio rows, null-safe-joined broadcast
     "q132_ingest_gate_full", // q129's broadcasts + q131's boundary rows
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
-    "q137_tfidf_merge") // one-row folded-N cross-joined broadcast, as q50
+    "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
+    "q139_hll_merge", // one-row estimate cross-joined onto 64 registers
+    "q143_skew_plan") // one-row total cross-joined onto per-key counts
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
