@@ -175,6 +175,13 @@ object MaterializedScaleBench {
       // model; the probe certifies no hidden corpus-sized state
       ("q123_qc", k =>
         graft.curation.Curation.qualityClassifier(docs(k), "src0").count()),
+      // data-parallel twin: the same rounds over two slices — the probe
+      // certifies the per-slice partial fold adds no corpus-sized term
+      ("q138_qc_merge", k =>
+        graft.curation.Curation.qualityClassifierFromParts(
+          Seq(docs(k).filter(pmod(col("doc_id"), lit(2L)) === 0),
+            docs(k).filter(pmod(col("doc_id"), lit(2L)) === 1)),
+          "src0").count()),
       // decode (mapPartitions, no shuffle) + band-bucket join + CC over
       // verified pairs — the q19/q43 shape on the media column
       ("q124_img_neardup", k =>
