@@ -39,17 +39,31 @@ object Graph {
     * weights) and one dst-keyed sum — the textbook distributed-PageRank
     * exchange pair; the edge table and node set are read once
     * (localCheckpoint — single-node caveat: on a cluster persist to the
-    * shuffle service or a parquet round-trip instead, and checkpoint
-    * per-round once `iters` grows past plan-depth comfort; at the
+    * shuffle service or a parquet round-trip instead). At the
     * contract's 5 rounds the unrolled lazy plan is fine and keeps the
-    * whole trajectory in one Catalyst tree). Node count N is the one
-    * driver-side read (a scalar, as the classifier's corpus count).
+    * whole trajectory in one Catalyst tree; past plan-depth comfort
+    * pass `checkpointEvery` > 0 to cut the lineage every k rounds
+    * (values are bit-identical either way — checkpointing changes the
+    * plan, never the trajectory). Node count N is the one driver-side
+    * read (a scalar, as the classifier's corpus count).
     *
     * Output: (node, pr_e12) — one row per node, BIGINT pico-rank. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
-      wCol: String = "w", iters: Int = 5, dampBp: Int = 8500): DataFrame = {
+      wCol: String = "w", iters: Int = 5, dampBp: Int = 8500,
+      checkpointEvery: Int = 0): DataFrame =
+    pageRankRounds(edges, src, dst, wCol, iters, dampBp,
+      checkpointEvery).last
+
+  /** [[pageRank]]'s full trajectory: the rank table after EVERY round
+    * (element i = after round i+1; the final element is what
+    * [[pageRank]] returns). Exposed for [[pageRankDeltas]] and for
+    * spec-level round pinning. */
+  private def pageRankRounds(edges: DataFrame, src: String, dst: String,
+      wCol: String, iters: Int, dampBp: Int,
+      checkpointEvery: Int): Seq[DataFrame] = {
     require(iters >= 1, "iters must be positive")
     require(dampBp > 0 && dampBp < 10000, "dampBp in (0, 10000)")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"),
         col(wCol).cast("long").as("w"))
       .localCheckpoint(true)
@@ -63,7 +77,7 @@ object Graph {
     val base = 1000000000000L / n
     val tele = (10000L - dampBp) * base / 10000L
     var pr = nodes.withColumn("pr_e12", lit(base))
-    (1 to iters).foreach { _ =>
+    (1 to iters).map { i =>
       val contrib = pr.join(e, col("node") === col("src"))
         .join(outW, "src")
         .select(col("dst"),
@@ -74,7 +88,48 @@ object Graph {
         .select(col("node"),
           (lit(tele) + expr(s"($dampBp * coalesce(cin, 0L)) div 10000"))
             .as("pr_e12"))
+      // cut the lineage every k rounds (never after the last — the
+      // caller decides whether the final table materializes): the
+      // cluster path for deep iters, where the unrolled join tree
+      // would exceed plan-depth/codegen comfort
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
+      pr
     }
-    pr
+  }
+
+  /** Per-round convergence report: max |Δpr| and Σ|Δpr| over all nodes
+    * between consecutive [[pageRank]] rounds, in pico-units — the
+    * stop-early dial (run a deep `iters`, read the first round whose
+    * max delta is under tolerance, re-run [[pageRank]] at that depth —
+    * or consume the trajectory directly on a cluster). Round 1 compares
+    * against the uniform start. Integer maxima/sums of integer ranks:
+    * engine-reproducible like the ranks themselves.
+    *
+    * Scale: one node-keyed self-join per round pair over the SAME
+    * round tables [[pageRank]] builds (the trajectory is shared, not
+    * recomputed) + a one-row aggregate each, unioned — rounds-many
+    * rows total.
+    *
+    * Output: (round, max_delta_e12, sum_delta_e12), round = 1..iters. */
+  def pageRankDeltas(edges: DataFrame, src: String = "src",
+      dst: String = "dst", wCol: String = "w", iters: Int = 5,
+      dampBp: Int = 8500, checkpointEvery: Int = 0): DataFrame = {
+    val rounds = pageRankRounds(edges, src, dst, wCol, iters, dampBp,
+      checkpointEvery)
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val n0 = nodes.count()
+    val start = nodes.withColumn("pr_e12", lit(1000000000000L / n0))
+    (start +: rounds).sliding(2).zipWithIndex.map { case (pair, i) =>
+      val prev = pair(0).select(col("node"), col("pr_e12").as("__p"))
+      val cur = pair(1).select(col("node"), col("pr_e12").as("__c"))
+      prev.join(cur, "node")
+        .agg(max(abs(col("__c") - col("__p"))).as("max_delta_e12"),
+          sum(abs(col("__c") - col("__p"))).as("sum_delta_e12"))
+        .select(lit(i + 1).as("round"), col("max_delta_e12"),
+          col("sum_delta_e12"))
+    }.reduce(_ unionByName _)
   }
 }

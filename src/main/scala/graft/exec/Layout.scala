@@ -29,17 +29,65 @@ object Layout {
     * Output: one row per planned output file —
     * (stratum, bin, n_items, size_units, first_id, last_id). */
   def compactionBins(items: DataFrame, stratum: String, orderCol: String,
-      sizeCol: String, target: Long): DataFrame = {
-    require(target > 0, "target must be positive")
-    val w = Window.partitionBy(stratum).orderBy("__id")
-    items
-      .select(col(stratum), col(orderCol).as("__id"),
-        col(sizeCol).cast("long").as("__sz"))
-      .withColumn("__cum", sum(col("__sz")).over(w))
-      .withColumn("bin", expr(s"(__cum - __sz) div ${target}L"))
+      sizeCol: String, target: Long): DataFrame =
+    binAssignments(items, stratum, orderCol, sizeCol, target)
       .groupBy(col(stratum), col("bin"))
       .agg(count(lit(1)).as("n_items"), sum(col("__sz")).as("size_units"),
         min(col("__id")).as("first_id"), max(col("__id")).as("last_id"))
+
+  /** Row-level face of [[compactionBins]]: every input row with its
+    * planned `bin` (all payload columns preserved, plus the internal
+    * `__id`/`__sz`/`bin` plan columns) — the join-free input both the
+    * summary above and [[applyCompaction]] aggregate from. */
+  private def binAssignments(items: DataFrame, stratum: String,
+      orderCol: String, sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    // ROWS frame, not the default RANGE: duplicate orderCol values
+    // would otherwise be window PEERS sharing one combined cumulative
+    // total, breaking the ≤-one-item overshoot invariant (ADVICE-r15).
+    // Ties break by __sz so the cumsum is deterministic whenever
+    // (orderCol, sizeCol) is unique; rows identical in both are
+    // interchangeable, so the resulting bin shapes are well-defined
+    // either way.
+    val w = Window.partitionBy(stratum).orderBy(col("__id"), col("__sz"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    items
+      .withColumn("__id", col(orderCol))
+      .withColumn("__sz", col(sizeCol).cast("long"))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .withColumn("bin", expr(s"(__cum - __sz) div ${target}L"))
+      .drop("__cum")
+  }
+
+  /** EXECUTE a compaction plan: rewrite `items` under `outPath` as a
+    * hive-partitioned parquet tree `stratum=…/bin=…/` holding exactly
+    * ONE file per planned bin — the maintenance rewrite that turns a
+    * small-files stratum into ~`target`-unit outputs.
+    *
+    * One shuffle total (the repartition on (stratum, bin)) — the
+    * minimum any rewrite pays, since compaction IS data movement: hash
+    * repartitioning co-locates each bin in exactly one task, and the
+    * dynamic-partition writer emits one file per (stratum, bin)
+    * directory per task that holds its rows, so the file inventory
+    * equals the plan bin-for-bin. Bin payloads are ~target units by
+    * construction, so tasks are balanced without salting. Answer
+    * invariance (the q79 layout-neutrality property) holds because the
+    * rewrite only moves rows between files; the compaction-apply
+    * oracle row re-aggregates the compacted tree against the original
+    * table to prove it.
+    *
+    * Returns the plan summary ([[compactionBins]] of the same input) —
+    * the table an audit compares the written inventory against. */
+  def applyCompaction(items: DataFrame, stratum: String, orderCol: String,
+      sizeCol: String, target: Long, outPath: String): DataFrame = {
+    val assigned = binAssignments(items, stratum, orderCol, sizeCol, target)
+      .drop("__id", "__sz")
+    assigned
+      .repartition(col(stratum), col("bin"))
+      .write.mode("overwrite")
+      .partitionBy(stratum, "bin")
+      .parquet(outPath)
+    compactionBins(items, stratum, orderCol, sizeCol, target)
   }
 
   /** Skew diagnosis + salting plan: per-key row counts against a

@@ -222,7 +222,8 @@ object Multimodal {
   def landedImageBands(landed: DataFrame, featureDim: Int = 60,
       bands: Int = 4, codec: ImageCodec = StubImageCodec): DataFrame =
     graft.util.CacheRegistry.cache(
-      graft.util.CacheRegistry.key(landed, "img-bands", featureDim, bands),
+      graft.util.CacheRegistry.key(landed, "img-bands", featureDim, bands,
+        codec.getClass.getName),
       imageBandTable(landed, featureDim, bands, codec))
 
   def imageNearDup(media: DataFrame, featureDim: Int = 60, bands: Int = 4,

@@ -50,42 +50,34 @@ object IndexStore {
     * live plan reads is both illegal in Spark and pointless — they
     * are, by construction, already persisted here. */
   def saveAll(dir: String, kinds: Set[String] = Set.empty): Int = {
-    val entries = CacheRegistry.entries
-      .filter { case (k, _) =>
-        kinds.isEmpty || kinds.contains(k.takeWhile(_ != ':')) }
-      .filter { case (_, df) => !scanRoots(df).exists(_.contains(dir)) }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    entries.foreach { case (k, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/${md5(k)}.parquet")
-    }
-    // the manifest keeps previously-saved (now skipped) entries: merge
-    // the old lines so a restore-then-save cycle never drops them
     val path = java.nio.file.Paths.get(s"$dir/manifest")
     val prior =
       if (!java.nio.file.Files.exists(path)) Map.empty[String, String]
       else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
         .map { l => val Array(h, k) = l.split("\t", 2); k -> h }.toMap
+    // skip by MANIFEST membership, not by scan-root inspection: a key
+    // already in the manifest has its semantics persisted here (same
+    // key = same plan), and a restored entry's plan reads that very
+    // file (self-overwrite is illegal in Spark). A NEW key whose build
+    // plan merely READS a restored parquet under `dir` (a derived
+    // index in a restore-then-build-then-save cycle) writes its own
+    // distinct file and must NOT be skipped.
+    val entries = CacheRegistry.entries
+      .filter { case (k, _) =>
+        kinds.isEmpty || kinds.contains(k.takeWhile(_ != ':')) }
+      .filter { case (k, _) => !prior.contains(k) }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    entries.foreach { case (k, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/${md5(k)}.parquet")
+    }
+    // the manifest keeps previously-saved (now skipped) entries
     val all = prior ++ entries.keys.map(k => k -> md5(k))
     val manifest = all.toSeq.sortBy(_._1)
       .map { case (k, h) => s"$h\t$k" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(path, manifest.getBytes("UTF-8"))
     entries.size
   }
-
-  /** The file-scan root paths of a frame's analyzed plan (used for the
-    * already-restored skip above; `DataFrame.inputFiles` reads empty
-    * for these relations on this Spark build). */
-  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.queryExecution.analyzed.collectLeaves().flatMap {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Seq.empty
-        }
-      case _ => Seq.empty
-    }
 
   /** Seed the registry from a [[saveAll]] directory. Returns the
     * number of entries ACTUALLY inserted — existing live entries win

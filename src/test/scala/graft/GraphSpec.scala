@@ -35,6 +35,36 @@ class GraphSpec extends SparkSpec {
     assert(got("d") == 37500000000L, got.toString)
   }
 
+  test("checkpointEvery cuts lineage without changing the trajectory") {
+    // the cluster path for deep iters: values must be bit-identical
+    // to the unrolled plan at every checkpoint cadence
+    val plain = Graph.pageRank(edges, iters = 10)
+      .as[(String, Long)].collect().toMap
+    val ck2 = Graph.pageRank(edges, iters = 10, checkpointEvery = 2)
+      .as[(String, Long)].collect().toMap
+    val ck3 = Graph.pageRank(edges, iters = 10, checkpointEvery = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ck2 == plain, s"ck2=$ck2 plain=$plain")
+    assert(ck3 == plain, s"ck3=$ck3 plain=$plain")
+  }
+
+  test("pageRankDeltas: hand-computed round 1, shrinking tail, totality") {
+    val d = Graph.pageRankDeltas(edges, iters = 6)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(d.map(_._1).toSeq == (1 to 6), d.mkString(","))
+    // round 1 vs the uniform start (base=250e9): a moved +425e9,
+    // b/c −106.25e9 each, d −212.5e9 → max 425e9, sum 850e9
+    assert(d(0)._2 == 425000000000L, d(0).toString)
+    assert(d(0)._3 == 850000000000L, d(0).toString)
+    // synchronous PageRank on this graph oscillates toward the fixed
+    // point: the delta after 6 rounds is well under round 1's
+    assert(d(5)._2 < d(0)._2 / 2, d.mkString(","))
+    // deltas are invariant to the checkpoint cadence too
+    val dck = Graph.pageRankDeltas(edges, iters = 6, checkpointEvery = 2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(dck.toSeq == d.toSeq)
+  }
+
   test("weighted edges split proportionally, not per-edge") {
     // a sends 3/4 of its forwarded mass to b, 1/4 to c
     val e2 = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
