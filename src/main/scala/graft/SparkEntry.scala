@@ -2069,6 +2069,27 @@ object SparkEntry {
             col("share_ppm"))
           .orderBy("grp_key")),
 
+      // Compaction EXECUTED: q142's plan applied to a real parquet
+      // rewrite (one file per planned bin under source=…/bin=…), then
+      // the compacted tree re-aggregated — counts/chars must match the
+      // ORIGINAL table (layout never changes answers, the q79
+      // property) and n_bins must match the plan arithmetic the oracle
+      // replays. One shuffle total (the (stratum,bin) repartition —
+      // compaction IS data movement).
+      "q144_compaction_apply" -> ((s, dir) => {
+        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/compacted/documents"
+        graft.exec.Layout.applyCompaction(
+          table(s, dir, "documents")
+            .select("doc_id", "source", "text", "n_chars"),
+          "source", "doc_id", "n_chars", target = 20000L, tmp)
+        s.read.parquet(tmp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"),
+            countDistinct(col("bin")).as("n_bins"))
+          .orderBy("source")
+      }),
+
       // Deterministic integer PageRank over the event-transition graph
       // (q62's Markov table as a weighted digraph): 5 synchronous
       // rounds, all rank mass in pico-units with floor-division
@@ -4850,6 +4871,21 @@ object SparkEntry {
          SELECT grp_key, n, CAST((n + 499) // 500 AS BIGINT) AS salt,
                 CAST(n * 1000000 // total AS BIGINT) AS share_ppm
          FROM c, t WHERE (n + 499) // 500 > 1 ORDER BY grp_key""",
+
+    // the apply face re-aggregates the COMPACTED tree; the oracle reads
+    // the ORIGINAL table + replays the bin arithmetic — a hash match is
+    // simultaneously the answer-invariance proof and the plan check
+    "q144_compaction_apply" ->
+      """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) sz,
+                      CAST(SUM(CAST(n_chars AS BIGINT)) OVER
+                        (PARTITION BY source ORDER BY doc_id)
+                        AS BIGINT) cum
+                    FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(sz) AS BIGINT) AS total_chars,
+                CAST(COUNT(DISTINCT (cum - sz) // 20000) AS BIGINT)
+                  AS n_bins
+         FROM c GROUP BY source ORDER BY source""",
 
     // one-shot HLL registers over the whole corpus (max absorbs both
     // duplicates and the slice fold); the estimate's harmonic
