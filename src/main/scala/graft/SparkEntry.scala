@@ -2090,6 +2090,17 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+      // IVF-PQ recall audit: q133's composed index priced against
+      // q21's exact truth across (nprobe, rerankFactor) — routing loss
+      // and ADC-shortlist loss separated, the q98/q101 tuning pattern
+      // applied to the billion-vector layout.
+      "q145_ivfpq_recall" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.ivfPqRecall(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .orderBy("nprobe", "rerank_factor")
+      }),
+
       // Deterministic integer PageRank over the event-transition graph
       // (q62's Markov table as a weighted digraph): 5 synchronous
       // rounds, all rank mass in pico-units with floor-division
@@ -4887,6 +4898,9 @@ object SparkEntry {
                   AS n_bins
          FROM c GROUP BY source ORDER BY source""",
 
+    "q145_ivfpq_recall" ->
+      ivfPqRecallOracle(Seq((1, 4), (2, 4), (4, 4), (2, 1)), 5),
+
     // one-shot HLL registers over the whole corpus (max absorbs both
     // duplicates and the slice fold); the estimate's harmonic
     // denominator is the exact integer Σ 2^(55−ρ), so the only doubles
@@ -5691,6 +5705,94 @@ $extraCases
           LEFT JOIN cj ON cj.sid = xb.doc_id
           LEFT JOIN dsel ON dsel.doc_id = xb.doc_id$extraJoins
           ORDER BY xb.doc_id"""
+  }
+
+  /** q145's recall audit: q133's ivf-pq CTE chain instantiated once
+    * per (nprobe, rerankFactor) configuration over shared
+    * corpus-side CTEs (codes/LUT/assignments are config-independent),
+    * each config folded against q21's exact-truth pairs. */
+  private def ivfPqRecallOracle(configs: Seq[(Int, Int)],
+      k: Int): String = {
+    val perCfg = configs.map { case (np, rf) =>
+      val x = s"_${np}_$rf"
+      s"""prb$x AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, crs c) t WHERE rn <= $np),
+          cnd$x AS (SELECT p.q_id, a.sid FROM prb$x p
+                    JOIN asnv a USING (c_id) WHERE a.sid != p.q_id),
+          appr$x AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM cnd$x c JOIN codes co ON co.sid = c.sid
+                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          short$x AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr$x) t
+                    WHERE cr <= ${k * rf}),
+          got$x AS (SELECT q_id, vec_id FROM (
+                     SELECT s.q_id, s.sid vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.q_id
+                         ORDER BY round(list_dot_product(e.v, q.q_v) /
+                               (sqrt(list_dot_product(e.v, e.v)) *
+                                sqrt(list_dot_product(q.q_v, q.q_v))), 4)
+                           DESC, s.sid) rnk
+                     FROM short$x s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id) t WHERE rnk <= $k),
+          rec$x AS (SELECT $np nprobe, $rf rerank_factor,
+                   CAST(COUNT(*) AS BIGINT) n_true,
+                   CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) n_found,
+                   CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                     recall_ppm
+                 FROM tr LEFT JOIN got$x g
+                   ON g.q_id = tr.q_id AND g.vec_id = tr.vec_id)"""
+    }.mkString(",\n          ")
+    val unions = configs
+      .map { case (np, rf) => s"SELECT * FROM rec_${np}_$rf" }
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
+          asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, crs c) t WHERE rn = 1),
+          tr AS (SELECT q_id, vec_id FROM (
+                   SELECT q.q_id, e.sid vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4)
+                         DESC, e.sid) rnk
+                   FROM e, qq q WHERE e.sid != q.q_id) t WHERE rnk <= $k),
+          $perCfg
+          $unions ORDER BY nprobe, rerank_factor"""
   }
 
   /** q141's PageRank unrolled to `iters` explicit CTE rounds — the

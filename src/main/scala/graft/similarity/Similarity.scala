@@ -1058,6 +1058,52 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** Recall@k audit for [[ivfPqTopK]] — the tuning report the
+    * billion-vector layout needs before anyone trusts it: for each
+    * (nprobe, rerankFactor) configuration, how much of the EXACT top-k
+    * ([[bruteForceTopK]], q21's truth) the composed route-ADC-rerank
+    * path recovers, pooled over all queries as integer ppm. nprobe
+    * prices routing loss (the true neighbor lives in an unprobed
+    * cell); rerankFactor prices ADC shortlist loss (the true neighbor
+    * is probed but quantization ranks it below the cut) — the two
+    * dials move independently, so the report separates them where a
+    * single recall number cannot (the q98/q101 pattern applied to the
+    * composed index).
+    *
+    * Scale: the truth is one broadcast-queries exact pass (an audit
+    * runs on a SAMPLE of queries — the queries frame is the sizing
+    * lever); each config adds the ivf-pq pipeline restricted to its
+    * probe width plus a pair-keyed left join and a two-long fold.
+    * Configs share the corpus-side stages semantically (codes and
+    * cell assignments are config-independent) — memoize them
+    * registry-side when auditing many configs at scale.
+    *
+    * Output: (nprobe, rerank_factor, n_true, n_found, recall_ppm),
+    * one row per configuration. */
+  def ivfPqRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+      configs: Seq[(Int, Int)] = Seq((1, 4), (2, 4), (4, 4), (2, 1)),
+      m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
+      ivfStride: Int = 50, ivfOffset: Int = 11,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(configs.nonEmpty, "at least one (nprobe, rerankFactor) config")
+    val truth = bruteForceTopK(embeddings, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("vec_id"))
+    configs.map { case (np, rf) =>
+      val got = ivfPqTopK(embeddings, queries, k, nprobe = np, m = m,
+          codeStride = codeStride, codeOffset = codeOffset,
+          ivfStride = ivfStride, ivfOffset = ivfOffset,
+          rerankFactor = rf, idCol = idCol, vecCol = vecCol)
+        .select(col("q_id"), col("vec_id"))
+        .withColumn("__hit", lit(1L))
+      truth.join(got, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(lit(np).as("nprobe"), lit(rf).as("rerank_factor"),
+          col("n_true"), col("n_found"),
+          expr("n_found * 1000000 div n_true").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Nearest-centroid classification over labeled embeddings — the
     * standard embedding-space sanity check (how separable are the
     * labels?) and the evaluation face of the IVF machinery. Centroids

@@ -472,6 +472,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRecall: monotone in nprobe and rerank, one row per config") {
+    val data = corpus(500, 50)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    val got = Similarity.ivfPqRecall(df, queries, 5,
+        configs = Seq((1, 4), (2, 4), (4, 4), (2, 1)))
+      .orderBy("nprobe", "rerank_factor")
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1, 4), (2, 1), (2, 4), (4, 4)), got.toString)
+    val byCfg = got.map(r => (r._1, r._2) -> r._5).toMap
+    // widening the probe can only add candidates; widening the
+    // shortlist can only add rerank survivors — recall is monotone in
+    // each dial separately (pooled counts, same truth denominator)
+    assert(byCfg((1, 4)) <= byCfg((2, 4)), byCfg.toString)
+    assert(byCfg((2, 4)) <= byCfg((4, 4)), byCfg.toString)
+    assert(byCfg((2, 1)) <= byCfg((2, 4)), byCfg.toString)
+    // every truth row is counted exactly once per config
+    assert(got.forall(r => r._3 == got.head._3 && r._4 <= r._3),
+      got.toString)
+  }
+
   test("pqTopK scores are exact cosines, at most k rows per query, no self") {
     val data = corpus(200, 20)
     val df = data.toDF("vec_id", "embedding")
