@@ -2101,6 +2101,24 @@ object SparkEntry {
           .orderBy("nprobe", "rerank_factor")
       }),
 
+      // Power-iteration top principal direction (uncentered PCA) over
+      // the embeddings: 3 integer micro-unit rounds of y = (Σxxᵀ)·v
+      // from the all-ones start, ∞-norm renormalized, sign-anchored —
+      // the second fixed-point operator on the q141 machinery; the
+      // oracle unrolls the identical trajectory.
+      "q146_power_iteration" -> ((s, dir) =>
+        graft.similarity.Similarity.powerIterationTop(
+            table(s, dir, "embeddings"), iters = 3)
+          .orderBy("pos")),
+
+      // The transform the moments (q96) point at: every embedding
+      // projected onto q146's principal direction — the 1-D PCA
+      // feature, exact e12 integers.
+      "q147_pca_project" -> ((s, dir) =>
+        graft.similarity.Similarity.pcaProjection(
+            table(s, dir, "embeddings"), iters = 3)
+          .orderBy("vec_id")),
+
       // Deterministic integer PageRank over the event-transition graph
       // (q62's Markov table as a weighted digraph): 5 synchronous
       // rounds, all rank mass in pico-units with floor-division
@@ -4901,6 +4919,10 @@ object SparkEntry {
     "q145_ivfpq_recall" ->
       ivfPqRecallOracle(Seq((1, 4), (2, 4), (4, 4), (2, 1)), 5),
 
+    "q146_power_iteration" -> powerIterOracle(3, project = false),
+
+    "q147_pca_project" -> powerIterOracle(3, project = true),
+
     // one-shot HLL registers over the whole corpus (max absorbs both
     // duplicates and the slice fold); the estimate's harmonic
     // denominator is the exact integer Σ 2^(55−ρ), so the only doubles
@@ -5705,6 +5727,43 @@ $extraCases
           LEFT JOIN cj ON cj.sid = xb.doc_id
           LEFT JOIN dsel ON dsel.doc_id = xb.doc_id$extraJoins
           ORDER BY xb.doc_id"""
+  }
+
+  /** q146/q147's power iteration unrolled to `iters` explicit CTE
+    * rounds: micro-unit triples (q96's quantizer), HUGEINT dim-sums
+    * mirroring the Spark side's DECIMAL(38,0), non-negative ∞-norm
+    * renormalization (trunc ≡ floor), lowest-index sign anchor. Pass
+    * `project = true` for the q147 face (one more row-keyed sum over
+    * the final direction). */
+  private def powerIterOracle(iters: Int, project: Boolean): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT rid, SUM(x * vv) s
+                 FROM q JOIN v${i - 1} USING (j) GROUP BY rid),
+          y$i AS (SELECT j, SUM(CAST(x AS HUGEINT) * s) y
+                 FROM q JOIN s$i USING (rid) GROUP BY j),
+          m$i AS (SELECT MAX(abs(y)) my FROM y$i),
+          p$i AS (SELECT MIN(j) pj FROM y$i, m$i WHERE abs(y) = my),
+          g$i AS (SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END sg
+                 FROM y$i, p$i WHERE j = pj),
+          v$i AS (SELECT j, CAST(sg *
+                   (CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END)
+                   * ((abs(y) * 1000000) // my) AS BIGINT) vv
+                 FROM y$i, m$i, g$i)"""
+    }.mkString(",\n          ")
+    val tail =
+      if (project)
+        s"""SELECT rid AS vec_id, CAST(SUM(x * vv) AS BIGINT) AS proj_e12
+            FROM q JOIN v$iters USING (j) GROUP BY rid ORDER BY vec_id"""
+      else
+        s"SELECT CAST(j AS INT) AS pos, vv AS v_e6 FROM v$iters ORDER BY pos"
+    s"""WITH e AS (SELECT vec_id rid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(64)) j),
+          q AS (SELECT rid, j,
+                  CAST(floor(v[j+1] * 1000000 + 0.5) AS BIGINT) x
+                FROM e, js),
+          v0 AS (SELECT j, CAST(1000000 AS BIGINT) vv FROM js),
+          $rounds
+          $tail"""
   }
 
   /** q145's recall audit: q133's ivf-pq CTE chain instantiated once

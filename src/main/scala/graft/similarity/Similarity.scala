@@ -1256,4 +1256,95 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sum_e6"),
         sum(col("x_e6").cast("decimal(38,0)") * col("x_e6"))
           .cast("double").as("sumsq_e12"))
+
+  /** The quantized (row, dim, value) triples every power-iteration
+    * stage reads: micro-unit integers via the corpus-standard
+    * `floor(x·1e6 + 0.5)` device (q96's quantizer). */
+  private def microTriples(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol).as("rid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("rid"), col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("x_e6"))
+
+  /** Deterministic power iteration for the TOP principal direction of
+    * the embeddings' (uncentered) second-moment matrix A = Σ xxᵀ —
+    * the transform [[embeddingDimStats]]'s moments point at but don't
+    * compute: `iters` synchronous rounds of y = A·v from the all-ones
+    * micro-unit start, entirely in exact integers so both engines
+    * replay the identical trajectory (the q141/q80 fixed-point
+    * contract). Uncentered on purpose: for the cosine-normalized
+    * embeddings this engine indexes, direction — not offset — carries
+    * the signal, and skipping the mean subtraction keeps every stage a
+    * plain integer aggregate (centering would force a negative-operand
+    * division, where Spark's `div` truncates and DuckDB's `//` floors).
+    *
+    * Each round, distributed as two keyed aggregates (never a d×d
+    * matrix materialization — A is only ever applied):
+    *
+    *   s_i = Σ_j x_ij·v_j    (row-keyed sum — BIGINT-exact: micro-unit
+    *                          products ≤ 1e12·d)
+    *   y_j = Σ_i x_ij·s_i    (dim-keyed DECIMAL(38,0) sum — corpus-
+    *                          scale magnitudes cannot wrap)
+    *
+    * then renormalize to max |component| = 1e6 with the sign-safe
+    * `sign(y)·(|y|·1e6 div max|y|)` (non-negative numerator: trunc ≡
+    * floor in both engines) and anchor the global sign so the
+    * lowest-index maximal-|y| component is positive — eigenvectors
+    * are sign-ambiguous; the anchor makes the answer unique.
+    *
+    * Scale: per round one row-keyed + one dim-keyed shuffle of narrow
+    * triples, plus three one-row/d-row auxiliary aggregates — the
+    * same exchange pair as distributed PageRank (A is applied via the
+    * data, never built: d×d would be fine at d=64 but not at d=4096
+    * with the full corpus as rows). Precondition: some component of
+    * A·v must be nonzero (an all-zero corpus has no direction).
+    *
+    * Output: (pos, v_e6) — one row per dimension, the unit-∞-norm
+    * eigenvector estimate in micro-units. */
+  def powerIterationTop(embeddings: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val q = microTriples(embeddings, idCol, vecCol)
+    var v = q.select("pos").distinct()
+      .withColumn("v_e6", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val s = q.join(v, "pos")
+        .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("s"))
+      val y = q.join(s, "rid")
+        .groupBy("pos")
+        .agg(sum(col("x_e6").cast("decimal(38,0)") * col("s")).as("y"))
+      val m = y.agg(max(abs(col("y"))).as("my"))
+      val anchorPos = y.crossJoin(m)
+        .filter(abs(col("y")) === col("my"))
+        .agg(min(col("pos")).as("pj"))
+      val anchorSign = y.crossJoin(anchorPos)
+        .filter(col("pos") === col("pj"))
+        .select(when(col("y") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+      v = y.crossJoin(broadcast(m)).crossJoin(broadcast(anchorSign))
+        .select(col("pos"),
+          (col("sgn") *
+            when(col("y") < 0, lit(-1L)).when(col("y") > 0, lit(1L))
+              .otherwise(lit(0L)) *
+            expr("CAST((abs(y) * 1000000) div my AS BIGINT)")).as("v_e6"))
+    }
+    v
+  }
+
+  /** Projection of every embedding onto [[powerIterationTop]]'s
+    * principal direction — the 1-D PCA feature (corpus position along
+    * its dominant axis: the ordering dial for curriculum buckets,
+    * diversity strata, or a first split of a too-big semantic cell).
+    * Exact integers end to end: proj = Σ_j x_e6·v_e6 at e12 scale,
+    * one dim-keyed join + row-keyed sum over the same triples the
+    * iteration used. Output: (idCol, proj_e12). */
+  def pcaProjection(embeddings: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = powerIterationTop(embeddings, iters, idCol, vecCol)
+    microTriples(embeddings, idCol, vecCol)
+      .join(v, "pos")
+      .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("proj_e12"))
+      .select(col("rid").as(idCol), col("proj_e12"))
+  }
 }

@@ -494,6 +494,38 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
   }
 
+  test("powerIterationTop: hand-computed rounds, negative components, anchor") {
+    // 3 rows on axis 0 + 1 half-scale row on axis 1:
+    // A·v0 → y = (3e18, 2.5e17); v1 = (1e6, 2.5e17·1e6 div 3e18)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.powerIterationTop(df, iters = 1)
+      .as[(Int, Long)].collect().toMap
+    assert(r1 == Map(0 -> 1000000L, 1 -> 83333L), r1.toString)
+    // round 2: s = (1e12 ×3, 5e5·83333); y = (3e18, 5e5·41666500000)
+    val r2 = Similarity.powerIterationTop(df, iters = 2)
+      .as[(Int, Long)].collect().toMap
+    assert(r2 == Map(0 -> 1000000L, 1 -> 6944L), r2.toString)
+    // anti-correlated dims renormalize with their sign intact
+    val neg = Seq((1L, Seq(1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val rn = Similarity.powerIterationTop(neg, iters = 1)
+      .as[(Int, Long)].collect().toMap
+    assert(rn == Map(0 -> 1000000L, 1 -> -500000L), rn.toString)
+  }
+
+  test("pcaProjection: exact e12 products along the iterated direction") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.pcaProjection(df, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(1L -> 1000000000000L, 2L -> 1000000000000L,
+      3L -> 1000000000000L, 4L -> 41666500000L), p.toString)
+  }
+
   test("pqTopK scores are exact cosines, at most k rows per query, no self") {
     val data = corpus(200, 20)
     val df = data.toDF("vec_id", "embedding")
