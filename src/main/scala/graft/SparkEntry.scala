@@ -159,6 +159,13 @@ object SparkEntry {
     indexBuilds(spark, dir).foreach { case (_, df) => df.count(); () }
   }
 
+  /** Construct (but do not execute) every index build — key
+    * derivation happens at construction, which is what
+    * [[graft.tools.KeyProbe]] diagnoses. */
+  def indexBuildsProbe(spark: SparkSession, dir: String): Unit = {
+    indexBuilds(spark, dir); ()
+  }
+
   /** [[buildIndexes]] with per-entry wall seconds — the bench's
     * itemized "index" metric (r14 verdict #7: a loaded-box index-phase
     * spike should self-attribute the way queries already do). */

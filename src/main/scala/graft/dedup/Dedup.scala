@@ -1288,7 +1288,7 @@ object Dedup {
     graft.util.CacheRegistry.cache(
       graft.util.CacheRegistry.key(docs, "unified-verdicts", fineStride,
         fineOffset, coarseFactor, minCosine, textCol, idCol, vecIdCol,
-        vecCol, embeddings.queryExecution.analyzed.semanticHash()),
+        vecCol, graft.util.CacheRegistry.planFingerprint(embeddings)),
       {
         val text = dedupVerdicts(docs, textCol, idCol)
         val sem = graft.similarity.Similarity

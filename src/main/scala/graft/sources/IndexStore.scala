@@ -17,13 +17,16 @@ import org.apache.spark.sql.SparkSession
   * back to the full registry key; [[restoreAll]] reads the manifest
   * and seeds the registry with parquet-backed frames under the exact
   * saved keys. Because a registry key embeds the producing operator's
-  * parameters AND the canonical semantic hash of its input plan, a
-  * new session that constructs the same landed frame (same files,
-  * same filters) computes the same key and transparently hits the
-  * restored entry — no operator changes, no recomputation; a session
-  * whose landed corpus CHANGED computes a different semantic hash and
-  * falls through to a fresh build, so a stale index can never serve
-  * the wrong corpus.
+  * parameters AND a JVM-stable fingerprint of its input plan
+  * ([[graft.util.CacheRegistry.planFingerprint]] — canonicalized plan
+  * text + scan roots; `semanticHash()` is allocation-order-dependent
+  * and missed every cross-session restore, round-16 finding), a new
+  * session that constructs the same landed frame (same files, same
+  * filters) computes the same key and transparently hits the restored
+  * entry — no operator changes, no recomputation; a session whose
+  * landed corpus CHANGED (different paths or plan) computes a
+  * different fingerprint and falls through to a fresh build, so a
+  * stale index can never serve the wrong corpus.
   *
   * At 100 TB the indexes are the small side (narrow per-doc/per-vector
   * projections, codebooks, count tables, boundary rows); writing them

@@ -17,15 +17,57 @@ import scala.collection.concurrent.TrieMap
   *    A pipeline (or the bench harness) calls [[releaseAll]] between
   *    corpora.
   *
-  * Keys embed the producing operator's parameters plus the *semantic* hash
-  * of the input plan, so two differently-built DataFrames over the same
-  * source share an entry only when Catalyst considers them equivalent.
+  * Keys embed the producing operator's parameters plus a *stable*
+  * fingerprint of the input plan, so two differently-built DataFrames
+  * over the same source share an entry only when their canonicalized
+  * plans coincide.
   */
 object CacheRegistry {
   private val items = TrieMap.empty[String, DataFrame]
 
   def key(df: DataFrame, parts: Any*): String =
-    parts.mkString(":") + ":" + df.queryExecution.analyzed.semanticHash()
+    parts.mkString(":") + ":" + planFingerprint(df)
+
+  /** JVM-stable fingerprint of a frame's analyzed plan — the identity
+    * component of every registry key.
+    *
+    * NOT `plan.semanticHash()`: that hash reaches the file-scan
+    * relation's default (allocation-order-dependent) hashCode, so it
+    * is only repeatable within one exact construction sequence — the
+    * same code in a fresh JVM, or after an extra `spark.read` earlier
+    * in the session, computes a different value, which silently broke
+    * cross-session [[graft.sources.IndexStore]] restores (every
+    * restored key missed; round-16 measurement). Instead: the
+    * canonicalized plan's tree text (exprIds normalized, deterministic)
+    * plus each leaf's identity — scan roots for file-backed relations
+    * (the canonical text does not print paths), structural data hash
+    * for literal/local relations (spec fixtures; in-JVM only, which is
+    * all a literal frame can mean). md5 keeps accidental collisions at
+    * the 128-bit floor — a colliding key would silently serve the
+    * wrong index. */
+  def planFingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized
+    val leafIds = canon.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.hashCode.toString
+      // any other leaf (LogicalRDD — e.g. a MemoryStream micro-batch —
+      // in-memory scans, …): its own hashCode, which carries the
+      // underlying data's identity. In-JVM only, exactly right: two
+      // DIFFERENT micro-batches must never collide on one key (their
+      // tree TEXT is identical — round-16 streaming-gate regression),
+      // and such frames cannot meaningfully persist across sessions.
+      case o => o.hashCode.toString
+    }
+    val text = canon.treeString + "|" + leafIds.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   def cache(k: String, build: => DataFrame): DataFrame =
     items.getOrElseUpdate(k, build.persist())
