@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.sources.{IndexStore, Tables}
+import graft.streaming.IngestGateStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Throughput sample for the PRODUCTION streaming-gate wiring
+  * ([[graft.streaming.IngestGateStream]]) with landed indexes restored
+  * from a durable [[graft.sources.IndexStore]] — the daily-restart
+  * steady state, measured end to end: restore → first (warm-up) batch
+  * builds/loads whatever the store didn't cover → the measured batches
+  * pay only per-batch gate work against memoized landed artifacts.
+  *
+  * The feed is the sf dir's %5==2 document slice (the q129/q132
+  * contract batch) delivered via MemoryStream in `slices` micro-batches
+  * — driver-side test machinery, as the q73 replay harness; a real
+  * deployment reads Kafka/files. Per batch the tool asserts VERDICT
+  * TOTALITY (one verdict per fed doc) before counting the batch into
+  * the rate.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"gate_docs_per_s","value":…,"docs":…,"batches":…,
+  *  "warm_s":…,"measured_s":…,"restored":…,"full":…}. */
+object GateRateBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val store = args.lift(1).getOrElse("/tmp/graft_indexstore")
+    val slices = args.lift(2).map(_.toInt).getOrElse(4)
+    require(slices >= 2, "need >= 2 slices (1 warm-up + >= 1 measured)")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val restored =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$store/manifest")))
+        IndexStore.restoreAll(spark, store)
+      else 0
+
+    // the landed frames EXACTLY as the index phase constructs them —
+    // same plan, same fingerprint, so restored keys hit
+    val landedDocs = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+    val landedEmb = Tables.load(spark, sfDir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(5L)) =!= 2)
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(5L)) === 2)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(5L)) === 2)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val records = docs.toSeq.map { case (id, src, text) =>
+      (id, src, text, emb.getOrElse(id, Seq.fill(64)(0f)))
+    }
+    val groups = records.grouped(
+      math.max(1, (records.size + slices - 1) / slices)).toSeq
+
+    val input = MemoryStream[(Long, String, String, Seq[Float])](spark)
+    val stream = input.toDF().toDF("doc_id", "source", "text", "embedding")
+    var fed = 0L
+    var verdicts = 0L
+    val q = IngestGateStream.attach(stream, landedDocs, landedEmb,
+        "src0", full = true) { (_, v) =>
+      verdicts += v.count()
+      ()
+    }
+    try {
+      // warm-up batch: landed-index construction/restore-read bills here
+      val tw0 = System.nanoTime()
+      input.addData(groups.head)
+      q.processAllAvailable()
+      val warmS = (System.nanoTime() - tw0) / 1e9
+      require(verdicts == groups.head.size,
+        s"warm-up batch not total: ${verdicts} of ${groups.head.size}")
+      fed = groups.head.size
+      verdicts = 0
+      val t0 = System.nanoTime()
+      groups.tail.foreach { g =>
+        input.addData(g); q.processAllAvailable()
+        fed += g.size
+      }
+      val measuredS = (System.nanoTime() - t0) / 1e9
+      val measuredDocs = fed - groups.head.size
+      require(verdicts == measuredDocs,
+        s"measured batches not total: $verdicts of $measuredDocs")
+      val rate = measuredDocs / measuredS
+      println(s"""{"metric":"gate_docs_per_s","value":${
+        "%.1f".format(rate)},"docs":$measuredDocs,"batches":${
+        groups.size - 1},"warm_s":${"%.2f".format(warmS)},"measured_s":${
+        "%.2f".format(measuredS)},"restored":$restored,"full":true}""")
+    } finally q.stop()
+    spark.stop()
+  }
+}
