@@ -14,28 +14,8 @@ import org.apache.spark.sql.functions._
   * Column names are aligned with `oracleSql` (the driver sorts columns by
   * name and hashes values).
   */
-object SparkEntry {
-
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Tables.load(spark, dir, "events")
-  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.Tables.load(spark, dir, name)
-
-  /** Run a rule given as JSON — the full reference entry path (JSON rule →
-    * codec → compiled Columns → execution), minus the Kafka transport. */
-  private def rule(spark: SparkSession, dir: String, json: String): DataFrame =
-    BatchExec.run(RuleCodec.decode(json), events(spark, dir), "ts")
-
-  /** Render the engine's exact-decimal aggregate as DOUBLE for the driver
-    * compare. Internal arithmetic stays DECIMAL (exact, order-independent);
-    * only the final value is converted. Both Spark (BigDecimal.doubleValue)
-    * and DuckDB (verified empirically) produce the correctly-rounded double,
-    * so the bits match — whereas a decimal column reaches the driver as
-    * Decimal('2006.000000') on the Spark side but float64 2006.0 through
-    * DuckDB's pandas conversion, hash-mismatching on rendering alone
-    * (CORRECTNESS_r01 q02–q11/q26). */
-  private def aggDouble(df: DataFrame): DataFrame =
-    df.withColumn("agg_value", col("agg_value").cast("double"))
+object SparkEntry extends CoreRegistry with DedupRegistry
+    with SimilarityRegistry with CurationRegistry with ExecRegistry {
 
   /** Flagship query on sf=0.001: multi-rule fan-out (D1) in the spirit of
     * the reference README's example queries. Driver smoke-checks rows>0. */
@@ -59,7 +39,9 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ pipelineQueries
+    coreQueries ++ dedupQueries ++ similarityQueries ++
+      curationQueries ++ execQueries
+
 
   /** One-time per-session family-index materialization: every memoized
     * sub-plan (CacheRegistry kind) that more than one contract query —
@@ -176,5846 +158,8 @@ object SparkEntry {
       n -> (System.nanoTime() - t0) / 1e9
     }
 
-  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P2/P3/P4/W4: dynamic conjunctive filter (string-eq + decimal ops),
-    // raw passthrough mode.
-    "q01_filter_passthrough" -> ((s, dir) =>
-      rule(s, dir,
-        """{"queryId":101,"windowFilterRules":[
-             {"field":"event_type","operator":"=","value":"purchase"},
-             {"field":"value","operator":">","value":"50"},
-             {"field":"value","operator":"<=","value":"180"}]}""")
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id")),
 
-    // A1+A8: exact-decimal SUM with HAVING.
-    "q02_rule_sum_having" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":102,"windowFilterRules":[
-             {"field":"event_type","operator":"=","value":"purchase"}],
-           "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
-           "aggregatorFunctionType":"SUM","limitOperatorType":">","limit":500}"""))
-        .orderBy("user_id")),
-
-    // A2: exact AVG (micro-unit integer arithmetic, ROUND_HALF_UP @ scale 6).
-    "q03_rule_avg" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":103,"groupingKeyNames":["user_id"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"AVG"}"""))
-        .orderBy("user_id")),
-
-    // A3: MIN.
-    "q04_rule_min" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":104,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"MIN"}"""))
-        .orderBy("event_type")),
-
-    // A4: MAX.
-    "q05_rule_max" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":105,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"MAX"}"""))
-        .orderBy("event_type")),
-
-    // A5+A8: COUNT via the reference's sentinel field, with HAVING.
-    "q06_rule_count" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":106,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"COUNT_FLINK",
-           "limitOperatorType":">=","limit":10}"""))
-        .orderBy("event_type")),
-
-    // W2: tumbling window (1 day), SUM per event_type.
-    "q07_window_tumbling" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":107,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":86400000}"""))
-        .orderBy("event_type", "w_start")),
-
-    // W3: sliding window (1 h window, 15 min slide), SUM per event_type.
-    "q08_window_sliding" -> ((s, dir) =>
-      aggDouble(rule(s, dir,
-        """{"queryId":108,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":3600000,"frequencyMilliseconds":900000}"""))
-        .orderBy("event_type", "w_start")),
-
-    // D1+D2+D3: multi-rule fan-out with composite key strings.
-    "q09_rule_fanout" -> ((s, dir) => {
-      val rules = Seq(
-        """{"queryId":1,"windowFilterRules":[
-             {"field":"event_type","operator":"=","value":"purchase"}],
-           "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
-           "aggregatorFunctionType":"SUM","windowMilliseconds":86400000}""",
-        """{"queryId":2,"windowFilterRules":[
-             {"field":"value","operator":">","value":"100"}],
-           "groupingKeyNames":["event_type"],"aggregateFieldName":"COUNT_FLINK",
-           "windowMilliseconds":86400000}""",
-        """{"queryId":3,"groupingKeyNames":[],
-           "aggregateFieldName":"value","aggregatorFunctionType":"MAX",
-           "windowMilliseconds":604800000}"""
-      ).map(RuleCodec.decode)
-      aggDouble(BatchExec.runAll(rules, events(s, dir), "ts"))
-        .orderBy("rule_id", "group_key", "w_start")
-    }),
-
-    // W1 (batch analog): per-event trailing-window aggregate (inclusive
-    // bounds), bucketed self-join implementation.
-    "q10_per_event_sliding" -> ((s, dir) =>
-      rule(s, dir,
-        """{"queryId":110,"windowFilterRules":[
-             {"field":"value","operator":">","value":"5"}],
-           "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
-           "aggregatorFunctionType":"SUM",
-           "windowMilliseconds":21600000,"frequencyMilliseconds":0}""")
-        .select("event_id", "agg_value")
-        .transform(aggDouble)
-        .orderBy("event_id")),
-
-    // Warehouse face: broadcast dimension join (lineitem ⋈ part), revenue
-    // per brand. The multiply happens in IEEE double (identical on any
-    // engine), the SUM in exact decimal.
-    "q11_join_revenue" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-      val p = table(s, dir, "part")
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double")
-            .as("revenue"),
-          count(lit(1)).as("cnt"))
-        .orderBy("p_brand")
-    }),
-
-    // Warehouse face: top-k (sort + limit) with deterministic tiebreak.
-    "q12_topk_orders" -> ((s, dir) =>
-      table(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(10)),
-
-    // Warehouse face: ROLLUP grouping sets (beyond the reference surface;
-    // Catalyst native).
-    "q26_rollup_revenue" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
-            .cast("double").as("sum_qty"),
-          count(lit(1)).as("cnt"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
-
-    // Warehouse face: CUBE grouping sets — all four (returnflag x
-    // linestatus) marginal combinations in one pass (Catalyst expands to
-    // a single aggregate over the grouping-set id; no multi-scan union).
-    "q65_cube_revenue" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
-            .cast("double").as("sum_qty"),
-          count(lit(1)).as("cnt"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
-
-    // Warehouse face: ranking window function — latest order per customer.
-    "q27_window_rank" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(desc("o_orderdate"), asc("o_orderkey"))
-      table(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey")
-    }),
-
-    // Warehouse face: set operations — high-value event types EXCEPT
-    // error types, INTERSECT with purchase-capable users' types.
-    "q28_set_ops" -> ((s, dir) => {
-      val e = events(s, dir)
-      val highValue = e.filter(col("value") > 150).select("event_type")
-      val errors = e.filter(col("event_type") === "error").select("event_type")
-      highValue.distinct()
-        .except(errors.distinct())
-        .unionByName(e.filter(col("value") > 199).select("event_type").distinct())
-        .distinct()
-        .orderBy("event_type")
-    }),
-
-    // Warehouse face: session windows (gaps-and-islands) — absent from
-    // the reference (its windows are tumbling/sliding only, SURVEY §2.2).
-    // Native session_window: adjacent [ts, ts+gap) intervals merge while
-    // they touch (verified: exactly-gap-apart events DO merge, so the
-    // oracle's break condition is strictly-greater). State per (user,
-    // session), mergeable — scales as a single shuffle on user_id.
-    "q38_session_window" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(38,6)")).as("sv"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("sess_start"),
-          unix_micros(col("session_window.end")).as("sess_end"),
-          col("n_events"),
-          col("sv").cast("double").as("sum_value"))
-        .orderBy("user_id", "sess_start")),
-
-    // F9: JSON field extraction from the event props payload.
-    "q13_json_extract" -> ((s, dir) =>
-      events(s, dir)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("cnt"))
-        .orderBy("k")),
-
-    // The DYNAMIC streaming engine itself, oracle-checked: replay the
-    // events table through DynamicActiveEngine.processBatch in weekly
-    // micro-batches (arrival order = event-time order) and emit the fired
-    // alerts. q30 = W1 per-event trailing window (SUM, HAVING); q31 = W2
-    // tumbling windows finalized when event time passes the window end.
-    // Events are deduped to one per (user_id, ms) first so within-batch
-    // processing order cannot affect trailing-window membership.
-    "q30_dynamic_engine_replay" -> ((s, dir) =>
-      dynamicReplay(s, dir,
-        """{"queryId":300,"windowFilterRules":[
-             {"field":"value","operator":">","value":"5"}],
-           "groupingKeyNames":["user_id"],"aggregateFieldName":"value",
-           "aggregatorFunctionType":"SUM","limitOperatorType":">","limit":100,
-           "windowMilliseconds":21600000,"frequencyMilliseconds":0}""")),
-
-    "q31_dynamic_periodic_replay" -> ((s, dir) =>
-      dynamicReplay(s, dir,
-        """{"queryId":310,"groupingKeyNames":["event_type"],
-           "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
-           "windowMilliseconds":86400000}""")),
-
-    // As-of join: for each purchase, the value of the user's latest click
-    // at or before it — one union + running-window pass, no range explode
-    // (oracle: DuckDB's native ASOF JOIN).
-    "q34_asof_join" -> ((s, dir) => {
-      val (purchases, clicks) = purchasesAndClicks(s, dir)
-      graft.exec.Joins.asOf(purchases, clicks, "user_id", "tsm", "tsm", "cv")
-        .filter(col("asof_value").isNotNull)
-        .select("event_id", "asof_value")
-        .orderBy("event_id")
-    }),
-
-    // Range (interval) join: clicks of the same user within ±30 min of a
-    // purchase, aggregated per purchase — bucketed equi-join (3× fan-out
-    // of the right side, never |L|·|R| per key).
-    "q35_range_join" -> ((s, dir) => {
-      val (purchases, clicks) = purchasesAndClicks(s, dir)
-      aggDouble(graft.exec.Joins
-        .rangeJoin(purchases, clicks, "user_id", "tsm", "tsm", 1800000L, Seq("cv"))
-        .groupBy("event_id")
-        .agg(count(lit(1)).as("n_near"),
-          sum(col("__r_cv").cast(graft.compile.RuleCompiler.RuleDecimal))
-            .cast(graft.compile.RuleCompiler.RuleDecimal).as("agg_value"))
-        .orderBy("event_id"))
-    }),
-
-    // Z-order key: 16-bit user × 16-bit value-centi Morton interleave —
-    // the multi-dimension data-skipping sort key, statically unrolled to
-    // pure shift/mask arithmetic (codegen, exact, engine-reproducible).
-    "q60_zorder_key" -> ((s, dir) => {
-      val e = events(s, dir)
-      e.select(col("event_id"),
-          graft.exec.ZOrder.zValue(Seq(
-            col("user_id").bitwiseAND(lit(65535L)),
-            expr("CAST(floor(value * 100) AS BIGINT)").bitwiseAND(lit(65535L))),
-            bits = 16).as("z"))
-        .orderBy("event_id")
-    }),
-
-    // Warehouse face: pivot — weekly event-type activity matrix. Spark
-    // pivots with an EXPLICIT value list (no extra distinct pass; plan
-    // is one hash aggregate with conditional partials, map-side
-    // combined — the at-scale form; an unlisted-values pivot adds a
-    // driver-blocking distinct first).
-    "q58_pivot_weekly" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("week", expr("(unix_micros(ts) div 1000) div 604800000"))
-      e.groupBy("week")
-        .pivot("event_type", Seq("click", "purchase", "view", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("week")
-    }),
-
-    // Warehouse face: anti join — customers with no URGENT order.
-    // Spark's left_anti is a broadcast/shuffled hash anti join, never a
-    // correlated subquery per row.
-    "q59_anti_join" -> ((s, dir) => {
-      val c = table(s, dir, "customer")
-      val o = table(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey"))
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    }),
-
-    // 7-day trailing moving average of daily value totals per event
-    // type: the raw stream first collapses to (type, day) partials —
-    // event volume never reaches the window — then a RANGE frame over
-    // day numbers averages the trailing week. Sums in exact decimal,
-    // ONE double division per output row (micro-unit numerator over
-    // day count) so both engines round identically.
-    "q64_moving_average" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = events(s, dir)
-        .groupBy(col("event_type"),
-          expr("(unix_micros(ts) div 1000) div 86400000").as("day"))
-        .agg(sum(col("value").cast("decimal(38,6)")).cast("decimal(38,6)")
-          .as("day_sum"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rangeBetween(-6, 0)
-      daily
-        .withColumn("ma_num",
-          sum((col("day_sum") * 1000000).cast("long")).over(w))
-        .withColumn("ma_days", count(lit(1)).over(w))
-        .select(col("event_type"), col("day"),
-          col("day_sum").cast("double").as("day_sum"),
-          (col("ma_num").cast("double") / col("ma_days") / 1e6).as("ma7"))
-        .orderBy("event_type", "day")
-    }),
-
-    // First-order Markov transition matrix of user behavior: counts of
-    // consecutive (from_type -> to_type) per user sequence, totally
-    // ordered by (ts, event_id) so same-ms ties are deterministic.
-    "q62_event_transitions" -> ((s, dir) => {
-      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
-      graft.exec.Cohort.transitions(e, "user_id", "tsm", "event_id", "event_type")
-        .orderBy("from_type", "to_type")
-    }),
-
-    // Cohort retention: users bucketed by first-active week, counted in
-    // every later week they return — distinct-first, so event volume
-    // never reaches the wide aggregations.
-    "q57_cohort_retention" -> ((s, dir) => {
-      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
-      graft.exec.Cohort.retention(e, "user_id", "tsm", periodMs = 604800000L)
-        .orderBy("cohort", "offset")
-    }),
-
-    // Event funnel: purchases preceded by a click of the same user
-    // within 1 h — one running range-window per user, no self-join.
-    "q52_event_funnel" -> ((s, dir) => {
-      val e = events(s, dir).withColumn("tsm", expr("unix_micros(ts) div 1000"))
-      graft.exec.Funnel.conversions(e, "user_id", "tsm", "event_type",
-          from = "click", to = "purchase", withinMs = 3600000L)
-        .orderBy("user_id")
-    }),
-
-    // Bloom-pruned semi join: revenue of lineitems belonging to URGENT
-    // orders. The broadcast Bloom filter over the urgent order keys drops
-    // non-matching fact rows BEFORE the exchange (runtime-filter
-    // pushdown); the left-semi join then removes false positives, so the
-    // answer is exactly the plain semi join's.
-    "q46_bloom_semi_join" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-      val urgent = table(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      graft.exec.Joins
-        .bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
-          expectedItems = 100000L)
-        .groupBy("l_returnflag")
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double")
-            .as("revenue"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag")
-    }),
-
-    // Salted skew join: lineitem ⋈ orders with the hot-key scatter (8
-    // sub-keys per key, small side replicated 8×) — byte-identical to the
-    // plain join, so the oracle is the plain join.
-    "q48_salted_join" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-      val ords = table(s, dir, "orders")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.exec.Joins.saltedJoin(li, ords, "l_orderkey", salt = 8,
-          saltCols = Seq("l_linenumber", "l_partkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)")
-            .cast("double").as("sum_qty"),
-          count(lit(1)).as("cnt"))
-        .orderBy("o_orderpriority")
-    })
-  )
-
-  /** (purchases, deduped clicks) with ms timestamps — the two time series
-    * the as-of/range join queries relate. Click ties at one (user, ms)
-    * collapse to MAX(value), the determinism precondition both engines'
-    * as-of semantics require. */
-  private def purchasesAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = events(s, dir).withColumn("tsm",
-      (unix_micros(col("ts").cast("timestamp")) / lit(1000)).cast("long"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "tsm")
-    val clicks = e.filter(col("event_type") === "click")
-      .groupBy("user_id", "tsm").agg(max(col("value")).as("cv"))
-    (purchases, clicks)
-  }
-
-  /** Shared harness for q30/q31: dedup events to one per (user_id, ms),
-    * replay week by week through a fresh [[graft.streaming.DynamicActiveEngine]],
-    * return fired alerts as (group_key, ts_ms, agg_value). */
-  private def dynamicReplay(s: SparkSession, dir: String, ruleJson: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val engine = new graft.streaming.DynamicActiveEngine()
-    engine.store.merge(RuleCodec.decode(ruleJson))
-    val fired = scala.collection.mutable.ArrayBuffer.empty[graft.model.Alert]
-    engine.onAlerts(as => fired.synchronized { fired ++= as })
-
-    val ms = (unix_micros(col("ts").cast("timestamp")) / lit(1000)).cast("long")
-    val base = events(s, dir)
-      .withColumn("__ms", ms)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("user_id"), col("__ms")).orderBy(col("event_id"))))
-      .filter(col("__rn") === 1)
-      .withColumn("__wk", expr("__ms div 604800000"))
-      .drop("__rn")
-      .persist()
-    try {
-      val weeks = base.select(col("__wk")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      weeks.foreach { wk =>
-        engine.processBatch(base.filter(col("__wk") === wk).drop("__ms", "__wk"), "ts")
-      }
-    } finally base.unpersist()
-
-    import s.implicits._
-    fired.synchronized(fired.toSeq).toDF()
-      .select(col("key").as("group_key"), col("tsMillis").as("ts_ms"),
-        col("aggregate").cast("double").as("agg_value"))
-      .orderBy("group_key", "ts_ms")
-  }
-
-  // ---------------------------------------------------------------------
-  // Training-data pipeline surface: dedup, similarity search, text
-  // analysis over documents/embeddings.
-  // ---------------------------------------------------------------------
-
-  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = {
-    import graft.dedup.Dedup
-    import graft.functions.TextFunctions
-    import graft.similarity.Similarity
-    Map(
-      // Text quality scoring: token counts, mean token length, stopword
-      // ratio, blended quality score.
-      "q14_text_stats" -> ((s, dir) =>
-        table(s, dir, "documents")
-          .select(col("doc_id") +: TextFunctions.qualityFeatures(col("text")): _*)
-          .orderBy("doc_id")),
-
-      // Marker-token language id heuristic.
-      "q15_text_langid" -> ((s, dir) =>
-        table(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
-          .orderBy("doc_id")),
-
-      // Document fingerprinting (md5 of normalized text).
-      "q16_text_fingerprint" -> ((s, dir) =>
-        table(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id")),
-
-      // Exact dedup: hash-groupBy on the normalized fingerprint.
-      "q17_dedup_exact" -> ((s, dir) =>
-        Dedup.exact(table(s, dir, "documents")).orderBy("fp")),
-
-      // BPE-ish pre-tokenization (letter runs / digit runs / single
-      // punctuation): per-doc token and distinct-token counts.
-      "q32_text_bpe_tokens" -> ((s, dir) =>
-        table(s, dir, "documents")
-          .select(col("doc_id"),
-            TextFunctions.regexTokens(col("text")).as("tk"))
-          .select(col("doc_id"),
-            size(col("tk")).cast("long").as("n_bpe_tokens"),
-            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
-          .orderBy("doc_id")),
-
-      // Deterministic stratified sampling (corpus mixing): keep 50% of
-      // English, 10% of everything else, decided by hash60(doc_id) so
-      // the sample is reproducible across engines, runs and retries.
-      "q39_stratified_sample" -> ((s, dir) => {
-        import graft.curation.Curation
-        val docs = table(s, dir, "documents")
-          .withColumn("lang_id", TextFunctions.langId(col("text")))
-        Curation.stratifiedSample(docs, col("lang_id"),
-            col("doc_id").cast("string"), Map("en" -> 0.5), defaultRate = 0.1)
-          .select("doc_id", "lang_id")
-          .orderBy("doc_id")
-      }),
-
-      // GPT-style sequence packing: concat docs in id order per shard,
-      // cut every 2048 BPE-ish tokens; per-doc sequence span.
-      "q40_sequence_pack" -> ((s, dir) =>
-        graft.curation.Curation.packSequences(
-            table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
-          .orderBy("doc_id")),
-
-      // Gopher-style repetition filters: duplicate-word fraction and the
-      // share of bigrams taken by the most frequent bigram, per doc.
-      "q41_repetition_stats" -> ((s, dir) =>
-        graft.curation.Curation.repetitionStats(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Benchmark decontamination: docs sharing any word 3-gram with the
-      // pseudo-benchmark slice (doc_id % 97 == 0) of the corpus.
-      "q42_decontaminate" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.curation.Curation.contamination(
-            docs.filter(col("doc_id") % 97 =!= 0),
-            docs.filter(col("doc_id") % 97 === 0), n = 3)
-          .orderBy("doc_id")
-      }),
-
-      // Corpus vocabulary: top-100 tokens by frequency with document
-      // frequency; lexicographic tie-break makes the cut reproducible.
-      "q44_vocab_topk" -> ((s, dir) =>
-        graft.curation.Curation.vocabTopK(table(s, dir, "documents"), k = 100)
-          .orderBy("rank")),
-
-      // Exact doc-length percentiles per source by integer rank selection
-      // (basis points, rank = (bp·n+9999) div 10000 — no float ranks).
-      "q45_length_percentiles" -> ((s, dir) =>
-        graft.curation.Curation.distributionStats(table(s, dir, "documents"),
-            "source", "n_chars", "doc_id", Seq(5000, 9000, 9900))
-          .orderBy("source", "pct")),
-
-      // Global total-order numbering WITHOUT a single-reducer window:
-      // range partition on the sort key, number within partitions, shift
-      // by broadcast per-partition offsets.
-      "q47_global_rownum" -> ((s, dir) =>
-        graft.curation.Curation.globalRowNumber(table(s, dir, "documents"),
-            sortCols = Seq("n_chars", "doc_id"), keep = Seq("doc_id"),
-            nPartitions = 16)
-          .select("doc_id", "n_chars", "rn")
-          .orderBy("doc_id")),
-
-      // TF-IDF keyword extraction: top-5 scoring tokens per document
-      // (raw tf × micro-unit-quantized ln(N/df), ties lexicographic).
-      "q50_tfidf_topterms" -> ((s, dir) =>
-        graft.curation.Curation.tfidfTopTerms(table(s, dir, "documents"), k = 5)
-          .orderBy("doc_id", "rank")),
-
-      // Percentile-rank normalization of doc length within each source —
-      // the feature-scaling step before cross-source thresholds can be
-      // compared ((rank-1)/(n-1), exact integers over integers, one
-      // IEEE division).
-      "q67_percentile_normalize" -> ((s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-        table(s, dir, "documents")
-          .select("doc_id", "source", "n_chars")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            when(col("cnt") > 1,
-              (col("rn") - 1).cast("double") / (col("cnt") - 1))
-              .otherwise(lit(0.0)).as("len_pctile"))
-          .orderBy("doc_id")
-      }),
-
-      // N-gram novelty: the fraction of a doc's distinct trigrams that
-      // appear in NO other document (df == 1) — high novelty separates
-      // genuinely fresh text from recombined boilerplate. Same inverted
-      // shingle-hash index as the dedup family; df folds the gram table.
-      // 60-bit gram-hash df join shared with the scale benches —
-      // see [[graft.curation.Curation.noveltyStats]]
-      "q68_ngram_novelty" -> ((s, dir) =>
-        graft.curation.Curation.noveltyStats(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Temperature-scaled mixture (α = 0.5): strata sampled ∝ √count —
-      // flattens the source mix toward uniform at an expected 25% of
-      // the corpus; integer-quantized weights keep it engine-exact.
-      "q66_temperature_mix" -> ((s, dir) =>
-        graft.curation.Curation.temperatureSample(
-            table(s, dir, "documents").select("doc_id", "source"),
-            "source", col("doc_id").cast("string"), targetFrac = 0.25)
-          .orderBy("doc_id")),
-
-      // Token-budget selection: best-quality docs per source until the
-      // 800-token quota fills — the greedy mixture-assembly step.
-      "q63_token_budget" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val feat = docs.select(col("doc_id") +: col("source") +:
-          TextFunctions.qualityFeatures(col("text")): _*)
-        graft.curation.Curation.tokenBudgetSelect(feat, "source",
-            col("quality_score"), col("n_tokens"), lit(800L))
-          .orderBy("source", "rank_in_stratum")
-      }),
-
-      // One-row corpus health report — the composed summary a pipeline
-      // owner checks before a training run: volume, exact-dup rate,
-      // language mix, exact median length, vocabulary size. Three
-      // aggregation subplans (row-shaped stats fused into ONE pass;
-      // vocabulary needs the exploded token shape; the median needs the
-      // length histogram) — at scale, cache the (text, n_chars)
-      // projection or run the report off an already-materialized stats
-      // table so the scans share one read.
-      "q61_corpus_report" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val stats = docs.agg(
-          count(lit(1)).as("n_docs"),
-          count_distinct(TextFunctions.fingerprint(col("text")))
-            .as("n_distinct_texts"),
-          sum(when(TextFunctions.langId(col("text")) === "en", 1L)
-            .otherwise(0L)).as("n_english"))
-        val vocab = docs
-          .select(explode(TextFunctions.tokens(col("text"))).as("t"))
-          .agg(count_distinct(col("t")).as("vocab_size"))
-        // exact corpus median WITHOUT a corpus-wide sort: cumulative
-        // counts over the VALUE HISTOGRAM (|distinct lengths| rows — an
-        // aggregate-sized input), then the smallest value whose
-        // cumulative count reaches rank ceil(n/2). Same selected value
-        // as q45's row-rank form, in the shape that survives 100 TB.
-        val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val med = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum(col("c")).over(w))
-          .crossJoin(docs.agg(count(lit(1)).as("n")))
-          .filter(col("cum") >= expr("(5000 * n + 9999) div 10000"))
-          .agg(min(col("n_chars")).as("median_n_chars"))
-          // an ungrouped agg always yields one row; on an EMPTY corpus
-          // that row is (null) while the oracle's rank filter yields no
-          // rows — drop the null so both sides agree at zero rows
-          .filter(col("median_n_chars").isNotNull)
-        stats.crossJoin(vocab).crossJoin(med)
-          .select(col("n_docs"),
-            (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
-            col("n_english"), col("vocab_size"), col("median_n_chars"))
-      }),
-
-      // Corpus-bigram LM scoring: mean log P(b|a) per document under the
-      // corpus MLE bigram model (cheap fluency/outlier signal).
-      "q55_bigram_logprob" -> ((s, dir) =>
-        graft.curation.Curation.bigramLogProb(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Nearest-centroid confusion matrix over the labeled embeddings —
-      // integer-sum centroids (scale-invariant under cosine) keep every
-      // score engine-reproducible.
-      "q56_centroid_confusion" -> ((s, dir) =>
-        Similarity.nearestCentroidConfusion(table(s, dir, "embeddings"))
-          .orderBy("label", "assigned")),
-
-      // Cluster-cohesion report: per label, mean cosine to own centroid
-      // vs best other centroid — the label-cleanliness check before
-      // training on the labels (same integer-centroid machinery as q56).
-      "q72_embed_cohesion" -> ((s, dir) =>
-        Similarity.clusterCohesion(table(s, dir, "embeddings"))
-          .orderBy("label")),
-
-      // Deterministic fixed-size per-stratum sample: the 50 smallest
-      // hash60(doc_id) per source — a reproducible eval-set draw.
-      "q53_stratum_sample_k" -> ((s, dir) =>
-        graft.curation.Curation.stratumSampleK(
-            table(s, dir, "documents").select("doc_id", "source"),
-            "source", col("doc_id").cast("string"), k = 50)
-          .orderBy("source", "doc_id")),
-
-      // Leakage-aware split: hash the duplicate CLUSTER (q43's components)
-      // so near-duplicates never straddle train/eval.
-      "q54_leakage_safe_split" -> ((s, dir) =>
-        Dedup.leakageSafeSplit(table(s, dir, "documents"), trainPct = 80)
-          .orderBy("doc_id")),
-
-      // Fixed-stride chunking (500-char chunks every 400): no shuffle,
-      // arithmetic boundaries, fingerprint instead of payload.
-      "q51_chunk_docs" -> ((s, dir) =>
-        graft.curation.Chunker.chunk(table(s, dir, "documents"),
-            size = 500, stride = 400)
-          .orderBy("doc_id", "chunk_id")),
-
-      // Duplicate clustering: MinHash-LSH pairs (q19's parameters) →
-      // connected components (min-label + pointer jumping) → one kept
-      // canonical doc per cluster; singletons keep themselves.
-      "q43_dedup_clusters" -> ((s, dir) =>
-        Dedup.dedupClusters(table(s, dir, "documents"), n = 3, k = 16, bands = 4)
-          .orderBy("doc_id")),
-
-      // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
-      // distinct selected 60-bit hashes per document.
-      "q33_winnow_fingerprint" -> ((s, dir) =>
-        Dedup.winnowFingerprints(table(s, dir, "documents"), n = 3, w = 4)
-          .withColumnRenamed("sid", "doc_id")
-          .orderBy("doc_id", "fp")),
-
-      // The composed curation pipeline a training-data user actually runs:
-      // exact-dedup survivors → quality scoring → language filter. One
-      // dataflow, three operators, no intermediate materialization.
-      "q36_curation_pipeline" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val kept = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-        docs.join(kept, "doc_id")
-          .select(col("doc_id") +:
-            TextFunctions.qualityFeatures(col("text")) :+
-            TextFunctions.langId(col("text")).as("lang_id"): _*)
-          .filter(col("quality_score") >= lit(0.25) && col("lang_id") === "en")
-          .select("doc_id", "n_tokens", "quality_score")
-          .orderBy("doc_id")
-      }),
-
-      // Exact n-gram Jaccard near-dup pairs via inverted-index join, over
-      // the df≤100-capped shingle space (the oracle states the same cap).
-      "q18_dedup_ngram_jaccard" -> ((s, dir) =>
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.35,
-            maxDf = 100)
-          .withColumn("jaccard", round(col("jaccard"), 6))
-          .orderBy("a_id", "b_id")),
-
-      // MinHash + banded LSH candidate pairs (16 hashes, 4 bands).
-      "q19_dedup_minhash_lsh" -> ((s, dir) =>
-        Dedup.minHashLshPairs(table(s, dir, "documents"), n = 3, k = 16, bands = 4)
-          .orderBy("a_id", "b_id")),
-
-      // 32-bit SimHash sketch per document.
-      "q20_dedup_simhash" -> ((s, dir) =>
-        Dedup.simHash(table(s, dir, "documents"))
-          .withColumnRenamed("sid", "doc_id")
-          .orderBy("doc_id")),
-
-      // Brute-force cosine top-5 (exact ANN baseline; query side broadcast).
-      "q21_ann_topk" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // Multi-band sign-LSH near-duplicate pairs: 4 bands × 8 bits (256
-      // buckets per band) over disjoint dimension ranges — bucket
-      // population O(n/256) per band, so pair generation stays near-linear
-      // where a single small-bit bucket table is O(n²/buckets). Threshold
-      // tuned to the corpus cosine distribution (max ≈ 0.51).
-      "q22_embed_neardup_lsh" -> ((s, dir) =>
-        Similarity.lshNearDupPairs(table(s, dir, "embeddings"),
-            bands = 4, bitsPerBand = 8, minCosine = 0.4)
-          .orderBy("a_id", "b_id")),
-
-      // Approximate top-5 via the same banded LSH: rank only the query's
-      // bucket collisions instead of the whole corpus (the sub-quadratic
-      // ANN path; q21 is the exact baseline).
-      "q29_ann_topk_lsh" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5,
-            bands = 4, bitsPerBand = 8)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // IVF ANN: deterministic id-sampled centroids (vec_id % 25 == 7),
-      // nearest-centroid assignment, probe 4 lists per query, exact
-      // cosine top-5 inside the probed lists — the inverted-file scale
-      // path next to q29's LSH (assignment O(n·nlist), query O(n/nlist)).
-      "q37_ann_topk_ivf" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5,
-            centroidStride = 25, centroidOffset = 7, nprobe = 4)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // Quantized-scan ANN: int8 candidate generation (4× cheaper corpus
-      // scan), exact float rerank of the top-20, final top-5 — the
-      // "shrink the cost of scoring" axis next to q29/q37's "shrink the
-      // candidate set" axis.
-      "q49_ann_topk_quantized" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.quantizedTopK(emb,
-            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5, rerankFactor = 4)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
-      // (pure-expression columns; no UDF).
-      "q23_geo_enrich" -> ((s, dir) => {
-        import graft.functions.GeoFunctions._
-        val e = events(s, dir)
-          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
-          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
-          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
-          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
-        val cell = mapToGridCell(col("lon"), col("lat"))
-        e.select(
-          col("event_id"),
-          isInNYC(col("lon"), col("lat")).as("in_nyc"),
-          cell.as("cell"),
-          round(gridCellCenterLon(cell), 6).as("center_lon"),
-          round(gridCellCenterLat(cell), 6).as("center_lat"),
-          round(euclideanDistance(col("lon"), col("lat"), col("lon2"), col("lat2")), 6)
-            .as("dist_km"),
-          directionAngle(col("lon"), col("lat"), col("lon2"), col("lat2")).as("dir_deg"))
-          .orderBy("event_id")
-      }),
-
-      // Multimodal plumbing: synthetic binary media from documents →
-      // stubbed decode → per-media feature summary + sampled-frame
-      // counts. The stub codec (FNV-1a seed + LCG expansion,
-      // Multimodal.StubCodec) is a pure integer function of the payload
-      // bytes, so the oracle replays the SAME arithmetic in DuckDB with
-      // HUGEINT mod-2^64 — a full hash check, not rows-only. Features
-      // are summed in exact millis (each float is k/1000 by
-      // construction; round(x*1000) recovers k losslessly), so
-      // feat_ksum is integer-exact and feat_sum = ksum/1000.0 is one
-      // IEEE division on both engines.
-      "q25_multimodal_decode" -> ((s, dir) => {
-        import graft.multimodal.Multimodal
-        val media = Multimodal.syntheticMedia(
-          table(s, dir, "documents"), "doc_id", "text")
-        val decoded = Multimodal.decodeImages(media, featureDim = 16)
-          .withColumn("feat_ksum",
-            aggregate(col("features"), lit(0L),
-              (a, x) => a + round(x.cast("double") * 1000).cast("long")))
-          .withColumn("feat_sum", col("feat_ksum") / lit(1000.0))
-          .select(col("media_id"), col("width"), col("height"),
-            col("feat_ksum"), col("feat_sum"))
-        val frames = Multimodal.sampleFrames(media, stride = 10)
-          .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
-        decoded.join(frames, Seq("media_id"), "left")
-          .na.fill(0L, Seq("n_sampled"))
-          .orderBy("media_id")
-      }),
-
-      // F3: path rasterization to grid cells (codegen GridCellsOnWay
-      // expression; oracle = the same slope walk as a DuckDB recursive
-      // CTE).
-      "q24_geo_cells_on_way" -> ((s, dir) => {
-        import graft.functions.GeoFunctions._
-        events(s, dir)
-          .withColumn("lon", lit(-74.05) + col("value") / lit(1000.0))
-          .withColumn("lat", lit(40.5) + col("value") / lit(500.0))
-          .withColumn("lon2", lit(-74.05) + (col("user_id") % 30).cast("double") / lit(100.0))
-          .withColumn("lat2", lit(40.5) + (col("user_id") % 20).cast("double") / lit(50.0))
-          .select(col("event_id"),
-            mapToGridCellsOnWay(col("lon"), col("lat"), col("lon2"), col("lat2"))
-              .as("cells"))
-          .select(col("event_id"), size(col("cells")).as("n_cells"),
-            col("cells").getItem(0).as("first_cell"))
-          .orderBy("event_id")
-      }),
-
-      // Cross-source duplication matrix: near-dup pair counts per
-      // unordered source pair — the "how much does crawl A overlap
-      // crawl B" report that decides which source to drop when a
-      // mixture is assembled. Reuses the q19 LSH pair set (memoized
-      // shingle + band tables), so the marginal cost is two narrow
-      // joins + a tiny aggregate; at corpus scale the pair set is
-      // dup-rate × corpus, never all-pairs.
-      "q69_cross_source_dups" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val src = docs.select(col("doc_id"), col("source"))
-        graft.dedup.Dedup.minHashLshPairs(docs, n = 3, k = 16, bands = 4)
-          .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
-          .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
-          .select(least(col("src_a"), col("src_b")).as("src_lo"),
-            greatest(col("src_a"), col("src_b")).as("src_hi"))
-          .groupBy("src_lo", "src_hi")
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("src_lo", "src_hi")
-      }),
-
-      // BM25 lexical retrieval: top-5 documents per query over the
-      // corpus inverted index — the lexical face of the similarity
-      // family (the ANN queries are its dense face). Scores follow
-      // Robertson/Spärck Jones BM25 (k1 = 1.2, b = 0.75) with each
-      // per-term score quantized to integer micro-units before the
-      // per-doc sum (the q55 device: float addition is
-      // order-dependent, integer addition is not, and the 1e-6
-      // quantum absorbs any last-bit ln() divergence between
-      // engines). Shape at scale: tf/df/dl are corpus-keyed hash
-      // aggregates, the query list is a broadcast literal, and top-k
-      // is a per-query window — no corpus self-join anywhere.
-      "q71_bm25_topk" -> ((s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val sp = s; import sp.implicits._
-        val tok = table(s, dir, "documents")
-          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val qs = Seq((1, "table"), (1, "join"), (1, "spark"),
-          (2, "window"), (2, "stream"),
-          (3, "hash"), (3, "merge"), (3, "sort")).toDF("query_id", "tok")
-        val scored = qs
-          .join(tf, "tok").join(dfr, "tok").join(dl, "doc_id")
-          .crossJoin(broadcast(stats)) // one-row stats: fused scan, not a blowup
-          .withColumn("idf",
-            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5)) + lit(1.0)))
-          .withColumn("s_e6", round(
-            col("idf") * (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
-                (col("total_len").cast("double") / col("n_docs"))))
-              * lit(1000000)).cast("long"))
-          .groupBy("query_id", "doc_id")
-          .agg(sum("s_e6").as("score_e6"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score_e6").desc, col("doc_id"))
-        scored.withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select("query_id", "rnk", "doc_id", "score_e6")
-          .orderBy("query_id", "rnk")
-      }),
-
-      // Head-vocabulary coverage: the share of all token occurrences
-      // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
-      // tokenizer-sizing curve (how big must the vocab be before OOV
-      // is rare). Scale shape: on a 100 TB web corpus the RAW-token
-      // vocabulary is itself corpus-scale (typo/unicode tail), so no
-      // stage may rank it globally. The only corpus-sized work here is
-      // one hash aggregate (token counts, memoized); the head is
-      // `orderBy … limit 25` — Catalyst plans TakeOrderedAndProject
-      // (per-partition heap, k·partitions rows to the driver, never a
-      // global sort); the grand total is a one-row aggregate over the
-      // same memoized counts; and the cumulative curve is folded over
-      // the 25 head rows on the driver (bounded by the constant k).
-      "q70_vocab_coverage" -> ((s, dir) => {
-        val counts = graft.util.CacheRegistry.cache(
-          graft.util.CacheRegistry.key(table(s, dir, "documents"), "q70tokcnt"),
-          table(s, dir, "documents")
-            .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-            .groupBy("tok").agg(count(lit(1)).as("cnt")))
-        val head = counts.orderBy(col("cnt").desc, col("tok")).limit(25)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .sortBy { case (tok, cnt) => (-cnt, tok) } // re-assert head order
-        // sum() over zero rows is NULL — coalesce so an empty corpus
-        // yields an empty curve instead of an NPE on getLong
-        val total = counts.agg(coalesce(sum(col("cnt")), lit(0L))
-            .cast("long").as("t"))
-          .first().getLong(0)
-        val ks = Set(1, 5, 10, 25)
-        var cum = 0L
-        val rows: Vector[(Long, Long, Long, Double)] =
-          if (total == 0L) Vector.empty
-          else head.iterator.zipWithIndex.flatMap { case ((_, cnt), i) =>
-            cum += cnt
-            if (ks(i + 1)) Some(((i + 1).toLong, cum, total, cum.toDouble / total))
-            else None
-          }.toVector
-        import s.implicits._
-        rows.toDF("k", "covered", "total", "coverage").orderBy("k")
-      }),
-
-      // Streaming exact dedup, oracle-checked: the corpus plus a
-      // deterministic echo stream (every 5th doc's text re-emitted
-      // 33 + 300·(doc_id mod 11) s later under id = −doc_id) replays
-      // through Dedup.streamingExact in fixed 64-row event-time
-      // micro-batches. Echo gaps span 33..3033 s against a 600.25 s
-      // watermark horizon, so ~half the echoes are dropped as
-      // in-horizon duplicates and ~half are re-admitted after state
-      // eviction — both sides of the dropDuplicatesWithinWatermark
-      // state machine, across batches. Only one row per (fingerprint,
-      // batch) is fed because the engine's IN-batch pick is
-      // partition-order nondeterministic (that face is covered by
-      // StreamingDedupSpec). The driver-side feed is the MemoryStream
-      // replay harness, not a data path: production reads a real
-      // stream source and the operator's state stays bounded by
-      // ingest-rate × horizon regardless of corpus size.
-      "q73_streaming_dedup" -> ((s, dir) => {
-        import s.implicits._
-        val base = table(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id").collect()
-          .map(r => (r.getLong(0), r.getString(1)))
-        val orig = base.zipWithIndex.map { case ((id, fp), i) =>
-          (id, fp, 10L * (i + 1)) }
-        val echoes = orig.collect { case (id, fp, pos) if id % 5 == 0 =>
-          (-id, fp, pos + 33 + 300 * (id % 11)) }
-        // micro-batch count capped at ~16: per-trigger machinery is the
-        // replay's cost, so batch size grows with the corpus (the
-        // oracle computes the same size from its own row count)
-        val batchRows = math.max(64L, (orig.size + echoes.size + 15L) / 16L)
-        val fed = (orig ++ echoes)
-          .sortBy { case (id, _, pos) => (pos, id) }
-          .zipWithIndex
-          .map { case ((id, fp, pos), idx) => (id, fp, pos, idx.toLong / batchRows) }
-          .groupBy { case (_, fp, _, b) => (fp, b) }
-          .map(_._2.minBy { case (id, _, pos, _) => (pos, id) })
-          .toVector
-
-        val input = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, Long)](s)
-        val stream = input.toDF().toDF("doc_id", "fp", "pos")
-          .withColumn("ts", timestamp_seconds(col("pos")))
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-        // state-partition count sized to the replay, not the session:
-        // the dedup state store pays a commit per partition per batch,
-        // so 32 session partitions × ~16 batches is pure fixed cost for
-        // a corpus-scale state of a few thousand fingerprints. The
-        // partition count is fixed at stream start; the kept SET is
-        // partition-invariant (one fed row per fingerprint per batch).
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = Dedup.streamingExact(stream, "ts", "600250 milliseconds", "fp")
-            .select("doc_id", "fp", "pos")
-            .writeStream.outputMode("append")
-            .foreachBatch { (bdf: DataFrame, _: Long) =>
-              val rows = bdf.select("doc_id", "fp", "pos").collect()
-              kept.synchronized {
-                kept ++= rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-              }
-              () // foreachBatch wants (DataFrame, Long) => Unit
-            }
-            .start()
-          try {
-            fed.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
-              input.addData(rows.sortBy(r => (r._3, r._1))
-                .map { case (id, fp, pos, _) => (id, fp, pos) })
-              q.processAllAvailable()
-            }
-          } finally q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        kept.synchronized(kept.toVector)
-          .toDF("doc_id", "fp", "pos")
-          .orderBy("doc_id", "pos")
-      }),
-
-      // Sketch-path tolerance oracle (percentiles): approx_percentile's
-      // value is NOT engine-reproducible by design, so the contract
-      // output is the BOUND VERDICT — per (source, pct): stratum size
-      // and ok=1 iff the sketch value's exact rank interval
-      // [count(<)+1, count(<=)] overlaps the target rank ± the declared
-      // tolerance (2·n/accuracy + 1 at accuracy 100, i.e. twice the GK
-      // ε·n guarantee plus rank-convention slack). The oracle emits the
-      // same exact rows with ok=1, so any out-of-bounds sketch value
-      // hash-fails the gate. Exact values stay q45's job; this entry
-      // gates the 100 TB production path (one scan, mergeable sketch,
-      // broadcast of the |sources|×|pcts| sketch table for the rank
-      // probe — no sort, no window).
-      "q74_sketch_percentiles" -> ((s, dir) => {
-        val pcts = Seq(2500, 5000, 7500, 9000)
-        val data = table(s, dir, "documents")
-          .select(col("source"), length(col("text")).cast("long").as("v"))
-        val ap = graft.curation.Curation
-          .approxDistributionStats(data, "source", "v", pcts, accuracy = 100)
-        val tol = lit(2.0) * col("n") / lit(100) + lit(1.0)
-        data.join(broadcast(ap), "source")
-          .groupBy(col("source"), col("pct"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("v") <= col("value"), 1L).otherwise(0L)).as("le"),
-            sum(when(col("v") < col("value"), 1L).otherwise(0L)).as("lt"))
-          .select(col("source"), col("pct"), col("n"),
-            when((col("lt") + 1).cast("double") <= col("pct") * col("n") + tol &&
-                 col("le").cast("double") >= col("pct") * col("n") - tol,
-              1L).otherwise(0L).as("ok"))
-          .orderBy("source", "pct")
-      }),
-
-      // Sketch-path tolerance oracle (cardinality): HyperLogLog++
-      // approx_count_distinct at rsd 0.05 vs the exact distinct count,
-      // same verdict device — ok=1 iff |approx − exact| ≤ 3·rsd·exact
-      // + 1 (3σ of the declared relative standard deviation, +1 for
-      // tiny strata). Both counts ride one grouped aggregate; the HLL
-      // sketch is the only distinct count that survives 100 TB, the
-      // exact twin is its per-stratum audit.
-      "q75_sketch_cardinality" -> ((s, dir) =>
-        table(s, dir, "documents")
-          .groupBy("source")
-          .agg(approx_count_distinct(col("text"), 0.05).as("approx"),
-            count_distinct(col("text")).as("n_distinct"))
-          .select(col("source"), col("n_distinct"),
-            when(abs(col("approx") - col("n_distinct")).cast("double") <=
-                 lit(0.15) * col("n_distinct") + lit(1.0), 1L)
-              .otherwise(0L).as("ok"))
-          .orderBy("source")),
-
-      // Bucketed storage round-trip: orders and customer are WRITTEN as
-      // bucketed tables (hash layout persisted on custkey — the shuffle
-      // a join needs, paid once at write), read back through the session
-      // catalog, joined and aggregated. The RESULT is the correctness
-      // face (the zero-exchange plan property is asserted in
-      // StorageSpec with broadcast disabled); the oracle is the plain
-      // relational join — bucketing must never change answers.
-      "q76_bucketed_join" -> ((s, dir) => {
-        import graft.sources.Tables
-        // scratch path scoped to THIS Spark application so two
-        // concurrent runs on one machine never overwrite each other's
-        // bucket files mid-read (catalog names are already per-session)
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/bucketed"
-        Tables.writeBucketed(
-          table(s, dir, "orders")
-            .select(col("o_custkey").as("custkey"), col("o_totalprice")),
-          "graft_b_orders", "custkey", 8, Some(s"$tmp/orders"))
-        Tables.writeBucketed(
-          table(s, dir, "customer")
-            .select(col("c_custkey").as("custkey"), col("c_nationkey")),
-          "graft_b_customer", "custkey", 8, Some(s"$tmp/customer"))
-        s.table("graft_b_orders").join(s.table("graft_b_customer"), "custkey")
-          .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(38,6)")).cast("decimal(38,6)")
-              .cast("double").as("revenue"))
-          .orderBy("c_nationkey")
-      }),
-
-      // Audio decode windows: the q25 oracle device extended to the
-      // per-window face — the payload's FNV hash is rolled two more
-      // salt bytes (window_idx lo/hi) and expanded by the 13-step LCG;
-      // the oracle replays the exact integer arithmetic in DuckDB
-      // HUGEINT. Promotes the last multimodal spec-only face to a
-      // CORRECTNESS row: window explosion count, per-window salt, and
-      // feature derivation are all hash-checked.
-      "q77_audio_windows" -> ((s, dir) => {
-        import graft.multimodal.Multimodal
-        val media = Multimodal.syntheticMedia(
-          table(s, dir, "documents"), "doc_id", "text")
-        Multimodal.decodeAudio(media, featureDim = 13).toDF()
-          .withColumn("feat_ksum",
-            aggregate(col("features"), lit(0L),
-              (a, x) => a + round(x.cast("double") * 1000).cast("long")))
-          .select(col("media_id"), col("window_idx"), col("sample_rate"),
-            col("feat_ksum"))
-          .orderBy("media_id", "window_idx")
-      }),
-
-      // Partitioned storage round-trip (q76's device for the OTHER
-      // layout): documents written hive-partitioned by source, read
-      // back through a partition-column predicate — the scan prunes
-      // directories (PartitionFilters, asserted in StorageSpec); the
-      // oracle is the plain filtered aggregate, pinning that the
-      // partition layout never changes answers (values round-tripping
-      // through partition-directory STRINGS and back is exactly where
-      // a type-coercion bug would corrupt silently).
-      "q79_partitioned_read" -> ((s, dir) => {
-        import graft.sources.Tables
-        // per-application scratch path — same isolation rationale as q76
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/partitioned/documents"
-        Tables.writePartitioned(
-          table(s, dir, "documents").select("doc_id", "source", "text"),
-          tmp, Seq("source"))
-        val sources = table(s, dir, "documents")
-          .select("source").distinct().orderBy("source")
-          .collect().map(_.getString(0)).take(3)
-        s.read.parquet(tmp)
-          .filter(col("source").isin(sources: _*))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text")).cast("long")).as("total_chars"))
-          .orderBy("source")
-      }),
-
-      // Engine-exact k-means refinement (two rounds, stride-100 init):
-      // all-integer micro-unit arithmetic makes the ITERATION itself
-      // reproducible, so the last algorithmic spec-only face gets a
-      // CORRECTNESS row — the oracle unrolls both rounds (assignment by
-      // exact integer squared distance, half-up integer means) in plain
-      // SQL. The float kMeansCentroids stays the production path; this
-      // is its exactness oracle (the sketch-path relationship, pointed
-      // the other way).
-      "q80_kmeans_exact" -> ((s, dir) =>
-        Similarity.kMeansCentroidsExact(
-            table(s, dir, "embeddings"), centroidStride = 100, iters = 2)
-          .orderBy("c_id", "pos")),
-
-      // SQL registry face: the custom codegen CosineSimilarity
-      // expression reached through PURE SQL — GraftExtensions.register +
-      // spark.sql text, no DataFrame API in the query itself. The
-      // arithmetic is the q21-proven double path (round 4dp matches
-      // DuckDB bit-exactly); what this entry gates is the extension
-      // wiring: FunctionIdentifier registration, unresolved-function
-      // binding, and codegen through the SQL parser path.
-      "q78_sql_registry" -> ((s, dir) => {
-        graft.GraftExtensions.register(s)
-        table(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
-        s.sql("""
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                 round(cosine_sim(a.embedding, b.embedding), 4) AS cos
-          FROM graft_embeddings a
-          JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
-          WHERE a.vec_id % 50 = 0
-          ORDER BY a_id""")
-      }),
-
-      // Second SQL-registry consumer: the codegen GridCellsOnWay
-      // expression through pure spark.sql text — grid-cell visit
-      // hotspots over every event's start→end walk (explode the cell
-      // array, count per cell, top 20 with a total tie-break order).
-      // q78 proved the extension wiring for a scalar binary function;
-      // this gates the quaternary array-producing one plus
-      // explode-over-a-registered-function through the SQL parser
-      // path. Scale shape: one scan, the walk is per-row codegen, the
-      // aggregate is one hash shuffle on cell — top-k via
-      // TakeOrderedAndProject.
-      "q81_sql_cell_hotspots" -> ((s, dir) => {
-        graft.GraftExtensions.register(s)
-        events(s, dir).createOrReplaceTempView("graft_events")
-        s.sql("""
-          SELECT cell, CAST(count(*) AS BIGINT) AS n_visits
-          FROM (
-            SELECT explode(grid_cells_on_way(
-                     -74.05 + value/1000.0, 40.5 + value/500.0,
-                     -74.05 + CAST(user_id % 30 AS DOUBLE)/100.0,
-                     40.5 + CAST(user_id % 20 AS DOUBLE)/50.0)) AS cell
-            FROM graft_events)
-          GROUP BY cell
-          ORDER BY n_visits DESC, cell
-          LIMIT 20""")
-      }),
-
-      // PII redaction audit: the synthetic corpus carries no natural
-      // PII, so the query plants a deterministic email + IP + phone
-      // per document (same string arithmetic on both sides) and then
-      // redacts — every row exercises all three patterns, and the
-      // md5 of the full redacted text makes ANY regex-semantics
-      // divergence between engines a hash failure, not a silent
-      // partial match. One scan, no shuffle (the redaction is pure
-      // codegen'd column work; only the final presentation sort
-      // exchanges).
-      "q82_pii_redaction" -> ((s, dir) => {
-        val salted = table(s, dir, "documents").select(col("doc_id"),
-          concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com or 10."),
-            pmod(col("doc_id"), lit(256L)).cast("string"),
-            lit(".0."), pmod(col("doc_id"), lit(200L)).cast("string"),
-            lit(" call 555-"),
-            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
-            lit("-1234 done")).as("text"))
-        graft.curation.Curation.redactPii(salted)
-          .select(col("doc_id"),
-            col("n_emails").cast("long").as("n_emails"),
-            col("n_ips").cast("long").as("n_ips"),
-            col("n_phones").cast("long").as("n_phones"),
-            md5(col("text")).as("red_md5"))
-          .orderBy("doc_id")
-      }),
-
-      // Incremental dedup: the landed/incoming split is derived
-      // deterministically from doc_id (landed = 2/3 of the corpus,
-      // incoming = the rest), so the oracle can replay the same
-      // partition; admitted = incoming fingerprints absent from the
-      // landed set, within-batch duplicates collapsed to min id.
-      "q83_incremental_dedup" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.dedup.Dedup.exactIncrement(
-            docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
-            docs.filter(pmod(col("doc_id"), lit(3L)) === 0))
-          .orderBy("fp")
-      }),
-
-      // Within-document line dedup: the corpus has no newlines, so the
-      // query builds line-structured text deterministically on both
-      // sides (8-token lines) and plants exactly one duplicate per
-      // document (the first line re-appended) — every row exercises
-      // the drop path, and the md5 of the re-joined cleaned text pins
-      // order preservation, not just counts.
-      "q84_line_dedup" -> ((s, dir) => {
-        import graft.functions.TextFunctions
-        val built = table(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-          .withColumn("nl", ceil(size(col("t")) / lit(8.0)).cast("int"))
-          .withColumn("lines", transform(sequence(lit(0), col("nl") - 1),
-            i => array_join(slice(col("t"), i * lit(8) + lit(1), lit(8)), " ")))
-          .select(col("doc_id"),
-            array_join(concat(col("lines"), slice(col("lines"), 1, 1)), "\n")
-              .as("text"))
-        graft.dedup.Dedup.lineDedup(built)
-          .select(col("doc_id"), col("n_lines"), col("n_kept"),
-            md5(col("clean")).as("clean_md5"))
-          .orderBy("doc_id")
-      }),
-
-      // JSONL export/ingest round-trip — the q76/q79 storage device for
-      // the TEXT format at the pipeline boundary: documents written as
-      // JSON lines, read back with an explicit schema (never
-      // inference), and summarized per source with order-insensitive
-      // content integrity (bounded hash60 sums + min/max md5, so a
-      // single corrupted or re-escaped text hash-fails); the oracle
-      // computes the same summary from the ORIGINAL parquet — the
-      // round-trip must change nothing.
-      "q85_jsonl_roundtrip" -> ((s, dir) => {
-        import graft.functions.TextFunctions.hash60
-        import graft.sources.Tables
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/jsonl/documents"
-        Tables.writeJsonl(
-          table(s, dir, "documents").select("doc_id", "source", "text"), tmp)
-        Tables.readJsonl(s, tmp, "doc_id LONG, source STRING, text STRING")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).as("id_sum"),
-            sum(pmod(hash60(col("text")), lit(1000000000L))).as("text_hsum"),
-            min(md5(col("text"))).as("min_md5"),
-            max(md5(col("text"))).as("max_md5"))
-          .orderBy("source")
-      }),
-
-      // Hard-negative mining: top-5 below cos < 0.25 per query — the
-      // q21 brute-force face with the positive threshold applied
-      // before ranking (above-threshold neighbors are presumed
-      // positives and would be false negatives in a contrastive
-      // batch). 0.25 sits inside this corpus's neighbor-cosine range
-      // (max ~0.45, 9-56 exclusions per query at every SF), so the
-      // threshold provably changes the answer vs plain top-k.
-      "q86_hard_negatives" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.hardNegatives(emb,
-            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5, 0.25)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // Count-min heavy hitters: the mergeable sketch twin of q44 (the
-      // relationship q75 has to exact distinct). Every hash is
-      // md5-derived, so the oracle replays the EXACT cell counters —
-      // est is hash-checked, not tolerance-banded; ok carries the
-      // unconditional no-underestimate guarantee.
-      "q87_countmin_heavy_hitters" -> ((s, dir) =>
-        graft.curation.Curation.countMinTopK(table(s, dir, "documents"), k = 25)
-          .orderBy(desc("freq"), asc("token"))),
-
-      // Bloom-gated incremental dedup: q83's answer through the 100 TB
-      // plumbing — landed fingerprints folded into a broadcast Bloom
-      // filter; bloom-negative rows are provably novel and skip the
-      // verification join. Different incoming slice (mod 3 = 1) than
-      // q83, so the two contract rows are distinct answers. The filter
-      // is sized from the landed distinct-fp count (expectedItems
-      // default), not a hardcoded guess that would silently inflate
-      // fpp at larger corpora.
-      "q88_bloom_incremental_dedup" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.dedup.Dedup.exactIncrementBloom(
-            docs.filter(pmod(col("doc_id"), lit(3L)) =!= 1),
-            docs.filter(pmod(col("doc_id"), lit(3L)) === 1))
-          .orderBy("fp")
-      }),
-
-      // LM quality filter: bottom 10% of each source by corpus-bigram
-      // mean log-probability (q55's exact integer scores), flagged by
-      // per-stratum integer rank selection — the CCNet/Gopher quality
-      // cut with the corpus LM standing in for the real one.
-      "q89_perplexity_filter" -> ((s, dir) =>
-        graft.curation.Curation.perplexityFlag(table(s, dir, "documents"),
-            cutBp = 1000)
-          .orderBy("doc_id")),
-
-      // Mixture rebalancing: per-source natural token share vs a uniform
-      // target at the corpus's own budget, and the ×1e6 sampling weight
-      // realizing it — all BIGINT `div` arithmetic, bit-identical
-      // everywhere.
-      "q90_mixture_weights" -> ((s, dir) =>
-        graft.curation.Curation.mixtureWeights(table(s, dir, "documents"))
-          .orderBy("source")),
-
-      // q89's production twin (the q74 device over the quality cut):
-      // the per-source cut threshold comes from the mergeable
-      // percentile sketch over avg_logp — no rank window, no
-      // single-reducer stratum — and the verdict pins the sketch
-      // threshold inside its declared rank-error band: with lt/le the
-      // counts strictly-below/at-or-below the threshold, ok = 1 iff
-      // lt+1 ≤ 0.1·n + tol AND le ≥ 0.1·n − tol (tie-robust: a run of
-      // equal scores straddling the cut widens le−lt, not the verdict).
-      // An out-of-band sketch hash-fails against the oracle's ok=1.
-      "q91_perplexity_sketch_cut" -> ((s, dir) => {
-        import graft.curation.Curation
-        val docs = table(s, dir, "documents")
-        // derives from the SAME registry-persisted scored projection as
-        // q89 (kind "ppl-scored"): the LM chain runs once for the whole
-        // perplexity family, and this harness's two branches (sketch +
-        // verdict aggregate) read the cache instead of re-scoring
-        val scored = Curation.perplexityScored(docs)
-          .select(col("source"), col("avg_logp").as("v"))
-        val ap = Curation.approxDistributionStats(scored, "source", "v",
-          Seq(1000), accuracy = 1000)
-        val target = lit(0.1) * col("n")
-        val tol = lit(2.0) * col("n") / lit(1000) + lit(1.0)
-        scored.join(broadcast(ap), "source")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("v") <= col("value"), 1L).otherwise(0L)).as("le"),
-            sum(when(col("v") < col("value"), 1L).otherwise(0L)).as("lt"))
-          .select(col("source"), col("n"),
-            when((col("lt") + 1).cast("double") <= target + tol &&
-                 col("le").cast("double") >= target - tol, 1L)
-              .otherwise(0L).as("ok"))
-          .orderBy("source")
-      }),
-
-      // Self-contained heavy hitters: q87's candidate gap closed — the
-      // candidate set comes from per-partition Misra–Gries summaries
-      // (union provably ⊇ every token with freq·64 > N), then an exact
-      // recount of candidates only. The exact filter makes the answer
-      // partition-independent, so the exact vocabulary top-k (q44's
-      // shape) is demoted from dependency to oracle.
-      "q92_mg_heavy_hitters" -> ((s, dir) =>
-        graft.curation.Curation.heavyHittersMG(
-            table(s, dir, "documents"), k = 25, capacity = 64)
-          .orderBy(desc("freq"), asc("token"))),
-
-      // Ingest-robustness face of q85: a JSONL drop with deterministic
-      // planted corruption (every doc_id % 20 == 0 line prefixed into
-      // invalid JSON) read back PERMISSIVE — per-source good counts
-      // plus the __malformed__ count. The oracle derives the same
-      // numbers from the plant rule, so a parser that silently drops
-      // or mis-attributes lines hash-fails.
-      "q93_jsonl_malformed_rate" -> ((s, dir) => {
-        import graft.sources.Tables
-        // keyed by the DATA DIR too (review finding): one session
-        // building q93 against two sf dirs must not clobber the first
-        // write and hand the lazily-read frame wrong-scale data
-        val dirKey = java.lang.Long.toHexString(
-          dir.hashCode.toLong & 0xffffffffL)
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-          s"jsonl_corrupt_$dirKey/documents"
-        registerTmpCleanup(
-          new java.io.File(s"/tmp/graft_${s.sparkContext.applicationId}"))
-        val line = to_json(struct(col("doc_id"), col("source"), col("text")))
-        table(s, dir, "documents")
-          .select(when(pmod(col("doc_id"), lit(20L)) === 0,
-              concat(lit("{oops "), line)).otherwise(line).as("value"))
-          .write.mode("overwrite").text(tmp)
-        Tables.jsonlIngestStats(s, tmp,
-            "doc_id LONG, source STRING, text STRING")
-          .orderBy("source")
-      }),
-
-      // Gopher-style composite quality gate: reason bitmask + keep
-      // verdict, all comparisons integer cross-multiplication so the
-      // verdict can never flip on float rounding at a threshold.
-      "q94_quality_gate" -> ((s, dir) =>
-        graft.curation.Curation.qualityGate(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Per-source unigram KL vs the corpus over the head-200
-      // vocabulary: the content-distance mixture diagnostic. Integer
-      // micro-unit ln sums (q50's device); the numerator ships
-      // undivided because Spark `div` truncates while DuckDB `//`
-      // floors on negatives.
-      "q95_source_unigram_kl" -> ((s, dir) =>
-        graft.curation.Curation.sourceUnigramKL(
-            table(s, dir, "documents"), headV = 200)
-          .orderBy("source")),
-
-      // Per-dimension embedding moment sums in exact integers (Σx² in
-      // DECIMAL(38,0) internally, DOUBLE on the wire) — the whitening /
-      // drift-monitoring statistics, bit-identical on any engine.
-      "q96_embedding_dim_stats" -> ((s, dir) =>
-        Similarity.embeddingDimStats(table(s, dir, "embeddings"))
-          .orderBy("pos")),
-
-      // PMI collocations over the corpus: all-integer micro-unit-ln
-      // chain, rare-pair floor applied before ranking.
-      "q97_pmi_collocations" -> ((s, dir) =>
-        graft.curation.Curation.pmiTopK(table(s, dir, "documents"),
-            k = 25, minCount = 5)
-          .orderBy(desc("pmi_e6"), asc("bigram"))),
-
-      // LSH candidate-precision audit: the q19 candidate set priced
-      // against uncapped n-gram-Jaccard truth — the (k, bands) tuning
-      // metric for the entire banded dedup family.
-      "q98_lsh_precision" -> ((s, dir) =>
-        graft.dedup.Dedup.lshCandidatePrecision(
-          table(s, dir, "documents"))),
-
-      // Incremental NEAR-dup dedup: q83's append-only shape for the
-      // LSH family — batch probes the landed band-key index, verified
-      // at Jaccard >= 0.35, then clusters within-batch survivors; per
-      // incoming doc a landed_dup / batch_dup / keep verdict. Slice
-      // mod 5 == 2, distinct from q83/q88's mod-3 slices.
-      "q99_lsh_incremental" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.dedup.Dedup.lshIncrement(
-            docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-            docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
-          .orderBy("doc_id")
-      }),
-
-      // Duplicate-cluster size histogram: the dedup health report
-      // (how much of the corpus sits in how-big clusters) folded from
-      // the memoized q43 cluster table — one row per distinct size.
-      "q100_cluster_size_histogram" -> ((s, dir) =>
-        graft.dedup.Dedup.dedupClusters(table(s, dir, "documents"))
-          .filter(col("keep"))
-          .groupBy("cluster_size")
-          .agg(count(lit(1)).as("n_clusters"))
-          .orderBy("cluster_size")),
-
-      // LSH candidate RECALL: q98's other half — of the df-capped
-      // exact Jaccard pairs (q18's truth), the fraction the banded
-      // generator surfaces. Precision prices wasted verification;
-      // recall prices silently missed duplicates.
-      "q101_lsh_recall" -> ((s, dir) =>
-        graft.dedup.Dedup.lshCandidateRecall(table(s, dir, "documents"))),
-
-      // Per-source exact-duplication report: the crawl-health dial —
-      // rows, distinct fingerprints, dup rate in ppm per source.
-      "q102_source_dup_rate" -> ((s, dir) =>
-        graft.dedup.Dedup.sourceDupRate(table(s, dir, "documents"))
-          .orderBy("source")),
-
-      // Passage-overlap pairs: winnowing fingerprints (q33's table)
-      // self-joined under a hot-fingerprint df cap — which document
-      // PAIRS share passages (quotation / syndication / template
-      // reuse), the MOSS question as distinct from whole-doc near-dup.
-      "q103_passage_overlap" -> ((s, dir) =>
-        graft.dedup.Dedup.passageOverlapPairs(table(s, dir, "documents"),
-            minShared = 3)
-          .orderBy("a_id", "b_id")),
-
-      // Mergeable-partials face of q90: the mixture report computed by
-      // FOLDING two slice partials (mod-2 split) — the incremental
-      // path that never rescans landed data. The oracle is the
-      // one-shot full-corpus computation: merge ≡ recompute, proven
-      // by hash.
-      "q104_mixture_merge" -> ((s, dir) => {
-        import graft.curation.Curation
-        val docs = table(s, dir, "documents")
-        val pa = Curation.mixturePartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
-        val pb = Curation.mixturePartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
-        Curation.mixtureFromPartials(pa.union(pb)).orderBy("source")
-      }),
-
-      // RAG-index hygiene: chunks (q51's table) whose fingerprint
-      // appears in >= 2 distinct docs — the boilerplate a retriever
-      // serves over and over; ranked by occurrence count.
-      "q105_duplicate_chunks" -> ((s, dir) =>
-        graft.curation.Chunker.duplicateChunks(table(s, dir, "documents"))
-          .orderBy(desc("n_occurrences"), asc("chunk_fp"))),
-
-      // Deterministic hash-banded train/val/test assignment, reported
-      // as per-(source, split) counts — membership is a pure function
-      // of doc_id, so growing the corpus never reassigns a doc.
-      "q106_three_way_split" -> ((s, dir) =>
-        graft.curation.Curation.threeWaySplit(table(s, dir, "documents"))
-          .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
-          .orderBy("source", "split")),
-
-      // Per-source log2 token-length histogram — integer-binary bucket
-      // (length of bin(n)), immune to float-log boundary flips.
-      "q107_token_length_histogram" -> ((s, dir) =>
-        graft.curation.Curation.tokenLengthHistogram(
-            table(s, dir, "documents"))
-          .orderBy("source", "bucket")),
-
-      // Unified dedup verdict: exact_dup / near_dup / keep per doc —
-      // the auditable "why was this dropped" stitched from the exact
-      // fingerprint pass and the memoized near-dup cluster table.
-      "q108_dedup_verdicts" -> ((s, dir) =>
-        graft.dedup.Dedup.dedupVerdicts(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Substring-level dedup (the Lee-et-al granularity): excise every
-      // token run of >= 8 tokens occurring >= 2x corpus-wide — across
-      // documents or within one — and report per-doc token/removed
-      // counts plus the md5 of the cleaned text. The oracle replays the
-      // identical 60-bit gram hash, k-gram cover window, and ordered
-      // re-join in SQL, so the hash match proves span-exact excision.
-      "q109_substring_dedup" -> ((s, dir) =>
-        graft.dedup.Dedup.substringDedup(table(s, dir, "documents"), k = 8)
-          .orderBy("doc_id")),
-
-      // Incremental EMBEDDING near-dup (q99's shape on the vector
-      // modality): the vec_id%5==2 slice arrives as a batch against the
-      // landed rest; sign-LSH banded index probed by batch equi-joins,
-      // exact-cosine verification at 0.3 (the threshold that exercises
-      // BOTH dup branches on this corpus), CC over verified batch pairs.
-      "q110_embed_incremental" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.lshIncrement(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 2),
-          bands = 4, bitsPerBand = 8, minCosine = 0.3)
-          .orderBy("vec_id")
-      }),
-
-      // Incremental substring dedup (q109's rule on an append-only
-      // split): the doc_id%4==1 slice arrives as a batch; a batch token
-      // run >= 8 is excised iff its grams exist in the landed rest OR
-      // occur >= 2x within the batch — "occurs >= 2x in landed ∪ batch"
-      // evaluated batch-side, with the landed corpus contributing only
-      // its memoized distinct gram-hash set.
-      "q111_substring_incremental" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.dedup.Dedup.substringDedupIncrement(
-          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 1),
-          docs.filter(pmod(col("doc_id"), lit(4L)) === 1), k = 8)
-          .orderBy("doc_id")
-      }),
-
-      // Per-source substring-duplication impact: the fraction of each
-      // source's tokens inside duplicated >= 8-token runs (the number
-      // the published substring-dedup pipelines report), exact-integer
-      // ppm with DECIMAL(38,0) widening.
-      "q112_substring_stats" -> ((s, dir) =>
-        graft.dedup.Dedup.substringDedupStats(table(s, dir, "documents"))
-          .orderBy("source")),
-
-      // BPE merge learning (tokenizer training): 8 rounds of
-      // most-frequent-adjacent-pair count + greedy merge over the
-      // word-frequency dict, ties on (count desc, lhs, rhs); the
-      // per-step vocab digest pins every intermediate segmentation
-      // state, so the hash match proves the whole merge sequence.
-      "q113_bpe_merges" -> ((s, dir) =>
-        graft.curation.Bpe.bpeMerges(table(s, dir, "documents"), steps = 8)
-          .orderBy("step")),
-
-      // Semantic dedup (SemDeDup): q37's stride-centroid assignment
-      // buckets the embedding space, pairwise exact cosine >= 0.3
-      // within each bucket, CC merges verified pairs, min id kept.
-      "q114_semantic_dedup" -> ((s, dir) =>
-        graft.similarity.Similarity.semanticDedupFlat(
-            table(s, dir, "embeddings"))
-          .orderBy("vec_id")),
-
-      // BPE apply face: segment the corpus with q113's learned merges,
-      // fold per-source fertility (subwords/word ×1e6) and compression
-      // vs the pre-merge character segmentation — exact-integer ppm.
-      "q115_bpe_segment_stats" -> ((s, dir) =>
-        graft.curation.Bpe.bpeSegmentStats(table(s, dir, "documents"),
-            steps = 8)
-          .orderBy("source")),
-
-      // Unified text+semantic dedup decision — the order a real
-      // curation pipeline applies evidence: byte-identical (exact) >
-      // n-gram near-dup > embedding semantic dup > keep. Text verdicts
-      // come from the memoized q108 lattice; the semantic residual
-      // (the TWO-LEVEL default face — q118's clusters, doc_id ≡
-      // vec_id) only fires on text-keepers.
-      "q116_unified_dedup_verdict" -> ((s, dir) =>
-        graft.dedup.Dedup.unifiedDedupVerdicts(
-            table(s, dir, "documents"), table(s, dir, "embeddings"))
-          .orderBy("doc_id")),
-
-      // Incremental SEMANTIC dedup (the semantic cell of the
-      // incremental matrix): the vec_id%5==3 slice arrives as a batch;
-      // codebook = landed stride centroids only (batch must not move
-      // the structure it is judged by); q110's verdict lattice over
-      // cluster-mates instead of band collisions.
-      "q117_semantic_incremental" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.semanticDedupIncrementFlat(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
-          .orderBy("vec_id")
-      }),
-
-      // Two-level codebook SemDeDup: q114's fine codebook gains a
-      // coarse quantizer (ids ≡7 mod 125 ⊂ ids ≡7 mod 25); vectors
-      // assign coarse-then-cell-local — O(n·√nlist) vs flat
-      // O(n·nlist), the measured scale answer to q114's 5.57× probe.
-      "q118_semantic_dedup_2l" -> ((s, dir) =>
-        graft.similarity.Similarity.semanticDedupTwoLevel(
-            table(s, dir, "embeddings"))
-          .orderBy("vec_id")),
-
-      // PQ-ADC ANN (Jégou et al. 2011): 4 subspaces × stride-seeded
-      // codebooks, vectors scanned as 4 small ints (16× narrower than
-      // q49's int8 row), per-query integer lookup-table scoring, exact
-      // rerank of the top-20 — completes the scoring-cost axis
-      // q21 (raw) → q49 (int8) → PQ.
-      "q119_ann_topk_pq" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.pqTopK(emb,
-            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // Per-source curation funnel (the corpus "data card"): each doc
-      // attributed to the FIRST rejecting stage — q116's dedup lattice,
-      // then q94's quality gate, then q89's perplexity cut — doc and
-      // token counts per (source, stage), all exact integers.
-      "q120_curation_funnel" -> ((s, dir) =>
-        graft.curation.Curation.curationFunnel(
-            table(s, dir, "documents"), table(s, dir, "embeddings"))
-          .orderBy("source", "stage")),
-
-      // DSIR importance resampling (Xie et al. 2023): hashed-unigram
-      // (V=1024) log importance weights vs the src0 target
-      // distribution in micro-ln integers, per-source top-20%
-      // selection by integer rank — the data-selection stage between
-      // dedup and mixture.
-      "q121_dsir_select" -> ((s, dir) =>
-        graft.curation.Curation.dsirSelect(
-            table(s, dir, "documents"), "src0")
-          .orderBy("doc_id")),
-
-      // q117's incremental semantic dedup with q118's two-level
-      // codebook on both sides: landed index build AND per-batch
-      // assignment drop from O(·nlist) to O(·√nlist) — the cut for
-      // q117's documented linear-in-landed residual. Codebooks stay
-      // landed-side artifacts; verdict lattice unchanged.
-      "q122_semantic_inc_2l" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.semanticDedupIncrementTwoLevel(
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
-          .orderBy("vec_id")
-      }),
-
-      // Trained quality classifier (the fastText-style filter of
-      // CCNet/LLaMA pipelines): logistic regression over 64 hashed-
-      // unigram buckets + bias, 3 full-batch GD rounds with exact
-      // integer gradients (the one float op — sigma — is e6-rounded
-      // immediately), label = "is src0". Oracle replays the identical
-      // unrolled rounds, pinning every intermediate weight table.
-      "q123_quality_classifier" -> ((s, dir) =>
-        graft.curation.Curation.qualityClassifier(
-            table(s, dir, "documents"), "src0")
-          .orderBy("doc_id")),
-
-      // Perceptual image near-dup: pHash-style mean-threshold bits over
-      // the decoded feature vector, 4×15-bit band candidates, exact
-      // hamming verify, CC — the dedup families extended to the binary
-      // media column, end-to-end DuckDB-replayable via the stub codec.
-      "q124_image_neardup" -> ((s, dir) => {
-        import graft.multimodal.Multimodal
-        Multimodal.imageNearDup(Multimodal.syntheticMedia(
-            table(s, dir, "documents"), "doc_id", "text"))
-          .orderBy("media_id")
-      }),
-
-      // Incremental DSIR (the data-selection cell of the incremental
-      // matrix): the %4==2 slice arrives as a batch and scores against
-      // the LANDED distributions and LANDED per-source thresholds —
-      // the landed-codebook principle applied to data selection.
-      "q125_dsir_incremental" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.curation.Curation.dsirScoreIncrement(
-          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(4L)) === 2), "src0")
-          .orderBy("doc_id")
-      }),
-
-      // Interpolated Kneser-Ney bigram scoring (D=3/4): the smoothed
-      // LM next to q55's MLE — with the 3/4 discount every probability
-      // is an exact integer ratio, so the whole model replays in
-      // micro-ln integers.
-      "q126_kneser_ney" -> ((s, dir) =>
-        graft.curation.Curation.kneserNeyLogProb(table(s, dir, "documents"))
-          .orderBy("doc_id")),
-
-      // Directed near-containment (Broder's containment next to q18's
-      // resemblance): |A∩B|/|A| ≥ 0.8 over the df≤100-capped shingle
-      // space — the excerpt/quote dup class symmetric Jaccard misses;
-      // both directions emitted, integer cross-multiplied threshold.
-      "q127_containment_pairs" -> ((s, dir) =>
-        Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
-            minContainBp = 8000, maxDf = 100)
-          .withColumn("containment", round(col("containment"), 6))
-          .orderBy("a_id", "b_id")),
-
-      // Landed-containment screen (q127's semantics with the landed
-      // corpus as the containing side): fraction of a batch doc's
-      // shingles already landed ANYWHERE — the recombination class the
-      // per-pair and substring incrementals bracket but don't score.
-      // Same landed slice as q99 (%5 != 2), so the index is shared.
-      "q128_landed_containment" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        Dedup.landedContainmentScreen(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
-          .orderBy("doc_id")
-      }),
-
-      // The unified ingest gate: every incremental face composed in
-      // precedence order (exact landed/batch > near text > semantic >
-      // contained > DSIR not-selected > admit) on one slice — the one
-      // decision a production append-only pipeline makes per doc.
-      "q129_ingest_gate" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val emb = table(s, dir, "embeddings")
-        Dedup.ingestGate(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
-          .orderBy("doc_id")
-      }),
-
-      // Incremental perceptual image near-dup — the MEDIA cell of the
-      // incremental matrix: the %5==2 slice of the media table arrives
-      // as a batch and probes the landed corpus's memoized pHash band
-      // index (zero landed decode per batch); q110's verdict lattice
-      // with band-value buckets and exact integer hamming verify.
-      "q130_image_neardup_incremental" -> ((s, dir) => {
-        import graft.multimodal.Multimodal
-        val media = Multimodal.syntheticMedia(
-          table(s, dir, "documents"), "doc_id", "text")
-        Multimodal.imageNearDupIncrement(
-          media.filter(pmod(col("media_id"), lit(5L)) =!= 2),
-          media.filter(pmod(col("media_id"), lit(5L)) === 2))
-          .orderBy("media_id")
-      }),
-
-      // Incremental perplexity cut — the LM cell of the incremental
-      // matrix: the %5==2 slice scores under the LANDED bigram LM
-      // only (unseen bigrams carry no landed evidence and drop) and
-      // flags against the LANDED per-source boundary ratio by exact
-      // integer cross-multiplication.
-      "q131_ppl_incremental" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.curation.Curation.perplexityFlagIncrement(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 2))
-          .orderBy("doc_id")
-      }),
-
-      // The FULL-funnel ingest gate: q129's lattice extended with the
-      // quality and landed-LM perplexity stages in curationFunnel's
-      // production order — exact > near > semantic > contained >
-      // quality_fail > ppl_cut > not_selected > admit, one pass.
-      "q132_ingest_gate_full" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val emb = table(s, dir, "embeddings")
-        Dedup.ingestGateFull(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
-          .orderBy("doc_id")
-      }),
-
-      // IVF-PQ composed ANN (the billion-vector layout): route each
-      // query to its nprobe nearest coarse cells (q37's machinery),
-      // ADC-score only the probed cells' codes (q119's LUT), exact
-      // rerank — completes the routing×scoring matrix (q37 routes
-      // raw, q119 scans all codes, q133 does both).
-      "q133_ann_ivf_pq" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.ivfPqTopK(emb,
-            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("q_id", "rnk")
-      }),
-
-      // Mergeable retrieval-index partials (the index-update cell):
-      // per-slice (token, df) + doc-count sentinel rows merged by
-      // union, all docs scored under the folded index — the oracle is
-      // the ONE-SHOT q50 TF-IDF, proving df/N additivity.
-      "q137_tfidf_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pa = graft.curation.Curation.retrievalPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
-        val pb = graft.curation.Curation.retrievalPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
-        graft.curation.Curation.tfidfTopTermsFromPartials(
-          pa.unionByName(pb), docs, 5)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("doc_id", "rnk")
-      }),
-
-      // Mergeable count-min partials (the sketch-update cell): cell
-      // tables from the two %2 slices merged by union+sum, the exact
-      // top-25 audit re-probed against the folded sketch — the oracle
-      // is the ONE-SHOT q87 sketch, so the hash match proves the
-      // cell-additivity the sketch family's 100 TB story rests on.
-      "q136_cms_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pa = graft.curation.Curation.cmsPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
-        val pb = graft.curation.Curation.cmsPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
-        graft.curation.Curation.countMinTopKFromPartials(
-          pa.unionByName(pb), docs, 25)
-          .orderBy(desc("freq"), asc("token"))
-      }),
-
-      // Mergeable LM partials (the model-update cell): bigram counts
-      // from the two %2 slices merged by union, all docs scored under
-      // the folded model — the oracle is the ONE-SHOT corpus LM
-      // (q55's SQL verbatim), so the hash match IS the mergeability
-      // proof, the q104 pattern applied to the model itself.
-      "q135_lm_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pa = graft.curation.Curation.lmPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
-        val pb = graft.curation.Curation.lmPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
-        graft.curation.Curation.bigramLogProbFromPartials(
-          pa.unionByName(pb), docs)
-          .orderBy("doc_id")
-      }),
-
-      // Mergeable gradient partials (the distributed-training cell):
-      // the classifier fit data-parallel over the two %2 slices — each
-      // GD round folds per-slice integer gradient partials by plain
-      // sum, which IS the full-corpus gradient at the frozen weights,
-      // so the weight trajectory and every score are bit-identical to
-      // the one-shot fit. Oracle = q123's unrolled replay verbatim;
-      // the hash match is the data-parallelism proof.
-      "q138_qc_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.curation.Curation.qualityClassifierFromParts(
-          Seq(docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(2L)) === 1)), "src0")
-          .orderBy("doc_id")
-      }),
-
-      // Compaction planning: documents packed per source, in doc_id
-      // order, into contiguous ~20k-char bins — the small-files
-      // maintenance plan computed from metadata only, reproducible
-      // anywhere (pure integer prefix arithmetic, append-stable).
-      "q142_compaction_plan" -> ((s, dir) =>
-        graft.exec.Layout.compactionBins(
-            table(s, dir, "documents"), "source", "doc_id", "n_chars",
-            target = 20000L)
-          .orderBy("source", "bin")),
-
-      // Skew diagnosis + salting plan: event-type row counts against a
-      // 500-rows-per-task budget; keys over budget get ⌈n/target⌉ salt
-      // — the broadcast-sized table a salted join would consume.
-      "q143_skew_plan" -> ((s, dir) =>
-        graft.exec.Layout.skewPlan(
-            events(s, dir), col("event_type"), target = 500L)
-          .select(col("key").as("grp_key"), col("n"), col("salt"),
-            col("share_ppm"))
-          .orderBy("grp_key")),
-
-      // Compaction EXECUTED: q142's plan applied to a real parquet
-      // rewrite (one file per planned bin under source=…/bin=…), then
-      // the compacted tree re-aggregated — counts/chars must match the
-      // ORIGINAL table (layout never changes answers, the q79
-      // property) and n_bins must match the plan arithmetic the oracle
-      // replays. One shuffle total (the (stratum,bin) repartition —
-      // compaction IS data movement).
-      "q144_compaction_apply" -> ((s, dir) => {
-        val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/compacted/documents"
-        graft.exec.Layout.applyCompaction(
-          table(s, dir, "documents")
-            .select("doc_id", "source", "text", "n_chars"),
-          "source", "doc_id", "n_chars", target = 20000L, tmp)
-        s.read.parquet(tmp)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars").cast("long")).as("total_chars"),
-            countDistinct(col("bin")).as("n_bins"))
-          .orderBy("source")
-      }),
-
-      // IVF-PQ recall audit: q133's composed index priced against
-      // q21's exact truth across (nprobe, rerankFactor) — routing loss
-      // and ADC-shortlist loss separated, the q98/q101 tuning pattern
-      // applied to the billion-vector layout.
-      "q145_ivfpq_recall" -> ((s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.similarity.Similarity.ivfPqRecall(emb,
-            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
-          .orderBy("nprobe", "rerank_factor")
-      }),
-
-      // Power-iteration top principal direction (uncentered PCA) over
-      // the embeddings: 3 integer micro-unit rounds of y = (Σxxᵀ)·v
-      // from the all-ones start, ∞-norm renormalized, sign-anchored —
-      // the second fixed-point operator on the q141 machinery; the
-      // oracle unrolls the identical trajectory.
-      "q146_power_iteration" -> ((s, dir) =>
-        graft.similarity.Similarity.powerIterationTop(
-            table(s, dir, "embeddings"), iters = 3)
-          .orderBy("pos")),
-
-      // The transform the moments (q96) point at: every embedding
-      // projected onto q146's principal direction — the 1-D PCA
-      // feature, exact e12 integers.
-      "q147_pca_project" -> ((s, dir) =>
-        graft.similarity.Similarity.pcaProjection(
-            table(s, dir, "embeddings"), iters = 3)
-          .orderBy("vec_id")),
-
-      // Deterministic integer PageRank over the event-transition graph
-      // (q62's Markov table as a weighted digraph): 5 synchronous
-      // rounds, all rank mass in pico-units with floor-division
-      // transfers, so the oracle replays the identical trajectory —
-      // iterative graph analytics under the repo's exactness contract.
-      "q141_pagerank" -> ((s, dir) => {
-        val e = events(s, dir)
-          .withColumn("tsm", expr("unix_micros(ts) div 1000"))
-        val edges = graft.exec.Cohort.transitions(
-          e, "user_id", "tsm", "event_id", "event_type")
-        graft.exec.Graph.pageRank(edges, "from_type", "to_type", "n")
-          .orderBy("node")
-      }),
-
-      // Mergeable HLL register partials (the distinct-count cell — and
-      // the family's one MAX-merge): per-slice 64-register tables fold
-      // by per-bucket maximum to exactly the one-shot registers; the
-      // estimate is read off the fold with an integer-summed harmonic
-      // denominator (no float fold order exists). Oracle = the
-      // one-shot md5-register replay.
-      "q139_hll_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pa = graft.curation.Curation.hllPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
-        val pb = graft.curation.Curation.hllPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
-        graft.curation.Curation.distinctFromHllPartials(
-          pa.unionByName(pb))
-          .orderBy("bucket")
-      }),
-
-      // Mergeable value-histogram quantiles (the quantile cell): for an
-      // integer-valued column the full-resolution histogram is a
-      // lossless sum-merge summary, so the folded percentiles are
-      // EXACT — oracle = q45's one-shot rank selection verbatim; the
-      // windows run over the histogram, never the corpus.
-      "q140_quantile_merge" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pa = graft.curation.Curation.histPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
-          "source", "n_chars")
-        val pb = graft.curation.Curation.histPartials(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
-          "source", "n_chars")
-        graft.curation.Curation.distributionStatsFromPartials(
-          pa.unionByName(pb), "source", Seq(5000, 9000, 9900))
-          .orderBy("source", "pct")
-      }),
-
-      // Incremental BPE apply — the tokenizer cell of the incremental
-      // matrix: merges learned from the LANDED slice only; the %5==2
-      // batch segments under them FROM CHARACTERS, so unseen batch
-      // words still segment (the dict join would drop them).
-      "q134_bpe_incremental" -> ((s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.curation.Bpe.bpeSegmentStatsIncrement(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 2), steps = 8)
-          .orderBy("source")
-      })
-    )
-  }
-
-  // ---------------------------------------------------------------------
-  // DuckDB oracles. Conventions for engine-agnostic exactness:
-  //  * aggregate sums: per-value CAST to DECIMAL(38,6) then SUM (exact);
-  //  * AVG: integer micro-units, (2s+n)//(2n) = ROUND_HALF_UP @ scale 6;
-  //  * double arithmetic before a decimal cast is bit-identical IEEE;
-  //  * window starts computed as integer epoch-seconds arithmetic.
-  // ---------------------------------------------------------------------
-
-  private val DEC = "DECIMAL(38,6)"
-  private def sumDec(e: String) = s"CAST(SUM(CAST($e AS $DEC)) AS $DEC)"
-  // Final rendering of an exact-decimal aggregate: correctly-rounded
-  // DOUBLE (bit-identical Spark ↔ DuckDB; a DECIMAL output column is
-  // not — see aggDouble above).
-  private def sumDbl(e: String) = s"CAST(${sumDec(e)} AS DOUBLE)"
-
-  def oracleSql: Map[String, String] = coreOracle ++ pipelineOracle
-
-  private def coreOracle: Map[String, String] = Map(
-    "q01_filter_passthrough" ->
-      """SELECT event_id, user_id, event_type, value FROM events
-         WHERE event_type = 'purchase' AND value > 50 AND value <= 180
-         ORDER BY event_id""",
-
-    "q02_rule_sum_having" ->
-      s"""SELECT user_id, ${sumDbl("value")} AS agg_value FROM events
-          WHERE event_type = 'purchase' GROUP BY user_id
-          HAVING ${sumDec("value")} > 500 ORDER BY user_id""",
-
-    "q03_rule_avg" ->
-      s"""WITH a AS (
-            SELECT user_id,
-                   SUM(CAST(CAST(value AS $DEC) * 1000000 AS BIGINT)) AS s,
-                   COUNT(value) AS c
-            FROM events GROUP BY user_id)
-          SELECT user_id,
-                 CAST(((2*s + c) // (2*c)) / 1000000.0 AS DOUBLE) AS agg_value
-          FROM a ORDER BY user_id""",
-
-    "q04_rule_min" ->
-      s"""SELECT event_type, CAST(MIN(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
-          FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q05_rule_max" ->
-      s"""SELECT event_type, CAST(MAX(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
-          FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q06_rule_count" ->
-      s"""SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS agg_value
-          FROM events GROUP BY event_type
-          HAVING COUNT(*) >= 10 ORDER BY event_type""",
-
-    "q07_window_tumbling" ->
-      s"""SELECT event_type,
-                 CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                 ${sumDbl("value")} AS agg_value
-          FROM events GROUP BY event_type, w_start
-          ORDER BY event_type, w_start""",
-
-    "q08_window_sliding" ->
-      s"""SELECT event_type,
-                 (CAST(floor(epoch(ts)/900) AS BIGINT) - k.k)*900 AS w_start,
-                 ${sumDbl("value")} AS agg_value
-          FROM events, range(4) k(k)
-          GROUP BY event_type, w_start
-          ORDER BY event_type, w_start""",
-
-    "q09_rule_fanout" ->
-      s"""SELECT * FROM (
-            SELECT 1 AS rule_id,
-                   '{user_id=' || CAST(user_id AS VARCHAR) || '}' AS group_key,
-                   CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                   ${sumDbl("value")} AS agg_value
-            FROM events WHERE event_type = 'purchase'
-            GROUP BY user_id, w_start
-          UNION ALL
-            SELECT 2 AS rule_id,
-                   '{event_type=' || event_type || '}' AS group_key,
-                   CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS w_start,
-                   CAST(COUNT(*) AS DOUBLE) AS agg_value
-            FROM events WHERE value > 100
-            GROUP BY event_type, w_start
-          UNION ALL
-            SELECT 3 AS rule_id, '{}' AS group_key,
-                   CAST(floor(epoch(ts)/604800) AS BIGINT)*604800 AS w_start,
-                   CAST(MAX(CAST(value AS $DEC)) AS DOUBLE) AS agg_value
-            FROM events GROUP BY w_start)
-          ORDER BY rule_id, group_key, w_start""",
-
-    "q10_per_event_sliding" ->
-      s"""SELECT e.event_id, ${sumDbl("b.value")} AS agg_value
-          FROM events e JOIN events b
-            ON b.user_id = e.user_id
-           AND epoch_us(b.ts) >= epoch_us(e.ts) - 21600000000
-           AND epoch_us(b.ts) <= epoch_us(e.ts)
-          WHERE e.value > 5 AND b.value > 5
-          GROUP BY e.event_id ORDER BY e.event_id""",
-
-    "q11_join_revenue" ->
-      """SELECT p_brand,
-                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
-                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
-                COUNT(*) AS cnt
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY p_brand ORDER BY p_brand""",
-
-    "q12_topk_orders" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-
-    "q26_rollup_revenue" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                     AS DOUBLE) AS sum_qty,
-                COUNT(*) AS cnt
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-
-    "q65_cube_revenue" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                     AS DOUBLE) AS sum_qty,
-                COUNT(*) AS cnt
-         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-
-    "q27_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-           SELECT *, row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate DESC, o_orderkey) AS rnk
-           FROM orders) t
-         WHERE rnk = 1 ORDER BY o_custkey""",
-
-    "q28_set_ops" ->
-      """SELECT * FROM (
-           SELECT event_type FROM (
-             SELECT DISTINCT event_type FROM events WHERE value > 150
-             EXCEPT
-             SELECT DISTINCT event_type FROM events WHERE event_type = 'error')
-           UNION
-           SELECT DISTINCT event_type FROM events WHERE value > 199) u
-         ORDER BY event_type""",
-
-    // Gaps-and-islands replay of session_window: a session breaks only
-    // when the gap is STRICTLY greater than 6 h (exactly-gap-apart events
-    // merge in Spark — verified empirically); end = last event + gap.
-    // All arithmetic on epoch_us longs so ns-vs-us truncation matches
-    // the Spark side exactly.
-    "q38_session_window" ->
-      s"""WITH x AS (SELECT user_id, epoch_us(ts) tus, value FROM events),
-          d AS (SELECT *, CASE WHEN tus - lag(tus) OVER
-                  (PARTITION BY user_id ORDER BY tus) > 21600000000
-                THEN 1 ELSE 0 END AS brk FROM x),
-          g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
-                  ROWS UNBOUNDED PRECEDING) AS sess FROM d)
-          SELECT user_id, MIN(tus) AS sess_start,
-                 MAX(tus) + 21600000000 AS sess_end,
-                 COUNT(*) AS n_events,
-                 ${sumDbl("value")} AS sum_value
-          FROM g GROUP BY user_id, sess
-          ORDER BY user_id, sess_start""",
-
-    "q13_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
-                COUNT(*) AS cnt
-         FROM events GROUP BY k ORDER BY k""",
-
-    // W1 through the dynamic engine: one fired alert per surviving event,
-    // aggregate = trailing 6 h SUM over the deduped (user_id, ms) space,
-    // HAVING compared in exact decimal (engine: applyLimit on BigDecimal).
-    "q30_dynamic_engine_replay" ->
-      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
-          e1 AS (SELECT * FROM (
-                   SELECT *, row_number() OVER
-                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
-                 WHERE rn = 1),
-          f AS (SELECT * FROM e1 WHERE value > 5),
-          s AS (SELECT a.user_id, a.tsm, ${sumDec("b.value")} AS agg_dec
-                FROM f a JOIN f b ON b.user_id = a.user_id
-                  AND b.tsm >= a.tsm - 21600000 AND b.tsm <= a.tsm
-                GROUP BY a.user_id, a.tsm)
-          SELECT '{user_id=' || user_id || '}' AS group_key, tsm AS ts_ms,
-                 CAST(agg_dec AS DOUBLE) AS agg_value
-          FROM s WHERE agg_dec > 100 ORDER BY group_key, ts_ms""",
-
-    // W2 through the dynamic engine: tumbling day windows, emitted once
-    // their end passes the max seen event time (the engine's event-time
-    // watermark); the trailing partial window is NOT emitted.
-    "q31_dynamic_periodic_replay" ->
-      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
-          e1 AS (SELECT * FROM (
-                   SELECT *, row_number() OVER
-                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
-                 WHERE rn = 1),
-          m AS (SELECT max(tsm) mx FROM e1),
-          w AS (SELECT event_type, (tsm // 86400000) * 86400000 AS ts_ms,
-                  ${sumDbl("value")} AS agg_value
-                FROM e1 GROUP BY event_type, ts_ms)
-          SELECT '{event_type=' || event_type || '}' AS group_key, ts_ms, agg_value
-          FROM w, m WHERE ts_ms + 86400000 <= m.mx
-          ORDER BY group_key, ts_ms""",
-
-    // DuckDB's native ASOF JOIN is the oracle for the union+window as-of.
-    "q34_asof_join" ->
-      """WITH e0 AS (SELECT *, epoch_us(ts)//1000 tsm FROM events),
-         p AS (SELECT event_id, user_id, tsm FROM e0 WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, tsm, MAX(value) cv FROM e0
-               WHERE event_type = 'click' GROUP BY user_id, tsm)
-         SELECT p.event_id, c.cv AS asof_value
-         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.tsm >= c.tsm
-         ORDER BY event_id""",
-
-    "q35_range_join" ->
-      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 tsm FROM events),
-          p AS (SELECT event_id, user_id, tsm FROM e0 WHERE event_type = 'purchase'),
-          c AS (SELECT user_id, tsm, MAX(value) cv FROM e0
-                WHERE event_type = 'click' GROUP BY user_id, tsm)
-          SELECT p.event_id, COUNT(*) AS n_near, ${sumDbl("c.cv")} AS agg_value
-          FROM p JOIN c ON c.user_id = p.user_id
-            AND c.tsm >= p.tsm - 1800000 AND c.tsm <= p.tsm + 1800000
-          GROUP BY p.event_id ORDER BY event_id""",
-
-    // The bloom filter is a pure pruning step (false positives removed by
-    // the exact semi join), so the oracle is the plain semi join.
-    "q46_bloom_semi_join" ->
-      """SELECT l_returnflag,
-                CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
-                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
-                COUNT(*) AS cnt
-         FROM lineitem
-         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                              WHERE o_orderpriority = '1-URGENT')
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q60_zorder_key" ->
-      s"""WITH e AS (SELECT event_id,
-             user_id & 65535 xu,
-             CAST(floor(value * 100) AS BIGINT) & 65535 xv
-           FROM events)
-          SELECT event_id, ${duckZ(Seq("xu", "xv"), 16)} AS z
-          FROM e ORDER BY event_id""",
-
-    "q58_pivot_weekly" ->
-      """SELECT (epoch_us(ts)//1000) // 604800000 AS week,
-                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS click,
-                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS purchase,
-                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS "view",
-                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS error
-         FROM events GROUP BY week ORDER BY week""",
-
-    "q59_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey
-                             AND o.o_orderpriority = '1-URGENT')
-         ORDER BY c_custkey""",
-
-    // Daily decimal partials, then the same RANGE-over-days frame; the
-    // average is micro-unit-numerator / day-count / 1e6 in that order.
-    "q64_moving_average" ->
-      """WITH d AS (SELECT event_type,
-                      (epoch_us(ts)//1000) // 86400000 AS day,
-                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                        day_sum
-                    FROM events GROUP BY 1, 2),
-          m AS (SELECT event_type, day, day_sum,
-                  SUM(CAST(day_sum * 1000000 AS BIGINT)) OVER
-                    (PARTITION BY event_type ORDER BY day
-                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ma_num,
-                  COUNT(*) OVER (PARTITION BY event_type ORDER BY day
-                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ma_days
-                FROM d)
-          SELECT event_type, day, CAST(day_sum AS DOUBLE) AS day_sum,
-                 CAST(ma_num AS DOUBLE) / ma_days / 1000000.0 AS ma7
-          FROM m ORDER BY event_type, day""",
-
-    "q62_event_transitions" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_id,
-                      event_type FROM events),
-          x AS (SELECT event_type from_type,
-                  lead(event_type) OVER (PARTITION BY user_id
-                    ORDER BY tsm, event_id) to_type
-                FROM e)
-          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-          FROM x WHERE to_type IS NOT NULL
-          GROUP BY from_type, to_type ORDER BY from_type, to_type""",
-
-    "q57_cohort_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id u,
-                      (epoch_us(ts)//1000) // 604800000 p FROM events),
-          c AS (SELECT u, MIN(p) p0 FROM a GROUP BY u)
-          SELECT p0 * 604800000 AS cohort, p - p0 AS "offset",
-                 CAST(COUNT(*) AS BIGINT) AS n_users
-          FROM a JOIN c USING (u)
-          GROUP BY 1, 2 ORDER BY cohort, "offset"""",
-
-    // The same running range-window replayed; RANGE/CURRENT ROW peer
-    // semantics (same-ms click counts) agree across engines.
-    "q52_event_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_type
-                    FROM events),
-          x AS (SELECT user_id, tsm, event_type,
-                  max(CASE WHEN event_type = 'click' THEN tsm END) OVER
-                    (PARTITION BY user_id ORDER BY tsm
-                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-                    AS last_click
-                FROM e)
-          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_to,
-                 CAST(SUM(CASE WHEN last_click IS NOT NULL
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-          FROM x WHERE event_type = 'purchase'
-          GROUP BY user_id ORDER BY user_id""",
-
-    // Salting is result-invariant, so the oracle is the plain join.
-    "q48_salted_join" ->
-      """SELECT o_orderpriority,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                     AS DOUBLE) AS sum_qty,
-                COUNT(*) AS cnt
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-  )
-
-  /** Shared DuckDB fragments for the pipeline oracles. */
-  /** One JVM-exit hook PER scratch base deleting the session's
-    * /tmp/graft_<appId> tree — the corrupted-JSONL fixtures are per-run
-    * artifacts, not outputs (review finding: they were never cleaned
-    * up). Keyed by base path, not a one-shot boolean: two sessions in
-    * one JVM (Verify then Bench under one sbt run) get different
-    * applicationIds and each needs its own hook (ADVICE r13). */
-  private val tmpCleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def registerTmpCleanup(base: java.io.File): Unit =
-    if (tmpCleanupRegistered.add(base.getAbsolutePath)) {
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(base)
-      }
-      ()
-    }
-
-  private val tokCte =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk,
-                       text FROM documents)"""
-  private val shingleCte =
-    """sh AS (SELECT DISTINCT doc_id sid, shingle FROM (
-         SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
-                i -> array_to_string(tk[i:i+2], ' '))) shingle FROM toks))"""
-
-  /** q19's MinHash-LSH candidate pairs (16 hashes, 4 bands) as a CTE chain
-    * ending in `mhp(a_id, b_id)` — shared by q19 and q43 so the cluster
-    * oracle closes over exactly the pair set the pair oracle checks.
-    * Expects `sh(sid, shingle)` ([[shingleCte]]) in scope. */
-  private val minhashPairCte =
-    """h AS (SELECT sid,
-              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 hh
-            FROM sh),
-       mh AS (SELECT sid, i.i AS i,
-                MIN(((1 + (i.i * 1000003) % 2147483647) * hh +
-                     (12345 + i.i * 999983) % 2147483647) % 2147483647) mh
-              FROM h, range(16) i(i) GROUP BY sid, i.i),
-       bk AS (SELECT sid, i // 4 AS band,
-                string_agg(mh::VARCHAR, ':' ORDER BY i) bkey
-              FROM mh GROUP BY sid, i // 4),
-       mhp AS (SELECT DISTINCT a.sid a_id, b.sid b_id
-               FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-                                  AND a.sid < b.sid)"""
-
-  /** The same statically-unrolled Morton interleave as ZOrder.zValue,
-    * rendered as DuckDB shift/mask arithmetic. */
-  private def duckZ(xs: Seq[String], bits: Int): String =
-    (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex }
-      yield s"((($x >> $i) & 1) << ${i * xs.size + j})").mkString(" + ")
-
-  /** The 4-band × 8-bit sign-LSH table over `e(sid, v)` — band j's bucket
-    * is the sign pattern of dims j*8+1..j*8+8, bit i worth 2^i, exactly
-    * [[graft.functions.VectorFunctions.signBucket]] with offset j*8. */
-  private val duckBandedCte: String =
-    (0 until 4).map { j =>
-      val bucket = (0 until 8).map(i =>
-        s"(CASE WHEN v[${j * 8 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"SELECT sid, $j AS band, $bucket AS bucket FROM e"
-    }.mkString("\n                 UNION ALL ")
-
-  private def pipelineOracle: Map[String, String] = Map(
-    // The stub codec replayed as exact integer arithmetic: FNV-1a over
-    // the UTF-8 payload bytes (hex-pair extraction, xor, wrapping
-    // multiply as HUGEINT mod 2^64), then 16 LCG steps summing
-    // ((s >>> 40) % 1000) per feature — the identical math of
-    // Multimodal.StubCodec.decodeFeatures. width/height/kind/n_frames
-    // replay syntheticMedia's metadata formulas; n_sampled counts the
-    // stride-10 frame explode for video rows only.
-    "q25_multimodal_decode" ->
-      """WITH RECURSIVE hx AS (
-           SELECT doc_id, lower(hex(encode(text))) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents),
-         fnv AS (
-           SELECT doc_id, h, len, 0 AS i,
-                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
-           UNION ALL
-           SELECT doc_id, h, len, i + 1,
-                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
-                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
-                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
-           FROM fnv WHERE i < len),
-         lcg AS (
-           SELECT doc_id, 0 AS j, acc AS s, CAST(0 AS HUGEINT) AS ksum
-           FROM fnv WHERE i = len
-           UNION ALL
-           SELECT doc_id, j + 1,
-                  (s * 6364136223846793005 + 1442695040888963407)
-                    % CAST(18446744073709551616 AS HUGEINT),
-                  ksum + CASE WHEN j = 0 THEN 0
-                              ELSE (s // CAST(1099511627776 AS HUGEINT)) % 1000 END
-           FROM lcg WHERE j <= 16),
-         k AS (SELECT doc_id, CAST(ksum AS BIGINT) AS feat_ksum
-               FROM lcg WHERE j = 17)
-         SELECT d.doc_id AS media_id,
-                CAST(d.doc_id % 640 + 32 AS INT) AS width,
-                CAST(d.doc_id % 480 + 32 AS INT) AS height,
-                k.feat_ksum,
-                k.feat_ksum / 1000.0 AS feat_sum,
-                CASE WHEN d.doc_id % 3 = 2
-                     THEN (d.doc_id % 300) // 10 + 1 ELSE 0 END AS n_sampled
-         FROM documents d JOIN k USING (doc_id)
-         ORDER BY media_id""",
-
-    "q14_text_stats" ->
-      s"""WITH $tokCte,
-          f AS (SELECT doc_id,
-                  CAST(len(tk) AS BIGINT) n_tokens,
-                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_alpha_chars,
-                  CAST(len(list_filter(tk, x -> list_contains(
-                    ['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop
-                FROM toks)
-          SELECT doc_id, n_tokens, n_alpha_chars,
-                 round(n_alpha_chars::DOUBLE / n_tokens, 6) AS mean_token_len,
-                 round(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
-                 round((n_stop::DOUBLE / n_tokens) * 0.5 +
-                       least((n_alpha_chars::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6)
-                   AS quality_score
-          FROM f ORDER BY doc_id""",
-
-    "q15_text_langid" ->
-      s"""WITH $tokCte,
-          c AS (SELECT doc_id,
-                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
-                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
-                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
-                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
-                FROM toks)
-          SELECT doc_id,
-                 CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
-                      WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
-                      WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
-                      WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
-                      ELSE 'und' END AS lang_id
-          FROM c ORDER BY doc_id""",
-
-    "q16_text_fingerprint" ->
-      """SELECT doc_id,
-                md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-         FROM documents ORDER BY doc_id""",
-
-    // The q15 language CTE + the documented hash60 formula: the keep
-    // decision is pure integer arithmetic, so the sample reproduces
-    // exactly (rates as per-million thresholds).
-    "q39_stratified_sample" ->
-      s"""WITH $tokCte,
-          c AS (SELECT doc_id,
-                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
-                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
-                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
-                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
-                FROM toks),
-          l AS (SELECT doc_id,
-                 CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
-                      WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
-                      WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
-                      WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
-                      ELSE 'und' END AS lang_id
-                FROM c)
-          SELECT doc_id, lang_id FROM l
-          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                  % 1000000
-                < CASE WHEN lang_id = 'en' THEN 500000 ELSE 100000 END
-          ORDER BY doc_id""",
-
-    // Per-shard running token offset (window cumsum), fixed 2048-token
-    // cuts; integer floor-division both sides.
-    "q40_sequence_pack" ->
-      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-                  CAST(len(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
-                FROM documents),
-          f AS (SELECT * FROM t WHERE n_tokens > 0),
-          -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT, which pandas
-          -- renders as float64 — pin every derived column to BIGINT
-          o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
-                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f)
-          SELECT doc_id, shard, n_tokens, start_offset,
-                 CAST(start_offset // 2048 AS BIGINT) AS first_seq,
-                 CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
-                 CAST((start_offset + n_tokens - 1) // 2048
-                   - start_offset // 2048 + 1 AS BIGINT) AS n_seqs
-          FROM o ORDER BY doc_id""",
-
-    // Longest equal run in the sorted bigram list = max bigram count;
-    // ratios as exact-integer-over-integer doubles on both sides.
-    "q41_repetition_stats" ->
-      s"""WITH $tokCte,
-          base AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
-                     list_transform(range(1, len(tk)),
-                       i -> array_to_string(tk[i:i+1], ' ')) AS gs
-                   FROM toks),
-          e AS (SELECT doc_id, unnest(gs) AS g FROM base),
-          m AS (SELECT doc_id, MAX(c) AS mx FROM (
-                  SELECT doc_id, g, COUNT(*) c FROM e GROUP BY 1, 2)
-                GROUP BY doc_id)
-          SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
-                 CAST(b.n - b.nd AS DOUBLE) / b.n AS dup_word_frac,
-                 CASE WHEN b.n >= 2
-                   THEN CAST(COALESCE(m.mx, 0) AS DOUBLE) / (b.n - 1)
-                   ELSE 0.0 END AS top_bigram_share
-          FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
-          ORDER BY b.doc_id""",
-
-    // sh = the q18/q19 distinct 3-gram shingle table; hash60 per the
-    // documented md5 formula so the join keys match Spark's exactly.
-    "q42_decontaminate" ->
-      s"""WITH $tokCte, $shingleCte,
-          b AS (SELECT DISTINCT
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
-                FROM sh WHERE sid % 97 = 0),
-          d AS (SELECT sid, ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
-                FROM sh WHERE sid % 97 <> 0),
-          j AS (SELECT sid, COUNT(*) AS n_grams,
-                  SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
-                FROM d LEFT JOIN b ON d.g = b.g GROUP BY sid)
-          SELECT sid AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-                 CAST(hits AS BIGINT) AS n_hits,
-                 CAST(hits AS DOUBLE) / n_grams AS contamination
-          FROM j WHERE hits > 0 ORDER BY doc_id""",
-
-    "q17_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
-                MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-         FROM documents GROUP BY fp ORDER BY fp""",
-
-    "q32_text_bpe_tokens" ->
-      """WITH t AS (SELECT doc_id,
-                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') tk
-              FROM documents)
-         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
-                CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
-         FROM t ORDER BY doc_id""",
-
-    // Winnowing: positional 3-gram hashes, ROWS-window minimum over 4
-    // consecutive shingles (full windows only), distinct per doc — the
-    // exact construction of Dedup.winnowFingerprints.
-    "q33_winnow_fingerprint" ->
-      s"""WITH $tokCte,
-          sq AS (SELECT doc_id sid, u['pos'] AS pos, u['shingle'] AS shingle
-                 FROM (SELECT doc_id,
-                         unnest(list_transform(range(1, len(tk)-1),
-                           i -> struct_pack(pos := i,
-                                  shingle := array_to_string(tk[i:i+2], ' ')))) u
-                       FROM toks)),
-          h AS (SELECT sid, pos,
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT hh
-                FROM sq),
-          w AS (SELECT sid, pos,
-                  MIN(hh) OVER (PARTITION BY sid ORDER BY pos
-                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mh
-                FROM h)
-          SELECT DISTINCT sid AS doc_id, mh AS fp
-          FROM w WHERE pos >= 4
-          ORDER BY doc_id, fp""",
-
-    // q17's dedup survivors x q14's quality features x q15's language id,
-    // composed exactly as the Spark-side pipeline.
-    "q36_curation_pipeline" ->
-      s"""WITH $tokCte,
-          k AS (SELECT MIN(doc_id) AS doc_id FROM documents
-                GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))),
-          f AS (SELECT doc_id,
-                  CAST(len(tk) AS BIGINT) n_tokens,
-                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
-                  CAST(len(list_filter(tk, x -> list_contains(
-                    ['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
-                  len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
-                  len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
-                  len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
-                  len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
-                FROM toks),
-          q AS (SELECT doc_id, n_tokens,
-                  round((n_stop::DOUBLE / n_tokens) * 0.5 +
-                        least((n_chr::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6)
-                    AS quality_score,
-                  CASE WHEN en > 0 AND en >= greatest(en,de,es,fr) THEN 'en'
-                       WHEN de > 0 AND de >= greatest(en,de,es,fr) THEN 'de'
-                       WHEN es > 0 AND es >= greatest(en,de,es,fr) THEN 'es'
-                       WHEN fr > 0 AND fr >= greatest(en,de,es,fr) THEN 'fr'
-                       ELSE 'und' END AS lang_id
-                FROM f)
-          SELECT q.doc_id, n_tokens, quality_score
-          FROM q JOIN k USING(doc_id)
-          WHERE quality_score >= 0.25 AND lang_id = 'en'
-          ORDER BY doc_id""",
-
-    // shf = the df≤100-capped shingle space (same cap as the Spark side);
-    // sizes, intersections, and Jaccard all computed over shf.
-    "q18_dedup_ngram_jaccard" ->
-      s"""WITH $tokCte, $shingleCte,
-          shf AS (SELECT sid, shingle FROM (
-                    SELECT sid, shingle,
-                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
-                  WHERE df <= 100),
-          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
-          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
-                FROM shf a JOIN shf b USING(shingle)
-                WHERE a.sid < b.sid GROUP BY 1, 2)
-          SELECT a_id, b_id, inter, x.sz a_size, y.sz b_size,
-                 round(inter::DOUBLE / (x.sz + y.sz - inter), 6) AS jaccard
-          FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
-          WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.35
-          ORDER BY a_id, b_id""",
-
-    "q19_dedup_minhash_lsh" ->
-      s"""WITH $tokCte, $shingleCte, $minhashPairCte
-          SELECT a_id, b_id FROM mhp ORDER BY a_id, b_id""",
-
-    "q44_vocab_topk" ->
-      """WITH tok AS (SELECT doc_id,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) token
-                      FROM documents),
-          a AS (SELECT token, CAST(COUNT(*) AS BIGINT) freq,
-                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) df
-                FROM tok GROUP BY token),
-          r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, token) rank
-                FROM a)
-          SELECT rank, token, freq, df FROM r WHERE rank <= 100
-          ORDER BY rank""",
-
-    // Integer rank selection (ceil(p·n) via basis points) — no float
-    // ranks, no interpolation, so both engines pick the same row.
-    "q45_length_percentiles" ->
-      """WITH s AS (SELECT source, n_chars, doc_id,
-                      row_number() OVER
-                        (PARTITION BY source ORDER BY n_chars, doc_id) rn,
-                      COUNT(*) OVER (PARTITION BY source) cnt
-                    FROM documents),
-          p AS (SELECT unnest([5000, 9000, 9900]) bp)
-          SELECT source, CAST(bp AS DOUBLE) / 10000.0 AS pct,
-                 n_chars AS value
-          FROM s, p WHERE rn = (bp * cnt + 9999) // 10000
-          ORDER BY source, pct""",
-
-    // q19's candidate pairs → transitive closure by a recursive reachability
-    // walk (UNION dedup terminates it); cluster id = MIN over the reachable
-    // set, mirroring Dedup.connectedComponents' min-label fixpoint.
-    // q43's cluster walk + a hash-of-cluster split decision: doc-level
-    // membership varies only with the cluster id, never the doc id.
-    "q54_leakage_safe_split" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
-          SELECT doc_id, cluster_id,
-                 CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
-                        % 100 < 80
-                   THEN 'train' ELSE 'eval' END AS split
-          FROM cl ORDER BY doc_id""",
-
-    "q43_dedup_clusters" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
-          SELECT doc_id, cluster_id,
-                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-                   AS cluster_size,
-                 doc_id = cluster_id AS keep
-          FROM cl ORDER BY doc_id""",
-
-    "q20_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id sid,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) tok
-                      FROM documents),
-          h AS (SELECT sid,
-                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 hh
-                FROM tok),
-          bits AS (SELECT sid, b.b AS b,
-                     SUM(CASE WHEN (hh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) s
-                   FROM h, range(32) b(b) GROUP BY sid, b.b)
-          SELECT sid AS doc_id,
-                 CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
-                   AS simhash
-          FROM bits GROUP BY sid ORDER BY doc_id""",
-
-    // Same two-phase algorithm replayed: int8 quantization (floor(x/s +
-    // 0.5), s = max|v|/127 — all-integer products stay exact in doubles),
-    // quantized-cosine top-20 candidates, exact-cosine top-5 rerank.
-    "q49_ann_topk_quantized" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-          s AS (SELECT vec_id, v,
-                  list_max(list_transform(v, x -> abs(x)))/127.0 sc FROM e),
-          q8 AS (SELECT vec_id, v,
-                   CASE WHEN sc = 0
-                     THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-                     ELSE list_transform(v, x -> floor(x/sc + 0.5)) END qv
-                 FROM s),
-          qq AS (SELECT vec_id q_id, qv q_qv, v q_v FROM q8
-                 WHERE vec_id % 100 = 0),
-          cand AS (SELECT q_id, c.vec_id,
-                     round(list_dot_product(c.qv, q_qv) /
-                           (sqrt(list_dot_product(c.qv, c.qv)) *
-                            sqrt(list_dot_product(q_qv, q_qv))), 4) q_cos
-                   FROM q8 c, qq WHERE c.vec_id != q_id),
-          keep AS (SELECT q_id, vec_id FROM (
-                     SELECT *, row_number() OVER (PARTITION BY q_id
-                       ORDER BY q_cos DESC, vec_id) c_rank FROM cand) t
-                   WHERE c_rank <= 20),
-          scored AS (SELECT k.q_id, k.vec_id,
-                       round(list_dot_product(c.v, q.q_v) /
-                             (sqrt(list_dot_product(c.v, c.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM keep k JOIN e c ON c.vec_id = k.vec_id
-                       JOIN qq q ON q.q_id = k.q_id),
-          r AS (SELECT *, row_number() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
-                FROM scored)
-          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    "q47_global_rownum" ->
-      """SELECT doc_id, n_chars,
-                row_number() OVER (ORDER BY n_chars, doc_id) AS rn
-         FROM documents ORDER BY doc_id""",
-
-    "q67_percentile_normalize" ->
-      """WITH r AS (SELECT doc_id, source, n_chars,
-                      row_number() OVER (PARTITION BY source
-                        ORDER BY n_chars, doc_id) rn,
-                      COUNT(*) OVER (PARTITION BY source) cnt
-                    FROM documents)
-          SELECT doc_id, source, n_chars,
-                 CASE WHEN cnt > 1
-                   THEN CAST(rn - 1 AS DOUBLE) / (cnt - 1)
-                   ELSE 0.0 END AS len_pctile
-          FROM r ORDER BY doc_id""",
-
-    // df folds the distinct (doc, gram) table; novelty = unique-gram
-    // fraction, exact integers over integers. Grams are hashed to the
-    // documented 60-bit md5 longs before the df join, mirroring the
-    // Spark side's narrow exchange.
-    "q68_ngram_novelty" ->
-      s"""WITH $tokCte, $shingleCte,
-          hs AS (SELECT sid,
-                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
-                 FROM sh),
-          d AS (SELECT g, COUNT(*) df FROM hs GROUP BY g)
-          SELECT sid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_unique,
-                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   / CAST(COUNT(*) AS DOUBLE) AS novelty
-          FROM hs JOIN d USING (g)
-          GROUP BY sid ORDER BY doc_id""",
-
-    // The q19 pair chain joined back to each side's source; unordered
-    // pair key via least/greatest.
-    "q69_cross_source_dups" ->
-      s"""WITH $tokCte, $shingleCte, $minhashPairCte
-          SELECT least(a.source, b.source) AS src_lo,
-                 greatest(a.source, b.source) AS src_hi,
-                 CAST(COUNT(*) AS BIGINT) AS n_pairs
-          FROM mhp
-          JOIN documents a ON mhp.a_id = a.doc_id
-          JOIN documents b ON mhp.b_id = b.doc_id
-          GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // BM25 replay: identical double operation order term-by-term, each
-    // per-term score rounded to micro-units pre-sum (the q55 ln device),
-    // integer score sums, per-query rank with doc_id tie-break.
-    "q71_bm25_topk" ->
-      s"""WITH $tokCte,
-          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
-          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
-                 FROM t GROUP BY 1, 2),
-          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
-                 FROM t GROUP BY 1),
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
-                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
-          qq(query_id, tok) AS (VALUES (1, 'table'), (1, 'join'),
-            (1, 'spark'), (2, 'window'), (2, 'stream'), (3, 'hash'),
-            (3, 'merge'), (3, 'sort')),
-          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
-                  FROM tf GROUP BY 1),
-          sc AS (SELECT qq.query_id, tf.doc_id,
-                   CAST(round(
-                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
-                         + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (0.25 + 0.75 * dl /
-                         (CAST(total_len AS DOUBLE) / n_docs)))
-                     * 1000000, 0) AS BIGINT) s_e6
-                 FROM qq JOIN tf USING (tok) JOIN dfr USING (tok)
-                   JOIN dl ON tf.doc_id = dl.doc_id, st),
-          agg AS (SELECT query_id, doc_id,
-                    CAST(SUM(s_e6) AS BIGINT) score_e6
-                  FROM sc GROUP BY 1, 2),
-          r AS (SELECT query_id, doc_id, score_e6,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY score_e6 DESC, doc_id) AS BIGINT) rnk
-                FROM agg)
-          SELECT query_id, rnk, doc_id, score_e6
-          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
-
-    // Rank + running sum over the vocabulary ordered (count DESC, token);
-    // integer sums, one double division at the end.
-    "q70_vocab_coverage" ->
-      s"""WITH $tokCte,
-          t AS (SELECT unnest(tk) tok FROM toks),
-          c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY tok),
-          r AS (SELECT cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) rk,
-                  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) cum,
-                  CAST(SUM(cnt) OVER () AS BIGINT) total
-                FROM c)
-          SELECT rk AS k, cum AS covered, total,
-                 CAST(cum AS DOUBLE) / total AS coverage
-          FROM r WHERE rk IN (1, 5, 10, 25) ORDER BY k""",
-
-    // Replays the engine's micro-batch state machine exactly: batch
-    // assignment over (pos, doc_id) order, one fed row per
-    // (fingerprint, batch), watermark = running max fed event time of
-    // PRIOR batches minus the 600.25 s delay, state expiry = kept
-    // event time + delay, strict-< eviction (the 250 ms offset makes
-    // ties impossible, so < vs <= cannot diverge). The per-fingerprint
-    // keep/drop chain is a recursive CTE — the q24 device.
-    "q73_streaming_dedup" ->
-      """WITH RECURSIVE doc AS (
-            SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp,
-                   CAST(10 * ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) pos
-            FROM documents),
-          allr AS (
-            SELECT doc_id, fp, pos FROM doc
-            UNION ALL
-            SELECT -doc_id, fp, pos + 33 + 300 * (doc_id % 11)
-            FROM doc WHERE doc_id % 5 = 0),
-          bsz AS (SELECT GREATEST(64, (COUNT(*) + 15) // 16) bs FROM allr),
-          idx AS (
-            SELECT doc_id, fp, pos,
-                   CAST((ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1)
-                        // (SELECT bs FROM bsz) AS BIGINT) b
-            FROM allr),
-          fed AS (
-            SELECT doc_id, fp, pos, b
-            FROM idx
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp, b
-                                       ORDER BY pos, doc_id) = 1),
-          bmax AS (SELECT b, MAX(pos) mx FROM fed GROUP BY b),
-          wmrun AS (SELECT b, MAX(mx) OVER (ORDER BY b) mp FROM bmax),
-          wmprev AS (
-            SELECT b,
-                   GREATEST(COALESCE(LAG(mp) OVER (ORDER BY b), 0) * 1000
-                            - 600250, 0) wm
-            FROM wmrun),
-          occ AS (
-            SELECT doc_id, fp, pos, b,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY b)
-                        AS BIGINT) seq
-            FROM fed),
-          chain AS (
-            SELECT fp, seq, doc_id, pos, b, pos AS lastk, TRUE AS kept
-            FROM occ WHERE seq = 1
-            UNION ALL
-            SELECT o.fp, o.seq, o.doc_id, o.pos, o.b,
-                   CASE WHEN c.lastk * 1000 + 600250 < w.wm
-                        THEN o.pos ELSE c.lastk END,
-                   c.lastk * 1000 + 600250 < w.wm
-            FROM occ o
-            JOIN chain c ON o.fp = c.fp AND o.seq = c.seq + 1
-            JOIN wmprev w ON w.b = o.b)
-          SELECT doc_id, fp, pos FROM chain WHERE kept
-          ORDER BY doc_id, pos""",
-
-    // Tolerance-mode oracles: the sketch value itself is not
-    // engine-reproducible, so the contract row carries the exact
-    // stratum stats plus the bound verdict, and the oracle asserts the
-    // verdict is 1 everywhere — an out-of-bounds sketch hash-fails.
-    "q74_sketch_percentiles" ->
-      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) n
-                    FROM documents GROUP BY source)
-         SELECT source, pct, n, CAST(1 AS BIGINT) AS ok
-         FROM s CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) p(pct)
-         ORDER BY source, pct""",
-
-    "q75_sketch_cardinality" ->
-      """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
-                CAST(1 AS BIGINT) AS ok
-         FROM documents GROUP BY source ORDER BY source""",
-
-    // Bucketing must never change answers: the oracle is the plain join.
-    "q76_bucketed_join" ->
-      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                     AS DECIMAL(38,6)) AS DOUBLE) AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_nationkey ORDER BY c_nationkey""",
-
-    // The q25 FNV/LCG HUGEINT replay, extended per window: the payload
-    // hash is rolled two salt bytes (window lo/hi) then expanded by the
-    // 13-step LCG; ksum = Σ (state >> 40) % 1000 over the 13 states.
-    "q77_audio_windows" ->
-      """WITH RECURSIVE hx AS (
-           SELECT doc_id, lower(hex(encode(text))) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE doc_id % 3 = 1),
-         fnv AS (
-           SELECT doc_id, h, len, 0 AS i,
-                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
-           UNION ALL
-           SELECT doc_id, h, len, i + 1,
-                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
-                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
-                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
-           FROM fnv WHERE i < len),
-         base AS (SELECT doc_id, acc FROM fnv WHERE i = len),
-         wins AS (
-           SELECT doc_id, acc, unnest(range(0, (doc_id % 300) + 1)) AS w
-           FROM base),
-         s1 AS (
-           SELECT doc_id, w,
-                  (xor(acc, CAST(w % 256 AS HUGEINT)) * 1099511628211)
-                    % CAST(18446744073709551616 AS HUGEINT) AS acc
-           FROM wins),
-         s2 AS (
-           SELECT doc_id, w,
-                  (xor(acc, CAST((w // 256) % 256 AS HUGEINT)) * 1099511628211)
-                    % CAST(18446744073709551616 AS HUGEINT) AS acc
-           FROM s1),
-         lcg AS (
-           SELECT doc_id, w, 0 AS j, acc AS st, CAST(0 AS HUGEINT) AS ksum
-           FROM s2
-           UNION ALL
-           SELECT doc_id, w, j + 1,
-                  (st * 6364136223846793005 + 1442695040888963407)
-                    % CAST(18446744073709551616 AS HUGEINT),
-                  ksum + CASE WHEN j = 0 THEN 0
-                              ELSE (st // CAST(1099511627776 AS HUGEINT)) % 1000 END
-           FROM lcg WHERE j <= 13),
-         k AS (SELECT doc_id, w, CAST(ksum AS BIGINT) AS feat_ksum
-               FROM lcg WHERE j = 14)
-         SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
-                CAST(16000 AS INT) AS sample_rate, feat_ksum
-         FROM k ORDER BY media_id, window_idx""",
-
-    // Partition layout must never change answers: plain filtered agg.
-    "q79_partitioned_read" ->
-      """WITH s3 AS (SELECT DISTINCT source FROM documents
-                     ORDER BY source LIMIT 3)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(length(text)) AS BIGINT) AS total_chars
-         FROM documents WHERE source IN (SELECT source FROM s3)
-         GROUP BY source ORDER BY source""",
-
-    // Two unrolled k-means rounds in integer micro-units: quantize with
-    // floor(x*1e6 + 0.5) + 1e7 (positive domain, so // == Spark's div),
-    // assign by exact integer squared distance (ties to lower centroid
-    // id), means by the half-up (2s+n)//(2n) device, empty clusters
-    // keep their centroid.
-    "q80_kmeans_exact" ->
-      """WITH q AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)
-                       AS BIGINT) + 10000000 AS v
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS c_id, pos, v FROM q WHERE vec_id % 100 = 0),
-         d1 AS (SELECT q.vec_id, c.c_id,
-                       SUM((q.v - c.v) * (q.v - c.v)) AS dist
-                FROM q JOIN c0 c ON q.pos = c.pos
-                GROUP BY q.vec_id, c.c_id),
-         b1 AS (SELECT vec_id, c_id FROM (
-                  SELECT vec_id, c_id, ROW_NUMBER() OVER
-                    (PARTITION BY vec_id ORDER BY dist, c_id) rn FROM d1)
-                WHERE rn = 1),
-         m1 AS (SELECT b.c_id, q.pos,
-                       (2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*)) AS v
-                FROM b1 b JOIN q ON q.vec_id = b.vec_id
-                GROUP BY b.c_id, q.pos),
-         c1 AS (SELECT c0.c_id, c0.pos, COALESCE(m1.v, c0.v) AS v
-                FROM c0 LEFT JOIN m1
-                  ON m1.c_id = c0.c_id AND m1.pos = c0.pos),
-         d2 AS (SELECT q.vec_id, c.c_id,
-                       SUM((q.v - c.v) * (q.v - c.v)) AS dist
-                FROM q JOIN c1 c ON q.pos = c.pos
-                GROUP BY q.vec_id, c.c_id),
-         b2 AS (SELECT vec_id, c_id FROM (
-                  SELECT vec_id, c_id, ROW_NUMBER() OVER
-                    (PARTITION BY vec_id ORDER BY dist, c_id) rn FROM d2)
-                WHERE rn = 1),
-         m2 AS (SELECT b.c_id, q.pos,
-                       (2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*)) AS v
-                FROM b2 b JOIN q ON q.vec_id = b.vec_id
-                GROUP BY b.c_id, q.pos),
-         c2 AS (SELECT c1.c_id, c1.pos, COALESCE(m2.v, c1.v) AS v
-                FROM c1 LEFT JOIN m2
-                  ON m2.c_id = c1.c_id AND m2.pos = c1.pos)
-         SELECT c_id, CAST(pos AS INT) AS pos,
-                CAST(v - 10000000 AS BIGINT) AS m_e6
-         FROM c2 ORDER BY c_id, pos""",
-
-    // Same double arithmetic as the q21 cosine oracle (round 4dp).
-    "q78_sql_registry" ->
-      """WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS av
-                    FROM embeddings WHERE vec_id % 50 = 0),
-          b AS (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings)
-         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                round(list_dot_product(av, bv) /
-                      (sqrt(list_dot_product(av, av)) *
-                       sqrt(list_dot_product(bv, bv))), 4) AS cos
-         FROM a JOIN b ON b.vec_id = a.vec_id + 1
-         ORDER BY a_id""",
-
-    // The q24 recursive-CTE slope walk, re-aggregated: every walk row IS
-    // one visited cell, so hotspot counts are a GROUP BY over the same
-    // CTE (identical IEEE doubles → identical cells → identical counts).
-    // Total tie-break (n_visits DESC, cell) makes LIMIT 20 deterministic.
-    "q81_sql_cell_hotspots" ->
-      """WITH RECURSIVE seg AS (
-           SELECT event_id,
-                  CAST(floor((abs(-74.05) - abs(-74.05 + value/1000.0))/0.0014) AS INT) AS xa,
-                  CAST(floor((41.0 - (40.5 + value/500.0))/0.00125) AS INT) AS ya,
-                  CAST(floor((abs(-74.05) - abs(-74.05 + (user_id % 30)::DOUBLE/100.0))/0.0014) AS INT) AS xb,
-                  CAST(floor((41.0 - (40.5 + (user_id % 20)::DOUBLE/50.0))/0.00125) AS INT) AS yb
-           FROM events),
-         s3 AS (
-           SELECT event_id,
-                  CASE WHEN xa <= xb THEN xa ELSE xb END AS startX,
-                  CASE WHEN xa <= xb THEN ya ELSE yb END AS startY,
-                  CASE WHEN xa <= xb THEN xb ELSE xa END AS endX,
-                  CASE WHEN xa <= xb THEN yb ELSE ya END AS endY,
-                  ((CASE WHEN xa <= xb THEN yb ELSE ya END) -
-                   (CASE WHEN xa <= xb THEN ya ELSE yb END)) /
-                  (((CASE WHEN xa <= xb THEN xb ELSE xa END) -
-                    (CASE WHEN xa <= xb THEN xa ELSE xb END)) + 0.00000001) AS slope
-           FROM seg),
-         walk AS (
-           SELECT event_id, startX, startY, endX, endY, slope,
-                  startX AS curX, startY AS curY, 0 AS n
-           FROM s3
-           UNION ALL
-           SELECT event_id, startX, startY, endX, endY, slope,
-                  curX + CASE WHEN slope > 0 THEN
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest < curY THEN 1 ELSE 0 END
-                         ELSE
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest > curY THEN 1 ELSE 0 END END,
-                  curY + CASE WHEN slope > 0 THEN
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest < curY THEN 0 ELSE 1 END
-                         ELSE
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN -1
-                                WHEN yest > curY THEN 0 ELSE -1 END END,
-                  n + 1
-           FROM (SELECT *, CASE WHEN slope > 0
-                   THEN (curX - startX + 0.5) * slope + startY - 0.5
-                   ELSE (curX - startX + 0.5) * slope + startY + 0.5 END AS yest
-                 FROM walk) w
-           WHERE (curX < endX OR curY != endY) AND n < 100000)
-         SELECT CAST(curX + curY*250 AS INT) AS cell,
-                CAST(COUNT(*) AS BIGINT) AS n_visits
-         FROM walk
-         GROUP BY 1
-         ORDER BY n_visits DESC, cell
-         LIMIT 20""",
-
-    // Same RE2-safe patterns (no lookaround, so Java and RE2 agree),
-    // same email→IP→phone replacement order, counts pre-redaction;
-    // DuckDB regexp_replace needs the explicit 'g' flag to match
-    // Spark's replace-all default.
-    "q82_pii_redaction" ->
-      """WITH salted AS (
-           SELECT doc_id,
-                  text || ' contact user' || doc_id || '@mail.example.com or 10.'
-                       || (doc_id % 256) || '.0.' || (doc_id % 200)
-                       || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                       || '-1234 done' AS text
-           FROM documents),
-         red AS (
-           SELECT doc_id,
-                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-                  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-                  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS rtext
-           FROM salted)
-         SELECT doc_id,
-                CAST(n_emails AS BIGINT) AS n_emails,
-                CAST(n_ips AS BIGINT) AS n_ips,
-                CAST(n_phones AS BIGINT) AS n_phones,
-                md5(rtext) AS red_md5
-         FROM red ORDER BY doc_id""",
-
-    // Same normalized-md5 fingerprint as q16/q17; landed/incoming split
-    // replayed from the doc_id arithmetic; NOT IN over a distinct
-    // landed-fp set = the left-anti join.
-    "q83_incremental_dedup" ->
-      """WITH fp AS (
-           SELECT doc_id,
-                  md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-           FROM documents),
-         landed AS (SELECT DISTINCT fp FROM fp
-                    WHERE doc_id % 3 != 0 AND fp IS NOT NULL),
-         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 0
-                      AND fp IS NOT NULL)
-         SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
-         FROM incoming
-         WHERE fp NOT IN (SELECT fp FROM landed)
-         GROUP BY fp ORDER BY fp""",
-
-    // Same 8-token line construction (1-based inclusive list slice ==
-    // Spark's slice(start, length)), same planted first-line duplicate;
-    // parallel unnests zip line with its 1-based ordinal, min-ordinal
-    // keeps the first occurrence, string_agg ORDER BY re-joins in
-    // original order for the md5.
-    "q84_line_dedup" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         built AS (
-           SELECT doc_id,
-                  list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
-                    i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS lines
-           FROM tk),
-         withdup AS (
-           SELECT doc_id, list_append(lines, lines[1]) AS lines FROM built),
-         ln AS (
-           SELECT doc_id, unnest(lines) AS line,
-                  unnest(range(1, len(lines)+1)) AS lno
-           FROM withdup),
-         kept AS (
-           SELECT doc_id, line, MIN(lno) AS lno
-           FROM ln GROUP BY doc_id, line),
-         agg AS (
-           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-                  md5(string_agg(line, chr(10) ORDER BY lno)) AS clean_md5
-           FROM kept GROUP BY doc_id),
-         tot AS (
-           SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines
-           FROM withdup)
-         SELECT t.doc_id, t.n_lines, a.n_kept, a.clean_md5
-         FROM tot t JOIN agg a USING(doc_id)
-         ORDER BY doc_id""",
-
-    // Computed from the ORIGINAL parquet (the round-trip must preserve
-    // every byte); hash60 = first 15 md5 hex digits as a 60-bit int,
-    // the q20/q54 device.
-    "q85_jsonl_roundtrip" ->
-      """SELECT source,
-                CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-                CAST(SUM((('0x' || substr(md5(text), 1, 15))::BIGINT)
-                         % 1000000000) AS BIGINT) AS text_hsum,
-                MIN(md5(text)) AS min_md5,
-                MAX(md5(text)) AS max_md5
-         FROM documents GROUP BY source ORDER BY source""",
-
-    // The q21 oracle with the positive-threshold WHERE before the rank
-    // window — identical double cosine arithmetic, 4dp round.
-    "q86_hard_negatives" ->
-      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
-                    FROM embeddings WHERE vec_id % 100 = 0),
-          c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-          s AS (SELECT q_id, vec_id,
-                  round(list_dot_product(v, qv) /
-                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
-                        4) AS cos
-                FROM c, q WHERE vec_id != q_id),
-          r AS (SELECT *, row_number() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
-                FROM s WHERE cos < 0.25)
-          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // Full count-min replay: the md5-derived cell hash makes the sketch
-    // itself engine-reproducible, so the oracle rebuilds every counter
-    // and the estimate column hash-matches exactly (no tolerance band).
-    "q87_countmin_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-                      FROM documents),
-          cells AS (SELECT r,
-                      ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
-                        % 256 AS b,
-                      CAST(COUNT(*) AS BIGINT) AS c
-                    FROM tok CROSS JOIN range(4) t(r) GROUP BY 1, 2),
-          top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
-                  GROUP BY token ORDER BY freq DESC, token LIMIT 25),
-          probes AS (SELECT token, freq, r,
-                       ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
-                         % 256 AS b
-                     FROM top CROSS JOIN range(4) t(r)),
-          e AS (SELECT token, MIN(freq) AS freq, MIN(c) AS est
-                FROM probes JOIN cells USING (r, b) GROUP BY token)
-          SELECT token, freq, est,
-                 CAST(CASE WHEN est >= freq THEN 1 ELSE 0 END AS BIGINT) AS ok
-          FROM e ORDER BY freq DESC, token""",
-
-    // The Bloom gate must never change the answer: the oracle is q83's
-    // exact NOT-IN form over the q88 slice (incoming = mod 3 = 1).
-    "q88_bloom_incremental_dedup" ->
-      """WITH fp AS (
-           SELECT doc_id,
-                  md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-           FROM documents),
-         landed AS (SELECT DISTINCT fp FROM fp
-                    WHERE doc_id % 3 != 1 AND fp IS NOT NULL),
-         incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 1
-                      AND fp IS NOT NULL)
-         SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS batch_dups
-         FROM incoming
-         WHERE fp NOT IN (SELECT fp FROM landed)
-         GROUP BY fp ORDER BY fp""",
-
-    // √count weights quantized to integer micro-units pre-sum (float
-    // sums are order-dependent; integer sums aren't), then one double
-    // chain per stratum in the same op order as the Spark side.
-    "q66_temperature_mix" ->
-      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) cnt,
-                      CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) sq
-                    FROM documents GROUP BY source),
-          t AS (SELECT CAST(SUM(sq) AS BIGINT) sw,
-                       CAST(SUM(cnt) AS BIGINT) n FROM c),
-          r AS (SELECT source, least(1000000,
-                  CAST(floor(0.25 * n * sq / sw / cnt * 1000000) AS BIGINT))
-                  ppm
-                FROM c, t)
-          SELECT doc_id, source FROM documents JOIN r USING (source)
-          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                  % 1000000 < ppm
-          ORDER BY doc_id""",
-
-    // Same quality formula as q36's oracle, then a per-source cumsum
-    // over the (quality DESC, doc_id) order; kept iff the running total
-    // fits the quota.
-    "q63_token_budget" ->
-      """WITH t AS (SELECT doc_id, source,
-                      regexp_split_to_array(trim(text), '\s+') tk, text
-                    FROM documents),
-          f AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) n_tokens,
-                  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) n_chr,
-                  CAST(len(list_filter(tk, x -> list_contains(
-                    ['the','a','an','and','of','to','in','is','on','for','with'], x)))
-                    AS BIGINT) n_stop
-                FROM t),
-          q AS (SELECT doc_id, source, n_tokens,
-                  round((n_stop::DOUBLE / n_tokens) * 0.5 +
-                        least((n_chr::DOUBLE / n_tokens) / 10.0, 1.0) * 0.5, 6) qs
-                FROM f),
-          w AS (SELECT doc_id, source, n_tokens,
-                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY qs DESC, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tokens,
-                  row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id)
-                    rank_in_stratum
-                FROM q)
-          SELECT doc_id, source, n_tokens,
-                 CAST(cum_tokens AS BIGINT) AS cum_tokens, rank_in_stratum
-          FROM w WHERE cum_tokens <= 800
-          ORDER BY source, rank_in_stratum""",
-
-    // Composed corpus report: fingerprint, lang-id, vocabulary and the
-    // q45-style integer-rank median, each a one-aggregate CTE.
-    "q61_corpus_report" ->
-      s"""WITH $tokCte,
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
-                   CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(
-                     lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))))
-                     AS BIGINT) n_distinct_texts
-                 FROM documents),
-          lc AS (SELECT doc_id,
-                   len(list_filter(tk, x -> list_contains(['the','and','of','is'], x))) en,
-                   len(list_filter(tk, x -> list_contains(['der','die','und','ist'], x))) de,
-                   len(list_filter(tk, x -> list_contains(['el','la','los','es'], x))) es,
-                   len(list_filter(tk, x -> list_contains(['le','la','les','est'], x))) fr
-                 FROM toks),
-          eng AS (SELECT CAST(SUM(CASE WHEN en > 0 AND en >= greatest(en,de,es,fr)
-                            THEN 1 ELSE 0 END) AS BIGINT) n_english FROM lc),
-          vb AS (SELECT CAST(COUNT(DISTINCT t.t) AS BIGINT) vocab_size
-                 FROM (SELECT unnest(tk) t FROM toks) t),
-          md AS (SELECT n_chars AS median_n_chars FROM (
-                   SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) rn,
-                          COUNT(*) OVER () cnt
-                   FROM documents) s
-                 WHERE rn = (5000 * cnt + 9999) // 10000)
-          SELECT n_docs, n_docs - n_distinct_texts AS n_exact_dups,
-                 n_english, vocab_size, median_n_chars
-          FROM st, eng, vb, md""",
-
-    // Bigram MLE replay: ln of each integer count-ratio quantized to
-    // micro-units before the per-doc integer sum; avg is (sum/1e6)/n in
-    // that exact order on both engines.
-    "q55_bigram_logprob" ->
-      s"""WITH $tokCte,
-          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
-          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
-          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
-                 FROM cab GROUP BY 1),
-          sc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                        AS BIGINT) lp
-                 FROM bg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a)
-          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                 CAST(SUM(lp) AS BIGINT) AS sum_logp_e6,
-                 CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_logp
-          FROM sc GROUP BY doc_id ORDER BY doc_id""",
-
-    // q55's exact integer scoring, then a per-source integer rank cut
-    // (rn·10⁴ ≤ n·1000, doc-id tiebreak on the one trailing IEEE
-    // division's order) — bottom decile flagged, same rows everywhere.
-    "q89_perplexity_filter" ->
-      s"""WITH $tokCte,
-          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
-          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
-          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
-                 FROM cab GROUP BY 1),
-          sc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                        AS BIGINT) lp
-                 FROM bg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a),
-          sco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
-                    CAST(SUM(lp) AS BIGINT) sum_logp_e6,
-                    CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) avg_logp
-                  FROM sc GROUP BY doc_id),
-          j AS (SELECT d.doc_id, d.source, s.n_bigrams, s.sum_logp_e6,
-                  row_number() OVER (PARTITION BY d.source
-                    ORDER BY s.avg_logp, d.doc_id) rn,
-                  COUNT(*) OVER (PARTITION BY d.source) cnt
-                FROM documents d JOIN sco s USING (doc_id))
-          SELECT doc_id, source, n_bigrams, sum_logp_e6,
-                 CAST(CASE WHEN rn * 10000 <= cnt * 1000 THEN 1 ELSE 0 END
-                      AS BIGINT) AS flagged
-          FROM j ORDER BY doc_id""",
-
-    // Integer `//` arithmetic with the ×1e6 products widened to HUGEINT
-    // (the Spark side widens to DECIMAL(38,0)) — same truncating
-    // division on positive values, so the report is bit-identical by
-    // construction and never wraps at 100 TB token masses.
-    "q90_mixture_weights" ->
-      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
-                        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                             AS BIGINT) n_tokens
-                      FROM documents GROUP BY source),
-          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total_tokens,
-                         CAST(COUNT(*) AS BIGINT) n_strata FROM per)
-          SELECT source, n_docs, n_tokens,
-                 CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total_tokens
-                      AS BIGINT) AS natural_share_e6,
-                 total_tokens // n_strata AS target_tokens,
-                 CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
-                      // n_tokens AS BIGINT) AS weight_e6
-          FROM per, tot ORDER BY source""",
-
-    // Deterministic face of the q91 sketch verdict: scorable docs (≥2
-    // tokens → ≥1 bigram) counted per source; the sketch threshold's
-    // rank-band verdict is computed Spark-side and must be 1 everywhere
-    // — an out-of-band percentile sketch hash-fails (q74's device).
-    "q91_perplexity_sketch_cut" ->
-      s"""WITH $tokCte
-          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(1 AS BIGINT) AS ok
-          FROM documents d JOIN toks t ON d.doc_id = t.doc_id
-          WHERE len(t.tk) >= 2
-          GROUP BY d.source ORDER BY d.source""",
-
-    // Integer-sum centroids (cosine is scale-invariant, so the division
-    // is skipped and every component stays an exact integer); scores via
-    // the same sequential double dot/norms as the ANN family.
-    "q56_centroid_confusion" ->
-      """WITH e6 AS (SELECT vec_id, label,
-                       list_transform(embedding::DOUBLE[],
-                         x -> floor(x * 1000000 + 0.5)) qv
-                     FROM embeddings),
-          cpos AS (SELECT label c_label, i pos, SUM(qv[i]) s
-                   FROM e6, unnest(range(1, len(qv) + 1)) t(i)
-                   GROUP BY 1, 2),
-          cent AS (SELECT c_label, list(s ORDER BY pos) c_vec
-                   FROM cpos GROUP BY c_label),
-          sc AS (SELECT vec_id, label, c_label,
-                   round(list_dot_product(qv, c_vec) /
-                         (sqrt(list_dot_product(qv, qv)) *
-                          sqrt(list_dot_product(c_vec, c_vec))), 4) cos
-                 FROM e6, cent),
-          asg AS (SELECT vec_id, label, c_label AS assigned FROM (
-                    SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY cos DESC, c_label) rn FROM sc) t
-                  WHERE rn = 1)
-          SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
-          FROM asg GROUP BY label, assigned ORDER BY label, assigned""",
-
-    // q56's centroid machinery; per-vector self/best-other scores
-    // quantized to micro-units pre-sum, one double division chain per
-    // aggregate in the same op order as the Spark side.
-    "q72_embed_cohesion" ->
-      """WITH e6 AS (SELECT vec_id, label,
-                       list_transform(embedding::DOUBLE[],
-                         x -> floor(x * 1000000 + 0.5)) qv
-                     FROM embeddings),
-          cpos AS (SELECT label c_label, i pos, SUM(qv[i]) s
-                   FROM e6, unnest(range(1, len(qv) + 1)) t(i)
-                   GROUP BY 1, 2),
-          cent AS (SELECT c_label, list(s ORDER BY pos) c_vec
-                   FROM cpos GROUP BY c_label),
-          sc AS (SELECT vec_id, label, c_label,
-                   CAST(round(list_dot_product(qv, c_vec) /
-                         (sqrt(list_dot_product(qv, qv)) *
-                          sqrt(list_dot_product(c_vec, c_vec)))
-                         * 1000000, 0) AS BIGINT) s_e6
-                 FROM e6, cent),
-          pv AS (SELECT vec_id, label,
-                   MAX(CASE WHEN c_label = label THEN s_e6 END) self_e6,
-                   MAX(CASE WHEN c_label <> label THEN s_e6 END) other_e6
-                 FROM sc GROUP BY vec_id, label),
-          ag AS (SELECT label, CAST(COUNT(*) AS BIGINT) n,
-                   CAST(SUM(self_e6) AS BIGINT) sum_self_e6,
-                   CAST(SUM(other_e6) AS BIGINT) sum_other_e6
-                 FROM pv GROUP BY label)
-          SELECT label, n, sum_self_e6, sum_other_e6,
-                 sum_self_e6 / 1000000.0 / n AS avg_self,
-                 sum_other_e6 / 1000000.0 / n AS avg_other,
-                 sum_self_e6 / 1000000.0 / n -
-                   sum_other_e6 / 1000000.0 / n AS margin
-          FROM ag ORDER BY label""",
-
-    "q53_stratum_sample_k" ->
-      """WITH h AS (SELECT doc_id, source,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT hh
-                    FROM documents),
-          r AS (SELECT doc_id, source, row_number() OVER
-                  (PARTITION BY source
-                   ORDER BY hh, CAST(doc_id AS VARCHAR)) rnk FROM h)
-          SELECT doc_id, source FROM r WHERE rnk <= 50
-          ORDER BY source, doc_id""",
-
-    // Chunk boundaries are pure arithmetic on length(text); range()
-    // excludes the stop like sequence(0, n-1, stride) includes <= n-1.
-    "q51_chunk_docs" ->
-      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
-                    WHERE length(text) > 0),
-          g AS (SELECT doc_id, text, n, unnest(range(0, n, 400)) st FROM d)
-          SELECT doc_id, st // 400 AS chunk_id, st AS start,
-                 least(500, n - st) AS chunk_len,
-                 md5(substr(text, CAST(st + 1 AS INT), 500)) AS chunk_fp
-          FROM g ORDER BY doc_id, chunk_id""",
-
-    // tf × micro-unit-quantized ln(N/df): the ln is rounded to integer
-    // micro-units BEFORE the tf multiply (mirrors Curation.tfidfTopTerms)
-    // so a 1-ulp libm divergence cannot flip a rank.
-    "q50_tfidf_topterms" ->
-      """WITH tok AS (SELECT doc_id,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) token
-                      FROM documents),
-          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
-                 FROM tok GROUP BY doc_id, token),
-          n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) n FROM documents),
-          dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY token),
-          sc AS (SELECT doc_id, t.token, t.tf, dfr.df,
-                   t.tf * CAST(round(ln(n.n / dfr.df) * 1000000, 0) AS BIGINT)
-                     AS score_e6
-                 FROM tf t JOIN dfr USING (token), n),
-          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                  ORDER BY score_e6 DESC, token) rank FROM sc)
-          SELECT doc_id, rank, token, tf, df, score_e6 FROM r
-          WHERE rank <= 5 ORDER BY doc_id, rank""",
-
-    "q21_ann_topk" ->
-      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
-                    FROM embeddings WHERE vec_id % 100 = 0),
-          c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-          s AS (SELECT q_id, vec_id,
-                  round(list_dot_product(v, qv) /
-                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
-                        4) AS cos
-                FROM c, q WHERE vec_id != q_id),
-          r AS (SELECT *, row_number() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // Same 4-band × 8-bit sign-LSH as Similarity.bandedTable: band j
-    // hashes dims j*8+1..j*8+8; any shared (band, bucket) admits the
-    // candidate, then exact cosine ≥ 0.4.
-    "q22_embed_neardup_lsh" ->
-      s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          bd AS ($duckBandedCte),
-          cand AS (SELECT DISTINCT a.sid a_id, b.sid b_id
-                   FROM bd a JOIN bd b
-                     ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid)
-          SELECT a_id, b_id, cos FROM (
-            SELECT a_id, b_id,
-                   round(list_dot_product(x.v, y.v) /
-                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
-                         4) AS cos
-            FROM cand JOIN e x ON x.sid = a_id JOIN e y ON y.sid = b_id) p
-          WHERE cos >= 0.4
-          ORDER BY a_id, b_id""",
-
-    // Approximate top-5 over the banded candidate set (q29's Spark side =
-    // Similarity.lshTopK); q21 stays the exact baseline.
-    "q29_ann_topk_lsh" ->
-      s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          bd AS ($duckBandedCte),
-          cand AS (SELECT DISTINCT qa.sid q_id, cb.sid vec_id
-                   FROM bd qa JOIN bd cb
-                     ON qa.band = cb.band AND qa.bucket = cb.bucket
-                   WHERE qa.sid % 100 = 0 AND qa.sid != cb.sid),
-          s AS (SELECT q_id, vec_id,
-                  round(list_dot_product(x.v, y.v) /
-                        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
-                        4) AS cos
-                FROM cand JOIN e x ON x.sid = vec_id JOIN e y ON y.sid = q_id),
-          r AS (SELECT *, row_number() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // IVF replayed in SQL: same deterministic centroid sample
-    // (vec_id % 25 = 7), same rounded-cosine argmax assignment (ties to
-    // the lowest centroid id), same 4-list probe, same in-list top-5.
-    "q37_ann_topk_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-          c AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id % 25 = 7),
-          ac AS (SELECT e.vec_id, c.c_id,
-                   round(list_dot_product(e.v, c.cv) /
-                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
-                         4) AS cos
-                 FROM e, c),
-          asn AS (SELECT vec_id, c_id FROM (
-                    SELECT *, row_number() OVER
-                      (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM ac)
-                  WHERE rn = 1),
-          q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id % 100 = 0),
-          pc AS (SELECT q.q_id, c.c_id,
-                   round(list_dot_product(q.qv, c.cv) /
-                         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
-                         4) AS cos
-                 FROM q, c),
-          probe AS (SELECT q_id, c_id FROM (
-                      SELECT *, row_number() OVER
-                        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM pc)
-                    WHERE rn <= 4),
-          s AS (SELECT p.q_id, a.vec_id,
-                  round(list_dot_product(x.v, y.qv) /
-                        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.qv, y.qv))),
-                        4) AS cos
-                FROM probe p JOIN asn a ON a.c_id = p.c_id
-                JOIN e x ON x.vec_id = a.vec_id JOIN q y ON y.q_id = p.q_id
-                WHERE a.vec_id != p.q_id),
-          r AS (SELECT *, row_number() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // The slope walk of GeoFunctions.mapToGridCellsOnWay, replayed as a
-    // recursive CTE: identical IEEE double math (slope, y-estimate) and
-    // identical step CASEs, so cell counts match bit-for-bit. n bounds the
-    // recursion exactly like the UDF's guard (never hit — the fixed walk
-    // terminates in ≤ |Δx|+|Δy|+1 steps).
-    "q24_geo_cells_on_way" ->
-      """WITH RECURSIVE seg AS (
-           SELECT event_id,
-                  CAST(floor((abs(-74.05) - abs(-74.05 + value/1000.0))/0.0014) AS INT) AS xa,
-                  CAST(floor((41.0 - (40.5 + value/500.0))/0.00125) AS INT) AS ya,
-                  CAST(floor((abs(-74.05) - abs(-74.05 + (user_id % 30)::DOUBLE/100.0))/0.0014) AS INT) AS xb,
-                  CAST(floor((41.0 - (40.5 + (user_id % 20)::DOUBLE/50.0))/0.00125) AS INT) AS yb
-           FROM events),
-         s3 AS (
-           SELECT event_id,
-                  CASE WHEN xa <= xb THEN xa ELSE xb END AS startX,
-                  CASE WHEN xa <= xb THEN ya ELSE yb END AS startY,
-                  CASE WHEN xa <= xb THEN xb ELSE xa END AS endX,
-                  CASE WHEN xa <= xb THEN yb ELSE ya END AS endY,
-                  ((CASE WHEN xa <= xb THEN yb ELSE ya END) -
-                   (CASE WHEN xa <= xb THEN ya ELSE yb END)) /
-                  (((CASE WHEN xa <= xb THEN xb ELSE xa END) -
-                    (CASE WHEN xa <= xb THEN xa ELSE xb END)) + 0.00000001) AS slope
-           FROM seg),
-         walk AS (
-           SELECT event_id, startX, startY, endX, endY, slope,
-                  startX AS curX, startY AS curY, 0 AS n
-           FROM s3
-           UNION ALL
-           SELECT event_id, startX, startY, endX, endY, slope,
-                  curX + CASE WHEN slope > 0 THEN
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest < curY THEN 1 ELSE 0 END
-                         ELSE
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest > curY THEN 1 ELSE 0 END END,
-                  curY + CASE WHEN slope > 0 THEN
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN 1
-                                WHEN yest < curY THEN 0 ELSE 1 END
-                         ELSE
-                           CASE WHEN yest > curY - 0.05 AND yest < curY + 0.05 THEN -1
-                                WHEN yest > curY THEN 0 ELSE -1 END END,
-                  n + 1
-           FROM (SELECT *, CASE WHEN slope > 0
-                   THEN (curX - startX + 0.5) * slope + startY - 0.5
-                   ELSE (curX - startX + 0.5) * slope + startY + 0.5 END AS yest
-                 FROM walk) w
-           WHERE (curX < endX OR curY != endY) AND n < 100000)
-         SELECT s3.event_id, c.n_cells, s3.startX + s3.startY*250 AS first_cell
-         FROM s3 JOIN (SELECT event_id, CAST(COUNT(*) AS INT) AS n_cells
-                       FROM walk GROUP BY event_id) c USING(event_id)
-         ORDER BY event_id""",
-
-    "q23_geo_enrich" ->
-      """WITH g AS (SELECT event_id,
-                  -74.05 + value/1000.0 AS lon, 40.5 + value/500.0 AS lat,
-                  -74.05 + (user_id % 30)::DOUBLE/100.0 AS lon2,
-                  40.5 + (user_id % 20)::DOUBLE/50.0 AS lat2
-                FROM events),
-          c AS (SELECT *,
-                  CAST(floor((abs(-74.05) - abs(lon))/0.0014) AS INT) +
-                  CAST(floor((41.0 - lat)/0.00125) AS INT) * 250 AS cell
-                FROM g)
-          SELECT event_id,
-                 (lon BETWEEN -74.05 AND -73.7 AND lat BETWEEN 40.5 AND 41.0) AS in_nyc,
-                 cell,
-                 round((abs(-74.05) - (cell % 250)*0.0014 - 0.0014/2) * -1.0, 6) AS center_lon,
-                 round(41.0 - ((cell - cell % 250)/250)*0.00125 - 0.00125/2, 6) AS center_lat,
-                 round(110.25 * sqrt((lat - lat2)*(lat - lat2) +
-                       ((lon - lon2)*cos(lat2))*((lon - lon2)*cos(lat2))), 6) AS dist_km,
-                 -- "+ 0.0" on both args mirrors Spark's Atan2, which
-                 -- normalizes -0.0 to +0.0 before java.lang.Math.atan2;
-                 -- without it, coincident points (x=+0, y=-0) give
-                 -- atan2 = pi here but 0 in Spark (found at sf0.1)
-                 CAST(trunc(degrees(atan2(lat2 - lat + 0.0,
-                      (lon2 - lon)*cos(lat) + 0.0))) AS INT) + 179
-                   AS dir_deg
-          FROM c ORDER BY event_id""",
-
-    // The Misra–Gries candidate union is partition-dependent, but the
-    // exact recount + freq·capacity > N filter makes the ANSWER a pure
-    // function of the data — which is exactly what this replays.
-    "q92_mg_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-                      FROM documents),
-          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_total FROM tok),
-          f AS (SELECT token, CAST(COUNT(*) AS BIGINT) freq FROM tok
-                GROUP BY token)
-          SELECT token, freq, n_total FROM f, tot
-          WHERE freq * 64 > n_total
-          ORDER BY freq DESC, token LIMIT 25""",
-
-    // The plant rule (doc_id % 20 == 0 lines corrupted) IS the oracle:
-    // a PERMISSIVE reader that drops, double-counts, or mis-attributes
-    // a line disagrees with the rule's arithmetic.
-    "q93_jsonl_malformed_rate" ->
-      """SELECT source, CAST(COUNT(*) AS BIGINT) n_rows FROM documents
-          WHERE doc_id % 20 != 0 GROUP BY source
-          UNION ALL
-          SELECT '__malformed__' AS source, CAST(COUNT(*) AS BIGINT) n_rows
-          FROM documents WHERE doc_id % 20 = 0
-          ORDER BY source""",
-
-    // Integer cross-multiplied thresholds — both engines compare
-    // products of exact BIGINTs, so no rounding can flip a verdict.
-    "q94_quality_gate" ->
-      """WITH f AS (SELECT doc_id,
-                      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_tok,
-                      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) n_chr,
-                      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                        x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
-                      CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) n_uniq
-                    FROM documents),
-          g AS (SELECT doc_id, n_tok,
-                  (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
-                  (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
-                  (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
-                  (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
-                FROM f)
-          SELECT doc_id, n_tok AS n_tokens, CAST(reasons AS BIGINT) reasons,
-                 CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) keep
-          FROM g ORDER BY doc_id""",
-
-    // Micro-unit-ln KL numerator (q50's quantization device); the
-    // numerator ships undivided — Spark `div` truncates toward zero,
-    // DuckDB `//` floors, and a head-restricted sum can be negative.
-    "q95_source_unigram_kl" ->
-      """WITH tok AS (SELECT source,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-                      FROM documents),
-          head AS (SELECT token, CAST(COUNT(*) AS BIGINT) c_t FROM tok
-                   GROUP BY token ORDER BY c_t DESC, token LIMIT 200),
-          ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_s FROM tok
-                 GROUP BY source),
-          nc AS (SELECT CAST(COUNT(*) AS BIGINT) n_c FROM tok),
-          st AS (SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) c_st,
-                   MAX(h.c_t) c_t
-                 FROM tok t JOIN head h USING (token)
-                 GROUP BY t.source, t.token),
-          sc AS (SELECT st.source, ns.n_s, st.c_st,
-                   st.c_st * (CAST(round(ln(st.c_st)*1000000, 0) AS BIGINT)
-                            - CAST(round(ln(ns.n_s)*1000000, 0) AS BIGINT)
-                            - CAST(round(ln(st.c_t)*1000000, 0) AS BIGINT)
-                            + CAST(round(ln(nc.n_c)*1000000, 0) AS BIGINT))
-                     AS contrib
-                 FROM st JOIN ns USING (source), nc)
-          SELECT source, CAST(MAX(n_s) AS BIGINT) n_tokens,
-                 CAST(SUM(c_st) AS BIGINT) head_tokens,
-                 CAST(SUM(contrib) AS BIGINT) kl_num_e6
-          FROM sc GROUP BY source ORDER BY source""",
-
-    // Micro-unit quantization then exact integer sums; Σx² widened to
-    // DECIMAL before summing, surfaced as the correctly-rounded DOUBLE
-    // (a DECIMAL output column would hash-mismatch on rendering).
-    "q96_embedding_dim_stats" ->
-      """WITH e6 AS (SELECT list_transform(embedding::DOUBLE[],
-                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) qv
-                     FROM embeddings),
-          d AS (SELECT CAST(i - 1 AS INT) pos, qv[i] x
-                FROM e6, unnest(range(1, len(qv) + 1)) t(i))
-          SELECT pos, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sum_e6,
-                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) sumsq_e12
-          FROM d GROUP BY pos ORDER BY pos""",
-
-    // The lnq(·) = round(ln·1e6) chain term by term; pairs below the
-    // noise floor cut before the unigram joins, as on the Spark side.
-    "q97_pmi_collocations" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
-                      FROM documents),
-          toks2 AS (SELECT regexp_split_to_array(trim(text), '\s+') tk
-                    FROM documents),
-          bi AS (SELECT unnest(list_transform(range(1, len(tk)),
-                   i -> tk[i] || ' ' || tk[i+1])) g
-                 FROM toks2 WHERE len(tk) >= 2),
-          cb AS (SELECT g, CAST(COUNT(*) AS BIGINT) c_xy FROM bi
-                 GROUP BY g HAVING COUNT(*) >= 5),
-          nb AS (SELECT CAST(COUNT(*) AS BIGINT) n_bi FROM bi),
-          un AS (SELECT t, CAST(COUNT(*) AS BIGINT) c_t FROM tok GROUP BY t),
-          nu AS (SELECT CAST(COUNT(*) AS BIGINT) n_uni FROM tok),
-          j AS (SELECT cb.g, cb.c_xy, x.c_t c_x, y.c_t c_y
-                FROM cb JOIN un x ON x.t = split_part(cb.g, ' ', 1)
-                        JOIN un y ON y.t = split_part(cb.g, ' ', 2)),
-          sc AS (SELECT g AS bigram, c_xy, c_x, c_y,
-                   CAST(round(ln(c_xy) * 1000000, 0) AS BIGINT)
-                   - CAST(round(ln(n_bi) * 1000000, 0) AS BIGINT)
-                   - CAST(round(ln(c_x) * 1000000, 0) AS BIGINT)
-                   - CAST(round(ln(c_y) * 1000000, 0) AS BIGINT)
-                   + 2 * CAST(round(ln(n_uni) * 1000000, 0) AS BIGINT)
-                     AS pmi_e6
-                 FROM j, nb, nu)
-          SELECT bigram, c_xy, c_x, c_y, CAST(pmi_e6 AS BIGINT) pmi_e6
-          FROM sc ORDER BY pmi_e6 DESC, bigram LIMIT 25""",
-
-    // q19's replayed candidate set priced against UNCAPPED Jaccard
-    // truth; the threshold compares in the identical inter/union
-    // double-division form, and the ppm division is non-negative so
-    // trunc (Spark div) == floor (//) holds.
-    "q98_lsh_precision" ->
-      s"""WITH $tokCte, $shingleCte, $minhashPairCte,
-          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
-          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
-                 FROM mhp m JOIN sh a ON a.sid = m.a_id
-                            JOIN sh b ON b.sid = m.b_id
-                                     AND b.shingle = a.shingle
-                 GROUP BY m.a_id, m.b_id),
-          jc AS (SELECT m.a_id, m.b_id, COALESCE(it.inter, 0) inter,
-                   x.sz a_size, y.sz b_size
-                 FROM mhp m
-                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
-                 JOIN hsz x ON x.sid = m.a_id
-                 JOIN hsz y ON y.sid = m.b_id)
-          SELECT CAST(COUNT(*) AS BIGINT) n_pairs,
-                 CAST(SUM(CASE WHEN inter::DOUBLE /
-                     (a_size + b_size - inter) >= 0.35
-                   THEN 1 ELSE 0 END) AS BIGINT) n_true,
-                 CAST(SUM(CASE WHEN inter::DOUBLE /
-                     (a_size + b_size - inter) >= 0.35
-                   THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
-                   precision_ppm
-          FROM jc""",
-
-    // Band keys are per-doc, so the all-docs pair table restricted to
-    // (inc × lnd) / (inc × inc) slices replays exactly the Spark
-    // side's index probes; verification is the identical inter/union
-    // double form; batch clustering is q43's recursive walk over
-    // verified batch-only edges.
-    "q99_lsh_incremental" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
-          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
-                 FROM mhp m JOIN sh a ON a.sid = m.a_id
-                            JOIN sh b ON b.sid = m.b_id
-                                     AND b.shingle = a.shingle
-                 GROUP BY m.a_id, m.b_id),
-          vp AS (SELECT m.a_id, m.b_id
-                 FROM mhp m
-                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
-                 JOIN hsz x ON x.sid = m.a_id
-                 JOIN hsz y ON y.sid = m.b_id
-                 WHERE COALESCE(it.inter, 0)::DOUBLE /
-                       (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
-          ldup AS (SELECT DISTINCT i FROM (
-                     SELECT a_id i FROM vp
-                     WHERE a_id % 5 = 2 AND b_id % 5 != 2
-                     UNION ALL
-                     SELECT b_id FROM vp
-                     WHERE b_id % 5 = 2 AND a_id % 5 != 2) t),
-          be AS (SELECT a_id u, b_id v FROM vp
-                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
-                   AND a_id NOT IN (SELECT i FROM ldup)
-                   AND b_id NOT IN (SELECT i FROM ldup)
-                 UNION ALL
-                 SELECT b_id, a_id FROM vp
-                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
-                   AND a_id NOT IN (SELECT i FROM ldup)
-                   AND b_id NOT IN (SELECT i FROM ldup)),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            WHERE doc_id % 5 = 2 AND doc_id NOT IN (SELECT i FROM ldup)
-            UNION
-            SELECT w.u, be.v FROM walk w JOIN be ON be.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS lbl FROM walk GROUP BY u)
-          SELECT d.doc_id,
-                 CASE WHEN d.doc_id IN (SELECT i FROM ldup) THEN 'landed_dup'
-                      WHEN cl.lbl != d.doc_id THEN 'batch_dup'
-                      ELSE 'keep' END AS verdict
-          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
-          WHERE d.doc_id % 5 = 2
-          ORDER BY d.doc_id""",
-
-    // q43's walk + per-cluster fold: representatives (doc_id =
-    // cluster min) counted per cluster size.
-    "q100_cluster_size_histogram" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
-          sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) cluster_size
-                 FROM cl GROUP BY cluster_id)
-          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) n_clusters
-          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
-
-    // q18's capped truth table left-joined to q19's candidate set;
-    // both sides carry a<b ordering, so the pair join is direct.
-    "q101_lsh_recall" ->
-      s"""WITH $tokCte, $shingleCte, $minhashPairCte,
-          shf AS (SELECT sid, shingle FROM (
-                    SELECT sid, shingle,
-                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
-                  WHERE df <= 100),
-          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
-          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
-                FROM shf a JOIN shf b USING(shingle)
-                WHERE a.sid < b.sid GROUP BY 1, 2),
-          tr AS (SELECT p.a_id, p.b_id
-                 FROM p JOIN sz x ON x.sid = p.a_id
-                        JOIN sz y ON y.sid = p.b_id
-                 WHERE p.inter::DOUBLE / (x.sz + y.sz - p.inter) >= 0.35)
-          SELECT CAST(COUNT(*) AS BIGINT) n_true,
-                 CAST(SUM(CASE WHEN m.a_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) n_found,
-                 CAST(SUM(CASE WHEN m.a_id IS NOT NULL THEN 1 ELSE 0 END)
-                   * 1000000 // COUNT(*) AS BIGINT) recall_ppm
-          FROM tr LEFT JOIN mhp m ON m.a_id = tr.a_id AND m.b_id = tr.b_id""",
-
-    // The q88 fingerprint chain folded per source; NULL fingerprints
-    // excluded as across the exact family.
-    "q102_source_dup_rate" ->
-      """WITH fp AS (SELECT source,
-                       md5(trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                     FROM documents),
-          g AS (SELECT source, fp, COUNT(*) c FROM fp
-                WHERE fp IS NOT NULL GROUP BY source, fp)
-          SELECT source, CAST(SUM(c) AS BIGINT) n_docs,
-                 CAST(COUNT(*) AS BIGINT) n_distinct,
-                 CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
-                   dup_ppm
-          FROM g GROUP BY source ORDER BY source""",
-
-    // q33's winnow table + the q18-style hot-fingerprint cap, paired
-    // and floored at minShared = 3.
-    "q103_passage_overlap" ->
-      s"""WITH $tokCte,
-          sq AS (SELECT doc_id sid, u['pos'] AS pos, u['shingle'] AS shingle
-                 FROM (SELECT doc_id,
-                         unnest(list_transform(range(1, len(tk)-1),
-                           i -> struct_pack(pos := i,
-                                  shingle := array_to_string(tk[i:i+2], ' ')))) u
-                       FROM toks)),
-          h AS (SELECT sid, pos,
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT hh
-                FROM sq),
-          w AS (SELECT sid, pos,
-                  MIN(hh) OVER (PARTITION BY sid ORDER BY pos
-                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) mh
-                FROM h),
-          fps AS (SELECT DISTINCT sid, mh fp FROM w WHERE pos >= 4),
-          capped AS (SELECT sid, fp FROM (
-                       SELECT sid, fp, COUNT(*) OVER (PARTITION BY fp) df
-                       FROM fps) t
-                     WHERE df <= 100),
-          p AS (SELECT a.sid a_id, b.sid b_id,
-                  CAST(COUNT(*) AS BIGINT) shared_fps
-                FROM capped a JOIN capped b USING (fp)
-                WHERE a.sid < b.sid GROUP BY 1, 2)
-          SELECT a_id, b_id, shared_fps FROM p
-          WHERE shared_fps >= 3 ORDER BY a_id, b_id""",
-
-    // The ONE-SHOT full-corpus computation (q90's SQL): the Spark side
-    // folds two slice partials, so a hash match here IS the
-    // merge ≡ recompute proof.
-    "q104_mixture_merge" ->
-      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
-                        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                             AS BIGINT) n_tokens
-                      FROM documents GROUP BY source),
-          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total_tokens,
-                         CAST(COUNT(*) AS BIGINT) n_strata FROM per)
-          SELECT source, n_docs, n_tokens,
-                 CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total_tokens
-                      AS BIGINT) AS natural_share_e6,
-                 total_tokens // n_strata AS target_tokens,
-                 CAST(CAST(total_tokens // n_strata AS HUGEINT) * 1000000
-                      // n_tokens AS BIGINT) AS weight_e6
-          FROM per, tot ORDER BY source""",
-
-    // q51's chunk arithmetic folded per fingerprint; the >= 2
-    // distinct-doc filter is the boilerplate definition.
-    "q105_duplicate_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
-                    WHERE length(text) > 0),
-          g AS (SELECT doc_id, unnest(range(0, n, 400)) st, text FROM d),
-          c AS (SELECT doc_id,
-                  md5(substr(text, CAST(st + 1 AS INT), 500)) chunk_fp
-                FROM g),
-          a AS (SELECT chunk_fp,
-                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs,
-                  CAST(COUNT(*) AS BIGINT) n_occurrences
-                FROM c GROUP BY chunk_fp)
-          SELECT chunk_fp, n_docs, n_occurrences FROM a
-          WHERE n_docs >= 2
-          ORDER BY n_occurrences DESC, chunk_fp LIMIT 25""",
-
-    // hash60(doc_id) basis-point bands; the md5-derived hash is the
-    // cross-engine replay device used by every sampling face.
-    "q106_three_way_split" ->
-      """WITH h AS (SELECT source,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                        % 10000 hb
-                    FROM documents),
-          s AS (SELECT source,
-                  CASE WHEN hb < 8000 THEN 'train'
-                       WHEN hb < 9000 THEN 'val'
-                       ELSE 'test' END AS split
-                FROM h)
-          SELECT source, split, CAST(COUNT(*) AS BIGINT) n_docs
-          FROM s GROUP BY source, split ORDER BY source, split""",
-
-    // bucket = length of the integer's binary rendering = floor(log2)+1,
-    // exact on both engines (a float log would flip at powers of two).
-    "q107_token_length_histogram" ->
-      """WITH t AS (SELECT source,
-                      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n
-                    FROM documents),
-          b AS (SELECT source,
-                  CASE WHEN n <= 0 THEN 0
-                       ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket
-                FROM t)
-          SELECT source, bucket, CAST(COUNT(*) AS BIGINT) n_docs
-          FROM b GROUP BY source, bucket ORDER BY source, bucket""",
-
-    // exact = non-min id within a normalized-md5 fingerprint group
-    // (NULL fps excluded); near = non-min label in the q43 cluster
-    // walk; exact wins the tie, as on the Spark side.
-    "q108_dedup_verdicts" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          fp AS (SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                 FROM documents),
-          ex AS (SELECT doc_id FROM (
-                   SELECT doc_id,
-                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
-                   FROM fp WHERE fp IS NOT NULL) t
-                 WHERE doc_id != keep_id),
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u)
-          SELECT d.doc_id,
-                 CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
-                        THEN 'exact_dup'
-                      WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
-                      ELSE 'keep' END AS verdict
-          FROM documents d JOIN cl ON cl.doc_id = d.doc_id
-          ORDER BY d.doc_id""",
-
-    // k=8 gram cover marking: a token is excised iff some duplicated
-    // (count >= 2 corpus-wide) 8-gram's span contains it. Same 60-bit
-    // md5-prefix hash as the Spark side (q103's device); cleaned text
-    // re-joined in token order and md5'd — the hash IS the span proof.
-    "q109_substring_dedup" ->
-      s"""WITH $tokCte,
-          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk)+1),
-                          i -> struct_pack(pos := i, tok := tk[i]))) u
-                      FROM toks)),
-          g AS (SELECT doc_id, u['pos'] pos,
-                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk) - 6),
-                          i -> struct_pack(pos := i,
-                            gram := array_to_string(tk[i:i+7], ' ')))) u
-                      FROM toks)),
-          dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-          m AS (SELECT t.doc_id, t.pos, t.tok,
-                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
-                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
-                FROM t LEFT JOIN ds
-                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
-          p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
-                  CAST(SUM(cov) AS BIGINT) n_removed,
-                  md5(coalesce(string_agg(CASE WHEN cov = 0 THEN tok END,
-                    ' ' ORDER BY pos), '')) clean_md5
-                FROM m GROUP BY doc_id)
-          SELECT d.doc_id,
-                 coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-                 coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
-                 coalesce(clean_md5, md5('')) AS clean_md5
-          FROM documents d LEFT JOIN p USING (doc_id)
-          ORDER BY d.doc_id""",
-
-    // q22's banded sign-LSH + exact-cosine verification, side-tagged by
-    // slice (batch = vec_id%5=2), then q108's recursive reachability
-    // walk over verified BATCH pairs whose endpoints survived the
-    // landed screen — landed_dup beats batch_dup beats keep.
-    "q110_embed_incremental" ->
-      s"""WITH RECURSIVE
-          e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          bd AS ($duckBandedCte),
-          cand AS (SELECT DISTINCT a.sid a_id, b.sid b_id,
-                     CASE WHEN b.sid % 5 = 2 THEN 'batch'
-                          ELSE 'landed' END side
-                   FROM bd a JOIN bd b
-                     ON a.band = b.band AND a.bucket = b.bucket
-                   WHERE a.sid % 5 = 2
-                     AND (b.sid % 5 != 2 OR a.sid < b.sid)),
-          ver AS (SELECT a_id, b_id, side FROM (
-                    SELECT a_id, b_id, side,
-                           round(list_dot_product(x.v, y.v) /
-                                 (sqrt(list_dot_product(x.v, x.v)) *
-                                  sqrt(list_dot_product(y.v, y.v))), 4) cos
-                    FROM cand JOIN e x ON x.sid = a_id
-                              JOIN e y ON y.sid = b_id) t
-                  WHERE cos >= 0.3),
-          ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
-          bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
-                   AND a_id NOT IN (SELECT sid FROM ld)
-                   AND b_id NOT IN (SELECT sid FROM ld)),
-          ed AS (SELECT a_id u, b_id v FROM bp
-                 UNION ALL SELECT b_id, a_id FROM bp),
-          walk(u, r) AS (
-            SELECT sid, sid FROM e WHERE sid % 5 = 2
-            UNION
-            SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-          cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
-          SELECT cl.sid AS vec_id,
-                 CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
-                      WHEN cl.lbl != cl.sid THEN 'batch_dup'
-                      ELSE 'keep' END AS verdict
-          FROM cl
-          ORDER BY vec_id""",
-
-    // q109's cover arithmetic restricted to the batch slice, with the
-    // dup set = (batch grams with count >= 2) ∪ (landed grams) — the
-    // same 60-bit hash, window and re-join; landed tokens never enter
-    // the cover pass.
-    "q111_substring_incremental" ->
-      s"""WITH $tokCte,
-          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk)+1),
-                          i -> struct_pack(pos := i, tok := tk[i]))) u
-                      FROM toks WHERE doc_id % 4 = 1)),
-          g AS (SELECT doc_id, u['pos'] pos,
-                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk) - 6),
-                          i -> struct_pack(pos := i,
-                            gram := array_to_string(tk[i:i+7], ' ')))) u
-                      FROM toks)),
-          gb AS (SELECT * FROM g WHERE doc_id % 4 = 1),
-          dup AS (SELECT gh FROM gb GROUP BY gh HAVING COUNT(*) >= 2
-                  UNION
-                  SELECT DISTINCT gh FROM g WHERE doc_id % 4 != 1),
-          ds AS (SELECT doc_id, pos FROM gb JOIN dup USING (gh)),
-          m AS (SELECT t.doc_id, t.pos, t.tok,
-                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
-                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
-                FROM t LEFT JOIN ds
-                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
-          p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
-                  CAST(SUM(cov) AS BIGINT) n_removed,
-                  md5(coalesce(string_agg(CASE WHEN cov = 0 THEN tok END,
-                    ' ' ORDER BY pos), '')) clean_md5
-                FROM m GROUP BY doc_id)
-          SELECT d.doc_id,
-                 coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-                 coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
-                 coalesce(clean_md5, md5('')) AS clean_md5
-          FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
-          LEFT JOIN p USING (doc_id)
-          ORDER BY d.doc_id""",
-
-    // q109's cover arithmetic folded per source; ppm via HUGEINT
-    // (Spark side: DECIMAL(38,0)) so a huge source cannot wrap the
-    // BIGINT product.
-    "q112_substring_stats" ->
-      s"""WITH $tokCte,
-          t AS (SELECT doc_id, u['pos'] pos, u['tok'] tok
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk)+1),
-                          i -> struct_pack(pos := i, tok := tk[i]))) u
-                      FROM toks)),
-          g AS (SELECT doc_id, u['pos'] pos,
-                  ('0x' || substr(md5(u['gram']), 1, 15))::BIGINT gh
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(tk) - 6),
-                          i -> struct_pack(pos := i,
-                            gram := array_to_string(tk[i:i+7], ' ')))) u
-                      FROM toks)),
-          dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-          m AS (SELECT t.doc_id, t.pos,
-                  MAX(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY t.doc_id ORDER BY t.pos
-                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) cov
-                FROM t LEFT JOIN ds
-                  ON ds.doc_id = t.doc_id AND ds.pos = t.pos),
-          p AS (SELECT doc_id, COUNT(*) n_tok, SUM(cov) n_rem
-                FROM m GROUP BY doc_id),
-          j AS (SELECT d.source, d.doc_id,
-                  coalesce(n_tok, 0) n_tok, coalesce(n_rem, 0) n_rem
-                FROM documents d LEFT JOIN p USING (doc_id))
-          SELECT source,
-                 CAST(COUNT(*) AS BIGINT) n_docs,
-                 CAST(SUM(n_tok) AS BIGINT) n_tokens,
-                 CAST(SUM(n_rem) AS BIGINT) n_removed,
-                 CAST(SUM(CASE WHEN n_rem > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   n_docs_hit,
-                 CAST(CAST(SUM(n_rem) AS HUGEINT) * 1000000 // SUM(n_tok)
-                   AS BIGINT) removed_ppm
-          FROM j GROUP BY source ORDER BY source""",
-
-    "q113_bpe_merges" -> bpeOracle(8),
-
-    // q37's stride-centroid assignment (rounded-cosine argmax, ties to
-    // the lowest centroid id), within-cluster exact-cosine pairs at
-    // 0.3, then q110's recursive reachability walk over ALL vectors —
-    // min reachable id is the semantic cluster; its member keeps.
-    "q114_semantic_dedup" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
-         asn AS (SELECT sid, c_id FROM (
-                   SELECT e.sid, c.c_id,
-                          ROW_NUMBER() OVER (PARTITION BY e.sid
-                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                              (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                              DESC, c.c_id) rn
-                   FROM e, cent c) t WHERE rn = 1),
-         pr AS (SELECT a.sid a_id, b.sid b_id
-                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
-                WHERE round(list_dot_product(x.v, y.v) /
-                      (sqrt(list_dot_product(x.v, x.v)) *
-                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-         ed AS (SELECT a_id u, b_id v FROM pr
-                UNION ALL SELECT b_id, a_id FROM pr),
-         walk(u, r) AS (SELECT sid, sid FROM e
-                        UNION
-                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
-         SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
-         FROM cl ORDER BY vec_id""",
-
-    "q115_bpe_segment_stats" -> bpeApplyOracle(8),
-
-    // q108's exact/near lattice composed with the TWO-LEVEL semantic
-    // walk (q118's assignment, doc_id ≡ vec_id): exact > near >
-    // semantic > keep, the semantic branch firing only where the text
-    // evidence said keep.
-    "q116_unified_dedup_verdict" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          fp AS (SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                 FROM documents),
-          ex AS (SELECT doc_id FROM (
-                   SELECT doc_id,
-                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
-                   FROM fp WHERE fp IS NOT NULL) t
-                 WHERE doc_id != keep_id),
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
-          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
-          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
-          rtc AS (SELECT c_id, g_id FROM (
-                    SELECT c.c_id, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY c.c_id
-                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM centc c, crsc g) t WHERE rn = 1),
-          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
-                       SELECT g_id, c_id FROM rtc
-                       UNION ALL SELECT g_id, g_id FROM crsc)),
-          vgc AS (SELECT sid, g_id FROM (
-                    SELECT emb.sid, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM emb, crsc g) t WHERE rn = 1),
-          asn AS (SELECT sid, c_id FROM (
-                    SELECT emb.sid, cellsc.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, cellsc.c_id) rn
-                    FROM emb JOIN vgc ON vgc.sid = emb.sid
-                             JOIN cellsc ON cellsc.g_id = vgc.g_id
-                             JOIN centc c ON c.c_id = cellsc.c_id) t
-                  WHERE rn = 1),
-          spr AS (SELECT a.sid a_id, b.sid b_id
-                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
-                  WHERE round(list_dot_product(x.v, y.v) /
-                        (sqrt(list_dot_product(x.v, x.v)) *
-                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-          sed AS (SELECT a_id u, b_id v FROM spr
-                  UNION ALL SELECT b_id, a_id FROM spr),
-          swalk(u, r) AS (SELECT sid, sid FROM emb
-                          UNION
-                          SELECT w.u, sed.v FROM swalk w
-                          JOIN sed ON sed.u = w.r),
-          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u)
-          SELECT d.doc_id,
-                 CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
-                        THEN 'exact_dup'
-                      WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
-                      WHEN scl.lbl != scl.sid THEN 'semantic_dup'
-                      ELSE 'keep' END AS verdict
-          FROM documents d
-          JOIN cl ON cl.doc_id = d.doc_id
-          LEFT JOIN scl ON scl.sid = d.doc_id
-          ORDER BY d.doc_id""",
-
-    // q114's assignment restricted to LANDED centroids (every id ≡ 7
-    // mod 25 is ≡ 2 mod 5, so none is in the %5=3 batch), side-tagged
-    // cluster-mate candidates, exact-cosine verification at 0.3, then
-    // q110's recursive walk over verified batch pairs among survivors.
-    "q117_semantic_incremental" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-         cent AS (SELECT sid c_id, v c_vec FROM e
-                  WHERE sid % 25 = 7 AND sid % 5 != 3),
-         asn AS (SELECT sid, c_id FROM (
-                   SELECT e.sid, c.c_id,
-                          ROW_NUMBER() OVER (PARTITION BY e.sid
-                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                              (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                              DESC, c.c_id) rn
-                   FROM e, cent c) t WHERE rn = 1),
-         cand AS (SELECT a.sid a_id, b.sid b_id,
-                    CASE WHEN b.sid % 5 = 3 THEN 'batch'
-                         ELSE 'landed' END side
-                  FROM asn a JOIN asn b ON a.c_id = b.c_id
-                  WHERE a.sid % 5 = 3
-                    AND (b.sid % 5 != 3 OR a.sid < b.sid)),
-         ver AS (SELECT a_id, b_id, side FROM (
-                   SELECT a_id, b_id, side,
-                          round(list_dot_product(x.v, y.v) /
-                                (sqrt(list_dot_product(x.v, x.v)) *
-                                 sqrt(list_dot_product(y.v, y.v))), 4) cos
-                   FROM cand JOIN e x ON x.sid = a_id
-                             JOIN e y ON y.sid = b_id) t
-                 WHERE cos >= 0.3),
-         ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
-         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
-                  AND a_id NOT IN (SELECT sid FROM ld)
-                  AND b_id NOT IN (SELECT sid FROM ld)),
-         ed AS (SELECT a_id u, b_id v FROM bp
-                UNION ALL SELECT b_id, a_id FROM bp),
-         walk(u, r) AS (
-           SELECT sid, sid FROM e WHERE sid % 5 = 3
-           UNION
-           SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
-         SELECT cl.sid AS vec_id,
-                CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
-                     WHEN cl.lbl != cl.sid THEN 'batch_dup'
-                     ELSE 'keep' END AS verdict
-         FROM cl
-         ORDER BY vec_id""",
-
-    // q114's walk with the two-hop assignment replayed literally:
-    // fine→coarse routing (rt), cell lists with the coarse self row
-    // (cells), vector→coarse (vg), then cell-local argmax (asn).
-    "q118_semantic_dedup_2l" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
-         crs AS (SELECT sid g_id, v g_vec FROM e WHERE sid % 125 = 7),
-         rt AS (SELECT c_id, g_id FROM (
-                  SELECT c.c_id, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY c.c_id
-                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM cent c, crs g) t WHERE rn = 1),
-         cells AS (SELECT DISTINCT g_id, c_id FROM (
-                     SELECT g_id, c_id FROM rt
-                     UNION ALL SELECT g_id, g_id FROM crs)),
-         vg AS (SELECT sid, g_id FROM (
-                  SELECT e.sid, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY e.sid
-                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM e, crs g) t WHERE rn = 1),
-         asn AS (SELECT sid, c_id FROM (
-                   SELECT e.sid, cells.c_id,
-                          ROW_NUMBER() OVER (PARTITION BY e.sid
-                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                              (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                              DESC, cells.c_id) rn
-                   FROM e JOIN vg ON vg.sid = e.sid
-                          JOIN cells ON cells.g_id = vg.g_id
-                          JOIN cent c ON c.c_id = cells.c_id) t
-                 WHERE rn = 1),
-         pr AS (SELECT a.sid a_id, b.sid b_id
-                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
-                WHERE round(list_dot_product(x.v, y.v) /
-                      (sqrt(list_dot_product(x.v, x.v)) *
-                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-         ed AS (SELECT a_id u, b_id v FROM pr
-                UNION ALL SELECT b_id, a_id FROM pr),
-         walk(u, r) AS (SELECT sid, sid FROM e
-                        UNION
-                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
-         SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
-         FROM cl ORDER BY vec_id""",
-
-    // PQ encode (argmin shifted-L2 in e4 ints, ties low code id), ADC
-    // integer-sum scoring, exact-cosine rerank of the top-20 — every
-    // comparison an order-independent BIGINT, per the repo's
-    // engine-agnostic exactness conventions.
-    "q119_ann_topk_pq" ->
-      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          appr AS (SELECT q_id, sid, SUM(term) a
-                   FROM codes JOIN lut USING (j, code)
-                   WHERE sid != q_id GROUP BY q_id, sid),
-          short AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr) t
-                    WHERE cr <= 20),
-          scored AS (SELECT s.q_id, s.sid,
-                       round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM short s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id),
-          r AS (SELECT *, ROW_NUMBER() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
-                FROM scored)
-          SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // q116's dedup lattice + q94's gate + q89's perplexity decile,
-    // composed by doc id with first-rejecting-stage attribution, then
-    // one (source, stage) integer aggregate.
-    "q120_curation_funnel" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          fp AS (SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                 FROM documents),
-          ex AS (SELECT doc_id FROM (
-                   SELECT doc_id,
-                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
-                   FROM fp WHERE fp IS NOT NULL) t
-                 WHERE doc_id != keep_id),
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
-          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
-          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
-          rtc AS (SELECT c_id, g_id FROM (
-                    SELECT c.c_id, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY c.c_id
-                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM centc c, crsc g) t WHERE rn = 1),
-          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
-                       SELECT g_id, c_id FROM rtc
-                       UNION ALL SELECT g_id, g_id FROM crsc)),
-          vgc AS (SELECT sid, g_id FROM (
-                    SELECT emb.sid, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM emb, crsc g) t WHERE rn = 1),
-          asn AS (SELECT sid, c_id FROM (
-                    SELECT emb.sid, cellsc.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, cellsc.c_id) rn
-                    FROM emb JOIN vgc ON vgc.sid = emb.sid
-                             JOIN cellsc ON cellsc.g_id = vgc.g_id
-                             JOIN centc c ON c.c_id = cellsc.c_id) t
-                  WHERE rn = 1),
-          spr AS (SELECT a.sid a_id, b.sid b_id
-                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
-                  WHERE round(list_dot_product(x.v, y.v) /
-                        (sqrt(list_dot_product(x.v, x.v)) *
-                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-          sed AS (SELECT a_id u, b_id v FROM spr
-                  UNION ALL SELECT b_id, a_id FROM spr),
-          swalk(u, r) AS (SELECT sid, sid FROM emb
-                          UNION
-                          SELECT w.u, sed.v FROM swalk w
-                          JOIN sed ON sed.u = w.r),
-          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u),
-          f AS (SELECT doc_id,
-                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tok,
-                  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
-                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                    x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
-                  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) n_uniq
-                FROM documents),
-          g AS (SELECT doc_id, n_tok,
-                  (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
-                  (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
-                  (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
-                  (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
-                FROM f),
-          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
-          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
-          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
-                 FROM cab GROUP BY 1),
-          sc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                        AS BIGINT) lp
-                 FROM bg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a),
-          sco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
-                    CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) avg_logp
-                  FROM sc GROUP BY doc_id),
-          j AS (SELECT d.doc_id,
-                  row_number() OVER (PARTITION BY d.source
-                    ORDER BY s.avg_logp, d.doc_id) rn,
-                  COUNT(*) OVER (PARTITION BY d.source) cnt
-                FROM documents d JOIN sco s USING (doc_id)),
-          pf AS (SELECT doc_id,
-                   CASE WHEN rn * 10000 <= cnt * 1000 THEN 1 ELSE 0 END flagged
-                 FROM j),
-          sel AS (SELECT d.doc_id, d.source,
-                    CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
-                           THEN 'exact_dup'
-                         WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
-                         WHEN scl.lbl != scl.sid THEN 'semantic_dup'
-                         WHEN g.reasons != 0 THEN 'quality_fail'
-                         WHEN COALESCE(pf.flagged, 0) = 1 THEN 'ppl_cut'
-                         ELSE 'keep' END stage,
-                    g.n_tok
-                  FROM documents d
-                    JOIN cl ON cl.doc_id = d.doc_id
-                    LEFT JOIN scl ON scl.sid = d.doc_id
-                    JOIN g ON g.doc_id = d.doc_id
-                    LEFT JOIN pf ON pf.doc_id = d.doc_id)
-          SELECT source, stage, CAST(COUNT(*) AS BIGINT) n_docs,
-                 CAST(SUM(n_tok) AS BIGINT) n_tokens
-          FROM sel GROUP BY source, stage ORDER BY source, stage""",
-
-    // Hashed-unigram importance weights in the micro-unit-ln BIGINT
-    // device (order-independent integer sums), add-one smoothing over
-    // 1024 buckets, per-source top-20% by integer rank.
-    "q121_dsir_select" ->
-      """WITH tok AS (SELECT doc_id, source,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) token
-                      FROM documents),
-          tb AS (SELECT doc_id, source,
-                   ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
-                 FROM tok),
-          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw FROM tb GROUP BY b),
-          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_tgt FROM tb
-                  WHERE source = 'src0' GROUP BY b),
-          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_raw,
-                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
-                      n_tgt
-                  FROM tb),
-          sc AS (SELECT tb.doc_id, tb.source,
-                   CAST(round(ln(COALESCE(tgt.c_tgt, 0) + 1) * 1000000, 0)
-                        AS BIGINT)
-                   - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
-                   - CAST(round(ln(raw.c_raw + 1) * 1000000, 0) AS BIGINT)
-                   + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
-                     AS lp
-                 FROM tb JOIN raw USING (b) LEFT JOIN tgt USING (b), tot),
-          sco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) n_feat,
-                    CAST(SUM(lp) AS BIGINT) logw_e6
-                  FROM sc GROUP BY doc_id, source),
-          j AS (SELECT doc_id, source, n_feat, logw_e6,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY logw_e6 DESC, doc_id) rn,
-                  COUNT(*) OVER (PARTITION BY source) cnt
-                FROM sco)
-          SELECT doc_id, source, n_feat, logw_e6,
-                 CAST(CASE WHEN rn * 10000 <= cnt * 2000 THEN 1 ELSE 0 END
-                      AS BIGINT) selected
-          FROM j ORDER BY doc_id""",
-
-    // q117's verdict walk with q118's two-hop assignment replayed for
-    // every vector against the LANDED codebook (fine ≡7 mod 25, coarse
-    // ≡7 mod 125 — all landed: 7 mod 5 = 2).
-    "q122_semantic_inc_2l" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-         cent AS (SELECT sid c_id, v c_vec FROM e
-                  WHERE sid % 25 = 7 AND sid % 5 != 3),
-         crs AS (SELECT sid g_id, v g_vec FROM e
-                 WHERE sid % 125 = 7 AND sid % 5 != 3),
-         rt AS (SELECT c_id, g_id FROM (
-                  SELECT c.c_id, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY c.c_id
-                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM cent c, crs g) t WHERE rn = 1),
-         cells AS (SELECT DISTINCT g_id, c_id FROM (
-                     SELECT g_id, c_id FROM rt
-                     UNION ALL SELECT g_id, g_id FROM crs)),
-         vg AS (SELECT sid, g_id FROM (
-                  SELECT e.sid, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY e.sid
-                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM e, crs g) t WHERE rn = 1),
-         asn AS (SELECT sid, c_id FROM (
-                   SELECT e.sid, cells.c_id,
-                          ROW_NUMBER() OVER (PARTITION BY e.sid
-                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                              (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                              DESC, cells.c_id) rn
-                   FROM e JOIN vg ON vg.sid = e.sid
-                          JOIN cells ON cells.g_id = vg.g_id
-                          JOIN cent c ON c.c_id = cells.c_id) t
-                 WHERE rn = 1),
-         cand AS (SELECT a.sid a_id, b.sid b_id,
-                    CASE WHEN b.sid % 5 = 3 THEN 'batch'
-                         ELSE 'landed' END side
-                  FROM asn a JOIN asn b ON a.c_id = b.c_id
-                  WHERE a.sid % 5 = 3
-                    AND (b.sid % 5 != 3 OR a.sid < b.sid)),
-         ver AS (SELECT a_id, b_id, side FROM (
-                   SELECT a_id, b_id, side,
-                          round(list_dot_product(x.v, y.v) /
-                                (sqrt(list_dot_product(x.v, x.v)) *
-                                 sqrt(list_dot_product(y.v, y.v))), 4) cos
-                   FROM cand JOIN e x ON x.sid = a_id
-                             JOIN e y ON y.sid = b_id) t
-                 WHERE cos >= 0.3),
-         ld AS (SELECT DISTINCT a_id sid FROM ver WHERE side = 'landed'),
-         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
-                  AND a_id NOT IN (SELECT sid FROM ld)
-                  AND b_id NOT IN (SELECT sid FROM ld)),
-         ed AS (SELECT a_id u, b_id v FROM bp
-                UNION ALL SELECT b_id, a_id FROM bp),
-         walk(u, r) AS (
-           SELECT sid, sid FROM e WHERE sid % 5 = 3
-           UNION
-           SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u AS sid, MIN(r) AS lbl FROM walk GROUP BY u)
-         SELECT cl.sid AS vec_id,
-                CASE WHEN cl.sid IN (SELECT sid FROM ld) THEN 'landed_dup'
-                     WHEN cl.lbl != cl.sid THEN 'batch_dup'
-                     ELSE 'keep' END AS verdict
-         FROM cl
-         ORDER BY vec_id""",
-
-    "q123_quality_classifier" -> qcOracle(3),
-    // the one-shot replay IS the oracle: folding per-slice gradient
-    // partials must land on the identical weight trajectory
-    "q138_qc_merge" -> qcOracle(3),
-
-    "q141_pagerank" -> pageRankOracle(5, 8500),
-
-    "q142_compaction_plan" ->
-      """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) sz,
-                      CAST(SUM(CAST(n_chars AS BIGINT)) OVER
-                        (PARTITION BY source ORDER BY doc_id)
-                        AS BIGINT) cum
-                    FROM documents)
-         SELECT source, CAST((cum - sz) // 20000 AS BIGINT) AS bin,
-                CAST(COUNT(*) AS BIGINT) AS n_items,
-                CAST(SUM(sz) AS BIGINT) AS size_units,
-                MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
-         FROM c GROUP BY source, bin ORDER BY source, bin""",
-
-    "q143_skew_plan" ->
-      """WITH c AS (SELECT event_type AS grp_key,
-                      CAST(COUNT(*) AS BIGINT) n
-                    FROM events GROUP BY event_type),
-          t AS (SELECT CAST(SUM(n) AS BIGINT) total FROM c)
-         SELECT grp_key, n, CAST((n + 499) // 500 AS BIGINT) AS salt,
-                CAST(n * 1000000 // total AS BIGINT) AS share_ppm
-         FROM c, t WHERE (n + 499) // 500 > 1 ORDER BY grp_key""",
-
-    // the apply face re-aggregates the COMPACTED tree; the oracle reads
-    // the ORIGINAL table + replays the bin arithmetic — a hash match is
-    // simultaneously the answer-invariance proof and the plan check
-    "q144_compaction_apply" ->
-      """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) sz,
-                      CAST(SUM(CAST(n_chars AS BIGINT)) OVER
-                        (PARTITION BY source ORDER BY doc_id)
-                        AS BIGINT) cum
-                    FROM documents)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(sz) AS BIGINT) AS total_chars,
-                CAST(COUNT(DISTINCT (cum - sz) // 20000) AS BIGINT)
-                  AS n_bins
-         FROM c GROUP BY source ORDER BY source""",
-
-    "q145_ivfpq_recall" ->
-      ivfPqRecallOracle(Seq((1, 4), (2, 4), (4, 4), (2, 1)), 5),
-
-    "q146_power_iteration" -> powerIterOracle(3, project = false),
-
-    "q147_pca_project" -> powerIterOracle(3, project = true),
-
-    // one-shot HLL registers over the whole corpus (max absorbs both
-    // duplicates and the slice fold); the estimate's harmonic
-    // denominator is the exact integer Σ 2^(55−ρ), so the only doubles
-    // are one identically-associated expression per engine
-    "q139_hll_merge" ->
-      """WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT h
-                    FROM documents),
-        reg0 AS (SELECT h % 64 AS bucket, h // 64 AS r FROM h),
-        reg AS (SELECT CAST(bucket AS BIGINT) AS bucket,
-                  CAST(MAX(CASE WHEN r = 0 THEN 55
-                    ELSE CAST(bit_count(CAST((r & (-r)) - 1 AS BIGINT))
-                      AS BIGINT) + 1 END) AS BIGINT) AS rho
-                FROM reg0 GROUP BY bucket),
-        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-                  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rho AS INT))
-                    AS BIGINT) AS sp
-                FROM reg),
-        sden AS (SELECT cnt,
-                   sp + CAST(64 - cnt AS BIGINT) * 36028797018963968 AS s
-                 FROM agg),
-        e AS (SELECT CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE
-                     * 36028797018963968.0::DOUBLE / CAST(s AS DOUBLE))
-                       <= 160.0 AND cnt < 64
-                THEN CAST(64 AS BIGINT) *
-                  CAST(round(ln(64.0::DOUBLE / CAST(64 - cnt AS DOUBLE))
-                    * 1000000) AS BIGINT)
-                ELSE CAST(round((0.709::DOUBLE * 4096.0::DOUBLE
-                  * 36028797018963968.0::DOUBLE / CAST(s AS DOUBLE))
-                  * 1000000) AS BIGINT) END AS est_e6
-              FROM sden)
-        SELECT reg.bucket, reg.rho, e.est_e6 FROM reg, e
-        ORDER BY bucket""",
-
-    // folding histogram partials must reproduce the one-shot rank
-    // selection — q45's oracle verbatim
-    "q140_quantile_merge" ->
-      """WITH s AS (SELECT source, n_chars, doc_id,
-                      row_number() OVER
-                        (PARTITION BY source ORDER BY n_chars, doc_id) rn,
-                      COUNT(*) OVER (PARTITION BY source) cnt
-                    FROM documents),
-          p AS (SELECT unnest([5000, 9000, 9900]) bp)
-          SELECT source, CAST(bp AS DOUBLE) / 10000.0 AS pct,
-                 n_chars AS value
-          FROM s, p WHERE rn = (bp * cnt + 9999) // 10000
-          ORDER BY source, pct""",
-
-    // q25's FNV/LCG stub-codec replay (HUGEINT mod-2^64) extended to 60
-    // feature steps, then fingerprint (k·60 > Σk mean-threshold bits,
-    // 15-bit bands), band-bucket candidates, exact hamming via
-    // bit_count(xor), and the q43-style recursive walk.
-    "q124_image_neardup" ->
-      """WITH RECURSIVE hx AS (
-           SELECT doc_id, lower(hex(encode(text))) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE doc_id % 3 = 0),
-         fnv AS (
-           SELECT doc_id, h, len, 0 AS i,
-                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
-           UNION ALL
-           SELECT doc_id, h, len, i + 1,
-                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
-                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
-                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
-           FROM fnv WHERE i < len),
-         lcg AS (
-           SELECT doc_id, 0 AS j, acc AS s FROM fnv WHERE i = len
-           UNION ALL
-           SELECT doc_id, j + 1,
-                  (s * 6364136223846793005 + 1442695040888963407)
-                    % CAST(18446744073709551616 AS HUGEINT)
-           FROM lcg WHERE j < 60),
-         kk AS (SELECT doc_id, j - 1 AS pos,
-                  CAST((s // CAST(1099511627776 AS HUGEINT)) % 1000
-                    AS BIGINT) k
-                FROM lcg WHERE j >= 1),
-         tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) ksum
-                 FROM kk GROUP BY doc_id),
-         bits AS (SELECT kk.doc_id, pos,
-                    CASE WHEN k * 60 > ksum THEN 1 ELSE 0 END bt
-                  FROM kk JOIN tot USING (doc_id)),
-         bnd AS (SELECT doc_id, CAST(pos // 15 AS INT) band,
-                   CAST(SUM(bt * (CAST(1 AS BIGINT) << CAST(pos % 15 AS INT)))
-                     AS BIGINT) bval
-                 FROM bits GROUP BY doc_id, pos // 15),
-         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bval = b.bval
-                       AND a.doc_id < b.doc_id),
-         ham AS (SELECT c.a_id, c.b_id,
-                   CAST(SUM(bit_count(xor(x.bval, y.bval))) AS BIGINT) hm
-                 FROM cand c JOIN bnd x ON x.doc_id = c.a_id
-                   JOIN bnd y ON y.doc_id = c.b_id AND y.band = x.band
-                 GROUP BY c.a_id, c.b_id),
-         pr AS (SELECT a_id, b_id FROM ham WHERE hm <= 6),
-         ed AS (SELECT a_id u, b_id v FROM pr
-                UNION ALL SELECT b_id, a_id FROM pr),
-         walk(u, r) AS (SELECT doc_id, doc_id FROM hx
-                        UNION
-                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u doc_id, MIN(r) lbl FROM walk GROUP BY u)
-         SELECT doc_id AS media_id, lbl AS img_cluster,
-                doc_id = lbl AS keep
-         FROM cl ORDER BY media_id""",
-
-    // Landed distributions + landed per-source top-20% thresholds
-    // (θ = min selected landed weight), batch scored with left-joined
-    // counts (unseen buckets contribute lnq(1)=0); batch strata with
-    // no landed threshold select nothing.
-    "q125_dsir_incremental" ->
-      """WITH tl AS (SELECT doc_id, source,
-                       unnest(regexp_split_to_array(trim(text), '\s+')) token
-                     FROM documents WHERE doc_id % 4 != 2),
-          tbl AS (SELECT doc_id, source,
-                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
-                  FROM tl),
-          cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw,
-                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
-                      c_tgt
-                  FROM tbl GROUP BY b),
-          tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) n_raw,
-                    CAST(SUM(c_tgt) AS BIGINT) n_tgt FROM cnt),
-          lsc AS (SELECT tbl.doc_id, tbl.source,
-                    CAST(round(ln(cnt.c_tgt + 1) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(cnt.c_raw + 1) * 1000000, 0) AS BIGINT)
-                    + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
-                      lp
-                  FROM tbl JOIN cnt USING (b), tot),
-          lsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
-                   FROM lsc GROUP BY doc_id, source),
-          lj AS (SELECT source, logw_e6,
-                   row_number() OVER (PARTITION BY source
-                     ORDER BY logw_e6 DESC, doc_id) rn,
-                   COUNT(*) OVER (PARTITION BY source) cnt2
-                 FROM lsco),
-          th AS (SELECT source, CAST(MIN(logw_e6) AS BIGINT) logw_cut
-                 FROM lj WHERE rn * 10000 <= cnt2 * 2000 GROUP BY source),
-          tbb AS (SELECT doc_id, source,
-                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
-                  FROM (SELECT doc_id, source,
-                          unnest(regexp_split_to_array(trim(text), '\s+'))
-                            token
-                        FROM documents WHERE doc_id % 4 = 2) t),
-          bsc AS (SELECT tbb.doc_id, tbb.source,
-                    CAST(round(ln(COALESCE(cnt.c_tgt, 0) + 1) * 1000000, 0)
-                         AS BIGINT)
-                    - CAST(round(ln(tot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(COALESCE(cnt.c_raw, 0) + 1) * 1000000, 0)
-                           AS BIGINT)
-                    + CAST(round(ln(tot.n_raw + 1024) * 1000000, 0) AS BIGINT)
-                      lp
-                  FROM tbb LEFT JOIN cnt USING (b), tot),
-          bsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) n_feat,
-                     CAST(SUM(lp) AS BIGINT) logw_e6
-                   FROM bsc GROUP BY doc_id, source)
-          SELECT b.doc_id, b.source, b.n_feat, b.logw_e6,
-                 CAST(CASE WHEN th.logw_cut IS NOT NULL
-                             AND b.logw_e6 >= th.logw_cut
-                           THEN 1 ELSE 0 END AS BIGINT) selected
-          FROM bsco b LEFT JOIN th USING (source)
-          ORDER BY doc_id""",
-
-    // KN with D=3/4 as exact integers: per-token
-    // lnq((max(4c(ab)-3,0))·N + 3·N1+(a·)·N1+(·b)) − lnq(4·c(a)·N),
-    // HUGEINT products (the Spark side widens to DECIMAL(38,0)).
-    "q126_kneser_ney" ->
-      s"""WITH $tokCte,
-          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
-          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
-          ca AS (SELECT split_part(g, ' ', 1) a,
-                   CAST(SUM(n_ab) AS BIGINT) n_a,
-                   CAST(COUNT(*) AS BIGINT) fert_a
-                 FROM cab GROUP BY 1),
-          cb AS (SELECT split_part(g, ' ', 2) b,
-                   CAST(COUNT(*) AS BIGINT) cont_b
-                 FROM cab GROUP BY 1),
-          nn AS (SELECT CAST(COUNT(*) AS BIGINT) nn FROM cab),
-          sc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(greatest(4*cab.n_ab - 3, 0) AS HUGEINT)
-                                   * nn.nn
-                                 + CAST(3 AS HUGEINT) * ca.fert_a * cb.cont_b)
-                              * 1000000, 0) AS BIGINT)
-                   - CAST(round(ln(CAST(4 AS HUGEINT) * ca.n_a * nn.nn)
-                                * 1000000, 0) AS BIGINT) lp
-                 FROM bg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = ca.a
-                   JOIN cb ON split_part(g, ' ', 2) = cb.b, nn)
-          SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
-                 CAST(SUM(lp) AS BIGINT) sum_knlogp_e6
-          FROM sc GROUP BY doc_id ORDER BY doc_id""",
-
-    // q18's inverted-index join, directed (both orders), integer
-    // cross-multiplied containment threshold, one IEEE division out.
-    "q127_containment_pairs" ->
-      s"""WITH $tokCte, $shingleCte,
-          shf AS (SELECT sid, shingle FROM (
-                    SELECT sid, shingle,
-                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
-                  WHERE df <= 100),
-          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
-          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
-                FROM shf a JOIN shf b USING(shingle)
-                WHERE a.sid != b.sid GROUP BY 1, 2)
-          SELECT a_id, b_id, inter, x.sz a_size, y.sz b_size,
-                 round(inter::DOUBLE / x.sz, 6) AS containment
-          FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
-          WHERE inter * 10000 >= x.sz * 8000
-          ORDER BY a_id, b_id""",
-
-    // Distinct landed shingles (the %5!=2 slice) LEFT-probed by the
-    // batch's per-doc distinct shingles; integer cross-multiplied flag.
-    "q128_landed_containment" ->
-      """WITH lt AS (SELECT regexp_split_to_array(trim(text), '\s+') tk
-                     FROM documents WHERE doc_id % 5 != 2),
-          lsh AS (SELECT DISTINCT unnest(list_transform(
-                    range(1, len(tk) - 1),
-                    i -> array_to_string(tk[i:i+2], ' '))) shingle
-                  FROM lt),
-          bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-                 FROM documents WHERE doc_id % 5 = 2),
-          bsh AS (SELECT DISTINCT doc_id sid, shingle FROM (
-                    SELECT doc_id, unnest(list_transform(
-                      range(1, len(tk) - 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) shingle
-                    FROM bt)),
-          j AS (SELECT b.sid, COUNT(*) n_shingles,
-                  COUNT(l.shingle) n_landed
-                FROM bsh b LEFT JOIN lsh l USING (shingle)
-                GROUP BY b.sid)
-          SELECT sid doc_id, CAST(n_shingles AS BIGINT) n_shingles,
-                 CAST(n_landed AS BIGINT) n_landed,
-                 CAST(CASE WHEN n_landed * 10000 >= n_shingles * 8000
-                           THEN 1 ELSE 0 END AS BIGINT) contained
-          FROM j ORDER BY doc_id""",
-
-    // The q83/q99/q122(offset 8, the TWO-LEVEL assignment)/q128/q125
-    // oracle chains composed on one slice with first-rejecting-stage
-    // precedence — each fragment is an already-verified oracle, only
-    // the slice and CTE names change.
-    "q129_ingest_gate" -> ingestGateOracle(full = false),
-
-    // q124's FNV/LCG stub-codec fingerprint replay with the q110
-    // verdict lattice: candidates only where the a-side is the batch
-    // (%5==2), side from the b-row's slice, landed_dup absorbing
-    // before any within-batch evidence, recursive walk over verified
-    // batch pairs among survivors.
-    "q130_image_neardup_incremental" ->
-      """WITH RECURSIVE hx AS (
-           SELECT doc_id, lower(hex(encode(text))) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE doc_id % 3 = 0),
-         fnv AS (
-           SELECT doc_id, h, len, 0 AS i,
-                  CAST(14695981039346656037 AS HUGEINT) AS acc FROM hx
-           UNION ALL
-           SELECT doc_id, h, len, i + 1,
-                  (xor(acc, CAST((strpos('0123456789abcdef', substr(h, i*2+1, 1)) - 1) * 16
-                              + strpos('0123456789abcdef', substr(h, i*2+2, 1)) - 1 AS HUGEINT))
-                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
-           FROM fnv WHERE i < len),
-         lcg AS (
-           SELECT doc_id, 0 AS j, acc AS s FROM fnv WHERE i = len
-           UNION ALL
-           SELECT doc_id, j + 1,
-                  (s * 6364136223846793005 + 1442695040888963407)
-                    % CAST(18446744073709551616 AS HUGEINT)
-           FROM lcg WHERE j < 60),
-         kk AS (SELECT doc_id, j - 1 AS pos,
-                  CAST((s // CAST(1099511627776 AS HUGEINT)) % 1000
-                    AS BIGINT) k
-                FROM lcg WHERE j >= 1),
-         tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) ksum
-                 FROM kk GROUP BY doc_id),
-         bits AS (SELECT kk.doc_id, pos,
-                    CASE WHEN k * 60 > ksum THEN 1 ELSE 0 END bt
-                  FROM kk JOIN tot USING (doc_id)),
-         bnd AS (SELECT doc_id, CAST(pos // 15 AS INT) band,
-                   CAST(SUM(bt * (CAST(1 AS BIGINT) << CAST(pos % 15 AS INT)))
-                     AS BIGINT) bval
-                 FROM bits GROUP BY doc_id, pos // 15),
-         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
-                    CASE WHEN b.doc_id % 5 = 2 THEN 'batch'
-                         ELSE 'landed' END side
-                  FROM bnd a JOIN bnd b
-                    ON a.band = b.band AND a.bval = b.bval
-                  WHERE a.doc_id % 5 = 2
-                    AND (b.doc_id % 5 != 2 OR a.doc_id < b.doc_id)),
-         ham AS (SELECT c.a_id, c.b_id, c.side,
-                   CAST(SUM(bit_count(xor(x.bval, y.bval))) AS BIGINT) hm
-                 FROM cand c JOIN bnd x ON x.doc_id = c.a_id
-                   JOIN bnd y ON y.doc_id = c.b_id AND y.band = x.band
-                 GROUP BY c.a_id, c.b_id, c.side),
-         ver AS (SELECT a_id, b_id, side FROM ham WHERE hm <= 6),
-         ld AS (SELECT DISTINCT a_id i FROM ver WHERE side = 'landed'),
-         bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
-                  AND a_id NOT IN (SELECT i FROM ld)
-                  AND b_id NOT IN (SELECT i FROM ld)),
-         ed AS (SELECT a_id u, b_id v FROM bp
-                UNION ALL SELECT b_id, a_id FROM bp),
-         walk(u, r) AS (SELECT doc_id, doc_id FROM hx WHERE doc_id % 5 = 2
-                        UNION
-                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u doc_id, MIN(r) lbl FROM walk GROUP BY u)
-         SELECT doc_id AS media_id,
-                CASE WHEN doc_id IN (SELECT i FROM ld) THEN 'landed_dup'
-                     WHEN lbl != doc_id THEN 'batch_dup'
-                     ELSE 'keep' END AS verdict
-         FROM cl ORDER BY media_id""",
-
-    // Landed bigram LM + landed per-source boundary ratio (the last
-    // flagged landed doc's exact integer (sum, nb) pair), batch
-    // scored over LM-known bigrams only, flag by integer
-    // cross-multiplication — every comparison engine-exact.
-    "q131_ppl_incremental" ->
-      """WITH lbg AS (SELECT doc_id, source, unnest(list_transform(
-                  range(1, len(tk)),
-                  i -> array_to_string(tk[i:i+1], ' '))) g
-                FROM (SELECT doc_id, source,
-                        regexp_split_to_array(trim(text), '\s+') tk
-                      FROM documents WHERE doc_id % 5 != 2) t),
-         cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM lbg
-                 GROUP BY g),
-         ca AS (SELECT split_part(g, ' ', 1) a,
-                  CAST(SUM(n_ab) AS BIGINT) n_a
-                FROM cab GROUP BY 1),
-         lsc AS (SELECT doc_id, source,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                     AS BIGINT) lp
-                 FROM lbg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a),
-         lsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
-                    CAST(SUM(lp) AS BIGINT) se
-                  FROM lsc GROUP BY doc_id, source),
-         lj AS (SELECT doc_id, source, nb, se,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY se / 1000000.0 / nb, doc_id) rn,
-                  COUNT(*) OVER (PARTITION BY source) cnt
-                FROM lsco),
-         th AS (SELECT source, se th_sum, nb th_nb FROM (
-                  SELECT source, se, nb,
-                         ROW_NUMBER() OVER (PARTITION BY source
-                           ORDER BY rn DESC) r2
-                  FROM lj WHERE rn * 10000 <= cnt * 1000) t
-                WHERE r2 = 1),
-         bd AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 2),
-         bbg AS (SELECT doc_id, unnest(list_transform(
-                   range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g
-                 FROM (SELECT doc_id,
-                         regexp_split_to_array(trim(text), '\s+') tk
-                       FROM documents WHERE doc_id % 5 = 2) t),
-         bsc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                     AS BIGINT) lp
-                 FROM bbg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a),
-         bsco AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nb,
-                    CAST(SUM(lp) AS BIGINT) se
-                  FROM bsc GROUP BY doc_id)
-         SELECT bd.doc_id, bd.source,
-                COALESCE(s.nb, 0) AS n_bigrams,
-                COALESCE(s.se, 0) AS sum_logp_e6,
-                CAST(CASE WHEN th.th_sum IS NOT NULL AND s.se IS NOT NULL
-                            AND s.se * th.th_nb <= th.th_sum * s.nb
-                          THEN 1 ELSE 0 END AS BIGINT) AS flagged
-         FROM bd LEFT JOIN bsco s USING (doc_id)
-           LEFT JOIN th ON bd.source IS NOT DISTINCT FROM th.source
-         ORDER BY bd.doc_id""",
-
-    "q132_ingest_gate_full" -> ingestGateOracle(full = true),
-
-    // q119's PQ replay composed with IVF routing: corpus assignment
-    // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
-    // restricted to probed cells, exact-cosine rerank.
-    "q133_ann_ivf_pq" ->
-      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
-          asnv AS (SELECT sid, c_id FROM (
-                     SELECT e.sid, c.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY e.sid
-                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                                (sqrt(list_dot_product(e.v, e.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM e, crs c) t WHERE rn = 1),
-          prb AS (SELECT q_id, c_id FROM (
-                    SELECT q.q_id, c.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY q.q_id
-                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
-                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM qq q, crs c) t WHERE rn <= 3),
-          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
-                  WHERE a.sid != p.q_id),
-          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
-                   FROM cnd c JOIN codes co ON co.sid = c.sid
-                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
-                                AND l.code = co.code
-                   GROUP BY c.q_id, c.sid),
-          short AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr) t
-                    WHERE cr <= 20),
-          scored AS (SELECT s.q_id, s.sid,
-                       round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM short s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id),
-          r AS (SELECT *, ROW_NUMBER() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
-                FROM scored)
-          SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
-
-    // The ONE-SHOT TF-IDF (q50's SQL with q50's rank aliased rnk):
-    // the merged-partials path must reproduce it bit-for-bit.
-    "q137_tfidf_merge" ->
-      """WITH tok AS (SELECT doc_id,
-                        unnest(regexp_split_to_array(trim(text), '\s+')) token
-                      FROM documents),
-          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
-                 FROM tok GROUP BY doc_id, token),
-          n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) n FROM documents),
-          dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY token),
-          sc AS (SELECT doc_id, t.token, t.tf, dfr.df,
-                   t.tf * CAST(round(ln(n.n / dfr.df) * 1000000, 0) AS BIGINT)
-                     AS score_e6
-                 FROM tf t JOIN dfr USING (token), n),
-          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                  ORDER BY score_e6 DESC, token) rnk FROM sc)
-          SELECT doc_id, rnk, token, tf, df, score_e6 FROM r
-          WHERE rnk <= 5 ORDER BY doc_id, rnk""",
-
-    // The ONE-SHOT sketch (q87's SQL verbatim): the merged-cells path
-    // must reproduce it bit-for-bit.
-    "q136_cms_merge" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-                      FROM documents),
-          cells AS (SELECT r,
-                      ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
-                        % 256 AS b,
-                      CAST(COUNT(*) AS BIGINT) AS c
-                    FROM tok CROSS JOIN range(4) t(r) GROUP BY 1, 2),
-          top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
-                  GROUP BY token ORDER BY freq DESC, token LIMIT 25),
-          probes AS (SELECT token, freq, r,
-                       ('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 15))::BIGINT
-                         % 256 AS b
-                     FROM top CROSS JOIN range(4) t(r)),
-          e AS (SELECT token, MIN(freq) AS freq, MIN(c) AS est
-                FROM probes JOIN cells USING (r, b) GROUP BY token)
-          SELECT token, freq, est,
-                 CAST(CASE WHEN est >= freq THEN 1 ELSE 0 END AS BIGINT) AS ok
-          FROM e ORDER BY freq DESC, token""",
-
-    // The ONE-SHOT corpus LM scorer (q55's SQL verbatim): the merged-
-    // partials path must reproduce it bit-for-bit.
-    "q135_lm_merge" ->
-      s"""WITH $tokCte,
-          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
-          cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
-          ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
-                 FROM cab GROUP BY 1),
-          sc AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                        AS BIGINT) lp
-                 FROM bg JOIN cab USING (g)
-                   JOIN ca ON split_part(g, ' ', 1) = a)
-          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                 CAST(SUM(lp) AS BIGINT) AS sum_logp_e6,
-                 CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_logp
-          FROM sc GROUP BY doc_id ORDER BY doc_id""",
-
-    // Landed-trained merge rounds (the q113 CTE chain restricted to
-    // the %5!=2 slice), then every BATCH word segmented FROM
-    // CHARACTERS through the 8 merges in learned order — unseen batch
-    // words segment too, matching the Spark face.
-    "q134_bpe_incremental" -> {
-      val batchSeg = (1 to 8).map { i =>
-        s"""
-      b$i AS (SELECT source, word,
-                replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
-                  ' ' || m.lhs || m.rhs || ' ') seg
-              FROM b${i - 1}, m$i m)"""
-      }.mkString(",")
-      s"""WITH ${ingestBpeCtes},
-      bw AS (SELECT source, w word FROM (
-               SELECT source,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) w
-               FROM documents WHERE doc_id % 5 = 2) t
-             WHERE regexp_matches(w, '^[a-z0-9]+$$')),
-      b0 AS (SELECT source, word,
-               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
-             FROM bw),$batchSeg
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) n_words,
-             CAST(SUM(len(regexp_split_to_array(trim(seg), ' '))) AS BIGINT)
-               n_subwords,
-             CAST(SUM(len(word) + 1) AS BIGINT) n_symbols0,
-             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
-               AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
-               subwords_per_mword,
-             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
-               AS HUGEINT) * 1000000 // SUM(len(word) + 1) AS BIGINT)
-               compression_ppm
-      FROM b8 GROUP BY source ORDER BY source"""
-    })
-
-  /** The ingest-gate oracle family: q129's precedence lattice, and —
-    * with `full` — q132's, which adds the quality (q94 fragment) and
-    * landed-LM perplexity (q131 fragment) stages between `contained`
-    * and `not_selected`. Every stage's evidence is recomputed
-    * independently in the oracle, as across the gate family. */
-  private def ingestGateOracle(full: Boolean): String = {
-    val extraCtes = if (!full) "" else s"""
-          qf AS (SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tok,
-                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
-                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                     x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
-                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) n_uniq
-                 FROM documents WHERE doc_id % 5 = 2),
-          qg AS (SELECT doc_id,
-                   (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
-                   (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
-                   (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
-                   (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) AS reasons
-                 FROM qf),
-          plbg AS (SELECT doc_id, source, unnest(list_transform(
-                     range(1, len(tk)),
-                     i -> array_to_string(tk[i:i+1], ' '))) g
-                   FROM (SELECT doc_id, source,
-                           regexp_split_to_array(trim(text), '\\s+') tk
-                         FROM documents WHERE doc_id % 5 != 2) t),
-          pcab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM plbg
-                   GROUP BY g),
-          pca AS (SELECT split_part(g, ' ', 1) a,
-                    CAST(SUM(n_ab) AS BIGINT) n_a
-                  FROM pcab GROUP BY 1),
-          plsc AS (SELECT doc_id, source,
-                     CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                       AS BIGINT) lp
-                   FROM plbg JOIN pcab USING (g)
-                     JOIN pca ON split_part(g, ' ', 1) = a),
-          plsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
-                      CAST(SUM(lp) AS BIGINT) se
-                    FROM plsc GROUP BY doc_id, source),
-          plj AS (SELECT doc_id, source, nb, se,
-                    row_number() OVER (PARTITION BY source
-                      ORDER BY se / 1000000.0 / nb, doc_id) rn,
-                    COUNT(*) OVER (PARTITION BY source) cnt
-                  FROM plsco),
-          pth AS (SELECT source, se th_sum, nb th_nb FROM (
-                    SELECT source, se, nb,
-                           ROW_NUMBER() OVER (PARTITION BY source
-                             ORDER BY rn DESC) r2
-                    FROM plj WHERE rn * 10000 <= cnt * 1000) t
-                  WHERE r2 = 1),
-          pbbg AS (SELECT doc_id, source, unnest(list_transform(
-                     range(1, len(tk)),
-                     i -> array_to_string(tk[i:i+1], ' '))) g
-                   FROM (SELECT doc_id, source,
-                           regexp_split_to_array(trim(text), '\\s+') tk
-                         FROM documents WHERE doc_id % 5 = 2) t),
-          pbsc AS (SELECT doc_id, source,
-                     CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
-                       AS BIGINT) lp
-                   FROM pbbg JOIN pcab USING (g)
-                     JOIN pca ON split_part(g, ' ', 1) = a),
-          pbsco AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) nb,
-                      CAST(SUM(lp) AS BIGINT) se
-                    FROM pbsc GROUP BY doc_id, source),
-          pfl AS (SELECT b.doc_id,
-                    CASE WHEN pth.th_sum IS NOT NULL
-                           AND b.se * pth.th_nb <= pth.th_sum * b.nb
-                         THEN 1 ELSE 0 END flagged
-                  FROM pbsco b LEFT JOIN pth
-                    ON b.source IS NOT DISTINCT FROM pth.source),"""
-    val extraCases = if (!full) "" else """
-                      WHEN COALESCE(qg.reasons, 0) != 0
-                        THEN 'quality_fail'
-                      WHEN COALESCE(pfl.flagged, 0) = 1
-                        THEN 'ppl_cut'"""
-    val extraJoins = if (!full) "" else """
-          LEFT JOIN qg ON qg.doc_id = xb.doc_id
-          LEFT JOIN pfl ON pfl.doc_id = xb.doc_id"""
-    s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          xfp AS (SELECT doc_id,
-                    md5(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                  FROM documents),
-          xl AS (SELECT DISTINCT fp FROM xfp
-                 WHERE doc_id % 5 != 2 AND fp IS NOT NULL),
-          xb AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) minb
-                 FROM xfp WHERE doc_id % 5 = 2),
-          hsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh GROUP BY sid),
-          it AS (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
-                 FROM mhp m JOIN sh a ON a.sid = m.a_id
-                            JOIN sh b ON b.sid = m.b_id
-                                     AND b.shingle = a.shingle
-                 GROUP BY m.a_id, m.b_id),
-          vp AS (SELECT m.a_id, m.b_id
-                 FROM mhp m
-                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
-                 JOIN hsz x ON x.sid = m.a_id
-                 JOIN hsz y ON y.sid = m.b_id
-                 WHERE COALESCE(it.inter, 0)::DOUBLE /
-                       (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
-          ldup AS (SELECT DISTINCT i FROM (
-                     SELECT a_id i FROM vp
-                     WHERE a_id % 5 = 2 AND b_id % 5 != 2
-                     UNION ALL
-                     SELECT b_id FROM vp
-                     WHERE b_id % 5 = 2 AND a_id % 5 != 2) t),
-          be AS (SELECT a_id u, b_id v FROM vp
-                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
-                   AND a_id NOT IN (SELECT i FROM ldup)
-                   AND b_id NOT IN (SELECT i FROM ldup)
-                 UNION ALL
-                 SELECT b_id, a_id FROM vp
-                 WHERE a_id % 5 = 2 AND b_id % 5 = 2
-                   AND a_id NOT IN (SELECT i FROM ldup)
-                   AND b_id NOT IN (SELECT i FROM ldup)),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            WHERE doc_id % 5 = 2 AND doc_id NOT IN (SELECT i FROM ldup)
-            UNION
-            SELECT w.u, be.v FROM walk w JOIN be ON be.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS lbl FROM walk GROUP BY u),
-          se AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          scent AS (SELECT sid c_id, v c_vec FROM se
-                    WHERE sid % 25 = 8 AND sid % 5 != 2),
-          scrs AS (SELECT sid g_id, v g_vec FROM se
-                   WHERE sid % 125 = 8 AND sid % 5 != 2),
-          srt AS (SELECT c_id, g_id FROM (
-                    SELECT c.c_id, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY c.c_id
-                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM scent c, scrs g) t WHERE rn = 1),
-          scells AS (SELECT DISTINCT g_id, c_id FROM (
-                       SELECT g_id, c_id FROM srt
-                       UNION ALL SELECT g_id, g_id FROM scrs)),
-          svg AS (SELECT sid, g_id FROM (
-                    SELECT se.sid, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY se.sid
-                             ORDER BY round(list_dot_product(se.v, g.g_vec) /
-                               (sqrt(list_dot_product(se.v, se.v)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM se, scrs g) t WHERE rn = 1),
-          sasn AS (SELECT sid, c_id FROM (
-                     SELECT se.sid, scells.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY se.sid
-                              ORDER BY round(list_dot_product(se.v, c.c_vec) /
-                                (sqrt(list_dot_product(se.v, se.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, scells.c_id) rn
-                     FROM se JOIN svg ON svg.sid = se.sid
-                             JOIN scells ON scells.g_id = svg.g_id
-                             JOIN scent c ON c.c_id = scells.c_id) t
-                   WHERE rn = 1),
-          scand AS (SELECT a.sid a_id, b.sid b_id,
-                      CASE WHEN b.sid % 5 = 2 THEN 'batch'
-                           ELSE 'landed' END side
-                    FROM sasn a JOIN sasn b ON a.c_id = b.c_id
-                    WHERE a.sid % 5 = 2
-                      AND (b.sid % 5 != 2 OR a.sid < b.sid)),
-          sver AS (SELECT a_id, b_id, side FROM (
-                     SELECT a_id, b_id, side,
-                            round(list_dot_product(x.v, y.v) /
-                                  (sqrt(list_dot_product(x.v, x.v)) *
-                                   sqrt(list_dot_product(y.v, y.v))), 4) cos
-                     FROM scand JOIN se x ON x.sid = a_id
-                                JOIN se y ON y.sid = b_id) t
-                   WHERE cos >= 0.3),
-          sld AS (SELECT DISTINCT a_id sid FROM sver WHERE side = 'landed'),
-          sbp AS (SELECT a_id, b_id FROM sver WHERE side = 'batch'
-                    AND a_id NOT IN (SELECT sid FROM sld)
-                    AND b_id NOT IN (SELECT sid FROM sld)),
-          sed AS (SELECT a_id u, b_id v FROM sbp
-                  UNION ALL SELECT b_id, a_id FROM sbp),
-          swalk(u, r) AS (
-            SELECT sid, sid FROM se WHERE sid % 5 = 2
-            UNION
-            SELECT w.u, sed.v FROM swalk w JOIN sed ON sed.u = w.r),
-          scl AS (SELECT u AS sid, MIN(r) AS lbl FROM swalk GROUP BY u),
-          clt AS (SELECT regexp_split_to_array(trim(text), '\\s+') tk
-                  FROM documents WHERE doc_id % 5 != 2),
-          clsh AS (SELECT DISTINCT unnest(list_transform(
-                     range(1, len(tk) - 1),
-                     i -> array_to_string(tk[i:i+2], ' '))) shingle
-                   FROM clt),
-          cbt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
-                  FROM documents WHERE doc_id % 5 = 2),
-          cbsh AS (SELECT DISTINCT doc_id sid, shingle FROM (
-                     SELECT doc_id, unnest(list_transform(
-                       range(1, len(tk) - 1),
-                       i -> array_to_string(tk[i:i+2], ' '))) shingle
-                     FROM cbt)),
-          cj AS (SELECT b.sid, COUNT(*) n_shingles,
-                   COUNT(l.shingle) n_landed
-                 FROM cbsh b LEFT JOIN clsh l USING (shingle)
-                 GROUP BY b.sid),
-          tl AS (SELECT doc_id, source,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) token
-                 FROM documents WHERE doc_id % 5 != 2),
-          tbl AS (SELECT doc_id, source,
-                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
-                  FROM tl),
-          dcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw,
-                     CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
-                       c_tgt
-                   FROM tbl GROUP BY b),
-          dtot AS (SELECT CAST(SUM(c_raw) AS BIGINT) n_raw,
-                     CAST(SUM(c_tgt) AS BIGINT) n_tgt FROM dcnt),
-          lsc AS (SELECT tbl.doc_id, tbl.source,
-                    CAST(round(ln(dcnt.c_tgt + 1) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(dtot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(dcnt.c_raw + 1) * 1000000, 0) AS BIGINT)
-                    + CAST(round(ln(dtot.n_raw + 1024) * 1000000, 0) AS BIGINT)
-                      lp
-                  FROM tbl JOIN dcnt USING (b), dtot),
-          lsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
-                   FROM lsc GROUP BY doc_id, source),
-          lj AS (SELECT source, logw_e6,
-                   row_number() OVER (PARTITION BY source
-                     ORDER BY logw_e6 DESC, doc_id) rn,
-                   COUNT(*) OVER (PARTITION BY source) cnt2
-                 FROM lsco),
-          th AS (SELECT source, CAST(MIN(logw_e6) AS BIGINT) logw_cut
-                 FROM lj WHERE rn * 10000 <= cnt2 * 2000 GROUP BY source),
-          tbb AS (SELECT doc_id, source,
-                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
-                  FROM (SELECT doc_id, source,
-                          unnest(regexp_split_to_array(trim(text), '\\s+'))
-                            token
-                        FROM documents WHERE doc_id % 5 = 2) t),
-          bsc AS (SELECT tbb.doc_id, tbb.source,
-                    CAST(round(ln(COALESCE(dcnt.c_tgt, 0) + 1) * 1000000, 0)
-                         AS BIGINT)
-                    - CAST(round(ln(dtot.n_tgt + 1024) * 1000000, 0) AS BIGINT)
-                    - CAST(round(ln(COALESCE(dcnt.c_raw, 0) + 1) * 1000000, 0)
-                           AS BIGINT)
-                    + CAST(round(ln(dtot.n_raw + 1024) * 1000000, 0) AS BIGINT)
-                      lp
-                  FROM tbb LEFT JOIN dcnt USING (b), dtot),
-          bsco AS (SELECT doc_id, source, CAST(SUM(lp) AS BIGINT) logw_e6
-                   FROM bsc GROUP BY doc_id, source),
-$extraCtes
-          dsel AS (SELECT b.doc_id,
-                     CASE WHEN th.logw_cut IS NOT NULL
-                            AND b.logw_e6 >= th.logw_cut
-                          THEN 1 ELSE 0 END selected
-                   FROM bsco b LEFT JOIN th USING (source))
-          SELECT xb.doc_id,
-                 CASE WHEN xb.fp IS NOT NULL
-                        AND xb.fp IN (SELECT fp FROM xl)
-                        THEN 'exact_landed_dup'
-                      WHEN xb.fp IS NOT NULL AND xb.doc_id != xb.minb
-                        THEN 'exact_batch_dup'
-                      WHEN xb.doc_id IN (SELECT i FROM ldup)
-                        OR (cl.lbl IS NOT NULL AND cl.lbl != xb.doc_id)
-                        THEN 'near_dup'
-                      WHEN xb.doc_id IN (SELECT sid FROM sld)
-                        OR (scl.lbl IS NOT NULL AND scl.lbl != scl.sid)
-                        THEN 'semantic_dup'
-                      WHEN COALESCE(cj.n_landed * 10000 >=
-                             cj.n_shingles * 8000, FALSE)
-                        THEN 'contained'
-$extraCases
-                      WHEN COALESCE(dsel.selected, 0) = 0
-                        THEN 'not_selected'
-                      ELSE 'admit' END AS gate
-          FROM xb
-          LEFT JOIN cl ON cl.doc_id = xb.doc_id
-          LEFT JOIN scl ON scl.sid = xb.doc_id
-          LEFT JOIN cj ON cj.sid = xb.doc_id
-          LEFT JOIN dsel ON dsel.doc_id = xb.doc_id$extraJoins
-          ORDER BY xb.doc_id"""
-  }
-
-  /** q146/q147's power iteration unrolled to `iters` explicit CTE
-    * rounds: micro-unit triples (q96's quantizer), HUGEINT dim-sums
-    * mirroring the Spark side's DECIMAL(38,0), non-negative ∞-norm
-    * renormalization (trunc ≡ floor), lowest-index sign anchor. Pass
-    * `project = true` for the q147 face (one more row-keyed sum over
-    * the final direction). */
-  private def powerIterOracle(iters: Int, project: Boolean): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT rid, SUM(x * vv) s
-                 FROM q JOIN v${i - 1} USING (j) GROUP BY rid),
-          y$i AS (SELECT j, SUM(CAST(x AS HUGEINT) * s) y
-                 FROM q JOIN s$i USING (rid) GROUP BY j),
-          m$i AS (SELECT MAX(abs(y)) my FROM y$i),
-          p$i AS (SELECT MIN(j) pj FROM y$i, m$i WHERE abs(y) = my),
-          g$i AS (SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END sg
-                 FROM y$i, p$i WHERE j = pj),
-          v$i AS (SELECT j, CAST(sg *
-                   (CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END)
-                   * ((abs(y) * 1000000) // my) AS BIGINT) vv
-                 FROM y$i, m$i, g$i)"""
-    }.mkString(",\n          ")
-    val tail =
-      if (project)
-        s"""SELECT rid AS vec_id, CAST(SUM(x * vv) AS BIGINT) AS proj_e12
-            FROM q JOIN v$iters USING (j) GROUP BY rid ORDER BY vec_id"""
-      else
-        s"SELECT CAST(j AS INT) AS pos, vv AS v_e6 FROM v$iters ORDER BY pos"
-    s"""WITH e AS (SELECT vec_id rid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(64)) j),
-          q AS (SELECT rid, j,
-                  CAST(floor(v[j+1] * 1000000 + 0.5) AS BIGINT) x
-                FROM e, js),
-          v0 AS (SELECT j, CAST(1000000 AS BIGINT) vv FROM js),
-          $rounds
-          $tail"""
-  }
-
-  /** q145's recall audit: q133's ivf-pq CTE chain instantiated once
-    * per (nprobe, rerankFactor) configuration over shared
-    * corpus-side CTEs (codes/LUT/assignments are config-independent),
-    * each config folded against q21's exact-truth pairs. */
-  private def ivfPqRecallOracle(configs: Seq[(Int, Int)],
-      k: Int): String = {
-    val perCfg = configs.map { case (np, rf) =>
-      val x = s"_${np}_$rf"
-      s"""prb$x AS (SELECT q_id, c_id FROM (
-                    SELECT q.q_id, c.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY q.q_id
-                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
-                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM qq q, crs c) t WHERE rn <= $np),
-          cnd$x AS (SELECT p.q_id, a.sid FROM prb$x p
-                    JOIN asnv a USING (c_id) WHERE a.sid != p.q_id),
-          appr$x AS (SELECT c.q_id, c.sid, SUM(l.term) a
-                   FROM cnd$x c JOIN codes co ON co.sid = c.sid
-                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
-                                AND l.code = co.code
-                   GROUP BY c.q_id, c.sid),
-          short$x AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr$x) t
-                    WHERE cr <= ${k * rf}),
-          got$x AS (SELECT q_id, vec_id FROM (
-                     SELECT s.q_id, s.sid vec_id,
-                       ROW_NUMBER() OVER (PARTITION BY s.q_id
-                         ORDER BY round(list_dot_product(e.v, q.q_v) /
-                               (sqrt(list_dot_product(e.v, e.v)) *
-                                sqrt(list_dot_product(q.q_v, q.q_v))), 4)
-                           DESC, s.sid) rnk
-                     FROM short$x s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id) t WHERE rnk <= $k),
-          rec$x AS (SELECT $np nprobe, $rf rerank_factor,
-                   CAST(COUNT(*) AS BIGINT) n_true,
-                   CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) n_found,
-                   CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
-                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
-                     recall_ppm
-                 FROM tr LEFT JOIN got$x g
-                   ON g.q_id = tr.q_id AND g.vec_id = tr.vec_id)"""
-    }.mkString(",\n          ")
-    val unions = configs
-      .map { case (np, rf) => s"SELECT * FROM rec_${np}_$rf" }
-      .mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
-          asnv AS (SELECT sid, c_id FROM (
-                     SELECT e.sid, c.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY e.sid
-                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                                (sqrt(list_dot_product(e.v, e.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM e, crs c) t WHERE rn = 1),
-          tr AS (SELECT q_id, vec_id FROM (
-                   SELECT q.q_id, e.sid vec_id,
-                     ROW_NUMBER() OVER (PARTITION BY q.q_id
-                       ORDER BY round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4)
-                         DESC, e.sid) rnk
-                   FROM e, qq q WHERE e.sid != q.q_id) t WHERE rnk <= $k),
-          $perCfg
-          $unions ORDER BY nprobe, rerank_factor"""
-  }
-
-  /** q141's PageRank unrolled to `iters` explicit CTE rounds — the
-    * whole trajectory is integer pico-units with floor divisions
-    * (HUGEINT-widened transfer products mirror the Spark side's
-    * DECIMAL(38,0)), so every per-round rank table replays
-    * bit-identically; the edge table is q62's transition fragment. */
-  private def pageRankOracle(iters: Int, dampBp: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst,
-                   CAST(SUM((CAST(p.pr_e12 AS HUGEINT) * e.w) // o.out_w)
-                     AS BIGINT) cin
-                 FROM p${i - 1} p JOIN e ON p.node = e.src
-                 JOIN ow o ON e.src = o.src
-                 GROUP BY e.dst),
-          p$i AS (SELECT n.node,
-                    (SELECT tele FROM t)
-                      + ($dampBp * COALESCE(c.cin, 0)) // 10000 AS pr_e12
-                  FROM nodes n LEFT JOIN c$i c ON n.node = c.dst)"""
-    }.mkString(",\n          ")
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts)//1000 tsm, event_id,
-                      event_type FROM events),
-        x AS (SELECT event_type ft,
-                lead(event_type) OVER (PARTITION BY user_id
-                  ORDER BY tsm, event_id) tt
-              FROM ev),
-        e AS (SELECT ft src, tt dst, CAST(COUNT(*) AS BIGINT) w
-              FROM x WHERE tt IS NOT NULL GROUP BY ft, tt),
-        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) out_w FROM e GROUP BY src),
-        nodes AS (SELECT src AS node FROM e
-                  UNION SELECT dst FROM e),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM nodes),
-        t AS (SELECT 1000000000000 // n AS base,
-                ((10000 - $dampBp) * (1000000000000 // n)) // 10000 AS tele
-              FROM nn),
-        p0 AS (SELECT node, (SELECT base FROM t) AS pr_e12 FROM nodes),
-        $rounds
-        SELECT node, CAST(pr_e12 AS BIGINT) AS pr_e12 FROM p$iters
-        ORDER BY node"""
-  }
-
-  /** q123's logistic-regression training unrolled to `rounds` explicit
-    * CTE rounds — exact integer dot products and gradients; the one
-    * float op per round (σ) is e6-rounded the instant it appears, and
-    * the weight update's double product/divide has the same IEEE
-    * evaluation order as the Spark side, so every intermediate weight
-    * table replays bit-identically. */
-  private def qcOracle(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { i =>
-      s"""z$i AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
-               FROM tb JOIN w${i - 1} USING (b) GROUP BY doc_id),
-          r$i AS (SELECT z.doc_id,
-                    CAST(round((1/(1 + exp(-CAST(z.z AS DOUBLE)/1000000))
-                      - y.y)*1000000) AS BIGINT) r
-                  FROM z$i z JOIN yy y USING (doc_id)),
-          g$i AS (SELECT b, CAST(SUM(r*x) AS BIGINT) g
-                  FROM tb JOIN r$i USING (doc_id) GROUP BY b),
-          w$i AS (SELECT w.b,
-                    w.w - CAST(round(CAST(COALESCE(g.g, 0) AS DOUBLE)
-                      * 0.5 / nn.n) AS BIGINT) w
-                  FROM w${i - 1} w LEFT JOIN g$i g USING (b), nn)"""
-    }.mkString(",\n          ")
-    s"""WITH tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
-                 SELECT doc_id,
-                   CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64
-                     AS INT) b
-                 FROM (SELECT doc_id,
-                         unnest(regexp_split_to_array(trim(text), '\\s+'))
-                           token
-                       FROM documents) t) tt
-               GROUP BY doc_id, b
-               UNION ALL
-               SELECT doc_id, CAST(64 AS INT), CAST(1 AS BIGINT)
-               FROM documents),
-        yy AS (SELECT doc_id,
-                 CASE WHEN source = 'src0' THEN CAST(1 AS BIGINT)
-                      ELSE CAST(0 AS BIGINT) END y
-               FROM documents),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
-        w0 AS (SELECT CAST(t.b AS INT) b, CAST(0 AS BIGINT) w
-               FROM range(65) t(b)),
-        $roundCtes,
-        zf AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
-               FROM tb JOIN w$rounds USING (b) GROUP BY doc_id)
-        SELECT d.doc_id, d.source, y.y AS label, zf.z AS z_e6,
-               CAST(CASE WHEN zf.z >= 0 THEN 1 ELSE 0 END AS BIGINT)
-                 predicted
-        FROM documents d JOIN yy y USING (doc_id) JOIN zf USING (doc_id)
-        ORDER BY d.doc_id"""
-  }
-
-  /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
-    * oracle replays the identical word dict, character segmentation,
-    * weighted pair count, (count desc, lhs, rhs) argmax, and greedy
-    * left-to-right `replace` merge, then digests the full post-merge
-    * dictionary state per step (Σ hash60(word|freq|seg) mod 1e9+7). */
-  private def bpeOracle(steps: Int): String = {
-    val union = (1 to steps).map(i => s"SELECT * FROM g$i").mkString(" UNION ALL ")
-    s"WITH ${bpeCtes(steps)} SELECT * FROM ($union) ORDER BY step"
-  }
-
-  /** q115: the q113 merge chain applied — per-source subword stats off
-    * the final segmented dict d`steps`, ppm via HUGEINT (Spark side
-    * DECIMAL(38,0)) so corpus-scale products cannot wrap BIGINT. */
-  private def bpeApplyOracle(steps: Int): String =
-    s"""WITH ${bpeCtes(steps)},
-      f AS (SELECT word,
-              CAST(len(regexp_split_to_array(trim(seg), ' ')) AS BIGINT) nsub
-            FROM d$steps),
-      cw AS (SELECT source, w word FROM (
-               SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) w
-               FROM documents) t
-             WHERE regexp_matches(w, '^[a-z0-9]+$$'))
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) n_words,
-             CAST(SUM(nsub) AS BIGINT) n_subwords,
-             CAST(SUM(len(word) + 1) AS BIGINT) n_symbols0,
-             CAST(CAST(SUM(nsub) AS HUGEINT) * 1000000 // COUNT(*)
-               AS BIGINT) subwords_per_mword,
-             CAST(CAST(SUM(nsub) AS HUGEINT) * 1000000 // SUM(len(word) + 1)
-               AS BIGINT) compression_ppm
-      FROM cw JOIN f USING (word) GROUP BY source ORDER BY source"""
-
-  /** Shared CTE chain of the BPE oracles: w0/d0 (word dict + character
-    * segmentation) then `steps` unrolled merge rounds ending in
-    * d`steps` (final dict) and g1..g`steps` (per-step merge rows). */
-  /** q134's landed-slice training chain. */
-  private def ingestBpeCtes: String = bpeCtes(8, " WHERE doc_id % 5 != 2")
-
-  private def bpeCtes(steps: Int, docWhere: String = ""): String = {
-    val base = s"""
-      w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
-               SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) w
-               FROM documents$docWhere) t
-             WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
-      d0 AS (SELECT word, freq,
-               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
-             FROM w0)"""
-    val rounds = (1 to steps).map { i =>
-      s"""
-      s$i AS (SELECT freq, regexp_split_to_array(trim(seg), ' ') sy
-              FROM d${i - 1}),
-      p$i AS (SELECT u['l'] lhs, u['r'] rhs, CAST(SUM(freq) AS BIGINT) c
-              FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
-                      k -> struct_pack(l := sy[k], r := sy[k + 1]))) u
-                    FROM s$i) GROUP BY lhs, rhs),
-      m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-      d$i AS (SELECT word, freq,
-                replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
-                  ' ' || m.lhs || m.rhs || ' ') seg
-              FROM d${i - 1}, m$i m),
-      g$i AS (SELECT $i step, m.lhs, m.rhs, m.c pair_count,
-                CAST(CAST(SUM(('0x' || substr(md5(word || '|' || freq ||
-                    '|' || seg), 1, 15))::BIGINT) AS HUGEINT)
-                  % 1000000007 AS BIGINT) vocab_digest
-              FROM d$i, m$i m GROUP BY m.lhs, m.rhs, m.c)"""
-    }.mkString(",")
-    s"$base,$rounds"
-  }
+  def oracleSql: Map[String, String] =
+    coreOracle ++ dedupOracles ++ similarityOracles ++
+      curationOracles ++ execOracles
 }

@@ -254,6 +254,24 @@ object MaterializedScaleBench {
         graft.curation.Bpe.bpeSegmentStatsIncrement(
           docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2), 8).count()),
+      // round-16 rows: compaction EXECUTED (a rewrite is linear by
+      // construction — the probe checks the constant, not the shape),
+      // the ivf-pq recall audit (queries fixed at the 1× slice: the
+      // probe measures corpus-side scaling of route+ADC+rerank), and
+      // the power-iteration pair (per-round row-keyed + dim-keyed
+      // aggregates — linear in rows)
+      ("q144_compaction", k => {
+        val d = docs(k).withColumn("sz", length(col("text")).cast("long"))
+        graft.exec.Layout.applyCompaction(d, "source", "doc_id", "sz",
+          20000L, s"$out/compacted$k").count()
+      }),
+      ("q145_ivfpq_recall", k =>
+        graft.similarity.Similarity.ivfPqRecall(emb(k),
+          emb(1).filter(pmod(col("vec_id"), lit(100)) === 0), 5).count()),
+      ("q146_power_iter", k =>
+        graft.similarity.Similarity.powerIterationTop(emb(k), 3).count()),
+      ("q147_pca_project", k =>
+        graft.similarity.Similarity.pcaProjection(emb(k), 3).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
