@@ -1312,9 +1312,15 @@ object Similarity {
     (1 to iters).foreach { _ =>
       val s = q.join(v, "pos")
         .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("s"))
+      // materialize the d-row y ONCE per round (localCheckpoint — the
+      // q141 single-node caveat applies): it feeds FOUR consumers
+      // (max, anchor position, anchor sign, the new v), and without
+      // the cut each consumer re-derives the full corpus pass —
+      // measured 4× blowup per round at the 10× disk probe
       val y = q.join(s, "rid")
         .groupBy("pos")
         .agg(sum(col("x_e6").cast("decimal(38,0)") * col("s")).as("y"))
+        .localCheckpoint(true)
       val m = y.agg(max(abs(col("y"))).as("my"))
       val anchorPos = y.crossJoin(m)
         .filter(abs(col("y")) === col("my"))
