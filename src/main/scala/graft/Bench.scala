@@ -111,7 +111,11 @@ object Bench {
       "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l",
                                           "sem-cells-2l"),
       "q123_quality_classifier"    -> Set("qc-features"),
-      "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"))
+      "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"),
+      // the power-iteration direction: q146 builds it, q147 projects
+      // onto the same memoized d-row table (round-16)
+      "q146_power_iteration"       -> Set("power-iter"),
+      "q147_pca_project"           -> Set("power-iter"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -213,6 +213,8 @@ trait ExecRegistry extends EntryHelpers {
         import graft.sources.Tables
         // per-application scratch path — same isolation rationale as q76
         val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/partitioned/documents"
+        registerTmpCleanup(
+          new java.io.File(s"/tmp/graft_${s.sparkContext.applicationId}"))
         Tables.writePartitioned(
           table(s, dir, "documents").select("doc_id", "source", "text"),
           tmp, Seq("source"))
@@ -371,6 +373,8 @@ trait ExecRegistry extends EntryHelpers {
       // compaction IS data movement).
       "q144_compaction_apply" -> ((s, dir) => {
         val tmp = s"/tmp/graft_${s.sparkContext.applicationId}/compacted/documents"
+        registerTmpCleanup(
+          new java.io.File(s"/tmp/graft_${s.sparkContext.applicationId}"))
         graft.exec.Layout.applyCompaction(
           table(s, dir, "documents")
             .select("doc_id", "source", "text", "n_chars"),

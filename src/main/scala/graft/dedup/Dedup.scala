@@ -1087,7 +1087,10 @@ object Dedup {
   /** Memo for the coarse-slice degeneration guard below: one eager
     * emptiness job per DISTINCT (landed plan, stride, offset), not one
     * per gate construction — a streaming gate rebuilds the gate every
-    * micro-batch over the SAME landed corpus. */
+    * micro-batch over the SAME landed corpus. Staleness: the memo key
+    * is [[graft.util.CacheRegistry.planFingerprint]], which embeds the
+    * landed files' content signature (count/bytes/mtime) — a corpus
+    * re-landed in place changes the key and the guard re-runs. */
   private val coarseSliceChecked =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 

@@ -51,14 +51,15 @@ object Graph {
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       wCol: String = "w", iters: Int = 5, dampBp: Int = 8500,
       checkpointEvery: Int = 0): DataFrame =
-    pageRankRounds(edges, src, dst, wCol, iters, dampBp,
+    pageRankTrajectory(edges, src, dst, wCol, iters, dampBp,
       checkpointEvery).last
 
-  /** [[pageRank]]'s full trajectory: the rank table after EVERY round
-    * (element i = after round i+1; the final element is what
-    * [[pageRank]] returns). Exposed for [[pageRankDeltas]] and for
-    * spec-level round pinning. */
-  private def pageRankRounds(edges: DataFrame, src: String, dst: String,
+  /** [[pageRank]]'s full trajectory: the UNIFORM START followed by the
+    * rank table after every round (element 0 = start, element i =
+    * after round i; the final element is what [[pageRank]] returns).
+    * Exposed for [[pageRankDeltas]] and for spec-level round
+    * pinning. */
+  private def pageRankTrajectory(edges: DataFrame, src: String, dst: String,
       wCol: String, iters: Int, dampBp: Int,
       checkpointEvery: Int): Seq[DataFrame] = {
     require(iters >= 1, "iters must be positive")
@@ -76,8 +77,9 @@ object Graph {
     require(n > 0, "empty graph")
     val base = 1000000000000L / n
     val tele = (10000L - dampBp) * base / 10000L
-    var pr = nodes.withColumn("pr_e12", lit(base))
-    (1 to iters).map { i =>
+    val start = nodes.withColumn("pr_e12", lit(base))
+    var pr = start
+    start +: (1 to iters).map { i =>
       val contrib = pr.join(e, col("node") === col("src"))
         .join(outW, "src")
         .select(col("dst"),
@@ -115,14 +117,14 @@ object Graph {
   def pageRankDeltas(edges: DataFrame, src: String = "src",
       dst: String = "dst", wCol: String = "w", iters: Int = 5,
       dampBp: Int = 8500, checkpointEvery: Int = 0): DataFrame = {
-    val rounds = pageRankRounds(edges, src, dst, wCol, iters, dampBp,
-      checkpointEvery)
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val n0 = nodes.count()
-    val start = nodes.withColumn("pr_e12", lit(1000000000000L / n0))
-    (start +: rounds).sliding(2).zipWithIndex.map { case (pair, i) =>
+    // materialize EVERY round for the delta face (checkpointEvery = 1
+    // unless the caller picked a cadence): round i's delta reads
+    // rounds i−1 and i, so a lazy trajectory would re-execute the
+    // whole prefix per round — O(iters²) join passes at deep iters
+    // (round-16 review finding). Values are cadence-invariant.
+    val traj = pageRankTrajectory(edges, src, dst, wCol, iters, dampBp,
+      if (checkpointEvery > 0) checkpointEvery else 1)
+    traj.sliding(2).zipWithIndex.map { case (pair, i) =>
       val prev = pair(0).select(col("node"), col("pr_e12").as("__p"))
       val cur = pair(1).select(col("node"), col("pr_e12").as("__c"))
       prev.join(cur, "node")

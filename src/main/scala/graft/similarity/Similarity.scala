@@ -1306,6 +1306,16 @@ object Similarity {
   def powerIterationTop(embeddings: DataFrame, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "iters must be positive")
+    // memoized (kind "power-iter"): the d-row direction is built once
+    // per (corpus, iters) and shared by the projection face — q146
+    // emits it, q147 projects onto it (round-16 review finding)
+    CacheRegistry.cache(
+      CacheRegistry.key(embeddings, "power-iter", iters, idCol, vecCol),
+      powerIterationBuild(embeddings, iters, idCol, vecCol))
+  }
+
+  private def powerIterationBuild(embeddings: DataFrame, iters: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = microTriples(embeddings, idCol, vecCol)
     var v = q.select("pos").distinct()
       .withColumn("v_e6", lit(1000000L))

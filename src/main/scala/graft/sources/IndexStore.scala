@@ -59,17 +59,21 @@ object IndexStore {
       else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
         .map { l => val Array(h, k) = l.split("\t", 2); k -> h }.toMap
-    // skip by MANIFEST membership, not by scan-root inspection: a key
-    // already in the manifest has its semantics persisted here (same
-    // key = same plan), and a restored entry's plan reads that very
-    // file (self-overwrite is illegal in Spark). A NEW key whose build
-    // plan merely READS a restored parquet under `dir` (a derived
-    // index in a restore-then-build-then-save cycle) writes its own
-    // distinct file and must NOT be skipped.
+    // skip ONLY entries that are genuinely store-backed: key in the
+    // manifest AND the live plan reads its own staged file
+    // (self-overwrite is illegal in Spark, and the bytes are already
+    // here by construction). A manifest key whose live entry was
+    // REBUILT this session (operator internals may have changed under
+    // an unchanged key — round-16 review finding) is re-written,
+    // healing content drift; a NEW key whose build plan merely reads a
+    // restored parquet under `dir` (a derived index in a
+    // restore-then-build-then-save cycle) writes its own distinct file
+    // and is never skipped.
     val entries = CacheRegistry.entries
       .filter { case (k, _) =>
         kinds.isEmpty || kinds.contains(k.takeWhile(_ != ':')) }
-      .filter { case (k, _) => !prior.contains(k) }
+      .filter { case (k, df) =>
+        !(prior.contains(k) && readsOwnFile(df, s"$dir/${md5(k)}.parquet")) }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     entries.foreach { case (k, df) =>
       df.write.mode("overwrite").parquet(s"$dir/${md5(k)}.parquet")
@@ -80,6 +84,26 @@ object IndexStore {
       .map { case (k, h) => s"$h\t$k" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(path, manifest.getBytes("UTF-8"))
     entries.size
+  }
+
+  /** True iff the frame's analyzed plan scans exactly the given staged
+    * file path — the restored-entry signature ([[saveAll]]'s skip
+    * test; normalized path comparison, never a substring match). */
+  private def readsOwnFile(df: org.apache.spark.sql.DataFrame,
+      path: String): Boolean = {
+    val target = java.nio.file.Paths.get(path).normalize.toString
+    df.queryExecution.analyzed.collectLeaves().exists {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists { p =>
+              java.nio.file.Paths.get(p.toUri.getPath)
+                .normalize.toString == target
+            }
+          case _ => false
+        }
+      case _ => false
+    }
   }
 
   /** Seed the registry from a [[saveAll]] directory. Returns the

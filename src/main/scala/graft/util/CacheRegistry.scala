@@ -51,7 +51,17 @@ object CacheRegistry {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.mkString(",")
+            // path + CONTENT signature (file count, total bytes, max
+            // mtime from the already-cached listing): data regenerated
+            // IN PLACE gets a new fingerprint, so a persisted index
+            // can never serve a corpus that changed under the same
+            // path (round-16 review finding — plan text alone is
+            // blind to content)
+            val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            fs.location.rootPaths.mkString(",") +
+              s";n=${files.length};b=${files.map(_.getLen).sum}" +
+              s";t=${if (files.isEmpty) 0L
+                     else files.map(_.getModificationTime).max}"
           case other => other.toString
         }
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
@@ -64,7 +74,20 @@ object CacheRegistry {
       // and such frames cannot meaningfully persist across sessions.
       case o => o.hashCode.toString
     }
-    val text = canon.treeString + "|" + leafIds.mkString("|")
+    // render the canonical tree with field elision effectively off:
+    // the default 25-field cap would make two plans differing only in
+    // the 26th+ expression collide on one fingerprint (round-16 review
+    // finding). Thread-local session conf, restored after.
+    val sess = df.sparkSession
+    val prev = sess.conf.getOption("spark.sql.debug.maxToStringFields")
+    sess.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+    val tree =
+      try canon.treeString
+      finally prev match {
+        case Some(v) => sess.conf.set("spark.sql.debug.maxToStringFields", v)
+        case None => sess.conf.unset("spark.sql.debug.maxToStringFields")
+      }
+    val text = tree + "|" + leafIds.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
