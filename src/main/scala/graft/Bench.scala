@@ -112,10 +112,14 @@ object Bench {
                                           "sem-cells-2l"),
       "q123_quality_classifier"    -> Set("qc-features"),
       "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"),
-      // the power-iteration direction: q146 builds it, q147 projects
-      // onto the same memoized d-row table (round-16)
+      // the power-iteration direction: q146 builds it, q147/q149 read
+      // the same memoized d-row table (round-16)
       "q146_power_iteration"       -> Set("power-iter"),
-      "q147_pca_project"           -> Set("power-iter"))
+      "q147_pca_project"           -> Set("power-iter"),
+      "q149_variance_explained"    -> Set("power-iter"),
+      // cluster representatives fold the memoized q43 cluster table
+      "q148_cluster_rep"           -> Set("shingles", "minhash-bands",
+                                          "dedup-clusters"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

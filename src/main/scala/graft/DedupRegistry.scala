@@ -34,6 +34,14 @@ trait DedupRegistry extends EntryHelpers {
         Dedup.dedupClusters(table(s, dir, "documents"), n = 3, k = 16, bands = 4)
           .orderBy("doc_id")),
 
+      // Representative selection per near-dup cluster by CONTENT SIZE
+      // (keep the largest copy, ties to the lower id) — the policy
+      // real pipelines run; one join + per-cluster argmax over the
+      // memoized q43 cluster table.
+      "q148_cluster_rep" -> ((s, dir) =>
+        Dedup.clusterRepresentatives(table(s, dir, "documents"))
+          .orderBy("cluster_id")),
+
       // Winnowing fingerprints (rolling local-minimum sampling, MOSS):
       // distinct selected 60-bit hashes per document.
       "q33_winnow_fingerprint" -> ((s, dir) =>
@@ -456,6 +464,31 @@ trait DedupRegistry extends EntryHelpers {
                    AS cluster_size,
                  doc_id = cluster_id AS keep
           FROM cl ORDER BY doc_id""",
+
+    // q43's cluster chain + size join + per-cluster argmax (largest
+    // copy, ties to the lower id)
+    "q148_cluster_rep" ->
+      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+          j AS (SELECT cl.cluster_id, d.doc_id,
+                  CAST(d.n_chars AS BIGINT) sz
+                FROM cl JOIN documents d USING (doc_id)),
+          r AS (SELECT cluster_id, doc_id, sz,
+                  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY sz DESC, doc_id) rn
+                FROM j),
+          c AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) n_docs
+                FROM j GROUP BY cluster_id)
+          SELECT r.cluster_id, c.n_docs, r.doc_id AS rep_id,
+                 r.sz AS rep_size
+          FROM r JOIN c USING (cluster_id)
+          WHERE rn = 1 ORDER BY cluster_id""",
 
     "q20_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id sid,

@@ -226,6 +226,14 @@ trait SimilarityRegistry extends EntryHelpers {
       // The transform the moments (q96) point at: every embedding
       // projected onto q146's principal direction — the 1-D PCA
       // feature, exact e12 integers.
+      // Is there a dominant axis at all? Rayleigh quotient of q146's
+      // direction vs trace — the variance-explained share in ppm, all
+      // exact integers (one corpus pass + three one-row aggregates
+      // over the memoized direction).
+      "q149_variance_explained" -> ((s, dir) =>
+        graft.similarity.Similarity.varianceExplained(
+            table(s, dir, "embeddings"), iters = 3)),
+
       "q147_pca_project" -> ((s, dir) =>
         graft.similarity.Similarity.pcaProjection(
             table(s, dir, "embeddings"), iters = 3)
@@ -784,9 +792,11 @@ trait SimilarityRegistry extends EntryHelpers {
     "q145_ivfpq_recall" ->
       ivfPqRecallOracle(Seq((1, 4), (2, 4), (4, 4), (2, 1)), 5),
 
-    "q146_power_iteration" -> powerIterOracle(3, project = false),
+    "q146_power_iteration" -> powerIterOracle(3, "vector"),
 
-    "q147_pca_project" -> powerIterOracle(3, project = true),
+    "q147_pca_project" -> powerIterOracle(3, "project"),
+
+    "q149_variance_explained" -> powerIterOracle(3, "variance"),
 
     // q119's PQ replay composed with IVF routing: corpus assignment
     // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
@@ -851,13 +861,14 @@ trait SimilarityRegistry extends EntryHelpers {
           ORDER BY q_id, rnk""",
   )
 
-  /** q146/q147's power iteration unrolled to `iters` explicit CTE
-    * rounds: micro-unit triples (q96's quantizer), HUGEINT dim-sums
-    * mirroring the Spark side's DECIMAL(38,0), non-negative ∞-norm
-    * renormalization (trunc ≡ floor), lowest-index sign anchor. Pass
-    * `project = true` for the q147 face (one more row-keyed sum over
-    * the final direction). */
-  protected def powerIterOracle(iters: Int, project: Boolean): String = {
+  /** q146/q147/q149's power iteration unrolled to `iters` explicit
+    * CTE rounds: micro-unit triples (q96's quantizer), HUGEINT
+    * dim-sums mirroring the Spark side's DECIMAL(38,0), non-negative
+    * ∞-norm renormalization (trunc ≡ floor), lowest-index sign anchor.
+    * `mode`: "vector" (q146 — the direction itself), "project" (q147 —
+    * one more row-keyed sum over the final direction), "variance"
+    * (q149 — Rayleigh quotient + trace + ratio, one row). */
+  protected def powerIterOracle(iters: Int, mode: String): String = {
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (SELECT rid, SUM(x * vv) s
                  FROM q JOIN v${i - 1} USING (j) GROUP BY rid),
@@ -872,12 +883,23 @@ trait SimilarityRegistry extends EntryHelpers {
                    * ((abs(y) * 1000000) // my) AS BIGINT) vv
                  FROM y$i, m$i, g$i)"""
     }.mkString(",\n          ")
-    val tail =
-      if (project)
+    val tail = mode match {
+      case "project" =>
         s"""SELECT rid AS vec_id, CAST(SUM(x * vv) AS BIGINT) AS proj_e12
             FROM q JOIN v$iters USING (j) GROUP BY rid ORDER BY vec_id"""
-      else
+      case "variance" =>
+        s""", sF AS (SELECT rid, SUM(x * vv) s
+                  FROM q JOIN v$iters USING (j) GROUP BY rid),
+          num AS (SELECT SUM(CAST(s AS HUGEINT) * s) ss FROM sF),
+          den AS (SELECT SUM(CAST(vv AS HUGEINT) * vv) dv FROM v$iters),
+          trc AS (SELECT SUM(CAST(x AS HUGEINT) * x) t FROM q)
+          SELECT CAST(ss // dv AS BIGINT) AS lambda1_e12,
+                 CAST(t AS BIGINT) AS trace_e12,
+                 CAST(((ss // dv) * 1000000) // t AS BIGINT) AS ratio_ppm
+          FROM num, den, trc"""
+      case _ =>
         s"SELECT CAST(j AS INT) AS pos, vv AS v_e6 FROM v$iters ORDER BY pos"
+    }
     s"""WITH e AS (SELECT vec_id rid, embedding::DOUBLE[] v FROM embeddings),
           js AS (SELECT unnest(range(64)) j),
           q AS (SELECT rid, j,

@@ -594,6 +594,31 @@ object Dedup {
           .withColumn("keep", col(idCol) === col("cluster_id"))
       })
 
+  /** Representative selection per near-duplicate cluster by CONTENT
+    * SIZE — the policy real curation pipelines actually run: among
+    * near-duplicates, keep the LARGEST copy (the others are usually
+    * truncations, excerpts or stripped mirrors of it), not the
+    * smallest id. Ties break to the lower id so the answer is unique.
+    * Built on the memoized [[dedupClusters]] table + one `sizeCol`
+    * projection join + a per-cluster `max_by` — no new corpus-wide
+    * stage; at 100 TB the marginal cost over clustering is one
+    * id-keyed join and a map-side-combinable argmax.
+    *
+    * Output: (cluster_id, n_docs, rep_id, rep_size), one row per
+    * cluster (singletons included — every kept doc is its own rep). */
+  def clusterRepresentatives(docs: DataFrame, sizeCol: String = "n_chars",
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cl = dedupClusters(docs, n, k, bands, textCol, idCol)
+      .select(col(idCol), col("cluster_id"))
+    cl.join(docs.select(col(idCol), col(sizeCol).cast("long").as("__sz")),
+        idCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col(idCol), struct(col("__sz"), -col(idCol))).as("rep_id"),
+        max(col("__sz")).as("rep_size"))
+  }
+
   /** 32-bit SimHash over word tokens: per bit, sum +1/−1 weighted by token
     * occurrences; bit set where the sum is positive. Equal sketches =
     * near-duplicate cluster; hamming distance over sketches = graded

@@ -1348,6 +1348,37 @@ object Similarity {
     v
   }
 
+  /** Variance-explained report for [[powerIterationTop]]'s direction —
+    * the number that says whether the corpus HAS a dominant axis worth
+    * projecting onto: the Rayleigh quotient λ̂₁ = vᵀAv / vᵀv of the
+    * iterated direction against the uncentered second-moment matrix
+    * A = Σxxᵀ, next to trace(A) = Σᵢ|xᵢ|², with their ratio in ppm
+    * (λ₁/trace = the share of total second moment the top axis
+    * carries; a near-uniform spectrum reads ~1/d·1e6). All exact
+    * integers: vᵀAv = Σᵢ(xᵢ·v)² summed in DECIMAL(38,0), both
+    * divisions on non-negative operands (trunc ≡ floor in both
+    * engines). One corpus pass (the s-projection) + three one-row
+    * aggregates over memoized v.
+    *
+    * Output: one row (lambda1_e12, trace_e12, ratio_ppm). */
+  def varianceExplained(embeddings: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = powerIterationTop(embeddings, iters, idCol, vecCol)
+    val q = microTriples(embeddings, idCol, vecCol)
+    val s = q.join(v, "pos")
+      .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("s"))
+    val num = s.agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
+    val den = v.agg(sum(col("v_e6") * col("v_e6")).as("vv"))
+    val tr = q.agg(sum(col("x_e6").cast("decimal(38,0)") * col("x_e6"))
+      .cast("long").as("tr"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(
+        expr("CAST(ss div vv AS BIGINT)").as("lambda1_e12"),
+        col("tr").as("trace_e12"),
+        expr("CAST((CAST(ss div vv AS DECIMAL(38,0)) * 1000000) div tr" +
+          " AS BIGINT)").as("ratio_ppm"))
+  }
+
   /** Projection of every embedding onto [[powerIterationTop]]'s
     * principal direction — the 1-D PCA feature (corpus position along
     * its dominant axis: the ordering dial for curriculum buckets,

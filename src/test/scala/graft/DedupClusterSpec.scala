@@ -47,6 +47,27 @@ class DedupClusterSpec extends SparkSpec {
       (3L, 3L, 1L, true)))
   }
 
+  test("clusterRepresentatives keeps the LARGEST copy, ties to lower id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog", 61L),
+      (3L, "completely different text with other words here", 47L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.clusterRepresentatives(docs)
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster {1,2}: doc 2 is larger (61 > 44) → rep despite id 1 < 2
+    assert(got == Seq((1L, 2L, 2L, 61L), (3L, 1L, 3L, 47L)), got.toString)
+    // size tie breaks to the lower id
+    val tied = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog", 44L))
+      .toDF("doc_id", "text", "n_chars")
+    val t = Dedup.clusterRepresentatives(tied)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(t == Seq((1L, 2L, 1L, 44L)), t.toString)
+  }
+
   test("leakageSafeSplit never splits a duplicate cluster across train/eval") {
     val docs = (1L to 60L).flatMap { i =>
       val base = s"document number $i has its own distinct body of words " +

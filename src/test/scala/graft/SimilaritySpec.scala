@@ -515,6 +515,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rn == Map(0 -> 1000000L, 1 -> -500000L), rn.toString)
   }
 
+  test("varianceExplained: rank-1 corpus reads exactly 1e6 ppm; mixes read less") {
+    // all mass on axis 0: v = (1e6, 0); λ = Σs²/vᵀv = trace exactly
+    val rank1 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.varianceExplained(rank1, iters = 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(r1 == (1250000000000L, 1250000000000L, 1000000L), r1.toString)
+    // an orthogonal second axis pulls the ratio strictly below 1e6
+    val mixed = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rm = Similarity.varianceExplained(mixed, iters = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(rm._3 < 1000000L && rm._3 > 500000L, rm.toString)
+    assert(rm._1 < rm._2, rm.toString)
+  }
+
   test("pcaProjection: exact e12 products along the iterated direction") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
