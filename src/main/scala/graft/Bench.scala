@@ -101,11 +101,12 @@ object Bench {
       // consumers share (round-15 memoization)
       "q116_unified_dedup_verdict" -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",
-                                          "unified-verdicts"),
-      "q118_semantic_dedup_2l"     -> Set("sem2l-asn"),
+                                          "sem2l-dedup", "unified-verdicts"),
+      "q118_semantic_dedup_2l"     -> Set("sem2l-asn", "sem2l-dedup"),
       "q120_curation_funnel"       -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "ppl-scored",
-                                          "sem2l-asn", "unified-verdicts"),
+                                          "sem2l-asn", "sem2l-dedup",
+                                          "unified-verdicts"),
       // round-14 second half: two-level landed assignment, DSIR landed
       // distribution + threshold indexes
       "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l",

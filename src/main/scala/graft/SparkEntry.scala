@@ -84,6 +84,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // full-corpus two-level assignment (q116/q118/q120 all embed it
       // through the 2L default routing — one build, three consumers)
       "sem2l-asn" -> Similarity.twoLevelAssignment(emb),
+      // the 2L semantic-dedup END table (CC fixpoint runs eagerly at
+      // construction — without this entry every consumer re-pays it;
+      // round-16 profile: 6.4 s construction per call at sf0.1)
+      "sem2l-dedup" -> Similarity.semanticDedupTwoLevel(emb),
       // the unified text+semantic verdict table (q116 emits it, q120's
       // funnel left-joins it) — the suite's deepest composed plan,
       // materialized once here so its codegen bill lands in the index

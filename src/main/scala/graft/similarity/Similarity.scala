@@ -367,13 +367,23 @@ object Similarity {
     * `coarseFactor ≈ √nlist` per [[assignTwoLevel]]'s contract. */
   def semanticDedupTwoLevel(embeddings: DataFrame, fineStride: Int = 25,
       fineOffset: Int = 7, coarseFactor: Int = 5, minCosine: Double = 0.3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    dedupFromAssignment(e,
-      twoLevelAssignment(embeddings, fineStride, fineOffset, coarseFactor,
-        idCol, vecCol),
-      minCosine, idCol)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // Memoized end table (kind "sem2l-dedup", the dedup-clusters
+    // pattern): the CC fixpoint inside runs Spark actions EAGERLY at
+    // construction, so without the memo every consumer — q118 itself,
+    // and q116/q120 through the 2L default routing — re-pays the
+    // whole verify+CC bill per invocation (measured 6.4 s at sf0.1,
+    // round-16 profile: construction 6.4 s vs 0.2 s execution).
+    CacheRegistry.cache(
+      CacheRegistry.key(embeddings, "sem2l-dedup", fineStride, fineOffset,
+        coarseFactor, minCosine, idCol, vecCol), {
+        val e = embeddings.select(col(idCol).as("vec_id"),
+          col(vecCol).as("vec"))
+        dedupFromAssignment(e,
+          twoLevelAssignment(embeddings, fineStride, fineOffset,
+            coarseFactor, idCol, vecCol),
+          minCosine, idCol)
+      })
 
   /** The memoized full-corpus two-level assignment (kind "sem2l-asn")
     * — the O(n·√nlist) stage every 2L-default consumer shares: q118

@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "q143_skew_plan", // one-row total cross-joined onto per-key counts
     "q145_ivfpq_recall", // q133's codebook broadcasts ×4 configs + q21's query batch
     "q146_power_iteration", // one-row max/sign anchors cross-joined onto d rows
-    "q147_pca_project") // embeds q146's one-row anchor broadcasts
+    "q147_pca_project", // embeds q146's one-row anchor broadcasts
+    "q149_variance_explained") // three one-row aggregates cross-joined
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
