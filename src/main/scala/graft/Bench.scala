@@ -112,12 +112,21 @@ object Bench {
       "q122_semantic_inc_2l"       -> Set("vec-lookup", "sem-assign-2l",
                                           "sem-cells-2l"),
       "q123_quality_classifier"    -> Set("qc-features"),
+      // calibration/AUC re-score through the same memoized features
+      "q154_classifier_calibration" -> Set("qc-features"),
+      "q155_classifier_auc"        -> Set("qc-features"),
       "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"),
       // the power-iteration direction: q146 builds it, q147/q149 read
       // the same memoized d-row table (round-16)
       "q146_power_iteration"       -> Set("power-iter"),
       "q147_pca_project"           -> Set("power-iter"),
       "q149_variance_explained"    -> Set("power-iter"),
+      // the deflated second direction reads v̂₁ from the same memo
+      "q152_pca_second"            -> Set("power-iter", "power-iter-2"),
+      // triangle graph = q19's memoized band tables; KMV reads the
+      // corpus shingle projection (+ its own parity-slice memos)
+      "q150_triangle_count"        -> Set("shingles", "minhash-bands"),
+      "q151_source_jaccard"        -> Set("shingles"),
       // cluster representatives fold the memoized q43 cluster table
       "q148_cluster_rep"           -> Set("shingles", "minhash-bands",
                                           "dedup-clusters"))

@@ -66,6 +66,15 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
           .orderBy("doc_id")),
 
+      // The training-output delivery contract: per shard of q40's
+      // packing — doc/token/sequence counts, id range, and an
+      // order-independent integer content digest (what a resumed job
+      // checks instead of re-reading the shard).
+      "q153_shard_manifest" -> ((s, dir) =>
+        graft.curation.Curation.shardManifest(
+            table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
+          .orderBy("shard")),
+
       // Gopher-style repetition filters: duplicate-word fraction and the
       // share of bigrams taken by the most frequent bigram, per doc.
       "q41_repetition_stats" -> ((s, dir) =>
@@ -508,6 +517,22 @@ trait CurationRegistry extends EntryHelpers {
         graft.curation.Curation.qualityClassifier(
             table(s, dir, "documents"), "src0")
           .orderBy("doc_id")),
+
+      // Reliability diagram for q123's scores: fixed-width z bins,
+      // empirical positive rate vs mean predicted probability, gap in
+      // ppm — the audit run before anyone thresholds on the score.
+      "q154_classifier_calibration" -> ((s, dir) =>
+        graft.curation.Curation.classifierCalibration(
+            table(s, dir, "documents"), "src0")
+          .orderBy("bin")),
+
+      // Exact AUC + accuracy of q123's trained scores — Mann–Whitney
+      // rank-sum over the score value histogram (ties at half weight,
+      // kept integral by doubling), the global cumsum staged two-level
+      // so only the tiny block table sees an unpartitioned window.
+      "q155_classifier_auc" -> ((s, dir) =>
+        graft.curation.Curation.classifierAuc(
+          table(s, dir, "documents"), "src0")),
 
       // Incremental DSIR (the data-selection cell of the incremental
       // matrix): the %4==2 slice arrives as a batch and scores against
@@ -1402,6 +1427,31 @@ trait CurationRegistry extends EntryHelpers {
           FROM j ORDER BY doc_id""",
 
     "q123_quality_classifier" -> qcOracle(3),
+
+    "q154_classifier_calibration" -> qcCalibrationOracle(3, 2000000L),
+    "q155_classifier_auc" -> qcAucOracle(3),
+
+    // q40's packing chain folded per shard; the digest is a per-term
+    // mod 1e9+7 hash60 sum (HUGEINT-widened, order-independent).
+    "q153_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+                FROM documents),
+          f AS (SELECT * FROM t WHERE n_tokens > 0),
+          o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f)
+          SELECT shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(MAX((start_offset + n_tokens - 1) // 2048) + 1
+                   AS BIGINT) AS n_seqs,
+                 MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+                 CAST(SUM(('0x' || substr(md5(doc_id || ':' || n_tokens),
+                     1, 15))::BIGINT % 1000000007) % 1000000007
+                   AS BIGINT) AS content_digest
+          FROM o GROUP BY shard ORDER BY shard""",
     // the one-shot replay IS the oracle: folding per-slice gradient
     // partials must land on the identical weight trajectory
     "q138_qc_merge" -> qcOracle(3),
@@ -1656,7 +1706,7 @@ trait CurationRegistry extends EntryHelpers {
     * the weight update's double product/divide has the same IEEE
     * evaluation order as the Spark side, so every intermediate weight
     * table replays bit-identically. */
-  protected def qcOracle(rounds: Int): String = {
+  private def qcOracleWith(rounds: Int, tail: String): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""z$i AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
                FROM tb JOIN w${i - 1} USING (b) GROUP BY doc_id),
@@ -1693,12 +1743,65 @@ trait CurationRegistry extends EntryHelpers {
         $roundCtes,
         zf AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
                FROM tb JOIN w$rounds USING (b) GROUP BY doc_id)
-        SELECT d.doc_id, d.source, y.y AS label, zf.z AS z_e6,
+        $tail"""
+  }
+
+  protected def qcOracle(rounds: Int): String =
+    qcOracleWith(rounds,
+      """SELECT d.doc_id, d.source, y.y AS label, zf.z AS z_e6,
                CAST(CASE WHEN zf.z >= 0 THEN 1 ELSE 0 END AS BIGINT)
                  predicted
         FROM documents d JOIN yy y USING (doc_id) JOIN zf USING (doc_id)
-        ORDER BY d.doc_id"""
-  }
+        ORDER BY d.doc_id""")
+
+  /** q154: the q123 chain's final scores σ-mapped (the training float-
+    * once device) and folded into fixed-width z bins; both rate
+    * divisions non-negative, the gap a plain subtraction. */
+  protected def qcCalibrationOracle(rounds: Int, widthE6: Long): String =
+    qcOracleWith(rounds,
+      s"""SELECT bin, n, n_pos,
+                CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+                CAST(sp // n AS BIGINT) AS avg_p_ppm,
+                CAST(sp // n - n_pos * 1000000 // n AS BIGINT) AS gap_ppm
+         FROM (SELECT CAST(floor(CAST(z AS DOUBLE) / $widthE6.0) AS BIGINT)
+                        bin,
+                      CAST(COUNT(*) AS BIGINT) n,
+                      CAST(SUM(y) AS BIGINT) n_pos,
+                      CAST(SUM(CAST(round((1/(1 + exp(-CAST(z AS DOUBLE)
+                        /1000000)))*1000000) AS BIGINT)) AS BIGINT) sp
+               FROM zf JOIN yy USING (doc_id) GROUP BY 1) t
+         ORDER BY bin""")
+
+  /** q155: Mann–Whitney AUC over the q123 chain's final scores — the
+    * value-histogram rank-sum replayed as one global cumsum (the
+    * two-level blocking on the Spark side is an execution detail; the
+    * answer is block-width-independent, which this oracle proves).
+    * U2 doubled to keep tied pairs integral; the ppm division
+    * HUGEINT-widened exactly like the Spark side's DECIMAL(38,0). */
+  protected def qcAucOracle(rounds: Int): String =
+    qcOracleWith(rounds,
+      """SELECT n_docs, n_pos, n_neg, n_correct, tie_pairs, u2,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 CAST(CAST(u2 AS HUGEINT) * 1000000
+                      // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT)
+               END AS auc_ppm,
+               CAST(n_correct * 1000000 // n_docs AS BIGINT) AS acc_ppm
+        FROM (
+          SELECT CAST(SUM(n) AS BIGINT) n_docs,
+                 CAST(SUM(pos) AS BIGINT) n_pos,
+                 CAST(SUM(n - pos) AS BIGINT) n_neg,
+                 CAST(SUM(CASE WHEN z >= 0 THEN pos ELSE n - pos END)
+                   AS BIGINT) n_correct,
+                 CAST(SUM(pos * (n - pos)) AS BIGINT) tie_pairs,
+                 CAST(SUM(pos * (2*cum_neg + (n - pos))) AS BIGINT) u2
+          FROM (
+            SELECT z, n, pos,
+                   CAST(COALESCE(SUM(n - pos) OVER (ORDER BY z
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) cum_neg
+            FROM (SELECT z, CAST(COUNT(*) AS BIGINT) n,
+                         CAST(SUM(y) AS BIGINT) pos
+                  FROM zf JOIN yy USING (doc_id) GROUP BY z) h) c) t""")
 
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,

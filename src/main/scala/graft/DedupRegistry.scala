@@ -88,6 +88,24 @@ trait DedupRegistry extends EntryHelpers {
           .orderBy("src_lo", "src_hi")
       }),
 
+      // Cross-source set-similarity: per source pair, the KMV
+      // (bottom-k minimum values) Jaccard estimate beside the exact
+      // distinct-gram Jaccard — sketch built by MERGING two doc-parity
+      // partials, so the oracle's one-shot replay is also the
+      // mergeability proof (the q135/q139 pattern: bottom-k of a union
+      // = bottom-k of concatenated bottom-k partials). The audit face
+      // that prices k the way q98/q101 price LSH bands; at 100 TB the
+      // exact columns drop and the sketch is strata·k rows.
+      "q151_source_jaccard" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pa = graft.dedup.Dedup.sourceKmvPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        val pb = graft.dedup.Dedup.sourceKmvPartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.dedup.Dedup.sourceJaccardReport(pa.unionByName(pb), docs)
+          .orderBy("src_a", "src_b")
+      }),
+
       // Streaming exact dedup, oracle-checked: the corpus plus a
       // deterministic echo stream (every 5th doc's text re-emitted
       // 33 + 300·(doc_id mod 11) s later under id = −doc_id) replays
@@ -516,6 +534,57 @@ trait DedupRegistry extends EntryHelpers {
           JOIN documents a ON mhp.a_id = a.doc_id
           JOIN documents b ON mhp.b_id = b.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // One-shot KMV replay (bottom-k of the full distinct set — equal
+    // to the merged-partials sketch by the KMV merge property, which
+    // is exactly what the hash match proves) + exact twin.
+    "q151_source_jaccard" ->
+      s"""WITH $tokCte, $shingleCte,
+          sv AS (SELECT DISTINCT d.source src,
+                        ('0x' || substr(md5(sh.shingle), 1, 15))::BIGINT v
+                 FROM sh JOIN documents d ON d.doc_id = sh.sid),
+          sk AS (SELECT src, v FROM (
+                   SELECT src, v, row_number() OVER
+                     (PARTITION BY src ORDER BY v) rk FROM sv)
+                 WHERE rk <= 64),
+          prs AS (SELECT a.src src_a, b.src src_b
+                  FROM (SELECT DISTINCT src FROM sv) a
+                  JOIN (SELECT DISTINCT src FROM sv) b ON a.src < b.src),
+          uni AS (SELECT src_a, src_b, v, MAX(in_a) in_a, MAX(in_b) in_b
+                  FROM (SELECT p.src_a, p.src_b, s.v, 1 in_a, 0 in_b
+                        FROM prs p JOIN sk s ON s.src = p.src_a
+                        UNION ALL
+                        SELECT p.src_a, p.src_b, s.v, 0, 1
+                        FROM prs p JOIN sk s ON s.src = p.src_b)
+                  GROUP BY src_a, src_b, v),
+          tk AS (SELECT * FROM (
+                   SELECT uni.*, row_number() OVER
+                     (PARTITION BY src_a, src_b ORDER BY v) rk FROM uni)
+                 WHERE rk <= 64),
+          est AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) k_used,
+                         CAST(SUM(in_a * in_b) AS BIGINT) inter_k
+                  FROM tk GROUP BY src_a, src_b),
+          sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) c
+                 FROM sv GROUP BY src),
+          ix AS (SELECT a.src src_a, b.src src_b,
+                        CAST(COUNT(*) AS BIGINT) inter_exact
+                 FROM sv a JOIN sv b ON a.v = b.v AND a.src < b.src
+                 GROUP BY 1, 2)
+          SELECT e.src_a, e.src_b, e.k_used, e.inter_k,
+                 CAST(e.inter_k * 1000000 // e.k_used AS BIGINT)
+                   AS jaccard_est_e6,
+                 coalesce(ix.inter_exact, CAST(0 AS BIGINT))
+                   AS inter_exact,
+                 CAST(sa.c + sb.c - coalesce(ix.inter_exact, 0)
+                   AS BIGINT) AS union_exact,
+                 CAST(coalesce(ix.inter_exact, 0) * 1000000
+                   // (sa.c + sb.c - coalesce(ix.inter_exact, 0))
+                   AS BIGINT) AS jaccard_exact_e6
+          FROM est e
+          LEFT JOIN ix ON ix.src_a = e.src_a AND ix.src_b = e.src_b
+          JOIN sz sa ON sa.src = e.src_a
+          JOIN sz sb ON sb.src = e.src_b
+          ORDER BY e.src_a, e.src_b""",
 
     // Replays the engine's micro-batch state machine exactly: batch
     // assignment over (pos, doc_id) order, one fed row per

@@ -35,6 +35,21 @@ trait ExecRegistry extends EntryHelpers {
             "source", col("doc_id").cast("string"), k = 50)
           .orderBy("source", "doc_id")),
 
+      // WEIGHTED fixed-k sample (priority sampling: 25 smallest
+      // hash60(id) div n_chars per source — long docs win
+      // proportionally). Built as a two-slice partials fold, so the
+      // oracle's one-shot rank replay proves the merge exact
+      // (q140's proof shape applied to sampling).
+      "q156_weighted_sample" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        def slice(r: Int) = graft.curation.Curation.weightedSamplePartials(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === r), "source",
+          col("doc_id").cast("string"), col("n_chars"), 25)
+        graft.curation.Curation.weightedSampleFromPartials(
+            slice(0).unionByName(slice(1)), "source", 25)
+          .orderBy("source", "sample_key")
+      }),
+
       // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
       // (pure-expression columns; no UDF).
       "q23_geo_enrich" -> ((s, dir) => {
@@ -401,6 +416,21 @@ trait ExecRegistry extends EntryHelpers {
           .orderBy("node")
       }),
 
+      // Per-node triangle count + local clustering coefficient over the
+      // MinHash-LSH candidate graph (q19's pair set): degree-ordered
+      // node-iterator — every edge oriented low→high under (degree, id),
+      // wedges joined at the shared source, closed by an edge semi-join
+      // — so each triangle counts once and per-node out-degree is
+      // bounded O(√m) regardless of hub skew. The dedup-QA density
+      // report: high-degree low-LCC nodes are hub false positives.
+      "q150_triangle_count" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.exec.Graph.triangleCount(
+            Dedup.minHashLshPairs(docs, n = 3, k = 16, bands = 4), docs)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      }),
+
       // Mergeable HLL register partials (the distinct-count cell — and
       // the family's one MAX-merge): per-slice 64-register tables fold
       // by per-bucket maximum to exactly the one-shot registers; the
@@ -679,6 +709,20 @@ trait ExecRegistry extends EntryHelpers {
           SELECT doc_id, source FROM r WHERE rnk <= 50
           ORDER BY source, doc_id""",
 
+    // q156: the one-shot priority-sampling rank — non-negative
+    // operands make DuckDB's floor-// and Spark's truncating div agree
+    "q156_weighted_sample" ->
+      """WITH h AS (SELECT source, CAST(doc_id AS VARCHAR) sample_key,
+                      CAST(n_chars AS BIGINT) weight,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        // n_chars AS BIGINT) prio
+                    FROM documents WHERE n_chars > 0),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY source ORDER BY prio, sample_key) rnk
+                FROM h)
+          SELECT source, sample_key, weight, prio FROM r WHERE rnk <= 25
+          ORDER BY source, sample_key""",
+
     // The slope walk of GeoFunctions.mapToGridCellsOnWay, replayed as a
     // recursive CTE: identical IEEE double math (slope, y-estimate) and
     // identical step CASEs, so cell counts match bit-for-bit. n bounds the
@@ -772,6 +816,37 @@ trait ExecRegistry extends EntryHelpers {
           ORDER BY freq DESC, token LIMIT 25""",
 
     "q141_pagerank" -> pageRankOracle(5, 8500),
+
+    // Triangles enumerated once via the a<b<c ordering on the
+    // undirected pair set (the oracle needs no degree orientation —
+    // that is the Spark side's scale device, not a semantics change);
+    // per-node counts attribute each triangle to its three corners.
+    "q150_triangle_count" ->
+      s"""WITH $tokCte, $shingleCte, $minhashPairCte,
+          und AS (SELECT DISTINCT least(a_id, b_id) a,
+                         greatest(a_id, b_id) b
+                  FROM mhp WHERE a_id <> b_id),
+          deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d
+                  FROM (SELECT a n FROM und UNION ALL SELECT b n FROM und)
+                  GROUP BY n),
+          tri AS (SELECT e1.a x, e1.b y, e2.b z
+                  FROM und e1 JOIN und e2 ON e2.a = e1.b
+                              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) t
+                 FROM (SELECT x n FROM tri UNION ALL SELECT y n FROM tri
+                       UNION ALL SELECT z n FROM tri)
+                 GROUP BY n)
+          SELECT d0.doc_id,
+                 coalesce(deg.d, CAST(0 AS BIGINT)) AS degree,
+                 coalesce(tn.t, CAST(0 AS BIGINT)) AS triangles,
+                 CASE WHEN coalesce(deg.d, 0) >= 2
+                      THEN CAST((2 * coalesce(tn.t, 0) * 1000000)
+                             // (deg.d * (deg.d - 1)) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS lcc_e6
+          FROM documents d0
+          LEFT JOIN deg ON deg.n = d0.doc_id
+          LEFT JOIN tn ON tn.n = d0.doc_id
+          ORDER BY d0.doc_id""",
 
     "q142_compaction_plan" ->
       """WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) sz,

@@ -238,6 +238,17 @@ trait SimilarityRegistry extends EntryHelpers {
         graft.similarity.Similarity.pcaProjection(
             table(s, dir, "embeddings"), iters = 3)
           .orderBy("vec_id")),
+
+      // Second principal direction by orthogonal-deflation power
+      // iteration: division-free deflation (cross-scaled
+      // w = u·(v̂₁ᵀv̂₁) − v̂₁·(v̂₁ᵀu), exactly ⊥ v̂₁, no negative-operand
+      // div anywhere), sign-safe renormalize, then the q146 A·w
+      // exchange pair — reads the memoized "power-iter" v̂₁. With q147
+      // this completes the 2-D PCA map.
+      "q152_pca_second" -> ((s, dir) =>
+        graft.similarity.Similarity.powerIterationSecond(
+            table(s, dir, "embeddings"), iters = 3)
+          .orderBy("pos")),
     )
   }
 
@@ -798,6 +809,8 @@ trait SimilarityRegistry extends EntryHelpers {
 
     "q149_variance_explained" -> powerIterOracle(3, "variance"),
 
+    "q152_pca_second" -> powerIterSecondOracle(3, 3),
+
     // q119's PQ replay composed with IVF routing: corpus assignment
     // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
     // restricted to probed cells, exact-cosine rerank.
@@ -868,21 +881,30 @@ trait SimilarityRegistry extends EntryHelpers {
     * `mode`: "vector" (q146 — the direction itself), "project" (q147 —
     * one more row-keyed sum over the final direction), "variance"
     * (q149 — Rayleigh quotient + trace + ratio, one row). */
+  /** One top-chain power-iteration round (CTEs s/y/m/p/g/v suffixed
+    * `i`, reading direction table `v${i-1}`) — shared by
+    * [[powerIterOracle]] and [[powerIterSecondOracle]]. Every CTE is
+    * MATERIALIZED: multiply-referenced round tables would otherwise be
+    * INLINED per reference, duplicating the whole upstream subtree —
+    * at 3+3 unrolled rounds the expansion is exponential (measured:
+    * >20k parquet-scan opens, "Too many open files"). */
+  private def piRound(i: Int): String =
+    s"""s$i AS MATERIALIZED (SELECT rid, SUM(x * vv) s
+               FROM q JOIN v${i - 1} USING (j) GROUP BY rid),
+        y$i AS MATERIALIZED (SELECT j, SUM(CAST(x AS HUGEINT) * s) y
+               FROM q JOIN s$i USING (rid) GROUP BY j),
+        m$i AS MATERIALIZED (SELECT MAX(abs(y)) my FROM y$i),
+        p$i AS MATERIALIZED (SELECT MIN(j) pj
+               FROM y$i, m$i WHERE abs(y) = my),
+        g$i AS MATERIALIZED (SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END sg
+               FROM y$i, p$i WHERE j = pj),
+        v$i AS MATERIALIZED (SELECT j, CAST(sg *
+                 (CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END)
+                 * ((abs(y) * 1000000) // my) AS BIGINT) vv
+               FROM y$i, m$i, g$i)"""
+
   protected def powerIterOracle(iters: Int, mode: String): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT rid, SUM(x * vv) s
-                 FROM q JOIN v${i - 1} USING (j) GROUP BY rid),
-          y$i AS (SELECT j, SUM(CAST(x AS HUGEINT) * s) y
-                 FROM q JOIN s$i USING (rid) GROUP BY j),
-          m$i AS (SELECT MAX(abs(y)) my FROM y$i),
-          p$i AS (SELECT MIN(j) pj FROM y$i, m$i WHERE abs(y) = my),
-          g$i AS (SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END sg
-                 FROM y$i, p$i WHERE j = pj),
-          v$i AS (SELECT j, CAST(sg *
-                   (CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END)
-                   * ((abs(y) * 1000000) // my) AS BIGINT) vv
-                 FROM y$i, m$i, g$i)"""
-    }.mkString(",\n          ")
+    val rounds = (1 to iters).map(piRound).mkString(",\n          ")
     val tail = mode match {
       case "project" =>
         s"""SELECT rid AS vec_id, CAST(SUM(x * vv) AS BIGINT) AS proj_e12
@@ -902,12 +924,59 @@ trait SimilarityRegistry extends EntryHelpers {
     }
     s"""WITH e AS (SELECT vec_id rid, embedding::DOUBLE[] v FROM embeddings),
           js AS (SELECT unnest(range(64)) j),
-          q AS (SELECT rid, j,
+          q AS MATERIALIZED (SELECT rid, j,
                   CAST(floor(v[j+1] * 1000000 + 0.5) AS BIGINT) x
                 FROM e, js),
           v0 AS (SELECT j, CAST(1000000 AS BIGINT) vv FROM js),
           $rounds
           $tail"""
+  }
+
+  /** q152's deflated second-direction iteration unrolled: the top
+    * chain to `v$itersTop` (the [[piRound]] CTEs), then per deflated
+    * round the division-free orthogonalization
+    * w = u·(v̂₁ᵀv̂₁) − v̂₁·(v̂₁ᵀu) (HUGEINT cross-scaling — no
+    * negative-operand division exists), sign-safe ∞-renormalization,
+    * and the same A·w exchange + anchor as the top rounds. */
+  protected def powerIterSecondOracle(iters: Int, itersTop: Int): String = {
+    val topRounds = (1 to itersTop).map(piRound).mkString(",\n          ")
+    val defRounds = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT SUM(CAST(a.vv AS HUGEINT) * b.uu) c
+                 FROM v$itersTop a JOIN u${i - 1} b USING (j)),
+          w$i AS MATERIALIZED (SELECT b.j,
+                   CAST(b.uu AS HUGEINT) * t - CAST(a.vv AS HUGEINT) * c wy
+                 FROM v$itersTop a JOIN u${i - 1} b USING (j), vv1, c$i),
+          mw$i AS MATERIALIZED (SELECT MAX(abs(wy)) mw FROM w$i),
+          wp$i AS MATERIALIZED (SELECT j, CAST(
+                   (CASE WHEN wy < 0 THEN -1 WHEN wy > 0 THEN 1 ELSE 0 END)
+                   * ((abs(wy) * 1000000) // mw) AS BIGINT) ww
+                 FROM w$i, mw$i),
+          ds$i AS MATERIALIZED (SELECT rid, SUM(x * ww) s
+                 FROM q JOIN wp$i USING (j) GROUP BY rid),
+          dy$i AS MATERIALIZED (SELECT j, SUM(CAST(x AS HUGEINT) * s) y
+                 FROM q JOIN ds$i USING (rid) GROUP BY j),
+          dm$i AS MATERIALIZED (SELECT MAX(abs(y)) my FROM dy$i),
+          dp$i AS MATERIALIZED (SELECT MIN(j) pj
+                 FROM dy$i, dm$i WHERE abs(y) = my),
+          dg$i AS MATERIALIZED (SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END sg
+                 FROM dy$i, dp$i WHERE j = pj),
+          u$i AS MATERIALIZED (SELECT j, CAST(sg *
+                   (CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END)
+                   * ((abs(y) * 1000000) // my) AS BIGINT) uu
+                 FROM dy$i, dm$i, dg$i)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT vec_id rid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(64)) j),
+          q AS MATERIALIZED (SELECT rid, j,
+                  CAST(floor(v[j+1] * 1000000 + 0.5) AS BIGINT) x
+                FROM e, js),
+          v0 AS (SELECT j, CAST(1000000 AS BIGINT) vv FROM js),
+          $topRounds,
+          vv1 AS MATERIALIZED (SELECT SUM(CAST(vv AS HUGEINT) * vv) t FROM v$itersTop),
+          u0 AS (SELECT j, CAST(1000000 AS BIGINT) uu FROM js),
+          $defRounds
+          SELECT CAST(j AS INT) AS pos, uu AS v2_e6 FROM u$iters
+          ORDER BY pos"""
   }
 
   /** q145's recall audit: q133's ivf-pq CTE chain instantiated once

@@ -772,6 +772,55 @@ object Curation {
       .drop("__rnk")
   }
 
+  /** WEIGHTED fixed-k sample per stratum, without replacement — the
+    * length-aware cousin of [[stratumSampleK]] (a token-budgeted
+    * corpus wants long documents proportionally more often than a
+    * per-doc coin flip gives them). Priority sampling (Duffield–
+    * Lund–Thorup): each row draws the deterministic uniform
+    * hash60(key) ∈ [0, 2^60) and competes with priority
+    * `hash60(key) div weight` — keep the k smallest per stratum, so
+    * P(selected) grows ∝ weight while remaining a pure function of
+    * the row (idempotent retries, append-stable: landed rows keep
+    * their priorities; a new row only enters by beating the current
+    * k-th). Rows with weight ≤ 0 are excluded (their priority is
+    * +∞ in the real-valued scheme). Integer division only — every
+    * engine agrees on every priority, ties broken by the key's
+    * string form (q53's device).
+    *
+    * Mergeable: bottom-k of a union is the bottom-k of concatenated
+    * per-slice bottom-k partials — the KMV/q151 shape — so 1000
+    * executors each ship k·strata rows, never their data. The
+    * one-shot face delegates to the partials fold (one pipeline);
+    * the oracle replays the one-shot rank, so its hash match proves
+    * the merge exact. */
+  def weightedSamplePartials(df: DataFrame, stratum: String, key: Column,
+      weight: Column, k: Int): DataFrame =
+    weightedSampleFromPartials(
+      df.select(col(stratum), key.as("sample_key"),
+          weight.cast("long").as("weight"),
+          TextFunctions.hash60(key).as("__h"))
+        .filter(col("weight") > 0)
+        .withColumn("prio", expr("__h div weight"))
+        .drop("__h"),
+      stratum, k)
+
+  /** Bottom-k fold of [[weightedSamplePartials]] outputs (idempotent:
+    * folding a fold is a no-op). */
+  def weightedSampleFromPartials(parts: DataFrame, stratum: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(col("prio"), col("sample_key").cast("string"))
+    parts.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__rnk")
+  }
+
+  /** One-shot weighted sample — delegates through the partials fold. */
+  def weightedSampleK(df: DataFrame, stratum: String, key: Column,
+      weight: Column, k: Int): DataFrame =
+    weightedSampleFromPartials(
+      weightedSamplePartials(df, stratum, key, weight, k), stratum, k)
+
   /** The one-pass sketch form of [[distributionStats]] — the 100 TB
     * production path its scaladoc names. `approx_percentile` is a
     * mergeable quantile sketch, so it map-side combines like any
@@ -947,6 +996,155 @@ object Curation {
         floor((col("start_offset") + col("n_tokens") - 1) / lit(maxTokens)))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
+
+  /** Per-shard training-output manifest — the delivery contract a
+    * dataloader consumes: for each output shard of
+    * [[packSequences]]'s deterministic packing, the document count,
+    * token total, sequence count, id range, and an order-independent
+    * content digest (Σ hash60(id:tokens) mod 1e9+7 — an integer sum,
+    * so any partitioning, any retry, and the SQL oracle agree; the
+    * digest is what lets a resumed 100 TB job prove shard N is
+    * byte-complete without re-reading it). One aggregate over the
+    * packing table: the manifest costs one map-side-combined shuffle
+    * of `nShards` rows beyond the packing itself.
+    *
+    * Output: (shard, n_docs, n_tokens, n_seqs, first_id, last_id,
+    * content_digest). */
+  def shardManifest(docs: DataFrame, maxTokens: Int, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packSequences(docs, maxTokens, nShards, idCol, textCol)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (max("last_seq") + 1).as("n_seqs"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"),
+        // per-term mod keeps each term < 1e9+7; the DECIMAL(38,0) sum
+        // cannot wrap at any corpus size (the q96 widening device)
+        sum(pmod(TextFunctions.hash60(
+            concat_ws(":", col(idCol), col("n_tokens"))),
+          lit(1000000007L)).cast("decimal(38,0)")).as("__ds"))
+      .withColumn("content_digest",
+        expr("CAST(__ds % 1000000007 AS BIGINT)"))
+      .drop("__ds")
+
+  /** Calibration (reliability) report for [[qualityClassifier]] — the
+    * audit that says whether the filter's scores MEAN anything before
+    * a pipeline thresholds on them: documents bucketed by fixed-width
+    * z bins, each bin's empirical positive rate beside its mean
+    * predicted probability, gap = predicted − empirical (over-
+    * confidence positive, under-confidence negative). σ is e6-rounded
+    * the instant it appears (training's own float-once device), both
+    * rate divisions have non-negative operands, and the bin index is
+    * an exact double floor (|z| ≪ 2⁵³, width 2e6: the quotient is
+    * either exactly integral or ≥ 5e-7 from it — no boundary
+    * misrounding exists for either engine). The gap is a SUBTRACTION
+    * of two non-negative ppm values — no negative-operand division.
+    *
+    * Scale: one `nBins`-row aggregate over the classifier's scored
+    * output — the report is model-sized, the cost is the (already
+    * distributed) scoring pass. Output: (bin, n, n_pos, pos_rate_ppm,
+    * avg_p_ppm, gap_ppm), ordered by bin. */
+  def classifierCalibration(docs: DataFrame, targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      binWidthE6: Long = 2000000L, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(binWidthE6 > 0, "binWidthE6 must be positive")
+    qualityClassifier(docs, targetSource, buckets, rounds, lr, stratum,
+        idCol, textCol)
+      .withColumn("p_e6",
+        round(lit(1000000.0) /
+          (lit(1.0) + exp(-col("z_e6").cast("double") / lit(1000000.0))))
+          .cast("long"))
+      .withColumn("bin",
+        floor(col("z_e6").cast("double") / lit(binWidthE6.toDouble))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"),
+        sum("p_e6").as("__sp"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+      .withColumn("avg_p_ppm", expr("__sp div n"))
+      .withColumn("gap_ppm", col("avg_p_ppm") - col("pos_rate_ppm"))
+      .drop("__sp")
+  }
+
+  /** Exact AUC (Mann–Whitney U) of an integer score column against a
+    * 0/1 label — the ranking-quality number every filter-classifier
+    * report leads with, computed EXACTLY (ties at half weight) rather
+    * than by trapezoid-over-sampled-thresholds approximation.
+    *
+    * Shape: the corpus collapses to a value histogram (per distinct
+    * score: n, positives, negatives); U then needs, per score, the
+    * count of negatives strictly below it — a cumulative sum that must
+    * be GLOBAL. Naively that is a single-reducer window over all
+    * distinct scores, so the cumsum is staged two-level instead
+    * (q47's offset-table device applied to values): scores fold into
+    * `blockWidth`-wide blocks, the per-block negative totals get the
+    * only unpartitioned window (the block table is bounded by
+    * score-range / blockWidth — value-range-scale, never corpus-scale),
+    * and the within-block running sum is a window PARTITIONED by block.
+    * Doubling sidesteps halves: U2 = Σ_z pos(z)·(2·neg_below(z) +
+    * neg_tied(z)) counts each tied pair once instead of half, and
+    * auc_ppm = U2·1e6 div (2·n_pos·n_neg) (DECIMAL-widened — at 1e9
+    * docs U2 nears 2^63, the product must not wrap). Accuracy rides
+    * the same histogram: a row predicts positive iff z ≥ 0, so
+    * n_correct = Σ_z [z ≥ 0 ? pos : neg] — no second corpus pass.
+    *
+    * Output: one row — (n_docs, n_pos, n_neg, n_correct, tie_pairs,
+    * u2, auc_ppm, acc_ppm), all BIGINT; auc_ppm NULL on a
+    * single-class corpus rather than a divide-by-zero. */
+  def aucFromScores(scored: DataFrame, scoreCol: String = "z_e6",
+      labelCol: String = "label",
+      blockWidth: Long = 2000000L): DataFrame = {
+    require(blockWidth > 0, "blockWidth must be positive")
+    val h = scored
+      .groupBy(col(scoreCol).as("z"))
+      .agg(count(lit(1)).as("n"), sum(labelCol).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+      // floor-div keeps negative scores in their own blocks
+      .withColumn("blk",
+        floor(col("z").cast("double") / lit(blockWidth.toDouble))
+          .cast("long"))
+    val blk = h.groupBy("blk").agg(sum("neg").as("__bn"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkCum = blk
+      .withColumn("cum_blk", coalesce(sum("__bn").over(wBlk), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy("blk").orderBy("z")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.join(blkCum, "blk")
+      .withColumn("cum_neg",
+        col("cum_blk") + coalesce(sum("neg").over(wIn), lit(0L)))
+      .agg(
+        sum("n").as("n_docs"),
+        sum("pos").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(when(col("z") >= 0, col("pos")).otherwise(col("neg")))
+          .as("n_correct"),
+        sum(col("pos") * col("neg")).as("tie_pairs"),
+        sum(col("pos") * (col("cum_neg") * 2 + col("neg"))).as("u2"))
+      .withColumn("auc_ppm",
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000
+                       div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
+                    AS BIGINT)
+                END"""))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_docs"))
+  }
+
+  /** [[aucFromScores]] applied to [[qualityClassifier]]'s trained
+    * scores — the one-row report card for the quality filter: does the
+    * score actually rank reference-source docs above the rest (AUC),
+    * and how often does the z ≥ 0 decision agree with the label
+    * (accuracy)? */
+  def classifierAuc(docs: DataFrame, targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    aucFromScores(qualityClassifier(docs, targetSource, buckets, rounds,
+      lr, stratum, idCol, textCol))
 
   /** PII scrubbing — the standard redaction pass a training corpus gets
     * before anything else reads it: emails, dotted-quad IPs and

@@ -1351,4 +1351,116 @@ object Dedup {
       .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"))
       .withColumn("dup_ppm",
         expr("(n_docs - n_distinct) * 1000000 div n_docs"))
+
+  /** Per-stratum bottom-k (KMV / k-minimum-values) sketch of the
+    * distinct shingle-hash set over a document SLICE — the mergeable
+    * cell of the cross-source set-similarity report: the bottom-k of a
+    * union is the bottom-k of the concatenated partials, so per-shard
+    * sketches fold to exactly the one-shot sketch (the q135/q136
+    * mergeable-partials contract — no approximation is introduced by
+    * sharding, only by k itself).
+    *
+    * Scale: the gram table is the corpus-linear pass; everything after
+    * is distinct (stratum, hash) → per-stratum bottom-k, rows bounded
+    * by strata · k. Output: (src, v) — ≤ k rows per stratum. */
+  def sourceKmvPartials(docs: DataFrame, k: Int = 64, n: Int = 3,
+      stratum: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // reads the memoized per-corpus (sid, hash) projection — on the
+    // full corpus this is the SAME "shingles" table every other
+    // shingle consumer shares; a slice memoizes its own
+    val sv = shingleHashes(docs, n, textCol, idCol)
+      .join(docs.select(col(idCol).as("sid"), col(stratum).as("src")), "sid")
+      .select(col("src"), col("sh").as("v"))
+      .distinct()
+    val w = Window.partitionBy("src").orderBy("v")
+    sv.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("src", "v")
+  }
+
+  /** Cross-stratum Jaccard report from merged KMV partials + the exact
+    * twin: for every stratum pair a < b, the standard KMV union
+    * estimator (merge both sketches, keep the k smallest values of the
+    * union, count how many sit in BOTH originals) beside the exact
+    * distinct-gram-set Jaccard — the audit face that prices k the way
+    * q98/q101 price LSH band counts. At 100 TB the exact columns are
+    * the part a deployment drops; the sketch path touches corpus data
+    * only through the ≤ strata·k sketch rows.
+    *
+    * Estimator values are floor-divided micro-units
+    * (`inter_k·1e6 div k_used`), exact likewise over the inclusion–
+    * exclusion union — identical in both engines. `k_used` <
+    * k only when a pair's merged value universe runs out (degenerate
+    * tiny strata). The stratum-pair frame is strata², human-scale by
+    * the same contract as every stratum operator here.
+    *
+    * Output per pair: (src_a, src_b, k_used, inter_k, jaccard_est_e6,
+    * inter_exact, union_exact, jaccard_exact_e6). */
+  def sourceJaccardReport(partials: DataFrame, docs: DataFrame,
+      k: Int = 64, n: Int = 3, stratum: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // merged sketch: bottom-k of the unioned partials per stratum
+    val sk = partials.select(col("src"), col("v")).distinct()
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("src").orderBy("v")))
+      .filter(col("rk") <= k).select("src", "v")
+    val srcs = sk.select("src").distinct()
+    // strata-scale frame: broadcast hint so the pair expansion is a
+    // fused BNLJ, never a CartesianProduct exchange
+    val pairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("src").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val ua = pairs.join(sk.withColumnRenamed("src", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("v"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pairs.join(sk.withColumnRenamed("src", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("v"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val uni = ua.unionByName(ub)
+      .groupBy("src_a", "src_b", "v")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val est = uni
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("v")))
+      .filter(col("rk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("inter_k"))
+      .withColumn("jaccard_est_e6",
+        expr("inter_k * 1000000 div k_used"))
+    // exact twin over the full distinct (stratum, gram-hash) set —
+    // the memoized corpus "shingles" projection again
+    val sv = shingleHashes(docs, n, textCol, idCol)
+      .join(docs.select(col(idCol).as("sid"), col(stratum).as("src")), "sid")
+      .select(col("src"), col("sh").as("v"))
+      .distinct()
+    val sizes = sv.groupBy("src").agg(count(lit(1)).as("c"))
+    val inter = sv.select(col("src").as("src_a"), col("v"))
+      .join(sv.select(col("src").as("src_b"), col("v")), "v")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter_exact"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("src").as("src_a"), col("c").as("ca")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("c").as("cb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("k_used"), col("inter_k"),
+        col("jaccard_est_e6"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        (col("ca") + col("cb") -
+          coalesce(col("inter_exact"), lit(0L))).as("union_exact"))
+      .withColumn("jaccard_exact_e6",
+        expr("inter_exact * 1000000 div union_exact"))
+  }
+
+  /** One-shot cross-stratum Jaccard — delegates to the from-partials
+    * face over a single whole-corpus partial (one pipeline; the
+    * mergeable face is the primary). */
+  def sourceJaccard(docs: DataFrame, k: Int = 64, n: Int = 3,
+      stratum: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    sourceJaccardReport(
+      sourceKmvPartials(docs, k, n, stratum, textCol, idCol),
+      docs, k, n, stratum, textCol, idCol)
 }

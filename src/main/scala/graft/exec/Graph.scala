@@ -134,4 +134,78 @@ object Graph {
           col("sum_delta_e12"))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected pair list — the density report for a near-duplicate
+    * candidate graph (a high-LCC node sits inside a tight clique of
+    * mutual near-dups; a low-LCC high-degree node is a hub stitching
+    * unrelated documents, the classic false-positive signature).
+    *
+    * Algorithm: degree-ordered node-iterator (Latapy, TCS 2008 — the
+    * standard distributed formulation). Each undirected edge is
+    * oriented from its lower endpoint to its higher endpoint under the
+    * total order (degree, id); every triangle then has exactly one
+    * source node with two out-edges, so counting (wedge ⋈ closing edge)
+    * over the ORIENTED list counts each triangle once — and the
+    * orientation bounds every out-degree by O(√m) regardless of hub
+    * skew, which is what keeps the wedge self-join tractable when a
+    * viral document drags in a million-edge star (an unoriented
+    * neighbor self-join would square the hub's degree; the oriented one
+    * squares √m). Wedges join on the shared source (one hash shuffle),
+    * the closing check is an edge-keyed semi-join (second shuffle), and
+    * per-node attribution explodes each triangle to its three corners.
+    *
+    * All counts are integer; `lcc_e6` = 2·T·1e6 div (d·(d−1)) uses the
+    * repo's non-negative floor division, so both engines emit identical
+    * rows. `vertices` supplies the full node set (isolated nodes report
+    * zero degree/triangles/lcc — same contract as
+    * [[graft.dedup.Dedup.connectedComponents]]'s singleton clusters;
+    * degree-1 nodes also report lcc 0, the usual convention for the
+    * undefined d(d−1) case).
+    *
+    * Input: `pairs(a_id, b_id)` (any orientation, self-loops dropped).
+    * Output: (id, degree, triangles, lcc_e6) — one row per vertex. */
+  def triangleCount(pairs: DataFrame, vertices: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val und = pairs
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d(u), u) < (d(v), v)
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val ori = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
+    // wedges at u between out-neighbors v < w (in the same total
+    // order), closed iff the oriented edge v -> w exists
+    val wedges = ori.select(col("u"), col("v"), col("dv"))
+      .join(ori.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val closing = ori.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "leftsemi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    vertices.select(col(idCol).as("id")).distinct()
+      .join(deg.withColumnRenamed("n", "id"), Seq("id"), "left")
+      .join(perNode.withColumnRenamed("n", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(coalesce(col("d"), lit(0L)) >= 2,
+          expr("2 * coalesce(t, 0L) * 1000000 div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("lcc_e6"))
+  }
 }

@@ -1404,4 +1404,92 @@ object Similarity {
       .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("proj_e12"))
       .select(col("rid").as(idCol), col("proj_e12"))
   }
+
+  /** SECOND principal direction via orthogonal-deflation power
+    * iteration — the axis [[powerIterationTop]]'s direction leaves
+    * behind (with [[pcaProjection]] this gives the 2-D PCA map:
+    * semantic-cell splitting, curriculum grids, drift plots). Same
+    * exact-integer fixed-point contract as the top face, with the
+    * deflation kept DIVISION-FREE so no negative-operand `div` exists
+    * for the engines to disagree on: instead of subtracting the
+    * projection (v̂₁ᵀu/v̂₁ᵀv̂₁)·v̂₁ — a division whose operands can be
+    * negative — each round orthogonalizes by cross-scaling,
+    *
+    *   w_j = u_j·(v̂₁ᵀv̂₁) − v̂₁_j·(v̂₁ᵀu)
+    *
+    * (exactly ⊥ v̂₁ by construction, DECIMAL(38,0)-widened products),
+    * then ∞-norm renormalizes w with the sign-safe
+    * `sign(w)·(|w|·1e6 div max|w|)` (non-negative numerator) BEFORE
+    * applying A = Σxxᵀ — so every division in the trajectory has
+    * non-negative operands and trunc ≡ floor holds in both engines.
+    * Re-orthogonalizing every round (not once) is the standard guard
+    * against A's application re-amplifying the dominant axis out of
+    * rounding residue.
+    *
+    * Scale: per round the SAME two keyed corpus aggregates as the top
+    * face plus d-row/one-row auxiliaries; v̂₁ comes from the memoized
+    * "power-iter" table (built once, shared with q146/q147/q149).
+    * Precondition: the deflated image must be nonzero — a corpus whose
+    * second moment is exactly rank-1 has no second axis (loud failure:
+    * max|w| = 0 divides by zero; never a silent wrong answer).
+    *
+    * Output: (pos, v2_e6) — the unit-∞-norm second-direction estimate
+    * in micro-units, sign-anchored like the top face. */
+  def powerIterationSecond(embeddings: DataFrame, iters: Int = 3,
+      itersTop: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(embeddings, "power-iter-2", iters, itersTop,
+        idCol, vecCol),
+      powerIterationSecondBuild(embeddings, iters, itersTop, idCol, vecCol))
+
+  private def powerIterationSecondBuild(embeddings: DataFrame, iters: Int,
+      itersTop: Int, idCol: String, vecCol: String): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val v1 = powerIterationTop(embeddings, itersTop, idCol, vecCol)
+      .select(col("pos"), col("v_e6").as("v1"))
+    val q = microTriples(embeddings, idCol, vecCol)
+    val vv1 = v1.agg(sum(col("v1") * col("v1")).as("vv1"))
+    var u = q.select("pos").distinct()
+      .withColumn("u_e6", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      // division-free orthogonalization against the memoized v̂₁
+      val c = u.join(v1, "pos")
+        .agg(sum(col("v1") * col("u_e6")).as("c"))
+      val w = u.join(v1, "pos")
+        .crossJoin(broadcast(vv1)).crossJoin(broadcast(c))
+        .select(col("pos"),
+          (col("u_e6").cast("decimal(38,0)") * col("vv1") -
+            col("v1").cast("decimal(38,0)") * col("c")).as("wy"))
+        .localCheckpoint(true)
+      val mw = w.agg(max(abs(col("wy"))).as("mw"))
+      val wp = w.crossJoin(broadcast(mw))
+        .select(col("pos"),
+          (when(col("wy") < 0, lit(-1L)).when(col("wy") > 0, lit(1L))
+            .otherwise(lit(0L)) *
+            expr("CAST((abs(wy) * 1000000) div mw AS BIGINT)")).as("w_e6"))
+      // y = A·w′ — the q146 exchange pair, materialized once per
+      // round for its four consumers (the q141/q146 device)
+      val s = q.join(wp, "pos")
+        .groupBy("rid").agg(sum(col("x_e6") * col("w_e6")).as("s"))
+      val y = q.join(s, "rid")
+        .groupBy("pos")
+        .agg(sum(col("x_e6").cast("decimal(38,0)") * col("s")).as("y"))
+        .localCheckpoint(true)
+      val m = y.agg(max(abs(col("y"))).as("my"))
+      val anchorPos = y.crossJoin(m)
+        .filter(abs(col("y")) === col("my"))
+        .agg(min(col("pos")).as("pj"))
+      val anchorSign = y.crossJoin(anchorPos)
+        .filter(col("pos") === col("pj"))
+        .select(when(col("y") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+      u = y.crossJoin(broadcast(m)).crossJoin(broadcast(anchorSign))
+        .select(col("pos"),
+          (col("sgn") *
+            when(col("y") < 0, lit(-1L)).when(col("y") > 0, lit(1L))
+              .otherwise(lit(0L)) *
+            expr("CAST((abs(y) * 1000000) div my AS BIGINT)")).as("u_e6"))
+    }
+    u.select(col("pos"), col("u_e6").as("v2_e6"))
+  }
 }

@@ -272,6 +272,19 @@ object MaterializedScaleBench {
         graft.similarity.Similarity.powerIterationTop(emb(k), 3).count()),
       ("q147_pca_project", k =>
         graft.similarity.Similarity.pcaProjection(emb(k), 3).count()),
+      // round-16 second half: triangle counting over the LSH candidate
+      // graph (degree-ordered — out-degree bounded O(√m), so the wedge
+      // join scales with triangles, not hub-degree²), the KMV
+      // cross-source Jaccard (corpus-linear gram pass + strata·k
+      // sketch), and the deflated second direction (2× the q146
+      // exchange pair per round)
+      ("q150_triangles", k =>
+        graft.exec.Graph.triangleCount(
+          Dedup.minHashLshPairs(docs(k), 3, 16, 4), docs(k)).count()),
+      ("q151_src_jaccard", k =>
+        Dedup.sourceJaccard(docs(k)).count()),
+      ("q152_pca_second", k =>
+        graft.similarity.Similarity.powerIterationSecond(emb(k), 3).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),

@@ -53,6 +53,59 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._7 == 2), "no doc crossed a sequence boundary")
   }
 
+  test("shardManifest folds the packing into per-shard delivery rows") {
+    val docs = (0 until 60)
+      .map(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.shardManifest(docs, maxTokens = 10, nShards = 2)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.length == 2)
+    // reference fold over the same deterministic pack
+    val byShard = (0 until 60).groupBy(_ % 2)
+    got.foreach { case (sh, nDocs, nToks, nSeqs, fid, lid, dg) =>
+      val ids = byShard(sh)
+      val toks = ids.map(i => (i % 7 + 1).toLong)
+      assert(nDocs == ids.length && nToks == toks.sum)
+      // last_seq of the final doc + 1 == ceil-ish span of the stream
+      assert(nSeqs == (toks.sum - 1) / 10 + 1, s"shard $sh n_seqs $nSeqs")
+      assert(fid == ids.min && lid == ids.max)
+      assert(dg >= 0 && dg < 1000000007L)
+    }
+    // digest changes when any (id, token-count) pair changes
+    val tweaked = (0 until 60)
+      .map(i => (i.toLong,
+        Seq.fill(if (i == 4) 3 else i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dg0 = got.map(r => r._1 -> r._7).toMap
+    val dg1 = Curation.shardManifest(tweaked, maxTokens = 10, nShards = 2)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._7).toMap
+    assert(dg1(0) != dg0(0) && dg1(1) == dg0(1), s"$dg0 vs $dg1")
+  }
+
+  test("classifierCalibration: bins partition the scored corpus; " +
+    "gap is the predicted-minus-empirical difference") {
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 4 == 0) "src0" else "srcX"
+      (i.toLong, s"tok$i w${i % 5} q${i % 3}", src)
+    }.toDF("doc_id", "text", "source")
+    val scored = Curation.qualityClassifier(docs, "src0")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val got = Curation.classifierCalibration(docs, "src0")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == scored.length, got.mkString(","))
+    got.foreach { case (bin, n, nPos, rate, avgP, gap) =>
+      val inBin = scored.filter(s => math.floor(s._4.toDouble / 2e6) == bin)
+      assert(inBin.length == n && inBin.map(_._3).sum == nPos)
+      assert(rate == nPos * 1000000L / n)
+      val sp = inBin.map(s =>
+        math.round(1e6 / (1 + math.exp(-s._4.toDouble / 1e6)))).sum
+      assert(avgP == sp / n, s"bin $bin avgP $avgP vs ${sp / n}")
+      assert(gap == avgP - rate)
+    }
+  }
+
   test("repetitionStats: duplicate-word fraction and top-bigram share") {
     val docs = Seq(
       (1L, "a b a b a"), // 5 words, 2 distinct; "a b"×2 of 4 bigrams
@@ -775,6 +828,30 @@ class CurationSpec extends SparkSpec {
         .as[(Long, Int, String, Long, Long, Long)].collect().toSet
       assert(merged == oneShot, s"$m-way split: $merged")
     }
+  }
+
+  test("aucFromScores: hand rank-sum with cross-class ties; block-width invariant") {
+    // (z, label): ties at z=-3 and z=2 straddle classes
+    val scored = Seq(
+      (-3L, 0L), (-3L, 1L), (0L, 0L), (2L, 1L), (2L, 0L), (5L, 1L))
+      .toDF("z_e6", "label")
+    // hand: histogram (-3: 1p/1n, 0: 0p/1n, 2: 1p/1n, 5: 1p/0n),
+    // neg-below 0/1/2/3 -> U2 = 1*(0+1) + 1*(4+1) + 1*(6+0) = 12,
+    // auc = 12/(2*3*3) = 2/3; correct = 1(neg@-3)+0(pos@0)+1+1 = 3
+    val expected = (6L, 3L, 3L, 3L, 2L, 12L, 666666L, 500000L)
+    for (bw <- Seq(1L, 3L, 2000000L)) {
+      val row = Curation.aucFromScores(scored, blockWidth = bw)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(row == Seq(expected), s"blockWidth=$bw: $row")
+    }
+    // single-class corpus: auc undefined (NULL), accuracy still exact
+    val oneClass = Curation.aucFromScores(
+        Seq((1L, 1L), (-1L, 1L)).toDF("z_e6", "label"))
+      .select("auc_ppm", "acc_ppm", "n_neg")
+      .collect().head
+    assert(oneClass.isNullAt(0) && oneClass.getLong(1) == 500000L &&
+      oneClass.getLong(2) == 0L)
   }
 
 }

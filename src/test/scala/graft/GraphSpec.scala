@@ -79,4 +79,29 @@ class GraphSpec extends SparkSpec {
     assert(got("b") == tele + 8500L * (base * 3 / 4) / 10000L, got.toString)
     assert(got("c") == tele + 8500L * (base / 4) / 10000L, got.toString)
   }
+
+  test("triangle count: hand graph, dup/reversed/self edges normalized") {
+    // und = {1-2, 1-3, 2-3, 3-4}: one triangle {1,2,3}; 4 is a leaf;
+    // 5 only self-loops (dropped); 6 is isolated
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 1L),
+      (2L, 3L), (5L, 5L)).toDF("a_id", "b_id")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val got = Graph.triangleCount(pairs, verts)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, d, t, l) => id -> ((d, t, l)) }.toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L)),
+      5L -> ((0L, 0L, 0L)), 6L -> ((0L, 0L, 0L))), got.toString)
+  }
+
+  test("triangle count: 4-clique — every node in C(3,2)=3 triangles") {
+    val ids = Seq(10L, 11L, 12L, 13L)
+    val pairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("a_id", "b_id")
+    val got = Graph.triangleCount(pairs, ids.toDF("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.forall { case (_, d, t, l) =>
+      d == 3L && t == 3L && l == 1000000L }, got.mkString(","))
+  }
 }

@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
   // partition; q61's cumsum runs over the value HISTOGRAM (distinct
   // lengths), never the corpus
   private val tinyGlobalWindowOk =
-    Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report")
+    Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report",
+      // q155's only unpartitioned window is the per-BLOCK negative
+      // cumsum (score-range/blockWidth rows — value-range-scale); the
+      // per-score cumsum is partitioned by block
+      "q155_classifier_auc")
 
   /** Physical plan with the AQE wrapper peeled (its children are fields,
     * not `children`, so a bare `collect` sees nothing under it). */
@@ -78,7 +82,9 @@ class PlanAuditSpec extends SparkSpec {
     "q145_ivfpq_recall", // q133's codebook broadcasts ×4 configs + q21's query batch
     "q146_power_iteration", // one-row max/sign anchors cross-joined onto d rows
     "q147_pca_project", // embeds q146's one-row anchor broadcasts
-    "q149_variance_explained") // three one-row aggregates cross-joined
+    "q149_variance_explained", // three one-row aggregates cross-joined
+    "q151_source_jaccard", // strata×strata pair frame (human-scale)
+    "q152_pca_second") // q146's one-row anchor/norm broadcasts ×2 chains
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
     for ((name, q) <- SparkEntry.queries) {
