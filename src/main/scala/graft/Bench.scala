@@ -55,6 +55,8 @@ object Bench {
       "q108_dedup_verdicts"         -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q18_dedup_ngram_jaccard" -> Set("shingles", "shingles-capped"),
       "q127_containment_pairs"  -> Set("shingles", "shingles-capped"),
+      // the threshold sweep re-reads q18's capped pair space
+      "q167_threshold_sweep"    -> Set("shingles", "shingles-capped"),
       "q128_landed_containment" -> Set("shingles", "landed-sh-set"),
       "q129_ingest_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
         "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
@@ -103,6 +105,12 @@ object Bench {
                                           "dedup-clusters", "sem2l-asn",
                                           "sem2l-dedup", "unified-verdicts"),
       "q118_semantic_dedup_2l"     -> Set("sem2l-asn", "sem2l-dedup"),
+      // raw-flag agreement matrix reads the same evidence pipelines
+      "q157_method_agreement"      -> Set("shingles", "minhash-bands",
+                                          "dedup-clusters", "sem2l-asn",
+                                          "sem2l-dedup"),
+      // append-only IVF-PQ reads the landed routing/code index pair
+      "q158_ivfpq_incremental"     -> Set("ivfpq-asn", "ivfpq-codes"),
       "q120_curation_funnel"       -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "ppl-scored",
                                           "sem2l-asn", "sem2l-dedup",
@@ -114,6 +122,17 @@ object Bench {
       "q123_quality_classifier"    -> Set("qc-features"),
       // calibration/AUC re-score through the same memoized features
       "q154_classifier_calibration" -> Set("qc-features"),
+      // filter-agreement matrix reads the classifier features and the
+      // ppl-scored projection the funnel family already shares
+      "q161_filter_agreement"      -> Set("qc-features", "ppl-scored"),
+      // resumed-writer cell reads the landed manifest partial
+      "q162_manifest_incremental"  -> Set("shard-manifest"),
+      // quality-aware representatives read the cluster table + the
+      // classifier features
+      "q165_quality_rep"           -> Set("shingles", "minhash-bands",
+                                          "dedup-clusters", "qc-features"),
+      // drift monitor reads the landed head distribution
+      "q163_ingest_drift"          -> Set("drift-head"),
       "q155_classifier_auc"        -> Set("qc-features"),
       "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"),
       // the power-iteration direction: q146 builds it, q147/q149 read

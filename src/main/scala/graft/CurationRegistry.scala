@@ -75,6 +75,35 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"), maxTokens = 2048, nShards = 8)
           .orderBy("shard")),
 
+      // The RESUMED-WRITER cell: q153's manifest folded from the
+      // memoized landed partial + the batch's own partial — equals the
+      // one-shot manifest over the union (the oracle replays it).
+      "q162_manifest_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.shardManifestIncrement(
+            docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+            maxTokens = 2048, nShards = 8)
+          .orderBy("shard")
+      }),
+
+      // Quality-aware cluster representatives: q148's retention policy
+      // with the kept copy chosen by the trained classifier's margin.
+      "q165_quality_rep" -> ((s, dir) =>
+        graft.curation.Curation.qualityRepresentatives(
+            table(s, dir, "documents"), "src0")
+          .orderBy("cluster_id")),
+
+      // Ingest drift alarm: batch head-coverage + head-restricted KL
+      // vs the memoized landed head — the distribution monitor in
+      // front of the q129/q132 gates.
+      "q163_ingest_drift" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.ingestDriftReport(
+          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 2))
+      }),
+
       // Gopher-style repetition filters: duplicate-word fraction and the
       // share of bigrams taken by the most frequent bigram, per doc.
       "q41_repetition_stats" -> ((s, dir) =>
@@ -89,6 +118,19 @@ trait CurationRegistry extends EntryHelpers {
             docs.filter(col("doc_id") % 97 =!= 0),
             docs.filter(col("doc_id") % 97 === 0), n = 3)
           .orderBy("doc_id")
+      }),
+
+      // Corpus release diff: old = corpus minus the %17 slice with the
+      // %13 slice truncated (simulated edits), new = corpus minus the
+      // %19 slice — per (source, status) doc counts + token movement.
+      "q168_snapshot_diff" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 17 =!= 3)
+          .withColumn("text", when(col("doc_id") % 13 === 5,
+            substring(col("text"), 1, 20)).otherwise(col("text")))
+        val nw = docs.filter(col("doc_id") % 19 =!= 7)
+        graft.curation.Curation.snapshotDiff(old, nw)
+          .orderBy("source", "status")
       }),
 
       // Corpus vocabulary: top-100 tokens by frequency with document
@@ -521,6 +563,15 @@ trait CurationRegistry extends EntryHelpers {
       // Reliability diagram for q123's scores: fixed-width z bins,
       // empirical positive rate vs mean predicted probability, gap in
       // ppm — the audit run before anyone thresholds on the score.
+      // Pairwise agreement matrix between the three quality-filter
+      // policies (RAW flags, no funnel precedence): heuristic gate,
+      // perplexity decile cut, trained classifier — q157's dial for
+      // the curation side of the funnel.
+      "q161_filter_agreement" -> ((s, dir) =>
+        graft.curation.Curation.filterMethodAgreement(
+            table(s, dir, "documents"), "src0")
+          .orderBy("m1", "m2")),
+
       "q154_classifier_calibration" -> ((s, dir) =>
         graft.curation.Curation.classifierCalibration(
             table(s, dir, "documents"), "src0")
@@ -764,6 +815,34 @@ trait CurationRegistry extends EntryHelpers {
                  CAST(hits AS BIGINT) AS n_hits,
                  CAST(hits AS DOUBLE) / n_grams AS contamination
           FROM j WHERE hits > 0 ORDER BY doc_id""",
+
+    // q168: both snapshots replayed by the same deterministic prep;
+    // identity = raw md5, token counts ride q107's proven device.
+    "q168_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source,
+                  md5(CASE WHEN doc_id % 13 = 5
+                      THEN substr(text, 1, 20) ELSE text END) fp,
+                  CAST(len(regexp_split_to_array(trim(
+                    CASE WHEN doc_id % 13 = 5
+                    THEN substr(text, 1, 20) ELSE text END), '\s+'))
+                    AS BIGINT) tk
+                FROM documents WHERE doc_id % 17 != 3),
+          nw AS (SELECT doc_id, source, md5(text) fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS BIGINT) tk
+                 FROM documents WHERE doc_id % 19 != 7),
+          j AS (SELECT COALESCE(nw.source, o.source) source,
+                  CASE WHEN o.fp IS NULL THEN 'added'
+                       WHEN nw.fp IS NULL THEN 'removed'
+                       WHEN o.fp != nw.fp THEN 'changed'
+                       ELSE 'unchanged' END status,
+                  COALESCE(o.tk, 0) otk, COALESCE(nw.tk, 0) ntk
+                FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+          SELECT source, status, CAST(COUNT(*) AS BIGINT) n_docs,
+                 CAST(SUM(otk) AS BIGINT) tokens_old,
+                 CAST(SUM(ntk) AS BIGINT) tokens_new,
+                 CAST(SUM(ntk) - SUM(otk) AS BIGINT) token_delta
+          FROM j GROUP BY source, status ORDER BY source, status""",
 
     "q32_text_bpe_tokens" ->
       """WITH t AS (SELECT doc_id,
@@ -1428,6 +1507,10 @@ trait CurationRegistry extends EntryHelpers {
 
     "q123_quality_classifier" -> qcOracle(3),
 
+    "q161_filter_agreement" -> qcAgreementOracle(3),
+
+    "q165_quality_rep" -> qcClusterRepOracle(3),
+
     "q154_classifier_calibration" -> qcCalibrationOracle(3, 2000000L),
     "q155_classifier_auc" -> qcAucOracle(3),
 
@@ -1452,6 +1535,64 @@ trait CurationRegistry extends EntryHelpers {
                      1, 15))::BIGINT % 1000000007) % 1000000007
                    AS BIGINT) AS content_digest
           FROM o GROUP BY shard ORDER BY shard""",
+
+    // q163: the q95 lnq chain with landed as the reference and batch as
+    // the judged side; covers divided once, the alarm compared on the
+    // SAME divided ppm integers both engines computed
+    "q163_ingest_drift" ->
+      """WITH lt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) token
+                     FROM documents WHERE doc_id % 4 != 2),
+          bt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) token
+                 FROM documents WHERE doc_id % 4 = 2),
+          head AS (SELECT token, CAST(COUNT(*) AS BIGINT) c_lt FROM lt
+                   GROUP BY token ORDER BY c_lt DESC, token LIMIT 200),
+          nl AS (SELECT CAST(COUNT(*) AS BIGINT) n_l FROM lt),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) n_b FROM bt),
+          bc AS (SELECT token, CAST(COUNT(*) AS BIGINT) c_bt FROM bt
+                 GROUP BY token),
+          jj AS (SELECT CAST(COALESCE(SUM(c_bt), 0) AS BIGINT) head_b,
+                        CAST(COALESCE(SUM(c_bt *
+                          (CAST(round(ln(c_bt)*1000000, 0) AS BIGINT)
+                         - CAST(round(ln(nb.n_b)*1000000, 0) AS BIGINT)
+                         - CAST(round(ln(c_lt)*1000000, 0) AS BIGINT)
+                         + CAST(round(ln(nl.n_l)*1000000, 0) AS BIGINT))), 0)
+                          AS BIGINT) kl
+                 FROM bc JOIN head USING (token), nl, nb),
+          hl AS (SELECT CAST(SUM(c_lt) AS BIGINT) head_l FROM head),
+          r AS (SELECT nl.n_l n_landed_tokens, nb.n_b n_batch_tokens,
+                  CAST(CAST(hl.head_l AS HUGEINT) * 1000000 // nl.n_l
+                    AS BIGINT) head_cover_landed_ppm,
+                  CAST(CAST(jj.head_b AS HUGEINT) * 1000000 // nb.n_b
+                    AS BIGINT) head_cover_batch_ppm,
+                  jj.kl kl_num_e6
+                FROM jj, hl, nl, nb)
+          SELECT *, CAST(CASE WHEN head_cover_batch_ppm * 10 <
+                          head_cover_landed_ppm * 9 THEN 1 ELSE 0 END
+                    AS BIGINT) cover_alarm
+          FROM r""",
+
+    // the RESUMED-WRITER merge proof: the incremental fold must land on
+    // q153's one-shot manifest over the union, column for column
+    "q162_manifest_incremental" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+                FROM documents),
+          f AS (SELECT * FROM t WHERE n_tokens > 0),
+          o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f)
+          SELECT shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(MAX((start_offset + n_tokens - 1) // 2048) + 1
+                   AS BIGINT) AS n_seqs,
+                 MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+                 CAST(SUM(('0x' || substr(md5(doc_id || ':' || n_tokens),
+                     1, 15))::BIGINT % 1000000007) % 1000000007
+                   AS BIGINT) AS content_digest
+          FROM o GROUP BY shard ORDER BY shard""",
+
     // the one-shot replay IS the oracle: folding per-slice gradient
     // partials must land on the identical weight trajectory
     "q138_qc_merge" -> qcOracle(3),
@@ -1721,7 +1862,7 @@ trait CurationRegistry extends EntryHelpers {
                       * 0.5 / nn.n) AS BIGINT) w
                   FROM w${i - 1} w LEFT JOIN g$i g USING (b), nn)"""
     }.mkString(",\n          ")
-    s"""WITH tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
+    s"""WITH RECURSIVE tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
                  SELECT doc_id,
                    CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64
                      AS INT) b
@@ -1753,6 +1894,92 @@ trait CurationRegistry extends EntryHelpers {
                  predicted
         FROM documents d JOIN yy y USING (doc_id) JOIN zf USING (doc_id)
         ORDER BY d.doc_id""")
+
+  /** q161: the q123 chain (zf) continued with the q94 gate features
+    * and the q89 ppl-rank chain, folded to RAW per-method flags and
+    * the 3-pair agreement matrix. CTE namespaces are disjoint by
+    * construction (qc: tb/yy/nn/w·/z·/r·/g·/zf; gate: qf/qg; ppl:
+    * toks/bg/cab/ca/psc/sco/pj). */
+  protected def qcAgreementOracle(rounds: Int): String =
+    qcOracleWith(rounds,
+      s""", $tokCte,
+        qf AS (SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tok,
+                 CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) n_chr,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                 CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) n_uniq
+               FROM documents),
+        qg AS (SELECT doc_id,
+                 CASE WHEN (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
+                   (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50 THEN 2 ELSE 0 END) +
+                   (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
+                   (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END) != 0
+                 THEN 1 ELSE 0 END fg
+               FROM qf),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> array_to_string(tk[i:i+1], ' '))) g FROM toks),
+        cab AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_ab FROM bg GROUP BY g),
+        ca AS (SELECT split_part(g, ' ', 1) a, CAST(SUM(n_ab) AS BIGINT) n_a
+               FROM cab GROUP BY 1),
+        psc AS (SELECT doc_id,
+                  CAST(round(ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000, 0)
+                       AS BIGINT) lp
+                FROM bg JOIN cab USING (g)
+                  JOIN ca ON split_part(g, ' ', 1) = a),
+        sco AS (SELECT doc_id,
+                  CAST(SUM(lp) AS BIGINT) / 1000000.0 / COUNT(*) avg_logp
+                FROM psc GROUP BY doc_id),
+        pj AS (SELECT d.doc_id,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY s.avg_logp, d.doc_id) rn,
+                 COUNT(*) OVER (PARTITION BY d.source) cnt
+               FROM documents d JOIN sco s USING (doc_id)),
+        flags AS (SELECT d.doc_id, qg.fg,
+                    COALESCE(CASE WHEN pj.rn * 10000 <= pj.cnt * 1000
+                      THEN 1 ELSE 0 END, 0) fp,
+                    CASE WHEN zf.z >= 0 THEN 0 ELSE 1 END fc
+                  FROM documents d JOIN qg USING (doc_id)
+                  LEFT JOIN pj USING (doc_id) JOIN zf USING (doc_id)),
+        t AS (SELECT CAST(SUM(fg) AS BIGINT) ng, CAST(SUM(fp) AS BIGINT) np,
+                     CAST(SUM(fc) AS BIGINT) nc,
+                     CAST(SUM(fg*fp) AS BIGINT) bgp,
+                     CAST(SUM(fg*fc) AS BIGINT) bgc,
+                     CAST(SUM(fp*fc) AS BIGINT) bpc FROM flags)
+        SELECT m1, m2, n1, n2, n_both,
+               CASE WHEN n1 + n2 - n_both > 0 THEN
+                 CAST(n_both * 1000000 // (n1 + n2 - n_both) AS BIGINT)
+               END AS jaccard_ppm
+        FROM (SELECT 'gate' m1, 'ppl' m2, ng n1, np n2, bgp n_both FROM t
+              UNION ALL SELECT 'gate', 'classifier', ng, nc, bgc FROM t
+              UNION ALL SELECT 'ppl', 'classifier', np, nc, bpc FROM t)
+        ORDER BY m1, m2""")
+
+  /** q165: the q123 chain (zf) continued with q43's cluster walk; the
+    * representative is the per-cluster rank-1 row under
+    * (z DESC, doc_id) — exactly max_by(id, (z, -id)). */
+  protected def qcClusterRepOracle(rounds: Int): String =
+    qcOracleWith(rounds,
+      s""", $tokCte, $shingleCte, $minhashPairCte,
+        ce AS (SELECT a_id u, b_id v FROM mhp
+               UNION ALL SELECT b_id, a_id FROM mhp),
+        walk(u, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.u, ce.v FROM walk w JOIN ce ON ce.u = w.r),
+        cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+        cj AS (SELECT cl.cluster_id, cl.doc_id, zf.z
+               FROM cl JOIN zf USING (doc_id)),
+        cr AS (SELECT cluster_id, doc_id, z,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY z DESC, doc_id) rn
+               FROM cj),
+        cc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) n_docs
+               FROM cj GROUP BY cluster_id)
+        SELECT cr.cluster_id, cc.n_docs, cr.doc_id AS rep_id,
+               cr.z AS rep_z_e6
+        FROM cr JOIN cc USING (cluster_id)
+        WHERE rn = 1 ORDER BY cluster_id""")
 
   /** q154: the q123 chain's final scores σ-mapped (the training float-
     * once device) and folded into fixed-width z bins; both rate

@@ -341,6 +341,22 @@ trait DedupRegistry extends EntryHelpers {
             table(s, dir, "documents"), table(s, dir, "embeddings"))
           .orderBy("doc_id")),
 
+      // Pairwise agreement matrix between the three dedup policies
+      // (RAW flags, no lattice precedence): per pair, flagged counts,
+      // overlap, and Jaccard in ppm — the dial for ordering stages.
+      "q157_method_agreement" -> ((s, dir) =>
+        graft.dedup.Dedup.dedupMethodAgreement(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("m1", "m2")),
+
+      // Dedup-aggressiveness dial: one pass over the q18 pair table
+      // prices every candidate threshold — docs/tokens retained per
+      // setting, integer cross-multiplied threshold test.
+      "q167_threshold_sweep" -> ((s, dir) =>
+        Dedup.dedupThresholdSweep(table(s, dir, "documents"),
+            thresholdsE2 = Seq(40, 50, 60, 70, 80, 90))
+          .orderBy("thr_e2")),
+
       // Directed near-containment (Broder's containment next to q18's
       // resemblance): |A∩B|/|A| ≥ 0.8 over the df≤100-capped shingle
       // space — the excerpt/quote dup class symmetric Jaccard misses;
@@ -396,6 +412,75 @@ trait DedupRegistry extends EntryHelpers {
     )
   }
 
+  /** Shared evidence CTEs of the unified-verdict oracle family
+    * (q116/q157): exact fingerprint dup ids (ex), n-gram CC cluster
+    * labels (cl), and two-level semantic CC labels (scl). Interpolate
+    * after WITH RECURSIVE. */
+  protected lazy val unifiedCtes: String =
+    s"""$tokCte, $shingleCte, $minhashPairCte,
+          fp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                 FROM documents),
+          ex AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
+                   FROM fp WHERE fp IS NOT NULL) t
+                 WHERE doc_id != keep_id),
+          e AS (SELECT a_id u, b_id v FROM mhp
+                UNION ALL SELECT b_id, a_id FROM mhp),
+          walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
+          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
+          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
+          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
+          rtc AS (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM centc c, crsc g) t WHERE rn = 1),
+          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM rtc
+                       UNION ALL SELECT g_id, g_id FROM crsc)),
+          vgc AS (SELECT sid, g_id FROM (
+                    SELECT emb.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM emb, crsc g) t WHERE rn = 1),
+          asn AS (SELECT sid, c_id FROM (
+                    SELECT emb.sid, cellsc.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY emb.sid
+                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
+                               (sqrt(list_dot_product(emb.v, emb.v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, cellsc.c_id) rn
+                    FROM emb JOIN vgc ON vgc.sid = emb.sid
+                             JOIN cellsc ON cellsc.g_id = vgc.g_id
+                             JOIN centc c ON c.c_id = cellsc.c_id) t
+                  WHERE rn = 1),
+          spr AS (SELECT a.sid a_id, b.sid b_id
+                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
+                  WHERE round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) *
+                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+          sed AS (SELECT a_id u, b_id v FROM spr
+                  UNION ALL SELECT b_id, a_id FROM spr),
+          swalk(u, r) AS (SELECT sid, sid FROM emb
+                          UNION
+                          SELECT w.u, sed.v FROM swalk w
+                          JOIN sed ON sed.u = w.r),
+          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u)"""
+
   protected def dedupOracles: Map[String, String] = Map(
 
     "q17_dedup_exact" ->
@@ -443,6 +528,43 @@ trait DedupRegistry extends EntryHelpers {
           FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id
           WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.35
           ORDER BY a_id, b_id""",
+
+    // q167: q18's capped pair space, every threshold priced from ONE
+    // pair table; the test is the same integer cross-multiplication
+    // the Spark side runs, token counts ride q107's proven device.
+    "q167_threshold_sweep" ->
+      s"""WITH $tokCte, $shingleCte,
+          shf AS (SELECT sid, shingle FROM (
+                    SELECT sid, shingle,
+                           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
+                  WHERE df <= 100),
+          sz AS (SELECT sid, COUNT(*) sz FROM shf GROUP BY sid),
+          p AS (SELECT a.sid a_id, b.sid b_id, COUNT(*) inter
+                FROM shf a JOIN shf b USING(shingle)
+                WHERE a.sid < b.sid GROUP BY 1, 2),
+          pj AS (SELECT b_id, inter, x.sz + y.sz - inter AS un
+                 FROM p JOIN sz x ON x.sid = a_id JOIN sz y ON y.sid = b_id),
+          th AS (SELECT CAST(unnest([40, 50, 60, 70, 80, 90]) AS BIGINT)
+                   thr_e2),
+          fl AS (SELECT DISTINCT thr_e2, b_id FROM pj, th
+                 WHERE inter * 100 >= thr_e2 * un),
+          tk AS (SELECT doc_id, CAST(len(tk) AS BIGINT) ntk FROM toks),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                         CAST(SUM(ntk) AS BIGINT) tokens_total FROM tk),
+          ag AS (SELECT thr_e2, CAST(COUNT(*) AS BIGINT) n_flagged,
+                        CAST(SUM(ntk) AS BIGINT) tokens_flagged
+                 FROM fl JOIN tk ON tk.doc_id = fl.b_id GROUP BY 1)
+          SELECT th.thr_e2,
+                 CAST(COALESCE(ag.n_flagged, 0) AS BIGINT) n_flagged,
+                 tot.n_docs - COALESCE(ag.n_flagged, 0) AS n_kept,
+                 CAST(COALESCE(ag.tokens_flagged, 0) AS BIGINT)
+                   tokens_flagged,
+                 tot.tokens_total - COALESCE(ag.tokens_flagged, 0)
+                   AS tokens_kept,
+                 (tot.tokens_total - COALESCE(ag.tokens_flagged, 0))
+                   * 1000000 // tot.tokens_total AS kept_tokens_ppm
+          FROM th LEFT JOIN ag USING (thr_e2) CROSS JOIN tot
+          ORDER BY th.thr_e2""",
 
     "q19_dedup_minhash_lsh" ->
       s"""WITH $tokCte, $shingleCte, $minhashPairCte
@@ -1042,69 +1164,7 @@ trait DedupRegistry extends EntryHelpers {
     // semantic > keep, the semantic branch firing only where the text
     // evidence said keep.
     "q116_unified_dedup_verdict" ->
-      s"""WITH RECURSIVE $tokCte, $shingleCte, $minhashPairCte,
-          fp AS (SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
-                 FROM documents),
-          ex AS (SELECT doc_id FROM (
-                   SELECT doc_id,
-                          MIN(doc_id) OVER (PARTITION BY fp) keep_id
-                   FROM fp WHERE fp IS NOT NULL) t
-                 WHERE doc_id != keep_id),
-          e AS (SELECT a_id u, b_id v FROM mhp
-                UNION ALL SELECT b_id, a_id FROM mhp),
-          walk(u, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT w.u, e.v FROM walk w JOIN e ON e.u = w.r),
-          cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u),
-          emb AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          centc AS (SELECT sid c_id, v c_vec FROM emb WHERE sid % 25 = 7),
-          crsc AS (SELECT sid g_id, v g_vec FROM emb WHERE sid % 125 = 7),
-          rtc AS (SELECT c_id, g_id FROM (
-                    SELECT c.c_id, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY c.c_id
-                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM centc c, crsc g) t WHERE rn = 1),
-          cellsc AS (SELECT DISTINCT g_id, c_id FROM (
-                       SELECT g_id, c_id FROM rtc
-                       UNION ALL SELECT g_id, g_id FROM crsc)),
-          vgc AS (SELECT sid, g_id FROM (
-                    SELECT emb.sid, g.g_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, g.g_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                               DESC, g.g_id) rn
-                    FROM emb, crsc g) t WHERE rn = 1),
-          asn AS (SELECT sid, c_id FROM (
-                    SELECT emb.sid, cellsc.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY emb.sid
-                             ORDER BY round(list_dot_product(emb.v, c.c_vec) /
-                               (sqrt(list_dot_product(emb.v, emb.v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, cellsc.c_id) rn
-                    FROM emb JOIN vgc ON vgc.sid = emb.sid
-                             JOIN cellsc ON cellsc.g_id = vgc.g_id
-                             JOIN centc c ON c.c_id = cellsc.c_id) t
-                  WHERE rn = 1),
-          spr AS (SELECT a.sid a_id, b.sid b_id
-                  FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                  JOIN emb x ON x.sid = a.sid JOIN emb y ON y.sid = b.sid
-                  WHERE round(list_dot_product(x.v, y.v) /
-                        (sqrt(list_dot_product(x.v, x.v)) *
-                         sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-          sed AS (SELECT a_id u, b_id v FROM spr
-                  UNION ALL SELECT b_id, a_id FROM spr),
-          swalk(u, r) AS (SELECT sid, sid FROM emb
-                          UNION
-                          SELECT w.u, sed.v FROM swalk w
-                          JOIN sed ON sed.u = w.r),
-          scl AS (SELECT u sid, MIN(r) lbl FROM swalk GROUP BY u)
+      s"""WITH RECURSIVE $unifiedCtes
           SELECT d.doc_id,
                  CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
                         THEN 'exact_dup'
@@ -1116,6 +1176,36 @@ trait DedupRegistry extends EntryHelpers {
           LEFT JOIN scl ON scl.sid = d.doc_id
           ORDER BY d.doc_id""",
 
+    // q157: the same three evidence chains, folded to RAW per-method
+    // flags (no lattice precedence) and six sums -> the 3-pair
+    // agreement matrix
+    "q157_method_agreement" ->
+      s"""WITH RECURSIVE $unifiedCtes,
+          w AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                       THEN 1 ELSE 0 END fx,
+                  CASE WHEN cl.cluster_id != d.doc_id
+                       THEN 1 ELSE 0 END fn,
+                  CASE WHEN scl.lbl IS NOT NULL AND scl.lbl != scl.sid
+                       THEN 1 ELSE 0 END fs
+                FROM documents d
+                JOIN cl ON cl.doc_id = d.doc_id
+                LEFT JOIN scl ON scl.sid = d.doc_id),
+          t AS (SELECT CAST(SUM(fx) AS BIGINT) nx,
+                       CAST(SUM(fn) AS BIGINT) nnn,
+                       CAST(SUM(fs) AS BIGINT) ns,
+                       CAST(SUM(fx*fn) AS BIGINT) bxn,
+                       CAST(SUM(fx*fs) AS BIGINT) bxs,
+                       CAST(SUM(fn*fs) AS BIGINT) bns FROM w)
+          SELECT m1, m2, n1, n2, n_both,
+                 CASE WHEN n1 + n2 - n_both > 0 THEN
+                   CAST(n_both * 1000000 // (n1 + n2 - n_both) AS BIGINT)
+                 END AS jaccard_ppm
+          FROM (SELECT 'exact' m1, 'near' m2, nx n1, nnn n2, bxn n_both
+                  FROM t
+                UNION ALL SELECT 'exact', 'semantic', nx, ns, bxs FROM t
+                UNION ALL SELECT 'near', 'semantic', nnn, ns, bns FROM t)
+          ORDER BY m1, m2""",
     // q18's inverted-index join, directed (both orders), integer
     // cross-multiplied containment threshold, one IEEE division out.
     "q127_containment_pairs" ->

@@ -50,6 +50,16 @@ trait ExecRegistry extends EntryHelpers {
           .orderBy("source", "sample_key")
       }),
 
+      // Deterministic seeded epoch shuffle + contiguous shard
+      // assignment: global order = hash60(seed:id) via the q47
+      // two-level numbering — the training run's reproducibility
+      // contract (same sequence on any cluster, fresh permutation
+      // per seed).
+      "q166_epoch_shuffle" -> ((s, dir) =>
+        graft.curation.Curation.epochShuffle(
+            table(s, dir, "documents"), seed = 42L, nShards = 8)
+          .orderBy("pos")),
+
       // F1/F2/F4/F5/F6: geo scalar pack over synthesized coordinates
       // (pure-expression columns; no UDF).
       "q23_geo_enrich" -> ((s, dir) => {
@@ -722,6 +732,24 @@ trait ExecRegistry extends EntryHelpers {
                 FROM h)
           SELECT source, sample_key, weight, prio FROM r WHERE rnk <= 25
           ORDER BY source, sample_key""",
+
+    // q166: the permutation is a pure function of (seed, id) — the
+    // oracle replays the same hash60 order; contiguous shard =
+    // (pos-1)·nShards div N, non-negative so floor-// and truncating
+    // div agree
+    "q166_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+                      ('0x' || substr(md5(42 || ':' || doc_id), 1, 15))::BIGINT
+                        shuf_key
+                    FROM documents),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) c FROM k),
+          r AS (SELECT doc_id, shuf_key,
+                  CAST(row_number() OVER (ORDER BY shuf_key, doc_id)
+                    AS BIGINT) pos
+                FROM k)
+          SELECT r.doc_id, r.shuf_key, r.pos,
+                 (r.pos - 1) * 8 // n.c AS shard
+          FROM r, n ORDER BY r.pos""",
 
     // The slope walk of GeoFunctions.mapToGridCellsOnWay, replayed as a
     // recursive CTE: identical IEEE double math (slope, y-estimate) and

@@ -202,6 +202,50 @@ trait SimilarityRegistry extends EntryHelpers {
           .orderBy("q_id", "rnk")
       }),
 
+      // Append-only IVF-PQ serving (the composed-index family's
+      // incremental cell): the %4==2 embedding slice arrives as a
+      // batch, routed + PQ-encoded against the LANDED codebooks
+      // (memoized landed assignment/codes — zero landed recompute);
+      // the answer equals the landed-codebook one-shot over the
+      // union, which is exactly what the oracle replays.
+      "q158_ivfpq_incremental" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.ivfPqIncrement(
+            emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2),
+            emb.filter(pmod(col("vec_id"), lit(4L)) === 2),
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("q_id", "rnk")
+      }),
+
+      // nDCG@5 of the served IVF-PQ ranking vs the exact ideal —
+      // recall prices the candidate SET (q145), nDCG the delivered
+      // ORDER; gains = shifted e4 exact cosines, discounts e6-frozen.
+      "q159_served_ndcg" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.servedNdcg(emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0), 5)
+          .orderBy("q_id")
+      }),
+
+      // Vector-table health gate: null / non-finite / zero-norm counts,
+      // dim agreement, e4-integer norm profile — run before any ANN
+      // build trusts the column.
+      "q164_embedding_health" -> ((s, dir) =>
+        graft.similarity.Similarity.embeddingHealthReport(
+          table(s, dir, "embeddings"))),
+
+      // Codebook-staleness monitor: how well does the LANDED coarse
+      // codebook quantize the incoming batch vs its own corpus —
+      // drift_ppm = ratio of mean residuals, the q158 REBUILD dial
+      "q160_codebook_drift" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.codebookDrift(
+            emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2),
+            emb.filter(pmod(col("vec_id"), lit(4L)) === 2))
+          .orderBy("grp")
+      }),
+
       // IVF-PQ recall audit: q133's composed index priced against
       // q21's exact truth across (nprobe, rerankFactor) — routing loss
       // and ADC-shortlist loss separated, the q98/q101 tuning pattern
@@ -872,6 +916,228 @@ trait SimilarityRegistry extends EntryHelpers {
                 FROM scored)
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
+
+    // q158: q133's pipeline with BOTH codebooks drawn from the LANDED
+    // slice only (sid % 4 != 2) while codes/assignments/serving run
+    // over the full union — the landed-codebook one-shot the
+    // incremental face must equal
+    "q158_ivfpq_incremental" ->
+      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub
+                 WHERE sid % 25 = 7 AND sid % 4 != 2),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          crs AS (SELECT sid c_id, v c_vec FROM e
+                  WHERE sid % 50 = 11 AND sid % 4 != 2),
+          asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, crs c) t WHERE rn = 1),
+          prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, crs c) t WHERE rn <= 3),
+          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM cnd c JOIN codes co ON co.sid = c.sid
+                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr) t
+                    WHERE cr <= 20),
+          scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM scored)
+          SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+
+    // q159: q133's served chain + the brute-force ideal, both folded
+    // through the SAME e6-frozen discount LUT (interpolated from
+    // Similarity.ndcgDiscountsE6 — single source of the constants)
+    "q159_served_ndcg" -> {
+      val lut = graft.similarity.Similarity.ndcgDiscountsE6(5)
+        .map { case (r, d) => s"($r, $d)" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
+          asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, crs c) t WHERE rn = 1),
+          prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, crs c) t WHERE rn <= 3),
+          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM cnd c JOIN codes co ON co.sid = c.sid
+                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr) t
+                    WHERE cr <= 20),
+          scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM scored),
+          bfr AS (SELECT q_id, rn rnk, cos FROM (
+                    SELECT q.q_id, e.sid,
+                           round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(e.v, q.q_v) /
+                               (sqrt(list_dot_product(e.v, e.v)) *
+                                sqrt(list_dot_product(q.q_v, q.q_v))), 4)
+                               DESC, e.sid) rn
+                    FROM e, qq q WHERE e.sid != q.q_id) t
+                  WHERE rn <= 5),
+          disc AS (SELECT * FROM (VALUES $lut) AS t(rnk, d)),
+          srv AS (SELECT q_id, rnk, cos FROM r WHERE rnk <= 5),
+          dg AS (SELECT s.q_id,
+                   CAST(SUM((CAST(round(s.cos*10000) AS BIGINT) + 10000)
+                     * d.d) AS BIGINT) dcg
+                 FROM srv s JOIN disc d ON d.rnk = s.rnk GROUP BY s.q_id),
+          ig AS (SELECT b.q_id,
+                   CAST(SUM((CAST(round(b.cos*10000) AS BIGINT) + 10000)
+                     * d.d) AS BIGINT) idcg
+                 FROM bfr b JOIN disc d ON d.rnk = b.rnk GROUP BY b.q_id)
+          SELECT i.q_id, CAST(COALESCE(dg.dcg, 0) AS BIGINT) dcg, i.idcg,
+                 CASE WHEN i.idcg > 0 THEN
+                   CAST(COALESCE(dg.dcg, 0) * 1000000 // i.idcg AS BIGINT)
+                 END AS ndcg_ppm
+          FROM ig i LEFT JOIN dg ON dg.q_id = i.q_id
+          ORDER BY i.q_id"""
+    },
+
+    // q164: the ¬(|x| ≤ 3.4e38) predicate catches NaN (comparisons
+    // false in Spark; NaN sorts above all doubles in DuckDB — either
+    // way the ≤ fails) and ±Inf identically in both engines
+    "q164_embedding_health" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          h AS (SELECT v IS NULL is_null,
+                  COALESCE(len(list_filter(v,
+                    x -> NOT (abs(x) <= 3.4e38))) > 0, FALSE) bad,
+                  v FROM e),
+          p AS (SELECT is_null, bad,
+                  CASE WHEN NOT is_null AND NOT bad
+                    THEN CAST(len(v) AS BIGINT) END dim,
+                  CASE WHEN NOT is_null AND NOT bad THEN
+                    CAST(round(sqrt(list_dot_product(v, v)) * 10000)
+                      AS BIGINT) END ne4
+                FROM h)
+          SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+                 CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+                   n_null,
+                 CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                   n_nonfinite,
+                 CAST(SUM(CASE WHEN ne4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   n_zero_norm,
+                 CAST(MIN(dim) AS BIGINT) min_dim,
+                 CAST(MAX(dim) AS BIGINT) max_dim,
+                 CAST(MIN(ne4) AS BIGINT) min_norm_e4,
+                 CAST(MAX(ne4) AS BIGINT) max_norm_e4,
+                 CAST(SUM(ne4) AS BIGINT) sum_norm_e4
+          FROM p""",
+
+    // q160: residual = 1e4 − best e4 cosine to the LANDED stride
+    // codebook, per group; drift = one cross-multiplied HUGEINT
+    // truncating division (the Spark side widens to DECIMAL(38,0))
+    "q160_codebook_drift" ->
+      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          le AS (SELECT * FROM e WHERE sid % 4 != 2),
+          be AS (SELECT * FROM e WHERE sid % 4 = 2),
+          crs AS (SELECT sid c_id, v c_vec FROM le WHERE sid % 50 = 11),
+          res AS (SELECT grp, sid,
+                    10000 - CAST(round(best * 10000) AS BIGINT) res
+                  FROM (
+                    SELECT 'landed' grp, le.sid,
+                           MAX(round(list_dot_product(le.v, c.c_vec) /
+                             (sqrt(list_dot_product(le.v, le.v)) *
+                              sqrt(list_dot_product(c.c_vec, c.c_vec))), 4))
+                             best
+                    FROM le, crs c GROUP BY le.sid
+                    UNION ALL
+                    SELECT 'batch', be.sid,
+                           MAX(round(list_dot_product(be.v, c.c_vec) /
+                             (sqrt(list_dot_product(be.v, be.v)) *
+                              sqrt(list_dot_product(c.c_vec, c.c_vec))), 4))
+                    FROM be, crs c GROUP BY be.sid)),
+          f AS (SELECT grp, CAST(COUNT(*) AS BIGINT) n,
+                       CAST(SUM(res) AS BIGINT) sum_res,
+                       CAST(MAX(res) AS BIGINT) max_res_e4
+                FROM res GROUP BY grp),
+          l AS (SELECT n ln, sum_res ls FROM f WHERE grp = 'landed')
+          SELECT grp, n, CAST(sum_res // n AS BIGINT) mean_res_e4,
+                 max_res_e4,
+                 CASE WHEN grp = 'batch' AND ls > 0 THEN
+                   CAST(CAST(sum_res AS HUGEINT) * ln * 1000000 //
+                        (CAST(ls AS HUGEINT) * n) AS BIGINT)
+                 END AS drift_ppm
+          FROM f, l ORDER BY grp""",
   )
 
   /** q146/q147/q149's power iteration unrolled to `iters` explicit

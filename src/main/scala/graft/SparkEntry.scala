@@ -70,6 +70,7 @@ object SparkEntry extends CoreRegistry with DedupRegistry
     val landedDocs4b = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2) // q125
     val landedEmb5 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2) // q110
     val landedEmb3 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3) // q117
+    val landedEmb4 = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2) // q158
     val builds: Seq[(String, DataFrame)] = Seq(
       // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
       "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
@@ -123,6 +124,11 @@ object SparkEntry extends CoreRegistry with DedupRegistry
           .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
+      // q158's landed IVF-PQ index pair: every landed vector routed to
+      // its landed coarse cell and PQ-encoded against the landed
+      // codebook — batches union their own routing/codes on top
+      "q158-ivfpq-asn" -> Similarity.landedIvfPqAssignment(landedEmb4),
+      "q158-ivfpq-codes" -> Similarity.landedIvfPqCodes(landedEmb4),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
       "q117-landed-vecs" -> Similarity.landedVecLookup(landedEmb3),
       "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),
@@ -130,6 +136,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q122-landed-assign-2l" ->
         Similarity.landedSemanticAssignment2L(landedEmb3),
       "q123-qc-features" -> Curation.qcFeatures(docs, "src0"),
+      // q162's landed manifest partial: nShards rows, built once
+      "q162-shard-manifest" -> Curation.landedShardManifest(landedDocs4b, 8),
+      // q163's landed head distribution: headV+1 rows, built once
+      "q163-drift-head" -> Curation.landedDriftHead(landedDocs4b),
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),

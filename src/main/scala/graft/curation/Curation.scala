@@ -1029,6 +1029,74 @@ object Curation {
         expr("CAST(__ds % 1000000007 AS BIGINT)"))
       .drop("__ds")
 
+  /** Per-shard manifest PARTIAL over one document slice — every column
+    * of [[shardManifest]] merges trivially (plain sums, min/max, a
+    * mod-p digest sum) except n_seqs, which is DERIVED from the folded
+    * token total at fold time, so the delivery manifest of a 100 TB
+    * output folds from slice partials without re-reading any landed
+    * shard: the RESUMED-WRITER cell of the mergeable family
+    * (q135/q136/q137/q140's shape applied to the delivery contract
+    * itself). Output: (shard, n_docs, n_tokens, first_id, last_id,
+    * ds_mod) — ds_mod already folded mod 1e9+7, itself sum-mergeable. */
+  def shardManifestPartials(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+        size(TextFunctions.regexTokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"),
+        sum(pmod(TextFunctions.hash60(
+            concat_ws(":", col(idCol), col("n_tokens"))),
+          lit(1000000007L)).cast("decimal(38,0)")).as("__ds"))
+      .withColumn("ds_mod", expr("CAST(__ds % 1000000007 AS BIGINT)"))
+      .drop("__ds")
+
+  /** Fold slice partials to the EXACT [[shardManifest]] of the union:
+    * n_seqs = (n_tokens − 1) div maxTokens + 1 — the packing is a
+    * contiguous per-shard concatenation, so the sequence count depends
+    * only on the folded token total, never on doc order; the digest
+    * sum is associative mod p. Schema identical to [[shardManifest]]. */
+  def shardManifestFromPartials(parts: DataFrame,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    parts.groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("first_id").as("first_id"), max("last_id").as("last_id"),
+        sum(col("ds_mod").cast("decimal(38,0)")).as("__ds"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens - 1) div $maxTokens + 1").as("n_seqs"),
+        col("first_id"), col("last_id"),
+        expr("CAST(__ds % 1000000007 AS BIGINT)").as("content_digest"))
+  }
+
+  /** The landed slice's memoized manifest partial (kind
+    * "shard-manifest") — nShards rows, built once per landed corpus. */
+  def landedShardManifest(landed: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "shard-manifest", nShards,
+        idCol, textCol),
+      shardManifestPartials(landed, nShards, idCol, textCol))
+
+  /** [[shardManifest]] rebuilt after an append WITHOUT re-reading the
+    * landed corpus: the landed partial is the memoized nShards-row
+    * artifact above, the batch ships its own partial, and the fold is
+    * exact — the answer contract is the one-shot manifest over
+    * landed∪batch (the oracle replays exactly that, so the hash match
+    * IS the merge proof). A resumed delivery re-manifests at the cost
+    * of the BATCH, and the digest proves the landed shards stayed
+    * byte-complete without re-reading them. */
+  def shardManifestIncrement(landed: DataFrame, batch: DataFrame,
+      maxTokens: Int, nShards: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    shardManifestFromPartials(
+      landedShardManifest(landed, nShards, idCol, textCol)
+        .unionByName(shardManifestPartials(batch, nShards, idCol, textCol)),
+      maxTokens)
+
   /** Calibration (reliability) report for [[qualityClassifier]] — the
     * audit that says whether the filter's scores MEAN anything before
     * a pipeline thresholds on them: documents bucketed by fixed-width
@@ -1649,6 +1717,55 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
   }
 
+  /** Pairwise AGREEMENT matrix between the three quality-filter
+    * policies — [[dedupMethodAgreement]]'s audit applied to the
+    * curation side of the funnel: heuristic gate ([[qualityGate]],
+    * reasons ≠ 0), perplexity cut ([[perplexityFlag]], bottom decile
+    * under the corpus bigram LM), and the trained classifier
+    * ([[qualityClassifier]], predicted = 0 i.e. z < 0). High overlap
+    * between a cheap and an expensive filter means the cheap one runs
+    * first and shrinks the expensive one's input; low overlap means
+    * each contributes evidence the others miss — the same stage-
+    * ordering dial, read before anyone composes q132's funnel order.
+    * Flags are RAW per-method verdicts (no funnel precedence); a doc
+    * the ppl scorer never scored (< 1 bigram) is never ppl-flagged,
+    * matching the funnel's own totality rule.
+    *
+    * Scale: the three flag pipelines are the SAME passes the funnel
+    * family pays (features memoized under "qc-features", scores under
+    * "ppl-scored"), folded by id-keyed joins to ONE row of six sums;
+    * the 3-row matrix is a driver-side `stack` of that row. Output:
+    * (m1, m2, n1, n2, n_both, jaccard_ppm), jaccard_ppm NULL when both
+    * counts are zero. */
+  def filterMethodAgreement(docs: DataFrame, targetSource: String = "src0",
+      cutBp: Int = 1000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = qualityGate(docs, idCol, textCol)
+      .select(col(idCol),
+        when(col("reasons") =!= 0, 1L).otherwise(0L).as("fg"))
+    val p = perplexityFlag(docs, cutBp, stratum, idCol, textCol)
+      .select(col(idCol), col("flagged").as("fp0"))
+    val c = qualityClassifier(docs, targetSource, stratum = stratum,
+        idCol = idCol, textCol = textCol)
+      .select(col(idCol),
+        when(col("predicted") === 0, 1L).otherwise(0L).as("fc"))
+    docs.select(col(idCol))
+      .join(g, idCol).join(p, Seq(idCol), "left").join(c, idCol)
+      .select(col("fg"), coalesce(col("fp0"), lit(0L)).as("fp"), col("fc"))
+      .agg(sum("fg").as("ng"), sum("fp").as("np"), sum("fc").as("nc"),
+        sum(col("fg") * col("fp")).as("bgp"),
+        sum(col("fg") * col("fc")).as("bgc"),
+        sum(col("fp") * col("fc")).as("bpc"))
+      .selectExpr("""stack(3,
+          'gate', 'ppl',        ng, np, bgp,
+          'gate', 'classifier', ng, nc, bgc,
+          'ppl',  'classifier', np, nc, bpc)
+        AS (m1, m2, n1, n2, n_both)""")
+      .withColumn("jaccard_ppm",
+        expr("""CASE WHEN n1 + n2 - n_both > 0 THEN
+                  n_both * 1000000 div (n1 + n2 - n_both) END"""))
+  }
+
   /** Per-source unigram KL divergence against the corpus distribution,
     * restricted to the `headV` most frequent corpus tokens — the
     * mixture diagnostic that says WHICH sources are distributionally
@@ -1699,6 +1816,107 @@ object Curation {
       .agg(max(col("n_s")).as("n_tokens"),
         sum(col("c_st")).as("head_tokens"),
         sum(col("contrib")).as("kl_num_e6"))
+  }
+
+  /** Quality-aware near-dup cluster representatives — the retention
+    * policy COMPOSED: where q148 keeps the LARGEST copy per n-gram
+    * cluster, this keeps the copy the trained quality classifier
+    * scores highest (ties to the lowest id) — the policy an actual
+    * training-set build wants, since near-dup copies differ in
+    * boilerplate/truncation and the kept one is the only one the model
+    * ever sees. One id-keyed join between the memoized cluster table
+    * (kind "dedup-clusters") and the classifier's scored output (kind
+    * "qc-features" underneath), folded per cluster with a single
+    * max_by — no window over the corpus. rep_z_e6 is exactly the
+    * representative's margin (argmax ties break low-id, and the max z
+    * IS the argmax's z). Output: (cluster_id, n_docs, rep_id,
+    * rep_z_e6). */
+  def qualityRepresentatives(docs: DataFrame, targetSource: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cl = graft.dedup.Dedup.dedupClusters(docs, textCol = textCol,
+        idCol = idCol)
+      .select(col(idCol), col("cluster_id"))
+    val sc = qualityClassifier(docs, targetSource, idCol = idCol,
+        textCol = textCol)
+      .select(col(idCol), col("z_e6"))
+    cl.join(sc, idCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col(idCol), struct(col("z_e6"), -col(idCol))).as("rep_id"),
+        max("z_e6").as("rep_z_e6"))
+  }
+
+  /** The landed corpus's drift-monitor artifact (memoized kind
+    * "drift-head"): the `headV` most frequent landed tokens with their
+    * landed counts (desc count, asc token — q44's reproducible cut),
+    * plus ONE sentinel row (token NULL, c_lt = total landed tokens).
+    * headV+1 rows — the whole reference distribution a batch is judged
+    * against, broadcast-sized by construction. */
+  def landedDriftHead(landed: DataFrame, headV: Int = 200,
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "drift-head", headV, textCol), {
+        val tok = landed.select(
+          explode(TextFunctions.tokens(col(textCol))).as("token"))
+        tok.groupBy("token").agg(count(lit(1)).as("c_lt"))
+          .orderBy(desc("c_lt"), asc("token")).limit(headV)
+          .unionByName(tok.agg(count(lit(1)).as("c_lt"))
+            .select(lit(null).cast("string").as("token"), col("c_lt")))
+      })
+
+  /** Ingest distribution-drift report — the ALARM a crawl batch trips
+    * before it lands (the monitor the q129/q132 gates assume someone
+    * is watching): is the batch's token distribution still the one the
+    * landed corpus was curated under? Two dials, both against the
+    * memoized landed head ([[landedDriftHead]]): head COVERAGE (share
+    * of batch tokens falling in the landed head vs the landed corpus's
+    * own share — a drop means new vocabulary is flooding in) and the
+    * head-restricted KL numerator Σ c_bt·(lnq c_bt − lnq n_b −
+    * lnq c_lt + lnq n_l) (the q95 micro-ln device; ships undivided per
+    * q95's truncation-parity rationale). `cover_alarm` fires on a
+    * > 10% relative coverage drop — the one thresholded flag, computed
+    * on the already-divided ppm values so both engines compare
+    * identical integers. A batch replaying the landed distribution
+    * reads kl_num_e6 = 0 EXACTLY (the lnq terms cancel term-wise) and
+    * equal covers.
+    *
+    * Scale: per batch = one batch tokenization + a token-keyed join
+    * against the broadcast headV-row artifact; the landed corpus is
+    * never re-read (the artifact persists across batches/sessions via
+    * the registry). Cover ratios DECIMAL(38,0)-widened — 100 TB token
+    * totals × 1e6 would wrap BIGINT. Output: one row (n_landed_tokens,
+    * n_batch_tokens, head_cover_landed_ppm, head_cover_batch_ppm,
+    * kl_num_e6, cover_alarm). */
+  def ingestDriftReport(landed: DataFrame, batch: DataFrame,
+      headV: Int = 200, textCol: String = "text"): DataFrame = {
+    val art = landedDriftHead(landed, headV, textCol)
+    val head = art.filter(col("token").isNotNull)
+    val nl = art.filter(col("token").isNull).select(col("c_lt").as("n_l"))
+    val btok = batch.select(
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val nb = btok.agg(count(lit(1)).as("n_b"))
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+    val j = btok.groupBy("token").agg(count(lit(1)).as("c_bt"))
+      .join(broadcast(head), "token")
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(nb))
+      .agg(sum("c_bt").as("head_b"),
+        sum(col("c_bt") * (lnq(col("c_bt")) - lnq(col("n_b")) -
+          lnq(col("c_lt")) + lnq(col("n_l")))).as("kl"))
+    val hl = head.agg(sum("c_lt").as("head_l"))
+    j.crossJoin(broadcast(hl)).crossJoin(broadcast(nl))
+      .crossJoin(broadcast(nb))
+      .select(col("n_l").as("n_landed_tokens"),
+        col("n_b").as("n_batch_tokens"),
+        expr("""CAST(CAST(head_l AS DECIMAL(38,0)) * 1000000 div n_l
+                AS BIGINT)""").as("head_cover_landed_ppm"),
+        expr("""CAST(CAST(coalesce(head_b, CAST(0 AS BIGINT))
+                  AS DECIMAL(38,0)) * 1000000 div n_b
+                AS BIGINT)""").as("head_cover_batch_ppm"),
+        coalesce(col("kl"), lit(0L)).as("kl_num_e6"))
+      .withColumn("cover_alarm",
+        when(col("head_cover_batch_ppm") * 10 <
+             col("head_cover_landed_ppm") * 9, 1L).otherwise(0L))
   }
 
   /** Deterministic three-way train/val/test assignment by hashed id —
@@ -1781,5 +1999,71 @@ object Curation {
           lnq(col("c_y")) + lit(2L) * lnq(col("n_uni"))).as("pmi_e6"))
       .orderBy(desc("pmi_e6"), asc("bigram"))
       .limit(k)
+  }
+
+  /** Deterministic seeded epoch shuffle + contiguous shard assignment —
+    * the reproducibility contract of a training run: the global sample
+    * order for epoch `seed` is a pure function of (seed, id), never of
+    * partitioning, cluster size, or read order, so a re-run (or a
+    * resumed run on different hardware) feeds the model the identical
+    * sequence. Order key = hash60(seed ":" id) — a fresh independent
+    * permutation per seed; position = the scale-safe two-level global
+    * numbering ([[globalRowNumber]]: range-exchange on the uniform
+    * 60-bit key + an O(partitions) offset broadcast — no single-reducer
+    * window); shard = `(pos−1)·nShards div N` — contiguous runs of the
+    * shuffled order, sizes within ±1, so each training worker streams
+    * one dense range instead of striding the whole corpus. The one-row
+    * total broadcast-crosses onto the numbered frame (tiny BNLJ,
+    * allow-listed). Output: (id, shuf_key, pos 1-based, shard). */
+  def epochShuffle(docs: DataFrame, seed: Long, nShards: Int,
+      idCol: String = "doc_id", nPartitions: Int = 32): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val keyed = docs.select(col(idCol),
+      TextFunctions.hash60(
+        concat_ws(":", lit(seed), col(idCol))).as("shuf_key"))
+    val numbered = globalRowNumber(keyed, Seq("shuf_key", idCol),
+      Seq(idCol, "shuf_key"), nPartitions, "pos")
+    val total = numbered.agg(count(lit(1)).as("n_total"))
+    numbered.crossJoin(broadcast(total))
+      .select(col(idCol), col("shuf_key"), col("pos"),
+        expr(s"(pos - 1) * $nShards div n_total").as("shard"))
+  }
+
+  /** Corpus snapshot diff — the release audit between two versions of
+    * a corpus: per (source, status) counts and token movement, status ∈
+    * added (id only in new) / removed (id only in old) / changed (both,
+    * raw-md5 content differs) / unchanged. Identity is the BYTE
+    * fingerprint (md5 of the raw text), not the dedup family's
+    * normalized one — a release diff reports what changed on disk, not
+    * what changed semantically.
+    *
+    * Scale: each side folds to a narrow (id, source, fp, tokens)
+    * projection — one id-keyed full-outer join, one model-sized
+    * groupBy; payloads never ship past the projection. 100 TB vs
+    * 100 TB diffs at the cost of two scans + one co-partitioned
+    * shuffle. Output: (source, status, n_docs, tokens_old, tokens_new,
+    * token_delta); `source` of an added/removed row comes from the
+    * side that has it, and a changed doc counts BOTH sides' tokens. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def proj(df: DataFrame, side: String) =
+      df.select(col(idCol), col(stratum).as(side + "_src"),
+        md5(col(textCol)).as(side + "_fp"),
+        size(TextFunctions.tokens(col(textCol))).cast("long")
+          .as(side + "_tk"))
+    proj(oldDocs, "o").join(proj(newDocs, "n"), Seq(idCol), "full_outer")
+      .select(
+        coalesce(col("n_src"), col("o_src")).as(stratum),
+        when(col("o_fp").isNull, lit("added"))
+          .when(col("n_fp").isNull, lit("removed"))
+          .when(col("o_fp") =!= col("n_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("o_tk"), lit(0L)).as("otk"),
+        coalesce(col("n_tk"), lit(0L)).as("ntk"))
+      .groupBy(stratum, "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("otk").as("tokens_old"), sum("ntk").as("tokens_new"),
+        (sum("ntk") - sum("otk")).as("token_delta"))
   }
 }

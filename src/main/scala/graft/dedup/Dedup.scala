@@ -1331,6 +1331,66 @@ object Dedup {
               .otherwise(lit("keep")).as("verdict"))
       })
 
+  /** Pairwise AGREEMENT matrix between the three dedup policies — the
+    * audit a pipeline owner reads before stacking stages: if two
+    * methods flag nearly the same documents (high Jaccard), the
+    * cheaper one can run first and shrink the expensive one's input;
+    * if they barely overlap, each contributes evidence the others
+    * miss. Flags are RAW per-method verdicts (exact = non-min copy of
+    * a byte-identical fingerprint group; near = non-representative of
+    * an n-gram Jaccard cluster; semantic = non-representative of a
+    * SemDeDup cluster, docs without an embedding row never flagged) —
+    * deliberately NOT the lattice-folded [[unifiedDedupVerdicts]],
+    * whose precedence would mask the overlaps this measures.
+    *
+    * Scale: the flag table is one id-keyed join over the same three
+    * memoized evidence pipelines the verdict family already pays
+    * (fp aggregate; cluster table; two-level semantic) folded to ONE
+    * row of six sums; the 3-row matrix is a driver-side `stack` of
+    * that row. Output: (m1, m2, n1, n2, n_both, jaccard_ppm) per
+    * unordered method pair, jaccard_ppm NULL when both counts are
+    * zero. */
+  def dedupMethodAgreement(docs: DataFrame, embeddings: DataFrame,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      minCosine: Double = 0.3, textCol: String = "text",
+      idCol: String = "doc_id", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val minFp = fp.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
+    val exact = fp.join(minFp, Seq("fp"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol)).withColumn("__ex", lit(1L))
+    val clusters = dedupClusters(docs, textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("cluster_id"))
+    val sem = graft.similarity.Similarity
+      .semanticDedup(embeddings, fineStride, fineOffset, coarseFactor,
+        minCosine, vecIdCol, vecCol)
+      .select(col(vecIdCol).as(idCol), col("keep").as("sem_keep"))
+    docs.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(clusters, Seq(idCol))
+      .join(sem, Seq(idCol), "left")
+      .select(
+        when(col("__ex").isNotNull, lit(1L)).otherwise(lit(0L)).as("fx"),
+        when(col("cluster_id") =!= col(idCol), lit(1L)).otherwise(lit(0L))
+          .as("fn"),
+        when(!coalesce(col("sem_keep"), lit(true)), lit(1L))
+          .otherwise(lit(0L)).as("fs"))
+      .agg(sum("fx").as("nx"), sum("fn").as("nn"), sum("fs").as("ns"),
+        sum(col("fx") * col("fn")).as("bxn"),
+        sum(col("fx") * col("fs")).as("bxs"),
+        sum(col("fn") * col("fs")).as("bns"))
+      .selectExpr("""stack(3,
+          'exact', 'near',     nx, nn, bxn,
+          'exact', 'semantic', nx, ns, bxs,
+          'near',  'semantic', nn, ns, bns)
+        AS (m1, m2, n1, n2, n_both)""")
+      .withColumn("jaccard_ppm",
+        expr("""CASE WHEN n1 + n2 - n_both > 0 THEN
+                  n_both * 1000000 div (n1 + n2 - n_both) END"""))
+  }
+
   /** Per-stratum duplication report over exact fingerprints — which
     * sources are duplicate-heavy (a crawl re-fetching itself, a mirror
     * in the mix) is the first dial an ingest operator reads. Counts
@@ -1463,4 +1523,66 @@ object Dedup {
     sourceJaccardReport(
       sourceKmvPartials(docs, k, n, stratum, textCol, idCol),
       docs, k, n, stratum, textCol, idCol)
+
+  /** Dedup-aggressiveness dial: one pass over the n-gram-Jaccard pair
+    * table prices EVERY candidate threshold at once — docs flagged,
+    * docs kept, tokens kept, retained ppm per threshold — so the "how
+    * hard should near-dup dedup bite" knob is set from a report, not
+    * from re-running the pipeline per setting.
+    *
+    * Flag rule per threshold (the single-pass keep-first convention
+    * the verdict family uses): a document is flagged iff some LOWER-id
+    * document is ≥-threshold similar, regardless of that neighbor's
+    * own fate — non-transitive, so each threshold's count is a pure
+    * filter over one shared pair table. The threshold test is the
+    * integer cross-multiplication `100·inter ≥ thr_e2·union` — both
+    * engines compare identical integers, no float boundary anywhere
+    * (the pair generator's float `minJaccard` prefilter is slacked a
+    * half-point below the smallest threshold so it can never clip a
+    * boundary pair).
+    *
+    * Cost: the memoized capped-shingle join (shared with q18/q19) →
+    * pair table × |thresholds| explode → a |thresholds|-row aggregate;
+    * token counts ride a corpus projection joined to the FLAGGED ids
+    * only. The one-row totals frame broadcast-crosses onto the
+    * |thresholds|-row report (a tiny BNLJ, PlanAuditSpec-allow-listed).
+    * Every stage is bucket-keyed or model-sized; scale follows q18's.
+    *
+    * Output: one row per threshold — (thr_e2, n_flagged, n_kept,
+    * tokens_flagged, tokens_kept, kept_tokens_ppm). */
+  def dedupThresholdSweep(docs: DataFrame, thresholdsE2: Seq[Int],
+      n: Int = 3, maxDf: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(thresholdsE2.nonEmpty && thresholdsE2.forall(t => t > 0 && t <= 100),
+      "thresholds are e2 integers in (0, 100]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(docs, n,
+      minJaccard = (thresholdsE2.min - 0.5) / 100.0, maxDf, textCol, idCol)
+    val flagged = pairs
+      .withColumn("thr_e2",
+        explode(array(thresholdsE2.map(t => lit(t.toLong)): _*)))
+      .filter(col("inter") * lit(100L) >=
+        col("thr_e2") * (col("a_size") + col("b_size") - col("inter")))
+      .select(col("thr_e2"), col("b_id").as(idCol))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("tk"))
+    val totals = toks.agg(count(lit(1)).as("n_docs"),
+      sum("tk").as("tokens_total"))
+    val perThr = flagged.join(toks, idCol)
+      .groupBy("thr_e2")
+      .agg(count(lit(1)).as("n_flagged"), sum("tk").as("tokens_flagged"))
+    // every requested threshold emits a row, flagged-nothing included
+    thresholdsE2.map(_.toLong).toDF("thr_e2")
+      .join(perThr, Seq("thr_e2"), "left")
+      .na.fill(0L, Seq("n_flagged", "tokens_flagged"))
+      .crossJoin(broadcast(totals))
+      .select(col("thr_e2"), col("n_flagged"),
+        (col("n_docs") - col("n_flagged")).as("n_kept"),
+        col("tokens_flagged"),
+        (col("tokens_total") - col("tokens_flagged")).as("tokens_kept"),
+        expr("(tokens_total - tokens_flagged) * 1000000 div tokens_total")
+          .as("kept_tokens_ppm"))
+  }
 }

@@ -963,32 +963,51 @@ object Similarity {
     * lookup table (q_id, j, code, term_e4). Encode argmax and LUT
     * terms are e4-rounded integers with ties to the lowest code id —
     * the engine-reproducibility device both faces share. */
-  private def pqCodesAndLut(e: DataFrame, qv: DataFrame, dim: Int, m: Int,
-      codeStride: Int, codeOffset: Int): (DataFrame, DataFrame) = {
-    val dsub = dim / m
-    // (id, j, sv): the m disjoint subvector projections, one narrow
-    // union — each branch is a column-pruned scan, no shuffle
-    def subs(df: DataFrame, id: String, v: String): DataFrame =
-      (0 until m).map { j =>
-        df.select(col(id), lit(j).as("j"),
-          slice(col(v), j * dsub + 1, dsub).as("sv"))
-      }.reduce(_ unionByName _)
-    val sub = subs(e, "sid", "vec")
-    val cw = sub.filter(pmod(col("sid"), lit(codeStride)) === codeOffset)
+  /** (id, j, sv): the m disjoint subvector projections, one narrow
+    * union — each branch is a column-pruned scan, no shuffle. */
+  private def pqSubs(df: DataFrame, id: String, v: String, m: Int,
+      dsub: Int): DataFrame =
+    (0 until m).map { j =>
+      df.select(col(id).as("sid"), lit(j).as("j"),
+        slice(col(v), j * dsub + 1, dsub).as("sv"))
+    }.reduce(_ unionByName _)
+
+  /** Stride-seeded PQ codebook drawn from `src` — the codebook SOURCE
+    * is a parameter so an incremental face can encode a batch against
+    * the LANDED codebook (q158) while the one-shot faces draw it from
+    * the corpus itself. */
+  private def pqCodebook(src: DataFrame, m: Int, dsub: Int,
+      codeStride: Int, codeOffset: Int): DataFrame =
+    pqSubs(src, "sid", "vec", m, dsub)
+      .filter(pmod(col("sid"), lit(codeStride)) === codeOffset)
       .select(col("sid").as("code_id"), col("j"), col("sv").as("cw"))
-    // encode: per (vector, subspace) argmin L2 over the broadcast
-    // codebook as a max_by hash agg (map-side partials, no sort)
-    val codes = sub.join(broadcast(cw), "j")
+
+  /** Encode: per (vector, subspace) argmin L2 over the broadcast
+    * codebook as a max_by hash agg (map-side partials, no sort). */
+  private def pqEncode(e: DataFrame, cw: DataFrame, m: Int,
+      dsub: Int): DataFrame =
+    pqSubs(e, "sid", "vec", m, dsub).join(broadcast(cw), "j")
       .withColumn("score", round(
         (dot(col("sv"), col("cw")) * 2 - dot(col("cw"), col("cw"))) * 1e4)
         .cast("long"))
       .groupBy("sid", "j")
       .agg(max_by(col("code_id"), struct(col("score"), -col("code_id")))
         .as("code"))
-    val lut = subs(qv, "q_id", "q_vec").join(broadcast(cw), "j")
+
+  /** Per-query ADC lookup table over the broadcast codebook. */
+  private def pqLut(qv: DataFrame, cw: DataFrame, m: Int,
+      dsub: Int): DataFrame =
+    pqSubs(qv, "q_id", "q_vec", m, dsub)
+      .withColumnRenamed("sid", "q_id")
+      .join(broadcast(cw), "j")
       .select(col("q_id"), col("j"), col("code_id").as("code"),
         round(dot(col("sv"), col("cw")) * 1e4).cast("long").as("term_e4"))
-    (codes, lut)
+
+  private def pqCodesAndLut(e: DataFrame, qv: DataFrame, dim: Int, m: Int,
+      codeStride: Int, codeOffset: Int): (DataFrame, DataFrame) = {
+    val dsub = dim / m
+    val cw = pqCodebook(e, m, dsub, codeStride, codeOffset)
+    (pqEncode(e, cw, m, dsub), pqLut(qv, cw, m, dsub))
   }
 
   /** IVF-PQ composed ANN — the standard billion-vector layout (Jégou
@@ -1035,6 +1054,17 @@ object Similarity {
     val asn = assignToCentroids(
       e.select(col("sid").as("vec_id"), col("vec")), coarse)
       .select(col("vec_id").as("sid"), col("c_id"))
+    val (codes, lut) = pqCodesAndLut(e, qv, dim, m, codeStride, codeOffset)
+    ivfPqServe(e, qv, coarse, asn, codes, lut, k, nprobe, rerankFactor)
+  }
+
+  /** The query-side serve path shared by [[ivfPqTopK]] and
+    * [[ivfPqIncrement]]: probe top-`nprobe` coarse cells per query,
+    * ADC-score only codes assigned to probed cells, exact-cosine
+    * rerank of the `k`·`rerankFactor` shortlist. */
+  private def ivfPqServe(e: DataFrame, qv: DataFrame, coarse: DataFrame,
+      asn: DataFrame, codes: DataFrame, lut: DataFrame, k: Int,
+      nprobe: Int, rerankFactor: Int): DataFrame = {
     // query probing: top-nprobe cells by rounded cosine, ties low id
     val wProbe = Window.partitionBy("q_id")
       .orderBy(desc("gcos"), asc("c_id"))
@@ -1044,7 +1074,6 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select("q_id", "c_id")
-    val (codes, lut) = pqCodesAndLut(e, qv, dim, m, codeStride, codeOffset)
     // ADC restricted to the probed cells — the composed win
     val cand = probe.join(asn, "c_id")
       .filter(col("sid") =!= col("q_id"))
@@ -1066,6 +1095,246 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Append-only IVF-PQ serving — the ANN-index INGESTION path of the
+    * billion-vector layout, completing the incremental matrix for the
+    * composed-index family: a batch of new vectors joins the landed
+    * index WITHOUT re-touching the landed side. Both codebooks (coarse
+    * IVF centroids, PQ subspace codewords) are LANDED artifacts —
+    * drawn from the landed stride slices only, exactly the landed-
+    * codebook principle every incremental cell here rests on — so a
+    * batch vector's cell assignment and PQ code are pure functions of
+    * (vector, landed index): batch-order-independent, idempotent on
+    * retry, and the landed tables never recompute (memoized kinds
+    * "ivfpq-asn"/"ivfpq-codes"; per batch the new work is
+    * batch-rows × codebook, plus the query-side serve).
+    *
+    * The answer CONTRACT: identical to running the landed-codebook
+    * index over the full landed∪batch corpus in one shot — the oracle
+    * replays exactly that, so the hash match proves the
+    * incrementality exact (no drift between the path a vector took in
+    * and the index a query sees). A production deployment re-seeds
+    * codebooks when the landed stride slice drifts from the data
+    * distribution — that is a REBUILD decision (the q145 recall audit
+    * is its dial), not part of the append path.
+    *
+    * Output: (q_id, rank, vec_id, cos) over landed∪batch, ≤ k rows
+    * per query. */
+  def ivfPqIncrement(landed: DataFrame, batch: DataFrame,
+      queries: DataFrame, k: Int,
+      nprobe: Int = 3, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = landed.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption
+      .orElse(queries.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect().headOption)
+      .map(_.getInt(0)).getOrElse(m)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val be = batch.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // both codebooks are landed-side artifacts
+    val coarse = le.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val cw = pqCodebook(le, m, dsub, codeStride, codeOffset)
+    val bAsn = assignToCentroids(
+      be.select(col("sid").as("vec_id"), col("vec")), coarse)
+      .select(col("vec_id").as("sid"), col("c_id"))
+    val bCodes = pqEncode(be, cw, m, dsub)
+    val e = le.unionByName(be)
+    ivfPqServe(e, qv, coarse,
+      landedIvfPqAssignment(landed, ivfStride, ivfOffset, idCol, vecCol)
+        .unionByName(bAsn),
+      landedIvfPqCodes(landed, m, codeStride, codeOffset, idCol, vecCol)
+        .unionByName(bCodes),
+      pqLut(qv, cw, m, dsub), k, nprobe, rerankFactor)
+  }
+
+  /** Landed IVF cell assignment (memoized kind "ivfpq-asn") — every
+    * landed vector routed once to its landed-stride coarse centroid;
+    * [[ivfPqIncrement]] unions each batch's routing onto this. */
+  def landedIvfPqAssignment(landed: DataFrame, ivfStride: Int = 50,
+      ivfOffset: Int = 11, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "ivfpq-asn", ivfStride, ivfOffset,
+        idCol, vecCol), {
+        val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+        val coarse = le
+          .filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+          .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+        assignToCentroids(
+          le.select(col("sid").as("vec_id"), col("vec")), coarse)
+          .select(col("vec_id").as("sid"), col("c_id"))
+      })
+
+  /** Landed PQ code table (memoized kind "ivfpq-codes") — every landed
+    * vector encoded once against the landed codebook. */
+  def landedIvfPqCodes(landed: DataFrame, m: Int = 4,
+      codeStride: Int = 25, codeOffset: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "ivfpq-codes", m, codeStride, codeOffset,
+        idCol, vecCol), {
+        val dim = landed.where(col(vecCol).isNotNull)
+          .select(size(col(vecCol))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(m)
+        require(dim % m == 0, s"dim $dim not divisible by m=$m")
+        val dsub = dim / m
+        val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+        pqEncode(le, pqCodebook(le, m, dsub, codeStride, codeOffset),
+          m, dsub)
+      })
+
+  /** Rank-position discount LUT for [[servedNdcg]]: e6-rounded
+    * 1/log2(r+1), the one float per rank, frozen to an integer ONCE so
+    * Spark and the oracle multiply identical constants (the σ-e6
+    * device applied to ranking discounts). */
+  def ndcgDiscountsE6(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(r =>
+      r -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** nDCG@k of the SERVED ranking ([[ivfPqTopK]]) against the exact
+    * ideal ([[bruteForceTopK]]) — the ranking-quality dial recall@k
+    * cannot express: recall counts set membership, nDCG prices WHERE
+    * a true neighbor landed (a hit demoted from rank 1 to rank 5
+    * costs 1 − disc(5)/disc(1) of its gain). Together with q145 this
+    * completes the serving audit: recall prices the candidate set,
+    * nDCG the delivered order.
+    *
+    * Exactness: gains are the e4-rounded EXACT cosines (the rerank
+    * scorer's own output) shifted +1e4 to be non-negative (cosine
+    * spans [−1, 1]; an unshifted negative gain would reward MISSING a
+    * weakly-relevant true neighbor); discounts come from
+    * [[ndcgDiscountsE6]] so every product is integer. A query the
+    * index serves nothing for scores dcg = 0, and idcg = 0 (no
+    * corpus neighbor at all) yields NULL rather than 0/0.
+    *
+    * Scale: two k-row-per-query frames joined to a broadcast k-row
+    * LUT and folded per query — the audit's cost IS the served+exact
+    * passes it grades (run it on the query SAMPLE, q145's sizing
+    * lever). Output: (q_id, dcg, idcg, ndcg_ppm). */
+  def servedNdcg(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 3, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val disc = ndcgDiscountsE6(k).toDF("rank", "disc_e6")
+    def dcgOf(df: DataFrame, out: String): DataFrame =
+      df.join(broadcast(disc), "rank")
+        .withColumn("gain",
+          round(col("cos") * 10000).cast("long") + lit(10000L))
+        .groupBy("q_id").agg(sum(col("gain") * col("disc_e6")).as(out))
+    val served = ivfPqTopK(embeddings, queries, k, nprobe, m, codeStride,
+      codeOffset, ivfStride, ivfOffset, rerankFactor, idCol, vecCol)
+    val ideal = bruteForceTopK(embeddings, queries, k, idCol, vecCol)
+    dcgOf(ideal, "idcg").join(dcgOf(served, "dcg"), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("dcg"), lit(0L)).as("dcg"),
+        col("idcg"),
+        expr("""CASE WHEN idcg > 0 THEN
+                  coalesce(dcg, CAST(0 AS BIGINT)) * 1000000 div idcg
+                END""").as("ndcg_ppm"))
+  }
+
+  /** Embedding-table health gate — the QA report run BEFORE any ANN
+    * index build or semantic pass trusts a vector column: how many
+    * rows are null / contain a non-finite element / have exactly zero
+    * norm (all-zero vectors poison cosine math with 0/0), do all rows
+    * agree on dimensionality (min_dim = max_dim or the table is
+    * corrupt), and the e4-integer norm profile (min/max/sum — mean =
+    * sum div n at the consumer). Every output is an exact integer:
+    * norms e4-rounded per row (the assignment family's own device)
+    * then folded by order-independent integer min/max/sum; the
+    * non-finite test is the single predicate ¬(|x| ≤ 3.4e38), which
+    * catches NaN (all comparisons false) and ±Inf with one expression
+    * both engines evaluate identically.
+    *
+    * Scale: ONE projection-only scan folded to one row — no shuffle
+    * beyond the final single-row aggregate; runs ahead of every index
+    * build at any corpus size. Output: (n_rows, n_null, n_nonfinite,
+    * n_zero_norm, min_dim, max_dim, min_norm_e4, max_norm_e4,
+    * sum_norm_e4); the dim/norm stats cover healthy rows only (null /
+    * non-finite rows are counted, not profiled). */
+  def embeddingHealthReport(embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val bad = exists(v, x => !(abs(x.cast("double")) <= lit(3.4e38)))
+    val healthy = v.isNotNull && !bad
+    val normE4 = round(norm(v) * 10000).cast("long")
+    embeddings.select(v.isNull.as("isnull"),
+        coalesce(bad, lit(false)).as("bad"),
+        when(healthy, size(v)).as("dim"),
+        when(healthy, normE4).as("ne4"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("isnull"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("ne4") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min("dim").cast("long").as("min_dim"),
+        max("dim").cast("long").as("max_dim"),
+        min("ne4").as("min_norm_e4"), max("ne4").as("max_norm_e4"),
+        sum("ne4").as("sum_norm_e4"))
+  }
+
+  /** Codebook-staleness drift audit — the REBUILD dial the append-only
+    * serving path ([[ivfPqIncrement]]) defers to: how well does the
+    * LANDED coarse codebook quantize an incoming batch, relative to
+    * how well it quantizes the landed corpus it was drawn from?
+    * Residual = 1e4 − the assignment's own best e4 cosine, so
+    * `drift_ppm` = (batch mean residual)/(landed mean residual) in
+    * ppm: 1e6 means the batch quantizes exactly as well as the
+    * codebook's own training data; a sustained climb means the
+    * stride-seeded codebook no longer covers the incoming
+    * distribution, and the owner schedules a codebook REBUILD (then
+    * re-prices the rebuilt index with [[ivfPqRecall]]). q158 keeps the
+    * append path exact under a FIXED codebook; this is the monitor
+    * that says when "fixed" has become "stale".
+    *
+    * Exactness: residuals are non-negative integers (cosine e4-rounded
+    * by the assignment itself, shifted from 1e4), the ratio of means
+    * is ONE cross-multiplied truncating division with DECIMAL(38,0)-
+    * widened products — no intermediate mean is ever divided, so 1e9
+    * vectors cannot wrap and both engines agree bit-for-bit.
+    *
+    * Scale: two corpus × broadcast-codebook assignment passes (the q37
+    * cost shape already on record) folded to two rows; the one-row
+    * landed total rides a tiny broadcast cross join. Output:
+    * (grp ∈ {landed, batch}, n, mean_res_e4, max_res_e4, drift_ppm)
+    * with drift_ppm only on the batch row (NULL when the landed
+    * residual sum is zero — a codebook that memorized its corpus
+    * yields no denominator). */
+  def codebookDrift(landed: DataFrame, batch: DataFrame,
+      ivfStride: Int = 50, ivfOffset: Int = 11,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val be = batch.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val coarse = le.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    def residuals(df: DataFrame, grp: String): DataFrame =
+      df.join(broadcast(coarse))
+        .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+        .groupBy("sid").agg(max("cos").as("best"))
+        .select(lit(grp).as("grp"),
+          (lit(10000L) - round(col("best") * 10000).cast("long")).as("res"))
+    val folded = residuals(le, "landed").unionByName(residuals(be, "batch"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("res").as("sum_res"),
+        max("res").as("max_res_e4"))
+    val landedRow = folded.filter(col("grp") === "landed")
+      .select(col("n").as("ln"), col("sum_res").as("ls"))
+    folded.crossJoin(broadcast(landedRow))
+      .select(col("grp"), col("n"),
+        expr("sum_res div n").as("mean_res_e4"),
+        col("max_res_e4"),
+        expr("""CASE WHEN grp = 'batch' AND ls > 0 THEN
+                  CAST(CAST(sum_res AS DECIMAL(38,0)) * ln * 1000000
+                       div (CAST(ls AS DECIMAL(38,0)) * n) AS BIGINT)
+                END""").as("drift_ppm"))
   }
 
   /** Recall@k audit for [[ivfPqTopK]] — the tuning report the

@@ -212,6 +212,15 @@ object MaterializedScaleBench {
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
           "src0").count()),
+      // append-only IVF-PQ: landed routing/codes prebuilt off-clock
+      // (preps); timed region = batch routing + encoding
+      // (batch-rows × codebook — codebook grows with landed under the
+      // stride seed, the known IVF probe term) + the query serve
+      ("q158_ivfpq_inc", k =>
+        graft.similarity.Similarity.ivfPqIncrement(
+          emb(k).filter(pmod(col("vec_id"), lit(4L)) =!= 2),
+          emb(1).filter(pmod(col("vec_id"), lit(4L)) === 2),
+          emb(1).filter(pmod(col("vec_id"), lit(100)) === 0), 5).count()),
       ("q110_emb_inc", k => {
         val e = emb(k)
         // Size bitsPerBand to keep bucket population constant
@@ -285,6 +294,15 @@ object MaterializedScaleBench {
         Dedup.sourceJaccard(docs(k)).count()),
       ("q152_pca_second", k =>
         graft.similarity.Similarity.powerIterationSecond(emb(k), 3).count()),
+      // round-16 third wave: the seeded global shuffle (range exchange
+      // on the uniform hash key — a pure sort, the linear floor) and
+      // the all-thresholds retention sweep (rides q18's capped pair
+      // join; the sweep itself is a |thresholds|-row fold on top)
+      ("q166_shuffle", k =>
+        graft.curation.Curation.epochShuffle(docs(k), 42L, 8).count()),
+      ("q167_sweep", k =>
+        Dedup.dedupThresholdSweep(docs(k),
+          Seq(40, 50, 60, 70, 80, 90)).count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
@@ -322,6 +340,12 @@ object MaterializedScaleBench {
           landed, coarseFactor = cf).count()
         graft.similarity.Similarity.landedSemanticAssignment2L(
           landed, coarseFactor = cf).count()
+        ()
+      },
+      "q158_ivfpq_inc" -> { k =>
+        val landed = emb(k).filter(pmod(col("vec_id"), lit(4L)) =!= 2)
+        graft.similarity.Similarity.landedIvfPqAssignment(landed).count()
+        graft.similarity.Similarity.landedIvfPqCodes(landed).count()
         ()
       },
       "q125_dsir_inc" -> { k =>

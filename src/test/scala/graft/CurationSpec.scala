@@ -854,4 +854,199 @@ class CurationSpec extends SparkSpec {
       oneClass.getLong(2) == 0L)
   }
 
+  test("filterMethodAgreement: matrix equals the three faces' own raw flags") {
+    // vocabulary-disjoint sources (the q123 spec's separability shape)
+    // so the classifier flags the non-target source; 40-token docs with
+    // 5-char content words + interleaved stopwords pass the gate, the
+    // i%5==0 "tiny doc" rows fail it; per-source ppl bottom-decile
+    // flags the repetitive tail — three DIFFERENT non-empty flag sets
+    val pool0 = Seq("apple", "baker", "candy", "delta", "eagle", "fancy",
+      "giant", "happy", "igloo", "jolly", "karma", "lemon", "mango",
+      "noble", "ocean", "piano")
+    val pool1 = Seq("quark", "rider", "sugar", "tiger", "under", "vapor",
+      "water", "xenon", "yacht", "zebra", "crane", "dodge", "elbow",
+      "flint", "grape", "hedge")
+    val stops = Seq("the", "and", "of", "to")
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "src0" else "src1"
+      val pool = if (i % 2 == 0) pool0 else pool1
+      val text =
+        if (i % 5 == 0) "tiny doc"
+        else (0 until 40).map(j =>
+          if (j % 5 == 0) stops(j / 5 % 4) else pool((i + j) % 16))
+          .mkString(" ")
+      (i.toLong, src, text)
+    }.toDF("doc_id", "source", "text")
+    val got = Curation.filterMethodAgreement(docs, "src0")
+      .orderBy("m1", "m2")
+      .as[(String, String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(
+      ("gate", "classifier"), ("gate", "ppl"), ("ppl", "classifier")),
+      got.toString)
+    // recompute the raw flag sets from the three faces directly
+    val fg = Curation.qualityGate(docs).filter(col("reasons") =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    val fp = Curation.perplexityFlag(docs).filter(col("flagged") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val fc = Curation.qualityClassifier(docs, "src0")
+      .filter(col("predicted") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    def row(m1: String, m2: String, a: Set[Long], b: Set[Long]) =
+      (m1, m2, a.size.toLong, b.size.toLong, (a intersect b).size.toLong,
+        if ((a ++ b).nonEmpty)
+          Some((a intersect b).size.toLong * 1000000L / (a ++ b).size)
+        else None)
+    assert(got == Seq(row("gate", "classifier", fg, fc),
+      row("gate", "ppl", fg, fp), row("ppl", "classifier", fp, fc)),
+      s"got $got\nfg=$fg fp=$fp fc=$fc")
+    // the fixture actually exercises the matrix: every method flags
+    assert(fg.nonEmpty && fp.nonEmpty && fc.nonEmpty, s"$fg $fp $fc")
+  }
+
+  test("qualityRepresentatives: keeps the best-scoring copy per cluster") {
+    val docs = Seq(
+      (0L, "src1", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "src0", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "src0", "totally different content words here now"),
+      (3L, "src1", "another unrelated body of text entirely"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.qualityRepresentatives(docs, "src0")
+      .orderBy("cluster_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // recompute from the two composed faces directly
+    val cl = graft.dedup.Dedup.dedupClusters(docs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val z = Curation.qualityClassifier(docs, "src0")
+      .select("doc_id", "z_e6").as[(Long, Long)].collect().toMap
+    val expected = cl.groupBy(_._2).map { case (c, ms) =>
+      val ids = ms.keys.toSeq
+      val rep = ids.maxBy(i => (z(i), -i))
+      (c, ids.size.toLong, rep, z(rep))
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, s"$got vs $expected")
+    // the near-dup pair must actually share a cluster, and their scores
+    // must differ, or the policy isn't exercised
+    assert(cl(0L) == cl(1L), cl.toString)
+    assert(z(0L) != z(1L), z.toString)
+  }
+
+  test("ingestDriftReport: replayed distribution reads kl=0/no alarm; shifted batch alarms") {
+    val landed = (0L until 30L).map(i =>
+        (i, s"alpha beta gamma delta epsilon w${i % 5}"))
+      .toDF("doc_id", "text")
+    // batch = an exact copy of the landed distribution: c_bt = c_lt and
+    // n_b = n_l term-wise, so the lnq terms cancel EXACTLY
+    val replay = landed.withColumn("doc_id", col("doc_id") + 1000L)
+    val r1 = Curation.ingestDriftReport(landed, replay)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r1._1 == r1._2, r1.toString)           // same token totals
+    assert(r1._3 == r1._4, r1.toString)           // same head coverage
+    assert(r1._5 == 0L && r1._6 == 0L, r1.toString) // kl exactly 0, no alarm
+    // a batch flooding in new vocabulary: coverage collapses, alarm fires
+    val shifted = (0L until 30L).map(i =>
+        (i + 2000L, s"zulu yankee xray whiskey victor u${i % 5}"))
+      .toDF("doc_id", "text")
+    val r2 = Curation.ingestDriftReport(landed, shifted)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r2._4 < r2._3, r2.toString)
+    assert(r2._6 == 1L, r2.toString)
+  }
+
+  test("shardManifest partials fold to the one-shot manifest for 2/3-way splits") {
+    val docs = (1L to 60L).map(i =>
+        (i, Array.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Curation.shardManifest(docs, maxTokens = 5, nShards = 4)
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(r => Curation.shardManifestPartials(
+        docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r), 4))
+      val merged = Curation.shardManifestFromPartials(
+          parts.reduce(_ unionByName _), maxTokens = 5)
+        .orderBy("shard")
+        .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(merged == one, s"$m-way split:\n$merged\nvs\n$one")
+    }
+    // the incremental face (memoized landed partial + batch partial)
+    // lands on the same fold
+    val inc = Curation.shardManifestIncrement(
+        docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+        maxTokens = 5, nShards = 4)
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(inc == one, s"incremental:\n$inc\nvs\n$one")
+  }
+
+  test("weightedSampleK: partials fold to one-shot; weight dominates; w<=0 excluded") {
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b",
+         if (i == 7L) 1000000L else if (i == 8L) 0L else 1L + i % 3))
+      .toDF("doc_id", "source", "w")
+    val one = Curation.weightedSampleK(docs, "source",
+        col("doc_id").cast("string"), col("w"), 5)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(one.size == 10) // 5 per stratum
+    // the 1e6-weight row's priority is hash60/1e6 ~ [0, 1.15e12) —
+    // essentially always below the k-th unit-weight priority
+    assert(one.exists(_._2 == "7"), s"heavy row missing: $one")
+    assert(!one.exists(_._2 == "8"), "w=0 row must be excluded")
+    // per-slice bottom-k partials fold to the identical one-shot set
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(r => Curation.weightedSamplePartials(
+        docs.filter(pmod(col("doc_id"), lit(m.toLong)) === r),
+        "source", col("doc_id").cast("string"), col("w"), 5))
+      val merged = Curation.weightedSampleFromPartials(
+          parts.reduce(_ unionByName _), "source", 5)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(merged == one, s"$m-way split: $merged")
+    }
+  }
+
+  test("epochShuffle: permutation, contiguous balanced shards, " +
+      "partitioning-independent, seed-fresh") {
+    val docs = (0L until 10L).toDF("doc_id")
+    val got = Curation.epochShuffle(docs, seed = 7L, nShards = 4,
+        nPartitions = 3)
+      .select("doc_id", "pos", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // pos is exactly 1..N
+    assert(got.map(_._2).toSeq == (1L to 10L))
+    // shard = (pos-1)*4 div 10: contiguous runs sized 3,2,3,2
+    assert(got.map(_._3).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    // the order is a pure function of (seed, id): physical layout of
+    // the input must not matter
+    val re = Curation.epochShuffle(docs.repartition(7), seed = 7L,
+        nShards = 4, nPartitions = 5)
+      .select("doc_id", "pos", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(re.toSeq == got.toSeq)
+    // a different seed draws a genuinely different permutation
+    val other = Curation.epochShuffle(docs, seed = 8L, nShards = 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._2)
+    assert(other.map(_._1).toSeq != got.map(_._1).toSeq)
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged with token movement") {
+    val old = Seq(
+      (1L, "s", "aa bb cc"),
+      (2L, "s", "dd ee"),
+      (3L, "t", "ff gg hh ii"))
+      .toDF("doc_id", "source", "text")
+    val nw = Seq(
+      (1L, "s", "aa bb cc"),   // byte-identical
+      (2L, "s", "dd ee xx"),   // edited
+      (4L, "t", "zz"))         // new id; 3 dropped
+      .toDF("doc_id", "source", "text")
+    val got = Curation.snapshotDiff(old, nw)
+      .orderBy("source", "status")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s", "changed", 1L, 2L, 3L, 1L),
+      ("s", "unchanged", 1L, 3L, 3L, 0L),
+      ("t", "added", 1L, 0L, 1L, 1L),
+      ("t", "removed", 1L, 4L, 0L, -4L)), got.toString)
+  }
+
 }

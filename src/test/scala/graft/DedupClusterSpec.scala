@@ -223,6 +223,33 @@ class DedupClusterSpec extends SparkSpec {
       (2L, "semantic_dup"), (3L, "keep")), got.toString)
   }
 
+  test("dedupMethodAgreement: raw flags overlap without lattice precedence") {
+    // same fixture as the lattice test: doc 1 is BOTH an exact dup and
+    // an n-gram near dup of 0 (identical text) and a semantic dup;
+    // doc 2 only semantic. Raw flags: exact {1}, near {1},
+    // semantic {1, 2} — the folded verdict would have hidden doc 1's
+    // near/semantic memberships behind exact precedence.
+    val text = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (0L, text), (1L, text),
+      (2L, "unrelated words entirely here now"),
+      (3L, "another totally different body text"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.995f, 0.02f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.dedupMethodAgreement(docs, emb,
+        fineStride = 4, fineOffset = 3, coarseFactor = 1)
+      .orderBy("m1", "m2")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("exact", "near", 1L, 1L, 1L, 1000000L),
+      ("exact", "semantic", 1L, 2L, 1L, 500000L),
+      ("near", "semantic", 1L, 2L, 1L, 500000L)), got.toString)
+  }
+
   test("unifiedDedupVerdicts: a doc without an embedding row still gets a verdict") {
     // ADVICE-r14 partition totality: doc 2 has NO embedding row — it
     // must pass the semantic stage (absence of evidence never rejects)
@@ -351,5 +378,40 @@ class DedupClusterSpec extends SparkSpec {
         assert((v == "quality_fail") == (reasons(id) != 0L),
           s"doc $id: $v but reasons=${reasons(id)}")
     }
+  }
+
+  test("dedupThresholdSweep: hand-checked retention curve") {
+    // d2 ≡ d1 (J=1.0), d3 vs d1/d2: inter 7 of union 13 (J≈0.538 —
+    // passes 40/50, fails 60+), d4 unrelated. Tokens: 12+12+12+4=40.
+    val docs = Seq(
+      (1L, "s", "a b c d e f g h i j k l"),
+      (2L, "s", "a b c d e f g h i j k l"),
+      (3L, "s", "a b c d e f g h i x y z"),
+      (4L, "s", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupThresholdSweep(docs, Seq(40, 50, 60, 70, 80, 90))
+      .orderBy("thr_e2")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (40L, 2L, 2L, 24L, 16L, 400000L),
+      (50L, 2L, 2L, 24L, 16L, 400000L), // 700 ≥ 650: inclusive boundary
+      (60L, 1L, 3L, 12L, 28L, 700000L), // 700 < 780: d3 survives
+      (70L, 1L, 3L, 12L, 28L, 700000L),
+      (80L, 1L, 3L, 12L, 28L, 700000L),
+      (90L, 1L, 3L, 12L, 28L, 700000L)), got.toString)
+  }
+
+  test("dedupThresholdSweep: thresholds that flag nothing still emit rows") {
+    val docs = Seq(
+      (1L, "s", "a b c d e f g h i j k l"),
+      (3L, "s", "a b c d e f g h i x y z"),
+      (4L, "s", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupThresholdSweep(docs, Seq(60, 90))
+      .orderBy("thr_e2")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (60L, 0L, 3L, 0L, 28L, 1000000L),
+      (90L, 0L, 3L, 0L, 28L, 1000000L)), got.toString)
   }
 }

@@ -27,6 +27,9 @@ class PlanAuditSpec extends SparkSpec {
   // lengths), never the corpus
   private val tinyGlobalWindowOk =
     Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report",
+      // q166 embeds q47's numbering: the only unpartitioned window is
+      // the O(partitions)-row offset cumsum
+      "q166_epoch_shuffle",
       // q155's only unpartitioned window is the per-BLOCK negative
       // cumsum (score-range/blockWidth rows — value-range-scale); the
       // per-score cumsum is partitioned by block
@@ -76,6 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     "q131_ppl_incremental", // per-stratum boundary-ratio rows, null-safe-joined broadcast
     "q132_ingest_gate_full", // q129's broadcasts + q131's boundary rows
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
+    "q158_ivfpq_incremental", // the same codebook broadcasts, landed-sourced
+    "q159_served_ndcg", // q133's codebook broadcasts + q21's query batch
+    "q160_codebook_drift", // stride codebook + one-row landed-total broadcasts
+    "q163_ingest_drift", // headV-row landed head + one-row total broadcasts
+    "q166_epoch_shuffle", // one-row corpus-N cross-joined broadcast, as q95
+    "q167_threshold_sweep", // one-row totals cross-joined broadcast, as q66
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers
     "q143_skew_plan", // one-row total cross-joined onto per-key counts

@@ -472,6 +472,88 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIncrement: reproduces the landed-codebook one-shot exactly") {
+    val df = corpus(500, 50).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    // batch ids avoid BOTH stride residues (7 mod 25, 11 mod 50), so
+    // the union-sourced codebooks coincide with the landed-sourced
+    // ones and the incremental face must equal ivfPqTopK on the union
+    // bit-for-bit — the append path introduces zero drift
+    val batchIds = Seq(13L, 113L, 213L, 313L, 413L)
+    val batch = df.filter(col("vec_id").isin(batchIds: _*))
+    val landed = df.filter(!col("vec_id").isin(batchIds: _*))
+    val inc = Similarity.ivfPqIncrement(landed, batch, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val one = Similarity.ivfPqTopK(df, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inc == one, s"diff: ${(inc diff one) ++ (one diff inc)}")
+  }
+
+  test("servedNdcg: exhaustive probe serves the ideal exactly (ndcg = 1e6)") {
+    val df = corpus(200, 20).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 10000L)
+    // nprobe covers every coarse cell and the rerank cut exceeds the
+    // corpus: the shortlist contains the exact top-k, the rerank is
+    // the exact scorer, so served ≡ ideal and dcg folds to idcg
+    val full = Similarity.servedNdcg(df, queries, 5,
+        nprobe = 100, rerankFactor = 100)
+      .select("q_id", "dcg", "idcg", "ndcg_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full.size == 20, full.size.toString)
+    assert(full.forall(r => r._2 == r._3 && r._4 == 1000000L),
+      full.filterNot(r => r._4 == 1000000L).toString)
+    // the default narrow config can only lose gain: ndcg in [0, 1e6]
+    val dflt = Similarity.servedNdcg(df, queries, 5)
+      .select("q_id", "ndcg_ppm").as[(Long, Long)].collect().toSeq
+    assert(dflt.size == 20 &&
+      dflt.forall(r => r._2 >= 0L && r._2 <= 1000000L), dflt.toString)
+  }
+
+  test("embeddingHealthReport: planted pathologies counted, healthy rows profiled") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(3f, 4f),                  // norm 5 -> ne4 50000
+      2L -> Array(0f, 0f),                  // zero norm
+      3L -> Array(Float.NaN, 1f),           // non-finite
+      4L -> Array(Float.PositiveInfinity, 0f), // non-finite
+      5L -> null,                           // null row
+      6L -> Array(1f, 0f, 0f))              // dim mismatch, norm 1
+    val got = Similarity.embeddingHealthReport(
+        rows.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got == ((6L, 1L, 2L, 1L, 2L, 3L, 0L, 50000L, 60000L)),
+      got.toString)
+  }
+
+  test("codebookDrift: replayed landed multiset reads exactly 1e6; shifted batch drifts above") {
+    val landedRows = (0L until 20L).map(i =>
+      (i, Array(1f, 0.2f * (i % 4).toFloat, 0.1f, 0f)))
+    val landed = landedRows.toDF("vec_id", "embedding")
+    // batch replicating the landed vector multiset: identical residual
+    // sums and counts, so the cross-multiplied ratio is EXACTLY 1e6
+    val same = landedRows.map { case (id, v) => (id + 100L, v) }
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.codebookDrift(landed, same,
+        ivfStride = 4, ivfOffset = 1)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r1.map(_._1) == Seq("batch", "landed"), r1.toString)
+    assert(r1(1)._5.isEmpty, r1.toString) // landed row carries no drift
+    assert(r1(0)._5.contains(1000000L), r1.toString)
+    assert(r1(0)._2 == 20L && r1(1)._2 == 20L, r1.toString)
+    // near-orthogonal batch: quantizes far worse than the codebook's
+    // own corpus — the monitor must read well above 1e6
+    val ortho = (0L until 20L).map(i =>
+        (i + 100L, Array(0f, 0f, 0.1f * (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.codebookDrift(landed, ortho,
+        ivfStride = 4, ivfOffset = 1)
+      .filter(col("grp") === "batch")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(r2._5.exists(_ > 1000000L), r2.toString)
+    assert(r2._4 >= r2._3, r2.toString) // max residual >= mean residual
+  }
+
   test("ivfPqRecall: monotone in nprobe and rerank, one row per config") {
     val data = corpus(500, 50)
     val df = data.toDF("vec_id", "embedding")
