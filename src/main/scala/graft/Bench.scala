@@ -145,7 +145,7 @@ object Bench {
       // triangle graph = q19's memoized band tables; KMV reads the
       // corpus shingle projection (+ its own parity-slice memos)
       "q150_triangle_count"        -> Set("shingles", "minhash-bands"),
-      "q151_source_jaccard"        -> Set("shingles"),
+      "q151_source_jaccard"        -> Set("shingles", "src-grams"),
       // cluster representatives fold the memoized q43 cluster table
       "q148_cluster_rep"           -> Set("shingles", "minhash-bands",
                                           "dedup-clusters"))

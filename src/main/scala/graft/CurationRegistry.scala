@@ -832,9 +832,9 @@ trait CurationRegistry extends EntryHelpers {
                      AS BIGINT) tk
                  FROM documents WHERE doc_id % 19 != 7),
           j AS (SELECT COALESCE(nw.source, o.source) source,
-                  CASE WHEN o.fp IS NULL THEN 'added'
-                       WHEN nw.fp IS NULL THEN 'removed'
-                       WHEN o.fp != nw.fp THEN 'changed'
+                  CASE WHEN o.doc_id IS NULL THEN 'added'
+                       WHEN nw.doc_id IS NULL THEN 'removed'
+                       WHEN o.fp IS DISTINCT FROM nw.fp THEN 'changed'
                        ELSE 'unchanged' END status,
                   COALESCE(o.tk, 0) otk, COALESCE(nw.tk, 0) ntk
                 FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)

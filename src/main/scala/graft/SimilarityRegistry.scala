@@ -1073,14 +1073,16 @@ trait SimilarityRegistry extends EntryHelpers {
           ORDER BY i.q_id"""
     },
 
-    // q164: the ¬(|x| ≤ 3.4e38) predicate catches NaN (comparisons
-    // false in Spark; NaN sorts above all doubles in DuckDB — either
-    // way the ≤ fails) and ±Inf identically in both engines
+    // q164: the x IS NULL OR NOT(|x| ≤ 3.4e38) predicate catches NULL
+    // holes, NaN (comparisons false in Spark; NaN sorts above all
+    // doubles in DuckDB — either way the ≤ fails) and ±Inf
+    // identically in both engines
     "q164_embedding_health" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
           h AS (SELECT v IS NULL is_null,
                   COALESCE(len(list_filter(v,
-                    x -> NOT (abs(x) <= 3.4e38))) > 0, FALSE) bad,
+                    x -> x IS NULL OR NOT (abs(x) <= 3.4e38))) > 0,
+                    FALSE) bad,
                   v FROM e),
           p AS (SELECT is_null, bad,
                   CASE WHEN NOT is_null AND NOT bad
@@ -1178,12 +1180,15 @@ trait SimilarityRegistry extends EntryHelpers {
       case "variance" =>
         s""", sF AS (SELECT rid, SUM(x * vv) s
                   FROM q JOIN v$iters USING (j) GROUP BY rid),
-          num AS (SELECT SUM(CAST(s AS HUGEINT) * s) ss FROM sF),
+          num AS (SELECT SUM(CAST(s AS HUGEINT) * s) ss,
+                         CAST(COUNT(*) AS HUGEINT) c FROM sF),
           den AS (SELECT SUM(CAST(vv AS HUGEINT) * vv) dv FROM v$iters),
           trc AS (SELECT SUM(CAST(x AS HUGEINT) * x) t FROM q)
-          SELECT CAST(ss // dv AS BIGINT) AS lambda1_e12,
-                 CAST(t AS BIGINT) AS trace_e12,
-                 CAST(((ss // dv) * 1000000) // t AS BIGINT) AS ratio_ppm
+          SELECT CAST(ss // (dv * c) AS BIGINT) AS lambda1_mean_e12,
+                 CAST(t // c AS BIGINT) AS trace_mean_e12,
+                 CAST(((ss // (dv * c)) * 1000000) // (t // c) AS BIGINT)
+                   AS ratio_ppm,
+                 CAST(c AS BIGINT) AS n_vecs
           FROM num, den, trc"""
       case _ =>
         s"SELECT CAST(j AS INT) AS pos, vv AS v_e6 FROM v$iters ORDER BY pos"

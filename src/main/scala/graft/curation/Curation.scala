@@ -2047,17 +2047,21 @@ object Curation {
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
       stratum: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // presence rides an explicit per-side marker, NOT fp nullability:
+    // a doc present in both snapshots with a NULL text on one side is
+    // "changed" (null-safe fp compare), never misread as added/removed
     def proj(df: DataFrame, side: String) =
-      df.select(col(idCol), col(stratum).as(side + "_src"),
+      df.select(col(idCol), lit(true).as(side + "_in"),
+        col(stratum).as(side + "_src"),
         md5(col(textCol)).as(side + "_fp"),
         size(TextFunctions.tokens(col(textCol))).cast("long")
           .as(side + "_tk"))
     proj(oldDocs, "o").join(proj(newDocs, "n"), Seq(idCol), "full_outer")
       .select(
         coalesce(col("n_src"), col("o_src")).as(stratum),
-        when(col("o_fp").isNull, lit("added"))
-          .when(col("n_fp").isNull, lit("removed"))
-          .when(col("o_fp") =!= col("n_fp"), lit("changed"))
+        when(col("o_in").isNull, lit("added"))
+          .when(col("n_in").isNull, lit("removed"))
+          .when(!(col("o_fp") <=> col("n_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         coalesce(col("o_tk"), lit(0L)).as("otk"),
         coalesce(col("n_tk"), lit(0L)).as("ntk"))

@@ -1264,14 +1264,24 @@ object Dedup {
     * id-keyed joins — the same passes the individual operators already
     * pay, stitched into one auditable answer. Output: (idCol, verdict),
     * one row per doc. */
-  def dedupVerdicts(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+  /** Shared exact-dup evidence of the verdict family: ids flagged
+    * byte-duplicate under the normalized-fingerprint keep-first rule
+    * (NULL fingerprints never flag), as a left-joinable (id, __ex=1)
+    * frame. ONE definition so [[dedupVerdicts]] and
+    * [[dedupMethodAgreement]] can never drift on the rule. */
+  private def exactDupFlags(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
-    val minFp = fp.filter(col("fp").isNotNull)
-      .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
-    val exact = fp.join(minFp, Seq("fp"))
+    fp.join(
+        fp.filter(col("fp").isNotNull)
+          .groupBy("fp").agg(min(col(idCol)).as("keep_id")), Seq("fp"))
       .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol)).withColumn("__ex", lit(1L))
+  }
+
+  def dedupVerdicts(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val exact = exactDupFlags(docs, textCol, idCol)
     val clusters = dedupClusters(docs, textCol = textCol, idCol = idCol)
       .select(col(idCol), col("cluster_id"))
     docs.select(col(idCol))
@@ -1355,12 +1365,7 @@ object Dedup {
       minCosine: Double = 0.3, textCol: String = "text",
       idCol: String = "doc_id", vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
-    val minFp = fp.filter(col("fp").isNotNull)
-      .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
-    val exact = fp.join(minFp, Seq("fp"))
-      .filter(col(idCol) =!= col("keep_id"))
-      .select(col(idCol)).withColumn("__ex", lit(1L))
+    val exact = exactDupFlags(docs, textCol, idCol)
     val clusters = dedupClusters(docs, textCol = textCol, idCol = idCol)
       .select(col(idCol), col("cluster_id"))
     val sem = graft.similarity.Similarity
@@ -1427,17 +1432,25 @@ object Dedup {
       stratum: String = "source", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "k must be positive")
-    // reads the memoized per-corpus (sid, hash) projection — on the
-    // full corpus this is the SAME "shingles" table every other
-    // shingle consumer shares; a slice memoizes its own
-    val sv = shingleHashes(docs, n, textCol, idCol)
-      .join(docs.select(col(idCol).as("sid"), col(stratum).as("src")), "sid")
-      .select(col("src"), col("sh").as("v"))
-      .distinct()
+    val sv = sourceGramSet(docs, n, stratum, textCol, idCol)
     val w = Window.partitionBy("src").orderBy("v")
     sv.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("src", "v")
   }
+
+  /** Distinct (stratum, gram-hash) set of a corpus — memoized (kind
+    * "src-grams") on top of the shared "shingles" projection, so the
+    * KMV sketch and its exact twin inside one [[sourceJaccard]] call
+    * pay the id-keyed join + corpus-wide distinct ONCE, not twice. */
+  private def sourceGramSet(docs: DataFrame, n: Int, stratum: String,
+      textCol: String, idCol: String): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "src-grams", n, stratum, textCol, idCol),
+      shingleHashes(docs, n, textCol, idCol)
+        .join(docs.select(col(idCol).as("sid"), col(stratum).as("src")),
+          "sid")
+        .select(col("src"), col("sh").as("v"))
+        .distinct())
 
   /** Cross-stratum Jaccard report from merged KMV partials + the exact
     * twin: for every stratum pair a < b, the standard KMV union
@@ -1491,11 +1504,8 @@ object Dedup {
       .withColumn("jaccard_est_e6",
         expr("inter_k * 1000000 div k_used"))
     // exact twin over the full distinct (stratum, gram-hash) set —
-    // the memoized corpus "shingles" projection again
-    val sv = shingleHashes(docs, n, textCol, idCol)
-      .join(docs.select(col(idCol).as("sid"), col(stratum).as("src")), "sid")
-      .select(col("src"), col("sh").as("v"))
-      .distinct()
+    // the SAME memoized "src-grams" table the sketch partials read
+    val sv = sourceGramSet(docs, n, stratum, textCol, idCol)
     val sizes = sv.groupBy("src").agg(count(lit(1)).as("c"))
     val inter = sv.select(col("src").as("src_a"), col("v"))
       .join(sv.select(col("src").as("src_b"), col("v")), "v")

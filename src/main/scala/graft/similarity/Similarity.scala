@@ -918,21 +918,39 @@ object Similarity {
     * Construction-time note: dim discovery samples ONE non-null
     * vector row — an eager one-row driver job inside an otherwise
     * lazy plan-construction API. */
+  /** One-row dim probe — a driver job at plan-construction time,
+    * unavoidable: the PQ subvector slicing is a plan-time literal.
+    * Falls back through `fallback` (the query side) so an empty corpus
+    * yields an empty result instead of a NoSuchElementException. ONE
+    * definition of the probe + divisibility convention for the whole
+    * PQ family. */
+  private def probeDim(primary: DataFrame, fallback: DataFrame,
+      vecCol: String, m: Int): Int = {
+    val dim = primary.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption
+      .orElse(fallback.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect().headOption)
+      .map(_.getInt(0)).getOrElse(m)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    dim
+  }
+
+  /** Stride-seeded coarse codebook (c_id, c_vec) over a (sid, vec)
+    * frame — THE single definition of the IVF coarse-centroid
+    * convention, shared by the one-shot, landed-index and incremental
+    * faces (a drifting copy would silently break the landed-codebook
+    * equality contract the q158 oracle hash-proves). */
+  private def coarseCodebook(e: DataFrame, ivfStride: Int,
+      ivfOffset: Int): DataFrame =
+    e.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+
   def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
       rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // dim discovery needs one row (a driver job at construction time —
-    // unavoidable: the subvector slicing is a plan-time literal); fall
-    // back through the query side so an empty corpus yields an empty
-    // result instead of a NoSuchElementException
-    val dim = embeddings.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
-      .headOption
-      .orElse(queries.where(col(vecCol).isNotNull)
-        .select(size(col(vecCol))).limit(1).collect().headOption)
-      .map(_.getInt(0)).getOrElse(m)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dim = probeDim(embeddings, queries, vecCol, m)
     val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val (codes, lut) = pqCodesAndLut(e, qv, dim, m, codeStride, codeOffset)
@@ -1039,17 +1057,10 @@ object Similarity {
       codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
       rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
-      .headOption
-      .orElse(queries.where(col(vecCol).isNotNull)
-        .select(size(col(vecCol))).limit(1).collect().headOption)
-      .map(_.getInt(0)).getOrElse(m)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dim = probeDim(embeddings, queries, vecCol, m)
     val e = embeddings.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val coarse = e.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
-      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val coarse = coarseCodebook(e, ivfStride, ivfOffset)
     // the IVF build: every corpus vector routed once (q37's argmax)
     val asn = assignToCentroids(
       e.select(col("sid").as("vec_id"), col("vec")), coarse)
@@ -1127,20 +1138,13 @@ object Similarity {
       codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
       rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = landed.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
-      .headOption
-      .orElse(queries.where(col(vecCol).isNotNull)
-        .select(size(col(vecCol))).limit(1).collect().headOption)
-      .map(_.getInt(0)).getOrElse(m)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dim = probeDim(landed, queries, vecCol, m)
     val dsub = dim / m
     val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val be = batch.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     // both codebooks are landed-side artifacts
-    val coarse = le.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
-      .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+    val coarse = coarseCodebook(le, ivfStride, ivfOffset)
     val cw = pqCodebook(le, m, dsub, codeStride, codeOffset)
     val bAsn = assignToCentroids(
       be.select(col("sid").as("vec_id"), col("vec")), coarse)
@@ -1165,11 +1169,9 @@ object Similarity {
       CacheRegistry.key(landed, "ivfpq-asn", ivfStride, ivfOffset,
         idCol, vecCol), {
         val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
-        val coarse = le
-          .filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
-          .select(col("sid").as("c_id"), col("vec").as("c_vec"))
         assignToCentroids(
-          le.select(col("sid").as("vec_id"), col("vec")), coarse)
+          le.select(col("sid").as("vec_id"), col("vec")),
+          coarseCodebook(le, ivfStride, ivfOffset))
           .select(col("vec_id").as("sid"), col("c_id"))
       })
 
@@ -1181,10 +1183,7 @@ object Similarity {
     CacheRegistry.cache(
       CacheRegistry.key(landed, "ivfpq-codes", m, codeStride, codeOffset,
         idCol, vecCol), {
-        val dim = landed.where(col(vecCol).isNotNull)
-          .select(size(col(vecCol))).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(m)
-        require(dim % m == 0, s"dim $dim not divisible by m=$m")
+        val dim = probeDim(landed, landed, vecCol, m)
         val dsub = dim / m
         val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
         pqEncode(le, pqCodebook(le, m, dsub, codeStride, codeOffset),
@@ -1252,9 +1251,11 @@ object Similarity {
     * sum div n at the consumer). Every output is an exact integer:
     * norms e4-rounded per row (the assignment family's own device)
     * then folded by order-independent integer min/max/sum; the
-    * non-finite test is the single predicate ¬(|x| ≤ 3.4e38), which
-    * catches NaN (all comparisons false) and ±Inf with one expression
-    * both engines evaluate identically.
+    * bad-element test is the single predicate `x IS NULL ∨
+    * ¬(|x| ≤ 3.4e38)`, which catches NULL holes, NaN (all comparisons
+    * false) and ±Inf with one expression both engines evaluate
+    * identically — a [1.0, NULL] vector is a caught pathology, not a
+    * silently unprofiled row.
     *
     * Scale: ONE projection-only scan folded to one row — no shuffle
     * beyond the final single-row aggregate; runs ahead of every index
@@ -1265,7 +1266,8 @@ object Similarity {
   def embeddingHealthReport(embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
-    val bad = exists(v, x => !(abs(x.cast("double")) <= lit(3.4e38)))
+    val bad = exists(v,
+      x => x.isNull || !(abs(x.cast("double")) <= lit(3.4e38)))
     val healthy = v.isNotNull && !bad
     val normE4 = round(norm(v) * 10000).cast("long")
     embeddings.select(v.isNull.as("isnull"),
@@ -1634,28 +1636,36 @@ object Similarity {
     * A = Σxxᵀ, next to trace(A) = Σᵢ|xᵢ|², with their ratio in ppm
     * (λ₁/trace = the share of total second moment the top axis
     * carries; a near-uniform spectrum reads ~1/d·1e6). All exact
-    * integers: vᵀAv = Σᵢ(xᵢ·v)² summed in DECIMAL(38,0), both
-    * divisions on non-negative operands (trunc ≡ floor in both
-    * engines). One corpus pass (the s-projection) + three one-row
-    * aggregates over memoized v.
+    * integers at ANY corpus size: the corpus-sum quantities live only
+    * in DECIMAL(38,0) (a BIGINT trace wraps at ~9e6 unit vectors);
+    * what the report EMITS are their per-vector means — every integer
+    * division's quotient is ≤ d·1e12, so no cast can overflow, and
+    * all operands are non-negative (trunc ≡ floor in both engines).
+    * One corpus pass (the s-projection) + three one-row aggregates
+    * over memoized v.
     *
-    * Output: one row (lambda1_e12, trace_e12, ratio_ppm). */
+    * Output: one row (lambda1_mean_e12, trace_mean_e12, ratio_ppm,
+    * n_vecs). */
   def varianceExplained(embeddings: DataFrame, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = powerIterationTop(embeddings, iters, idCol, vecCol)
     val q = microTriples(embeddings, idCol, vecCol)
     val s = q.join(v, "pos")
       .groupBy("rid").agg(sum(col("x_e6") * col("v_e6")).as("s"))
-    val num = s.agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
+    val num = s.agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"),
+      count(lit(1)).as("n"))
     val den = v.agg(sum(col("v_e6") * col("v_e6")).as("vv"))
     val tr = q.agg(sum(col("x_e6").cast("decimal(38,0)") * col("x_e6"))
-      .cast("long").as("tr"))
+      .as("tr"))
     num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
       .select(
-        expr("CAST(ss div vv AS BIGINT)").as("lambda1_e12"),
-        col("tr").as("trace_e12"),
-        expr("CAST((CAST(ss div vv AS DECIMAL(38,0)) * 1000000) div tr" +
-          " AS BIGINT)").as("ratio_ppm"))
+        expr("CAST(ss div (CAST(vv AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("lambda1_mean_e12"),
+        expr("CAST(tr div n AS BIGINT)").as("trace_mean_e12"),
+        expr("CAST((CAST(ss div (CAST(vv AS DECIMAL(38,0)) * n)" +
+          " AS DECIMAL(38,0)) * 1000000) div (tr div n) AS BIGINT)")
+          .as("ratio_ppm"),
+        col("n").as("n_vecs"))
   }
 
   /** Projection of every embedding onto [[powerIterationTop]]'s
@@ -1699,8 +1709,11 @@ object Similarity {
     * face plus d-row/one-row auxiliaries; v̂₁ comes from the memoized
     * "power-iter" table (built once, shared with q146/q147/q149).
     * Precondition: the deflated image must be nonzero — a corpus whose
-    * second moment is exactly rank-1 has no second axis (loud failure:
-    * max|w| = 0 divides by zero; never a silent wrong answer).
+    * second moment is exactly rank-1 has no second axis. Failure is
+    * LOUD by explicit `require`s on both ∞-norms (max|w| and max|A·w|,
+    * each read off an already-checkpointed d-row table): with ANSI off
+    * a bare `div 0` would be a silent NULL that collapses the
+    * trajectory, never an error.
     *
     * Output: (pos, v2_e6) — the unit-∞-norm second-direction estimate
     * in micro-units, sign-anchored like the top face. */
@@ -1732,6 +1745,14 @@ object Similarity {
             col("v1").cast("decimal(38,0)") * col("c")).as("wy"))
         .localCheckpoint(true)
       val mw = w.agg(max(abs(col("wy"))).as("mw"))
+      // the documented loud failure, made actually loud: with ANSI
+      // off, `div 0` is a silent NULL that collapses the trajectory
+      // to an EMPTY frame — so the rank-1 precondition is asserted on
+      // the already-checkpointed d-row table (one trivial job)
+      val mwVal = mw.collect()(0).getDecimal(0)
+      require(mwVal != null && mwVal.signum > 0,
+        "deflated image is zero: the corpus second moment is rank-1 — " +
+          "no second principal axis exists")
       val wp = w.crossJoin(broadcast(mw))
         .select(col("pos"),
           (when(col("wy") < 0, lit(-1L)).when(col("wy") > 0, lit(1L))
@@ -1746,6 +1767,12 @@ object Similarity {
         .agg(sum(col("x_e6").cast("decimal(38,0)") * col("s")).as("y"))
         .localCheckpoint(true)
       val m = y.agg(max(abs(col("y"))).as("my"))
+      // A annihilates everything ⊥ v̂₁ exactly when the second moment
+      // is rank-1: my = 0 would NULL the whole trajectory silently
+      val myVal = m.collect()(0).getDecimal(0)
+      require(myVal != null && myVal.signum > 0,
+        "A·w is zero: the corpus second moment is rank-1 — " +
+          "no second principal axis exists")
       val anchorPos = y.crossJoin(m)
         .filter(abs(col("y")) === col("my"))
         .agg(min(col("pos")).as("pj"))

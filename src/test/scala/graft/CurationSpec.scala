@@ -1032,12 +1032,14 @@ class CurationSpec extends SparkSpec {
     val old = Seq(
       (1L, "s", "aa bb cc"),
       (2L, "s", "dd ee"),
-      (3L, "t", "ff gg hh ii"))
+      (3L, "t", "ff gg hh ii"),
+      (5L, "u", null))          // present, text NULL -> changed, not added
       .toDF("doc_id", "source", "text")
     val nw = Seq(
       (1L, "s", "aa bb cc"),   // byte-identical
       (2L, "s", "dd ee xx"),   // edited
-      (4L, "t", "zz"))         // new id; 3 dropped
+      (4L, "t", "zz"),         // new id; 3 dropped
+      (5L, "u", "vv"))
       .toDF("doc_id", "source", "text")
     val got = Curation.snapshotDiff(old, nw)
       .orderBy("source", "status")
@@ -1046,7 +1048,8 @@ class CurationSpec extends SparkSpec {
       ("s", "changed", 1L, 2L, 3L, 1L),
       ("s", "unchanged", 1L, 3L, 3L, 0L),
       ("t", "added", 1L, 0L, 1L, 1L),
-      ("t", "removed", 1L, 4L, 0L, -4L)), got.toString)
+      ("t", "removed", 1L, 4L, 0L, -4L),
+      ("u", "changed", 1L, 0L, 1L, 1L)), got.toString)
   }
 
 }

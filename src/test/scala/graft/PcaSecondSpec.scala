@@ -82,4 +82,14 @@ class PcaSecondSpec extends SparkSpec {
       3L -> Seq(0.0, 1.0)), iters = 3, itersTop = 3)
     assert(got == want.map { case (j, v) => j -> v }, s"got=$got want=$want")
   }
+
+  test("rank-1 corpus fails loudly, never a silent NULL/empty result") {
+    val rank1 = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.5, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.powerIterationSecond(rank1, iters = 1, itersTop = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("rank-1"), e.getMessage)
+  }
 }

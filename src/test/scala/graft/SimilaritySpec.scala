@@ -517,11 +517,16 @@ class SimilaritySpec extends SparkSpec {
       4L -> Array(Float.PositiveInfinity, 0f), // non-finite
       5L -> null,                           // null row
       6L -> Array(1f, 0f, 0f))              // dim mismatch, norm 1
-    val got = Similarity.embeddingHealthReport(
-        rows.toDF("vec_id", "embedding"))
+    // a NULL element INSIDE a vector is a caught pathology, not a
+    // silently unprofiled row (primitive Array[Float] can't hold one,
+    // so the hole is planted column-wise)
+    val withHole = rows.toDF("vec_id", "embedding").unionByName(
+      Seq(7L).toDF("vec_id").select(col("vec_id"),
+        array(lit(1f), lit(null).cast("float")).as("embedding")))
+    val got = Similarity.embeddingHealthReport(withHole)
       .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().head
-    assert(got == ((6L, 1L, 2L, 1L, 2L, 3L, 0L, 50000L, 60000L)),
+    assert(got == ((7L, 1L, 3L, 1L, 2L, 3L, 0L, 50000L, 60000L)),
       got.toString)
   }
 
@@ -602,16 +607,18 @@ class SimilaritySpec extends SparkSpec {
     val rank1 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f, 0.0f)))
       .toDF("vec_id", "embedding")
     val r1 = Similarity.varianceExplained(rank1, iters = 1)
-      .as[(Long, Long, Long)].collect().head
-    assert(r1 == (1250000000000L, 1250000000000L, 1000000L), r1.toString)
+      .as[(Long, Long, Long, Long)].collect().head
+    // per-vector means: (1e24 + 2.5e23) div (1e12·2) = 6.25e11 both
+    assert(r1 == (625000000000L, 625000000000L, 1000000L, 2L),
+      r1.toString)
     // an orthogonal second axis pulls the ratio strictly below 1e6
     val mixed = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
       (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val rm = Similarity.varianceExplained(mixed, iters = 2)
-      .as[(Long, Long, Long)].collect().head
+      .as[(Long, Long, Long, Long)].collect().head
     assert(rm._3 < 1000000L && rm._3 > 500000L, rm.toString)
-    assert(rm._1 < rm._2, rm.toString)
+    assert(rm._1 < rm._2 && rm._4 == 3L, rm.toString)
   }
 
   test("pcaProjection: exact e12 products along the iterated direction") {
