@@ -105,6 +105,8 @@ object Bench {
                                           "dedup-clusters", "sem2l-asn",
                                           "sem2l-dedup", "unified-verdicts"),
       "q118_semantic_dedup_2l"     -> Set("sem2l-asn", "sem2l-dedup"),
+      // the sweep re-reads the shared 2L assignment
+      "q169_semantic_sweep"        -> Set("sem2l-asn"),
       // raw-flag agreement matrix reads the same evidence pipelines
       "q157_method_agreement"      -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",

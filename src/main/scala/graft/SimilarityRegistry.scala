@@ -158,6 +158,15 @@ trait SimilarityRegistry extends EntryHelpers {
       // coarse quantizer (ids ≡7 mod 125 ⊂ ids ≡7 mod 25); vectors
       // assign coarse-then-cell-local — O(n·√nlist) vs flat
       // O(n·nlist), the measured scale answer to q114's 5.57× probe.
+      // Semantic-dedup aggressiveness dial: q167's sweep pattern on
+      // the embedding side — every cosine threshold priced from one
+      // pass over the memoized 2L cell-mate pair table.
+      "q169_semantic_sweep" -> ((s, dir) =>
+        graft.similarity.Similarity.semanticThresholdSweep(
+            table(s, dir, "embeddings"),
+            thresholdsE4 = Seq(2000, 3000, 4000, 5000, 7000, 9000))
+          .orderBy("thr_e4")),
+
       "q118_semantic_dedup_2l" -> ((s, dir) =>
         graft.similarity.Similarity.semanticDedupTwoLevel(
             table(s, dir, "embeddings"))
@@ -295,6 +304,46 @@ trait SimilarityRegistry extends EntryHelpers {
           .orderBy("pos")),
     )
   }
+
+  /** The full-corpus two-level (coarse-routed fine) assignment oracle
+    * chain, ending in `asn(sid, c_id)` plus the raw `e`/`cent`/`crs`
+    * tables — factored so q118's dedup oracle and q169's threshold
+    * sweep close over EXACTLY the same assignment (one definition of
+    * the stride/routing conventions, the `unifiedCtes` pattern). */
+  protected lazy val sem2lAsnCtes: String =
+    """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
+         crs AS (SELECT sid g_id, v g_vec FROM e WHERE sid % 125 = 7),
+         rt AS (SELECT c_id, g_id FROM (
+                  SELECT c.c_id, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_id
+                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM cent c, crs g) t WHERE rn = 1),
+         cells AS (SELECT DISTINCT g_id, c_id FROM (
+                     SELECT g_id, c_id FROM rt
+                     UNION ALL SELECT g_id, g_id FROM crs)),
+         vg AS (SELECT sid, g_id FROM (
+                  SELECT e.sid, g.g_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.sid
+                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                             DESC, g.g_id) rn
+                  FROM e, crs g) t WHERE rn = 1),
+         asn AS (SELECT sid, c_id FROM (
+                   SELECT e.sid, cells.c_id,
+                          ROW_NUMBER() OVER (PARTITION BY e.sid
+                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                              DESC, cells.c_id) rn
+                   FROM e JOIN vg ON vg.sid = e.sid
+                          JOIN cells ON cells.g_id = vg.g_id
+                          JOIN cent c ON c.c_id = cells.c_id) t
+                 WHERE rn = 1)"""
 
   protected def similarityOracles: Map[String, String] = Map(
 
@@ -680,41 +729,33 @@ trait SimilarityRegistry extends EntryHelpers {
     // q114's walk with the two-hop assignment replayed literally:
     // fine→coarse routing (rt), cell lists with the coarse self row
     // (cells), vector→coarse (vg), then cell-local argmax (asn).
+    // q169: q118's own assignment chain, every threshold priced from
+    // ONE cell-mate pair pass; cosines e4-frozen by the family's
+    // two-step device so both engines compare identical integers
+    "q169_semantic_sweep" ->
+      s"""WITH $sem2lAsnCtes,
+          pc AS (SELECT b.sid b_id,
+                   CAST(round(round(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 4) * 10000)
+                     AS BIGINT) cos_e4
+                 FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                 JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid),
+          th AS (SELECT CAST(unnest([2000, 3000, 4000, 5000, 7000, 9000])
+                   AS BIGINT) thr_e4),
+          fl AS (SELECT DISTINCT thr_e4, b_id FROM pc, th
+                 WHERE cos_e4 >= thr_e4),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_vecs FROM e),
+          ag AS (SELECT thr_e4, CAST(COUNT(*) AS BIGINT) n_flagged
+                 FROM fl GROUP BY 1)
+          SELECT th.thr_e4,
+                 CAST(COALESCE(ag.n_flagged, 0) AS BIGINT) n_flagged,
+                 tot.n_vecs - COALESCE(ag.n_flagged, 0) AS n_kept
+          FROM th LEFT JOIN ag USING (thr_e4) CROSS JOIN tot
+          ORDER BY th.thr_e4""",
+
     "q118_semantic_dedup_2l" ->
-      """WITH RECURSIVE
-         e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-         cent AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 25 = 7),
-         crs AS (SELECT sid g_id, v g_vec FROM e WHERE sid % 125 = 7),
-         rt AS (SELECT c_id, g_id FROM (
-                  SELECT c.c_id, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY c.c_id
-                           ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
-                             (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM cent c, crs g) t WHERE rn = 1),
-         cells AS (SELECT DISTINCT g_id, c_id FROM (
-                     SELECT g_id, c_id FROM rt
-                     UNION ALL SELECT g_id, g_id FROM crs)),
-         vg AS (SELECT sid, g_id FROM (
-                  SELECT e.sid, g.g_id,
-                         ROW_NUMBER() OVER (PARTITION BY e.sid
-                           ORDER BY round(list_dot_product(e.v, g.g_vec) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
-                             DESC, g.g_id) rn
-                  FROM e, crs g) t WHERE rn = 1),
-         asn AS (SELECT sid, c_id FROM (
-                   SELECT e.sid, cells.c_id,
-                          ROW_NUMBER() OVER (PARTITION BY e.sid
-                            ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                              (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                              DESC, cells.c_id) rn
-                   FROM e JOIN vg ON vg.sid = e.sid
-                          JOIN cells ON cells.g_id = vg.g_id
-                          JOIN cent c ON c.c_id = cells.c_id) t
-                 WHERE rn = 1),
+      s"""WITH RECURSIVE $sem2lAsnCtes,
          pr AS (SELECT a.sid a_id, b.sid b_id
                 FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
                 JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid

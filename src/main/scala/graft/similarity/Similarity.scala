@@ -408,6 +408,57 @@ object Similarity {
         assignTwoLevel(e, fine, coarse)
       })
 
+  /** Semantic-dedup aggressiveness dial — [[dedupThresholdSweep]]'s
+    * pattern ([[graft.dedup.Dedup.dedupThresholdSweep]]) applied to
+    * the embedding side: vectors flagged / kept per candidate cosine
+    * threshold, EVERY threshold priced from one pass over the
+    * two-level cell-mate pair table. Flag rule = the single-pass
+    * keep-first convention (some LOWER-id cell-mate is ≥-threshold
+    * similar), deliberately NOT the CC clustering the dedup verdict
+    * itself runs — a per-threshold CC fixpoint would re-run the whole
+    * pipeline per setting, which is exactly what a sweep exists to
+    * avoid; the count is the dial, the verdict face stays the policy.
+    *
+    * Exactness: cosines e4-frozen by the family's own two-step device
+    * (round to 4 dp, then ·1e4 to an integer) so every threshold
+    * compare is integer-vs-integer in both engines. Cost: the memoized
+    * "sem2l-asn" assignment (shared with q118/q116/q120) → one
+    * cell-keyed pair join → |thresholds|-row aggregate + a one-row
+    * total broadcast. Output: (thr_e4, n_flagged, n_kept). */
+  def semanticThresholdSweep(embeddings: DataFrame, thresholdsE4: Seq[Int],
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(thresholdsE4.nonEmpty &&
+      thresholdsE4.forall(t => t > 0 && t <= 10000),
+      "thresholds are e4 integers in (0, 10000]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val asn = twoLevelAssignment(embeddings, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    val pairs = asn.select(col("vec_id").as("a_id"), col("c_id"))
+      .join(asn.select(col("vec_id").as("b_id"), col("c_id")), "c_id")
+      .filter(col("a_id") < col("b_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("vec").as("b_vec")), "b_id")
+      .select(col("b_id"),
+        round(round(cosine(col("a_vec"), col("b_vec")), 4) * 10000)
+          .cast("long").as("cos_e4"))
+    val flagged = pairs
+      .withColumn("thr_e4",
+        explode(array(thresholdsE4.map(t => lit(t.toLong)): _*)))
+      .filter(col("cos_e4") >= col("thr_e4"))
+      .select("thr_e4", "b_id").distinct()
+    val total = e.agg(count(lit(1)).as("n_vecs"))
+    thresholdsE4.map(_.toLong).toDF("thr_e4")
+      .join(flagged.groupBy("thr_e4")
+        .agg(count(lit(1)).as("n_flagged")), Seq("thr_e4"), "left")
+      .na.fill(0L, Seq("n_flagged"))
+      .crossJoin(broadcast(total))
+      .select(col("thr_e4"), col("n_flagged"),
+        (col("n_vecs") - col("n_flagged")).as("n_kept"))
+  }
+
   /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
     * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
     * and `coarse` `(g_id, g_vec)` from a second, smaller k-means over

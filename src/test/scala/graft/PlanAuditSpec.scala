@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "q160_codebook_drift", // stride codebook + one-row landed-total broadcasts
     "q163_ingest_drift", // headV-row landed head + one-row total broadcasts
     "q166_epoch_shuffle", // one-row corpus-N cross-joined broadcast, as q95
+    "q169_semantic_sweep", // 2L codebook broadcasts (as q118) + one-row total
     "q167_threshold_sweep", // one-row totals cross-joined broadcast, as q66
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers

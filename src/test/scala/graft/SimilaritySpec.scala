@@ -509,6 +509,26 @@ class SimilaritySpec extends SparkSpec {
       dflt.forall(r => r._2 >= 0L && r._2 <= 1000000L), dflt.toString)
   }
 
+  test("semanticThresholdSweep: hand-checked retention per cosine threshold") {
+    // one fine cell (centroid id 7 ≡ 7 mod 25 and mod 125): pairs
+    // (1,2)=1.0, (1,3)=(2,3)=(3,7)=0.6, (1,7)=(2,7)=1.0
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.8f)),
+      (7L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticThresholdSweep(docs,
+        Seq(5000, 8000, 9999))
+      .orderBy("thr_e4")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5000L, 3L, 1L),   // 2, 3 and 7 all have a ≥0.5 lower-id mate
+      (8000L, 2L, 2L),   // 3 survives: its best lower-id cosine is 0.6
+      (9999L, 2L, 2L)),  // exact dups still flagged at the top setting
+      got.toString)
+  }
+
   test("embeddingHealthReport: planted pathologies counted, healthy rows profiled") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       1L -> Array(3f, 4f),                  // norm 5 -> ne4 50000
