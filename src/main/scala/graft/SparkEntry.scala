@@ -122,6 +122,11 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q130-img-bands" -> graft.multimodal.Multimodal.landedImageBands(
         graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
           .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
+      // q171's landed frame-fingerprint index — the one landed frame
+      // sampling pass, paid here once; batches probe it by fp equi-join
+      "q171-vid-frames" -> graft.multimodal.Multimodal.landedVideoFrames(
+        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
+          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       // q158's landed IVF-PQ index pair: every landed vector routed to

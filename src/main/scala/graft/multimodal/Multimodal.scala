@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -314,6 +315,17 @@ object Multimodal {
       .filter(col("ham") <= maxHamming)
       .select("a_id", "b_id", "side")
       .localCheckpoint(true) // single-node caveat: see scaladoc
+    incrementVerdicts(verified, ib.select(col("media_id")).distinct())
+  }
+
+  /** The side-tagged incremental verdict lattice shared by the image
+    * and video faces: landed absorption (`landed_dup`) > CC over
+    * verified batch pairs among survivors (`batch_dup`) > `keep`.
+    * `verified` = (a_id, b_id, side); `universe` = every incoming id
+    * owed a verdict (UNCAPPED — a media whose evidence was df-capped
+    * away still answers `keep`). */
+  private def incrementVerdicts(verified: DataFrame,
+      universe: DataFrame): DataFrame = {
     val landedDup = verified.filter(col("side") === "landed")
       .select(col("a_id").as("media_id")).distinct()
     val batchPairs = verified.filter(col("side") === "batch")
@@ -322,7 +334,6 @@ object Multimodal {
         "left_anti")
       .join(landedDup.select(col("media_id").as("b_id")), Seq("b_id"),
         "left_anti")
-    val universe = ib.select(col("media_id")).distinct()
     val fresh = universe.join(landedDup, Seq("media_id"), "left_anti")
     val labels = graft.dedup.Dedup.connectedComponents(batchPairs, fresh,
       "media_id")
@@ -550,5 +561,111 @@ object Multimodal {
         concat(col("payload"), encode(concat(lit("#"), col("frame_idx")), "UTF-8"))
           .as("payload"))
       .as[Frame]
+  }
+
+  /** Video near-duplicate pairs via a frame-fingerprint inverted index
+    * — the production video-dedup shape (re-uploads, re-encodes and
+    * trims of the same footage share most frame hashes): sample frames
+    * ([[sampleFrames]]), fingerprint each (md5 of the frame payload —
+    * a real build puts a perceptual per-frame hash behind the codec
+    * seam; the md5 stand-in keeps the PLUMBING — explode, df cap,
+    * inverted join, integer Jaccard — bit-reproducible), then q18's
+    * exact shape over frame sets: pairs form ONLY through shared
+    * fingerprints, never all-pairs, and every shuffled row is narrow
+    * (fingerprint + two ids).
+    *
+    * Scale guards, inherited from the text face: fingerprints with
+    * document frequency > `maxDf` leave the similarity space before
+    * the join (a frame shared by everything — black frames, intros —
+    * carries no pair information and would go quadratic), and sizes /
+    * intersections / Jaccard are all computed over the capped space so
+    * the report is self-consistent. Output: (a_id, b_id, inter,
+    * a_frames, b_frames, jaccard_ppm ≥ minJaccardPpm) — all integers,
+    * jaccard_ppm a truncating division of non-negative longs. */
+  def videoNearDup(media: DataFrame, stride: Int = 10, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000): DataFrame = {
+    val capped = frameFingerprints(media, stride, maxDf)
+    capped.select(col("media_id").as("a_id"), col("fp"),
+        col("sz").as("a_sz"))
+      .join(capped.select(col("media_id").as("b_id"), col("fp"),
+        col("sz").as("b_sz")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"),
+        min("a_sz").as("a_frames"), min("b_sz").as("b_frames"))
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000 div (a_frames + b_frames - inter)"))
+      .filter(col("jaccard_ppm") >= lit(minJaccardPpm))
+      .select("a_id", "b_id", "inter", "a_frames", "b_frames",
+        "jaccard_ppm")
+  }
+
+  /** The df-capped per-video frame-fingerprint table (media_id, fp,
+    * sz): sampled frames → md5 fingerprint → distinct → drop
+    * fingerprints with document frequency > maxDf → per-video set size
+    * over the CAPPED space (self-consistent, the q18 convention). One
+    * definition shared by the one-shot pair face and the incremental
+    * index builder. */
+  private def frameFingerprints(media: DataFrame, stride: Int,
+      maxDf: Int): DataFrame =
+    sampleFrames(media, stride).toDF()
+      .select(col("media_id"), md5(col("payload")).as("fp"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("media_id")))
+      .select("media_id", "fp", "sz")
+
+  /** The landed corpus's memoized frame-fingerprint index (kind
+    * "vid-frames") — [[videoNearDupIncrement]]'s landed side, one
+    * narrow row per sampled landed frame, reused batch over batch with
+    * ZERO landed re-sampling (the video cell of the incremental
+    * matrix). The df cap is WITHIN the landed corpus: the artifact
+    * must be batch-independent or it could not be landed state. */
+  def landedVideoFrames(landed: DataFrame, stride: Int = 10,
+      maxDf: Int = 1000): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "vid-frames", stride, maxDf),
+      frameFingerprints(landed, stride, maxDf))
+
+  /** Append-only video near-dup — the video family's incremental cell:
+    * a batch samples + fingerprints only ITS OWN frames, probes the
+    * memoized landed index through the shared-fingerprint join, and
+    * verdicts land on the family lattice ([[incrementVerdicts]]):
+    * ≥-threshold similar to some landed video → `landed_dup`;
+    * otherwise CC over verified batch-batch pairs → `batch_dup` for
+    * non-representatives; else `keep`. The threshold test is one
+    * integer cross-check (inter·1e6 div union ≥ ppm) on the capped
+    * frame-set sizes, the one-shot face's exact arithmetic.
+    *
+    * Scale: per batch = batch frames (explode + two narrow windows) +
+    * one fingerprint-keyed join against the landed index — the landed
+    * corpus is never re-decoded or re-sampled; cost follows batch
+    * size, not landed size. Output: (media_id, verdict), one row per
+    * incoming VIDEO (uncapped universe — totality). */
+  def videoNearDupIncrement(landed: DataFrame, incoming: DataFrame,
+      stride: Int = 10, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000): DataFrame = {
+    val lf = landedVideoFrames(landed, stride, maxDf)
+    val bf = frameFingerprints(incoming, stride, maxDf)
+    val all = bf.select(col("media_id"), col("fp"), col("sz"),
+        lit("batch").as("src"))
+      .unionByName(lf.select(col("media_id"), col("fp"), col("sz"),
+        lit("landed").as("src")))
+    val verified = bf.select(col("media_id").as("a_id"), col("fp"),
+        col("sz").as("a_sz"))
+      .join(all.select(col("media_id").as("b_id"), col("fp"),
+        col("sz").as("b_sz"), col("src").as("side")), "fp")
+      .filter(col("side") === "landed" || col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "side")
+      .agg(count(lit(1)).as("inter"),
+        min("a_sz").as("a_sz"), min("b_sz").as("b_sz"))
+      .filter(expr(
+        s"inter * 1000000 div (a_sz + b_sz - inter) >= $minJaccardPpm"))
+      .select("a_id", "b_id", "side")
+      .localCheckpoint(true) // single-node caveat as the image face
+    incrementVerdicts(verified,
+      incoming.filter(col("kind") === "video")
+        .select(col("media_id")).distinct())
   }
 }

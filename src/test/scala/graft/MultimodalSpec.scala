@@ -254,4 +254,38 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "keep")), got.toString)
   }
+
+  test("videoNearDup: shared-frame pairs with hand-checked Jaccard") {
+    // ids ≡ 2 mod 3 are videos; n_frames = id+1, stride 2 samples:
+    // id 2 → {0,2}, id 5 → {0,2,4}, id 11 → {0,2,...,10}; 2/5/11 share
+    // footage ("t"), 8 is unrelated. Jaccard over nested frame sets:
+    // (2,5) 2/3 ✓, (5,11) 3/6 = exactly the 0.5 threshold ✓ inclusive,
+    // (2,11) 2/6 ✗ excluded.
+    val vids = Multimodal.syntheticMedia(
+      Seq((2L, "t"), (5L, "t"), (11L, "t"), (8L, "u"))
+        .toDF("id", "text"), "id", "text")
+    val got = Multimodal.videoNearDup(vids, stride = 2)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 5L, 2L, 2L, 3L, 666666L),
+      (5L, 11L, 3L, 3L, 6L, 500000L)), got.toString)
+  }
+
+  test("videoNearDupIncrement: landed absorption, batch CC, keep") {
+    // landed: 2="t" (frames {0,2}), 8="u"; batch: 5="t" → landed_dup
+    // (2/3 = 666k), 11="v" and 14="v" → a batch pair (6/8 = 750k):
+    // 11 is the representative, 14 batch_dup; 17="w" alone → keep
+    val landed = Multimodal.syntheticMedia(
+      Seq((2L, "t"), (8L, "u")).toDF("id", "text"), "id", "text")
+    val batch = Multimodal.syntheticMedia(
+      Seq((5L, "t"), (11L, "v"), (14L, "v"), (17L, "w"))
+        .toDF("id", "text"), "id", "text")
+    val got = Multimodal.videoNearDupIncrement(landed, batch, stride = 2)
+      .orderBy("media_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (5L, "landed_dup"), (11L, "keep"),
+      (14L, "batch_dup"), (17L, "keep")), got.toString)
+  }
 }
