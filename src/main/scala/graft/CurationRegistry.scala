@@ -120,6 +120,25 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("doc_id")
       }),
 
+      // Cross-source LM matrix: per (eval, train) pair, eval bigram
+      // coverage under the train LM + covered tokens' summed micro-ln
+      // log-prob — the domain-similarity dial for mixture design.
+      "q173_cross_source_lm" -> ((s, dir) =>
+        graft.curation.Curation.crossSourceLmMatrix(
+            table(s, dir, "documents"))
+          .orderBy("e_src", "t_src")),
+
+      // Docs↔embeddings referential-integrity gate: the %7 doc slice
+      // and %11 vector slice are dropped so unembedded docs AND
+      // orphan vectors both exist deterministically.
+      "q172_embedding_coverage" -> ((s, dir) =>
+        graft.curation.Curation.embeddingCoverage(
+            table(s, dir, "documents")
+              .filter(pmod(col("doc_id"), lit(7L)) =!= 3),
+            table(s, dir, "embeddings")
+              .filter(pmod(col("vec_id"), lit(11L)) =!= 5))
+          .orderBy("source")),
+
       // Corpus release diff: old = corpus minus the %17 slice with the
       // %13 slice truncated (simulated edits), new = corpus minus the
       // %19 slice — per (source, status) doc counts + token movement.
@@ -815,6 +834,63 @@ trait CurationRegistry extends EntryHelpers {
                  CAST(hits AS BIGINT) AS n_hits,
                  CAST(hits AS DOUBLE) / n_grams AS contamination
           FROM j WHERE hits > 0 ORDER BY doc_id""",
+
+    // q173: the q55 micro-ln device per train source; unseen eval
+    // bigrams excluded (intersection scoring) and priced by coverage
+    "q173_cross_source_lm" ->
+      """WITH t AS (SELECT source src,
+                      regexp_split_to_array(trim(text), '\s+') tk
+                    FROM documents),
+          bg AS (SELECT src, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM t),
+          bi AS (SELECT src, g, CAST(COUNT(*) AS BIGINT) cnt
+                 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT src, split_part(g, ' ', 1) a,
+                    CAST(SUM(cnt) AS BIGINT) n_a
+                  FROM bi GROUP BY 1, 2),
+          lm AS (SELECT bi.src t_src, bi.g,
+                   CAST(round(ln(CAST(bi.cnt AS DOUBLE) / ctx.n_a)
+                     * 1000000, 0) AS BIGINT) lp
+                 FROM bi JOIN ctx ON ctx.src = bi.src
+                   AND ctx.a = split_part(bi.g, ' ', 1)),
+          tot AS (SELECT src e_src, CAST(SUM(cnt) AS BIGINT) n_eval
+                  FROM bi GROUP BY 1),
+          cells AS (SELECT e.src e_src, lm.t_src,
+                      CAST(SUM(e.cnt) AS BIGINT) n_covered,
+                      CAST(SUM(e.cnt * lm.lp) AS BIGINT) sum_logp_e6
+                    FROM bi e JOIN lm ON lm.g = e.g
+                    GROUP BY 1, 2),
+          srcs AS (SELECT DISTINCT src FROM bi)
+          SELECT a.src e_src, b.src t_src, tot.n_eval,
+                 CAST(COALESCE(c.n_covered, 0) AS BIGINT) n_covered,
+                 COALESCE(c.n_covered, 0) * 1000000 // tot.n_eval
+                   AS covered_ppm,
+                 CAST(COALESCE(c.sum_logp_e6, 0) AS BIGINT) sum_logp_e6
+          FROM srcs a CROSS JOIN srcs b
+          LEFT JOIN cells c ON c.e_src = a.src AND c.t_src = b.src
+          JOIN tot ON tot.e_src = a.src
+          ORDER BY e_src, t_src""",
+
+    // q172: the coverage fold + the orphan sentinel row, same slices
+    "q172_embedding_coverage" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+                    WHERE doc_id % 7 != 3),
+          v AS (SELECT DISTINCT vec_id doc_id FROM embeddings
+                WHERE vec_id % 11 != 5),
+          per AS (SELECT source,
+                    CAST(COUNT(*) AS BIGINT) n_docs,
+                    CAST(SUM(CASE WHEN v.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) n_embedded
+                  FROM d LEFT JOIN v USING (doc_id) GROUP BY source),
+          orph AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v
+                   WHERE doc_id NOT IN (SELECT doc_id FROM d))
+          SELECT source, n_docs, n_embedded,
+                 n_docs - n_embedded AS n_missing,
+                 n_embedded * 1000000 // n_docs AS embedded_ppm
+          FROM per
+          UNION ALL
+          SELECT '(orphan vectors)', 0, 0, n, NULL FROM orph
+          ORDER BY source""",
 
     // q168: both snapshots replayed by the same deterministic prep;
     // identity = raw md5, token counts ride q107's proven device.

@@ -2029,6 +2029,100 @@ object Curation {
         expr(s"(pos - 1) * $nShards div n_total").as("shard"))
   }
 
+  /** Cross-source LM score matrix — the domain-similarity dial mixture
+    * design runs on (data-selection practice: how well does source A's
+    * bigram LM explain source B's text?): for every (eval, train)
+    * source pair, the eval side's bigram-token coverage under the
+    * train LM and the covered tokens' summed micro-ln log-prob. The
+    * diagonal is the in-domain baseline (coverage 1e6 by
+    * construction); a cross cell with near-diagonal numbers marks two
+    * sources the mixture can treat as one pool, a cold cell marks a
+    * domain the mix must sample explicitly.
+    *
+    * No smoothing: unseen eval bigrams are EXCLUDED from the score and
+    * priced separately by `covered_ppm` (the q163 head-restriction
+    * device — intersection scoring keeps every number an exact
+    * integer; sums ship undivided per the q95 truncation-parity
+    * rationale). lnq = the proven q55 micro-ln device.
+    *
+    * Scale: one tokenization pass → a (source, bigram)-keyed count
+    * table; the LM join and the eval×LM join both key on the bigram
+    * with per-key fan-out ≤ |sources|, so the matrix costs O(|bi| ·
+    * sources) worst case, not corpus²; the |sources|² pair frame is a
+    * broadcast cross of two strata-scale sides (the q151 shape).
+    * Output: (e_src, t_src, n_eval, n_covered, covered_ppm,
+    * sum_logp_e6) — one row per ordered source pair. */
+  def crossSourceLmMatrix(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val bi = docs.select(col(stratum).as("src"),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .groupBy("src", "g").agg(count(lit(1)).as("cnt"))
+    val ctx = bi.groupBy(col("src"),
+        substring_index(col("g"), " ", 1).as("a"))
+      .agg(sum(col("cnt")).as("n_a"))
+    val lm = bi.select(col("src").as("t_src"), col("g"),
+        col("cnt").as("n_ab"),
+        substring_index(col("g"), " ", 1).as("a"))
+      .join(ctx.select(col("src").as("t_src"), col("a"), col("n_a")),
+        Seq("t_src", "a"))
+      .withColumn("lp_e6",
+        round(log(col("n_ab").cast("double") / col("n_a")) * 1e6, 0)
+          .cast("long"))
+      .select("t_src", "g", "lp_e6")
+    val evalTot = bi.groupBy(col("src").as("e_src"))
+      .agg(sum("cnt").as("n_eval"))
+    val cells = bi.select(col("src").as("e_src"), col("g"), col("cnt"))
+      .join(lm, "g")
+      .groupBy("e_src", "t_src")
+      .agg(sum(col("cnt")).as("n_covered"),
+        sum(col("cnt") * col("lp_e6")).as("sum_logp_e6"))
+    val srcs = bi.select(col("src")).distinct()
+    srcs.select(col("src").as("e_src"))
+      .crossJoin(broadcast(srcs.select(col("src").as("t_src"))))
+      .join(cells, Seq("e_src", "t_src"), "left")
+      .join(evalTot, "e_src")
+      .select(col("e_src"), col("t_src"), col("n_eval"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_covered, 0) * 1000000 div n_eval")
+          .as("covered_ppm"),
+        coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"))
+  }
+
+  /** Embedding-coverage audit — the referential-integrity gate between
+    * a text corpus and its embedding table (the two drift apart in
+    * every real pipeline: failed embed jobs leave docs unembedded,
+    * re-embeds and deletions strand orphan vectors). Per stratum:
+    * docs, docs with a vector, docs missing one, coverage in ppm —
+    * plus one sentinel row `(orphan vectors)` counting vectors whose
+    * id matches NO document (n_missing carries the count; the other
+    * columns are 0/NULL by construction).
+    *
+    * Scale: two narrow id projections, one id-keyed left join + a
+    * model-sized groupBy, one anti-join for the orphan row — no
+    * payloads or vectors ever shuffle. Run it BEFORE any pass that
+    * assumes the join is total (DSIR, semantic dedup, ANN serving).
+    * Output: (stratum, n_docs, n_embedded, n_missing, embedded_ppm). */
+  def embeddingCoverage(docs: DataFrame, embeddings: DataFrame,
+      stratum: String = "source", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id"): DataFrame = {
+    val d = docs.select(col(idCol), col(stratum))
+    val v = embeddings.select(col(vecIdCol).as(idCol)).distinct()
+    val per = d.join(v.withColumn("__v", lit(1L)), Seq(idCol), "left")
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_embedded"))
+      .select(col(stratum), col("n_docs"), col("n_embedded"),
+        (col("n_docs") - col("n_embedded")).as("n_missing"),
+        expr("n_embedded * 1000000 div n_docs").as("embedded_ppm"))
+    val orphans = v.join(d.select(col(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("(orphan vectors)").as(stratum),
+        lit(0L).as("n_docs"), lit(0L).as("n_embedded"),
+        col("n").as("n_missing"),
+        lit(null).cast("long").as("embedded_ppm"))
+    per.unionByName(orphans)
+  }
+
   /** Corpus snapshot diff — the release audit between two versions of
     * a corpus: per (source, status) counts and token movement, status ∈
     * added (id only in new) / removed (id only in old) / changed (both,

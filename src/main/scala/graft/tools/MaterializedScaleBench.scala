@@ -300,6 +300,8 @@ object MaterializedScaleBench {
       // join; the sweep itself is a |thresholds|-row fold on top)
       ("q166_shuffle", k =>
         graft.curation.Curation.epochShuffle(docs(k), 42L, 8).count()),
+      ("q173_xsource_lm", k =>
+        graft.curation.Curation.crossSourceLmMatrix(docs(k)).count()),
       ("q167_sweep", k =>
         Dedup.dedupThresholdSweep(docs(k),
           Seq(40, 50, 60, 70, 80, 90)).count()),

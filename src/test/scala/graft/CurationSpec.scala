@@ -1028,6 +1028,35 @@ class CurationSpec extends SparkSpec {
     assert(other.map(_._1).toSeq != got.map(_._1).toSeq)
   }
 
+  test("crossSourceLmMatrix: hand-checked coverage and micro-ln sums") {
+    // x: "a b a c" → bigrams (a b),(b a),(a c); LM_x: lp(a b) =
+    // lp(a c) = ln(1/2)·1e6 = -693147, lp(b a) = 0. y: "a b" → lp 0.
+    val docs = Seq((1L, "x", "a b a c"), (2L, "y", "a b"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.crossSourceLmMatrix(docs)
+      .orderBy("e_src", "t_src")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", "x", 3L, 3L, 1000000L, -1386294L),
+      ("x", "y", 3L, 1L, 333333L, 0L),  // only (a b) known to LM_y
+      ("y", "x", 1L, 1L, 1000000L, -693147L),
+      ("y", "y", 1L, 1L, 1000000L, 0L)), got.toString)
+  }
+
+  test("embeddingCoverage: per-source coverage + orphan sentinel row") {
+    val docs = Seq((1L, "s"), (2L, "s"), (3L, "t"))
+      .toDF("doc_id", "source")
+    // 9 matches no doc (orphan); the duplicate 9 collapses first
+    val emb = Seq(1L, 3L, 9L, 9L).toDF("vec_id")
+    val got = Curation.embeddingCoverage(docs, emb)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("(orphan vectors)", 0L, 0L, 1L, None),
+      ("s", 2L, 1L, 1L, Some(500000L)),
+      ("t", 1L, 1L, 0L, Some(1000000L))), got.toString)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged with token movement") {
     val old = Seq(
       (1L, "s", "aa bb cc"),

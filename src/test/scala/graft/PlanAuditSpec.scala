@@ -85,6 +85,7 @@ class PlanAuditSpec extends SparkSpec {
     "q163_ingest_drift", // headV-row landed head + one-row total broadcasts
     "q166_epoch_shuffle", // one-row corpus-N cross-joined broadcast, as q95
     "q169_semantic_sweep", // 2L codebook broadcasts (as q118) + one-row total
+    "q173_cross_source_lm", // |sources|² pair frame: broadcast cross of two strata-scale sides, as q151
     "q167_threshold_sweep", // one-row totals cross-joined broadcast, as q66
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers
