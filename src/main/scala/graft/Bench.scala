@@ -64,6 +64,7 @@ object Bench {
       // round-15: the media, LM and full-gate incremental cells
       "q130_image_neardup_incremental" -> Set("img-bands"),
       "q171_video_incremental" -> Set("vid-frames"),
+      "q175_audio_incremental" -> Set("aud-windows"),
       "q131_ppl_incremental" -> Set("ppl-landed-lm", "ppl-thresholds"),
       "q132_ingest_gate_full" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",

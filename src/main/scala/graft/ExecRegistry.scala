@@ -126,6 +126,43 @@ trait ExecRegistry extends EntryHelpers {
           .orderBy("a_id", "b_id")
       }),
 
+      // Audio near-dup: q170's inverted-index shape over sampled
+      // audio windows (kind = id%3==1), same re-upload twin fixture.
+      "q174_audio_neardup" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = table(s, dir, "documents")
+        val twins = docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 99999L).as("doc_id"), col("text"))
+        val media = Multimodal.syntheticMedia(
+          docs.select("doc_id", "text").unionByName(twins),
+          "doc_id", "text")
+        Multimodal.audioNearDup(media, stride = 10)
+          .orderBy("a_id", "b_id")
+      }),
+
+      // Audio incremental cell: q171's contract over window
+      // fingerprints, audio-kind slices.
+      "q175_audio_incremental" -> ((s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = table(s, dir, "documents")
+        val landed = Multimodal.syntheticMedia(docs, "doc_id", "text")
+          .filter(pmod(col("media_id"), lit(5L)) =!= 2)
+        val batchDocs = docs.select("doc_id", "text")
+          .filter(pmod(col("doc_id"), lit(5L)) === 2)
+          .unionByName(docs.select("doc_id", "text")
+            .filter(pmod(col("doc_id"), lit(3L)) === 1 &&
+              pmod(col("doc_id"), lit(10L)) === 1)
+            .select((col("doc_id") + 99999L).as("doc_id"), col("text")))
+          .unionByName(docs.select("doc_id", "text")
+            .filter(pmod(col("doc_id"), lit(3L)) === 1 &&
+              pmod(col("doc_id"), lit(10L)) === 7)
+            .select((col("doc_id") + 199998L).as("doc_id"), col("text")))
+        Multimodal.audioNearDupIncrement(landed,
+            Multimodal.syntheticMedia(batchDocs, "doc_id", "text"),
+            stride = 10, minJaccardPpm = 300000)
+          .orderBy("media_id")
+      }),
+
       // Video incremental cell: batch = the %5==2 slice + re-upload
       // twins of landed (%10==1, +99999 → landed_dup class) and of
       // batch originals (%10==7, +199998 → batch_dup class); landed
@@ -565,6 +602,97 @@ trait ExecRegistry extends EntryHelpers {
                      THEN (d.doc_id % 300) // 10 + 1 ELSE 0 END AS n_sampled
          FROM documents d JOIN k USING (doc_id)
          ORDER BY media_id""",
+
+    // q174: q170's replay over the audio kind (id % 3 = 1)
+    "q174_audio_neardup" ->
+      """WITH v0 AS (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 99999, text FROM documents
+                     WHERE doc_id % 3 = 1),
+          vids AS (SELECT doc_id media_id, text,
+                          doc_id % 300 + 1 AS n_frames
+                   FROM v0 WHERE doc_id % 3 = 1),
+          fr AS (SELECT media_id, text,
+                        unnest(range(0, n_frames, 10)) i FROM vids),
+          fp AS (SELECT DISTINCT media_id, md5(text || '#' || i) fp
+                 FROM fr),
+          capped AS (SELECT media_id, fp,
+                       COUNT(*) OVER (PARTITION BY media_id) sz
+                     FROM (SELECT *, COUNT(*) OVER (PARTITION BY fp) df
+                           FROM fp) t
+                     WHERE df <= 1000),
+          p AS (SELECT a.media_id a_id, b.media_id b_id,
+                       CAST(COUNT(*) AS BIGINT) inter,
+                       CAST(MIN(a.sz) AS BIGINT) a_frames,
+                       CAST(MIN(b.sz) AS BIGINT) b_frames
+                FROM capped a JOIN capped b USING (fp)
+                WHERE a.media_id < b.media_id GROUP BY 1, 2)
+          SELECT a_id, b_id, inter, a_frames, b_frames,
+                 inter * 1000000 // (a_frames + b_frames - inter)
+                   AS jaccard_ppm
+          FROM p
+          WHERE inter * 1000000 // (a_frames + b_frames - inter) >= 500000
+          ORDER BY a_id, b_id""",
+
+    // q175: q171's replay over the audio kind (id % 3 = 1)
+    "q175_audio_incremental" ->
+      """WITH RECURSIVE
+          base AS (SELECT doc_id, text FROM documents),
+          lv AS (SELECT doc_id media_id, text, doc_id % 300 + 1 n_frames
+                 FROM base WHERE doc_id % 3 = 1 AND doc_id % 5 != 2),
+          bv0 AS (SELECT doc_id, text FROM base WHERE doc_id % 5 = 2
+                  UNION ALL
+                  SELECT doc_id + 99999, text FROM base
+                  WHERE doc_id % 3 = 1 AND doc_id % 10 = 1
+                  UNION ALL
+                  SELECT doc_id + 199998, text FROM base
+                  WHERE doc_id % 3 = 1 AND doc_id % 10 = 7),
+          bv AS (SELECT doc_id media_id, text, doc_id % 300 + 1 n_frames
+                 FROM bv0 WHERE doc_id % 3 = 1),
+          lfp AS (SELECT media_id, fp,
+                    COUNT(*) OVER (PARTITION BY media_id) sz
+                  FROM (SELECT t.*, COUNT(*) OVER (PARTITION BY fp) df
+                        FROM (SELECT DISTINCT media_id,
+                                md5(text || '#' || i) fp
+                              FROM (SELECT media_id, text,
+                                      unnest(range(0, n_frames, 10)) i
+                                    FROM lv)) t) c
+                  WHERE df <= 1000),
+          bfp AS (SELECT media_id, fp,
+                    COUNT(*) OVER (PARTITION BY media_id) sz
+                  FROM (SELECT t.*, COUNT(*) OVER (PARTITION BY fp) df
+                        FROM (SELECT DISTINCT media_id,
+                                md5(text || '#' || i) fp
+                              FROM (SELECT media_id, text,
+                                      unnest(range(0, n_frames, 10)) i
+                                    FROM bv)) t) c
+                  WHERE df <= 1000),
+          ver AS (SELECT a_id, b_id, side FROM (
+                    SELECT a.media_id a_id, b.media_id b_id, b.side,
+                           COUNT(*) inter, MIN(a.sz) asz, MIN(b.sz) bsz
+                    FROM bfp a JOIN (
+                      SELECT media_id, fp, sz, 'batch' side FROM bfp
+                      UNION ALL
+                      SELECT media_id, fp, sz, 'landed' FROM lfp) b
+                      USING (fp)
+                    WHERE b.side = 'landed' OR a.media_id < b.media_id
+                    GROUP BY 1, 2, 3) t
+                  WHERE inter * 1000000 // (asz + bsz - inter) >= 300000),
+          ld AS (SELECT DISTINCT a_id i FROM ver WHERE side = 'landed'),
+          bp AS (SELECT a_id, b_id FROM ver WHERE side = 'batch'
+                   AND a_id NOT IN (SELECT i FROM ld)
+                   AND b_id NOT IN (SELECT i FROM ld)),
+          ed AS (SELECT a_id u, b_id v FROM bp
+                 UNION ALL SELECT b_id, a_id FROM bp),
+          walk(u, r) AS (SELECT media_id, media_id FROM bv
+                         UNION
+                         SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+          cl AS (SELECT u media_id, MIN(r) lbl FROM walk GROUP BY u)
+          SELECT media_id,
+                 CASE WHEN media_id IN (SELECT i FROM ld) THEN 'landed_dup'
+                      WHEN lbl != media_id THEN 'batch_dup'
+                      ELSE 'keep' END AS verdict
+          FROM cl ORDER BY media_id""",
 
     // q171: q170's fingerprint replay with q130's verdict lattice —
     // per-side df caps (the landed artifact is batch-independent),

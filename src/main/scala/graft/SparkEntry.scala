@@ -74,6 +74,9 @@ object SparkEntry extends CoreRegistry with DedupRegistry
     val builds: Seq[(String, DataFrame)] = Seq(
       // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
       "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
+      // q151's distinct (stratum, gram) set — built once here, read by
+      // both the KMV sketch and its exact twin
+      "src-grams" -> Dedup.sourceGramSet(docs),
       // minhash band keys (q19/q43/q69/q98/q99/q101)
       "minhash-bands" -> Dedup.bandKeyTable(docs),
       // near-dup cluster table (q43/q54/q100/q108)
@@ -125,6 +128,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // q171's landed frame-fingerprint index — the one landed frame
       // sampling pass, paid here once; batches probe it by fp equi-join
       "q171-vid-frames" -> graft.multimodal.Multimodal.landedVideoFrames(
+        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
+          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
+      // q175's audio twin of the frame index
+      "q175-aud-windows" -> graft.multimodal.Multimodal.landedAudioWindows(
         graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
           .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),

@@ -1441,9 +1441,11 @@ object Dedup {
   /** Distinct (stratum, gram-hash) set of a corpus — memoized (kind
     * "src-grams") on top of the shared "shingles" projection, so the
     * KMV sketch and its exact twin inside one [[sourceJaccard]] call
-    * pay the id-keyed join + corpus-wide distinct ONCE, not twice. */
-  private def sourceGramSet(docs: DataFrame, n: Int, stratum: String,
-      textCol: String, idCol: String): DataFrame =
+    * pay the id-keyed join + corpus-wide distinct ONCE, not twice.
+    * Public so an index-build phase can construct it off the clock. */
+  def sourceGramSet(docs: DataFrame, n: Int = 3,
+      stratum: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     CacheRegistry.cache(
       CacheRegistry.key(docs, "src-grams", n, stratum, textCol, idCol),
       shingleHashes(docs, n, textCol, idCol)

@@ -550,18 +550,25 @@ object Multimodal {
     * heavy; here the explode keeps input partitioning. */
   def sampleFrames(media: DataFrame, stride: Int): Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
+    sampleSlices(media, stride, "video").as[Frame]
+  }
+
+  /** The kind-generic slice sampler behind [[sampleFrames]] (video
+    * frames) and the audio window face: every stride-th index in
+    * [0, meta.n_frames) explodes to its own row BEFORE any per-slice
+    * work, so decode distributes. STUB: a real impl slices the
+    * container at the index's offset; the stand-in tags the payload
+    * with the index. */
+  private def sampleSlices(media: DataFrame, stride: Int,
+      kind: String): DataFrame =
     media
-      .filter(col("kind") === "video")
+      .filter(col("kind") === kind)
       .select(col("media_id"), col("payload"),
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
       .select(col("media_id"), col("frame_idx").cast("int"),
-        // STUB: a real impl slices the container at the frame offset;
-        // the stand-in tags the payload with the frame index
         concat(col("payload"), encode(concat(lit("#"), col("frame_idx")), "UTF-8"))
           .as("payload"))
-      .as[Frame]
-  }
 
   /** Video near-duplicate pairs via a frame-fingerprint inverted index
     * — the production video-dedup shape (re-uploads, re-encodes and
@@ -583,8 +590,26 @@ object Multimodal {
     * a_frames, b_frames, jaccard_ppm ≥ minJaccardPpm) — all integers,
     * jaccard_ppm a truncating division of non-negative longs. */
   def videoNearDup(media: DataFrame, stride: Int = 10, maxDf: Int = 1000,
-      minJaccardPpm: Long = 500000): DataFrame = {
-    val capped = frameFingerprints(media, stride, maxDf)
+      minJaccardPpm: Long = 500000): DataFrame =
+    fingerprintJaccardPairs(
+      frameFingerprints(media, stride, maxDf, "video"), minJaccardPpm)
+
+  /** Audio near-duplicate pairs — [[videoNearDup]]'s inverted-index
+    * shape over sampled audio WINDOWS (re-uploads and re-encodes of
+    * the same recording share window fingerprints exactly as video
+    * re-uploads share frame hashes; a real build puts a chromaprint-
+    * style window hash behind the codec seam). Same df cap, same
+    * integer Jaccard, same output columns. */
+  def audioNearDup(media: DataFrame, stride: Int = 10, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000): DataFrame =
+    fingerprintJaccardPairs(
+      frameFingerprints(media, stride, maxDf, "audio"), minJaccardPpm)
+
+  /** q18's exact pair shape over a capped fingerprint table: pairs
+    * form ONLY through shared fingerprints, sizes ride the rows,
+    * integer cross-checked Jaccard threshold. */
+  private def fingerprintJaccardPairs(capped: DataFrame,
+      minJaccardPpm: Long): DataFrame =
     capped.select(col("media_id").as("a_id"), col("fp"),
         col("sz").as("a_sz"))
       .join(capped.select(col("media_id").as("b_id"), col("fp"),
@@ -598,17 +623,16 @@ object Multimodal {
       .filter(col("jaccard_ppm") >= lit(minJaccardPpm))
       .select("a_id", "b_id", "inter", "a_frames", "b_frames",
         "jaccard_ppm")
-  }
 
-  /** The df-capped per-video frame-fingerprint table (media_id, fp,
-    * sz): sampled frames → md5 fingerprint → distinct → drop
-    * fingerprints with document frequency > maxDf → per-video set size
+  /** The df-capped per-media slice-fingerprint table (media_id, fp,
+    * sz): sampled slices → md5 fingerprint → distinct → drop
+    * fingerprints with document frequency > maxDf → per-media set size
     * over the CAPPED space (self-consistent, the q18 convention). One
-    * definition shared by the one-shot pair face and the incremental
-    * index builder. */
+    * definition shared by the one-shot pair faces and the incremental
+    * index builders of BOTH time-sliced modalities. */
   private def frameFingerprints(media: DataFrame, stride: Int,
-      maxDf: Int): DataFrame =
-    sampleFrames(media, stride).toDF()
+      maxDf: Int, kind: String): DataFrame =
+    sampleSlices(media, stride, kind)
       .select(col("media_id"), md5(col("payload")).as("fp"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
@@ -626,7 +650,16 @@ object Multimodal {
       maxDf: Int = 1000): DataFrame =
     graft.util.CacheRegistry.cache(
       graft.util.CacheRegistry.key(landed, "vid-frames", stride, maxDf),
-      frameFingerprints(landed, stride, maxDf))
+      frameFingerprints(landed, stride, maxDf, "video"))
+
+  /** The landed corpus's memoized audio window-fingerprint index (kind
+    * "aud-windows") — [[audioNearDupIncrement]]'s landed side, the
+    * audio twin of [[landedVideoFrames]]. */
+  def landedAudioWindows(landed: DataFrame, stride: Int = 10,
+      maxDf: Int = 1000): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "aud-windows", stride, maxDf),
+      frameFingerprints(landed, stride, maxDf, "audio"))
 
   /** Append-only video near-dup — the video family's incremental cell:
     * a batch samples + fingerprints only ITS OWN frames, probes the
@@ -645,9 +678,36 @@ object Multimodal {
     * incoming VIDEO (uncapped universe — totality). */
   def videoNearDupIncrement(landed: DataFrame, incoming: DataFrame,
       stride: Int = 10, maxDf: Int = 1000,
-      minJaccardPpm: Long = 500000): DataFrame = {
-    val lf = landedVideoFrames(landed, stride, maxDf)
-    val bf = frameFingerprints(incoming, stride, maxDf)
+      minJaccardPpm: Long = 500000): DataFrame =
+    fingerprintIncrement(
+      landedVideoFrames(landed, stride, maxDf),
+      frameFingerprints(incoming, stride, maxDf, "video"),
+      incoming.filter(col("kind") === "video")
+        .select(col("media_id")).distinct(),
+      minJaccardPpm)
+
+  /** Append-only audio near-dup — the audio cell of the incremental
+    * matrix, [[videoNearDupIncrement]]'s contract verbatim over window
+    * fingerprints: a batch samples only ITS OWN windows, probes the
+    * memoized landed index, verdicts on the family lattice. */
+  def audioNearDupIncrement(landed: DataFrame, incoming: DataFrame,
+      stride: Int = 10, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000): DataFrame =
+    fingerprintIncrement(
+      landedAudioWindows(landed, stride, maxDf),
+      frameFingerprints(incoming, stride, maxDf, "audio"),
+      incoming.filter(col("kind") === "audio")
+        .select(col("media_id")).distinct(),
+      minJaccardPpm)
+
+  /** The shared incremental core of the time-sliced modalities:
+    * side-tagged shared-fingerprint candidates, integer-Jaccard
+    * verification, then the family verdict lattice
+    * ([[incrementVerdicts]]). `lf`/`bf` are capped fingerprint tables
+    * (landed memoized, batch fresh); `universe` = every incoming id
+    * owed a verdict. */
+  private def fingerprintIncrement(lf: DataFrame, bf: DataFrame,
+      universe: DataFrame, minJaccardPpm: Long): DataFrame = {
     val all = bf.select(col("media_id"), col("fp"), col("sz"),
         lit("batch").as("src"))
       .unionByName(lf.select(col("media_id"), col("fp"), col("sz"),
@@ -664,8 +724,6 @@ object Multimodal {
         s"inter * 1000000 div (a_sz + b_sz - inter) >= $minJaccardPpm"))
       .select("a_id", "b_id", "side")
       .localCheckpoint(true) // single-node caveat as the image face
-    incrementVerdicts(verified,
-      incoming.filter(col("kind") === "video")
-        .select(col("media_id")).distinct())
+    incrementVerdicts(verified, universe)
   }
 }

@@ -272,6 +272,35 @@ class MultimodalSpec extends SparkSpec {
       (5L, 11L, 3L, 3L, 6L, 500000L)), got.toString)
   }
 
+  test("audioNearDup: window-fingerprint pairs over the audio kind only") {
+    // ids ≡ 1 mod 3 are audio; 1="t" windows {0}, 4="t" {0,2,4} →
+    // inter 1 of union 3; 10="u" unrelated; the video/image rows of
+    // the same table must not leak in
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, "t"), (4L, "t"), (10L, "u"), (2L, "t"))
+        .toDF("id", "text"), "id", "text")
+    val got = Multimodal.audioNearDup(media, stride = 2,
+        minJaccardPpm = 300000)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 1L, 3L, 333333L)), got.toString)
+  }
+
+  test("audioNearDupIncrement: landed absorption, batch CC, keep") {
+    val landed = Multimodal.syntheticMedia(
+      Seq((1L, "t")).toDF("id", "text"), "id", "text")
+    val batch = Multimodal.syntheticMedia(
+      Seq((4L, "t"), (10L, "v"), (13L, "v"), (16L, "w"))
+        .toDF("id", "text"), "id", "text")
+    val got = Multimodal.audioNearDupIncrement(landed, batch,
+        stride = 2, minJaccardPpm = 300000)
+      .orderBy("media_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (4L, "landed_dup"), (10L, "keep"),
+      (13L, "batch_dup"), (16L, "keep")), got.toString)
+  }
+
   test("videoNearDupIncrement: landed absorption, batch CC, keep") {
     // landed: 2="t" (frames {0,2}), 8="u"; batch: 5="t" → landed_dup
     // (2/3 = 666k), 11="v" and 14="v" → a batch pair (6/8 = 750k):
