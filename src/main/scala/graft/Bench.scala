@@ -106,9 +106,15 @@ object Bench {
       "q116_unified_dedup_verdict" -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",
                                           "sem2l-dedup", "unified-verdicts"),
+      // the loss cross-tab is two joins over the same verdict table
+      "q177_quality_loss"          -> Set("shingles", "minhash-bands",
+                                          "dedup-clusters", "sem2l-asn",
+                                          "sem2l-dedup", "unified-verdicts"),
       "q118_semantic_dedup_2l"     -> Set("sem2l-asn", "sem2l-dedup"),
       // the sweep re-reads the shared 2L assignment
       "q169_semantic_sweep"        -> Set("sem2l-asn"),
+      // the semantic split is one projection over the memoized end table
+      "q176_semantic_safe_split"   -> Set("sem2l-asn", "sem2l-dedup"),
       // raw-flag agreement matrix reads the same evidence pipelines
       "q157_method_agreement"      -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",

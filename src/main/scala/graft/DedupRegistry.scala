@@ -341,6 +341,14 @@ trait DedupRegistry extends EntryHelpers {
             table(s, dir, "documents"), table(s, dir, "embeddings"))
           .orderBy("doc_id")),
 
+      // Dedup-cost quality cross-tab: (verdict × pass/fail) doc and
+      // token counts over the memoized verdict table + the heuristic
+      // gate — "is dedup deleting junk or deleting good data".
+      "q177_quality_loss" -> ((s, dir) =>
+        graft.dedup.Dedup.dedupQualityLoss(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("verdict", "quality")),
+
       // Pairwise agreement matrix between the three dedup policies
       // (RAW flags, no lattice precedence): per pair, flagged counts,
       // overlap, and Jaccard in ppm — the dial for ordering stages.
@@ -1175,6 +1183,50 @@ trait DedupRegistry extends EntryHelpers {
           JOIN cl ON cl.doc_id = d.doc_id
           LEFT JOIN scl ON scl.sid = d.doc_id
           ORDER BY d.doc_id""",
+
+    // q177: q116's verdict CASE verbatim × q94's reasons bitmask,
+    // folded to the (verdict, quality) cross-tab with q107's token
+    // device — the oracle closes over exactly the evidence chains the
+    // verdict and gate oracles check
+    "q177_quality_loss" ->
+      s"""WITH RECURSIVE $unifiedCtes,
+          qf AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS BIGINT) n_tok,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                     AS BIGINT) n_chr,
+                   CAST(len(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> list_contains(['the','a','an','and','of','to',
+                       'in','is','on','for','with'], x))) AS BIGINT) n_stop,
+                   CAST(len(list_distinct(
+                     regexp_split_to_array(trim(text), '\\s+')))
+                     AS BIGINT) n_uniq
+                 FROM documents),
+          qg AS (SELECT doc_id, n_tok,
+                   (CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) +
+                   (CASE WHEN n_chr*10 < n_tok*38 OR n_chr*10 > n_tok*50
+                      THEN 2 ELSE 0 END) +
+                   (CASE WHEN n_stop*20 < n_tok THEN 4 ELSE 0 END) +
+                   (CASE WHEN n_uniq*5 < n_tok*2 THEN 8 ELSE 0 END)
+                     AS reasons
+                 FROM qf),
+          w AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                         THEN 'exact_dup'
+                       WHEN cl.cluster_id != d.doc_id THEN 'near_dup'
+                       WHEN scl.lbl != scl.sid THEN 'semantic_dup'
+                       ELSE 'keep' END AS verdict,
+                  CASE WHEN qg.reasons = 0 THEN 'pass'
+                       ELSE 'fail' END AS quality,
+                  qg.n_tok tk
+                FROM documents d
+                JOIN cl ON cl.doc_id = d.doc_id
+                LEFT JOIN scl ON scl.sid = d.doc_id
+                JOIN qg ON qg.doc_id = d.doc_id)
+          SELECT verdict, quality, CAST(COUNT(*) AS BIGINT) n_docs,
+                 CAST(SUM(tk) AS BIGINT) tokens
+          FROM w GROUP BY 1, 2 ORDER BY verdict, quality""",
 
     // q157: the same three evidence chains, folded to RAW per-method
     // flags (no lattice precedence) and six sums -> the 3-pair

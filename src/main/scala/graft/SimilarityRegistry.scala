@@ -167,6 +167,14 @@ trait SimilarityRegistry extends EntryHelpers {
             thresholdsE4 = Seq(2000, 3000, 4000, 5000, 7000, 9000))
           .orderBy("thr_e4")),
 
+      // Leakage-safe split on SEMANTIC clusters — q54's contract where
+      // the cluster is an embedding CC, so paraphrase/translation
+      // near-dups land on one side; rides the memoized end table.
+      "q176_semantic_safe_split" -> ((s, dir) =>
+        graft.similarity.Similarity.semanticSafeSplit(
+            table(s, dir, "embeddings"), trainPct = 80)
+          .orderBy("vec_id")),
+
       "q118_semantic_dedup_2l" -> ((s, dir) =>
         graft.similarity.Similarity.semanticDedupTwoLevel(
             table(s, dir, "embeddings"))
@@ -344,6 +352,25 @@ trait SimilarityRegistry extends EntryHelpers {
                           JOIN cells ON cells.g_id = vg.g_id
                           JOIN cent c ON c.c_id = cells.c_id) t
                  WHERE rn = 1)"""
+
+  /** q118's verify + min-label CC walk over the two-level cell-mate
+    * pairs, ending in `cl(sid, lbl)` — factored so the dedup oracle
+    * (q118) and the semantic split oracle (q176) close over the SAME
+    * cluster labels. Expects [[sem2lAsnCtes]] in scope; interpolate
+    * after WITH RECURSIVE. */
+  protected lazy val sem2lClusterCtes: String =
+    """pr AS (SELECT a.sid a_id, b.sid b_id
+                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
+                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
+                WHERE round(list_dot_product(x.v, y.v) /
+                      (sqrt(list_dot_product(x.v, x.v)) *
+                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+         ed AS (SELECT a_id u, b_id v FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         walk(u, r) AS (SELECT sid, sid FROM e
+                        UNION
+                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
+         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)"""
 
   protected def similarityOracles: Map[String, String] = Map(
 
@@ -755,20 +782,19 @@ trait SimilarityRegistry extends EntryHelpers {
           ORDER BY th.thr_e4""",
 
     "q118_semantic_dedup_2l" ->
-      s"""WITH RECURSIVE $sem2lAsnCtes,
-         pr AS (SELECT a.sid a_id, b.sid b_id
-                FROM asn a JOIN asn b ON a.c_id = b.c_id AND a.sid < b.sid
-                JOIN e x ON x.sid = a.sid JOIN e y ON y.sid = b.sid
-                WHERE round(list_dot_product(x.v, y.v) /
-                      (sqrt(list_dot_product(x.v, x.v)) *
-                       sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
-         ed AS (SELECT a_id u, b_id v FROM pr
-                UNION ALL SELECT b_id, a_id FROM pr),
-         walk(u, r) AS (SELECT sid, sid FROM e
-                        UNION
-                        SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
-         cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)
+      s"""WITH RECURSIVE $sem2lAsnCtes, $sem2lClusterCtes
          SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
+         FROM cl ORDER BY vec_id""",
+
+    // q176: q118's own cluster labels, split by the q54 hash device —
+    // the oracle closes over exactly the clusters the dedup oracle
+    // checks, so a paraphrase cluster can never straddle the split
+    "q176_semantic_safe_split" ->
+      s"""WITH RECURSIVE $sem2lAsnCtes, $sem2lClusterCtes
+         SELECT sid vec_id, lbl sem_cluster,
+                CASE WHEN ('0x' || substr(md5(CAST(lbl AS VARCHAR)), 1, 15))
+                       ::BIGINT % 100 < 80
+                     THEN 'train' ELSE 'eval' END AS split
          FROM cl ORDER BY vec_id""",
 
     // PQ encode (argmin shifted-L2 in e4 ints, ties low code id), ADC

@@ -1536,6 +1536,38 @@ object Dedup {
       sourceKmvPartials(docs, k, n, stratum, textCol, idCol),
       docs, k, n, stratum, textCol, idCol)
 
+  /** Dedup-cost quality cross-tab — the report that answers "is dedup
+    * deleting junk or deleting good data": per (verdict × quality)
+    * cell, document count and token sum, where verdict is the unified
+    * lattice ([[unifiedDedupVerdicts]]: exact_dup > near_dup >
+    * semantic_dup > keep) and quality is the heuristic gate's binary
+    * outcome ([[graft.curation.Curation.qualityGate]]: reasons = 0 ⇒
+    * pass). A heavy `('near_dup', 'pass')` token cell is the signal to
+    * soften the threshold (the sweep dials, q167/q169, say by how
+    * much); a dup population that is mostly `fail` says dedup is doing
+    * quality's work and the stages can be reordered (q157/q161's
+    * agreement matrices say in which order).
+    *
+    * Cost: two id-keyed joins over the MEMOIZED verdict table and the
+    * gate's one-pass features, folded to ≤ 8 rows — the report rides
+    * evidence the suite already pays for. Output: (verdict, quality,
+    * n_docs, tokens). */
+  def dedupQualityLoss(docs: DataFrame, embeddings: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val v = unifiedDedupVerdicts(docs, embeddings, textCol = textCol,
+      idCol = idCol).select(col(idCol), col("verdict"))
+    val q = graft.curation.Curation.qualityGate(docs, idCol = idCol,
+        textCol = textCol)
+      .select(col(idCol),
+        when(col("reasons") === 0L, lit("pass")).otherwise(lit("fail"))
+          .as("quality"))
+    val toks = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("tk"))
+    v.join(q, idCol).join(toks, idCol)
+      .groupBy("verdict", "quality")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
+  }
+
   /** Dedup-aggressiveness dial: one pass over the n-gram-Jaccard pair
     * table prices EVERY candidate threshold at once — docs flagged,
     * docs kept, tokens kept, retained ppm per threshold — so the "how

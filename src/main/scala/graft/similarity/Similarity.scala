@@ -459,6 +459,34 @@ object Similarity {
         (col("n_vecs") - col("n_flagged")).as("n_kept"))
   }
 
+  /** Leakage-safe train/eval split keyed on SEMANTIC clusters — q54's
+    * contract (near-dups never straddle the split, so eval can't be
+    * contaminated by a paraphrase of a training doc) upgraded from
+    * n-gram clusters to embedding clusters: the split decision is a
+    * pure hash of the semantic cluster label, so EVERY member of a
+    * cluster of semantic rewrites lands on the same side — the failure
+    * mode n-gram clustering misses (a translation or aggressive
+    * paraphrase shares no shingles but embeds adjacently).
+    *
+    * Rides the memoized end table ([[semanticDedupTwoLevel]], kind
+    * "sem2l-dedup") — the split adds ONE stateless projection on top;
+    * deterministic, partition-independent, append-stable (a new member
+    * of an existing cluster inherits its side). Output: (idCol,
+    * sem_cluster, split ∈ {train, eval}). */
+  def semanticSafeSplit(embeddings: DataFrame, trainPct: Int,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      minCosine: Double = 0.3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    semanticDedupTwoLevel(embeddings, fineStride, fineOffset,
+        coarseFactor, minCosine, idCol, vecCol)
+      .select(col(idCol), col("sem_cluster"))
+      .withColumn("split",
+        when(pmod(graft.functions.TextFunctions.hash60(
+          col("sem_cluster").cast("string")), lit(100L)) < trainPct,
+          "train").otherwise("eval"))
+  }
+
   /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
     * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
     * and `coarse` `(g_id, g_vec)` from a second, smaller k-means over

@@ -380,6 +380,44 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("dedupQualityLoss: cross-tab equals the two faces' own outputs") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    // 1≡2 exact dups; 4/5 embed identically (centroid 7 shares the
+    // direction) → 5 semantic_dup; 3/6 distinct text, distinct vecs
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s", "alpha beta gamma delta epsilon zeta"),
+      (3L, "s", "completely different words here now"),
+      (4L, "s", "fourth document body text tokens"),
+      (5L, "s", "fifth document something else entirely"),
+      (6L, "s", "sixth and last of the fixture docs"))
+      .toDF("doc_id", "source", "text")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(0.7f, 0.7f)),
+      (5L, Seq(0.7f, 0.7f)), (6L, Seq(0.0f, -1.0f)),
+      (7L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val verdicts = Dedup.unifiedDedupVerdicts(docs, emb)
+      .as[(Long, String)].collect().toMap
+    val quality = graft.curation.Curation.qualityGate(docs)
+      .select("doc_id", "reasons").as[(Long, Long)].collect().toMap
+      .map { case (id, r) => id -> (if (r == 0L) "pass" else "fail") }
+    val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = verdicts.keys.toSeq
+      .groupBy(id => (verdicts(id), quality(id)))
+      .map { case (k, ids) => (k._1, k._2, ids.size.toLong,
+        ids.map(toks).sum) }.toSet
+    // the fixture must actually exercise the lattice
+    assert(verdicts(2L) == "exact_dup" && verdicts(5L) == "semantic_dup",
+      verdicts.toString)
+    val got = Dedup.dedupQualityLoss(docs, emb)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("dedupThresholdSweep: hand-checked retention curve") {
     // d2 ≡ d1 (J=1.0), d3 vs d1/d2: inter 7 of union 13 (J≈0.538 —
     // passes 40/50, fails 60+), d4 unrelated. Tokens: 12+12+12+4=40.

@@ -529,6 +529,22 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
   }
 
+  test("semanticSafeSplit: whole cluster shares one deterministic side") {
+    // all four vectors form one CC at minCosine 0.3 (label 1);
+    // hash60("1") % 100 = 48 → train at pct 50, eval at pct 40
+    val docs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.8f)), (7L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val s50 = Similarity.semanticSafeSplit(docs, trainPct = 50)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(s50.map(_._1) == Seq(1L, 2L, 3L, 7L), s50.toString)
+    assert(s50.map(_._2).distinct == Seq(1L), s50.toString)
+    assert(s50.map(_._3).distinct == Seq("train"), s50.toString)
+    val s40 = Similarity.semanticSafeSplit(docs, trainPct = 40)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(s40.map(_._3).distinct == Seq("eval"), s40.toString)
+  }
+
   test("embeddingHealthReport: planted pathologies counted, healthy rows profiled") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       1L -> Array(3f, 4f),                  // norm 5 -> ne4 50000
