@@ -115,6 +115,8 @@ object Bench {
       "q169_semantic_sweep"        -> Set("sem2l-asn"),
       // the semantic split is one projection over the memoized end table
       "q176_semantic_safe_split"   -> Set("sem2l-asn", "sem2l-dedup"),
+      // the coverage audit folds the same memoized assignment
+      "q179_sample_coverage"       -> Set("sem2l-asn"),
       // raw-flag agreement matrix reads the same evidence pipelines
       "q157_method_agreement"      -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",

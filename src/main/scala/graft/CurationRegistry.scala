@@ -120,6 +120,14 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("doc_id")
       }),
 
+      // No-split packing report: per length class, docs / k-per-seq /
+      // sequences / padding / utilization under length-bucketed
+      // packing at 512 tokens — the SFT packing-efficiency dial.
+      "q178_bucketed_pack" -> ((s, dir) =>
+        graft.curation.Curation.bucketedPackReport(
+            table(s, dir, "documents"), maxTokens = 512)
+          .orderBy("len")),
+
       // Cross-source LM matrix: per (eval, train) pair, eval bigram
       // coverage under the train LM + covered tokens' summed micro-ln
       // log-prob — the domain-similarity dial for mixture design.
@@ -834,6 +842,34 @@ trait CurationRegistry extends EntryHelpers {
                  CAST(hits AS BIGINT) AS n_hits,
                  CAST(hits AS DOUBLE) / n_grams AS contamination
           FROM j WHERE hits > 0 ORDER BY doc_id""",
+
+    // q178: q32's BPE-ish token device; the report is pure integer
+    // arithmetic over the length histogram
+    "q178_bucketed_pack" ->
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
+                      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) l
+                    FROM documents),
+          cls0 AS (SELECT l, CAST(COUNT(*) AS BIGINT) n FROM t
+                   WHERE l > 0 GROUP BY l),
+          cls AS (SELECT CASE WHEN l > 512 THEN -1 ELSE l END len,
+                    CAST(SUM(n) AS BIGINT) n_docs,
+                    CAST(SUM(n * l) AS BIGINT) tok
+                  FROM cls0 GROUP BY 1),
+          k AS (SELECT len, n_docs, tok,
+                  CASE WHEN len > 0 THEN 512 // len ELSE 0 END k_per_seq
+                FROM cls),
+          sq AS (SELECT *, CASE WHEN len > 0
+                    THEN (n_docs + k_per_seq - 1) // k_per_seq
+                    ELSE 0 END n_seqs
+                 FROM k)
+          SELECT len, n_docs, CAST(k_per_seq AS BIGINT) k_per_seq,
+                 CAST(n_seqs AS BIGINT) n_seqs,
+                 CAST(CASE WHEN len > 0 THEN n_seqs * 512 - tok
+                      ELSE 0 END AS BIGINT) padding_tokens,
+                 CASE WHEN len > 0 THEN
+                   CAST(tok * 1000000 // (n_seqs * 512) AS BIGINT)
+                 END AS utilization_ppm
+          FROM sq ORDER BY len""",
 
     // q173: the q55 micro-ln device per train source; unseen eval
     // bigrams excluded (intersection scoring) and priced by coverage

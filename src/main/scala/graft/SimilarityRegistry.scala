@@ -167,6 +167,16 @@ trait SimilarityRegistry extends EntryHelpers {
             thresholdsE4 = Seq(2000, 3000, 4000, 5000, 7000, 9000))
           .orderBy("thr_e4")),
 
+      // Sample-representativeness audit: per 2L cell, corpus vs
+      // sample counts + proportionality ratio in ppm — the eval-set
+      // coverage check (sample = the %10 stride slice).
+      "q179_sample_coverage" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.sampleCoverage(emb,
+            emb.filter(pmod(col("vec_id"), lit(10L)) === 3))
+          .orderBy("c_id")
+      }),
+
       // Leakage-safe split on SEMANTIC clusters — q54's contract where
       // the cluster is an embedding CC, so paraphrase/translation
       // near-dups land on one side; rides the memoized end table.
@@ -785,6 +795,22 @@ trait SimilarityRegistry extends EntryHelpers {
       s"""WITH RECURSIVE $sem2lAsnCtes, $sem2lClusterCtes
          SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
          FROM cl ORDER BY vec_id""",
+
+    // q179: the same assignment chain, folded to per-cell corpus vs
+    // sample counts; one HUGEINT cross-multiplied ratio per cell
+    "q179_sample_coverage" ->
+      s"""WITH $sem2lAsnCtes,
+          per AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) n_corpus,
+                    CAST(SUM(CASE WHEN sid % 10 = 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) n_sample
+                  FROM asn GROUP BY c_id),
+          tot AS (SELECT CAST(SUM(n_corpus) AS HUGEINT) nn,
+                         CAST(SUM(n_sample) AS HUGEINT) ss FROM per)
+          SELECT c_id, n_corpus, n_sample,
+                 CASE WHEN ss > 0 THEN
+                   CAST(n_sample * nn * 1000000 // (n_corpus * ss)
+                     AS BIGINT) END AS rep_ppm
+          FROM per, tot ORDER BY c_id""",
 
     // q176: q118's own cluster labels, split by the q54 hash device —
     // the oracle closes over exactly the clusters the dedup oracle

@@ -997,6 +997,60 @@ object Curation {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Length-bucketed NO-SPLIT packing report — the SFT/instruction-
+    * tuning counterpart of [[packSequences]]: when documents must not
+    * cross sequence boundaries, padding waste appears, and the
+    * standard distributed answer is length-bucketed packing — same-
+    * length docs pack `k = maxTokens div len` to a sequence by plain
+    * rank arithmetic, no sequential first-fit scan anywhere. This
+    * face prices that plan: per length class, docs, k, sequences,
+    * padded tokens and utilization — the report that says whether the
+    * bucketing is tight enough or maxTokens should move.
+    *
+    * Exact integers: n_seqs = ceil-div, padding = n_seqs·maxTokens −
+    * n·len, utilization in ppm by truncating division of non-negative
+    * longs. Docs longer than maxTokens cannot pack no-split and are
+    * counted under the sentinel class len = −1 (k/n_seqs/padding 0,
+    * utilization NULL) — totality, nothing silently dropped.
+    *
+    * Scale: one tokenization projection → one groupBy(len) — the
+    * report is value-histogram-sized (≤ maxTokens rows), never
+    * corpus-sized; the packing itself (seq = rank div k within class)
+    * is a class-partitioned window any executor count absorbs.
+    * Output: (len, n_docs, k_per_seq, n_seqs, padding_tokens,
+    * utilization_ppm). */
+  def bucketedPackReport(docs: DataFrame, maxTokens: Int,
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val lens = docs
+      .select(size(TextFunctions.regexTokens(col(textCol))).cast("long")
+        .as("len"))
+      .filter(col("len") > 0)
+    val cls = lens.groupBy("len").agg(count(lit(1)).as("n_docs"))
+    cls.select(
+      when(col("len") > maxTokens, lit(-1L)).otherwise(col("len"))
+        .as("len"),
+      col("n_docs"), col("len").as("__l"))
+      .groupBy("len").agg(sum("n_docs").as("n_docs"),
+        sum(col("n_docs") * col("__l")).as("tok"))
+      .select(col("len"), col("n_docs"),
+        when(col("len") > 0, expr(s"${maxTokens}L div len"))
+          .otherwise(lit(0L)).as("k_per_seq"),
+        col("tok"))
+      .select(col("len"), col("n_docs"), col("k_per_seq"),
+        when(col("len") > 0,
+          expr("(n_docs + k_per_seq - 1) div k_per_seq"))
+          .otherwise(lit(0L)).as("n_seqs"),
+        col("tok"))
+      .select(col("len"), col("n_docs"), col("k_per_seq"), col("n_seqs"),
+        when(col("len") > 0,
+          col("n_seqs") * lit(maxTokens.toLong) - col("tok"))
+          .otherwise(lit(0L)).as("padding_tokens"),
+        when(col("len") > 0,
+          expr(s"tok * 1000000 div (n_seqs * ${maxTokens}L)"))
+          .as("utilization_ppm"))
+  }
+
   /** Per-shard training-output manifest — the delivery contract a
     * dataloader consumes: for each output shard of
     * [[packSequences]]'s deterministic packing, the document count,

@@ -487,6 +487,40 @@ object Similarity {
           "train").otherwise("eval"))
   }
 
+  /** Sample-representativeness audit over the embedding space — does
+    * an eval/calibration sample COVER the corpus, or did it miss whole
+    * semantic regions? Per two-level cell: corpus count, sample count,
+    * and the cell's sample-share over corpus-share ratio in ppm
+    * (1e6 = perfectly proportional; 0 = an uncovered region — the
+    * number that invalidates an eval set drawn with a biased filter).
+    * One cross-multiplied DECIMAL(38,0) division per cell, no
+    * intermediate share is ever divided, so 1e9-vector corpora cannot
+    * wrap and both engines agree bit-for-bit.
+    *
+    * Rides the memoized "sem2l-asn" assignment (cells already exist —
+    * the audit costs one id-keyed left join + a cell-sized aggregate
+    * + a one-row totals broadcast). Output: (c_id, n_corpus,
+    * n_sample, rep_ppm — NULL only when the sample is empty). */
+  def sampleCoverage(embeddings: DataFrame, sample: DataFrame,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asn = twoLevelAssignment(embeddings, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    val s = sample.select(col(idCol).as("vec_id")).distinct()
+      .withColumn("__s", lit(1L))
+    val per = asn.join(s, Seq("vec_id"), "left")
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("__s").isNotNull, 1L).otherwise(0L)).as("n_sample"))
+    val tot = per.agg(sum("n_corpus").as("nn"), sum("n_sample").as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("n_corpus"), col("n_sample"),
+        when(col("ss") > 0,
+          expr("""CAST(CAST(n_sample AS DECIMAL(38,0)) * nn * 1000000
+                  div (CAST(n_corpus AS DECIMAL(38,0)) * ss) AS BIGINT)"""))
+          .as("rep_ppm"))
+  }
+
   /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
     * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
     * and `coarse` `(g_id, g_vec)` from a second, smaller k-means over

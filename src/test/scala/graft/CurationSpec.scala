@@ -1028,6 +1028,22 @@ class CurationSpec extends SparkSpec {
     assert(other.map(_._1).toSeq != got.map(_._1).toSeq)
   }
 
+  test("bucketedPackReport: hand-checked classes, overlong sentinel") {
+    // maxTokens 10: three len-3 docs → k 3, 1 seq, padding 1; two
+    // len-5 docs → k 2, 1 seq, padding 0; one len-12 doc → sentinel
+    val docs = (Seq.fill(3)("a b c") ++ Seq.fill(2)("a b c d e") ++
+      Seq("a b c d e f g h i j k l"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Curation.bucketedPackReport(docs, maxTokens = 10)
+      .orderBy("len")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (-1L, 1L, 0L, 0L, 0L, None),
+      (3L, 3L, 3L, 1L, 1L, Some(900000L)),
+      (5L, 2L, 2L, 1L, 0L, Some(1000000L))), got.toString)
+  }
+
   test("crossSourceLmMatrix: hand-checked coverage and micro-ln sums") {
     // x: "a b a c" → bigrams (a b),(b a),(a c); LM_x: lp(a b) =
     // lp(a c) = ln(1/2)·1e6 = -693147, lp(b a) = 0. y: "a b" → lp 0.

@@ -88,6 +88,7 @@ class PlanAuditSpec extends SparkSpec {
     "q173_cross_source_lm", // |sources|² pair frame: broadcast cross of two strata-scale sides, as q151
     "q176_semantic_safe_split", // rides the memoized 2L end table, as q118
     "q177_quality_loss", // embeds q116's verdict-table broadcasts
+    "q179_sample_coverage", // 2L codebook broadcasts + one-row totals, as q169
     "q167_threshold_sweep", // one-row totals cross-joined broadcast, as q66
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers

@@ -529,6 +529,22 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
   }
 
+  test("sampleCoverage: per-cell proportionality ratio, exact integers") {
+    // two fine cells (centroids 7 dir-A, 32 dir-B; coarse = {7}):
+    // cell 7 = {1,2,7}, cell 32 = {11,12,32}; sample = {1,11,12} →
+    // rep(7) = 1·6e6/(3·3) = 666666, rep(32) = 2·6e6/(3·3) = 1333333
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
+    val emb = Seq((1L, a), (2L, a), (7L, a), (11L, b), (12L, b), (32L, b))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sampleCoverage(emb,
+        emb.filter(col("vec_id").isin(1L, 11L, 12L)))
+      .orderBy("c_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (7L, 3L, 1L, Some(666666L)),
+      (32L, 3L, 2L, Some(1333333L))), got.toString)
+  }
+
   test("semanticSafeSplit: whole cluster shares one deterministic side") {
     // all four vectors form one CC at minCosine 0.3 (label 1);
     // hash60("1") % 100 = 48 → train at pct 50, eval at pct 40
