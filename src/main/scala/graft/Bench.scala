@@ -117,6 +117,8 @@ object Bench {
       "q176_semantic_safe_split"   -> Set("sem2l-asn", "sem2l-dedup"),
       // the coverage audit folds the same memoized assignment
       "q179_sample_coverage"       -> Set("sem2l-asn"),
+      // the balanced draw ranks within the same assignment's cells
+      "q180_semantic_sample"       -> Set("sem2l-asn"),
       // raw-flag agreement matrix reads the same evidence pipelines
       "q157_method_agreement"      -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "sem2l-asn",

@@ -120,6 +120,14 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("doc_id")
       }),
 
+      // Length-curriculum ordering: (bucket asc, hash60(seed:id)) via
+      // the q47 two-level numbering — short-to-long schedule with a
+      // seeded intra-bucket shuffle, reproducible on any cluster.
+      "q181_length_curriculum" -> ((s, dir) =>
+        graft.curation.Curation.lengthCurriculum(
+            table(s, dir, "documents"), nBuckets = 8, seed = 42L)
+          .orderBy("pos")),
+
       // No-split packing report: per length class, docs / k-per-seq /
       // sequences / padding / utilization under length-bucketed
       // packing at 512 tokens — the SFT packing-efficiency dial.
@@ -842,6 +850,22 @@ trait CurationRegistry extends EntryHelpers {
                  CAST(hits AS BIGINT) AS n_hits,
                  CAST(hits AS DOUBLE) / n_grams AS contamination
           FROM j WHERE hits > 0 ORDER BY doc_id""",
+
+    // q181: the q166 hash-order replay with a leading bucket key
+    "q181_length_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) len
+                    FROM documents),
+          f AS (SELECT doc_id, len,
+                  LEAST(7, (len - 1) * 8 // 2048) bucket,
+                  ('0x' || substr(md5(42 || ':' || doc_id), 1, 15))
+                    ::BIGINT shuf_key
+                FROM t WHERE len > 0)
+          SELECT doc_id, len, CAST(bucket AS BIGINT) bucket, shuf_key,
+                 CAST(row_number() OVER
+                   (ORDER BY bucket, shuf_key, doc_id) AS BIGINT) pos
+          FROM f ORDER BY pos""",
 
     // q178: q32's BPE-ish token device; the report is pure integer
     // arithmetic over the length histogram

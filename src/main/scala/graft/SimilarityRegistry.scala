@@ -167,6 +167,14 @@ trait SimilarityRegistry extends EntryHelpers {
             thresholdsE4 = Seq(2000, 3000, 4000, 5000, 7000, 9000))
           .orderBy("thr_e4")),
 
+      // Semantically stratified fixed-k sample: the k smallest
+      // hash60(id) per 2L cell — the balanced eval draw a failed
+      // q179 audit prescribes.
+      "q180_semantic_sample" -> ((s, dir) =>
+        graft.similarity.Similarity.semanticStratSample(
+            table(s, dir, "embeddings"), k = 3)
+          .orderBy("c_id", "rk")),
+
       // Sample-representativeness audit: per 2L cell, corpus vs
       // sample counts + proportionality ratio in ppm — the eval-set
       // coverage check (sample = the %10 stride slice).
@@ -795,6 +803,21 @@ trait SimilarityRegistry extends EntryHelpers {
       s"""WITH RECURSIVE $sem2lAsnCtes, $sem2lClusterCtes
          SELECT sid vec_id, lbl sem_cluster, sid = lbl AS keep
          FROM cl ORDER BY vec_id""",
+
+    // q180: the same assignment chain + q53's per-stratum rank device
+    // with the stratum = the semantic cell
+    "q180_semantic_sample" ->
+      s"""WITH $sem2lAsnCtes,
+          h AS (SELECT sid, c_id,
+                  ('0x' || substr(md5(CAST(sid AS VARCHAR)), 1, 15))
+                    ::BIGINT hk
+                FROM asn),
+          r AS (SELECT sid, c_id,
+                  CAST(row_number() OVER (PARTITION BY c_id
+                    ORDER BY hk, sid) AS BIGINT) rk
+                FROM h)
+          SELECT sid vec_id, c_id, rk FROM r WHERE rk <= 3
+          ORDER BY c_id, rk""",
 
     // q179: the same assignment chain, folded to per-cell corpus vs
     // sample counts; one HUGEINT cross-multiplied ratio per cell

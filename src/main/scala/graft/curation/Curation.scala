@@ -2177,6 +2177,31 @@ object Curation {
     per.unionByName(orphans)
   }
 
+  /** Length-curriculum ordering — the classic short-to-long training
+    * schedule, made deterministic: every doc gets a fixed-width length
+    * bucket (`(len−1)·nBuckets div maxTokens`, clamped to the top) and
+    * the global order is (bucket asc, hash60(seed:id)) — easy buckets
+    * first, a fresh seeded shuffle WITHIN each bucket, and the whole
+    * permutation a pure function of (seed, id) exactly like
+    * [[epochShuffle]] (same two-level numbering, no single-reducer
+    * window; same reproducibility contract across cluster sizes).
+    * Output: (idCol, len, bucket, shuf_key, pos 1-based); tokenless
+    * docs are dropped (they occupy no training step). */
+  def lengthCurriculum(docs: DataFrame, nBuckets: Int, seed: Long,
+      maxTokens: Int = 2048, idCol: String = "doc_id",
+      textCol: String = "text", nPartitions: Int = 32): DataFrame = {
+    require(nBuckets >= 1 && maxTokens >= 1, "positive nBuckets/maxTokens")
+    val keyed = docs.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("bucket", least(lit(nBuckets - 1L),
+        expr(s"(len - 1) * $nBuckets div $maxTokens")))
+      .withColumn("shuf_key", TextFunctions.hash60(
+        concat_ws(":", lit(seed), col(idCol))))
+    globalRowNumber(keyed, Seq("bucket", "shuf_key", idCol),
+      Seq(idCol, "len", "bucket", "shuf_key"), nPartitions, "pos")
+  }
+
   /** Corpus snapshot diff — the release audit between two versions of
     * a corpus: per (source, status) counts and token movement, status ∈
     * added (id only in new) / removed (id only in old) / changed (both,

@@ -521,6 +521,32 @@ object Similarity {
           .as("rep_ppm"))
   }
 
+  /** Semantically stratified fixed-k sample — the FIX for a failed
+    * [[sampleCoverage]] audit: draw the k smallest hash60(id) per
+    * two-level cell, so the sample is balanced across the embedding
+    * space BY CONSTRUCTION (every semantic region contributes up to k
+    * members, none can be missed) and still fully deterministic /
+    * append-stable at the cell level (q53's stratum-sample device with
+    * the stratum = the semantic cell). Output: (idCol, c_id, rk ≤ k).
+    *
+    * Scale: the memoized "sem2l-asn" assignment + one cell-partitioned
+    * rank window — rows per window group = cell size (≈ fineStride),
+    * human-scale; no global window anywhere. */
+  def semanticStratSample(embeddings: DataFrame, k: Int,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val asn = twoLevelAssignment(embeddings, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    asn
+      .withColumn("hk", graft.functions.TextFunctions.hash60(
+        col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_id").orderBy("hk", "vec_id")))
+      .filter(col("rk") <= k)
+      .select(col("vec_id").as(idCol), col("c_id"), col("rk"))
+  }
+
   /** [[semanticDedupTwoLevel]] with caller-supplied codebooks — the
     * production face: `fine` `(c_id, c_vec)` from [[kMeansCentroids]]
     * and `coarse` `(g_id, g_vec)` from a second, smaller k-means over

@@ -1028,6 +1028,24 @@ class CurationSpec extends SparkSpec {
     assert(other.map(_._1).toSeq != got.map(_._1).toSeq)
   }
 
+  test("lengthCurriculum: buckets ascend, seeded shuffle within bucket") {
+    // lengths: 1→3, 3→4 (bucket 0), 2→300 (bucket 1), 4→9000 (clamped
+    // to 7); within bucket 0 the seed-42 hash orders 3 before 1
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, Seq.fill(300)("w").mkString(" ")),
+      (3L, "a b c d"),
+      (4L, Seq.fill(9000)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.lengthCurriculum(docs, nBuckets = 8, seed = 42L)
+      .orderBy("pos")
+      .select("doc_id", "len", "bucket", "pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 4L, 0L, 1L), (1L, 3L, 0L, 2L),
+      (2L, 300L, 1L, 3L), (4L, 9000L, 7L, 4L)), got.toString)
+  }
+
   test("bucketedPackReport: hand-checked classes, overlong sentinel") {
     // maxTokens 10: three len-3 docs → k 3, 1 seq, padding 1; two
     // len-5 docs → k 2, 1 seq, padding 0; one len-12 doc → sentinel

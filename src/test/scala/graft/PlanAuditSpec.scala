@@ -27,9 +27,9 @@ class PlanAuditSpec extends SparkSpec {
   // lengths), never the corpus
   private val tinyGlobalWindowOk =
     Set("q44_vocab_topk", "q47_global_rownum", "q61_corpus_report",
-      // q166 embeds q47's numbering: the only unpartitioned window is
-      // the O(partitions)-row offset cumsum
-      "q166_epoch_shuffle",
+      // q166/q181 embed q47's numbering: the only unpartitioned window
+      // is the O(partitions)-row offset cumsum
+      "q166_epoch_shuffle", "q181_length_curriculum",
       // q155's only unpartitioned window is the per-BLOCK negative
       // cumsum (score-range/blockWidth rows — value-range-scale); the
       // per-score cumsum is partitioned by block
@@ -89,6 +89,7 @@ class PlanAuditSpec extends SparkSpec {
     "q176_semantic_safe_split", // rides the memoized 2L end table, as q118
     "q177_quality_loss", // embeds q116's verdict-table broadcasts
     "q179_sample_coverage", // 2L codebook broadcasts + one-row totals, as q169
+    "q180_semantic_sample", // 2L codebook broadcasts, as q118
     "q167_threshold_sweep", // one-row totals cross-joined broadcast, as q66
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers

@@ -545,6 +545,19 @@ class SimilaritySpec extends SparkSpec {
       (32L, 3L, 2L, Some(1333333L))), got.toString)
   }
 
+  test("semanticStratSample: k smallest hash60 per cell, deterministic") {
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
+    val emb = Seq((1L, a), (2L, a), (7L, a), (11L, b), (12L, b), (32L, b))
+      .toDF("vec_id", "embedding")
+    // hash order within cell 7: 7 < 1 < 2; within cell 32: 32 < 11 < 12
+    val got = Similarity.semanticStratSample(emb, k = 2)
+      .orderBy("c_id", "rk")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 7L, 1L), (1L, 7L, 2L),
+      (32L, 32L, 1L), (11L, 32L, 2L)), got.toString)
+  }
+
   test("semanticSafeSplit: whole cluster shares one deterministic side") {
     // all four vectors form one CC at minCosine 0.3 (label 1);
     // hash60("1") % 100 = 48 → train at pct 50, eval at pct 40
