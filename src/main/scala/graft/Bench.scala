@@ -65,6 +65,7 @@ object Bench {
       "q130_image_neardup_incremental" -> Set("img-bands"),
       "q171_video_incremental" -> Set("vid-frames"),
       "q175_audio_incremental" -> Set("aud-windows"),
+      "q182_xsource_lm_incremental" -> Set("src-bigrams"),
       "q131_ppl_incremental" -> Set("ppl-landed-lm", "ppl-thresholds"),
       "q132_ingest_gate_full" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",

@@ -144,6 +144,18 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"))
           .orderBy("e_src", "t_src")),
 
+      // q173's incremental cell: landed per-source bigram partials
+      // memoized, batch tokenized fresh, matrix = the fold over the
+      // union — oracle is the ONE-SHOT matrix over landed∪batch, so
+      // the hash match IS the merge proof.
+      "q182_xsource_lm_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.crossSourceLmIncrement(
+            docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 2))
+          .orderBy("e_src", "t_src")
+      }),
+
       // Docs↔embeddings referential-integrity gate: the %7 doc slice
       // and %11 vector slice are dropped so unembedded docs AND
       // orphan vectors both exist deterministically.
@@ -730,6 +742,43 @@ trait CurationRegistry extends EntryHelpers {
     )
   }
 
+  /** q173's one-shot SQL, shared verbatim with q182 (whose input
+    * slices union back to the full corpus — the oracle IS the merge
+    * proof). */
+  protected lazy val xsourceLmOracle: String =
+    """WITH t AS (SELECT source src,
+                      regexp_split_to_array(trim(text), '\s+') tk
+                    FROM documents),
+          bg AS (SELECT src, unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) g FROM t),
+          bi AS (SELECT src, g, CAST(COUNT(*) AS BIGINT) cnt
+                 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT src, split_part(g, ' ', 1) a,
+                    CAST(SUM(cnt) AS BIGINT) n_a
+                  FROM bi GROUP BY 1, 2),
+          lm AS (SELECT bi.src t_src, bi.g,
+                   CAST(round(ln(CAST(bi.cnt AS DOUBLE) / ctx.n_a)
+                     * 1000000, 0) AS BIGINT) lp
+                 FROM bi JOIN ctx ON ctx.src = bi.src
+                   AND ctx.a = split_part(bi.g, ' ', 1)),
+          tot AS (SELECT src e_src, CAST(SUM(cnt) AS BIGINT) n_eval
+                  FROM bi GROUP BY 1),
+          cells AS (SELECT e.src e_src, lm.t_src,
+                      CAST(SUM(e.cnt) AS BIGINT) n_covered,
+                      CAST(SUM(e.cnt * lm.lp) AS BIGINT) sum_logp_e6
+                    FROM bi e JOIN lm ON lm.g = e.g
+                    GROUP BY 1, 2),
+          srcs AS (SELECT DISTINCT src FROM bi)
+          SELECT a.src e_src, b.src t_src, tot.n_eval,
+                 CAST(COALESCE(c.n_covered, 0) AS BIGINT) n_covered,
+                 COALESCE(c.n_covered, 0) * 1000000 // tot.n_eval
+                   AS covered_ppm,
+                 CAST(COALESCE(c.sum_logp_e6, 0) AS BIGINT) sum_logp_e6
+          FROM srcs a CROSS JOIN srcs b
+          LEFT JOIN cells c ON c.e_src = a.src AND c.t_src = b.src
+          JOIN tot ON tot.e_src = a.src
+          ORDER BY e_src, t_src"""
+
   protected def curationOracles: Map[String, String] = Map(
 
     "q14_text_stats" ->
@@ -898,38 +947,12 @@ trait CurationRegistry extends EntryHelpers {
     // q173: the q55 micro-ln device per train source; unseen eval
     // bigrams excluded (intersection scoring) and priced by coverage
     "q173_cross_source_lm" ->
-      """WITH t AS (SELECT source src,
-                      regexp_split_to_array(trim(text), '\s+') tk
-                    FROM documents),
-          bg AS (SELECT src, unnest(list_transform(range(1, len(tk)),
-                   i -> array_to_string(tk[i:i+1], ' '))) g FROM t),
-          bi AS (SELECT src, g, CAST(COUNT(*) AS BIGINT) cnt
-                 FROM bg GROUP BY 1, 2),
-          ctx AS (SELECT src, split_part(g, ' ', 1) a,
-                    CAST(SUM(cnt) AS BIGINT) n_a
-                  FROM bi GROUP BY 1, 2),
-          lm AS (SELECT bi.src t_src, bi.g,
-                   CAST(round(ln(CAST(bi.cnt AS DOUBLE) / ctx.n_a)
-                     * 1000000, 0) AS BIGINT) lp
-                 FROM bi JOIN ctx ON ctx.src = bi.src
-                   AND ctx.a = split_part(bi.g, ' ', 1)),
-          tot AS (SELECT src e_src, CAST(SUM(cnt) AS BIGINT) n_eval
-                  FROM bi GROUP BY 1),
-          cells AS (SELECT e.src e_src, lm.t_src,
-                      CAST(SUM(e.cnt) AS BIGINT) n_covered,
-                      CAST(SUM(e.cnt * lm.lp) AS BIGINT) sum_logp_e6
-                    FROM bi e JOIN lm ON lm.g = e.g
-                    GROUP BY 1, 2),
-          srcs AS (SELECT DISTINCT src FROM bi)
-          SELECT a.src e_src, b.src t_src, tot.n_eval,
-                 CAST(COALESCE(c.n_covered, 0) AS BIGINT) n_covered,
-                 COALESCE(c.n_covered, 0) * 1000000 // tot.n_eval
-                   AS covered_ppm,
-                 CAST(COALESCE(c.sum_logp_e6, 0) AS BIGINT) sum_logp_e6
-          FROM srcs a CROSS JOIN srcs b
-          LEFT JOIN cells c ON c.e_src = a.src AND c.t_src = b.src
-          JOIN tot ON tot.e_src = a.src
-          ORDER BY e_src, t_src""",
+      xsourceLmOracle,
+
+    // q182: the ONE-SHOT matrix over landed∪batch VERBATIM — counts
+    // merge by plain sum before quantization, so the hash match is
+    // the merge proof (the q104/q135 pattern)
+    "q182_xsource_lm_incremental" -> xsourceLmOracle,
 
     // q172: the coverage fold + the orphan sentinel row, same slices
     "q172_embedding_coverage" ->

@@ -150,6 +150,8 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q123-qc-features" -> Curation.qcFeatures(docs, "src0"),
       // q162's landed manifest partial: nShards rows, built once
       "q162-shard-manifest" -> Curation.landedShardManifest(landedDocs4b, 8),
+      // q182's landed per-source bigram partials: mergeable by sum
+      "q182-src-bigrams" -> Curation.landedSourceBigrams(landedDocs4b),
       // q163's landed head distribution: headV+1 rows, built once
       "q163-drift-head" -> Curation.landedDriftHead(landedDocs4b),
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),

@@ -2107,10 +2107,45 @@ object Curation {
     * Output: (e_src, t_src, n_eval, n_covered, covered_ppm,
     * sum_logp_e6) — one row per ordered source pair. */
   def crossSourceLmMatrix(docs: DataFrame, stratum: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val bi = docs.select(col(stratum).as("src"),
+      textCol: String = "text"): DataFrame =
+    // one scoring pipeline, shared with the mergeable face (the
+    // q135/q104 delegation pattern): the one-shot table IS the
+    // partials of the whole corpus folded once
+    crossSourceLmMatrixFromPartials(
+      sourceBigramPartials(docs, stratum, textCol))
+
+  /** Mergeable per-source bigram partials — (src, g, cnt) rows, the
+    * [[lmPartials]] device with the stratum attached: counts are PLAIN
+    * SUMS, so a landed corpus's table persists once (memoized kind
+    * "src-bigrams") and each new batch contributes only its own rows.
+    * [[crossSourceLmMatrixFromPartials]] over any union replays the
+    * one-shot matrix bit-for-bit (quantization happens after the
+    * fold). */
+  def sourceBigramPartials(docs: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(stratum).as("src"),
         explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
       .groupBy("src", "g").agg(count(lit(1)).as("cnt"))
+
+  /** The memoized landed face of [[sourceBigramPartials]]. */
+  def landedSourceBigrams(landed: DataFrame, stratum: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "src-bigrams", stratum, textCol),
+      sourceBigramPartials(landed, stratum, textCol))
+
+  /** [[crossSourceLmMatrix]] scoring under a bigram table folded from
+    * ANY union of [[sourceBigramPartials]] outputs — the incremental
+    * cell of the domain-similarity family: a nightly crawl batch
+    * re-prices the whole (eval, train) matrix at the cost of ITS OWN
+    * tokenization plus the model-scale fold; landed text is never
+    * re-read. Exact: integer counts merge by sum BEFORE the micro-ln
+    * quantization, so the merged path is bit-identical to the
+    * one-shot matrix (the q104/q135 mergeability pattern — the oracle
+    * IS the one-shot computation, and the hash match is the merge
+    * proof). */
+  def crossSourceLmMatrixFromPartials(partials: DataFrame): DataFrame = {
+    val bi = partials.groupBy("src", "g").agg(sum(col("cnt")).as("cnt"))
     val ctx = bi.groupBy(col("src"),
         substring_index(col("g"), " ", 1).as("a"))
       .agg(sum(col("cnt")).as("n_a"))
@@ -2141,6 +2176,14 @@ object Curation {
           .as("covered_ppm"),
         coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"))
   }
+
+  /** The incremental entry point: landed partials memoized, the batch
+    * tokenized fresh, matrix = the fold over their union. */
+  def crossSourceLmIncrement(landed: DataFrame, incoming: DataFrame,
+      stratum: String = "source", textCol: String = "text"): DataFrame =
+    crossSourceLmMatrixFromPartials(
+      landedSourceBigrams(landed, stratum, textCol).unionByName(
+        sourceBigramPartials(incoming, stratum, textCol)))
 
   /** Embedding-coverage audit — the referential-integrity gate between
     * a text corpus and its embedding table (the two drift apart in

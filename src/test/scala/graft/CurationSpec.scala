@@ -1028,6 +1028,21 @@ class CurationSpec extends SparkSpec {
     assert(other.map(_._1).toSeq != got.map(_._1).toSeq)
   }
 
+  test("crossSourceLmIncrement: partials fold to the one-shot matrix") {
+    val docs = Seq(
+      (1L, "x", "a b a c"), (2L, "y", "a b"),
+      (3L, "x", "c d e f"), (4L, "y", "b a d"))
+      .toDF("doc_id", "source", "text")
+    val one = Curation.crossSourceLmMatrix(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val inc = Curation.crossSourceLmIncrement(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(inc == one, s"inc=$inc one=$one")
+    assert(one.size == 4 && one.exists(_._6 != 0L), one.toString)
+  }
+
   test("lengthCurriculum: buckets ascend, seeded shuffle within bucket") {
     // lengths: 1→3, 3→4 (bucket 0), 2→300 (bucket 1), 4→9000 (clamped
     // to 7); within bucket 0 the seed-42 hash orders 3 before 1

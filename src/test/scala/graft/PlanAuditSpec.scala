@@ -86,6 +86,7 @@ class PlanAuditSpec extends SparkSpec {
     "q166_epoch_shuffle", // one-row corpus-N cross-joined broadcast, as q95
     "q169_semantic_sweep", // 2L codebook broadcasts (as q118) + one-row total
     "q173_cross_source_lm", // |sources|² pair frame: broadcast cross of two strata-scale sides, as q151
+    "q182_xsource_lm_incremental", // the same pair frame over the folded partials
     "q176_semantic_safe_split", // rides the memoized 2L end table, as q118
     "q177_quality_loss", // embeds q116's verdict-table broadcasts
     "q179_sample_coverage", // 2L codebook broadcasts + one-row totals, as q169
