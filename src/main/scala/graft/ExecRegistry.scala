@@ -145,8 +145,7 @@ trait ExecRegistry extends EntryHelpers {
       "q175_audio_incremental" -> ((s, dir) => {
         import graft.multimodal.Multimodal
         val docs = table(s, dir, "documents")
-        val landed = Multimodal.syntheticMedia(docs, "doc_id", "text")
-          .filter(pmod(col("media_id"), lit(5L)) =!= 2)
+        val landed = Multimodal.landedMediaSlice(docs)
         val batchDocs = docs.select("doc_id", "text")
           .filter(pmod(col("doc_id"), lit(5L)) === 2)
           .unionByName(docs.select("doc_id", "text")
@@ -170,11 +169,10 @@ trait ExecRegistry extends EntryHelpers {
       "q171_video_incremental" -> ((s, dir) => {
         import graft.multimodal.Multimodal
         val docs = table(s, dir, "documents")
-        // landed media built EXACTLY as the index phase builds it
+        // the ONE landed-media definition the index phase also builds
         // (same plan → same registry key → the memoized "vid-frames"
         // index is probed, never rebuilt)
-        val landed = Multimodal.syntheticMedia(docs, "doc_id", "text")
-          .filter(pmod(col("media_id"), lit(5L)) =!= 2)
+        val landed = Multimodal.landedMediaSlice(docs)
         val batchDocs = docs.select("doc_id", "text")
           .filter(pmod(col("doc_id"), lit(5L)) === 2)
           .unionByName(docs.select("doc_id", "text")
@@ -442,11 +440,10 @@ trait ExecRegistry extends EntryHelpers {
       // with band-value buckets and exact integer hamming verify.
       "q130_image_neardup_incremental" -> ((s, dir) => {
         import graft.multimodal.Multimodal
-        val media = Multimodal.syntheticMedia(
-          table(s, dir, "documents"), "doc_id", "text")
+        val docs = table(s, dir, "documents")
         Multimodal.imageNearDupIncrement(
-          media.filter(pmod(col("media_id"), lit(5L)) =!= 2),
-          media.filter(pmod(col("media_id"), lit(5L)) === 2))
+          Multimodal.landedMediaSlice(docs),
+          Multimodal.batchMediaSlice(docs))
           .orderBy("media_id")
       }),
 

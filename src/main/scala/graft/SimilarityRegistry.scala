@@ -180,8 +180,13 @@ trait SimilarityRegistry extends EntryHelpers {
       // coverage check (sample = the %10 stride slice).
       "q179_sample_coverage" -> ((s, dir) => {
         val emb = table(s, dir, "embeddings")
+        // the sample carries dangling ids (+999983 twins) so the
+        // stale-reference sentinel row is exercised, not just declared
+        val sm = emb.select(col("vec_id"))
+          .filter(pmod(col("vec_id"), lit(10L)) === 3)
         graft.similarity.Similarity.sampleCoverage(emb,
-            emb.filter(pmod(col("vec_id"), lit(10L)) === 3))
+            sm.unionByName(
+              sm.select((col("vec_id") + 999983L).as("vec_id"))))
           .orderBy("c_id")
       }),
 
@@ -823,17 +828,27 @@ trait SimilarityRegistry extends EntryHelpers {
     // sample counts; one HUGEINT cross-multiplied ratio per cell
     "q179_sample_coverage" ->
       s"""WITH $sem2lAsnCtes,
-          per AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) n_corpus,
-                    CAST(SUM(CASE WHEN sid % 10 = 3 THEN 1 ELSE 0 END)
-                      AS BIGINT) n_sample
-                  FROM asn GROUP BY c_id),
+          smd AS (SELECT DISTINCT sid FROM (
+                    SELECT sid FROM e WHERE sid % 10 = 3
+                    UNION ALL
+                    SELECT sid + 999983 FROM e WHERE sid % 10 = 3)),
+          per AS (SELECT a.c_id, CAST(COUNT(*) AS BIGINT) n_corpus,
+                    CAST(SUM(CASE WHEN s.sid IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) n_sample
+                  FROM asn a LEFT JOIN smd s ON s.sid = a.sid
+                  GROUP BY 1),
           tot AS (SELECT CAST(SUM(n_corpus) AS HUGEINT) nn,
-                         CAST(SUM(n_sample) AS HUGEINT) ss FROM per)
+                         CAST(SUM(n_sample) AS HUGEINT) ss FROM per),
+          um AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM smd
+                 WHERE sid NOT IN (SELECT sid FROM asn))
           SELECT c_id, n_corpus, n_sample,
                  CASE WHEN ss > 0 THEN
                    CAST(n_sample * nn * 1000000 // (n_corpus * ss)
                      AS BIGINT) END AS rep_ppm
-          FROM per, tot ORDER BY c_id""",
+          FROM per, tot
+          UNION ALL
+          SELECT -1, 0, n, NULL FROM um
+          ORDER BY c_id""",
 
     // q176: q118's own cluster labels, split by the q54 hash device —
     // the oracle closes over exactly the clusters the dedup oracle

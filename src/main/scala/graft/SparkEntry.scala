@@ -120,20 +120,17 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // q131/q132's landed LM + boundary ratios on the same %5 slice
       "q131-ppl-lm" -> Curation.landedBigramLm(landedDocs5),
       "q131-ppl-thresholds" -> Curation.landedPplThresholds(landedDocs5),
-      // q130's landed image-fingerprint index — the one landed decode,
-      // paid here once; batches probe it with integer equi-joins
+      // q130/q171/q175's landed media indexes — one landed decode /
+      // frame pass / window pass each, paid here once; batches probe
+      // by equi-join. ALL built over Multimodal.landedMediaSlice, the
+      // one definition their exec entries also use (the plan
+      // fingerprint IS the cache key — copies must never drift).
       "q130-img-bands" -> graft.multimodal.Multimodal.landedImageBands(
-        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
-          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
-      // q171's landed frame-fingerprint index — the one landed frame
-      // sampling pass, paid here once; batches probe it by fp equi-join
+        graft.multimodal.Multimodal.landedMediaSlice(docs)),
       "q171-vid-frames" -> graft.multimodal.Multimodal.landedVideoFrames(
-        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
-          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
-      // q175's audio twin of the frame index
+        graft.multimodal.Multimodal.landedMediaSlice(docs)),
       "q175-aud-windows" -> graft.multimodal.Multimodal.landedAudioWindows(
-        graft.multimodal.Multimodal.syntheticMedia(docs, "doc_id", "text")
-          .filter(pmod(col("media_id"), lit(5L)) =!= 2)),
+        graft.multimodal.Multimodal.landedMediaSlice(docs)),
       "q110-landed-bands" -> Similarity.bandedTable(landedEmb5, 4, 8),
       "q110-landed-vecs" -> Similarity.landedVecLookup(landedEmb5),
       // q158's landed IVF-PQ index pair: every landed vector routed to

@@ -1556,14 +1556,15 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val v = unifiedDedupVerdicts(docs, embeddings, textCol = textCol,
       idCol = idCol).select(col(idCol), col("verdict"))
+    // the gate's own n_tokens rides along — no third corpus
+    // tokenization, no third join
     val q = graft.curation.Curation.qualityGate(docs, idCol = idCol,
         textCol = textCol)
       .select(col(idCol),
         when(col("reasons") === 0L, lit("pass")).otherwise(lit("fail"))
-          .as("quality"))
-    val toks = docs.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("tk"))
-    v.join(q, idCol).join(toks, idCol)
+          .as("quality"),
+        col("n_tokens").as("tk"))
+    v.join(q, idCol)
       .groupBy("verdict", "quality")
       .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
   }

@@ -138,6 +138,21 @@ object Multimodal {
         (pmod(col(idCol).cast("long"), lit(300)) + 1).cast("int").as("n_frames"),
         lit("stub").as("format")).as("meta"))
 
+  /** THE canonical landed-media slice (media_id % 5 ≠ 2) shared by the
+    * q130/q171/q175 index builds AND their exec entries — memoized
+    * landed indexes key on the plan fingerprint, so one definition is
+    * what guarantees the index phase and the query probe the SAME
+    * cache entry (a drifting copy would silently rebuild the landed
+    * index per query). */
+  def landedMediaSlice(docs: DataFrame): DataFrame =
+    syntheticMedia(docs, "doc_id", "text")
+      .filter(pmod(col("media_id"), lit(5L)) =!= 2)
+
+  /** The batch twin of [[landedMediaSlice]] (media_id % 5 = 2). */
+  def batchMediaSlice(docs: DataFrame): DataFrame =
+    syntheticMedia(docs, "doc_id", "text")
+      .filter(pmod(col("media_id"), lit(5L)) === 2)
+
   /** Decode + feature-extract, batch-at-a-time per partition (the
     * `mapInPandas` contract: Iterator→Iterator, constant memory). The
     * work is embarrassingly parallel — no shuffle is introduced; Spark's

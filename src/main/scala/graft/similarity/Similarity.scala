@@ -444,6 +444,10 @@ object Similarity {
       .select(col("b_id"),
         round(round(cosine(col("a_vec"), col("b_vec")), 4) * 10000)
           .cast("long").as("cos_e4"))
+      // pairs below the smallest threshold can never flag anything:
+      // drop them BEFORE the |thresholds| explode (the text twin's
+      // prefilter, exact here because both sides compare integers)
+      .filter(col("cos_e4") >= lit(thresholdsE4.min.toLong))
     val flagged = pairs
       .withColumn("thr_e4",
         explode(array(thresholdsE4.map(t => lit(t.toLong)): _*)))
@@ -470,9 +474,14 @@ object Similarity {
     *
     * Rides the memoized end table ([[semanticDedupTwoLevel]], kind
     * "sem2l-dedup") — the split adds ONE stateless projection on top;
-    * deterministic, partition-independent, append-stable (a new member
-    * of an existing cluster inherits its side). Output: (idCol,
-    * sem_cluster, split ∈ {train, eval}). */
+    * deterministic and partition-independent for a FIXED corpus.
+    * Append caveat (inherent to min-label CC, not this face): a
+    * higher-id addition to an existing cluster inherits its side, but
+    * a LOWER-id addition or a cluster-bridging edge changes the label
+    * and can flip the whole cluster — so a frozen eval set must pin
+    * the release's split output (the q168 snapshot-diff workflow),
+    * never recompute it over a grown corpus and assume stability.
+    * Output: (idCol, sem_cluster, split ∈ {train, eval}). */
   def semanticSafeSplit(embeddings: DataFrame, trainPct: Int,
       fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
       minCosine: Double = 0.3, idCol: String = "vec_id",
@@ -499,8 +508,13 @@ object Similarity {
     *
     * Rides the memoized "sem2l-asn" assignment (cells already exist —
     * the audit costs one id-keyed left join + a cell-sized aggregate
-    * + a one-row totals broadcast). Output: (c_id, n_corpus,
-    * n_sample, rep_ppm — NULL only when the sample is empty). */
+    * + a one-row totals broadcast). Sample ids that match NO corpus
+    * vector (a stale sample full of dangling references — the drift
+    * q172 exists to catch) are NOT silently dropped: they land in the
+    * sentinel row c_id = −1 (n_corpus 0, n_sample = the dangling
+    * count, rep_ppm NULL), the embeddingCoverage orphan-row
+    * convention. Output: (c_id, n_corpus, n_sample, rep_ppm — NULL on
+    * the sentinel and when the matched sample is empty). */
   def sampleCoverage(embeddings: DataFrame, sample: DataFrame,
       fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -513,12 +527,17 @@ object Similarity {
       .agg(count(lit(1)).as("n_corpus"),
         sum(when(col("__s").isNotNull, 1L).otherwise(0L)).as("n_sample"))
     val tot = per.agg(sum("n_corpus").as("nn"), sum("n_sample").as("ss"))
+    val dangling = s.join(asn.select("vec_id"), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("c_id"), lit(0L).as("n_corpus"),
+        col("n").as("n_sample"), lit(null).cast("long").as("rep_ppm"))
     per.crossJoin(broadcast(tot))
       .select(col("c_id"), col("n_corpus"), col("n_sample"),
         when(col("ss") > 0,
           expr("""CAST(CAST(n_sample AS DECIMAL(38,0)) * nn * 1000000
                   div (CAST(n_corpus AS DECIMAL(38,0)) * ss) AS BIGINT)"""))
           .as("rep_ppm"))
+      .unionByName(dangling)
   }
 
   /** Semantically stratified fixed-k sample — the FIX for a failed

@@ -536,11 +536,15 @@ class SimilaritySpec extends SparkSpec {
     val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
     val emb = Seq((1L, a), (2L, a), (7L, a), (11L, b), (12L, b), (32L, b))
       .toDF("vec_id", "embedding")
-    val got = Similarity.sampleCoverage(emb,
-        emb.filter(col("vec_id").isin(1L, 11L, 12L)))
+    // sample id 99 matches no corpus vector → the dangling sentinel
+    val sample = emb.filter(col("vec_id").isin(1L, 11L, 12L))
+      .select("vec_id")
+      .unionByName(Seq(99L).toDF("vec_id"))
+    val got = Similarity.sampleCoverage(emb, sample)
       .orderBy("c_id")
       .as[(Long, Long, Long, Option[Long])].collect().toSeq
     assert(got == Seq(
+      (-1L, 0L, 1L, None),
       (7L, 3L, 1L, Some(666666L)),
       (32L, 3L, 2L, Some(1333333L))), got.toString)
   }
