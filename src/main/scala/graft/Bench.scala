@@ -297,19 +297,20 @@ object Bench {
     // JSON contract.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // stdout uses the brief's short-key form ("q1":sec): the driver
-    // keeps only a 2000-char tail of stdout, and full query names ×91
-    // overflow it (every round since r06 recorded `parsed: null`).
-    // Short keys put the whole map near 1.3 KB with headroom to ~140
-    // queries; the full-name map still goes to bench_out.json. Falls
-    // back to full names if short ids ever collide.
-    val shortIds = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
-    val useShort = shortIds.map(_._2).distinct.size == shortIds.size
-    val qs = results.zip(shortIds).map { case ((k, v), (_, sid)) =>
-      "\"" + (if (useShort) sid else k) + "\":" + fmt(v.sec)
-    }.mkString("{", ",", "}")
+    // stdout line format (round 17): the driver keeps only a 2000-char
+    // TAIL of stdout and json-parses the line it finds there. The
+    // short-key dict form ("q129":6.446) outgrew that window at 182
+    // queries (~2.3 KB — BENCH_r16 recorded `parsed: null`, truncated
+    // mid-line), so the per-query values now go out as a VALUES ARRAY
+    // in sorted-query-name order ("order":"sorted-query-names" — the
+    // exact key order of bench_out.json's "queries" dict and of
+    // CORRECTNESS_r*.json). At 3-dp that is ~1.3 KB with headroom past
+    // 300 queries; the full-name dict + attrib still land in
+    // bench_out.json, which is the complete artifact of record.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.sec) }
       .mkString("{", ",", "}")
+    val qsArray = results.map { case (_, v) => fmt(v.sec) }
+      .mkString("[", ",", "]")
     // per-query [gc_ms, jit_ms, cg_n] triples — same key order as
     // "queries". These go ONLY to the bench_out.json file: round 11's
     // driver capture kept a bounded tail of stdout, and the attrib map
@@ -330,7 +331,8 @@ object Bench {
       .map(v => math.rint(v * 1000) / 1000).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
-        s""","queries":$qs,"sf":"$sfDir"}"""
+        s""","n":${results.size},"order":"sorted-query-names"""" +
+        s""","queries":$qsArray,"queries_file":"bench_out.json","sf":"$sfDir"}"""
     val idxDetailJson = indexDetail
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

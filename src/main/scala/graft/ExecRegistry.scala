@@ -553,6 +553,28 @@ trait ExecRegistry extends EntryHelpers {
           pa.unionByName(pb), "source", Seq(5000, 9000, 9900))
           .orderBy("source", "pct")
       }),
+
+      // Skew plan EXECUTED (the q142→q144 plan→execution pattern
+      // applied to q143): the per-type dim joined to events through
+      // applySkewPlan — keys the plan flags are salted at exactly
+      // their planned ⌈n/target⌉ factor, unflagged keys pay nothing —
+      // then re-aggregated. The oracle replays the PLAIN join, so the
+      // hash match IS the salted ≡ unsalted answer-invariance proof;
+      // JoinsSpec holds the task-side bound (no (key, cell) over ~2×
+      // the target) on a skewed fixture.
+      "q183_skew_join_apply" -> ((s, dir) => {
+        val e = events(s, dir)
+        val dim = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_type"))
+        val plan = graft.exec.Layout.skewPlan(e, col("event_type"), 500L)
+        graft.exec.Joins.applySkewPlan(e, dim, "event_type", plan,
+            saltCols = Seq("event_id"))
+          .groupBy(col("event_type").as("grp_key"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"),
+            max(col("n_type")).as("n_type"))
+          .orderBy("grp_key")
+      }),
     )
   }
 
@@ -1160,6 +1182,17 @@ trait ExecRegistry extends EntryHelpers {
          SELECT grp_key, n, CAST((n + 499) // 500 AS BIGINT) AS salt,
                 CAST(n * 1000000 // total AS BIGINT) AS share_ppm
          FROM c, t WHERE (n + 499) // 500 > 1 ORDER BY grp_key""",
+
+    // the execution face's oracle is the PLAIN (unsalted) join — the
+    // hash match proves plan-driven salting never changes the answer
+    "q183_skew_join_apply" ->
+      """WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_type
+                      FROM events GROUP BY event_type)
+         SELECT e.event_type AS grp_key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+                CAST(MAX(d.n_type) AS BIGINT) AS n_type
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY e.event_type ORDER BY grp_key""",
 
     // the apply face re-aggregates the COMPACTED tree; the oracle reads
     // the ORIGINAL table + replays the bin arithmetic — a hash match is

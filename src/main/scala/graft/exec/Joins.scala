@@ -121,6 +121,48 @@ object Joins {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** EXECUTE a [[Layout.skewPlan]]: the plan→execution face of skew
+    * handling (the q142→q144 compaction pattern applied to salting).
+    * [[saltedJoin]] takes one caller-chosen factor and salts EVERY key;
+    * this joins the diagnosis in, salting exactly the flagged keys at
+    * exactly their planned per-key factor — unflagged keys pay nothing
+    * (salt cell 0 on both sides, no replication), the hottest key's
+    * rows spread over its own ⌈n/target⌉ cells, and the small side
+    * replicates Σ(salt−1 over flagged keys) extra rows only. That
+    * per-key sizing is what survives 100×: one global factor must
+    * chase the hottest key and over-replicates the small side for
+    * every other key, while the plan's factors grow only where the
+    * data does.
+    *
+    * The plan is broadcast both times (it is broadcast-sized by
+    * [[Layout.skewPlan]]'s construction — only over-budget keys are
+    * emitted), so adding the plan costs zero exchanges: the big side's
+    * salt column is computed map-side under the same hash-partitioned
+    * join the plain equi-join would run. Row-content salting via
+    * `saltCols` (see [[saltedJoin]] — explicit discriminators keep
+    * column pruning intact) makes the result byte-identical to the
+    * plain inner join: every big-side row meets each matching
+    * small-side row exactly once, in exactly one (key, salt) cell.
+    *
+    * `plan` must be [[Layout.skewPlan]] output (key, …, salt) over a
+    * sample/metadata of `big` keyed compatibly with `key`. */
+  def applySkewPlan(big: DataFrame, small: DataFrame, key: String,
+      plan: DataFrame, saltCols: Seq[String]): DataFrame = {
+    require(saltCols.nonEmpty, "name at least one salt discriminator column")
+    val factors = plan.select(col("key").as(key), col("salt").as("__sf"))
+    val b = big
+      .join(broadcast(factors), Seq(key), "left")
+      .withColumn("__salt", when(col("__sf").isNull, lit(0L))
+        .otherwise(pmod(xxhash64(saltCols.map(col): _*), col("__sf"))))
+      .drop("__sf")
+    val sm = small
+      .join(broadcast(factors), Seq(key), "left")
+      .withColumn("__salt",
+        explode(expr("sequence(0L, coalesce(__sf, 1L) - 1L)")))
+      .drop("__sf")
+    b.join(sm, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: all (left, right) pairs with the same `key`
     * and `|leftTs − rightTs| <= gap`. Executed as a bucketed equi-join:
     * both sides bucket by `ts div gap`, the right side duplicates into

@@ -65,4 +65,36 @@ class JoinsSpec extends SparkSpec {
     assert(got.sameElements(want))
     assert(got.nonEmpty)
   }
+
+  test("applySkewPlan salts exactly the flagged keys and preserves the plain join") {
+    // skewed fixture: key 0 is hot (2400 rows), keys 1-5 cold (40 each);
+    // key 6 exists only in the dim (unmatched dim rows must not leak in)
+    val hot = (1 to 2400).map(i => (i.toLong, 0, 1000L + i))
+    val cold = for (k <- 1 to 5; i <- 1 to 40)
+      yield ((k * 10000 + i).toLong, k, 2000L + i)
+    val big = (hot ++ cold).toDF("id", "key", "ts")
+    val small = (0 to 6).map(k => (k, s"dim$k")).toDF("key", "name")
+    val target = 100L
+    val plan = graft.exec.Layout.skewPlan(big, col("key"), target)
+    // only the hot key is flagged, at exactly ceil(2400/100) = 24
+    val factors = plan.select("key", "salt").as[(Int, Long)].collect().toMap
+    assert(factors == Map(0 -> 24L))
+    val got = Joins.applySkewPlan(big, small, "key", plan,
+        saltCols = Seq("id", "ts"))
+      .select("id", "name").as[(Long, String)].collect().sorted
+    val want = big.join(small, Seq("key"))
+      .select("id", "name").as[(Long, String)].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+    // the task-side bound the plan promises: after salting, no
+    // (key, salt-cell) holds more than ~target big-side rows (2x slack
+    // for hash spread; unsalted, the hot key's one cell holds 2400)
+    val maxCell = big
+      .join(broadcast(plan.select(col("key"), col("salt"))), Seq("key"), "left")
+      .withColumn("cell", when(col("salt").isNull, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), col("ts")), col("salt"))))
+      .groupBy("key", "cell").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxCell <= 2 * target, s"largest post-salt cell: $maxCell rows")
+  }
 }

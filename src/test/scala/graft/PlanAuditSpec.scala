@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSpec {
     "q137_tfidf_merge", // one-row folded-N cross-joined broadcast, as q50
     "q139_hll_merge", // one-row estimate cross-joined onto 64 registers
     "q143_skew_plan", // one-row total cross-joined onto per-key counts
+    "q183_skew_join_apply", // embeds q143's one-row-total broadcast; the join itself is hash equi
     "q145_ivfpq_recall", // q133's codebook broadcasts ×4 configs + q21's query batch
     "q146_power_iteration", // one-row max/sign anchors cross-joined onto d rows
     "q147_pca_project", // embeds q146's one-row anchor broadcasts
