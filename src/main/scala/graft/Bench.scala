@@ -71,6 +71,13 @@ object Bench {
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "landed-fp", "ppl-landed-lm",
         "ppl-thresholds"),
+      // the absorb round-trip reads the q129 kind family on its own
+      // %5∈{0,1,3} landed slice, plus the per-doc DSIR histogram that
+      // makes the threshold mergeable; its stage-2 (absorbed) entries
+      // are seeded in-query — that seeding IS the measured operator
+      "q184_absorb_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
+        "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
+        "dsir-thresholds", "dsir-doc-buckets", "landed-fp"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

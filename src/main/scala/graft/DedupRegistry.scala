@@ -417,6 +417,56 @@ trait DedupRegistry extends EntryHelpers {
           emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
           .orderBy("doc_id")
       }),
+
+      // The operational loop CLOSED: gate batch 1 → absorb the admitted
+      // docs into every landed artifact (registry seeds over the grown
+      // landed frames — fp anti-join union, per-doc shingle/band
+      // appends, frozen-codebook vector appends, DSIR count sum-merge +
+      // histogram-costed threshold re-derivation; NO landed re-scan) →
+      // gate batch 2 against the absorbed indexes. The oracle replays
+      // the whole two-stage story one-shot (stage-1 gate in SQL, its
+      // admits folded into the landed predicate, stage-2 gate over the
+      // grown landed corpus), so the hash match IS the
+      // absorb ≡ rebuild proof.
+      "q184_absorb_gate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        // slices on id % 100 (NOT % 5): the synthetic source column is
+        // src(id % 20), so a % 5 batch slice holds ONLY sources absent
+        // from the landed side — DSIR then rejects every non-dup batch
+        // doc ("no evidence, no admission") and the absorb would be
+        // vacuously empty. These residues keep both batches off the
+        // semantic codebook strides (≡ 8 mod 25) while sharing sources
+        // with the landed slice; keepBp = 5000 puts the landed DSIR
+        // bar where stage 1 genuinely admits docs at contract scale.
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val b2 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(12L, 37L, 62L, 87L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val be2 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(12L, 37L, 62L, 87L))
+        // checkpointed admit ids: the grown landed frames' plans stay
+        // batch-sized (a LogicalRDD leaf), and absorb + gate 2 see the
+        // SAME frame — one fingerprint, one set of seeded keys
+        val adm = Dedup.ingestGate(d0, b1, e0, be1, "src0", keepBp = 5000)
+          .filter(col("gate") === "admit").select("doc_id")
+          .localCheckpoint(true)
+        val admDocs = b1.join(adm, Seq("doc_id"))
+        val admEmb = be1.join(adm.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"))
+        val landed2d = d0.unionByName(admDocs)
+        val landed2e = e0.unionByName(admEmb)
+        Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e,
+          "src0", keepBp = 5000)
+        Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -1309,7 +1359,248 @@ trait DedupRegistry extends EntryHelpers {
     "q129_ingest_gate" -> ingestGateOracle(full = false),
 
     "q132_ingest_gate_full" -> ingestGateOracle(full = true),
+
+    "q184_absorb_gate" -> absorbGateOracle,
   )
+
+  /** One gate stage of the q184 absorb oracle: q129's precedence
+    * lattice with every landed/batch slice predicate parametrized
+    * (`ld`/`bd` over doc_id expressions, `lv`/`bv` over vec ids) and
+    * every slice-dependent CTE name prefixed with `p`, so two stages
+    * can share one corpus-wide candidate universe (toks / sh / mhp /
+    * xfp / hsz / it / vp / se). Ends in `${p}gate(doc_id, gate)`. */
+  private def gateStageCtes(p: String, ld: String => String,
+      bd: String => String, lv: String => String,
+      bv: String => String, keepBp: Int): String =
+    s"""${p}xl AS MATERIALIZED (SELECT DISTINCT fp FROM xfp
+                 WHERE ${ld("doc_id")} AND fp IS NOT NULL),
+          ${p}xb AS MATERIALIZED (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) minb
+                 FROM xfp WHERE ${bd("doc_id")}),
+          ${p}ldup AS MATERIALIZED (SELECT DISTINCT i FROM (
+                     SELECT a_id i FROM vp
+                     WHERE ${bd("a_id")} AND ${ld("b_id")}
+                     UNION ALL
+                     SELECT b_id FROM vp
+                     WHERE ${bd("b_id")} AND ${ld("a_id")}) t),
+          ${p}be AS MATERIALIZED (SELECT a_id u, b_id v FROM vp
+                 WHERE ${bd("a_id")} AND ${bd("b_id")}
+                   AND a_id NOT IN (SELECT i FROM ${p}ldup)
+                   AND b_id NOT IN (SELECT i FROM ${p}ldup)
+                 UNION ALL
+                 SELECT b_id, a_id FROM vp
+                 WHERE ${bd("a_id")} AND ${bd("b_id")}
+                   AND a_id NOT IN (SELECT i FROM ${p}ldup)
+                   AND b_id NOT IN (SELECT i FROM ${p}ldup)),
+          ${p}walk(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            WHERE ${bd("doc_id")} AND doc_id NOT IN (SELECT i FROM ${p}ldup)
+            UNION
+            SELECT w.u, b.v FROM ${p}walk w JOIN ${p}be b ON b.u = w.r),
+          ${p}cl AS MATERIALIZED (SELECT u AS doc_id, MIN(r) AS lbl FROM ${p}walk
+                 GROUP BY u),
+          ${p}scent AS MATERIALIZED (SELECT sid c_id, v c_vec FROM se
+                    WHERE sid % 25 = 8 AND ${lv("sid")}),
+          ${p}scrs AS MATERIALIZED (SELECT sid g_id, v g_vec FROM se
+                   WHERE sid % 125 = 8 AND ${lv("sid")}),
+          ${p}srt AS MATERIALIZED (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM ${p}scent c, ${p}scrs g) t WHERE rn = 1),
+          ${p}scells AS MATERIALIZED (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM ${p}srt
+                       UNION ALL SELECT g_id, g_id FROM ${p}scrs)),
+          ${p}svg AS MATERIALIZED (SELECT sid, g_id FROM (
+                    SELECT se.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY se.sid
+                             ORDER BY round(list_dot_product(se.v, g.g_vec) /
+                               (sqrt(list_dot_product(se.v, se.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM se, ${p}scrs g) t WHERE rn = 1),
+          ${p}sasn AS MATERIALIZED (SELECT sid, c_id FROM (
+                     SELECT se.sid, sc.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY se.sid
+                              ORDER BY round(list_dot_product(se.v, c.c_vec) /
+                                (sqrt(list_dot_product(se.v, se.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, sc.c_id) rn
+                     FROM se JOIN ${p}svg sv ON sv.sid = se.sid
+                             JOIN ${p}scells sc ON sc.g_id = sv.g_id
+                             JOIN ${p}scent c ON c.c_id = sc.c_id) t
+                   WHERE rn = 1),
+          ${p}scand AS MATERIALIZED (SELECT a.sid a_id, b.sid b_id,
+                      CASE WHEN ${bv("b.sid")} THEN 'batch'
+                           ELSE 'landed' END side
+                    FROM ${p}sasn a JOIN ${p}sasn b ON a.c_id = b.c_id
+                    WHERE ${bv("a.sid")}
+                      AND (${lv("b.sid")} OR
+                           (${bv("b.sid")} AND a.sid < b.sid))),
+          ${p}sver AS MATERIALIZED (SELECT a_id, b_id, side FROM (
+                     SELECT a_id, b_id, side,
+                            round(list_dot_product(x.v, y.v) /
+                                  (sqrt(list_dot_product(x.v, x.v)) *
+                                   sqrt(list_dot_product(y.v, y.v))), 4) cos
+                     FROM ${p}scand JOIN se x ON x.sid = a_id
+                                JOIN se y ON y.sid = b_id) t
+                   WHERE cos >= 0.3),
+          ${p}sld AS MATERIALIZED (SELECT DISTINCT a_id sid FROM ${p}sver
+                  WHERE side = 'landed'),
+          ${p}sbp AS MATERIALIZED (SELECT a_id, b_id FROM ${p}sver WHERE side = 'batch'
+                    AND a_id NOT IN (SELECT sid FROM ${p}sld)
+                    AND b_id NOT IN (SELECT sid FROM ${p}sld)),
+          ${p}sed AS MATERIALIZED (SELECT a_id u, b_id v FROM ${p}sbp
+                  UNION ALL SELECT b_id, a_id FROM ${p}sbp),
+          ${p}swalk(u, r) AS (
+            SELECT sid, sid FROM se WHERE ${bv("sid")}
+            UNION
+            SELECT w.u, sd.v FROM ${p}swalk w JOIN ${p}sed sd
+              ON sd.u = w.r),
+          ${p}scl AS MATERIALIZED (SELECT u AS sid, MIN(r) AS lbl FROM ${p}swalk
+                  GROUP BY u),
+          ${p}clsh AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> array_to_string(tk[i:i+2], ' '))) shingle
+                   FROM (SELECT regexp_split_to_array(trim(text), '\\s+') tk
+                         FROM documents WHERE ${ld("doc_id")}) t),
+          ${p}cbsh AS MATERIALIZED (SELECT DISTINCT doc_id sid, shingle FROM (
+                     SELECT doc_id, unnest(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(tk[i:i+2], ' '))) shingle
+                     FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') tk
+                           FROM documents WHERE ${bd("doc_id")}) t0)),
+          ${p}cj AS MATERIALIZED (SELECT b.sid, COUNT(*) n_shingles,
+                   COUNT(l.shingle) n_landed
+                 FROM ${p}cbsh b LEFT JOIN ${p}clsh l USING (shingle)
+                 GROUP BY b.sid),
+          ${p}tbl AS MATERIALIZED (SELECT doc_id, source,
+                    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                  FROM (SELECT doc_id, source,
+                          unnest(regexp_split_to_array(trim(text), '\\s+'))
+                            token
+                        FROM documents WHERE ${ld("doc_id")}) t),
+          ${p}dcnt AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) c_raw,
+                     CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                       c_tgt
+                   FROM ${p}tbl GROUP BY b),
+          ${p}dtot AS MATERIALIZED (SELECT CAST(SUM(c_raw) AS BIGINT) n_raw,
+                     CAST(SUM(c_tgt) AS BIGINT) n_tgt FROM ${p}dcnt),
+          ${p}lsc AS MATERIALIZED (SELECT t.doc_id, t.source,
+                    CAST(round(ln(d.c_tgt + 1) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(tt.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(d.c_raw + 1) * 1000000, 0) AS BIGINT)
+                    + CAST(round(ln(tt.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM ${p}tbl t JOIN ${p}dcnt d USING (b), ${p}dtot tt),
+          ${p}lsco AS MATERIALIZED (SELECT doc_id, source,
+                     CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM ${p}lsc GROUP BY doc_id, source),
+          ${p}lj AS MATERIALIZED (SELECT source, logw_e6,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY logw_e6 DESC, doc_id) rn,
+                   COUNT(*) OVER (PARTITION BY source) cnt2
+                 FROM ${p}lsco),
+          ${p}th AS MATERIALIZED (SELECT source, CAST(MIN(logw_e6) AS BIGINT) logw_cut
+                 FROM ${p}lj WHERE rn * 10000 <= cnt2 * ${keepBp}
+                 GROUP BY source),
+          ${p}bsc AS MATERIALIZED (SELECT t.doc_id, t.source,
+                    CAST(round(ln(COALESCE(d.c_tgt, 0) + 1) * 1000000, 0)
+                         AS BIGINT)
+                    - CAST(round(ln(tt.n_tgt + 1024) * 1000000, 0) AS BIGINT)
+                    - CAST(round(ln(COALESCE(d.c_raw, 0) + 1) * 1000000, 0)
+                           AS BIGINT)
+                    + CAST(round(ln(tt.n_raw + 1024) * 1000000, 0) AS BIGINT)
+                      lp
+                  FROM (SELECT doc_id, source,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 b
+                        FROM (SELECT doc_id, source,
+                                unnest(regexp_split_to_array(trim(text),
+                                  '\\s+')) token
+                              FROM documents WHERE ${bd("doc_id")}) t0) t
+                    LEFT JOIN ${p}dcnt d USING (b), ${p}dtot tt),
+          ${p}bsco AS MATERIALIZED (SELECT doc_id, source,
+                     CAST(SUM(lp) AS BIGINT) logw_e6
+                   FROM ${p}bsc GROUP BY doc_id, source),
+          ${p}dsel AS MATERIALIZED (SELECT b.doc_id,
+                     CASE WHEN t.logw_cut IS NOT NULL
+                            AND b.logw_e6 >= t.logw_cut
+                          THEN 1 ELSE 0 END selected
+                   FROM ${p}bsco b LEFT JOIN ${p}th t USING (source)),
+          ${p}gate AS MATERIALIZED (SELECT xb.doc_id,
+                 CASE WHEN xb.fp IS NOT NULL
+                        AND xb.fp IN (SELECT fp FROM ${p}xl)
+                        THEN 'exact_landed_dup'
+                      WHEN xb.fp IS NOT NULL AND xb.doc_id != xb.minb
+                        THEN 'exact_batch_dup'
+                      WHEN xb.doc_id IN (SELECT i FROM ${p}ldup)
+                        OR (cl.lbl IS NOT NULL AND cl.lbl != xb.doc_id)
+                        THEN 'near_dup'
+                      WHEN xb.doc_id IN (SELECT sid FROM ${p}sld)
+                        OR (scl.lbl IS NOT NULL AND scl.lbl != scl.sid)
+                        THEN 'semantic_dup'
+                      WHEN COALESCE(cj.n_landed * 10000 >=
+                             cj.n_shingles * 8000, FALSE)
+                        THEN 'contained'
+                      WHEN COALESCE(dsel.selected, 0) = 0
+                        THEN 'not_selected'
+                      ELSE 'admit' END AS gate
+          FROM ${p}xb xb
+          LEFT JOIN ${p}cl cl ON cl.doc_id = xb.doc_id
+          LEFT JOIN ${p}scl scl ON scl.sid = xb.doc_id
+          LEFT JOIN ${p}cj cj ON cj.sid = xb.doc_id
+          LEFT JOIN ${p}dsel dsel ON dsel.doc_id = xb.doc_id)"""
+
+  /** The q184 absorb round-trip oracle: stage 1 = the gate over
+    * (landed %5∈{0,1,3}, batch %5=2); its admits fold into stage 2's
+    * landed predicate; stage 2 = the gate over the GROWN landed corpus
+    * against batch %5=4 — the one-shot replay of exactly what the
+    * Spark side computes through absorbed (merged, never-rebuilt)
+    * landed artifacts. The corpus-wide candidate universe (tok /
+    * shingle / minhash / fp / pair / vector CTEs) is shared between
+    * the stages; only slice-dependent CTEs are duplicated. */
+  protected def absorbGateOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
+    val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val l2 = (c: String) =>
+      s"($c % 100 NOT IN $allRes OR $c IN (SELECT doc_id FROM adm))"
+    val b2 = (c: String) => s"$c % 100 IN (12, 37, 62, 87)"
+    val s1 = gateStageCtes("s1_", l1, b1, l1, b1, keepBp = 5000)
+    val s2 = gateStageCtes("s2_", l2, b2, l2, b2, keepBp = 5000)
+    val mtok = tokCte.replace("toks AS (", "toks AS MATERIALIZED (")
+    val msh = shingleCte.replace("sh AS (", "sh AS MATERIALIZED (")
+    val mmhp = Seq("h", "mh", "bk", "mhp").foldLeft(minhashPairCte) {
+      (acc, n) => acc.replace(s"$n AS (", s"$n AS MATERIALIZED (")
+    }
+    s"""WITH RECURSIVE $mtok, $msh, $mmhp,
+          xfp AS MATERIALIZED (SELECT doc_id,
+                    md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+                  FROM documents),
+          hsz AS MATERIALIZED (SELECT sid, CAST(COUNT(*) AS BIGINT) sz FROM sh
+                  GROUP BY sid),
+          it AS MATERIALIZED (SELECT m.a_id, m.b_id, CAST(COUNT(*) AS BIGINT) inter
+                 FROM mhp m JOIN sh a ON a.sid = m.a_id
+                            JOIN sh b ON b.sid = m.b_id
+                                     AND b.shingle = a.shingle
+                 GROUP BY m.a_id, m.b_id),
+          vp AS MATERIALIZED (SELECT m.a_id, m.b_id
+                 FROM mhp m
+                 LEFT JOIN it ON it.a_id = m.a_id AND it.b_id = m.b_id
+                 JOIN hsz x ON x.sid = m.a_id
+                 JOIN hsz y ON y.sid = m.b_id
+                 WHERE COALESCE(it.inter, 0)::DOUBLE /
+                       (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
+          se AS MATERIALIZED (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          $s1,
+          adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
+          $s2
+          SELECT doc_id, gate FROM s2_gate ORDER BY doc_id"""
+  }
 
   /** The ingest-gate oracle family: q129's precedence lattice, and —
     * with `full` — q132's, which adds the quality (q94 fragment) and

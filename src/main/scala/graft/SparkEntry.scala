@@ -71,6 +71,13 @@ object SparkEntry extends CoreRegistry with DedupRegistry
     val landedEmb5 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2) // q110
     val landedEmb3 = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 3) // q117
     val landedEmb4 = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2) // q158
+    // q184's landed slice: id % 100 outside both batch residue sets
+    // (MUST textually match the q184 entry's construction — the plan
+    // fingerprint is the cache key)
+    val landedDocsA = docs.filter(!pmod(col("doc_id"), lit(100L))
+      .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+    val landedEmbA = emb.filter(!pmod(col("vec_id"), lit(100L))
+      .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
     val builds: Seq[(String, DataFrame)] = Seq(
       // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
       "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
@@ -120,6 +127,26 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // q131/q132's landed LM + boundary ratios on the same %5 slice
       "q131-ppl-lm" -> Curation.landedBigramLm(landedDocs5),
       "q131-ppl-thresholds" -> Curation.landedPplThresholds(landedDocs5),
+      // q184's stage-1 landed side (%5 ∈ {0,1,3} — a THREE-slice
+      // contract: landed, batch 1 to absorb, batch 2 to gate): the
+      // same landed-index family as q129, keyed on the smaller slice,
+      // plus the per-doc DSIR histogram that makes the threshold
+      // absorbable. The absorbed (stage-2) artifacts are seeded by the
+      // query itself — they ARE what q184 measures.
+      "q184-landed-fp" -> Dedup.landedFingerprints(landedDocsA),
+      "q184-shingles" -> Dedup.shingleHashes(landedDocsA, 3, "text", "doc_id"),
+      "q184-bands" -> Dedup.bandKeyTable(landedDocsA),
+      "q184-sh-set" -> Dedup.landedShingleSet(landedDocsA),
+      "q184-vec-lookup" -> Similarity.landedVecLookup(landedEmbA),
+      "q184-sem-cells-2l" ->
+        Similarity.landedTwoLevelCells(landedEmbA, 25, 8, 5),
+      "q184-sem-assign-2l" ->
+        Similarity.landedSemanticAssignment2L(landedEmbA, 25, 8, 5),
+      "q184-dsir-counts" -> Curation.landedDsirCounts(landedDocsA, "src0"),
+      "q184-dsir-thresholds" ->
+        Curation.landedDsirThresholds(landedDocsA, "src0", keepBp = 5000),
+      "q184-dsir-doc-buckets" ->
+        Curation.landedDsirDocBuckets(landedDocsA, "src0"),
       // q130/q171/q175's landed media indexes — one landed decode /
       // frame pass / window pass each, paid here once; batches probe
       // by equi-join. ALL built over Multimodal.landedMediaSlice, the

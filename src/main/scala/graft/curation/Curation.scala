@@ -538,12 +538,116 @@ object Curation {
         // dsirSelect
         val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
           .withColumnRenamed(stratum, "__st")
-        scored
-          .withColumn("rn", row_number().over(w))
-          .join(broadcast(sizes), col(stratum) <=> col("__st"))
-          .filter(col("rn") * 10000 <= col("cnt") * keepBp)
-          .groupBy(stratum).agg(min("logw_e6").as("logw_cut"))
+        dsirThresholdsOf(scored, keepBp, stratum, idCol)
       })
+
+  /** The rank-quantile tail shared by [[landedDsirThresholds]] and the
+    * absorb path ([[absorbDsir]]) — one definition so the threshold a
+    * merged-artifact rebuild computes can never drift from the one-shot
+    * build's. `scored` is a (idCol, stratum, …, logw_e6) frame. */
+  private def dsirThresholdsOf(scored: DataFrame, keepBp: Int,
+      stratum: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(col("logw_e6").desc, col(idCol))
+    // stratum sizes via aggregate + null-safe broadcast join, as
+    // dsirSelect
+    val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed(stratum, "__st")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(sizes), col(stratum) <=> col("__st"))
+      .filter(col("rn") * 10000 <= col("cnt") * keepBp)
+      .groupBy(stratum).agg(min("logw_e6").as("logw_cut"))
+  }
+
+  /** The landed corpus's memoized per-document hashed-feature HISTOGRAM
+    * (kind "dsir-doc-buckets"): (idCol, stratum, b, n) — at most
+    * `buckets` rows per document, append-mergeable (per-doc rows, plain
+    * union). This is the artifact that makes the DSIR THRESHOLD
+    * absorbable: a landed doc's score under a new distribution is
+    * Σ_b n·lp_b — an exact integer fold over this table — so absorbing
+    * a batch re-prices every landed doc WITHOUT re-tokenizing a single
+    * landed byte (the token explode, the expensive pass, is paid once
+    * per doc ever). */
+  def landedDsirDocBuckets(landed: DataFrame, targetSource: String,
+      buckets: Int = 1024, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "dsir-doc-buckets", targetSource,
+        buckets, stratum, idCol, textCol),
+      dsirDocBucketsOf(dsirBuckets(landed, targetSource, buckets, stratum,
+        idCol, textCol), idCol, stratum))
+
+  private def dsirDocBucketsOf(tb: DataFrame, idCol: String,
+      stratum: String): DataFrame =
+    tb.groupBy(col(idCol), col(stratum), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[dsirDocScores]] over the per-doc bucket HISTOGRAM instead of the
+    * per-token projection — identical integers (Σ over tokens of lp_b
+    * = Σ_b n·lp_b; n_feat = Σ_b n), at histogram cost. */
+  private def dsirDocScoresFromHist(hist: DataFrame, counts: DataFrame,
+      buckets: Int, idCol: String, stratum: String): DataFrame = {
+    val tot = counts.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    hist.join(broadcast(counts), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        dsirLnq(coalesce(col("c_tgt"), lit(0L)) + 1) -
+          dsirLnq(col("n_tgt") + buckets) -
+          dsirLnq(coalesce(col("c_raw"), lit(0L)) + 1) +
+          dsirLnq(col("n_raw") + buckets))
+      .groupBy(col(idCol), col(stratum))
+      .agg(sum("n").as("n_feat"), sum(col("lp") * col("n")).as("logw_e6"))
+  }
+
+  /** Absorb an ADMITTED batch into the landed DSIR artifacts — the
+    * data-selection cell of the absorb family ([[graft.dedup.Dedup.absorbBatch]]):
+    * seeds the "dsir-counts", "dsir-thresholds" and "dsir-doc-buckets"
+    * registry entries of the GROWN landed corpus (`landed2Docs`, the
+    * frame the next gate call will pass as its landed side) from the
+    * memoized landed artifacts plus batch-sized partials — never
+    * re-tokenizing a landed document:
+    *
+    *  - counts: per-bucket sum-merge (≤ `buckets` rows each side);
+    *  - doc-buckets: plain union (per-doc rows; admitted ids are fresh
+    *    under append-only allocation);
+    *  - thresholds: the one artifact a naive merge can't produce —
+    *    every landed doc's weight moves when the distribution does —
+    *    recomputed EXACTLY from (merged histogram × merged counts)
+    *    through the same [[dsirThresholdsOf]] tail as the one-shot
+    *    build, at histogram-join cost instead of corpus-scan cost.
+    *
+    * Equality with the one-shot rebuild over (landed ∪ admitted) is
+    * integer-exact (oracle-proven by the q184 gate round-trip). */
+  def absorbDsir(landedDocs: DataFrame, admitted: DataFrame,
+      landed2Docs: DataFrame, targetSource: String, buckets: Int = 1024,
+      keepBp: Int = 2000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.util.CacheRegistry
+    val histL = landedDsirDocBuckets(landedDocs, targetSource, buckets,
+      stratum, idCol, textCol)
+    val tbB = dsirBuckets(admitted, targetSource, buckets, stratum, idCol,
+      textCol)
+    val hist2 = CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "dsir-doc-buckets", targetSource,
+        buckets, stratum, idCol, textCol),
+      histL.unionByName(dsirDocBucketsOf(tbB, idCol, stratum)))
+    val countsL = landedDsirCounts(landedDocs, targetSource, buckets,
+      stratum, idCol, textCol)
+    val counts2 = CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "dsir-counts", targetSource, buckets,
+        stratum, idCol, textCol),
+      countsL.unionByName(dsirCountsOf(tbB))
+        .groupBy("b")
+        .agg(sum("c_raw").as("c_raw"), sum("c_tgt").as("c_tgt")))
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "dsir-thresholds", targetSource,
+        buckets, keepBp, stratum, idCol, textCol),
+      dsirThresholdsOf(
+        dsirDocScoresFromHist(hist2, counts2, buckets, idCol, stratum),
+        keepBp, stratum, idCol))
+    ()
+  }
 
   /** Incremental DSIR scoring for append-only ingest — the
     * data-selection cell of the incremental matrix: an incoming batch

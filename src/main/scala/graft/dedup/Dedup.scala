@@ -1101,12 +1101,12 @@ object Dedup {
   def ingestGate(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
-      coarseFactor: Int = 5,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
-      centroidOffset, minCosine, coarseFactor, textCol, idCol, vecIdCol,
-      vecCol)
+      centroidOffset, minCosine, coarseFactor, keepBp, textCol, idCol,
+      vecIdCol, vecCol)
       .select(col(idCol), gateChain(idCol, full = false))
 
   /** Memo for the coarse-slice degeneration guard below: one eager
@@ -1143,7 +1143,7 @@ object Dedup {
   private def ingestEvidence(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int, minCosine: Double, coarseFactor: Int,
-      textCol: String, idCol: String,
+      keepBp: Int, textCol: String, idCol: String,
       vecIdCol: String, vecCol: String): DataFrame = {
     // the memoized landed fingerprint set, built once per corpus
     val landedFp = landedFingerprints(landedDocs, textCol)
@@ -1178,7 +1178,7 @@ object Dedup {
         textCol = textCol, idCol = idCol)
       .select(col(idCol), col("contained").as("__cont"))
     val sel = graft.curation.Curation.dsirScoreIncrement(
-        landedDocs, batchDocs, targetSource, idCol = idCol,
+        landedDocs, batchDocs, targetSource, keepBp = keepBp, idCol = idCol,
         textCol = textCol)
       .select(col(idCol), col("selected").as("__sel"))
     exact
@@ -1211,7 +1211,7 @@ object Dedup {
   def ingestGateFull(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3, cutBp: Int = 1000,
-      coarseFactor: Int = 5,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qual = graft.curation.Curation.qualityGate(batchDocs, idCol, textCol)
@@ -1220,11 +1220,98 @@ object Dedup {
         landedDocs, batchDocs, cutBp, "source", idCol, textCol)
       .select(col(idCol), col("flagged").as("__pf"))
     ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
-      centroidOffset, minCosine, coarseFactor, textCol, idCol, vecIdCol,
-      vecCol)
+      centroidOffset, minCosine, coarseFactor, keepBp, textCol, idCol,
+      vecIdCol, vecCol)
       .join(qual, Seq(idCol), "left")
       .join(ppl, Seq(idCol), "left")
       .select(col(idCol), gateChain(idCol, full = true))
+  }
+
+  /** Absorb an ADMITTED batch into the landed TEXT indexes — the
+    * exact/near/containment cells of [[absorbBatch]]: seeds the
+    * "landed-fp", "shingles", "minhash-bands" and "landed-sh-set"
+    * registry entries of the GROWN landed corpus (`landed2Docs`, the
+    * frame the next gate call passes as its landed side) from the
+    * memoized landed artifacts plus batch-sized builds:
+    *
+    *  - shingles / band keys are per-document rows (doc-local
+    *    computations) — plain union; admitted ids are fresh under
+    *    append-only allocation;
+    *  - the fingerprint SET unions the batch's distinct fingerprints
+    *    through an anti-join (a gated batch's fps are disjoint from
+    *    the landed set by the gate's own exact stage, but the merge
+    *    must not TRUST that — a duplicated fp row would double join
+    *    rows downstream);
+    *  - the shingle SET genuinely overlaps (admitted docs share
+    *    n-grams with landed ones) — distinct-union, the one merge
+    *    that re-shuffles the landed set; it ships one long per
+    *    distinct shingle, and the Bloom-gated variant (q88's pattern)
+    *    is the drop-in at 100 TB. */
+  def absorbTextIndexes(landedDocs: DataFrame, admitted: DataFrame,
+      landed2Docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val landedFp = landedFingerprints(landedDocs, textCol)
+    val admFp = admitted.select(fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "landed-fp", textCol),
+      landedFp.unionByName(admFp.join(landedFp, Seq("fp"), "left_anti")))
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "shingles", n, textCol, idCol),
+      shingleHashes(landedDocs, n, textCol, idCol)
+        .unionByName(shingleHashes(admitted, n, textCol, idCol)))
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "minhash-bands", n, k, bands, textCol,
+        idCol),
+      bandKeyTable(landedDocs, n, k, bands, textCol, idCol)
+        .unionByName(bandKeyTable(admitted, n, k, bands, textCol, idCol)))
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Docs, "landed-sh-set", n, textCol, idCol),
+      landedShingleSet(landedDocs, n, textCol, idCol)
+        .unionByName(shingleHashes(admitted, n, textCol, idCol)
+          .select("sh").distinct())
+        .distinct())
+    ()
+  }
+
+  /** Close the operational ingest loop: gate → admit → ABSORB → next
+    * batch. Folds an ADMITTED batch into every landed artifact the
+    * ingest-gate family reads, by seeding the [[CacheRegistry]] entries
+    * of the grown landed frames (`landed2Docs` = landed ∪ admitted
+    * docs, `landed2Emb` likewise — the exact frames the NEXT
+    * [[ingestGate]] call will receive as its landed side) with merges
+    * of the memoized landed artifacts and batch-sized partials. The
+    * next gate call then hits every landed index instead of rebuilding
+    * the landed corpus from scratch — the step the per-batch
+    * incremental operators always assumed but nothing performed
+    * (r16 verdict gap #2).
+    *
+    * Merge strategies per artifact family: [[absorbTextIndexes]]
+    * (union / anti-join / distinct-union), [[graft.similarity.Similarity.absorbSemantic2L]]
+    * (frozen-codebook appends, centroid-stride ids REFUSED loudly),
+    * [[graft.curation.Curation.absorbDsir]] (count sum-merge +
+    * histogram-costed threshold re-derivation). Every merge is
+    * integer-exact against the one-shot rebuild over (landed ∪
+    * admitted): the q184 oracle replays gate → admit → one-shot
+    * landed′ in SQL and hash-matches the absorbed gate's verdicts on a
+    * SECOND batch — the absorb ≡ rebuild proof. Persisting the seeded
+    * entries across sessions is [[graft.sources.IndexStore.saveAll]]
+    * unchanged (the seeds are ordinary registry entries; IndexStoreSpec
+    * round-trips them). */
+  def absorbBatch(landedDocs: DataFrame, admittedDocs: DataFrame,
+      landedEmb: DataFrame, admittedEmb: DataFrame,
+      landed2Docs: DataFrame, landed2Emb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    absorbTextIndexes(landedDocs, admittedDocs, landed2Docs,
+      textCol = textCol, idCol = idCol)
+    graft.similarity.Similarity.absorbSemantic2L(landedEmb, admittedEmb,
+      landed2Emb, fineStride = 25, fineOffset = centroidOffset,
+      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol)
+    graft.curation.Curation.absorbDsir(landedDocs, admittedDocs,
+      landed2Docs, targetSource, keepBp = keepBp, idCol = idCol,
+      textCol = textCol)
   }
 
   /** The gate family's shared precedence when-chain — one definition

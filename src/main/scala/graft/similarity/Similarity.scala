@@ -780,6 +780,57 @@ object Similarity {
       CacheRegistry.key(landed, "vec-lookup", idCol, vecCol),
       landed.select(col(idCol).as("sid"), col(vecCol).as("vec")))
 
+  /** Absorb an ADMITTED batch's vectors into the landed two-level
+    * semantic artifacts under the FROZEN landed codebook — the
+    * semantic cell of the absorb family ([[graft.dedup.Dedup.absorbBatch]]):
+    * seeds "vec-lookup", "sem-cells-2l" and "sem-assign-2l" for the
+    * GROWN landed corpus (`landed2Emb`, the frame the next gate call
+    * passes as its landed side) as plain appends — lookup and
+    * assignment are per-vector rows, and the cell table is unchanged
+    * because the batch contributes no centroids.
+    *
+    * That last property is the frozen-codebook contract, REQUIRED
+    * here, not assumed: a batch id on the centroid stride would grow
+    * the codebook and silently stale every landed assignment (each
+    * vector's argmax can move when centroids appear). Append-only
+    * ingest satisfies it by construction — fresh ids are allocated off
+    * the frozen strides; a corpus that must re-seed its codebook
+    * rebuilds the landed index instead (the compaction-time path). */
+  def absorbSemantic2L(landedEmb: DataFrame, admittedEmb: DataFrame,
+      landed2Emb: DataFrame, fineStride: Int = 25, fineOffset: Int = 7,
+      coarseFactor: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val iv = admittedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    require(iv.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
+        .isEmpty,
+      s"absorbSemantic2L: admitted batch contains codebook-stride ids " +
+        s"(id % $fineStride == $fineOffset) — the frozen-codebook append " +
+        "contract requires fresh ids off the centroid strides; rebuild " +
+        "the landed index instead")
+    val lv = landedVecLookup(landedEmb, idCol, vecCol)
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Emb, "vec-lookup", idCol, vecCol),
+      lv.unionByName(iv))
+    val coarse = lv.filter(
+        pmod(col("sid"), lit(fineStride.toLong * coarseFactor)) === fineOffset)
+      .select(col("sid").as("g_id"), col("vec").as("g_vec"))
+    val cells = landedTwoLevelCells(landedEmb, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Emb, "sem-cells-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      cells)
+    val lAsn = landedSemanticAssignment2L(landedEmb, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    val iAsn = assignTwoLevelWithCells(
+      iv.select(col("sid").as("vec_id"), col("vec")), coarse, cells)
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Emb, "sem-assign-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      lAsn.unionByName(iAsn))
+    ()
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to sign-LSH ([[lshTopK]]). Three phases, all linear in the
     * corpus:

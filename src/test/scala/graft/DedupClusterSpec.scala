@@ -439,6 +439,53 @@ class DedupClusterSpec extends SparkSpec {
       (90L, 1L, 3L, 12L, 28L, 700000L)), got.toString)
   }
 
+  test("absorbBatch: gate over absorbed indexes ≡ gate over one-shot rebuilt landed2") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.util.CacheRegistry
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val d0 = docs.filter(pmod(col("doc_id"), lit(5L)).isin(0L, 1L, 3L))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val e0 = emb.filter(pmod(col("vec_id"), lit(5L)).isin(0L, 1L, 3L))
+    val be1 = emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+    val be2 = emb.filter(pmod(col("vec_id"), lit(5L)) === 4)
+    CacheRegistry.releaseAll()
+    // absorb the WHOLE batch 1 (the gated-admits flow is q184's oracle
+    // face; the equivalence under test here holds for any absorbed set,
+    // and whole-b1 keeps the spec non-degenerate at sf0.001)
+    val admDocs = b1
+    val admEmb = be1
+    val landed2d = d0.unionByName(admDocs)
+    val landed2e = e0.unionByName(admEmb)
+    val before = CacheRegistry.size
+    Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e, "src0")
+    assert(CacheRegistry.size > before, "absorb seeded nothing")
+    val seededKinds = Seq("landed-fp", "landed-sh-set", "sem-assign-2l",
+      "dsir-thresholds")
+    val afterAbsorb = seededKinds.map(k =>
+      k -> CacheRegistry.entries.keys.count(_.startsWith(k + ":"))).toMap
+    val absorbed = Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // the gate CONSUMED the seeds: no NEW entry of a seeded landed kind
+    // appeared — a key mismatch would have added one, silently
+    // rebuilding the landed side from scratch
+    for (k <- seededKinds) {
+      val n = CacheRegistry.entries.keys.count(_.startsWith(k + ":"))
+      assert(n == afterAbsorb(k),
+        s"$k: gate rebuilt a landed artifact ($n vs ${afterAbsorb(k)})")
+    }
+    // one-shot control: cold registry, same landed2 frames — every
+    // landed artifact rebuilt from scratch by scanning landed2
+    CacheRegistry.releaseAll()
+    val rebuilt = Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(absorbed.nonEmpty && absorbed == rebuilt,
+      s"absorb ≠ rebuild: ${absorbed.diff(rebuilt)} / ${rebuilt.diff(absorbed)}")
+    CacheRegistry.releaseAll()
+  }
+
   test("dedupThresholdSweep: thresholds that flag nothing still emit rows") {
     val docs = Seq(
       (1L, "s", "a b c d e f g h i j k l"),

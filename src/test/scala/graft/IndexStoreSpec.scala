@@ -64,4 +64,50 @@ class IndexStoreSpec extends SparkSpec {
       "stale index served for a changed landed corpus")
     CacheRegistry.releaseAll()
   }
+
+  test("absorbed landed2 artifacts persist and restore like built ones") {
+    import graft.similarity.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-absorb").toString
+    val out = s"$base/store"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val d0 = docs.filter(pmod(col("doc_id"), lit(5L)).isin(0L, 1L, 3L))
+    val e0 = emb.filter(pmod(col("vec_id"), lit(5L)).isin(0L, 1L, 3L))
+    // durable absorb: the admitted batch is APPENDED to the landed
+    // store first (parquet), and the grown landed frames read the
+    // post-append files — a file-backed plan whose fingerprint any
+    // later session reproduces (an in-memory checkpoint leaf's cannot
+    // be; see absorbBatch's durability note)
+    docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+      .write.mode("overwrite").parquet(s"$base/adm_docs")
+    emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+      .write.mode("overwrite").parquet(s"$base/adm_emb")
+    def admDocs = spark.read.parquet(s"$base/adm_docs")
+    def admEmb = spark.read.parquet(s"$base/adm_emb")
+    def landed2d = d0.unionByName(admDocs)
+    def landed2e = e0.unionByName(admEmb)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val be2 = emb.filter(pmod(col("vec_id"), lit(5L)) === 4)
+    CacheRegistry.releaseAll()
+    // "session 1": absorb, gate, persist the registry (absorbed seeds
+    // included — they are ordinary entries)
+    Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e, "src0")
+    val expect = Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(IndexStore.saveAll(out) >= 8)
+    // "session 2": cold registry, restore; the absorbed fp set must be
+    // served from the store, and the gate must replay identically
+    CacheRegistry.releaseAll()
+    assert(IndexStore.restoreAll(spark, out) >= 8)
+    val served = Dedup.landedFingerprints(landed2d)
+    assert(scanRoots(served).exists(_.contains(out)),
+      "absorbed landed-fp not served from the persisted parquet")
+    val served2 = Similarity.landedSemanticAssignment2L(landed2e, 25, 8, 5)
+    assert(scanRoots(served2).exists(_.contains(out)),
+      "absorbed sem-assign-2l not served from the persisted parquet")
+    val replayed = Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(replayed == expect, "restored absorbed-index verdicts diverge")
+    CacheRegistry.releaseAll()
+  }
 }
