@@ -225,6 +225,38 @@ trait CoreRegistry extends EntryHelpers {
            "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
            "windowMilliseconds":86400000}""")),
 
+    // C4/C5 END-TO-END through the engine, oracle-checked (the
+    // reference's headline ECA feature, DynamicQueryFunction.java:193-203
+    // + KafkaSender.java:56-123): a periodic parent (daily SUM per user
+    // > 250) fires, the engine's deliver step ECA-instantiates its
+    // $user_id-bound per-event child (trailing 6 h SUM > 50, key bound
+    // from the firing window's group key, an equality filter appended),
+    // and the child fires on LATER batches' events. The oracle replays
+    // both stages one-shot: a parent window finalizes at the first
+    // weekly batch whose cumulative event-time max passes the window
+    // end; each user's child evaluates exactly the events of weeks
+    // STRICTLY AFTER that user's first parent firing — spawn happens
+    // after the firing batch is processed, and a spawned rule's state
+    // starts empty (reference semantics: a new rule sees only events
+    // that reach the operator after it). Re-firings re-spawn
+    // idempotently (C5: RuleStore.merge re-trigger on (filters,
+    // activeId) reuses the live child instance).
+    "q185_eca_spawn_fire" -> ((s, dir) =>
+      dynamicReplayRaw(s, dir,
+        """{"queryId":4000,"groupingKeyNames":["user_id"],
+           "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+           "limitOperatorType":">","limit":250,
+           "windowMilliseconds":86400000,
+           "alertRules":[{"groupingKeyNames":["$user_id"],
+             "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+             "limitOperatorType":">","limit":50,
+             "windowMilliseconds":21600000,"frequencyMilliseconds":0}]}""")
+        .select(
+          when(col("ruleId") === 4000L, lit("parent"))
+            .otherwise(lit("child")).as("stage"),
+          col("group_key"), col("ts_ms"), col("agg_value"))
+        .orderBy("stage", "group_key", "ts_ms")),
+
     // As-of join: for each purchase, the value of the user's latest click
     // at or before it — one union + running-window pass, no range explode
     // (oracle: DuckDB's native ASOF JOIN).
@@ -565,6 +597,48 @@ trait CoreRegistry extends EntryHelpers {
           SELECT '{event_type=' || event_type || '}' AS group_key, ts_ms, agg_value
           FROM w, m WHERE ts_ms + 86400000 <= m.mx
           ORDER BY group_key, ts_ms""",
+
+    // The ECA two-stage oracle: stage 1 = parent daily windows with
+    // their firing week (first weekly batch whose cumulative event-time
+    // max passes the window end); stage 2 = each spawned child's
+    // trailing-window evaluation over exactly the weeks after its
+    // user's first parent firing. Engine tsMillis: window START for
+    // periodic parents, event time for per-event children.
+    "q185_eca_spawn_fire" ->
+      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
+          e1 AS (SELECT * FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
+                 WHERE rn = 1),
+          e2 AS (SELECT *, tsm // 604800000 AS wk FROM e1),
+          wkmax AS (SELECT wk, MAX(tsm) mx FROM e2 GROUP BY wk),
+          wkcum AS (SELECT wk, MAX(mx) OVER (ORDER BY wk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cmx
+                    FROM wkmax),
+          pw AS (SELECT user_id, (tsm // 86400000) * 86400000 AS wstart,
+                   ${sumDec("value")} s
+                 FROM e2 GROUP BY 1, 2),
+          fw AS (SELECT p.user_id, p.wstart, CAST(p.s AS DOUBLE) agg_value,
+                   MIN(w.wk) AS fire_wk
+                 FROM pw p JOIN wkcum w ON w.cmx >= p.wstart + 86400000
+                 WHERE p.s > 250
+                 GROUP BY 1, 2, 3),
+          smin AS (SELECT user_id, MIN(fire_wk) swk FROM fw GROUP BY 1),
+          cf AS (SELECT c.user_id, c.tsm, ${sumDec("b.value")} s
+                 FROM e2 c
+                 JOIN smin m ON m.user_id = c.user_id AND c.wk > m.swk
+                 JOIN e2 b ON b.user_id = c.user_id AND b.wk > m.swk
+                   AND b.tsm >= c.tsm - 21600000 AND b.tsm <= c.tsm
+                 GROUP BY 1, 2),
+          eout AS (
+            SELECT 'parent' AS stage,
+                   '{user_id=' || user_id || '}' AS group_key,
+                   wstart AS ts_ms, agg_value FROM fw
+            UNION ALL
+            SELECT 'child', '{user_id=' || user_id || '}', tsm,
+                   CAST(s AS DOUBLE) FROM cf WHERE s > 50)
+          SELECT stage, group_key, ts_ms, agg_value FROM eout
+          ORDER BY stage, group_key, ts_ms""",
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window as-of.
     "q34_asof_join" ->

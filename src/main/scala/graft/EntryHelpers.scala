@@ -52,7 +52,18 @@ trait EntryHelpers {
   /** Shared harness for q30/q31: dedup events to one per (user_id, ms),
     * replay week by week through a fresh [[graft.streaming.DynamicActiveEngine]],
     * return fired alerts as (group_key, ts_ms, agg_value). */
-  protected def dynamicReplay(s: SparkSession, dir: String, ruleJson: String): DataFrame = {
+  protected def dynamicReplay(s: SparkSession, dir: String, ruleJson: String): DataFrame =
+    dynamicReplayRaw(s, dir, ruleJson)
+      .select(col("group_key"), col("ts_ms"), col("agg_value"))
+      .orderBy("group_key", "ts_ms")
+
+  /** [[dynamicReplay]] keeping per-alert rule identity — (ruleId,
+    * group_key, ts_ms, agg_value), unordered. The ECA face (q185)
+    * needs ruleId to tell parent firings from spawned-child firings;
+    * ECA-spawned children fire through the same replay because the
+    * engine's deliver step runs [[graft.active.EcaLoop.processAlerts]]
+    * after every batch. */
+  protected def dynamicReplayRaw(s: SparkSession, dir: String, ruleJson: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val engine = new graft.streaming.DynamicActiveEngine()
     engine.store.merge(RuleCodec.decode(ruleJson))
@@ -78,9 +89,9 @@ trait EntryHelpers {
 
     import s.implicits._
     fired.synchronized(fired.toSeq).toDF()
-      .select(col("key").as("group_key"), col("tsMillis").as("ts_ms"),
+      .select(col("ruleId"), col("key").as("group_key"),
+        col("tsMillis").as("ts_ms"),
         col("aggregate").cast("double").as("agg_value"))
-      .orderBy("group_key", "ts_ms")
   }
 
   // ---------------------------------------------------------------------

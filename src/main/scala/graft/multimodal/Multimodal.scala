@@ -647,13 +647,171 @@ object Multimodal {
     * index builders of BOTH time-sliced modalities. */
   private def frameFingerprints(media: DataFrame, stride: Int,
       maxDf: Int, kind: String): DataFrame =
-    sampleSlices(media, stride, kind)
-      .select(col("media_id"), md5(col("payload")).as("fp"))
-      .distinct()
+    capFingerprints(
+      sampleSlices(media, stride, kind)
+        .select(col("media_id"), md5(col("payload")).as("fp")), maxDf)
+
+  /** Pack the q124 pHash bits (mean-threshold over a decoded feature
+    * vector — exact integers: k/1000 quantized luma, `k·dim > Σk`) into
+    * a hex string usable as a frame fingerprint. Bit i lives at byte
+    * i/8, position i%8. */
+  private[multimodal] def pHashHex(features: Array[Float]): String = {
+    val dim = features.length
+    val ks = features.map(f => math.round(f * 1000.0).toLong)
+    val tot = ks.sum
+    val bytes = new Array[Byte]((dim + 7) / 8)
+    var i = 0
+    while (i < dim) {
+      if (ks(i) * dim > tot) bytes(i / 8) = (bytes(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    bytes.map("%02x".format(_)).mkString
+  }
+
+  /** PERCEPTUAL per-frame fingerprints — the real-codec face of
+    * [[frameFingerprints]] (r16 verdict gap #4): each sampled frame
+    * payload is decoded as an IMAGE ([[ImageIOCodec]] by default — a
+    * video container's sampled frames arrive as encoded stills in the
+    * MJPEG/keyframe-extract shape) and fingerprinted with the q124
+    * pHash (bucketed-luma mean-threshold bits, [[pHashHex]]), so a
+    * re-encoded, uniformly brightness-shifted or byte-shuffled copy of
+    * the same footage COLLIDES where the md5 stand-in needs byte
+    * identity (a constant luma shift moves every bucket mean and the
+    * global mean together — the bits are exactly invariant short of
+    * clipping). Undecodable frames are dropped, as corrupt media
+    * everywhere else. Output schema identical to the md5 face:
+    * (media_id, fp, sz) over the df-capped space — every downstream
+    * consumer (pair face, incremental lattice) is fingerprint-agnostic.
+    *
+    * The md5 face stays the CONTRACT oracle twin: q170/q171's synthetic
+    * payloads are not decodable media (UTF-8 text bytes), and a DuckDB
+    * oracle cannot replay ImageIO rasters — byte-exact fingerprints are
+    * what make the plumbing hash-checkable. MultimodalSpec plants a
+    * real re-encoded dup and proves this face catches what md5 cannot. */
+  def perceptualFrameFingerprints(media: DataFrame, stride: Int = 10,
+      maxDf: Int = 1000, kind: String = "video", featureDim: Int = 60,
+      codec: ImageCodec = ImageIOCodec): DataFrame = {
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaInt, Encoders.BINARY)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val noMeta = MediaMeta(0, 0, 0, 0, "")
+    val fps = sampleSlices(media, stride, kind)
+      .select(col("media_id"), col("frame_idx"), col("payload"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, _, payload) =>
+          codec.decode(payload, noMeta, featureDim).map {
+            case (_, _, _, f) => (id, pHashHex(f))
+          }
+        }
+      }
+      .toDF("media_id", "fp")
+    capFingerprints(fps, maxDf)
+  }
+
+  /** The shared df-cap + per-media-size tail of every fingerprint
+    * table: distinct (media_id, fp), drop fingerprints with df >
+    * maxDf, attach the capped set size. */
+  private def capFingerprints(fps: DataFrame, maxDf: Int): DataFrame =
+    fps.distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= maxDf)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("media_id")))
       .select("media_id", "fp", "sz")
+
+  /** PERCEPTUAL per-window audio fingerprints — the real-codec face of
+    * the audio family ([[perceptualFrameFingerprints]]'s move repeated
+    * over PCM): each [[decodeAudioPcm]] window's bucketed
+    * mean-amplitude profile is mean-threshold-bit-packed
+    * ([[pHashHex]]), so a VOLUME-SCALED or bit-depth re-encode of the
+    * same recording collides (scaling multiplies every bucket mean and
+    * the global mean together — the bits are invariant up to
+    * quantization) where the md5 stand-in needs byte identity. Same
+    * (media_id, fp, sz) contract; the md5 face stays the oracle twin
+    * for the same reasons as video. */
+  def perceptualAudioFingerprints(media: DataFrame, windowMs: Int = 25,
+      maxDf: Int = 1000, featureDim: Int = 60,
+      codec: AudioCodec = JavaSoundCodec): DataFrame = {
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val fps = decodeAudioPcm(media, windowMs, featureDim, codec)
+      .map(w => (w.media_id, pHashHex(w.features)))
+      .toDF("media_id", "fp")
+    capFingerprints(fps, maxDf)
+  }
+
+  /** [[audioNearDup]] over PERCEPTUAL window fingerprints. */
+  def audioNearDupPerceptual(media: DataFrame, windowMs: Int = 25,
+      maxDf: Int = 1000, minJaccardPpm: Long = 500000,
+      featureDim: Int = 60, codec: AudioCodec = JavaSoundCodec): DataFrame =
+    fingerprintJaccardPairs(
+      perceptualAudioFingerprints(media, windowMs, maxDf, featureDim,
+        codec), minJaccardPpm)
+
+  /** The landed corpus's memoized PERCEPTUAL audio-window index (kind
+    * "aud-pwindows") — [[audioNearDupIncrementPerceptual]]'s landed
+    * side. */
+  def landedAudioWindowsPerceptual(landed: DataFrame, windowMs: Int = 25,
+      maxDf: Int = 1000, featureDim: Int = 60,
+      codec: AudioCodec = JavaSoundCodec): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "aud-pwindows", windowMs, maxDf,
+        featureDim, codec.getClass.getName),
+      perceptualAudioFingerprints(landed, windowMs, maxDf, featureDim,
+        codec))
+
+  /** [[audioNearDupIncrement]] over PERCEPTUAL fingerprints: a
+    * volume-scaled re-upload of landed audio verdicts `landed_dup`
+    * with zero byte-identical windows. */
+  def audioNearDupIncrementPerceptual(landed: DataFrame,
+      incoming: DataFrame, windowMs: Int = 25, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000, featureDim: Int = 60,
+      codec: AudioCodec = JavaSoundCodec): DataFrame =
+    fingerprintIncrement(
+      landedAudioWindowsPerceptual(landed, windowMs, maxDf, featureDim,
+        codec),
+      perceptualAudioFingerprints(incoming, windowMs, maxDf, featureDim,
+        codec),
+      incoming.filter(col("kind") === "audio")
+        .select(col("media_id")).distinct(),
+      minJaccardPpm)
+
+  /** [[videoNearDup]] over PERCEPTUAL frame fingerprints — catches
+    * re-encodes and brightness shifts of the same footage, not just
+    * bit-identical frames. Same df cap, same integer Jaccard, same
+    * output columns. */
+  def videoNearDupPerceptual(media: DataFrame, stride: Int = 10,
+      maxDf: Int = 1000, minJaccardPpm: Long = 500000,
+      featureDim: Int = 60, codec: ImageCodec = ImageIOCodec): DataFrame =
+    fingerprintJaccardPairs(
+      perceptualFrameFingerprints(media, stride, maxDf, "video",
+        featureDim, codec), minJaccardPpm)
+
+  /** The landed corpus's memoized PERCEPTUAL frame index (kind
+    * "vid-pframes") — [[videoNearDupIncrementPerceptual]]'s landed
+    * side; the real-codec twin of [[landedVideoFrames]]. */
+  def landedVideoFramesPerceptual(landed: DataFrame, stride: Int = 10,
+      maxDf: Int = 1000, featureDim: Int = 60,
+      codec: ImageCodec = ImageIOCodec): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "vid-pframes", stride, maxDf,
+        featureDim, codec.getClass.getName),
+      perceptualFrameFingerprints(landed, stride, maxDf, "video",
+        featureDim, codec))
+
+  /** [[videoNearDupIncrement]] over PERCEPTUAL fingerprints: an
+    * incoming batch's re-encoded copies of landed footage verdict
+    * `landed_dup` even when no frame is byte-identical. */
+  def videoNearDupIncrementPerceptual(landed: DataFrame,
+      incoming: DataFrame, stride: Int = 10, maxDf: Int = 1000,
+      minJaccardPpm: Long = 500000, featureDim: Int = 60,
+      codec: ImageCodec = ImageIOCodec): DataFrame =
+    fingerprintIncrement(
+      landedVideoFramesPerceptual(landed, stride, maxDf, featureDim, codec),
+      perceptualFrameFingerprints(incoming, stride, maxDf, "video",
+        featureDim, codec),
+      incoming.filter(col("kind") === "video")
+        .select(col("media_id")).distinct(),
+      minJaccardPpm)
 
   /** The landed corpus's memoized frame-fingerprint index (kind
     * "vid-frames") — [[videoNearDupIncrement]]'s landed side, one

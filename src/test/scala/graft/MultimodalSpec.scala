@@ -317,4 +317,97 @@ class MultimodalSpec extends SparkSpec {
       (5L, "landed_dup"), (11L, "keep"),
       (14L, "batch_dup"), (17L, "keep")), got.toString)
   }
+
+  private def mediaDf(rows: Seq[(Long, String, Array[Byte], (Int, Int, Int, Int, String))]) =
+    rows.toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"), struct(
+        col("m._1").as("width"), col("m._2").as("height"),
+        col("m._3").as("sample_rate"), col("m._4").as("n_frames"),
+        col("m._5").as("format")).as("meta"))
+
+  test("perceptual video near-dup catches a brightness-shifted re-encode md5 misses") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // structured frame: left half dark, right half bright; the
+    // "re-encode" shifts every pixel +20 (a uniform brightness shift
+    // moves every bucket mean AND the global mean — pHash bits are
+    // exactly invariant); the third video has different structure
+    def frame(shift: Int) = png(16, 4)((x, _) =>
+      ((if (x < 8) 60 else 180) + shift) * 0x010101)
+    val a = frame(0); val b = frame(20)
+    val c = png(16, 4)((x, _) => (if (x % 2 == 0) 40 else 220) * 0x010101)
+    assert(!java.util.Arrays.equals(a, b))
+    val df = mediaDf(Seq(
+      (1L, "video", a, (16, 4, 0, 20, "png")),
+      (2L, "video", b, (16, 4, 0, 20, "png")),
+      (3L, "video", c, (16, 4, 0, 20, "png"))))
+    // md5 stand-in: no frame is byte-identical across videos → blind
+    assert(Multimodal.videoNearDup(df, stride = 10).collect().isEmpty)
+    // perceptual face: the re-encode collides on every sampled frame
+    val pairs = Multimodal.videoNearDupPerceptual(df, stride = 10,
+        featureDim = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // incremental: the re-encoded re-upload of landed footage is
+    // absorbed, fresh footage keeps
+    graft.util.CacheRegistry.releaseAll()
+    val got = Multimodal.videoNearDupIncrementPerceptual(
+        df.filter(col("media_id") === 1L),
+        df.filter(col("media_id") =!= 1L), stride = 10, featureDim = 8)
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "landed_dup"), (3L, "keep")), got.toString)
+    graft.util.CacheRegistry.releaseAll()
+  }
+
+  test("perceptual audio near-dup catches a volume-scaled re-encode md5 misses") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 800 frames at 8 kHz (25 ms windows = 200 frames → 4 windows);
+    // loud/quiet alternating every 25 frames — aligned with the 8
+    // feature buckets. The "re-encode" halves the volume (scaling
+    // moves every bucket mean and the global mean together); the
+    // third clip has the inverted loud/quiet phase.
+    val base = Array.tabulate[Short](800)(i =>
+      if ((i / 25) % 2 == 0) 8000 else 1000)
+    val half = base.map(s => (s / 2).toShort)
+    val inverted = Array.tabulate[Short](800)(i =>
+      if ((i / 25) % 2 == 1) 8000 else 1000)
+    val df = mediaDf(Seq(
+      (1L, "audio", wav(base, 8000f), (0, 0, 8000, 10, "wav")),
+      (2L, "audio", wav(half, 8000f), (0, 0, 8000, 10, "wav")),
+      (3L, "audio", wav(inverted, 8000f), (0, 0, 8000, 10, "wav"))))
+    // md5 stand-in: byte-distinct payloads → blind
+    assert(Multimodal.audioNearDup(df, stride = 5).collect().isEmpty)
+    // perceptual face: the volume-scaled copy collides window for window
+    val pairs = Multimodal.audioNearDupPerceptual(df, featureDim = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    graft.util.CacheRegistry.releaseAll()
+    val got = Multimodal.audioNearDupIncrementPerceptual(
+        df.filter(col("media_id") === 1L),
+        df.filter(col("media_id") =!= 1L), featureDim = 8)
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "landed_dup"), (3L, "keep")), got.toString)
+    graft.util.CacheRegistry.releaseAll()
+  }
 }
