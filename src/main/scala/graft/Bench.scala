@@ -123,6 +123,11 @@ object Bench {
       "q169_semantic_sweep"        -> Set("sem2l-asn"),
       // the semantic split is one projection over the memoized end table
       "q176_semantic_safe_split"   -> Set("sem2l-asn", "sem2l-dedup"),
+      // the pinned face reads the release artifact + the grown corpus's
+      // memoized end table (the landed slice's sem2l instances share
+      // the kind names, so they ride the same retention)
+      "q186_semantic_split_pinned" -> Set("sem2l-asn", "sem2l-dedup",
+                                          "sem-split-pin"),
       // the coverage audit folds the same memoized assignment
       "q179_sample_coverage"       -> Set("sem2l-asn"),
       // the balanced draw ranks within the same assignment's cells

@@ -198,6 +198,21 @@ trait SimilarityRegistry extends EntryHelpers {
             table(s, dir, "embeddings"), trainPct = 80)
           .orderBy("vec_id")),
 
+      // q176 with a PINNED release (r16 verdict #7): the %10!=3 landed
+      // slice's split is the release artifact (its own IndexStore kind,
+      // "sem-split-pin"); the grown corpus consults it before hashing —
+      // released docs keep their side verbatim, new cluster-mates
+      // inherit, genuinely-new clusters hash fresh.
+      "q186_semantic_split_pinned" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.semanticSafeSplitPinned(emb,
+            graft.similarity.Similarity.pinnedSemanticSplit(
+              emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3),
+              trainPct = 80),
+            trainPct = 80)
+          .orderBy("vec_id")
+      }),
+
       "q118_semantic_dedup_2l" -> ((s, dir) =>
         graft.similarity.Similarity.semanticDedupTwoLevel(
             table(s, dir, "embeddings"))
@@ -860,6 +875,82 @@ trait SimilarityRegistry extends EntryHelpers {
                        ::BIGINT % 100 < 80
                      THEN 'train' ELSE 'eval' END AS split
          FROM cl ORDER BY vec_id""",
+
+    // q186: TWO full sem2l chains — the landed %10!=3 slice's clusters
+    // hashed into the pinned release split (prefix l; same stride
+    // conventions, so every codebook id stays landed: x≡7 mod 25 →
+    // x≡2 mod 5, never ≡3 mod 10), then the grown corpus's chain (the
+    // q118/q176 CTEs verbatim) consulting it: pinned side wins, else
+    // the min-id pinned cluster-mate's side, else the fresh hash.
+    "q186_semantic_split_pinned" ->
+      s"""WITH RECURSIVE
+          le AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings
+                 WHERE vec_id % 10 != 3),
+          lcent AS (SELECT sid c_id, v c_vec FROM le WHERE sid % 25 = 7),
+          lcrs AS (SELECT sid g_id, v g_vec FROM le WHERE sid % 125 = 7),
+          lrt AS (SELECT c_id, g_id FROM (
+                    SELECT c.c_id, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.c_id
+                             ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                               (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM lcent c, lcrs g) t WHERE rn = 1),
+          lcells AS (SELECT DISTINCT g_id, c_id FROM (
+                       SELECT g_id, c_id FROM lrt
+                       UNION ALL SELECT g_id, g_id FROM lcrs)),
+          lvg AS (SELECT sid, g_id FROM (
+                    SELECT e.sid, g.g_id,
+                           ROW_NUMBER() OVER (PARTITION BY e.sid
+                             ORDER BY round(list_dot_product(e.v, g.g_vec) /
+                               (sqrt(list_dot_product(e.v, e.v)) *
+                                sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                               DESC, g.g_id) rn
+                    FROM le e, lcrs g) t WHERE rn = 1),
+          lasn AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, lcells.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, lcells.c_id) rn
+                     FROM le e JOIN lvg ON lvg.sid = e.sid
+                            JOIN lcells ON lcells.g_id = lvg.g_id
+                            JOIN lcent c ON c.c_id = lcells.c_id) t
+                   WHERE rn = 1),
+          lpr AS (SELECT a.sid a_id, b.sid b_id
+                    FROM lasn a JOIN lasn b ON a.c_id = b.c_id AND a.sid < b.sid
+                    JOIN le x ON x.sid = a.sid JOIN le y ON y.sid = b.sid
+                    WHERE round(list_dot_product(x.v, y.v) /
+                          (sqrt(list_dot_product(x.v, x.v)) *
+                           sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+          led AS (SELECT a_id u, b_id v FROM lpr
+                  UNION ALL SELECT b_id, a_id FROM lpr),
+          lwalk(u, r) AS (SELECT sid, sid FROM le
+                          UNION
+                          SELECT w.u, led.v FROM lwalk w JOIN led ON led.u = w.r),
+          lcl AS (SELECT u sid, MIN(r) lbl FROM lwalk GROUP BY u),
+          lsplit AS (SELECT sid,
+                       CASE WHEN ('0x' || substr(md5(CAST(lbl AS VARCHAR)), 1, 15))
+                              ::BIGINT % 100 < 80
+                            THEN 'train' ELSE 'eval' END AS split
+                     FROM lcl),
+          $sem2lAsnCtes, $sem2lClusterCtes,
+          pj AS (SELECT cl.sid, cl.lbl, ls.split pin_split
+                 FROM cl LEFT JOIN lsplit ls ON ls.sid = cl.sid),
+          inh AS (SELECT lbl, min_by(pin_split, sid) inh_split
+                  FROM pj WHERE pin_split IS NOT NULL GROUP BY lbl)
+          SELECT pj.sid AS vec_id, pj.lbl AS sem_cluster,
+                 CASE WHEN pj.pin_split IS NOT NULL THEN pj.pin_split
+                      WHEN i.inh_split IS NOT NULL THEN i.inh_split
+                      WHEN ('0x' || substr(md5(CAST(pj.lbl AS VARCHAR)), 1, 15))
+                             ::BIGINT % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split,
+                 CASE WHEN pj.pin_split IS NOT NULL THEN 'pinned'
+                      WHEN i.inh_split IS NOT NULL THEN 'inherited'
+                      ELSE 'fresh' END AS pin_state
+          FROM pj LEFT JOIN inh i ON i.lbl = pj.lbl
+          ORDER BY vec_id""",
 
     // PQ encode (argmin shifted-L2 in e4 ints, ties low code id), ADC
     // integer-sum scoring, exact-cosine rerank of the top-20 — every

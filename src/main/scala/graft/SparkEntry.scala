@@ -181,6 +181,13 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
+      // q186's pinned release split over the %10 landed slice — the
+      // release artifact IS the index (kind "sem-split-pin", the
+      // IndexStore-persisted replacement for "pin the release output"
+      // by hand); building it also seeds the landed slice's
+      // sem2l-asn/sem2l-dedup instances
+      "q186-split-pin" -> Similarity.pinnedSemanticSplit(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3), 80),
       // BPE word-frequency dict (q113/q115 share it; the N merge
       // rounds are vocab-sized and stay with the queries); q134's
       // landed-slice dict is its own entry (different input plan)

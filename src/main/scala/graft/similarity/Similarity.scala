@@ -496,6 +496,71 @@ object Similarity {
           "train").otherwise("eval"))
   }
 
+  /** A RELEASE's pinned split assignment — [[semanticSafeSplit]] over
+    * the landed corpus, memoized as its own index kind ("sem-split-pin")
+    * so the release artifact persists across sessions through the
+    * IndexStore like every other landed index, instead of the doc-only
+    * "pin the release output" workflow the r16 review flagged. The
+    * pinned table is the AUTHORITY for every doc it contains:
+    * [[semanticSafeSplitPinned]] consults it before hashing anything. */
+  def pinnedSemanticSplit(landed: DataFrame, trainPct: Int,
+      fineStride: Int = 25, fineOffset: Int = 7, coarseFactor: Int = 5,
+      minCosine: Double = 0.3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "sem-split-pin", trainPct, fineStride,
+        fineOffset, coarseFactor, minCosine, idCol, vecCol),
+      semanticSafeSplit(landed, trainPct, fineStride, fineOffset,
+        coarseFactor, minCosine, idCol, vecCol)
+        .select(col(idCol), col("split")))
+
+  /** [[semanticSafeSplit]] with a PINNED release — the operator-grade
+    * fix for the min-label append caveat above: a doc released under
+    * `pinned` (idCol, split) KEEPS its released side verbatim no matter
+    * how the grown corpus's clustering moved (a lower-id addition or a
+    * bridging edge can relabel or even merge clusters — released eval
+    * docs must still never migrate into train, or the eval set silently
+    * contaminates itself). New members of a cluster containing pinned
+    * docs INHERIT the side of the cluster's minimum-id pinned member
+    * (deterministic, and leakage-safe against every pinned doc of that
+    * cluster whenever the release was itself cluster-consistent);
+    * genuinely-new clusters hash fresh exactly as the unpinned face.
+    * A cluster that newly BRIDGES pinned train and pinned eval docs is
+    * already leaked *in the release* — both sides keep their pins (the
+    * invariant is absolute) and the mixed cluster is visible as both
+    * pin sides sharing one `sem_cluster` in the output.
+    * Output: (idCol, sem_cluster, split, pin_state ∈ {pinned,
+    * inherited, fresh}).
+    *
+    * Scale: the memoized "sem2l-dedup" end table + one id-keyed
+    * broadcast-able join against the pinned release + one cluster-sized
+    * `min_by` aggregate — nothing corpus-pairwise. */
+  def semanticSafeSplitPinned(embeddings: DataFrame, pinned: DataFrame,
+      trainPct: Int, fineStride: Int = 25, fineOffset: Int = 7,
+      coarseFactor: Int = 5, minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    val cur = semanticDedupTwoLevel(embeddings, fineStride, fineOffset,
+        coarseFactor, minCosine, idCol, vecCol)
+      .select(col(idCol), col("sem_cluster"))
+    val p = pinned.select(col(idCol), col("split").as("pin_split"))
+    val withPin = cur.join(p, Seq(idCol), "left")
+    val inherited = withPin.filter(col("pin_split").isNotNull)
+      .groupBy("sem_cluster")
+      .agg(min_by(col("pin_split"), col(idCol)).as("inh_split"))
+    withPin.join(inherited, Seq("sem_cluster"), "left")
+      .select(col(idCol), col("sem_cluster"),
+        when(col("pin_split").isNotNull, col("pin_split"))
+          .when(col("inh_split").isNotNull, col("inh_split"))
+          .otherwise(when(
+            pmod(graft.functions.TextFunctions.hash60(
+              col("sem_cluster").cast("string")), lit(100L)) < trainPct,
+            "train").otherwise("eval")).as("split"),
+        when(col("pin_split").isNotNull, "pinned")
+          .when(col("inh_split").isNotNull, "inherited")
+          .otherwise("fresh").as("pin_state"))
+  }
+
   /** Sample-representativeness audit over the embedding space — does
     * an eval/calibration sample COVER the corpus, or did it miss whole
     * semantic regions? Per two-level cell: corpus count, sample count,

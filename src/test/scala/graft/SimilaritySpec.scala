@@ -578,6 +578,46 @@ class SimilaritySpec extends SparkSpec {
     assert(s40.map(_._3).distinct == Seq("eval"), s40.toString)
   }
 
+  test("semanticSafeSplitPinned: a landed append can never flip a released doc's side") {
+    // One fine centroid (id 7; ≡7 mod 25) → one cell, so clusters are
+    // pure cosine CCs. Landed: A={7,10,11} (label 7, hash60("7")%100=55
+    // → train at 80), B={1,2} (label 1 → 48 → train). The append adds
+    // id 0 into A — min-label relabels A to 0, and hash60("0")%100=98
+    // → the NAIVE recompute flips every released A doc to eval. The
+    // pinned face must not: released docs keep their side, the new
+    // member inherits from min-id pinned cluster-mate 7, and the
+    // genuinely-new orthogonal cluster {3} hashes fresh.
+    val a = Seq(1f, 0f, 0f); val b = Seq(0f, 1f, 0f); val c = Seq(0f, 0f, 1f)
+    val landed = Seq((1L, b), (2L, b), (7L, a), (10L, a), (11L, a))
+      .toDF("vec_id", "embedding")
+    val grown = Seq((0L, a), (1L, b), (2L, b), (3L, c),
+      (7L, a), (10L, a), (11L, a)).toDF("vec_id", "embedding")
+    graft.util.CacheRegistry.releaseAll()
+    val pinned = Similarity.pinnedSemanticSplit(landed, 80)
+    val naive = Similarity.semanticSafeSplit(grown, trainPct = 80)
+      .select("vec_id", "split").as[(Long, String)].collect().toMap
+    // the failure mode being fixed, demonstrated: naive flips A
+    assert(naive(7L) == "eval" && naive(10L) == "eval", naive.toString)
+    assert(naive(1L) == "train", naive.toString)
+    val got = Similarity.semanticSafeSplitPinned(grown, pinned, 80)
+      .orderBy("vec_id")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, "train", "inherited"),
+      (1L, 1L, "train", "pinned"),
+      (2L, 1L, "train", "pinned"),
+      (3L, 3L, "train", "fresh"),
+      (7L, 0L, "train", "pinned"),
+      (10L, 0L, "train", "pinned"),
+      (11L, 0L, "train", "pinned")), got.toString)
+    // the absolute invariant, stated as such: every released id keeps
+    // its pinned side verbatim
+    val pinMap = pinned.as[(Long, String)].collect().toMap
+    got.filter(r => pinMap.contains(r._1))
+      .foreach(r => assert(r._3 == pinMap(r._1), r.toString))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("embeddingHealthReport: planted pathologies counted, healthy rows profiled") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       1L -> Array(3f, 4f),                  // norm 5 -> ne4 50000
