@@ -60,7 +60,7 @@ object Bench {
       "q128_landed_containment" -> Set("shingles", "landed-sh-set"),
       "q129_ingest_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
         "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
-        "dsir-thresholds", "landed-fp"),
+        "dsir-thresholds", "landed-fp", "gate-evidence"),
       // round-15: the media, LM and full-gate incremental cells
       "q130_image_neardup_incremental" -> Set("img-bands"),
       "q171_video_incremental" -> Set("vid-frames"),
@@ -70,7 +70,7 @@ object Bench {
       "q132_ingest_gate_full" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "landed-fp", "ppl-landed-lm",
-        "ppl-thresholds"),
+        "ppl-thresholds", "gate-evidence"),
       // the absorb round-trip reads the q129 kind family on its own
       // %5∈{0,1,3} landed slice, plus the per-doc DSIR histogram that
       // makes the threshold mergeable; its stage-2 (absorbed) entries

@@ -127,6 +127,18 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // q131/q132's landed LM + boundary ratios on the same %5 slice
       "q131-ppl-lm" -> Curation.landedBigramLm(landedDocs5),
       "q131-ppl-thresholds" -> Curation.landedPplThresholds(landedDocs5),
+      // q129/q132's joined five-column evidence frame — the gate
+      // family's widest plan, whose whole-stage-codegen compile bill
+      // dominated q129's first landing (r16 driver 12.35 s vs the 4.63
+      // floor). Both queries construct it with identical arguments
+      // (MUST textually match their entries' slices), so this ONE
+      // entry serves both and the compile lands in the index phase,
+      // the unified-verdicts pattern.
+      "gate-evidence" -> Dedup.gateEvidence(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
+        emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0"),
       // q184's stage-1 landed side (%5 ∈ {0,1,3} — a THREE-slice
       // contract: landed, batch 1 to absorb, batch 2 to gate): the
       // same landed-index family as q129, keyed on the smaller slice,

@@ -1103,10 +1103,11 @@ object Dedup {
       centroidOffset: Int = 8, minCosine: Double = 0.3,
       coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      memoizeEvidence: Boolean = true): DataFrame =
+    gateEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
       centroidOffset, minCosine, coarseFactor, keepBp, textCol, idCol,
-      vecIdCol, vecCol)
+      vecIdCol, vecCol, memoizeEvidence)
       .select(col(idCol), gateChain(idCol, full = false))
 
   /** Memo for the coarse-slice degeneration guard below: one eager
@@ -1135,6 +1136,40 @@ object Dedup {
     })
     ()
   }
+
+  /** MEMOIZED [[ingestEvidence]] (kind "gate-evidence"): the joined
+    * five-column evidence frame is the gate family's widest plan — its
+    * whole-stage-codegen compile bill dominated q129's first landing
+    * (driver r16: 12.35 s vs a 4.63 floor; ProfileGateConstruct
+    * attribution) — and q129/q132 construct it with IDENTICAL
+    * arguments, so one registry entry serves both and the index phase
+    * can pre-pay the compile the way "unified-verdicts" fixed q116
+    * (r15). Keyed on all four input plans + every evidence-affecting
+    * parameter. `memoize = false` is for the STREAMING gate: a
+    * micro-batch frame's fingerprint is unique per trigger, so
+    * memoizing there would accumulate one persisted batch-sized entry
+    * per micro-batch for the stream's lifetime. */
+  def gateEvidence(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, minCosine: Double = 0.3,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      memoize: Boolean = true): DataFrame =
+    if (!memoize)
+      ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb,
+        targetSource, centroidOffset, minCosine, coarseFactor, keepBp,
+        textCol, idCol, vecIdCol, vecCol)
+    else CacheRegistry.cache(
+      CacheRegistry.key(landedDocs, "gate-evidence",
+        CacheRegistry.planFingerprint(batchDocs),
+        CacheRegistry.planFingerprint(landedEmb),
+        CacheRegistry.planFingerprint(batchEmb),
+        targetSource, centroidOffset, minCosine, coarseFactor, keepBp,
+        textCol, idCol, vecIdCol, vecCol),
+      ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb,
+        targetSource, centroidOffset, minCosine, coarseFactor, keepBp,
+        textCol, idCol, vecIdCol, vecCol))
 
   /** The five dedup/selection evidence columns of the ingest-gate
     * family, joined id-keyed onto the batch — shared by [[ingestGate]]
@@ -1213,15 +1248,16 @@ object Dedup {
       centroidOffset: Int = 8, minCosine: Double = 0.3, cutBp: Int = 1000,
       coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      memoizeEvidence: Boolean = true): DataFrame = {
     val qual = graft.curation.Curation.qualityGate(batchDocs, idCol, textCol)
       .select(col(idCol), col("reasons").as("__qr"))
     val ppl = graft.curation.Curation.perplexityFlagIncrement(
         landedDocs, batchDocs, cutBp, "source", idCol, textCol)
       .select(col(idCol), col("flagged").as("__pf"))
-    ingestEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
+    gateEvidence(landedDocs, batchDocs, landedEmb, batchEmb, targetSource,
       centroidOffset, minCosine, coarseFactor, keepBp, textCol, idCol,
-      vecIdCol, vecCol)
+      vecIdCol, vecCol, memoizeEvidence)
       .join(qual, Seq(idCol), "left")
       .join(ppl, Seq(idCol), "left")
       .select(col(idCol), gateChain(idCol, full = true))

@@ -70,15 +70,20 @@ object IngestGateStream {
               col(textCol))
             val emb = b.select(col(idCol).as("vec_id"),
               col(vecCol).as("embedding"))
+            // memoizeEvidence = false: a micro-batch frame's registry
+            // fingerprint is unique per trigger, so the gate-evidence
+            // memo would leak one persisted entry per micro-batch here
             val verdicts =
               if (full)
                 Dedup.ingestGateFull(landedDocs, docs, landedEmb, emb,
                   targetSource, centroidOffset = centroidOffset,
-                  textCol = textCol, idCol = idCol)
+                  textCol = textCol, idCol = idCol,
+                  memoizeEvidence = false)
               else
                 Dedup.ingestGate(landedDocs, docs, landedEmb, emb,
                   targetSource, centroidOffset = centroidOffset,
-                  textCol = textCol, idCol = idCol)
+                  textCol = textCol, idCol = idCol,
+                  memoizeEvidence = false)
             onVerdicts(epochId, verdicts)
           }
         } finally { b.unpersist(); () }
