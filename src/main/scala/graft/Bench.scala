@@ -72,7 +72,7 @@ object Bench {
         "dsir-counts", "dsir-thresholds", "landed-fp", "ppl-landed-lm",
         "ppl-thresholds", "gate-evidence"),
       // the absorb round-trip reads the q129 kind family on its own
-      // %5∈{0,1,3} landed slice, plus the per-doc DSIR histogram that
+      // id%100-residue landed slice, plus the per-doc DSIR histogram that
       // makes the threshold mergeable; its stage-2 (absorbed) entries
       // are seeded in-query — that seeding IS the measured operator
       "q184_absorb_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
@@ -200,6 +200,15 @@ object Bench {
 
     final case class Sample(sec: Double, gcMs: Long, jitMs: Long, cgN: Long)
 
+    // keys live at the end of the index phase — the only entries
+    // cross-query reuse legitimately flows through (every shared kind
+    // is prebuilt there). Keys CREATED mid-run are query-private even
+    // when their kind name is shared: q184's absorb seeds corpus-scale
+    // "shingles"/"minhash-bands" entries keyed to its own per-run
+    // localCheckpoint frame, which no later query can hit — kind-level
+    // retention alone pinned them for half the suite (review finding).
+    var indexKeys: Set[String] = Set.empty
+
     def exec(name: String, retainKinds: Set[String]): Sample = {
       val (gc0, jit0, cg0) = (gcMs(), jitMs(), cgN())
       val t0 = System.nanoTime()
@@ -214,7 +223,12 @@ object Bench {
       }
       val t = (System.nanoTime() - t0) / 1e9
       val sample = Sample(t, gcMs() - gc0, jitMs() - jit0, cgN() - cg0)
-      val released = graft.util.CacheRegistry.releaseExcept(retainKinds)
+      // drop in-run-created keys too (dead by construction once their
+      // query finished) — but only when the index phase ran, so a
+      // filtered local run without it keeps its ad-hoc cross-query hits
+      val released = graft.util.CacheRegistry.releaseIf(k =>
+        !retainKinds.contains(k.takeWhile(_ != ':')) ||
+          (indexKeys.nonEmpty && !indexKeys.contains(k)))
       if (retainKinds.isEmpty) spark.sharedState.cacheManager.clearCache()
       // ProfileQ26 measured the released blocks' GC debt landing on
       // whatever query ran NEXT (q26 in suite context 2.1 s vs 0.37 s
@@ -290,6 +304,7 @@ object Bench {
       if (!order.exists(cacheKindsUsed.contains)) 0.0
       else try {
         indexDetail = SparkEntry.buildIndexesTimed(spark, sfDir)
+        indexKeys = graft.util.CacheRegistry.entries.keySet
         (System.nanoTime() - tIdx0) / 1e9
       }
       catch { case e: Throwable =>

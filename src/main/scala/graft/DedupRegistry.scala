@@ -1555,9 +1555,10 @@ trait DedupRegistry extends EntryHelpers {
           LEFT JOIN ${p}dsel dsel ON dsel.doc_id = xb.doc_id)"""
 
   /** The q184 absorb round-trip oracle: stage 1 = the gate over
-    * (landed %5∈{0,1,3}, batch %5=2); its admits fold into stage 2's
-    * landed predicate; stage 2 = the gate over the GROWN landed corpus
-    * against batch %5=4 — the one-shot replay of exactly what the
+    * (landed id%100 ∉ {2,22,47,67,12,37,62,87}, batch 1 = %100 ∈
+    * {2,22,47,67}); its admits fold into stage 2's landed predicate;
+    * stage 2 = the gate over the GROWN landed corpus against batch 2 =
+    * %100 ∈ {12,37,62,87} — the one-shot replay of exactly what the
     * Spark side computes through absorbed (merged, never-rebuilt)
     * landed artifacts. The corpus-wide candidate universe (tok /
     * shingle / minhash / fp / pair / vector CTEs) is shared between

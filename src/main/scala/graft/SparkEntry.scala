@@ -139,7 +139,8 @@ object SparkEntry extends CoreRegistry with DedupRegistry
         docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
         emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
         emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0"),
-      // q184's stage-1 landed side (%5 ∈ {0,1,3} — a THREE-slice
+      // q184's stage-1 landed side (id%100 outside both batch residue
+      // sets — a THREE-slice
       // contract: landed, batch 1 to absorb, batch 2 to gate): the
       // same landed-index family as q129, keyed on the smaller slice,
       // plus the per-doc DSIR histogram that makes the threshold

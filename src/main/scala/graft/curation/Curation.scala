@@ -532,12 +532,6 @@ object Curation {
         val scored = dsirDocScores(
           dsirBuckets(landed, targetSource, buckets, stratum, idCol,
             textCol), counts, buckets, idCol, stratum)
-        val w = Window.partitionBy(stratum)
-          .orderBy(col("logw_e6").desc, col(idCol))
-        // stratum sizes via aggregate + null-safe broadcast join, as
-        // dsirSelect
-        val sizes = scored.groupBy(stratum).agg(count(lit(1)).as("cnt"))
-          .withColumnRenamed(stratum, "__st")
         dsirThresholdsOf(scored, keepBp, stratum, idCol)
       })
 

@@ -881,10 +881,15 @@ object Similarity {
       .select(col("sid").as("g_id"), col("vec").as("g_vec"))
     val cells = landedTwoLevelCells(landedEmb, fineStride, fineOffset,
       coarseFactor, idCol, vecCol)
+    // the codebook is FROZEN, so the grown corpus's cell table is the
+    // landed one verbatim — but seed a detached copy, not the same
+    // object: two registry keys sharing one frame double-save through
+    // IndexStore and a release through either key would strip the
+    // other's cache out from under it
     CacheRegistry.seed(
       CacheRegistry.key(landed2Emb, "sem-cells-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
-      cells)
+      cells.select(cells.columns.map(col).toIndexedSeq: _*))
     val lAsn = landedSemanticAssignment2L(landedEmb, fineStride, fineOffset,
       coarseFactor, idCol, vecCol)
     val iAsn = assignTwoLevelWithCells(

@@ -205,13 +205,16 @@ object MaterializedScaleBench {
       // the composed gate under the incremental contract: every
       // landed-side index prebuilt off-clock (preps); timed region =
       // the batch-sized work of all six stages + the id joins
+      // memoizeEvidence = false: the timed region must stay the
+      // batch-sized stage work, not the evidence frame's cache
+      // materialization (ratio comparability with pre-memo rounds)
       ("q129_gate", k =>
         Dedup.ingestGate(
           docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2),
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
-          "src0").count()),
+          "src0", memoizeEvidence = false).count()),
       // append-only IVF-PQ: landed routing/codes prebuilt off-clock
       // (preps); timed region = batch routing + encoding
       // (batch-rows × codebook — codebook grows with landed under the
@@ -258,7 +261,7 @@ object MaterializedScaleBench {
           docs(1).filter(pmod(col("doc_id"), lit(5L)) === 2),
           emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 2),
           emb(1).filter(pmod(col("vec_id"), lit(5L)) === 2),
-          "src0").count()),
+          "src0", memoizeEvidence = false).count()),
       ("q134_bpe_inc", k =>
         graft.curation.Bpe.bpeSegmentStatsIncrement(
           docs(k).filter(pmod(col("doc_id"), lit(5L)) =!= 2),

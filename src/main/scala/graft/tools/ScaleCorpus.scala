@@ -37,8 +37,11 @@ object ScaleCorpus {
 
   def docsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k >= 1 && k <= Alphabets.size, s"k in 1..${Alphabets.size}")
+    // FULL schema (lang, n_chars carried through — translate() is
+    // length-preserving so n_chars stays true of the mutated text):
+    // the full-suite 10× run reads every column the contract queries
+    // do, not just the probe trio's
     val d0 = graft.sources.Tables.load(spark, dir, "documents")
-      .select("doc_id", "text", "source")
     if (k > 1) guardMaxId(d0, "doc_id", IdOffset)
     (0 until k).map(i => d0
       .withColumn("doc_id", col("doc_id") + lit(i.toLong * IdOffset))
@@ -58,7 +61,7 @@ object ScaleCorpus {
     * construction. */
   def embeddingsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e0 = graft.sources.Tables.load(spark, dir, "embeddings")
-      .select("vec_id", "embedding")
+      .select("vec_id", "embedding", "label")
     if (k > 1) guardMaxId(e0, "vec_id", IdOffset)
     // shift modulus derived from the corpus's actual dimension, not a
     // hardcoded 64 (ADVICE r13): on a different-dim corpus a fixed mod
@@ -79,13 +82,15 @@ object ScaleCorpus {
           slice(col("embedding"), lit(1), lit(s)))
       e0.select(
         (col("vec_id") + lit(i.toLong * IdOffset)).as("vec_id"),
-        shifted.as("embedding"))
+        shifted.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
   }
 
   def eventsAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // full schema: ts/event_type/props replicate verbatim — replica
+    // users are disjoint (offset ids), so sharing timestamps adds
+    // parallel per-user timelines, never cross-copy state
     val e0 = graft.sources.Tables.load(spark, dir, "events")
-      .select("event_id", "user_id", "value")
     if (k > 1) { // same collision guard as docsAt, for both replicated ids
       guardMaxId(e0, "event_id", EventIdOffset)
       guardMaxId(e0, "user_id", UserIdOffset)

@@ -21,6 +21,12 @@ object ScaleMaterialize {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_sf10x")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_SF_DIR is also how the subsequent Bench run is
+    // pointed at the OUTPUT — a re-run with that env still exported
+    // would lazily read and overwrite the same path
+    require(new java.io.File(out).getCanonicalPath !=
+        new java.io.File(dir).getCanonicalPath,
+      s"refusing to materialize $dir onto itself (unset SPARK_GRAFT_SF_DIR?)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

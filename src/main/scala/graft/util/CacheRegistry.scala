@@ -130,8 +130,18 @@ object CacheRegistry {
     * e.g. "shingles", "minhash-bands", "dedup-clusters") is NOT in
     * `retainKinds`. Returns the number of entries released — lets a
     * harness decide whether a GC pass is owed. */
-  def releaseExcept(retainKinds: Set[String]): Int = {
-    val victims = items.keySet.filter(k => !retainKinds.contains(k.takeWhile(_ != ':')))
+  def releaseExcept(retainKinds: Set[String]): Int =
+    releaseIf(k => !retainKinds.contains(k.takeWhile(_ != ':')))
+
+  /** Release every entry whose FULL key satisfies `victim`. The
+    * key-precision face of [[releaseExcept]]: a query that seeds
+    * entries keyed to its own run-private plans (q184's absorbed
+    * grown-landed frames hang off a per-run localCheckpoint leaf) puts
+    * keys under SHARED kind names that no other query can ever hit —
+    * kind-level retention would pin them for as long as the kind has
+    * later consumers. */
+  def releaseIf(victim: String => Boolean): Int = {
+    val victims = items.keySet.filter(victim)
     victims.foreach { k =>
       items.remove(k).foreach(_.unpersist(blocking = false))
     }
