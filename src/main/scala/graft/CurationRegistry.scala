@@ -361,6 +361,16 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("query_id", "rnk")
       }),
 
+      // Hybrid lexical+semantic retrieval: q71's BM25 and q21's exact
+      // cosine ranks fused by reciprocal rank (⌊1e9/(60+rank)⌋ summed
+      // — integer floor division, exact in both engines); query = each
+      // ≡0-mod-100 doc via its 8 rarest tokens (lexical) and its
+      // embedding row (semantic).
+      "q187_hybrid_rrf" -> ((s, dir) =>
+        graft.curation.Curation.hybridRrfTopK(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("q_id", "rnk")),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -1135,6 +1145,68 @@ trait CurationRegistry extends EntryHelpers {
                 FROM agg)
           SELECT query_id, rnk, doc_id, score_e6
           FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // q187: q71's BM25 chain with doc-derived query terms (8 rarest by
+    // df asc, tok asc per ≡0-mod-100 doc) + q21's exact-cosine rank
+    // chain, fused by integer RRF — floor division on both engines.
+    "q187_hybrid_rrf" ->
+      s"""WITH $tokCte,
+          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
+          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
+                 FROM t GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
+                 FROM t GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
+          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
+                  FROM tf GROUP BY 1),
+          qt AS (SELECT q_id, tok FROM (
+                   SELECT tf.doc_id q_id, tf.tok,
+                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY df ASC, tf.tok) trk
+                   FROM tf JOIN dfr USING (tok)
+                   WHERE tf.doc_id % 100 = 0) x
+                 WHERE trk <= 8),
+          sc AS (SELECT qt.q_id, tf.doc_id,
+                   CAST(round(
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl /
+                         (CAST(total_len AS DOUBLE) / n_docs)))
+                     * 1000000, 0) AS BIGINT) s_e6
+                 FROM qt JOIN tf USING (tok) JOIN dfr USING (tok)
+                   JOIN dl ON tf.doc_id = dl.doc_id, st
+                 WHERE tf.doc_id != qt.q_id),
+          bma AS (SELECT q_id, doc_id, CAST(SUM(s_e6) AS BIGINT) score_e6
+                  FROM sc GROUP BY 1, 2),
+          bmr AS (SELECT q_id, doc_id, rnk FROM (
+                    SELECT q_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY score_e6 DESC, doc_id) rnk
+                    FROM bma) b WHERE rnk <= 20),
+          qv AS (SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+          cv AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          annr AS (SELECT q_id, vec_id AS doc_id, rnk FROM (
+                     SELECT q_id, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY round(list_dot_product(v, qv) /
+                                (sqrt(list_dot_product(v, v)) *
+                                 sqrt(list_dot_product(qv, qv))), 4)
+                                DESC, vec_id) rnk
+                     FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20),
+          u AS (SELECT q_id, doc_id, rnk FROM bmr
+                UNION ALL SELECT q_id, doc_id, rnk FROM annr),
+          f AS (SELECT q_id, doc_id,
+                  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) rrf_e9
+                FROM u GROUP BY 1, 2),
+          fr AS (SELECT q_id, doc_id, rrf_e9,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) rnk
+                 FROM f)
+          SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
 
     // Rank + running sum over the vocabulary ordered (count DESC, token);
     // integer sums, one double division at the end.

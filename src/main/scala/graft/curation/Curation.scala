@@ -535,6 +535,84 @@ object Curation {
         dsirThresholdsOf(scored, keepBp, stratum, idCol)
       })
 
+  /** HYBRID lexical+semantic retrieval via reciprocal-rank fusion —
+    * the standard two-system production shape (BM25 recovers exact
+    * terms an embedding smooths away; the embedding recovers
+    * paraphrases BM25 cannot see; RRF fuses WITHOUT calibrating the
+    * incomparable score scales, Cormack et al. 2009). Per query doc
+    * (id ≡ 0 mod `queryStride`, owning both a text row and an
+    * embedding row — the corpus's aligned id space):
+    *
+    *  1. *lexical*: the query doc's `kTerms` RAREST tokens (df asc,
+    *     token asc — the deterministic more-like-this term selection)
+    *     score the corpus with q71's integer-e6 BM25; top-`depth` by
+    *     (score desc, id).
+    *  2. *semantic*: exact-cosine top-`depth`
+    *     ([[graft.similarity.Similarity.bruteForceTopK]], the q21
+    *     baseline — swap in `ivfTopK`/`lshTopK` at scale, the ranks
+    *     fuse identically).
+    *  3. *fuse*: rrf contribution = ⌊1e9 / (rrfK + rank)⌋ per system
+    *     (integer floor division — exact in both engines), summed per
+    *     (query, doc); final top-`k` by (rrf desc, id).
+    *
+    * Self-hits are excluded on both systems. A doc ranked by only one
+    * system still fuses (the union is the candidate set — absence of
+    * the other system's vote is a smaller sum, never a drop). Scale:
+    * both systems are the independently-probed retrieval operators;
+    * fusion adds one union + an id-keyed sum + a per-query window over
+    * ≤ 2·depth rows. Output: (q_id, rnk, idCol, rrf_e9). */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
+      depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
+      queryStride: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("df").asc, col("tok").asc)
+    val qq = tf.filter(pmod(col(idCol), lit(queryStride.toLong)) === 0)
+      .select(col(idCol).as("q_id"), col("tok"))
+      .join(dfr, "tok")
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= kTerms)
+      .select("q_id", "tok")
+    val bmScored = qq
+      .join(tf, "tok").join(dfr, "tok").join(dl, idCol)
+      .filter(col(idCol) =!= col("q_id"))
+      .crossJoin(broadcast(stats)) // one-row stats: fused scan
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s_e6", round(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+            (col("total_len").cast("double") / col("n_docs"))))
+          * lit(1000000)).cast("long"))
+      .groupBy("q_id", idCol).agg(sum("s_e6").as("score_e6"))
+    val wb = Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col(idCol).asc)
+    val bmRanks = bmScored.withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= depth)
+      .select(col("q_id"), col(idCol), col("rnk"))
+    val annRanks = graft.similarity.Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(pmod(col(vecIdCol), lit(queryStride.toLong)) === 0),
+        depth, vecIdCol, vecCol)
+      .select(col("q_id"), col("vec_id").as(idCol), col("rank").as("rnk"))
+    val fused = bmRanks.unionByName(annRanks)
+      .withColumn("rrf", expr(s"1000000000 div ($rrfK + rnk)"))
+      .groupBy("q_id", idCol).agg(sum("rrf").as("rrf_e9"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_e9").desc, col(idCol).asc)
+    fused.withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("rrf_e9"))
+  }
+
   /** The rank-quantile tail shared by [[landedDsirThresholds]] and the
     * absorb path ([[absorbDsir]]) — one definition so the threshold a
     * merged-artifact rebuild computes can never drift from the one-shot

@@ -1130,4 +1130,29 @@ class CurationSpec extends SparkSpec {
       ("u", "changed", 1L, 0L, 1L, 1L)), got.toString)
   }
 
+  test("hybridRrfTopK: lexical-only and semantic-only hits fuse by integer RRF") {
+    // query = doc 0. Lexical sees ONLY doc 1 (shares the rare terms;
+    // docs 2/3 share no query token). Semantic ranks doc 2 first
+    // (cos ≈ .9949) then doc 1 on the id tie at cos 0 — so each
+    // system alone misses a relevant doc and the fusion holds both:
+    // doc1 = ⌊1e9/61⌋ (bm rank 1) + ⌊1e9/62⌋ (ann rank 2),
+    // doc2 = ⌊1e9/61⌋ (ann rank 1 only); doc 3 is never retrieved.
+    val docs = Seq(
+      (0L, "zebra quark flux"),
+      (1L, "zebra quark flux extra"),
+      (2L, "common common common"),
+      (3L, "common words here")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f)),
+      (2L, Seq(0.99f, 0.1f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Curation.hybridRrfTopK(docs, emb, k = 3, depth = 2,
+        kTerms = 3, queryStride = 10)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 16393442L + 16129032L),
+      (0L, 2L, 2L, 16393442L)), got.toString)
+  }
+
 }
