@@ -29,13 +29,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The batch is persisted before gating (it feeds both the document
   * and embedding sides of the gate; an unpersisted streaming batch
   * re-evaluated within one epoch can re-run its source) and
-  * unpersisted after delivery. One deliberate non-goal: this face
-  * does NOT fold admitted documents back into the landed corpus
-  * mid-run — landed-index refresh is a periodic compaction decision
-  * (rebuild the memoized indexes from the grown corpus between
-  * sessions), not a per-batch one; folding per batch would make
-  * verdicts order-dependent, exactly what the landed-codebook
-  * principle exists to prevent. */
+  * unpersisted after delivery. Two faces with DIFFERENT consistency
+  * contracts:
+  *
+  *  - [[attach]] gates every batch against the FROZEN landed corpus —
+  *    verdicts are batch-order-independent (the landed-codebook
+  *    principle), the right face when a batch's duplicates of other
+  *    in-flight batches are resolved by a later offline pass;
+  *  - [[attachAbsorbing]] folds each batch's ADMITTED documents into
+  *    the landed artifacts before the next trigger
+  *    ([[graft.dedup.Dedup.absorbBatch]], the q184 merge) — verdicts
+  *    are deliberately arrival-order-DEPENDENT (first copy in wins;
+  *    its re-upload next batch verdicts `exact_landed_dup`), the
+  *    operational dedup contract of a live ingest loop. */
 object IngestGateStream {
 
   /** Attach the gate to a streaming `records` frame with columns
@@ -50,6 +56,7 @@ object IngestGateStream {
   def attach(records: DataFrame, landedDocs: DataFrame,
       landedEmb: DataFrame, targetSource: String,
       full: Boolean = true, centroidOffset: Int = 8,
+      keepBp: Int = 2000,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       idCol: String = "doc_id", stratum: String = "source",
       textCol: String = "text", vecCol: String = "embedding")(
@@ -77,16 +84,153 @@ object IngestGateStream {
               if (full)
                 Dedup.ingestGateFull(landedDocs, docs, landedEmb, emb,
                   targetSource, centroidOffset = centroidOffset,
-                  textCol = textCol, idCol = idCol,
+                  keepBp = keepBp, textCol = textCol, idCol = idCol,
                   memoizeEvidence = false)
               else
                 Dedup.ingestGate(landedDocs, docs, landedEmb, emb,
                   targetSource, centroidOffset = centroidOffset,
-                  textCol = textCol, idCol = idCol,
+                  keepBp = keepBp, textCol = textCol, idCol = idCol,
                   memoizeEvidence = false)
             onVerdicts(epochId, verdicts)
           }
         } finally { b.unpersist(); () }
       }
       .start()
+
+  /** The gate with LIVE ABSORPTION — the operational loop
+    * "gate → admit → absorb → next batch" ([[graft.dedup.Dedup.absorbBatch]])
+    * run continuously: after each micro-batch's verdicts are delivered,
+    * the admitted documents fold into every landed artifact (fp set,
+    * shingle/band tables, frozen-codebook vector assignments, DSIR
+    * counts + re-derived thresholds), so the NEXT batch gates against
+    * the GROWN corpus — a re-upload of something admitted two triggers
+    * ago verdicts `exact_landed_dup`, never `admit`. Six-stage gate
+    * only (the q184-proven absorb family covers exactly its kinds).
+    *
+    * Mechanics, per admitted batch (generation G):
+    *  - admitted docs/embeddings are `localCheckpoint`ed (eager,
+    *    batch-sized) so the grown frames' plans stay one leaf per
+    *    generation, the q184 device;
+    *  - [[graft.dedup.Dedup.absorbBatch]] seeds the G-keyed registry
+    *    entries as LAZY merges over generation G−1's cached artifacts
+    *    — they materialize when batch G+1's gate reads them, so
+    *    generation G−2's entries (superseded AND no longer lazily
+    *    referenced) are released right then, keeping exactly two
+    *    generations of artifacts live;
+    *  - every `compactEvery` admitted batches — or if the frozen
+    *    codebook REFUSES an admitted id on a centroid stride
+    *    ([[graft.similarity.Similarity.absorbSemantic2L]]'s loud
+    *    contract) — the loop COMPACTS: the grown frames collapse to
+    *    one checkpointed leaf each, every tracked generation entry is
+    *    released, and the next gate rebuilds the landed indexes from
+    *    the compacted corpus (the LSM shape: cheap merges between
+    *    rebuilds, cost amortized over `compactEvery` triggers).
+    *
+    * Epoch-replay caveat (inherent to order-dependent absorption, not
+    * this wiring): a batch replayed AFTER its admits were absorbed
+    * re-verdicts its own docs `exact_landed_dup` — deliver-then-absorb
+    * keeps the delivered verdicts right for exactly-once sinks, and a
+    * duplicate absorb is idempotent (the fp anti-join + distinct
+    * merges absorb a re-fold to a no-op; assignments/counts guard on
+    * already-present ids only through the gate's own dedup, so the
+    * practical contract is at-least-once delivery with idempotent
+    * index state). */
+  def attachAbsorbing(records: DataFrame, landedDocs0: DataFrame,
+      landedEmb0: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, compactEvery: Int = 16,
+      keepBp: Int = 2000,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      idCol: String = "doc_id", stratum: String = "source",
+      textCol: String = "text", vecCol: String = "embedding")(
+      onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    // single-threaded within foreachBatch (one epoch at a time).
+    // Project the landed frames to the gate's canonical columns up
+    // front: the grown frames union landed with the stream's 3-column
+    // batch projection, so extra landed columns (lang, n_chars, …)
+    // must not reach the union
+    var landedDocs = landedDocs0.select(col(idCol), col("source"),
+      col(textCol))
+    var landedEmb = landedEmb0.select(col("vec_id"), col("embedding"))
+    var admittedGens = 0
+    // fingerprints of generations G-1 and G-2's landed frames — the
+    // release bookkeeping (a registry key ends ":"+fingerprint)
+    var fpsPrev: Seq[String] = Seq.empty
+    var fpsPrev2: Seq[String] = Seq.empty
+    def fpsOf(d: DataFrame, e: DataFrame): Seq[String] = Seq(
+      graft.util.CacheRegistry.planFingerprint(d),
+      graft.util.CacheRegistry.planFingerprint(e))
+    def releaseFps(fps: Seq[String]): Unit = {
+      if (fps.nonEmpty) {
+        graft.util.CacheRegistry.releaseIf(k =>
+          fps.exists(fp => k.endsWith(":" + fp)))
+        ()
+      }
+    }
+    def compact(landed2d: DataFrame, landed2e: DataFrame,
+        extraFps: Seq[String]): Unit = {
+      // release EVERY tracked generation plus any keys hanging off the
+      // raw union frames (a refused absorb seeds text artifacts under
+      // the landed2 keys before the semantic stage throws)
+      val toRelease = fpsOf(landedDocs, landedEmb) ++
+        fpsOf(landed2d, landed2e) ++ extraFps ++ fpsPrev ++ fpsPrev2
+      landedDocs = landed2d.localCheckpoint(true)
+      landedEmb = landed2e.localCheckpoint(true)
+      releaseFps(toRelease)
+      fpsPrev = Seq.empty; fpsPrev2 = Seq.empty
+    }
+    records.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val docs = b.select(col(idCol), col(stratum).as("source"),
+              col(textCol))
+            val emb = b.select(col(idCol).as("vec_id"),
+              col(vecCol).as("embedding"))
+            val verdicts = Dedup.ingestGate(landedDocs, docs, landedEmb,
+              emb, targetSource, centroidOffset = centroidOffset,
+              keepBp = keepBp, textCol = textCol, idCol = idCol,
+              memoizeEvidence = false)
+            // deliver BEFORE absorbing: the delivered verdicts are the
+            // ones computed against the pre-batch landed state
+            onVerdicts(epochId, verdicts)
+            val adm = verdicts.filter(col("gate") === "admit")
+              .select(col(idCol)).localCheckpoint(true)
+            if (!adm.isEmpty) {
+              val admDocs = docs.join(adm, Seq(idCol)).localCheckpoint(true)
+              val admEmb = emb.join(
+                adm.select(col(idCol).as("vec_id")), Seq("vec_id"))
+                .localCheckpoint(true)
+              val landed2d = landedDocs.unionByName(admDocs)
+              val landed2e = landedEmb.unionByName(admEmb)
+              admittedGens += 1
+              // the admitted frames' own memoized builds (the batch
+              // sides of the text merges key on them) ride the same
+              // two-generation release schedule
+              val admFps = fpsOf(admDocs, admEmb)
+              if (admittedGens % compactEvery == 0)
+                compact(landed2d, landed2e, admFps)
+              else try {
+                val cur = fpsOf(landedDocs, landedEmb) ++ admFps
+                Dedup.absorbBatch(landedDocs, admDocs, landedEmb, admEmb,
+                  landed2d, landed2e, targetSource, centroidOffset,
+                  keepBp = keepBp)
+                landedDocs = landed2d
+                landedEmb = landed2e
+                releaseFps(fpsPrev2)
+                fpsPrev2 = fpsPrev; fpsPrev = cur
+              } catch { case _: IllegalArgumentException =>
+                // an admitted id landed on a codebook stride — the
+                // frozen-codebook merge refuses; compact instead
+                compact(landed2d, landed2e, admFps)
+              }
+            }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
 }

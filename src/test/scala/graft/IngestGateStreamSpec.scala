@@ -87,4 +87,87 @@ class IngestGateStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("absorbing gate: a re-upload of a doc ADMITTED last batch verdicts exact_landed_dup; the frozen face re-admits it") {
+    graft.util.CacheRegistry.releaseAll()
+    // q184's fixture, exactly: at sf0.01, landed = id%100 outside the
+    // residue set, batch = id%100 ∈ {2,22,47,67} (sources overlap the
+    // landed slice, so DSIR has evidence), keepBp = 5000 (the bar at
+    // which stage 1 genuinely admits at contract scale)
+    val dirA = "/root/testdata/sf0.01"
+    val res1 = Seq(2L, 22L, 47L, 67L)
+    val landedDocsA = graft.sources.Tables.load(spark, dirA, "documents")
+      .filter(!pmod(col("doc_id"), lit(100L)).isin(res1: _*))
+    val landedEmbA = graft.sources.Tables.load(spark, dirA, "embeddings")
+      .filter(!pmod(col("vec_id"), lit(100L)).isin(res1: _*))
+    val recs: Seq[(Long, String, String, Seq[Float])] = {
+      val docs = graft.sources.Tables.load(spark, dirA, "documents")
+        .filter(pmod(col("doc_id"), lit(100L)).isin(res1: _*))
+        .select("doc_id", "source", "text")
+        .as[(Long, String, String)].collect()
+      val emb = graft.sources.Tables.load(spark, dirA, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100L)).isin(res1: _*))
+        .select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toMap
+      docs.toSeq.map { case (id, src, text) =>
+        (id, src, text, emb.getOrElse(id, Seq.fill(64)(0f)))
+      }
+    }
+    val byId = recs.map(r => r._1 -> r).toMap
+    // fresh ids off the frozen codebook strides (x ≡ 8 mod 25 would be
+    // refused by the absorb — though batch-side %5==2 ids can never be)
+    def reupOf(ids: Seq[Long]): Seq[(Long, String, String, Seq[Float])] =
+      ids.map { id =>
+        val (_, s, t, e) = byId(id)
+        var nid = id + 1000003L
+        while (nid % 25L == 8L) nid += 1L
+        (nid, s, t, e)
+      }
+    def run(absorbing: Boolean,
+        slices: Iterator[Map[Long, String] => Seq[(Long, String, String, Seq[Float])]])
+        : Seq[Map[Long, String]] = {
+      val input = MemoryStream[(Long, String, String, Seq[Float])](spark)
+      val records = input.toDF().toDF("doc_id", "source", "text", "embedding")
+      val perEpoch = scala.collection.mutable.Buffer.empty[Map[Long, String]]
+      def sink(e: Long, v: DataFrame): Unit = {
+        perEpoch += v.as[(Long, String)].collect().toMap
+        ()
+      }
+      val q =
+        if (absorbing)
+          IngestGateStream.attachAbsorbing(records, landedDocsA, landedEmbA,
+            "src0", keepBp = 5000)(sink)
+        else
+          IngestGateStream.attach(records, landedDocsA, landedEmbA,
+            "src0", full = false, keepBp = 5000)(sink)
+      try slices.foreach { mk =>
+        input.addData(mk(perEpoch.lastOption.getOrElse(Map.empty)))
+        q.processAllAvailable()
+      } finally q.stop()
+      perEpoch.toSeq
+    }
+    // batch 1 = the full record slice; batch 2 = exact re-uploads (new
+    // id, same text + vector) of three docs batch 1 ADMITTED
+    def slices = Iterator(
+      (_: Map[Long, String]) => recs,
+      (prev: Map[Long, String]) => {
+        val admitted = prev.collect { case (id, "admit") => id }.toSeq.sorted
+        assert(admitted.nonEmpty, "fixture admitted nothing in batch 1")
+        reupOf(admitted.take(3))
+      })
+    val absorbed = run(absorbing = true, slices)
+    absorbed(1).foreach { case (id, v) =>
+      assert(v == "exact_landed_dup",
+        s"re-upload $id not caught by the absorbed index: $v")
+    }
+    graft.util.CacheRegistry.releaseAll()
+    // the frozen face gates batch 2 against the UNCHANGED landed corpus
+    // — the re-uploads of just-admitted (landed-absent) docs re-admit:
+    // exactly the operational gap attachAbsorbing closes
+    val frozen = run(absorbing = false, slices)
+    frozen(1).foreach { case (id, v) =>
+      assert(v == "admit", s"frozen face unexpectedly rejected $id: $v")
+    }
+    graft.util.CacheRegistry.releaseAll()
+  }
 }
