@@ -194,6 +194,13 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
+      // the power-iteration direction (+ deflated second) — q146/q147/
+      // q149/q152 share these memos; since r17 an in-run-created key
+      // releases after its query, so the shared builds belong here
+      // (r17b: q147/q149 re-paid the fixed point, 2.5 s vs their
+      // 0.28 floors)
+      "power-iter" -> Similarity.powerIterationTop(emb, iters = 3),
+      "power-iter-2" -> Similarity.powerIterationSecond(emb, iters = 3),
       // q186's pinned release split over the %10 landed slice — the
       // release artifact IS the index (kind "sem-split-pin", the
       // IndexStore-persisted replacement for "pin the release output"
