@@ -175,7 +175,9 @@ object Bench {
       "q151_source_jaccard"        -> Set("shingles", "src-grams"),
       // cluster representatives fold the memoized q43 cluster table
       "q148_cluster_rep"           -> Set("shingles", "minhash-bands",
-                                          "dedup-clusters"))
+                                          "dedup-clusters"),
+      // hybrid retrieval probes the memoized lexical index
+      "q187_hybrid_rrf"            -> Set("bm25-stats"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -194,6 +194,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
+      // the corpus-side BM25 statistics (q187's lexical index; a
+      // retrieval system computes these once per corpus, never per
+      // query)
+      "bm25-stats" -> Curation.bm25Stats(docs),
       // the power-iteration direction (+ deflated second) — q146/q147/
       // q149/q152 share these memos; since r17 an in-run-created key
       // releases after its query, so the shared builds belong here

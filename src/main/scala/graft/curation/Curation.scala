@@ -561,18 +561,36 @@ object Curation {
     * both systems are the independently-probed retrieval operators;
     * fusion adds one union + an id-keyed sum + a per-query window over
     * ≤ 2·depth rows. Output: (q_id, rnk, idCol, rrf_e9). */
+  /** The corpus-side BM25 statistics table — per-(doc, token) term
+    * frequency with doc length and document frequency attached, the
+    * lexical INDEX every BM25-family query probes (kind "bm25-stats":
+    * a retrieval system computes these once per corpus, never per
+    * query — the same landed-artifact principle as every other
+    * memoized index). One tokenize + two hash aggregates + one
+    * token-keyed join; rows = distinct (doc, token). */
+  def bm25Stats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(docs, "bm25-stats", idCol, textCol), {
+        val tok = docs.select(col(idCol),
+          explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        val tf = tok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(dfr, "tok").join(dl, idCol)
+      })
+
   def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
       depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
       queryStride: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val tf = tok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val bm = bm25Stats(docs, idCol, textCol)
+    val tf = bm.select(col(idCol), col("tok"), col("tf"))
+    val dl = bm.select(col(idCol), col("dl")).distinct()
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_len"))
-    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfr = bm.select(col("tok"), col("df")).distinct()
     val wq = Window.partitionBy("q_id")
       .orderBy(col("df").asc, col("tok").asc)
     val qq = tf.filter(pmod(col(idCol), lit(queryStride.toLong)) === 0)
