@@ -535,6 +535,28 @@ object Curation {
         dsirThresholdsOf(scored, keepBp, stratum, idCol)
       })
 
+  /** The corpus-side BM25 statistics table — per-(doc, token) term
+    * frequency with doc length and document frequency attached, the
+    * lexical INDEX every BM25-family query probes (kind "bm25-stats":
+    * a retrieval system computes these once per corpus, never per
+    * query — the same landed-artifact principle as every other
+    * memoized index). One tokenize + two hash aggregates + one
+    * token-keyed join; rows = distinct (doc, token). At 100 TB the dl
+    * and df projections would be their own artifacts next to this one
+    * — here they derive from the cached table (one in-memory column
+    * scan + distinct each). */
+  def bm25Stats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(docs, "bm25-stats", idCol, textCol), {
+        val tok = docs.select(col(idCol),
+          explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        val tf = tok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(dfr, "tok").join(dl, idCol)
+      })
+
   /** HYBRID lexical+semantic retrieval via reciprocal-rank fusion —
     * the standard two-system production shape (BM25 recovers exact
     * terms an embedding smooths away; the embedding recovers
@@ -561,25 +583,6 @@ object Curation {
     * both systems are the independently-probed retrieval operators;
     * fusion adds one union + an id-keyed sum + a per-query window over
     * ≤ 2·depth rows. Output: (q_id, rnk, idCol, rrf_e9). */
-  /** The corpus-side BM25 statistics table — per-(doc, token) term
-    * frequency with doc length and document frequency attached, the
-    * lexical INDEX every BM25-family query probes (kind "bm25-stats":
-    * a retrieval system computes these once per corpus, never per
-    * query — the same landed-artifact principle as every other
-    * memoized index). One tokenize + two hash aggregates + one
-    * token-keyed join; rows = distinct (doc, token). */
-  def bm25Stats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    graft.util.CacheRegistry.cache(
-      graft.util.CacheRegistry.key(docs, "bm25-stats", idCol, textCol), {
-        val tok = docs.select(col(idCol),
-          explode(TextFunctions.tokens(col(textCol))).as("tok"))
-        val tf = tok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
-        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        tf.join(dfr, "tok").join(dl, idCol)
-      })
-
   def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
       depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
       queryStride: Int = 100, idCol: String = "doc_id",

@@ -66,6 +66,7 @@ object IngestGateStream {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val b = batch.persist()
+        var batchFps: Seq[String] = Seq.empty
         try {
           // persist FIRST: even the emptiness probe must not re-run
           // the source (the hazard the persist exists to prevent)
@@ -77,6 +78,9 @@ object IngestGateStream {
               col(textCol))
             val emb = b.select(col(idCol).as("vec_id"),
               col(vecCol).as("embedding"))
+            batchFps = Seq(
+              graft.util.CacheRegistry.planFingerprint(docs),
+              graft.util.CacheRegistry.planFingerprint(emb))
             // memoizeEvidence = false: a micro-batch frame's registry
             // fingerprint is unique per trigger, so the gate-evidence
             // memo would leak one persisted entry per micro-batch here
@@ -93,7 +97,19 @@ object IngestGateStream {
                   memoizeEvidence = false)
             onVerdicts(epochId, verdicts)
           }
-        } finally { b.unpersist(); () }
+        } finally {
+          // drop the gate's batch-side memos (shingle/band tables keyed
+          // on THIS trigger's frame fingerprints — no later batch can
+          // hit them; a long-running stream otherwise accumulates one
+          // persisted pair per trigger, review finding)
+          if (batchFps.nonEmpty) {
+            graft.util.CacheRegistry.releaseIf(k =>
+              batchFps.exists(fp => k.endsWith(":" + fp)))
+            ()
+          }
+          b.unpersist()
+          ()
+        }
       }
       .start()
 
@@ -145,13 +161,20 @@ object IngestGateStream {
       onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     // single-threaded within foreachBatch (one epoch at a time).
-    // Project the landed frames to the gate's canonical columns up
-    // front: the grown frames union landed with the stream's 3-column
-    // batch projection, so extra landed columns (lang, n_chars, …)
-    // must not reach the union
-    var landedDocs = landedDocs0.select(col(idCol), col("source"),
-      col(textCol))
-    var landedEmb = landedEmb0.select(col("vec_id"), col("embedding"))
+    // Generation 0 keeps the CALLER's landed frames verbatim — their
+    // registry keys are the ones an index phase / IndexStore restore
+    // built, and a projection here would change every fingerprint and
+    // force a full landed rebuild on the first batch (review finding).
+    // The canonical-column projection happens at UNION construction
+    // instead: the grown frames join landed with the stream's
+    // 3-column batch projection, so extra landed columns (lang,
+    // n_chars, …) must not reach the union.
+    var landedDocs = landedDocs0
+    var landedEmb = landedEmb0
+    def projDocs(d: DataFrame): DataFrame =
+      d.select(col(idCol), col("source"), col(textCol))
+    def projEmb(e: DataFrame): DataFrame =
+      e.select(col("vec_id"), col("embedding"))
     var admittedGens = 0
     // fingerprints of generations G-1 and G-2's landed frames — the
     // release bookkeeping (a registry key ends ":"+fingerprint)
@@ -184,16 +207,22 @@ object IngestGateStream {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val b = batch.persist()
+        var verdicts: DataFrame = null
+        var batchFps: Seq[String] = Seq.empty
         try {
           if (!b.isEmpty) {
             val docs = b.select(col(idCol), col(stratum).as("source"),
               col(textCol))
             val emb = b.select(col(idCol).as("vec_id"),
               col(vecCol).as("embedding"))
-            val verdicts = Dedup.ingestGate(landedDocs, docs, landedEmb,
+            batchFps = fpsOf(docs, emb)
+            // persist: the sink's action AND the admit extraction both
+            // read the full six-stage plan — without this the whole
+            // gate evaluates twice per trigger (review finding)
+            verdicts = Dedup.ingestGate(landedDocs, docs, landedEmb,
               emb, targetSource, centroidOffset = centroidOffset,
               keepBp = keepBp, textCol = textCol, idCol = idCol,
-              memoizeEvidence = false)
+              memoizeEvidence = false).persist()
             // deliver BEFORE absorbing: the delivered verdicts are the
             // ones computed against the pre-batch landed state
             onVerdicts(epochId, verdicts)
@@ -204,8 +233,8 @@ object IngestGateStream {
               val admEmb = emb.join(
                 adm.select(col(idCol).as("vec_id")), Seq("vec_id"))
                 .localCheckpoint(true)
-              val landed2d = landedDocs.unionByName(admDocs)
-              val landed2e = landedEmb.unionByName(admEmb)
+              val landed2d = projDocs(landedDocs).unionByName(admDocs)
+              val landed2e = projEmb(landedEmb).unionByName(admEmb)
               admittedGens += 1
               // the admitted frames' own memoized builds (the batch
               // sides of the text merges key on them) ride the same
@@ -222,14 +251,30 @@ object IngestGateStream {
                 landedEmb = landed2e
                 releaseFps(fpsPrev2)
                 fpsPrev2 = fpsPrev; fpsPrev = cur
-              } catch { case _: IllegalArgumentException =>
-                // an admitted id landed on a codebook stride — the
-                // frozen-codebook merge refuses; compact instead
-                compact(landed2d, landed2e, admFps)
+              } catch {
+                // ONLY the frozen-codebook stride refusal converts to
+                // compaction; any other contract violation in the
+                // absorb family must surface, not silently degrade the
+                // stream to rebuild-per-batch (review finding)
+                case e: IllegalArgumentException
+                    if e.getMessage != null &&
+                      e.getMessage.contains("absorbSemantic2L") =>
+                  compact(landed2d, landed2e, admFps)
               }
             }
           }
-        } finally { b.unpersist(); () }
+        } finally {
+          // the gate's batch-side memos (shingle/band tables of THIS
+          // trigger's frames) are keyed on per-trigger fingerprints no
+          // later batch can hit — drop them now or a long-running
+          // stream accumulates one persisted pair per trigger
+          // (review finding); the admitted frames' entries are
+          // generation-tracked above, the landed ones don't match
+          releaseFps(batchFps)
+          if (verdicts != null) { verdicts.unpersist(); () }
+          b.unpersist()
+          ()
+        }
       }
       .start()
   }

@@ -47,8 +47,11 @@ object GateRateBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // absorb mode builds against the residue-sliced landed plans, whose
+    // keys a frozen-face store can never serve — restoring there would
+    // be pure startup waste and a misleading "restored" count
     val restored =
-      if (java.nio.file.Files.exists(
+      if (!absorbing && java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$store/manifest")))
         IndexStore.restoreAll(spark, store)
       else 0
