@@ -177,7 +177,11 @@ object Bench {
       "q148_cluster_rep"           -> Set("shingles", "minhash-bands",
                                           "dedup-clusters"),
       // hybrid retrieval probes the memoized lexical index
-      "q187_hybrid_rrf"            -> Set("bm25-stats"))
+      "q187_hybrid_rrf"            -> Set("bm25-stats"),
+      // the rotation reads the release artifacts + the grown corpora's
+      // memoized end tables (q186's entry is beside q176's above)
+      "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",
+                                          "sem-split-pin"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

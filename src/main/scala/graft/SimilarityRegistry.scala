@@ -213,6 +213,24 @@ trait SimilarityRegistry extends EntryHelpers {
           .orderBy("vec_id")
       }),
 
+      // q186's pin rotated across TWO appends (release-over-release):
+      // pin0 = the %10∉{3,7} landed release; pin1 = the %10≠7 grown
+      // corpus consulting pin0, persisted as its own release; the
+      // final corpus consults pin1 — a doc released under pin0 must
+      // keep its side through BOTH rotations (pin transitivity).
+      "q188_split_pin_rotation" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val l0 = emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 7L))
+        val g1 = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 7)
+        val pin1 = graft.similarity.Similarity.rotatePinnedSplit(g1,
+          graft.similarity.Similarity.pinnedSemanticSplit(l0,
+            trainPct = 80),
+          trainPct = 80)
+        graft.similarity.Similarity.semanticSafeSplitPinned(emb, pin1,
+            trainPct = 80)
+          .orderBy("vec_id")
+      }),
+
       "q118_semantic_dedup_2l" -> ((s, dir) =>
         graft.similarity.Similarity.semanticDedupTwoLevel(
             table(s, dir, "embeddings"))
@@ -409,6 +427,70 @@ trait SimilarityRegistry extends EntryHelpers {
                         UNION
                         SELECT w.u, ed.v FROM walk w JOIN ed ON ed.u = w.r),
          cl AS (SELECT u sid, MIN(r) lbl FROM walk GROUP BY u)"""
+
+  /** [[sem2lAsnCtes]] + [[sem2lClusterCtes]] parameterized by a
+    * CTE-name prefix and a corpus slice predicate — the q188 pin
+    * ROTATION oracle needs THREE full chains (landed release, first
+    * grown release, final corpus) in one query; every chain must run
+    * the same stride/routing/CC conventions or the pins drift. Ends in
+    * `<p>cl(sid, lbl)`. */
+  protected def sem2lChain(p: String, where: String): String =
+    s"""${p}e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings
+              $where),
+       ${p}cent AS (SELECT sid c_id, v c_vec FROM ${p}e WHERE sid % 25 = 7),
+       ${p}crs AS (SELECT sid g_id, v g_vec FROM ${p}e WHERE sid % 125 = 7),
+       ${p}rt AS (SELECT c_id, g_id FROM (
+                 SELECT c.c_id, g.g_id,
+                        ROW_NUMBER() OVER (PARTITION BY c.c_id
+                          ORDER BY round(list_dot_product(c.c_vec, g.g_vec) /
+                            (sqrt(list_dot_product(c.c_vec, c.c_vec)) *
+                             sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                            DESC, g.g_id) rn
+                 FROM ${p}cent c, ${p}crs g) t WHERE rn = 1),
+       ${p}cells AS (SELECT DISTINCT g_id, c_id FROM (
+                    SELECT g_id, c_id FROM ${p}rt
+                    UNION ALL SELECT g_id, g_id FROM ${p}crs)),
+       ${p}vg AS (SELECT sid, g_id FROM (
+                 SELECT e.sid, g.g_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.sid
+                          ORDER BY round(list_dot_product(e.v, g.g_vec) /
+                            (sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(g.g_vec, g.g_vec))), 4)
+                            DESC, g.g_id) rn
+                 FROM ${p}e e, ${p}crs g) t WHERE rn = 1),
+       ${p}asn AS (SELECT sid, c_id FROM (
+                  SELECT e.sid, ${p}cells.c_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.sid
+                           ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                             DESC, ${p}cells.c_id) rn
+                  FROM ${p}e e JOIN ${p}vg ON ${p}vg.sid = e.sid
+                         JOIN ${p}cells ON ${p}cells.g_id = ${p}vg.g_id
+                         JOIN ${p}cent c ON c.c_id = ${p}cells.c_id) t
+                WHERE rn = 1),
+       ${p}pr AS (SELECT a.sid a_id, b.sid b_id
+                 FROM ${p}asn a JOIN ${p}asn b
+                   ON a.c_id = b.c_id AND a.sid < b.sid
+                 JOIN ${p}e x ON x.sid = a.sid
+                 JOIN ${p}e y ON y.sid = b.sid
+                 WHERE round(list_dot_product(x.v, y.v) /
+                       (sqrt(list_dot_product(x.v, x.v)) *
+                        sqrt(list_dot_product(y.v, y.v))), 4) >= 0.3),
+       ${p}ed AS (SELECT a_id u, b_id v FROM ${p}pr
+                 UNION ALL SELECT b_id, a_id FROM ${p}pr),
+       ${p}walk(u, r) AS (SELECT sid, sid FROM ${p}e
+                         UNION
+                         SELECT w.u, ${p}ed.v FROM ${p}walk w
+                           JOIN ${p}ed ON ${p}ed.u = w.r),
+       ${p}cl AS (SELECT u sid, MIN(r) lbl FROM ${p}walk GROUP BY u)"""
+
+  /** The q176/q186 hash device as SQL text: `hash60(lbl) % 100 <
+    * trainPct → train` (60 bits of md5 as BIGINT in both engines). */
+  protected def splitHash(lblExpr: String, trainPct: Int): String =
+    s"""CASE WHEN ('0x' || substr(md5(CAST($lblExpr AS VARCHAR)), 1, 15))
+               ::BIGINT % 100 < $trainPct
+             THEN 'train' ELSE 'eval' END"""
 
   protected def similarityOracles: Map[String, String] = Map(
 
@@ -950,6 +1032,39 @@ trait SimilarityRegistry extends EntryHelpers {
                       WHEN i.inh_split IS NOT NULL THEN 'inherited'
                       ELSE 'fresh' END AS pin_state
           FROM pj LEFT JOIN inh i ON i.lbl = pj.lbl
+          ORDER BY vec_id""",
+
+    // q188: THREE sem2l chains — the landed release hashed (l), the
+    // first grown corpus consulting it (m), the final corpus
+    // consulting the rotated pin (f); each tier applies the identical
+    // pinned > inherited(min-id) > fresh-hash lattice.
+    "q188_split_pin_rotation" ->
+      s"""WITH RECURSIVE
+          ${sem2lChain("l", "WHERE vec_id % 10 NOT IN (3, 7)")},
+          lsplit AS (SELECT sid, ${splitHash("lbl", 80)} AS split FROM lcl),
+          ${sem2lChain("m", "WHERE vec_id % 10 != 7")},
+          mpj AS (SELECT mcl.sid, mcl.lbl, ls.split pin
+                  FROM mcl LEFT JOIN lsplit ls ON ls.sid = mcl.sid),
+          minh AS (SELECT lbl, min_by(pin, sid) inh
+                   FROM mpj WHERE pin IS NOT NULL GROUP BY lbl),
+          msplit AS (SELECT mpj.sid,
+                       CASE WHEN mpj.pin IS NOT NULL THEN mpj.pin
+                            WHEN i.inh IS NOT NULL THEN i.inh
+                            ELSE ${splitHash("mpj.lbl", 80)} END AS split
+                     FROM mpj LEFT JOIN minh i ON i.lbl = mpj.lbl),
+          ${sem2lChain("f", "")},
+          fpj AS (SELECT fcl.sid, fcl.lbl, ms.split pin
+                  FROM fcl LEFT JOIN msplit ms ON ms.sid = fcl.sid),
+          finh AS (SELECT lbl, min_by(pin, sid) inh
+                   FROM fpj WHERE pin IS NOT NULL GROUP BY lbl)
+          SELECT fpj.sid AS vec_id, fpj.lbl AS sem_cluster,
+                 CASE WHEN fpj.pin IS NOT NULL THEN fpj.pin
+                      WHEN i.inh IS NOT NULL THEN i.inh
+                      ELSE ${splitHash("fpj.lbl", 80)} END AS split,
+                 CASE WHEN fpj.pin IS NOT NULL THEN 'pinned'
+                      WHEN i.inh IS NOT NULL THEN 'inherited'
+                      ELSE 'fresh' END AS pin_state
+          FROM fpj LEFT JOIN finh i ON i.lbl = fpj.lbl
           ORDER BY vec_id""",
 
     // PQ encode (argmin shifted-L2 in e4 ints, ties low code id), ADC

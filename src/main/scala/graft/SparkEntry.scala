@@ -205,6 +205,16 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // 0.28 floors)
       "power-iter" -> Similarity.powerIterationTop(emb, iters = 3),
       "power-iter-2" -> Similarity.powerIterationSecond(emb, iters = 3),
+      // q188's pin lifecycle: the landed release AND its rotation over
+      // the first grown corpus — the final query consults pin1 (MUST
+      // textually match q188's entry construction)
+      "q188-split-pin0" -> Similarity.pinnedSemanticSplit(
+        emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 7L)), 80),
+      "q188-split-pin1" -> Similarity.rotatePinnedSplit(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 7),
+        Similarity.pinnedSemanticSplit(
+          emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 7L)), 80),
+        80),
       // q186's pinned release split over the %10 landed slice — the
       // release artifact IS the index (kind "sem-split-pin", the
       // IndexStore-persisted replacement for "pin the release output"

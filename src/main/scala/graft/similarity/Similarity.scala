@@ -514,6 +514,28 @@ object Similarity {
         coarseFactor, minCosine, idCol, vecCol)
         .select(col(idCol), col("split")))
 
+  /** ROTATE a release — the pin lifecycle's missing step: the NEXT
+    * pin is this grown corpus's pinned-split assignment, persisted as
+    * the grown frame's own "sem-split-pin" kind (the release-over-
+    * release workflow pin₀ → release 1 → pin₁ → release 2 → …). The
+    * key embeds the CONSULTED pin's fingerprint: two different pins
+    * over the same grown corpus are two different releases. Pin
+    * TRANSITIVITY — a doc released under ANY earlier pin keeps its
+    * side through every later rotation, because each rotation copies
+    * the consulted pin's verdicts verbatim for its members — is
+    * q188's oracle statement. */
+  def rotatePinnedSplit(grown: DataFrame, pinned: DataFrame,
+      trainPct: Int, fineStride: Int = 25, fineOffset: Int = 7,
+      coarseFactor: Int = 5, minCosine: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(grown, "sem-split-pin", trainPct, fineStride,
+        fineOffset, coarseFactor, minCosine, idCol, vecCol,
+        CacheRegistry.planFingerprint(pinned)),
+      semanticSafeSplitPinned(grown, pinned, trainPct, fineStride,
+        fineOffset, coarseFactor, minCosine, idCol, vecCol)
+        .select(col(idCol), col("split")))
+
   /** [[semanticSafeSplit]] with a PINNED release — the operator-grade
     * fix for the min-label append caveat above: a doc released under
     * `pinned` (idCol, split) KEEPS its released side verbatim no matter

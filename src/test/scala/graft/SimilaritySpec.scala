@@ -618,6 +618,47 @@ class SimilaritySpec extends SparkSpec {
     graft.util.CacheRegistry.releaseAll()
   }
 
+  test("rotatePinnedSplit: pin transitivity — releases survive two appends") {
+    // pin0 over landed {1,2,7,10,11} (clusters A={7,10,11}→train,
+    // B={1,2}→train, as the pinned spec above); append 1 adds 0 (joins
+    // A, relabels it 0) and 3 (fresh C, hash60("3")=23→train); pin1 =
+    // the rotation. Append 2 adds 4 (joins A — must inherit through
+    // pin1's min-id member 0) and 5 (fresh D, hash60("5")=64→train at
+    // 80). Every pin0 doc AND every pin1 doc keeps its side verbatim.
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(0f, 1f, 0f, 0f)
+    val c = Seq(0f, 0f, 1f, 0f); val d = Seq(0f, 0f, 0f, 1f)
+    val landed = Seq((1L, b), (2L, b), (7L, a), (10L, a), (11L, a))
+      .toDF("vec_id", "embedding")
+    val grown1 = Seq((0L, a), (1L, b), (2L, b), (3L, c),
+      (7L, a), (10L, a), (11L, a)).toDF("vec_id", "embedding")
+    val grown2 = Seq((0L, a), (1L, b), (2L, b), (3L, c), (4L, a),
+      (5L, d), (7L, a), (10L, a), (11L, a)).toDF("vec_id", "embedding")
+    graft.util.CacheRegistry.releaseAll()
+    val pin0 = Similarity.pinnedSemanticSplit(landed, 80)
+    val pin1 = Similarity.rotatePinnedSplit(grown1, pin0, 80)
+    val pin1Map = pin1.as[(Long, String)].collect().toMap
+    val got = Similarity.semanticSafeSplitPinned(grown2, pin1, 80)
+      .orderBy("vec_id")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, "train", "pinned"),
+      (1L, 1L, "train", "pinned"),
+      (2L, 1L, "train", "pinned"),
+      (3L, 3L, "train", "pinned"),
+      (4L, 0L, "train", "inherited"),
+      (5L, 5L, "train", "fresh"),
+      (7L, 0L, "train", "pinned"),
+      (10L, 0L, "train", "pinned"),
+      (11L, 0L, "train", "pinned")), got.toString)
+    // transitivity stated twice over: pin0 ⊆ pin1 verbatim, and the
+    // final release matches pin1 verbatim on every pin1 member
+    val pin0Map = pin0.as[(Long, String)].collect().toMap
+    pin0Map.foreach { case (id, s) => assert(pin1Map(id) == s, s"$id") }
+    got.filter(r => pin1Map.contains(r._1))
+      .foreach(r => assert(r._3 == pin1Map(r._1), r.toString))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("embeddingHealthReport: planted pathologies counted, healthy rows profiled") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       1L -> Array(3f, 4f),                  // norm 5 -> ne4 50000
