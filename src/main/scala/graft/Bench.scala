@@ -181,7 +181,13 @@ object Bench {
       // the rotation reads the release artifacts + the grown corpora's
       // memoized end tables (q186's entry is beside q176's above)
       "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",
-                                          "sem-split-pin"))
+                                          "sem-split-pin"),
+      // the mixture-shift report replays q129's gate over the same
+      // slices — the whole q129 kind family must survive to the suite
+      // tail
+      "q189_mixture_shift" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "landed-fp", "gate-evidence"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

@@ -467,6 +467,22 @@ trait DedupRegistry extends EntryHelpers {
         Dedup.ingestGate(landed2d, b2, landed2e, be2, "src0", keepBp = 5000)
           .orderBy("doc_id")
       }),
+
+      // The report a pipeline runs right AFTER the q129 admit
+      // decision: per batch source, docs/tokens in vs admitted and the
+      // token-share mixture weight before vs after the gate (ppm).
+      // SAME slices and args as q129 so the gate-evidence memo serves
+      // both.
+      "q189_mixture_shift" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        graft.curation.Curation.mixtureShiftReport(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
+          .orderBy("source")
+      }),
     )
   }
 
@@ -1357,6 +1373,35 @@ trait DedupRegistry extends EntryHelpers {
     // precedence — each fragment is an already-verified oracle, only
     // the slice and CTE names change.
     "q129_ingest_gate" -> ingestGateOracle(full = false),
+
+    // q189: the q129 gate replayed as a CTE (DuckDB allows a nested
+    // WITH inside a derived CTE body), then the per-source token-share
+    // mixture before vs after — ppm via the q179 cross-multiplied
+    // HUGEINT device (Spark side: DECIMAL(38,0) div).
+    "q189_mixture_shift" ->
+      s"""WITH gate AS (${ingestGateOracle(full = false)}),
+          bdocs AS (SELECT doc_id, source,
+                      CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) n_tok
+                    FROM documents WHERE doc_id % 5 = 2),
+          j AS (SELECT b.source, b.n_tok,
+                  CASE WHEN g.gate = 'admit' THEN 1 ELSE 0 END adm
+                FROM bdocs b JOIN gate g ON g.doc_id = b.doc_id),
+          per AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_in,
+                    CAST(SUM(adm) AS BIGINT) n_admitted,
+                    CAST(SUM(n_tok) AS BIGINT) tokens_in,
+                    CAST(SUM(CASE WHEN adm = 1 THEN n_tok ELSE 0 END)
+                      AS BIGINT) tokens_admitted
+                  FROM j GROUP BY source),
+          tot AS (SELECT CAST(SUM(tokens_in) AS HUGEINT) ti,
+                         CAST(SUM(tokens_admitted) AS HUGEINT) ta FROM per)
+          SELECT source, n_in, n_admitted, tokens_in, tokens_admitted,
+                 CAST(CAST(tokens_in AS HUGEINT) * 1000000 // ti
+                   AS BIGINT) AS w_before_ppm,
+                 CASE WHEN ta > 0 THEN
+                   CAST(CAST(tokens_admitted AS HUGEINT) * 1000000 // ta
+                     AS BIGINT) END AS w_after_ppm
+          FROM per, tot ORDER BY source""",
 
     "q132_ingest_gate_full" -> ingestGateOracle(full = true),
 

@@ -535,6 +535,53 @@ object Curation {
         dsirThresholdsOf(scored, keepBp, stratum, idCol)
       })
 
+  /** Post-gate MIXTURE SHIFT report — the question a pipeline asks
+    * right after the q129 admit decision: how did dedup/selection move
+    * the mixture? Per source of the incoming batch: docs/tokens in,
+    * docs/tokens admitted, and the token-share mixture weight BEFORE
+    * vs AFTER the gate (ppm) — a source whose w_after collapses below
+    * its w_before is being eaten by the gate (heavy duplication or a
+    * DSIR mismatch), exactly the signal that sends an operator to the
+    * q167/q169 threshold dials or the q90 weight solver.
+    *
+    * Exactness: weights are ONE cross-multiplied DECIMAL(38,0)
+    * division each (the q179 rep_ppm device — no share is ever divided
+    * first, 100 TB token counts cannot wrap); w_after is NULL when the
+    * gate admitted nothing. Scale: the gate's own evidence (memoized
+    * via the gate-evidence kind when the caller leaves
+    * `memoizeEvidence` on) + one batch tokenize-count + a
+    * sources-sized aggregate + a one-row totals broadcast. */
+  def mixtureShiftReport(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, minCosine: Double = 0.3,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val verdicts = graft.dedup.Dedup.ingestGate(landedDocs, batchDocs,
+      landedEmb, batchEmb, targetSource, centroidOffset, minCosine,
+      coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol)
+    val toks = batchDocs.select(col(idCol), col("source"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
+    val per = toks.join(verdicts, Seq(idCol))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("gate") === "admit", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum("n_tok").as("tokens_in"),
+        sum(when(col("gate") === "admit", col("n_tok")).otherwise(0L))
+          .as("tokens_admitted"))
+    val tot = per.agg(sum("tokens_in").as("ti"),
+      sum("tokens_admitted").as("ta"))
+    per.crossJoin(broadcast(tot)) // one-row totals: fused scan
+      .select(col("source"), col("n_in"), col("n_admitted"),
+        col("tokens_in"), col("tokens_admitted"),
+        expr("""CAST(CAST(tokens_in AS DECIMAL(38,0)) * 1000000
+                div ti AS BIGINT)""").as("w_before_ppm"),
+        when(col("ta") > 0,
+          expr("""CAST(CAST(tokens_admitted AS DECIMAL(38,0)) * 1000000
+                  div ta AS BIGINT)""")).as("w_after_ppm"))
+  }
+
   /** The corpus-side BM25 statistics table — per-(doc, token) term
     * frequency with doc length and document frequency attached, the
     * lexical INDEX every BM25-family query probes (kind "bm25-stats":

@@ -486,6 +486,47 @@ class DedupClusterSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("mixtureShiftReport: re-derived from the gate's own verdicts and token counts") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.util.CacheRegistry
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val res = Seq(2L, 22L, 47L, 67L)
+    val ld = docs.filter(!pmod(col("doc_id"), lit(100L)).isin(res: _*))
+    val bd = docs.filter(pmod(col("doc_id"), lit(100L)).isin(res: _*))
+    val le = emb.filter(!pmod(col("vec_id"), lit(100L)).isin(res: _*))
+    val be = emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+    CacheRegistry.releaseAll()
+    val got = graft.curation.Curation.mixtureShiftReport(ld, bd, le, be,
+        "src0", keepBp = 5000)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    // expected, re-derived from the gate's own verdicts + a plain
+    // token count, with the ppm math replayed in BigInt
+    val v = Dedup.ingestGate(ld, bd, le, be, "src0", keepBp = 5000)
+      .as[(Long, String)].collect().toMap
+    val rows = bd.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) =>
+        (src, text.trim.split("\\s+").length.toLong, v(id) == "admit")
+      }
+    val ti = BigInt(rows.map(_._2).sum)
+    val ta = BigInt(rows.filter(_._3).map(_._2).sum)
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val tin = rs.map(_._2).sum
+      val tadm = rs.filter(_._3).map(_._2).sum
+      (src, rs.size.toLong, rs.count(_._3).toLong, tin, tadm,
+        (BigInt(tin) * 1000000 / ti).toLong,
+        if (ta > 0) Some((BigInt(tadm) * 1000000 / ta).toLong) else None)
+    }
+    assert(got.nonEmpty && got.exists(_._7.nonEmpty),
+      "fixture admitted nothing — w_after never exercised")
+    assert(got == exp, s"\n$got\nvs\n$exp")
+    CacheRegistry.releaseAll()
+  }
+
   test("dedupThresholdSweep: thresholds that flag nothing still emit rows") {
     val docs = Seq(
       (1L, "s", "a b c d e f g h i j k l"),
