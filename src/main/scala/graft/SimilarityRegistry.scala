@@ -225,7 +225,7 @@ trait SimilarityRegistry extends EntryHelpers {
         val pin1 = graft.similarity.Similarity.rotatePinnedSplit(g1,
           graft.similarity.Similarity.pinnedSemanticSplit(l0,
             trainPct = 80),
-          trainPct = 80)
+          trainPct = 80, releaseId = "rel1")
         graft.similarity.Similarity.semanticSafeSplitPinned(emb, pin1,
             trainPct = 80)
           .orderBy("vec_id")

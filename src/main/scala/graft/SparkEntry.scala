@@ -214,7 +214,7 @@ object SparkEntry extends CoreRegistry with DedupRegistry
         emb.filter(pmod(col("vec_id"), lit(10L)) =!= 7),
         Similarity.pinnedSemanticSplit(
           emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 7L)), 80),
-        80),
+        80, releaseId = "rel1"),
       // q186's pinned release split over the %10 landed slice — the
       // release artifact IS the index (kind "sem-split-pin", the
       // IndexStore-persisted replacement for "pin the release output"

@@ -550,16 +550,22 @@ object Curation {
     * gate admitted nothing. Scale: the gate's own evidence (memoized
     * via the gate-evidence kind when the caller leaves
     * `memoizeEvidence` on) + one batch tokenize-count + a
-    * sources-sized aggregate + a one-row totals broadcast. */
+    * sources-sized aggregate; totals fold over that |sources|-row
+    * table with one unpartitioned window (provably tiny input). */
   def mixtureShiftReport(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
       coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      memoizeEvidence: Boolean = true): DataFrame = {
+    // memoizeEvidence = false for a caller running this per distinct
+    // batch (per-batch frames have unique fingerprints — the same
+    // per-trigger leak class the streaming gate opts out of)
     val verdicts = graft.dedup.Dedup.ingestGate(landedDocs, batchDocs,
       landedEmb, batchEmb, targetSource, centroidOffset, minCosine,
-      coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol)
+      coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol,
+      memoizeEvidence)
     val toks = batchDocs.select(col(idCol), col("source"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
     val per = toks.join(verdicts, Seq(idCol))
@@ -570,9 +576,15 @@ object Curation {
         sum("n_tok").as("tokens_in"),
         sum(when(col("gate") === "admit", col("n_tok")).otherwise(0L))
           .as("tokens_admitted"))
-    val tot = per.agg(sum("tokens_in").as("ti"),
-      sum("tokens_admitted").as("ta"))
-    per.crossJoin(broadcast(tot)) // one-row totals: fused scan
+    // totals via an unpartitioned window over the SOURCES-sized per
+    // table (provably tiny — |sources| rows), not a crossJoin of
+    // per.agg(...): that embeds per's whole plan twice and re-runs
+    // the batch tokenize + verdict join per execution (review finding)
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("ti", sum("tokens_in").over(w))
+      .withColumn("ta", sum("tokens_admitted").over(w))
       .select(col("source"), col("n_in"), col("n_admitted"),
         col("tokens_in"), col("tokens_admitted"),
         expr("""CAST(CAST(tokens_in AS DECIMAL(38,0)) * 1000000

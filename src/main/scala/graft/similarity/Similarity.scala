@@ -518,20 +518,25 @@ object Similarity {
     * pin is this grown corpus's pinned-split assignment, persisted as
     * the grown frame's own "sem-split-pin" kind (the release-over-
     * release workflow pin₀ → release 1 → pin₁ → release 2 → …). The
-    * key embeds the CONSULTED pin's fingerprint: two different pins
-    * over the same grown corpus are two different releases. Pin
+    * key embeds the caller's `releaseId`, NOT the consulted pin's
+    * plan fingerprint: a restored pin is a parquet-read of the store
+    * file (different plan, different fingerprint), so a
+    * fingerprint-embedding key would MISS across the IndexStore
+    * save/restore boundary and silently rebuild the rotation every
+    * session (review finding) — a stable, caller-owned release name
+    * is what production releases have anyway. Two different pins over
+    * the same grown corpus must carry different releaseIds. Pin
     * TRANSITIVITY — a doc released under ANY earlier pin keeps its
     * side through every later rotation, because each rotation copies
     * the consulted pin's verdicts verbatim for its members — is
     * q188's oracle statement. */
   def rotatePinnedSplit(grown: DataFrame, pinned: DataFrame,
-      trainPct: Int, fineStride: Int = 25, fineOffset: Int = 7,
-      coarseFactor: Int = 5, minCosine: Double = 0.3,
+      trainPct: Int, releaseId: String, fineStride: Int = 25,
+      fineOffset: Int = 7, coarseFactor: Int = 5, minCosine: Double = 0.3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     CacheRegistry.cache(
       CacheRegistry.key(grown, "sem-split-pin", trainPct, fineStride,
-        fineOffset, coarseFactor, minCosine, idCol, vecCol,
-        CacheRegistry.planFingerprint(pinned)),
+        fineOffset, coarseFactor, minCosine, idCol, vecCol, releaseId),
       semanticSafeSplitPinned(grown, pinned, trainPct, fineStride,
         fineOffset, coarseFactor, minCosine, idCol, vecCol)
         .select(col(idCol), col("split")))

@@ -44,6 +44,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    operational dedup contract of a live ingest loop. */
 object IngestGateStream {
 
+  /** Release every registry key whose trailing plan fingerprint is one
+    * of `fps` (a key ends ":"+fingerprint) — the per-trigger and
+    * per-generation release idiom both stream faces share. */
+  private def releaseByFps(fps: Seq[String]): Unit = {
+    if (fps.nonEmpty) {
+      graft.util.CacheRegistry.releaseIf(k =>
+        fps.exists(fp => k.endsWith(":" + fp)))
+      ()
+    }
+  }
+
   /** Attach the gate to a streaming `records` frame with columns
     * `(idCol, stratum, textCol, vecCol)` — the stratum/vector columns
     * are renamed to the gate family's canonical `source`/`embedding`
@@ -102,11 +113,7 @@ object IngestGateStream {
           // on THIS trigger's frame fingerprints — no later batch can
           // hit them; a long-running stream otherwise accumulates one
           // persisted pair per trigger, review finding)
-          if (batchFps.nonEmpty) {
-            graft.util.CacheRegistry.releaseIf(k =>
-              batchFps.exists(fp => k.endsWith(":" + fp)))
-            ()
-          }
+          releaseByFps(batchFps)
           b.unpersist()
           ()
         }
@@ -183,13 +190,7 @@ object IngestGateStream {
     def fpsOf(d: DataFrame, e: DataFrame): Seq[String] = Seq(
       graft.util.CacheRegistry.planFingerprint(d),
       graft.util.CacheRegistry.planFingerprint(e))
-    def releaseFps(fps: Seq[String]): Unit = {
-      if (fps.nonEmpty) {
-        graft.util.CacheRegistry.releaseIf(k =>
-          fps.exists(fp => k.endsWith(":" + fp)))
-        ()
-      }
-    }
+    def releaseFps(fps: Seq[String]): Unit = releaseByFps(fps)
     def compact(landed2d: DataFrame, landed2e: DataFrame,
         extraFps: Seq[String]): Unit = {
       // release EVERY tracked generation plus any keys hanging off the

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
       // q155's only unpartitioned window is the per-BLOCK negative
       // cumsum (score-range/blockWidth rows — value-range-scale); the
       // per-score cumsum is partitioned by block
-      "q155_classifier_auc")
+      "q155_classifier_auc",
+      // q189's totals fold over the |sources|-row per-source aggregate
+      "q189_mixture_shift")
 
   /** Physical plan with the AQE wrapper peeled (its children are fields,
     * not `children`, so a bare `collect` sees nothing under it). */

@@ -635,7 +635,7 @@ class SimilaritySpec extends SparkSpec {
       (5L, d), (7L, a), (10L, a), (11L, a)).toDF("vec_id", "embedding")
     graft.util.CacheRegistry.releaseAll()
     val pin0 = Similarity.pinnedSemanticSplit(landed, 80)
-    val pin1 = Similarity.rotatePinnedSplit(grown1, pin0, 80)
+    val pin1 = Similarity.rotatePinnedSplit(grown1, pin0, 80, "rel1")
     val pin1Map = pin1.as[(Long, String)].collect().toMap
     val got = Similarity.semanticSafeSplitPinned(grown2, pin1, 80)
       .orderBy("vec_id")
