@@ -187,7 +187,19 @@ object Bench {
       // tail
       "q189_mixture_shift" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
-        "dsir-counts", "dsir-thresholds", "landed-fp", "gate-evidence"))
+        "dsir-counts", "dsir-thresholds", "landed-fp", "gate-evidence"),
+      // the streaming frozen gate runs the q129 six-stage gate per
+      // micro-batch over the same %5 landed family (its per-trigger
+      // batch memos are released by the stream itself)
+      "q190_streaming_gate" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "landed-fp"),
+      // the live-absorbing stream reads q184's landed family (its
+      // grown-generation entries are seeded in-run and released by the
+      // stream / the post-query sweep)
+      "q191_streaming_absorb" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp"))
 
     // Self-attribution clocks (the q18/q26/q27 driver-spike disputes
     // each burned a round on "regression or contended box?" — these

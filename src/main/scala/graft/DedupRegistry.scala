@@ -476,12 +476,117 @@ trait DedupRegistry extends EntryHelpers {
       "q189_mixture_shift" -> ((s, dir) => {
         val docs = table(s, dir, "documents")
         val emb = table(s, dir, "embeddings")
+        // memoizeEvidence = true: this gates the SAME slices as q129,
+        // so the gate-evidence memo is shared, not leaked
         graft.curation.Curation.mixtureShiftReport(
           docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
           docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
           emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2),
-          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0")
+          emb.filter(pmod(col("vec_id"), lit(5L)) === 2), "src0",
+          memoizeEvidence = true)
           .orderBy("source")
+      }),
+
+      // THE STREAMING GATE, oracle-checked — the production face that
+      // was spec-pinned only until round 18: the q129 batch slice
+      // (%5==2, each record carrying its embedding) replayed through
+      // IngestGateStream.attach in three deterministic micro-batches
+      // (doc_id % 15 ∈ {2, 7, 12}) against the frozen %5≠2 landed
+      // corpus. LANDED evidence is batch-order-independent (the
+      // landed-codebook contract), but WITHIN-batch dup evidence is
+      // scoped to each micro-batch — so the oracle replays the three
+      // batches as three independent gate stages over one shared
+      // candidate universe and unions them (streamingGateOracle), not
+      // as the one-shot q129 gate. The driver-side MemoryStream feed
+      // is the replay harness, not a data path: records are
+      // batch-sized by the ingest contract (production reads a real
+      // stream source), and the landed evidence is the registry's
+      // memoized index family, reused trigger over trigger.
+      "q190_streaming_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val landedD = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2)
+        val landedE = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 2)
+        val ds = docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+          .select("doc_id", "source", "text")
+          .as[(Long, String, String)].collect().sortBy(_._1)
+        val em = emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect().toMap
+        // inner doc↔embedding zip: an ingest record carries both (the
+        // testdata slices are 1:1 at the oracle SFs)
+        val records = ds.toSeq.flatMap { case (id, src, text) =>
+          em.get(id).map(e => (id, src, text, e)) }
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String, Seq[Float])](s)
+        val stream = input.toDF()
+          .toDF("doc_id", "source", "text", "embedding")
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val q = graft.streaming.IngestGateStream.attach(
+          stream, landedD, landedE, "src0", full = false) { (_, v) =>
+          val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        try {
+          records.groupBy(_._1 % 15).toSeq.sortBy(_._1)
+            .foreach { case (_, rs) =>
+              input.addData(rs.sortBy(_._1))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+        got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
+      }),
+
+      // THE LIVE-ABSORBING STREAMING GATE, oracle-checked: q184's
+      // two-batch fixture replayed through attachAbsorbing — batch 1
+      // (%100 ∈ {2,22,47,67}) gates against the landed corpus and its
+      // admits are absorbed into every landed artifact before batch 2
+      // (%100 ∈ {12,37,62,87}) arrives, so batch 2's verdicts are
+      // computed against the GROWN corpus through merged (never
+      // rebuilt) indexes. The oracle replays both stages as the
+      // staged gate1 → admit → gate2 chain (q184's oracle generalized
+      // to emit BOTH stages' verdicts); the delivered union must
+      // hash-match it exactly — arrival-order dependence is the
+      // CONTRACT here, and the oracle encodes the same order.
+      "q191_streaming_absorb" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        def recsOf(res: Seq[Long]): Seq[(Long, String, String, Seq[Float])] = {
+          val ds = docs.filter(pmod(col("doc_id"), lit(100L)).isin(res: _*))
+            .select("doc_id", "source", "text")
+            .as[(Long, String, String)].collect().sortBy(_._1)
+          val em = emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+            .select("vec_id", "embedding")
+            .as[(Long, Seq[Float])].collect().toMap
+          ds.toSeq.flatMap { case (id, src, text) =>
+            em.get(id).map(e => (id, src, text, e)) }
+        }
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String, Seq[Float])](s)
+        val stream = input.toDF()
+          .toDF("doc_id", "source", "text", "embedding")
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val q = graft.streaming.IngestGateStream.attachAbsorbing(
+          stream, d0, e0, "src0", keepBp = 5000) { (_, v) =>
+          val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        try {
+          Seq(Seq(2L, 22L, 47L, 67L), Seq(12L, 37L, 62L, 87L))
+            .foreach { res =>
+              input.addData(recsOf(res))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+        got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
       }),
     )
   }
@@ -1406,6 +1511,19 @@ trait DedupRegistry extends EntryHelpers {
     "q132_ingest_gate_full" -> ingestGateOracle(full = true),
 
     "q184_absorb_gate" -> absorbGateOracle,
+
+    // q190: three independent per-micro-batch gate stages over one
+    // shared candidate universe, unioned (within-batch evidence is
+    // scoped per trigger; landed evidence is shared)
+    "q190_streaming_gate" -> streamingGateOracle,
+
+    // q191: the live-absorbing stream's two delivered micro-batches
+    // replay as the staged gate1 → admit → gate2 chain emitting BOTH
+    // stages (q184's oracle with the final select widened)
+    "q191_streaming_absorb" -> absorbGateOracleWith(
+      """SELECT doc_id, gate FROM s1_gate
+         UNION ALL SELECT doc_id, gate FROM s2_gate
+         ORDER BY doc_id"""),
   )
 
   /** One gate stage of the q184 absorb oracle: q129's precedence
@@ -1608,21 +1726,21 @@ trait DedupRegistry extends EntryHelpers {
     * landed artifacts. The corpus-wide candidate universe (tok /
     * shingle / minhash / fp / pair / vector CTEs) is shared between
     * the stages; only slice-dependent CTEs are duplicated. */
-  protected def absorbGateOracle: String = {
-    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
-    val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
-    val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
-    val l2 = (c: String) =>
-      s"($c % 100 NOT IN $allRes OR $c IN (SELECT doc_id FROM adm))"
-    val b2 = (c: String) => s"$c % 100 IN (12, 37, 62, 87)"
-    val s1 = gateStageCtes("s1_", l1, b1, l1, b1, keepBp = 5000)
-    val s2 = gateStageCtes("s2_", l2, b2, l2, b2, keepBp = 5000)
+  protected def absorbGateOracle: String =
+    absorbGateOracleWith("SELECT doc_id, gate FROM s2_gate ORDER BY doc_id")
+
+  /** The corpus-wide candidate universe every staged-gate oracle
+    * shares (token / shingle / minhash-pair / fingerprint / verified
+    * near-pair / vector CTEs) — slice predicates live in the per-stage
+    * CTEs ([[gateStageCtes]]), so any number of stages can hang off
+    * one universe. */
+  private lazy val gateUniverseCtes: String = {
     val mtok = tokCte.replace("toks AS (", "toks AS MATERIALIZED (")
     val msh = shingleCte.replace("sh AS (", "sh AS MATERIALIZED (")
     val mmhp = Seq("h", "mh", "bk", "mhp").foldLeft(minhashPairCte) {
       (acc, n) => acc.replace(s"$n AS (", s"$n AS MATERIALIZED (")
     }
-    s"""WITH RECURSIVE $mtok, $msh, $mmhp,
+    s"""$mtok, $msh, $mmhp,
           xfp AS MATERIALIZED (SELECT doc_id,
                     md5(trim(regexp_replace(regexp_replace(lower(text),
                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
@@ -1641,11 +1759,50 @@ trait DedupRegistry extends EntryHelpers {
                  JOIN hsz y ON y.sid = m.b_id
                  WHERE COALESCE(it.inter, 0)::DOUBLE /
                        (x.sz + y.sz - COALESCE(it.inter, 0)) >= 0.35),
-          se AS MATERIALIZED (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          se AS MATERIALIZED (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings)"""
+  }
+
+  /** q190's oracle: the frozen streaming gate's three micro-batches
+    * (doc_id % 15 ∈ {2, 7, 12} — a partition of the %5==2 slice)
+    * replayed as three INDEPENDENT gate stages against the same
+    * frozen landed predicate. The union is the oracle because the
+    * frozen face's per-batch verdicts are exactly the one-shot gate
+    * over that batch — no `adm` chaining, unlike [[absorbGateOracle]]
+    * (within-batch dup evidence does NOT survive micro-batch
+    * splitting, so the one-shot q129/q132 oracle over the whole slice
+    * would NOT hash-match a multi-batch replay). */
+  protected def streamingGateOracle: String = {
+    val l = (c: String) => s"$c % 5 != 2"
+    val stages = Seq(2, 7, 12).zipWithIndex.map { case (r, i) =>
+      gateStageCtes(s"m${i + 1}_", l, c => s"$c % 15 = $r", l,
+        c => s"$c % 15 = $r", keepBp = 2000)
+    }
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          ${stages.mkString(",\n          ")}
+          SELECT doc_id, gate FROM m1_gate
+          UNION ALL SELECT doc_id, gate FROM m2_gate
+          UNION ALL SELECT doc_id, gate FROM m3_gate
+          ORDER BY doc_id"""
+  }
+
+  /** The staged chain with a caller-chosen final select — q184 reads
+    * stage 2 alone; q191 (the live-absorbing stream) reads BOTH
+    * stages' verdicts, exactly what its two delivered micro-batches
+    * union to. */
+  protected def absorbGateOracleWith(finalSelect: String): String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
+    val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val l2 = (c: String) =>
+      s"($c % 100 NOT IN $allRes OR $c IN (SELECT doc_id FROM adm))"
+    val b2 = (c: String) => s"$c % 100 IN (12, 37, 62, 87)"
+    val s1 = gateStageCtes("s1_", l1, b1, l1, b1, keepBp = 5000)
+    val s2 = gateStageCtes("s2_", l2, b2, l2, b2, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
           $s1,
           adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
           $s2
-          SELECT doc_id, gate FROM s2_gate ORDER BY doc_id"""
+          $finalSelect"""
   }
 
   /** The ingest-gate oracle family: q129's precedence lattice, and —

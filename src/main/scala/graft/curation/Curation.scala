@@ -506,33 +506,50 @@ object Curation {
   }
 
   /** The landed corpus's memoized DSIR distribution table (kind
-    * "dsir-counts") — `buckets` rows, reused batch over batch. */
+    * "dsir-counts") — `buckets` rows, reused batch over batch.
+    * Derived by FOLDING the memoized per-doc histogram
+    * ([[landedDsirDocBuckets]]) instead of re-exploding the corpus:
+    * c_raw = Σ n per bucket, c_tgt = Σ n over target-stratum rows —
+    * identical integers at histogram cost, and the gate family's
+    * three landed DSIR kinds now share ONE tokenize pass (the r17
+    * index phase paid three). */
   def landedDsirCounts(landed: DataFrame, targetSource: String,
       buckets: Int = 1024, stratum: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.util.CacheRegistry.cache(
       graft.util.CacheRegistry.key(landed, "dsir-counts", targetSource,
         buckets, stratum, idCol, textCol),
-      dsirCountsOf(dsirBuckets(landed, targetSource, buckets, stratum,
-        idCol, textCol)))
+      landedDsirDocBuckets(landed, targetSource, buckets, stratum, idCol,
+        textCol)
+        .groupBy("b")
+        .agg(sum("n").as("c_raw"),
+          sum(when(col(stratum) === lit(targetSource), col("n"))
+            .otherwise(0L)).as("c_tgt")))
 
   /** The landed corpus's memoized per-stratum DSIR selection thresholds
     * (kind "dsir-thresholds"): θ_s = the minimum log weight among the
     * landed stratum's top-`keepBp` integer-rank quantile — one row per
     * stratum. The corpus-wide scoring+rank behind it is the one-time
-    * index build the incremental contract amortizes. */
+    * index build the incremental contract amortizes — computed over
+    * the memoized per-doc histogram ([[landedDsirDocBuckets]]) through
+    * the SAME [[dsirDocScoresFromHist]]→[[dsirThresholdsOf]] tail as
+    * the absorb path ([[absorbDsir]]), so the one-shot build and the
+    * merged-artifact rebuild are one pipeline (identical integers by
+    * construction, not just by proof) and no landed token is exploded
+    * twice. */
   def landedDsirThresholds(landed: DataFrame, targetSource: String,
       buckets: Int = 1024, keepBp: Int = 2000, stratum: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.util.CacheRegistry.cache(
       graft.util.CacheRegistry.key(landed, "dsir-thresholds", targetSource,
         buckets, keepBp, stratum, idCol, textCol), {
+        val hist = landedDsirDocBuckets(landed, targetSource, buckets,
+          stratum, idCol, textCol)
         val counts = landedDsirCounts(landed, targetSource, buckets,
           stratum, idCol, textCol)
-        val scored = dsirDocScores(
-          dsirBuckets(landed, targetSource, buckets, stratum, idCol,
-            textCol), counts, buckets, idCol, stratum)
-        dsirThresholdsOf(scored, keepBp, stratum, idCol)
+        dsirThresholdsOf(
+          dsirDocScoresFromHist(hist, counts, buckets, idCol, stratum),
+          keepBp, stratum, idCol)
       })
 
   /** Post-gate MIXTURE SHIFT report — the question a pipeline asks
@@ -548,25 +565,31 @@ object Curation {
     * division each (the q179 rep_ppm device — no share is ever divided
     * first, 100 TB token counts cannot wrap); w_after is NULL when the
     * gate admitted nothing. Scale: the gate's own evidence (memoized
-    * via the gate-evidence kind when the caller leaves
-    * `memoizeEvidence` on) + one batch tokenize-count + a
+    * via the gate-evidence kind when a repeated-batch caller opts in
+    * with `memoizeEvidence = true`) + one batch tokenize-count + a
     * sources-sized aggregate; totals fold over that |sources|-row
-    * table with one unpartitioned window (provably tiny input). */
+    * table with one unpartitioned window (provably tiny input). The
+    * batch's stratum column is `stratum` (aliased to the gate family's
+    * canonical `source` in the report). */
   def mixtureShiftReport(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
       coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding",
-      memoizeEvidence: Boolean = true): DataFrame = {
-    // memoizeEvidence = false for a caller running this per distinct
-    // batch (per-batch frames have unique fingerprints — the same
-    // per-trigger leak class the streaming gate opts out of)
+      stratum: String = "source",
+      memoizeEvidence: Boolean = false): DataFrame = {
+    // memoizeEvidence defaults FALSE: the natural production shape is
+    // one report per distinct batch, and per-batch frames have unique
+    // fingerprints — memoizing would leak one persisted gate-evidence
+    // entry per call (the streaming gate's per-trigger leak class).
+    // A repeated-batch caller (the q129/q189 bench pair gates the SAME
+    // slices) opts in explicitly to share the gate-evidence memo.
     val verdicts = graft.dedup.Dedup.ingestGate(landedDocs, batchDocs,
       landedEmb, batchEmb, targetSource, centroidOffset, minCosine,
       coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol,
       memoizeEvidence)
-    val toks = batchDocs.select(col(idCol), col("source"),
+    val toks = batchDocs.select(col(idCol), col(stratum).as("source"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
     val per = toks.join(verdicts, Seq(idCol))
       .groupBy("source")

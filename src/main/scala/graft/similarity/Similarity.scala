@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Thrown by [[absorbSemantic2L]] when an admitted batch contains ids
+    * on the frozen codebook's centroid stride — the one absorb-family
+    * contract violation a live ingest loop converts to COMPACTION
+    * instead of failure ([[graft.streaming.IngestGateStream.attachAbsorbing]]
+    * matches on this type, not on message text). Subtypes
+    * `IllegalArgumentException` so callers treating it as a plain
+    * contract violation keep working. */
+  final class CodebookStrideRefusal(msg: String)
+      extends IllegalArgumentException(msg)
+
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -893,12 +903,18 @@ object Similarity {
       coarseFactor: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val iv = admittedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
-    require(iv.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
-        .isEmpty,
-      s"absorbSemantic2L: admitted batch contains codebook-stride ids " +
-        s"(id % $fineStride == $fineOffset) — the frozen-codebook append " +
-        "contract requires fresh ids off the centroid strides; rebuild " +
-        "the landed index instead")
+    // the refusal probe MUST run eagerly (before any seed below — the
+    // stream converts the refusal to compaction, so no grown-corpus
+    // entry may exist when it throws); it is one short-circuiting job
+    // over the batch-sized admitted frame (localCheckpoint'ed in the
+    // streaming path), not a gate re-evaluation
+    if (!iv.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
+        .isEmpty)
+      throw new CodebookStrideRefusal(
+        s"absorbSemantic2L: admitted batch contains codebook-stride ids " +
+          s"(id % $fineStride == $fineOffset) — the frozen-codebook append " +
+          "contract requires fresh ids off the centroid strides; rebuild " +
+          "the landed index instead")
     val lv = landedVecLookup(landedEmb, idCol, vecCol)
     CacheRegistry.seed(
       CacheRegistry.key(landed2Emb, "vec-lookup", idCol, vecCol),

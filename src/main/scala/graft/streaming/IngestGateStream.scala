@@ -190,7 +190,16 @@ object IngestGateStream {
     def fpsOf(d: DataFrame, e: DataFrame): Seq[String] = Seq(
       graft.util.CacheRegistry.planFingerprint(d),
       graft.util.CacheRegistry.planFingerprint(e))
-    def releaseFps(fps: Seq[String]): Unit = releaseByFps(fps)
+    // the CALLER's generation-0 frames may back index-phase /
+    // IndexStore-restored registry entries OTHER consumers share in
+    // this session — the stream never releases keys on those
+    // fingerprints, even when generation 0 rotates out of the
+    // two-generation window or a compaction sweeps it (review finding:
+    // releasing them silently forced every sharing consumer to rebuild)
+    val protectedFps: Set[String] =
+      fpsOf(landedDocs0, landedEmb0).toSet
+    def releaseFps(fps: Seq[String]): Unit =
+      releaseByFps(fps.filterNot(protectedFps.contains))
     def compact(landed2d: DataFrame, landed2e: DataFrame,
         extraFps: Seq[String]): Unit = {
       // release EVERY tracked generation plus any keys hanging off the
@@ -256,10 +265,10 @@ object IngestGateStream {
                 // ONLY the frozen-codebook stride refusal converts to
                 // compaction; any other contract violation in the
                 // absorb family must surface, not silently degrade the
-                // stream to rebuild-per-batch (review finding)
-                case e: IllegalArgumentException
-                    if e.getMessage != null &&
-                      e.getMessage.contains("absorbSemantic2L") =>
+                // stream to rebuild-per-batch (review finding). Typed
+                // match — message-text coupling was the brittle part
+                // (review finding).
+                case _: graft.similarity.Similarity.CodebookStrideRefusal =>
                   compact(landed2d, landed2e, admFps)
               }
             }
