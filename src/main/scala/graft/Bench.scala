@@ -178,6 +178,10 @@ object Bench {
                                           "dedup-clusters"),
       // hybrid retrieval probes the memoized lexical index
       "q187_hybrid_rrf"            -> Set("bm25-stats"),
+      // the served face probes the lexical index + the full-corpus
+      // IVF-PQ routed/coded tables
+      "q192_hybrid_served"         -> Set("bm25-stats", "ivfpq-asn",
+                                          "ivfpq-codes"),
       // the rotation reads the release artifacts + the grown corpora's
       // memoized end tables (q186's entry is beside q176's above)
       "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",

@@ -371,6 +371,18 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"), table(s, dir, "embeddings"))
           .orderBy("q_id", "rnk")),
 
+      // Hybrid retrieval SERVED from the landed indexes — the shape a
+      // deployment runs: BM25 probes the memoized bm25-stats kind, the
+      // semantic side probes the memoized IVF-PQ index (routed
+      // assignment + PQ codes, q158's kinds on the full corpus) with
+      // probe→ADC→exact-rerank per query; only the RRF fusion is fresh
+      // work. Same fixture as q187 (query = each ≡0-mod-100 doc), so
+      // the two rows together price brute-scan vs served retrieval.
+      "q192_hybrid_served" -> ((s, dir) =>
+        graft.curation.Curation.hybridRrfTopKServed(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("q_id", "rnk")),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -789,6 +801,60 @@ trait CurationRegistry extends EntryHelpers {
           JOIN tot ON tot.e_src = a.src
           ORDER BY e_src, t_src"""
 
+  /** The hybrid-retrieval oracle family (q187/q192): q71's BM25 chain
+    * with doc-derived query terms (8 rarest by df asc, tok asc per
+    * ≡0-mod-100 doc), a caller-supplied semantic CTE chunk ending in
+    * `annr(q_id, doc_id, rnk ≤ 20)`, and the integer-RRF fusion tail —
+    * floor division on both engines. */
+  protected def hybridOracle(semanticCtes: String): String =
+    s"""WITH $tokCte,
+          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
+          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
+                 FROM t GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
+                 FROM t GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
+          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
+                  FROM tf GROUP BY 1),
+          qt AS (SELECT q_id, tok FROM (
+                   SELECT tf.doc_id q_id, tf.tok,
+                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY df ASC, tf.tok) trk
+                   FROM tf JOIN dfr USING (tok)
+                   WHERE tf.doc_id % 100 = 0) x
+                 WHERE trk <= 8),
+          sc AS (SELECT qt.q_id, tf.doc_id,
+                   CAST(round(
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl /
+                         (CAST(total_len AS DOUBLE) / n_docs)))
+                     * 1000000, 0) AS BIGINT) s_e6
+                 FROM qt JOIN tf USING (tok) JOIN dfr USING (tok)
+                   JOIN dl ON tf.doc_id = dl.doc_id, st
+                 WHERE tf.doc_id != qt.q_id),
+          bma AS (SELECT q_id, doc_id, CAST(SUM(s_e6) AS BIGINT) score_e6
+                  FROM sc GROUP BY 1, 2),
+          bmr AS (SELECT q_id, doc_id, rnk FROM (
+                    SELECT q_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY score_e6 DESC, doc_id) rnk
+                    FROM bma) b WHERE rnk <= 20),
+          $semanticCtes,
+          u AS (SELECT q_id, doc_id, rnk FROM bmr
+                UNION ALL SELECT q_id, doc_id, rnk FROM annr),
+          f AS (SELECT q_id, doc_id,
+                  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) rrf_e9
+                FROM u GROUP BY 1, 2),
+          fr AS (SELECT q_id, doc_id, rrf_e9,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) rnk
+                 FROM f)
+          SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
+          ORDER BY q_id, rnk"""
+
   protected def curationOracles: Map[String, String] = Map(
 
     "q14_text_stats" ->
@@ -1149,43 +1215,8 @@ trait CurationRegistry extends EntryHelpers {
     // q187: q71's BM25 chain with doc-derived query terms (8 rarest by
     // df asc, tok asc per ≡0-mod-100 doc) + q21's exact-cosine rank
     // chain, fused by integer RRF — floor division on both engines.
-    "q187_hybrid_rrf" ->
-      s"""WITH $tokCte,
-          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
-          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
-                 FROM t GROUP BY 1, 2),
-          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
-                 FROM t GROUP BY 1),
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
-                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
-          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
-                  FROM tf GROUP BY 1),
-          qt AS (SELECT q_id, tok FROM (
-                   SELECT tf.doc_id q_id, tf.tok,
-                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                            ORDER BY df ASC, tf.tok) trk
-                   FROM tf JOIN dfr USING (tok)
-                   WHERE tf.doc_id % 100 = 0) x
-                 WHERE trk <= 8),
-          sc AS (SELECT qt.q_id, tf.doc_id,
-                   CAST(round(
-                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
-                         + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (0.25 + 0.75 * dl /
-                         (CAST(total_len AS DOUBLE) / n_docs)))
-                     * 1000000, 0) AS BIGINT) s_e6
-                 FROM qt JOIN tf USING (tok) JOIN dfr USING (tok)
-                   JOIN dl ON tf.doc_id = dl.doc_id, st
-                 WHERE tf.doc_id != qt.q_id),
-          bma AS (SELECT q_id, doc_id, CAST(SUM(s_e6) AS BIGINT) score_e6
-                  FROM sc GROUP BY 1, 2),
-          bmr AS (SELECT q_id, doc_id, rnk FROM (
-                    SELECT q_id, doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY q_id
-                             ORDER BY score_e6 DESC, doc_id) rnk
-                    FROM bma) b WHERE rnk <= 20),
-          qv AS (SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings
+    "q187_hybrid_rrf" -> hybridOracle(
+      """qv AS (SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings
                  WHERE vec_id % 100 = 0),
           cv AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
           annr AS (SELECT q_id, vec_id AS doc_id, rnk FROM (
@@ -1195,18 +1226,69 @@ trait CurationRegistry extends EntryHelpers {
                                 (sqrt(list_dot_product(v, v)) *
                                  sqrt(list_dot_product(qv, qv))), 4)
                                 DESC, vec_id) rnk
-                     FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20),
-          u AS (SELECT q_id, doc_id, rnk FROM bmr
-                UNION ALL SELECT q_id, doc_id, rnk FROM annr),
-          f AS (SELECT q_id, doc_id,
-                  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) rrf_e9
-                FROM u GROUP BY 1, 2),
-          fr AS (SELECT q_id, doc_id, rrf_e9,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) rnk
-                 FROM f)
-          SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
-          ORDER BY q_id, rnk""",
+                     FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20)"""),
+
+    // q192: the SAME fusion over the SERVED semantic side — q133's
+    // IVF-PQ chain (landed codebooks on the full corpus, nprobe 3,
+    // ADC shortlist ≤ depth·rerankFactor = 80, exact-cosine rerank)
+    // at depth 20 in place of the brute-force scan.
+    "q192_hybrid_served" -> hybridOracle(
+      """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
+          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
+          codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
+          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
+          asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, crs c) t WHERE rn = 1),
+          prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, crs c) t WHERE rn <= 3),
+          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM cnd c JOIN codes co ON co.sid = c.sid
+                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM appr) t
+                    WHERE cr <= 80),
+          scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          annr AS (SELECT q_id, sid doc_id, rnk FROM (
+                     SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, sid) rnk
+                     FROM scored) t WHERE rnk <= 20)"""),
 
     // Rank + running sum over the vocabulary ordered (count DESC, token);
     // integer sums, one double division at the end.

@@ -194,10 +194,16 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
-      // the corpus-side BM25 statistics (q187's lexical index; a
+      // the corpus-side BM25 statistics (q187/q192's lexical index; a
       // retrieval system computes these once per corpus, never per
       // query)
       "bm25-stats" -> Curation.bm25Stats(docs),
+      // q192's served semantic index: the FULL corpus routed +
+      // PQ-encoded under the landed (full-corpus) codebooks — the
+      // billion-vector layout the hybrid deployment probes (q158's
+      // kinds, full-corpus keys)
+      "q192-ivfpq-asn" -> Similarity.landedIvfPqAssignment(emb),
+      "q192-ivfpq-codes" -> Similarity.landedIvfPqCodes(emb),
       // the power-iteration direction (+ deflated second) — q146/q147/
       // q149/q152 share these memos; since r17 an in-run-created key
       // releases after its query, so the shared builds belong here

@@ -670,6 +670,46 @@ object Curation {
       queryStride: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val annRanks = graft.similarity.Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(pmod(col(vecIdCol), lit(queryStride.toLong)) === 0),
+        depth, vecIdCol, vecCol)
+      .select(col("q_id"), col("vec_id").as(idCol), col("rank").as("rnk"))
+    rrfFuse(bm25QueryRanks(docs, depth, kTerms, queryStride, idCol,
+      textCol), annRanks, k, rrfK, idCol)
+  }
+
+  /** [[hybridRrfTopK]] with the semantic side SERVED from the landed
+    * IVF-PQ index ([[graft.similarity.Similarity.ivfPqTopKServed]] —
+    * memoized routed assignment + PQ codes, probe/ADC/rerank per
+    * query) instead of the brute-force corpus scan — the shape a
+    * 100 TB retrieval deployment runs: the lexical side probes the
+    * memoized bm25-stats index, the semantic side probes the memoized
+    * ANN index, and ONLY the fusion is fresh work per query batch.
+    * Ranks fuse identically (both sides emit (q_id, id, rnk)); at
+    * exhaustive `nprobe`/`rerankFactor` the fused output is
+    * exactly [[hybridRrfTopK]]'s (rank parity, HybridServedSpec). */
+  def hybridRrfTopKServed(docs: DataFrame, embeddings: DataFrame,
+      k: Int = 5, depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
+      queryStride: Int = 100, nprobe: Int = 3, m: Int = 4,
+      codeStride: Int = 25, codeOffset: Int = 7, ivfStride: Int = 50,
+      ivfOffset: Int = 11, rerankFactor: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val annRanks = graft.similarity.Similarity.ivfPqTopKServed(embeddings,
+        embeddings.filter(pmod(col(vecIdCol), lit(queryStride.toLong)) === 0),
+        depth, nprobe, m, codeStride, codeOffset, ivfStride, ivfOffset,
+        rerankFactor, vecIdCol, vecCol)
+      .select(col("q_id"), col("vec_id").as(idCol), col("rank").as("rnk"))
+    rrfFuse(bm25QueryRanks(docs, depth, kTerms, queryStride, idCol,
+      textCol), annRanks, k, rrfK, idCol)
+  }
+
+  /** The lexical side of the hybrid family: per query doc, its
+    * `kTerms` rarest tokens score the corpus with q71's integer-e6
+    * BM25 over the memoized [[bm25Stats]] index; top-`depth` ranks by
+    * (score desc, id). Output (q_id, idCol, rnk). */
+  private def bm25QueryRanks(docs: DataFrame, depth: Int, kTerms: Int,
+      queryStride: Int, idCol: String, textCol: String): DataFrame = {
     val bm = bm25Stats(docs, idCol, textCol)
     val tf = bm.select(col(idCol), col("tok"), col("tf"))
     val dl = bm.select(col(idCol), col("dl")).distinct()
@@ -699,13 +739,17 @@ object Curation {
       .groupBy("q_id", idCol).agg(sum("s_e6").as("score_e6"))
     val wb = Window.partitionBy("q_id")
       .orderBy(col("score_e6").desc, col(idCol).asc)
-    val bmRanks = bmScored.withColumn("rnk", row_number().over(wb))
+    bmScored.withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= depth)
       .select(col("q_id"), col(idCol), col("rnk"))
-    val annRanks = graft.similarity.Similarity.bruteForceTopK(embeddings,
-        embeddings.filter(pmod(col(vecIdCol), lit(queryStride.toLong)) === 0),
-        depth, vecIdCol, vecCol)
-      .select(col("q_id"), col("vec_id").as(idCol), col("rank").as("rnk"))
+  }
+
+  /** The fusion tail of the hybrid family: rrf contribution =
+    * ⌊1e9 / (rrfK + rank)⌋ per system (integer floor division — exact
+    * in both engines), summed per (query, doc); final top-`k` by
+    * (rrf desc, id). */
+  private def rrfFuse(bmRanks: DataFrame, annRanks: DataFrame, k: Int,
+      rrfK: Int, idCol: String): DataFrame = {
     val fused = bmRanks.unionByName(annRanks)
       .withColumn("rrf", expr(s"1000000000 div ($rrfK + rnk)"))
       .groupBy("q_id", idCol).agg(sum("rrf").as("rrf_e9"))

@@ -1481,6 +1481,36 @@ object Similarity {
       pqLut(qv, cw, m, dsub), k, nprobe, rerankFactor)
   }
 
+  /** Query-side IVF-PQ serving over the LANDED memoized index — the
+    * face a retrieval system actually runs per query batch: both
+    * codebooks derive from the landed corpus, the routed assignment
+    * and PQ code tables are the memoized kinds
+    * ([[landedIvfPqAssignment]] / [[landedIvfPqCodes]]) built once per
+    * corpus, and a query batch pays only its own probe + ADC over the
+    * probed cells + exact rerank of the shortlist. [[ivfPqTopK]]
+    * computes the same answer but rebuilds assignment/codes in-plan —
+    * the one-shot shape; this is the amortized one. At exhaustive
+    * `nprobe`/`rerankFactor` the exact rerank covers every non-self
+    * candidate, so ranks collapse to [[bruteForceTopK]]'s (same
+    * 4-decimal rounding, same id tie-break) — the parity
+    * HybridServedSpec pins. */
+  def ivfPqTopKServed(landed: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 3, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = probeDim(landed, queries, vecCol, m)
+    val dsub = dim / m
+    val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val coarse = coarseCodebook(le, ivfStride, ivfOffset)
+    val cw = pqCodebook(le, m, dsub, codeStride, codeOffset)
+    ivfPqServe(le, qv, coarse,
+      landedIvfPqAssignment(landed, ivfStride, ivfOffset, idCol, vecCol),
+      landedIvfPqCodes(landed, m, codeStride, codeOffset, idCol, vecCol),
+      pqLut(qv, cw, m, dsub), k, nprobe, rerankFactor)
+  }
+
   /** Landed IVF cell assignment (memoized kind "ivfpq-asn") — every
     * landed vector routed once to its landed-stride coarse centroid;
     * [[ivfPqIncrement]] unions each batch's routing onto this. */

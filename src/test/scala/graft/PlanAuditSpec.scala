@@ -45,9 +45,16 @@ class PlanAuditSpec extends SparkSpec {
       case p => p
     }
 
+  // Each query's frame is CONSTRUCTED ONCE and audited by every test —
+  // construction is the expensive part (the streaming rows q73/q185/
+  // q190/q191 replay a whole stream to build their result frame;
+  // re-constructing per test multiplied that by the test count).
+  private lazy val frames: Seq[(String, DataFrame)] =
+    SparkEntry.queries.toSeq.map { case (name, q) => name -> q(spark, dir) }
+
   test("no contract query plans a cartesian product") {
-    for ((name, q) <- SparkEntry.queries) {
-      val s = physical(q(spark, dir)).toString
+    for ((name, df) <- frames) {
+      val s = physical(df).toString
       assert(!s.contains("CartesianProduct"),
         s"$name plans a cartesian product")
     }
@@ -82,6 +89,7 @@ class PlanAuditSpec extends SparkSpec {
     "q132_ingest_gate_full", // q129's broadcasts + q131's boundary rows
     "q184_absorb_gate", // the gate-2 replay embeds q129's broadcasts over the absorbed artifacts (verified: the BNLJ build side is the one-row DSIR totals aggregate)
     "q187_hybrid_rrf", // embeds q21's broadcast ANN query batch + the one-row BM25 corpus-stats cross
+    "q192_hybrid_served", // q187's one-row BM25 stats cross + q133's codebook broadcasts
     "q189_mixture_shift", // embeds q129's gate broadcasts + its own one-row totals cross
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
     "q158_ivfpq_incremental", // the same codebook broadcasts, landed-sourced
@@ -109,16 +117,16 @@ class PlanAuditSpec extends SparkSpec {
     "q152_pca_second") // q146's one-row anchor/norm broadcasts ×2 chains
 
   test("broadcast nested-loop joins only where the broadcast side is tiny by construction") {
-    for ((name, q) <- SparkEntry.queries) {
-      val s = physical(q(spark, dir)).toString
+    for ((name, df) <- frames) {
+      val s = physical(df).toString
       assert(!s.contains("BroadcastNestedLoopJoin") || tinyBnljOk(name),
         s"$name plans a BroadcastNestedLoopJoin outside the allow-list")
     }
   }
 
   test("unpartitioned windows only over provably tiny inputs") {
-    for ((name, q) <- SparkEntry.queries) {
-      val global = q(spark, dir).queryExecution.optimizedPlan.collect {
+    for ((name, df) <- frames) {
+      val global = df.queryExecution.optimizedPlan.collect {
         case w: Window if w.partitionSpec.isEmpty => w
       }
       // every query ends in orderBy for the oracle dump — that is a Sort,
@@ -130,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q01's filter reaches the parquet scan (pushdown canary)") {
     val plan = physical(
-      SparkEntry.queries("q01_filter_passthrough")(spark, dir))
+      frames.toMap.apply("q01_filter_passthrough"))
     val scans = plan.collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty)
     val pushed = scans.flatMap(_.dataFilters).mkString(";")
