@@ -138,6 +138,11 @@ object Bench {
                                           "sem2l-dedup"),
       // append-only IVF-PQ reads the landed routing/code index pair
       "q158_ivfpq_incremental"     -> Set("ivfpq-asn", "ivfpq-codes"),
+      // rebuild+swap reads the landed kinds (before) and publishes /
+      // serves the full-corpus release (after); the pin kind rides to
+      // the query then drops
+      "q193_codebook_rebuild"      -> Set("ivfpq-asn", "ivfpq-codes",
+                                          "ann-release"),
       "q120_curation_funnel"       -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "ppl-scored",
                                           "sem2l-asn", "sem2l-dedup",

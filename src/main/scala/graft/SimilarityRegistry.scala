@@ -319,6 +319,36 @@ trait SimilarityRegistry extends EntryHelpers {
           .orderBy("grp")
       }),
 
+      // CODEBOOK REBUILD + ATOMIC SWAP — the lifecycle step q160's
+      // drift alarm triggers, closing the ANN loop (q158 appends under
+      // the frozen codebooks → q160 alarms → THIS rebuilds + swaps):
+      // "before" = the q158 served answers (landed-drawn codebooks
+      // over the grown corpus); then the codebooks REBUILD from the
+      // grown corpus's own stride slices (which now include the
+      // absorbed batch's stride vectors — a genuinely different
+      // codebook), re-route + re-encode, and publish as a release
+      // (artifacts first, pin last — the atomic swap); "after" = the
+      // same queries served through the released pin. Both stages are
+      // exactly the already-verified q158/q133 pipelines, so the
+      // oracle is their union.
+      "q193_codebook_rebuild" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        val before = graft.similarity.Similarity.ivfPqIncrement(
+            emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2),
+            emb.filter(pmod(col("vec_id"), lit(4L)) === 2), queries, 5)
+          .withColumnRenamed("rank", "rnk")
+          .withColumn("release", lit("before"))
+        graft.similarity.Similarity.rebuildIvfPqRelease(emb, "r18-rebuild")
+        val after = graft.similarity.Similarity.ivfPqTopKReleased(
+            emb, queries, 5, "r18-rebuild")
+          .withColumnRenamed("rank", "rnk")
+          .withColumn("release", lit("after"))
+        before.unionByName(after)
+          .select("release", "q_id", "rnk", "vec_id", "cos")
+          .orderBy("release", "q_id", "rnk")
+      }),
+
       // IVF-PQ recall audit: q133's composed index priced against
       // q21's exact truth across (nprobe, rerankFactor) — routing loss
       // and ADC-shortlist loss separated, the q98/q101 tuning pattern
@@ -491,6 +521,76 @@ trait SimilarityRegistry extends EntryHelpers {
     s"""CASE WHEN ('0x' || substr(md5(CAST($lblExpr AS VARCHAR)), 1, 15))
                ::BIGINT % 100 < $trainPct
              THEN 'train' ELSE 'eval' END"""
+
+  /** The shared head of the IVF-PQ oracle family (q133/q158/q193):
+    * corpus vectors, PQ subspace index, subvector slices, query set. */
+  protected lazy val ivfPqUniverseCtes: String =
+    """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0)"""
+
+  /** One IVF-PQ serve chain (codebooks → codes → LUT → route → probe
+    * → ADC → shortlist → exact rerank), CTE names prefixed with `p`,
+    * codebook stride slices restricted by `cbPred` (empty = codebooks
+    * from the full corpus, q133/q193-after; " AND sid % 4 != 2" =
+    * landed-drawn codebooks, q158/q193-before). Ends in
+    * `${p}r(q_id, sid, cos, rnk)`. */
+  protected def ivfPqChainCtes(p: String, cbPred: String): String =
+    s"""${p}cw AS (SELECT sid code_id, j, sv cw FROM sub
+                 WHERE sid % 25 = 7$cbPred),
+          ${p}codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN ${p}cw c ON c.j = s.j) t WHERE rn = 1),
+          ${p}lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN ${p}cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          ${p}crs AS (SELECT sid c_id, v c_vec FROM e
+                  WHERE sid % 50 = 11$cbPred),
+          ${p}asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, ${p}crs c) t WHERE rn = 1),
+          ${p}prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, ${p}crs c) t WHERE rn <= 3),
+          ${p}cnd AS (SELECT p.q_id, a.sid FROM ${p}prb p
+                  JOIN ${p}asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          ${p}appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM ${p}cnd c JOIN ${p}codes co ON co.sid = c.sid
+                     JOIN ${p}lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          ${p}short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM ${p}appr) t
+                    WHERE cr <= 20),
+          ${p}scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM ${p}short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          ${p}r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM ${p}scored)"""
 
   protected def similarityOracles: Map[String, String] = Map(
 
@@ -1196,126 +1296,31 @@ trait SimilarityRegistry extends EntryHelpers {
     // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
     // restricted to probed cells, exact-cosine rerank.
     "q133_ann_ivf_pq" ->
-      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
-          asnv AS (SELECT sid, c_id FROM (
-                     SELECT e.sid, c.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY e.sid
-                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                                (sqrt(list_dot_product(e.v, e.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM e, crs c) t WHERE rn = 1),
-          prb AS (SELECT q_id, c_id FROM (
-                    SELECT q.q_id, c.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY q.q_id
-                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
-                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM qq q, crs c) t WHERE rn <= 3),
-          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
-                  WHERE a.sid != p.q_id),
-          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
-                   FROM cnd c JOIN codes co ON co.sid = c.sid
-                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
-                                AND l.code = co.code
-                   GROUP BY c.q_id, c.sid),
-          short AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr) t
-                    WHERE cr <= 20),
-          scored AS (SELECT s.q_id, s.sid,
-                       round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM short s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id),
-          r AS (SELECT *, ROW_NUMBER() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
-                FROM scored)
+      s"""WITH $ivfPqUniverseCtes,
+          ${ivfPqChainCtes("", "")}
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
+
+    // q193: the rebuild+swap round-trip — "before" is q158's chain
+    // (landed-drawn codebooks), "after" is q133's (codebooks from the
+    // full grown corpus: the rebuilt release); union tagged.
+    "q193_codebook_rebuild" ->
+      s"""WITH $ivfPqUniverseCtes,
+          ${ivfPqChainCtes("b_", " AND sid % 4 != 2")},
+          ${ivfPqChainCtes("a_", "")}
+          SELECT 'before' AS release, q_id, rnk, sid vec_id, cos
+          FROM b_r WHERE rnk <= 5
+          UNION ALL
+          SELECT 'after', q_id, rnk, sid, cos FROM a_r WHERE rnk <= 5
+          ORDER BY release, q_id, rnk""",
 
     // q158: q133's pipeline with BOTH codebooks drawn from the LANDED
     // slice only (sid % 4 != 2) while codes/assignments/serving run
     // over the full union — the landed-codebook one-shot the
     // incremental face must equal
     "q158_ivfpq_incremental" ->
-      """WITH e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub
-                 WHERE sid % 25 = 7 AND sid % 4 != 2),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          crs AS (SELECT sid c_id, v c_vec FROM e
-                  WHERE sid % 50 = 11 AND sid % 4 != 2),
-          asnv AS (SELECT sid, c_id FROM (
-                     SELECT e.sid, c.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY e.sid
-                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                                (sqrt(list_dot_product(e.v, e.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM e, crs c) t WHERE rn = 1),
-          prb AS (SELECT q_id, c_id FROM (
-                    SELECT q.q_id, c.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY q.q_id
-                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
-                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM qq q, crs c) t WHERE rn <= 3),
-          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
-                  WHERE a.sid != p.q_id),
-          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
-                   FROM cnd c JOIN codes co ON co.sid = c.sid
-                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
-                                AND l.code = co.code
-                   GROUP BY c.q_id, c.sid),
-          short AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr) t
-                    WHERE cr <= 20),
-          scored AS (SELECT s.q_id, s.sid,
-                       round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM short s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id),
-          r AS (SELECT *, ROW_NUMBER() OVER
-                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
-                FROM scored)
+      s"""WITH $ivfPqUniverseCtes,
+          ${ivfPqChainCtes("", " AND sid % 4 != 2")}
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
 

@@ -1542,6 +1542,69 @@ object Similarity {
           m, dsub)
       })
 
+  /** REBUILD + ATOMIC SWAP of an IVF-PQ release — the lifecycle step
+    * the q160 drift alarm points at: when the frozen landed codebooks
+    * have drifted from the grown corpus (append-only ingest adds
+    * vectors the old centroids quantize poorly), rebuild BOTH
+    * codebooks from the grown corpus's stride slices, re-route and
+    * re-encode every vector, and publish the result as a RELEASE —
+    * q188's caller-owned-releaseId pin idiom applied to ANN artifacts
+    * (kind "ann-release", a one-row parameter record that persists
+    * through the IndexStore like any landed index; the key embeds the
+    * caller's `releaseId`, never a consulted artifact's fingerprint).
+    *
+    * SWAP ORDER IS THE ATOMICITY: the routed assignment and code
+    * tables are registered (and IndexStore-saved) BEFORE the pin, so
+    * any reader that can resolve the pin always finds its artifacts —
+    * a crashed rebuild leaves the old release intact and consultable.
+    * Serving switches releases by changing the `releaseId` it passes
+    * to [[ivfPqTopKReleased]]; old releases stay consultable until
+    * their pins are dropped. Returns the pin frame. */
+  def rebuildIvfPqRelease(corpus: DataFrame, releaseId: String,
+      ivfStride: Int = 50, ivfOffset: Int = 11, m: Int = 4,
+      codeStride: Int = 25, codeOffset: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // artifacts FIRST (registered under the grown corpus's keys; the
+    // builds are the memoized landed-index kinds, so a rebuild whose
+    // parameters match an index-phase entry reuses it), pin LAST
+    landedIvfPqAssignment(corpus, ivfStride, ivfOffset, idCol, vecCol)
+    landedIvfPqCodes(corpus, m, codeStride, codeOffset, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    CacheRegistry.cache(
+      CacheRegistry.key(corpus, "ann-release", idCol, vecCol, releaseId),
+      Seq((releaseId, ivfStride, ivfOffset, m, codeStride, codeOffset))
+        .toDF("release_id", "ivf_stride", "ivf_offset", "m",
+          "code_stride", "code_offset"))
+  }
+
+  /** Serve top-k from a PUBLISHED release: consult the `releaseId`
+    * pin ([[rebuildIvfPqRelease]]) for the codebook parameters, then
+    * run the served probe/ADC/rerank path ([[ivfPqTopKServed]]) over
+    * that release's memoized artifacts. The pin consult is a one-row
+    * collect (bounded by construction). Throws if the release was
+    * never published — serving from a half-built release is exactly
+    * what the pin-last swap order makes impossible. */
+  def ivfPqTopKReleased(corpus: DataFrame, queries: DataFrame, k: Int,
+      releaseId: String, nprobe: Int = 3, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val key = CacheRegistry.key(corpus, "ann-release", idCol, vecCol,
+      releaseId)
+    val pin = CacheRegistry.entries.getOrElse(key,
+      throw new IllegalStateException(
+        s"ivfPqTopKReleased: no ann-release pin for '$releaseId' over " +
+          "this corpus — rebuildIvfPqRelease publishes one (artifacts " +
+          "first, pin last)"))
+    val p = pin.select("ivf_stride", "ivf_offset", "m", "code_stride",
+      "code_offset").collect()(0)
+    ivfPqTopKServed(corpus, queries, k, nprobe = nprobe,
+      m = p.getAs[Int]("m"), codeStride = p.getAs[Int]("code_stride"),
+      codeOffset = p.getAs[Int]("code_offset"),
+      ivfStride = p.getAs[Int]("ivf_stride"),
+      ivfOffset = p.getAs[Int]("ivf_offset"),
+      rerankFactor = rerankFactor, idCol = idCol, vecCol = vecCol)
+  }
+
   /** Rank-position discount LUT for [[servedNdcg]]: e6-rounded
     * 1/log2(r+1), the one float per rank, frozen to an integer ONCE so
     * Spark and the oracle multiply identical constants (the σ-e6
