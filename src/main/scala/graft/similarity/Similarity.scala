@@ -551,6 +551,34 @@ object Similarity {
         fineOffset, coarseFactor, minCosine, idCol, vecCol)
         .select(col(idCol), col("split")))
 
+  /** RETENTION for the pin lifecycle — the face that keeps a
+    * long-lived corpus's registry and IndexStore from growing one pin
+    * per release forever: release every pin-kind entry whose key does
+    * not carry one of the `keep` releaseIds (the last N releases a
+    * deployment serves), and — when `storeDir` is given — drop the
+    * same keys' staged parquet + manifest lines from the store.
+    *
+    * Dropping consulted-out pins is SAFE BY TRANSITIVITY: every
+    * rotation copies its consulted pin's verdicts verbatim for all
+    * its members ([[rotatePinnedSplit]]), so the newest pin subsumes
+    * every earlier one for every doc it covers — including the
+    * unnamed initial pin (pin₀ carries no releaseId and is always
+    * collected once a named rotation exists). PinGcSpec proves the
+    * splits survive a GC + cold-restore round-trip. `keep` names must
+    * be the caller-owned releaseIds (they match as ":"-delimited key
+    * parts; a name colliding with a parameter rendering like "80"
+    * would over-retain, so name releases like releases). Returns the
+    * number of registry entries released. */
+  def gcReleasePins(keep: Set[String], storeDir: Option[String] = None,
+      pinKinds: Set[String] = Set("sem-split-pin", "ann-release")): Int = {
+    val victim = (k: String) =>
+      pinKinds.contains(k.takeWhile(_ != ':')) &&
+        !keep.exists(r => k.contains(":" + r + ":"))
+    val released = CacheRegistry.releaseIf(victim)
+    storeDir.foreach { d => graft.sources.IndexStore.gc(d, victim); () }
+    released
+  }
+
   /** [[semanticSafeSplit]] with a PINNED release — the operator-grade
     * fix for the min-label append caveat above: a doc released under
     * `pinned` (idCol, split) KEEPS its released side verbatim no matter

@@ -106,6 +106,38 @@ object IndexStore {
     }
   }
 
+  /** GC the store: drop every manifest entry whose KEY satisfies
+    * `victim`, deleting its staged parquet, and rewrite the manifest
+    * without it. Returns the number of entries dropped. The manifest
+    * intentionally accumulates across [[saveAll]] cycles (a skipped
+    * restore-then-save must not forget store-backed entries), so
+    * retention is an explicit face, not a side effect of saving —
+    * [[graft.similarity.Similarity.gcReleasePins]] drives this for
+    * the pin lifecycle. */
+  def gc(dir: String, victim: String => Boolean): Int = {
+    val path = java.nio.file.Paths.get(s"$dir/manifest")
+    if (!java.nio.file.Files.exists(path)) 0
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map { l => val Array(h, k) = l.split("\t", 2); (h, k) }
+      val (dropped, kept) = lines.partition { case (_, k) => victim(k) }
+      dropped.foreach { case (h, _) =>
+        val p = java.nio.file.Paths.get(s"$dir/$h.parquet")
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      val manifest = kept.sortBy(_._2)
+        .map { case (h, k) => s"$h\t$k" }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(path,
+        (if (kept.isEmpty) "" else manifest).getBytes("UTF-8"))
+      dropped.size
+    }
+  }
+
   /** Seed the registry from a [[saveAll]] directory. Returns the
     * number of entries ACTUALLY inserted — existing live entries win
     * (seed is getOrElseUpdate), so restoring into a warm session
