@@ -308,6 +308,19 @@ object MaterializedScaleBench {
       ("q167_sweep", k =>
         Dedup.dedupThresholdSweep(docs(k),
           Seq(40, 50, 60, 70, 80, 90)).count()),
+      // round-18 rows: the served retrieval faces. q192's query set
+      // derives from the corpus stride, so the probe measures
+      // corpus×query-batch scaling together (the known ANN-PQ family
+      // shape); q193's serve fixes queries at the 1× slice, so it
+      // isolates corpus-side route+ADC+rerank under a released pin.
+      // Both ride off-clock preps (the memoized index kinds — the
+      // once-per-corpus cost Bench's index phase amortizes).
+      ("q192_hybrid_served", k =>
+        graft.curation.Curation.hybridRrfTopKServed(docs(k), emb(k)).count()),
+      ("q193_released_serve", k =>
+        graft.similarity.Similarity.ivfPqTopKReleased(emb(k),
+          emb(1).filter(pmod(col("vec_id"), lit(100)) === 0), 5,
+          s"probe-$k").count()),
       ("q18_jaccard", k => Dedup.ngramJaccardPairs(docs(k), 3, 0.35, 100).count()),
       ("q43_clusters", k => Dedup.dedupClusters(docs(k)).count()),
       ("q54_split", k => Dedup.leakageSafeSplit(docs(k), 80).count()),
@@ -331,6 +344,18 @@ object MaterializedScaleBench {
     // probe materializes it off the clock and times only the per-batch
     // marginal cost the incremental contract promises.
     val preps: Map[String, Int => Unit] = Map(
+      "q192_hybrid_served" -> { k =>
+        graft.curation.Curation.bm25Stats(docs(k)).count()
+        graft.similarity.Similarity.landedIvfPqAssignment(emb(k)).count()
+        graft.similarity.Similarity.landedIvfPqCodes(emb(k)).count()
+        ()
+      },
+      "q193_released_serve" -> { k =>
+        graft.similarity.Similarity.rebuildIvfPqRelease(emb(k), s"probe-$k")
+        graft.similarity.Similarity.landedIvfPqAssignment(emb(k)).count()
+        graft.similarity.Similarity.landedIvfPqCodes(emb(k)).count()
+        ()
+      },
       "q117_sem_inc" -> { k =>
         val landed = emb(k).filter(pmod(col("vec_id"), lit(5L)) =!= 3)
         graft.similarity.Similarity.landedVecLookup(landed).count()
