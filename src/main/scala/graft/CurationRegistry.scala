@@ -1228,67 +1228,15 @@ trait CurationRegistry extends EntryHelpers {
                                 DESC, vec_id) rnk
                      FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20)"""),
 
-    // q192: the SAME fusion over the SERVED semantic side — q133's
-    // IVF-PQ chain (landed codebooks on the full corpus, nprobe 3,
-    // ADC shortlist ≤ depth·rerankFactor = 80, exact-cosine rerank)
-    // at depth 20 in place of the brute-force scan.
+    // q192: the SAME fusion over the SERVED semantic side — the shared
+    // IVF-PQ chain (EntryHelpers.ivfPqChainCtes, the q133/q158/q193
+    // generator) with full-corpus codebooks, nprobe 3, ADC shortlist ≤
+    // depth·rerankFactor = 80, exact-cosine rerank, cut at depth 20.
     "q192_hybrid_served" -> hybridOracle(
-      """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
-          js AS (SELECT unnest(range(4)) j),
-          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
-          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0),
-          cw AS (SELECT sid code_id, j, sv cw FROM sub WHERE sid % 25 = 7),
-          codes AS (SELECT sid, j, code FROM (
-                      SELECT s.sid, s.j, c.code_id code,
-                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
-                               ORDER BY CAST(round(
-                                 (2*list_dot_product(s.sv, c.cw) -
-                                  list_dot_product(c.cw, c.cw)) * 10000)
-                                 AS BIGINT) DESC, c.code_id) rn
-                      FROM sub s JOIN cw c ON c.j = s.j) t WHERE rn = 1),
-          lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
-                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
-                      AS BIGINT) term
-                  FROM sub qs JOIN cw c ON c.j = qs.j
-                  WHERE qs.sid % 100 = 0),
-          crs AS (SELECT sid c_id, v c_vec FROM e WHERE sid % 50 = 11),
-          asnv AS (SELECT sid, c_id FROM (
-                     SELECT e.sid, c.c_id,
-                            ROW_NUMBER() OVER (PARTITION BY e.sid
-                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
-                                (sqrt(list_dot_product(e.v, e.v)) *
-                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                                DESC, c.c_id) rn
-                     FROM e, crs c) t WHERE rn = 1),
-          prb AS (SELECT q_id, c_id FROM (
-                    SELECT q.q_id, c.c_id,
-                           ROW_NUMBER() OVER (PARTITION BY q.q_id
-                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
-                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
-                               DESC, c.c_id) rn
-                    FROM qq q, crs c) t WHERE rn <= 3),
-          cnd AS (SELECT p.q_id, a.sid FROM prb p JOIN asnv a USING (c_id)
-                  WHERE a.sid != p.q_id),
-          appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
-                   FROM cnd c JOIN codes co ON co.sid = c.sid
-                     JOIN lut l ON l.q_id = c.q_id AND l.j = co.j
-                                AND l.code = co.code
-                   GROUP BY c.q_id, c.sid),
-          short AS (SELECT q_id, sid FROM (
-                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                        ORDER BY a DESC, sid) cr FROM appr) t
-                    WHERE cr <= 80),
-          scored AS (SELECT s.q_id, s.sid,
-                       round(list_dot_product(e.v, q.q_v) /
-                             (sqrt(list_dot_product(e.v, e.v)) *
-                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
-                     FROM short s JOIN e ON e.sid = s.sid
-                       JOIN qq q ON q.q_id = s.q_id),
-          annr AS (SELECT q_id, sid doc_id, rnk FROM (
-                     SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
-                       ORDER BY cos DESC, sid) rnk
-                     FROM scored) t WHERE rnk <= 20)"""),
+      s"""$ivfPqUniverseCtes,
+          ${ivfPqChainCtes("h_", "", shortlist = 80)},
+          annr AS (SELECT q_id, sid doc_id, rnk FROM h_r
+                   WHERE rnk <= 20)"""),
 
     // Rank + running sum over the vocabulary ordered (count DESC, token);
     // integer sums, one double division at the end.

@@ -182,4 +182,79 @@ trait EntryHelpers {
     }.mkString("\n                 UNION ALL ")
 
 
+  /** The shared head of the IVF-PQ oracle family (q133/q158/q192/q193):
+    * corpus vectors, PQ subspace index, subvector slices, query set.
+    * Lives here (not in SimilarityRegistry) because BOTH registries
+    * compose the chain — q192's served hybrid is a CurationRegistry
+    * row. */
+  protected lazy val ivfPqUniverseCtes: String =
+    """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+          js AS (SELECT unnest(range(4)) j),
+          sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
+          qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0)"""
+
+  /** One IVF-PQ serve chain (codebooks → codes → LUT → route → probe
+    * → ADC → shortlist → exact rerank), CTE names prefixed with `p`,
+    * codebook stride slices restricted by `cbPred` (empty = codebooks
+    * from the full corpus, q133/q192/q193-after; " AND sid % 4 != 2" =
+    * landed-drawn codebooks, q158/q193-before), ADC shortlist bound =
+    * `shortlist` (k·rerankFactor — 20 for the k=5 rows, 80 for q192's
+    * depth-20 serve). Ends in `${p}r(q_id, sid, cos, rnk)`. */
+  protected def ivfPqChainCtes(p: String, cbPred: String,
+      shortlist: Int = 20): String =
+    s"""${p}cw AS (SELECT sid code_id, j, sv cw FROM sub
+                 WHERE sid % 25 = 7$cbPred),
+          ${p}codes AS (SELECT sid, j, code FROM (
+                      SELECT s.sid, s.j, c.code_id code,
+                             ROW_NUMBER() OVER (PARTITION BY s.sid, s.j
+                               ORDER BY CAST(round(
+                                 (2*list_dot_product(s.sv, c.cw) -
+                                  list_dot_product(c.cw, c.cw)) * 10000)
+                                 AS BIGINT) DESC, c.code_id) rn
+                      FROM sub s JOIN ${p}cw c ON c.j = s.j) t WHERE rn = 1),
+          ${p}lut AS (SELECT qs.sid q_id, c.j, c.code_id code,
+                    CAST(round(list_dot_product(qs.sv, c.cw) * 10000)
+                      AS BIGINT) term
+                  FROM sub qs JOIN ${p}cw c ON c.j = qs.j
+                  WHERE qs.sid % 100 = 0),
+          ${p}crs AS (SELECT sid c_id, v c_vec FROM e
+                  WHERE sid % 50 = 11$cbPred),
+          ${p}asnv AS (SELECT sid, c_id FROM (
+                     SELECT e.sid, c.c_id,
+                            ROW_NUMBER() OVER (PARTITION BY e.sid
+                              ORDER BY round(list_dot_product(e.v, c.c_vec) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                                DESC, c.c_id) rn
+                     FROM e, ${p}crs c) t WHERE rn = 1),
+          ${p}prb AS (SELECT q_id, c_id FROM (
+                    SELECT q.q_id, c.c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                             ORDER BY round(list_dot_product(q.q_v, c.c_vec) /
+                               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                                sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+                               DESC, c.c_id) rn
+                    FROM qq q, ${p}crs c) t WHERE rn <= 3),
+          ${p}cnd AS (SELECT p.q_id, a.sid FROM ${p}prb p
+                  JOIN ${p}asnv a USING (c_id)
+                  WHERE a.sid != p.q_id),
+          ${p}appr AS (SELECT c.q_id, c.sid, SUM(l.term) a
+                   FROM ${p}cnd c JOIN ${p}codes co ON co.sid = c.sid
+                     JOIN ${p}lut l ON l.q_id = c.q_id AND l.j = co.j
+                                AND l.code = co.code
+                   GROUP BY c.q_id, c.sid),
+          ${p}short AS (SELECT q_id, sid FROM (
+                      SELECT q_id, sid, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY a DESC, sid) cr FROM ${p}appr) t
+                    WHERE cr <= $shortlist),
+          ${p}scored AS (SELECT s.q_id, s.sid,
+                       round(list_dot_product(e.v, q.q_v) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.q_v, q.q_v))), 4) cos
+                     FROM ${p}short s JOIN e ON e.sid = s.sid
+                       JOIN qq q ON q.q_id = s.q_id),
+          ${p}r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY q_id ORDER BY cos DESC, sid) rnk
+                FROM ${p}scored)"""
+
 }

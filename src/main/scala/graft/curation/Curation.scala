@@ -569,8 +569,11 @@ object Curation {
     * with `memoizeEvidence = true`) + one batch tokenize-count + a
     * sources-sized aggregate; totals fold over that |sources|-row
     * table with one unpartitioned window (provably tiny input). The
-    * batch's stratum column is `stratum` (aliased to the gate family's
-    * canonical `source` in the report). */
+    * stratum column of BOTH doc frames is `stratum` — renamed to the
+    * gate family's canonical `source` before the gate, so the gate's
+    * DSIR stage stratifies by it and the report groups by it (one
+    * meaning; the output column stays `source`). Frames must not carry
+    * a conflicting `source` column when `stratum` names another. */
   def mixtureShiftReport(landedDocs: DataFrame, batchDocs: DataFrame,
       landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, minCosine: Double = 0.3,
@@ -579,17 +582,27 @@ object Curation {
       vecIdCol: String = "vec_id", vecCol: String = "embedding",
       stratum: String = "source",
       memoizeEvidence: Boolean = false): DataFrame = {
+    // a non-canonical stratum column renames to the gate family's
+    // canonical `source` on BOTH doc frames BEFORE the gate — the
+    // gate's DSIR stage stratifies on `source` internally, so without
+    // the rename the advertised stratum parameter could not reach it
+    // (review finding). Frames must not carry a CONFLICTING `source`
+    // column next to the stratum column.
+    val ld = if (stratum == "source") landedDocs
+      else landedDocs.withColumnRenamed(stratum, "source")
+    val bd = if (stratum == "source") batchDocs
+      else batchDocs.withColumnRenamed(stratum, "source")
     // memoizeEvidence defaults FALSE: the natural production shape is
     // one report per distinct batch, and per-batch frames have unique
     // fingerprints — memoizing would leak one persisted gate-evidence
     // entry per call (the streaming gate's per-trigger leak class).
     // A repeated-batch caller (the q129/q189 bench pair gates the SAME
     // slices) opts in explicitly to share the gate-evidence memo.
-    val verdicts = graft.dedup.Dedup.ingestGate(landedDocs, batchDocs,
+    val verdicts = graft.dedup.Dedup.ingestGate(ld, bd,
       landedEmb, batchEmb, targetSource, centroidOffset, minCosine,
       coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol,
       memoizeEvidence)
-    val toks = batchDocs.select(col(idCol), col(stratum).as("source"),
+    val toks = bd.select(col(idCol), col("source"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
     val per = toks.join(verdicts, Seq(idCol))
       .groupBy("source")

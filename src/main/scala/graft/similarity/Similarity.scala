@@ -574,6 +574,18 @@ object Similarity {
     val victim = (k: String) =>
       pinKinds.contains(k.takeWhile(_ != ':')) &&
         !keep.exists(r => k.contains(":" + r + ":"))
+    // BEFORE anything is dropped, make every KEPT pin self-contained:
+    // a kept pin registered as a lazy plan (a rotation consults the
+    // prior pin; a rebuild may read restored artifacts) can still scan
+    // a victim's staged parquet or recompute through a victim's frame —
+    // deleting first would brick the one release being kept (review
+    // finding). selfContain stages the kept pin to its OWN file and
+    // re-seeds it as a read of that file, cutting every dependency.
+    storeDir.foreach { d =>
+      CacheRegistry.entries.keys
+        .filter(k => pinKinds.contains(k.takeWhile(_ != ':')) && !victim(k))
+        .foreach(graft.sources.IndexStore.selfContain(d, _))
+    }
     val released = CacheRegistry.releaseIf(victim)
     storeDir.foreach { d => graft.sources.IndexStore.gc(d, victim); () }
     released
@@ -1592,6 +1604,26 @@ object Similarity {
       ivfStride: Int = 50, ivfOffset: Int = 11, m: Int = 4,
       codeStride: Int = 25, codeOffset: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // a release is IMMUTABLE: the pin key embeds the releaseId but not
+    // the codebook parameters (serving looks releases up by name), so
+    // re-publishing an existing name with different parameters would
+    // silently keep serving the old codebooks — fail loudly instead
+    // (re-publishing with IDENTICAL parameters is an idempotent no-op,
+    // the crash-retry shape). Review finding.
+    val key = CacheRegistry.key(corpus, "ann-release", idCol, vecCol,
+      releaseId)
+    CacheRegistry.entries.get(key).foreach { pin =>
+      val p = pin.select("ivf_stride", "ivf_offset", "m", "code_stride",
+        "code_offset").collect()(0)
+      require(p.getAs[Int]("ivf_stride") == ivfStride &&
+          p.getAs[Int]("ivf_offset") == ivfOffset &&
+          p.getAs[Int]("m") == m &&
+          p.getAs[Int]("code_stride") == codeStride &&
+          p.getAs[Int]("code_offset") == codeOffset,
+        s"rebuildIvfPqRelease: release '$releaseId' is already published " +
+          "with different codebook parameters — releases are immutable; " +
+          "publish the rebuild under a new releaseId and switch serving")
+    }
     // artifacts FIRST (registered under the grown corpus's keys; the
     // builds are the memoized landed-index kinds, so a rebuild whose
     // parameters match an index-phase entry reuses it), pin LAST
@@ -1599,8 +1631,7 @@ object Similarity {
     landedIvfPqCodes(corpus, m, codeStride, codeOffset, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    CacheRegistry.cache(
-      CacheRegistry.key(corpus, "ann-release", idCol, vecCol, releaseId),
+    CacheRegistry.cache(key,
       Seq((releaseId, ivfStride, ivfOffset, m, codeStride, codeOffset))
         .toDF("release_id", "ivf_stride", "ivf_offset", "m",
           "code_stride", "code_offset"))

@@ -106,6 +106,38 @@ object IndexStore {
     }
   }
 
+  /** Make ONE live registry entry SELF-CONTAINED under `dir`: stage it
+    * to its own `<md5(key)>.parquet` (unless its plan already reads
+    * exactly that file — a restored entry), record it in the manifest,
+    * and re-seed the registry key as a parquet read of the staged file.
+    * This cuts every lazy-plan dependency the entry had on OTHER store
+    * files or registry frames — the in-session restore device. A GC
+    * caller runs this on the entries it KEEPS before deleting anything
+    * their unmaterialized plans might still scan (a rotation's pin is
+    * registered as a lazy plan over the pin it consulted; review
+    * finding). No-op for keys not live in the registry. */
+  def selfContain(dir: String, key: String): Unit =
+    CacheRegistry.entries.get(key).foreach { df =>
+      val f = s"$dir/${md5(key)}.parquet"
+      if (!readsOwnFile(df, f)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        df.write.mode("overwrite").parquet(f)
+        val spark = df.sparkSession
+        val path = java.nio.file.Paths.get(s"$dir/manifest")
+        val prior =
+          if (!java.nio.file.Files.exists(path)) Seq.empty[String]
+          else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+            .split("\n").toSeq.filter(_.nonEmpty)
+        val line = s"${md5(key)}\t$key"
+        val manifest = (prior.filterNot(_.endsWith("\t" + key)) :+ line)
+          .sorted.mkString("", "\n", "\n")
+        java.nio.file.Files.write(path, manifest.getBytes("UTF-8"))
+        CacheRegistry.releaseIf(_ == key)
+        CacheRegistry.seed(key, spark.read.parquet(f))
+        ()
+      }
+    }
+
   /** GC the store: drop every manifest entry whose KEY satisfies
     * `victim`, deleting its staged parquet, and rewrite the manifest
     * without it. Returns the number of entries dropped. The manifest

@@ -61,6 +61,19 @@ class AnnReleaseSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("releases are immutable: identical re-publish is a no-op, changed parameters fail loudly") {
+    CacheRegistry.releaseAll()
+    Similarity.rebuildIvfPqRelease(emb, "spec-imm")
+    // crash-retry shape: identical parameters re-publish silently
+    Similarity.rebuildIvfPqRelease(emb, "spec-imm")
+    // a DIFFERENT codebook under the same name would silently keep
+    // serving the old one — must throw instead (review finding)
+    intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfPqRelease(emb, "spec-imm", ivfOffset = 13)
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("release pin + artifacts round-trip the IndexStore; restored release serves identically") {
     val out = java.nio.file.Files.createTempDirectory("graft-ann-rel").toString
     CacheRegistry.releaseAll()

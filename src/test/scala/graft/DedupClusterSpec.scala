@@ -486,6 +486,37 @@ class DedupClusterSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("mixtureShiftReport: a non-canonical stratum column reaches the gate (rename, not alias)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.util.CacheRegistry
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val res = Seq(2L, 22L, 47L, 67L)
+    val ld = docs.filter(!pmod(col("doc_id"), lit(100L)).isin(res: _*))
+    val bd = docs.filter(pmod(col("doc_id"), lit(100L)).isin(res: _*))
+    val le = emb.filter(!pmod(col("vec_id"), lit(100L)).isin(res: _*))
+    val be = emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+    CacheRegistry.releaseAll()
+    val base = graft.curation.Curation.mixtureShiftReport(ld, bd, le, be,
+        "src0", keepBp = 5000)
+      .orderBy("source").collect().toSeq
+    CacheRegistry.releaseAll()
+    // the same frames with strata living in 'origin' (a name the
+    // table does NOT already carry — documents has its own 'lang'
+    // column) — the parameter must carry through to the gate's DSIR
+    // stage, not just the report's token count (review finding: the
+    // gate hard-required a 'source' column)
+    val got = graft.curation.Curation.mixtureShiftReport(
+        ld.withColumnRenamed("source", "origin"),
+        bd.withColumnRenamed("source", "origin"), le, be,
+        "src0", keepBp = 5000, stratum = "origin")
+      .orderBy("source").collect().toSeq
+    assert(got == base,
+      s"stratum-renamed report diverges: ${got.diff(base)}")
+    CacheRegistry.releaseAll()
+  }
+
   test("mixtureShiftReport: re-derived from the gate's own verdicts and token counts") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     import graft.util.CacheRegistry

@@ -67,4 +67,41 @@ class PinGcSpec extends SparkSpec {
     }
     CacheRegistry.releaseAll()
   }
+
+  test("GC before the kept pin is materialized: selfContain cuts the victim-file dependency") {
+    // the daily-restart hazard (review finding): the consulted pin is a
+    // RESTORED parquet read; the rotation is registered lazily and
+    // still SCANS the consulted pin's staged file — GC must stage the
+    // kept pin to its own file before deleting the victim's, or the
+    // kept release bricks on first use
+    val store = java.nio.file.Files.createTempDirectory("graft-pin-gc2").toString
+    CacheRegistry.releaseAll()
+    val l0 = emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 7L))
+    Similarity.pinnedSemanticSplit(l0, trainPct = 80)
+    assert(IndexStore.saveAll(store) >= 1)
+    // "session 2": the consulted pin is store-backed
+    CacheRegistry.releaseAll()
+    assert(IndexStore.restoreAll(spark, store) >= 1)
+    val pin0Key = CacheRegistry.entries.keySet
+      .find(_.startsWith("sem-split-pin:")).get
+    val pin0 = CacheRegistry.entries(pin0Key)
+    // rotate — registered LAZY; its plan scans pin0's staged parquet
+    Similarity.rotatePinnedSplit(emb, pin0, trainPct = 80,
+      releaseId = "relA")
+    // GC keeping relA WITHOUT materializing it first
+    assert(Similarity.gcReleasePins(Set("relA"), Some(store)) == 1)
+    val keptKey = CacheRegistry.entries.keySet
+      .find(k => k.startsWith("sem-split-pin:") && k.contains(":relA:"))
+    assert(keptKey.nonEmpty, "kept rotation lost from the registry")
+    // the victim's file is gone; the kept pin must still serve
+    val n = CacheRegistry.entries(keptKey.get).count()
+    assert(n > 0, "kept pin unreadable after GC")
+    // and survives a cold restore
+    CacheRegistry.releaseAll()
+    assert(IndexStore.restoreAll(spark, store) >= 1)
+    val again = CacheRegistry.entries.keySet
+      .find(k => k.startsWith("sem-split-pin:") && k.contains(":relA:"))
+    assert(again.nonEmpty && CacheRegistry.entries(again.get).count() == n)
+    CacheRegistry.releaseAll()
+  }
 }
