@@ -187,6 +187,9 @@ object Bench {
       // IVF-PQ routed/coded tables
       "q192_hybrid_served"         -> Set("bm25-stats", "ivfpq-asn",
                                           "ivfpq-codes"),
+      // the incremental decontamination screen probes the landed
+      // benchmark gram set
+      "q194_decontam_incremental"  -> Set("bench-grams"),
       // the rotation reads the release artifacts + the grown corpora's
       // memoized end tables (q186's entry is beside q176's above)
       "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",

@@ -120,6 +120,24 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("doc_id")
       }),
 
+      // Incremental decontamination — q42's screen as a production
+      // batch operator: the benchmark's distinct-gram hash set is the
+      // memoized landed artifact (kind "bench-grams"; it changes on
+      // benchmark RELEASES, not per batch), and each incoming batch
+      // (here the %5==2 ingest slice, benchmark rows excluded) pays
+      // only its own gram explode + one join against the
+      // benchmark-sized set. Oracle = the one-shot q42 chain over the
+      // same slices — the hash match IS the batch-order-independence
+      // proof.
+      "q194_decontam_incremental" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.contaminationIncrement(
+            docs.filter(col("doc_id") % 97 === 0),
+            docs.filter(pmod(col("doc_id"), lit(5L)) === 2 &&
+              col("doc_id") % 97 =!= 0), n = 3)
+          .orderBy("doc_id")
+      }),
+
       // Length-curriculum ordering: (bucket asc, hash60(seed:id)) via
       // the q47 two-level numbering — short-to-long schedule with a
       // seeded intra-bucket shuffle, reproducible on any cluster.
@@ -968,6 +986,25 @@ trait CurationRegistry extends EntryHelpers {
                 FROM sh WHERE sid % 97 = 0),
           d AS (SELECT sid, ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
                 FROM sh WHERE sid % 97 <> 0),
+          j AS (SELECT sid, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
+                FROM d LEFT JOIN b ON d.g = b.g GROUP BY sid)
+          SELECT sid AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(hits AS BIGINT) AS n_hits,
+                 CAST(hits AS DOUBLE) / n_grams AS contamination
+          FROM j WHERE hits > 0 ORDER BY doc_id""",
+
+    // q194: the q42 chain with the batch slice narrowed to the %5==2
+    // ingest residue (benchmark rows excluded) — the one-shot replay
+    // of what the incremental screen computes through the memoized
+    // bench-grams artifact.
+    "q194_decontam_incremental" ->
+      s"""WITH $tokCte, $shingleCte,
+          b AS (SELECT DISTINCT
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
+                FROM sh WHERE sid % 97 = 0),
+          d AS (SELECT sid, ('0x' || substr(md5(shingle), 1, 15))::BIGINT g
+                FROM sh WHERE sid % 5 = 2 AND sid % 97 <> 0),
           j AS (SELECT sid, COUNT(*) AS n_grams,
                   SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
                 FROM d LEFT JOIN b ON d.g = b.g GROUP BY sid)

@@ -204,6 +204,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // kinds, full-corpus keys)
       "q192-ivfpq-asn" -> Similarity.landedIvfPqAssignment(emb),
       "q192-ivfpq-codes" -> Similarity.landedIvfPqCodes(emb),
+      // q194's landed benchmark gram set (the decontamination screen's
+      // index; changes on benchmark releases, never per batch)
+      "q194-bench-grams" -> Curation.landedBenchGrams(
+        docs.filter(col("doc_id") % 97 === 0)),
       // the power-iteration direction (+ deflated second) — q146/q147/
       // q149/q152 share these memos; since r17 an in-run-created key
       // releases after its query, so the shared builds belong here

@@ -102,6 +102,53 @@ object Curation {
       .filter(col("n_hits") > 0)
   }
 
+  /** The landed BENCHMARK's distinct n-gram hash set (kind
+    * "bench-grams") — the artifact the decontamination screen probes.
+    * An eval suite is the canonical landed corpus: it changes on
+    * benchmark RELEASES, not per ingest batch, so its gram set is
+    * computed once and every batch screens against it (memoized,
+    * IndexStore-persisted like every landed kind). Rows = distinct
+    * grams of the suite — benchmark-sized, never corpus-sized. */
+  def landedBenchGrams(bench: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(bench, "bench-grams", n, textCol),
+      bench.select(
+          explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+            .as("gram"))
+        .select(TextFunctions.hash60(col("gram")).as("g"))
+        .distinct())
+
+  /** Incremental DECONTAMINATION — the screening cell of the
+    * incremental matrix: an incoming batch screens against the
+    * memoized landed benchmark gram set ([[landedBenchGrams]]),
+    * flagging every batch doc that shares an n-gram with the eval
+    * suite. Verdicts are batch-order-independent by construction (the
+    * benchmark is the landed side; batches contribute nothing to it —
+    * a benchmark RELEASE is a new landed frame, a new key, and a
+    * one-time re-screen decision, the q193 swap shape). Identical
+    * output contract to [[contamination]] over the same slices —
+    * that equality is q194's oracle. Per batch: the batch's own gram
+    * explode + one hash join against the benchmark-sized set. */
+  def contaminationIncrement(bench: DataFrame, incoming: DataFrame,
+      n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val benchGrams = landedBenchGrams(bench, n, textCol)
+      .withColumn("hit", lit(1L))
+    incoming
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+          .as("gram"))
+      .select(col(idCol), TextFunctions.hash60(col("gram")).as("g"))
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_grams"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Per-document n-gram novelty: the share of a document's distinct
     * n-grams that appear nowhere else in the corpus — high novelty marks
     * original text, low novelty marks boilerplate/templating. Grams are

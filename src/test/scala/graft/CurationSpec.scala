@@ -135,6 +135,30 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L, 1.0 / 3), (3L, 3L, 2L, 2.0 / 3)))
   }
 
+  test("contaminationIncrement ≡ one-shot contamination; batch split changes nothing") {
+    graft.util.CacheRegistry.releaseAll()
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 2 &&
+      col("doc_id") % 97 =!= 0)
+    val oneShot = Curation.contamination(batch, bench, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inc = Curation.contaminationIncrement(bench, batch, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == oneShot, "incremental screen diverges from one-shot")
+    // batch-order independence: two half-batches screen to the union
+    val a = Curation.contaminationIncrement(bench,
+        batch.filter(col("doc_id") % 2 === 0), n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Curation.contaminationIncrement(bench,
+        batch.filter(col("doc_id") % 2 =!= 0), n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert((a ++ b) == oneShot, "split batches diverge from the union")
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("vocabTopK: counts, doc frequency, and lexicographic tie-break") {
     val docs = Seq(
       (1L, "b b a c"),
