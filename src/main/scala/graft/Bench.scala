@@ -190,6 +190,9 @@ object Bench {
       // the incremental decontamination screen probes the landed
       // benchmark gram set
       "q194_decontam_incremental"  -> Set("bench-grams"),
+      // the audit runs BOTH fused pipelines over their shared indexes
+      "q195_hybrid_audit"          -> Set("bm25-stats", "ivfpq-asn",
+                                          "ivfpq-codes"),
       // the rotation reads the release artifacts + the grown corpora's
       // memoized end tables (q186's entry is beside q176's above)
       "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",

@@ -401,6 +401,16 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"), table(s, dir, "embeddings"))
           .orderBy("q_id", "rnk")),
 
+      // Serving-quality audit of the served hybrid: per query,
+      // overlap@5 of the index-served fusion vs the brute-force fusion
+      // in exact ppm — the q145/q159 audit pattern applied to
+      // retrieval; the dial an operator reads after an ANN parameter
+      // change or a q193 codebook rebuild.
+      "q195_hybrid_audit" -> ((s, dir) =>
+        graft.curation.Curation.hybridServedAudit(
+            table(s, dir, "documents"), table(s, dir, "embeddings"))
+          .orderBy("q_id")),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -873,6 +883,27 @@ trait CurationRegistry extends EntryHelpers {
           SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
           ORDER BY q_id, rnk"""
 
+  /** The two fused-pipeline oracles, shared by their own rows
+    * (q187/q192) and the q195 audit that nests both. */
+  protected lazy val hybridBruteOracle: String = hybridOracle(
+    """qv AS (SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+          cv AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          annr AS (SELECT q_id, vec_id AS doc_id, rnk FROM (
+                     SELECT q_id, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY round(list_dot_product(v, qv) /
+                                (sqrt(list_dot_product(v, v)) *
+                                 sqrt(list_dot_product(qv, qv))), 4)
+                                DESC, vec_id) rnk
+                     FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20)""")
+
+  protected lazy val hybridServedOracle: String = hybridOracle(
+    s"""$ivfPqUniverseCtes,
+          ${ivfPqChainCtes("h_", "", shortlist = 80)},
+          annr AS (SELECT q_id, sid doc_id, rnk FROM h_r
+                   WHERE rnk <= 20)""")
+
   protected def curationOracles: Map[String, String] = Map(
 
     "q14_text_stats" ->
@@ -1252,28 +1283,30 @@ trait CurationRegistry extends EntryHelpers {
     // q187: q71's BM25 chain with doc-derived query terms (8 rarest by
     // df asc, tok asc per ≡0-mod-100 doc) + q21's exact-cosine rank
     // chain, fused by integer RRF — floor division on both engines.
-    "q187_hybrid_rrf" -> hybridOracle(
-      """qv AS (SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings
-                 WHERE vec_id % 100 = 0),
-          cv AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-          annr AS (SELECT q_id, vec_id AS doc_id, rnk FROM (
-                     SELECT q_id, vec_id,
-                            ROW_NUMBER() OVER (PARTITION BY q_id
-                              ORDER BY round(list_dot_product(v, qv) /
-                                (sqrt(list_dot_product(v, v)) *
-                                 sqrt(list_dot_product(qv, qv))), 4)
-                                DESC, vec_id) rnk
-                     FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20)"""),
+    "q187_hybrid_rrf" -> hybridBruteOracle,
 
     // q192: the SAME fusion over the SERVED semantic side — the shared
     // IVF-PQ chain (EntryHelpers.ivfPqChainCtes, the q133/q158/q193
     // generator) with full-corpus codebooks, nprobe 3, ADC shortlist ≤
     // depth·rerankFactor = 80, exact-cosine rerank, cut at depth 20.
-    "q192_hybrid_served" -> hybridOracle(
-      s"""$ivfPqUniverseCtes,
-          ${ivfPqChainCtes("h_", "", shortlist = 80)},
-          annr AS (SELECT q_id, sid doc_id, rnk FROM h_r
-                   WHERE rnk <= 20)"""),
+    "q192_hybrid_served" -> hybridServedOracle,
+
+    // q195: both fused pipelines nested as CTEs (the q189 nested-WITH
+    // device), joined on (q_id, doc_id); overlap ppm via HUGEINT floor
+    // division (Spark side: DECIMAL(38,0) div).
+    "q195_hybrid_audit" ->
+      s"""WITH bf AS ($hybridBruteOracle),
+          sv AS ($hybridServedOracle),
+          j AS (SELECT bf.q_id, CAST(COUNT(*) AS BIGINT) k_eval,
+                  CAST(SUM(CASE WHEN sv.doc_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) n_overlap
+                FROM bf LEFT JOIN sv ON sv.q_id = bf.q_id
+                                    AND sv.doc_id = bf.doc_id
+                GROUP BY bf.q_id)
+          SELECT q_id, k_eval, n_overlap,
+                 CAST(CAST(n_overlap AS HUGEINT) * 1000000 // k_eval
+                   AS BIGINT) AS overlap_ppm
+          FROM j ORDER BY q_id""",
 
     // Rank + running sum over the vocabulary ordered (count DESC, token);
     // integer sums, one double division at the end.

@@ -764,6 +764,39 @@ object Curation {
       textCol), annRanks, k, rrfK, idCol)
   }
 
+  /** Serving-quality audit of the SERVED hybrid face — the q145/q159
+    * pattern applied to retrieval: per query, how much of the
+    * brute-force fused top-k does the index-served fusion deliver?
+    * overlap@k as an exact ppm (cross-multiplied DECIMAL(38,0)
+    * division — no float share). The number an operator watches after
+    * an ANN parameter change or a codebook rebuild: a collapsing
+    * overlap sends them to the nprobe/rerank dials (q145) before any
+    * user sees degraded retrieval. Cost: both fused pipelines (each
+    * probing its memoized indexes) + one (q_id, doc)-keyed join over
+    * ≤ 2k rows per query. Output (q_id, k_eval, n_overlap,
+    * overlap_ppm). */
+  def hybridServedAudit(docs: DataFrame, embeddings: DataFrame,
+      k: Int = 5, depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
+      queryStride: Int = 100, nprobe: Int = 3, rerankFactor: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val brute = hybridRrfTopK(docs, embeddings, k, depth, kTerms, rrfK,
+      queryStride, idCol, textCol, vecIdCol, vecCol)
+      .select(col("q_id"), col(idCol))
+    val served = hybridRrfTopKServed(docs, embeddings, k, depth, kTerms,
+      rrfK, queryStride, nprobe = nprobe, rerankFactor = rerankFactor,
+      idCol = idCol, textCol = textCol, vecIdCol = vecIdCol,
+      vecCol = vecCol)
+      .select(col("q_id"), col(idCol)).withColumn("m", lit(1L))
+    brute.join(served, Seq("q_id", idCol), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("k_eval"),
+        sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"))
+      .withColumn("overlap_ppm",
+        expr("""CAST(CAST(n_overlap AS DECIMAL(38,0)) * 1000000
+                div k_eval AS BIGINT)"""))
+  }
+
   /** The lexical side of the hybrid family: per query doc, its
     * `kTerms` rarest tokens score the corpus with q71's integer-e6
     * BM25 over the memoized [[bm25Stats]] index; top-`depth` ranks by
