@@ -78,6 +78,14 @@ object Bench {
       "q184_absorb_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
         "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
         "dsir-thresholds", "dsir-doc-buckets", "landed-fp"),
+      // retrieval-after-absorb reads q184's gate family PLUS the landed
+      // retrieval kinds its absorb extends (bm25 lexical index, routed/
+      // coded IVF-PQ pair); the grown-corpus entries are seeded
+      // in-query — that seeding IS the measured operator
+      "q196_absorb_serve" -> Set("shingles", "minhash-bands", "vec-lookup",
+        "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
+        "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
+        "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

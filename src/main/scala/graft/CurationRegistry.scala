@@ -829,57 +829,13 @@ trait CurationRegistry extends EntryHelpers {
           JOIN tot ON tot.e_src = a.src
           ORDER BY e_src, t_src"""
 
-  /** The hybrid-retrieval oracle family (q187/q192): q71's BM25 chain
-    * with doc-derived query terms (8 rarest by df asc, tok asc per
-    * ≡0-mod-100 doc), a caller-supplied semantic CTE chunk ending in
-    * `annr(q_id, doc_id, rnk ≤ 20)`, and the integer-RRF fusion tail —
-    * floor division on both engines. */
+  /** The hybrid-retrieval oracle family (q187/q192): the shared
+    * [[hybridChainCtes]] (BM25 + caller-supplied semantic chunk + RRF
+    * fusion — hoisted to EntryHelpers so q196's staged
+    * gate-then-serve oracle composes the same chain) with the
+    * retrieval rows' top-5 final select. */
   protected def hybridOracle(semanticCtes: String): String =
-    s"""WITH $tokCte,
-          t AS (SELECT doc_id, unnest(tk) tok FROM toks),
-          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
-                 FROM t GROUP BY 1, 2),
-          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
-                 FROM t GROUP BY 1),
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
-                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
-          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
-                  FROM tf GROUP BY 1),
-          qt AS (SELECT q_id, tok FROM (
-                   SELECT tf.doc_id q_id, tf.tok,
-                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                            ORDER BY df ASC, tf.tok) trk
-                   FROM tf JOIN dfr USING (tok)
-                   WHERE tf.doc_id % 100 = 0) x
-                 WHERE trk <= 8),
-          sc AS (SELECT qt.q_id, tf.doc_id,
-                   CAST(round(
-                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
-                         + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (0.25 + 0.75 * dl /
-                         (CAST(total_len AS DOUBLE) / n_docs)))
-                     * 1000000, 0) AS BIGINT) s_e6
-                 FROM qt JOIN tf USING (tok) JOIN dfr USING (tok)
-                   JOIN dl ON tf.doc_id = dl.doc_id, st
-                 WHERE tf.doc_id != qt.q_id),
-          bma AS (SELECT q_id, doc_id, CAST(SUM(s_e6) AS BIGINT) score_e6
-                  FROM sc GROUP BY 1, 2),
-          bmr AS (SELECT q_id, doc_id, rnk FROM (
-                    SELECT q_id, doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY q_id
-                             ORDER BY score_e6 DESC, doc_id) rnk
-                    FROM bma) b WHERE rnk <= 20),
-          $semanticCtes,
-          u AS (SELECT q_id, doc_id, rnk FROM bmr
-                UNION ALL SELECT q_id, doc_id, rnk FROM annr),
-          f AS (SELECT q_id, doc_id,
-                  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) rrf_e9
-                FROM u GROUP BY 1, 2),
-          fr AS (SELECT q_id, doc_id, rrf_e9,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) rnk
-                 FROM f)
+    s"""WITH ${hybridChainCtes(semanticCtes)}
           SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
           ORDER BY q_id, rnk"""
 
@@ -898,11 +854,8 @@ trait CurationRegistry extends EntryHelpers {
                                 DESC, vec_id) rnk
                      FROM cv, qv WHERE vec_id != q_id) a WHERE rnk <= 20)""")
 
-  protected lazy val hybridServedOracle: String = hybridOracle(
-    s"""$ivfPqUniverseCtes,
-          ${ivfPqChainCtes("h_", "", shortlist = 80)},
-          annr AS (SELECT q_id, sid doc_id, rnk FROM h_r
-                   WHERE rnk <= 20)""")
+  protected lazy val hybridServedOracle: String =
+    hybridOracle(servedAnnrCtes())
 
   protected def curationOracles: Map[String, String] = Map(
 

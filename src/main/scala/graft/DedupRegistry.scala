@@ -588,6 +588,43 @@ trait DedupRegistry extends EntryHelpers {
         } finally q.stop()
         got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
       }),
+
+      // RETRIEVAL AFTER ABSORPTION — the serving story the absorb loop
+      // exists for: gate batch 1 (q184's stage-1 fixture) → absorb the
+      // admits into every landed artifact, now INCLUDING the retrieval
+      // kinds (bm25-stats via absorbBm25's df sum-merge, ivfpq-asn/
+      // ivfpq-codes via absorbIvfPq's frozen-codebook appends) → serve
+      // hybrid BM25+IVF-PQ retrieval (q192's face) over the GROWN
+      // corpus through the seeded entries — no landed re-tokenize, no
+      // landed re-encode. The oracle replays the whole chain one-shot
+      // (stage-1 gate in SQL → grown corpus CTEs → q192's hybrid chain
+      // over them), so the hash match proves absorb ≡ rebuild for the
+      // retrieval kinds too — the q184 proof extended from gate
+      // verdicts to served answers.
+      "q196_absorb_serve" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val adm = Dedup.ingestGate(d0, b1, e0, be1, "src0", keepBp = 5000)
+          .filter(col("gate") === "admit").select("doc_id")
+          .localCheckpoint(true)
+        val admDocs = b1.join(adm, Seq("doc_id"))
+        val admEmb = be1.join(adm.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"))
+        val landed2d = d0.unionByName(admDocs)
+        val landed2e = e0.unionByName(admEmb)
+        Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e,
+          "src0", keepBp = 5000)
+        graft.curation.Curation.hybridRrfTopKServed(landed2d, landed2e)
+          .orderBy("q_id", "rnk")
+      }),
     )
   }
 
@@ -1524,7 +1561,40 @@ trait DedupRegistry extends EntryHelpers {
       """SELECT doc_id, gate FROM s1_gate
          UNION ALL SELECT doc_id, gate FROM s2_gate
          ORDER BY doc_id"""),
+
+    // q196: stage-1 gate → grown-corpus CTEs → q192's hybrid serve
+    // chain over them — the absorb ≡ rebuild proof extended from gate
+    // verdicts to served retrieval answers
+    "q196_absorb_serve" -> absorbServeOracle,
   )
+
+  /** The q196 oracle: the q184 stage-1 gate replayed in SQL, its
+    * admits folded into grown-corpus relations (`d2`/`e2`), and q192's
+    * hybrid BM25 + IVF-PQ serve chain run over those — exactly what
+    * the Spark side computes through absorb-seeded (merged,
+    * never-rebuilt) retrieval kinds. The IVF-PQ chain's codebook
+    * slices over `e2` equal the landed slices verbatim (the fixture's
+    * batch residues avoid both codebook strides — the frozen-codebook
+    * contract [[graft.similarity.Similarity.absorbIvfPq]] enforces),
+    * so one parametrized chain states both sides of the equivalence. */
+  protected def absorbServeOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
+    val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val s1 = gateStageCtes("s1_", l1, b1, l1, b1, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1,
+          adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
+          d2 AS MATERIALIZED (SELECT * FROM documents
+                WHERE doc_id % 100 NOT IN $allRes
+                   OR doc_id IN (SELECT doc_id FROM adm)),
+          e2 AS MATERIALIZED (SELECT * FROM embeddings
+                WHERE vec_id % 100 NOT IN $allRes
+                   OR vec_id IN (SELECT doc_id FROM adm)),
+          ${hybridChainCtes(servedAnnrCtes("e2"), docsRel = "d2")}
+          SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
+          ORDER BY q_id, rnk"""
+  }
 
   /** One gate stage of the q184 absorb oracle: q129's precedence
     * lattice with every landed/batch slice predicate parametrized

@@ -182,16 +182,87 @@ trait EntryHelpers {
     }.mkString("\n                 UNION ALL ")
 
 
-  /** The shared head of the IVF-PQ oracle family (q133/q158/q192/q193):
-    * corpus vectors, PQ subspace index, subvector slices, query set.
-    * Lives here (not in SimilarityRegistry) because BOTH registries
-    * compose the chain — q192's served hybrid is a CurationRegistry
-    * row. */
-  protected lazy val ivfPqUniverseCtes: String =
-    """e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM embeddings),
+  /** The shared head of the IVF-PQ oracle family
+    * (q133/q158/q192/q193/q196): corpus vectors, PQ subspace index,
+    * subvector slices, query set. Lives here (not in
+    * SimilarityRegistry) because all three registries compose the
+    * chain — q192's served hybrid is a CurationRegistry row, q196's
+    * absorb-then-serve is a DedupRegistry row. `embRel` parametrizes
+    * the corpus relation (default the raw table; q196 passes its
+    * gate-restricted grown-corpus CTE). */
+  protected def ivfPqUniverseCtes(embRel: String = "embeddings"): String =
+    s"""e AS (SELECT vec_id sid, embedding::DOUBLE[] v FROM $embRel),
           js AS (SELECT unnest(range(4)) j),
           sub AS (SELECT sid, j, v[j*16+1 : (j+1)*16] sv FROM e, js),
           qq AS (SELECT sid q_id, v q_v FROM e WHERE sid % 100 = 0)"""
+
+  /** The SERVED semantic side of the hybrid-oracle family (q192/q195/
+    * q196): the IVF-PQ chain at retrieval depth (shortlist 80 = depth
+    * 20 × rerankFactor 4), ending in `annr(q_id, doc_id, rnk ≤ 20)`. */
+  protected def servedAnnrCtes(embRel: String = "embeddings"): String =
+    s"""${ivfPqUniverseCtes(embRel)},
+          ${ivfPqChainCtes("h_", "", shortlist = 80)},
+          annr AS (SELECT q_id, sid doc_id, rnk FROM h_r
+                   WHERE rnk <= 20)"""
+
+  /** The hybrid-retrieval CTE chain (q187/q192/q195/q196): q71's BM25
+    * with doc-derived query terms (8 rarest by df asc, tok asc per
+    * ≡0-mod-100 doc) over `docsRel`, a caller-supplied semantic chunk
+    * ending in `annr(q_id, doc_id, rnk ≤ 20)`, and the integer-RRF
+    * fusion tail — floor division on both engines. Ends in
+    * `fr(q_id, doc_id, rrf_e9, rnk)`; the caller appends its final
+    * SELECT (top-5 for the retrieval rows, the nested overlap join for
+    * the q195 audit). CTE names are chosen off the staged-gate
+    * oracle's namespace (htoks, not toks) so q196 can hang this chain
+    * off the same WITH as a gate stage. */
+  protected def hybridChainCtes(semanticCtes: String,
+      docsRel: String = "documents"): String =
+    s"""htoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+                  FROM $docsRel),
+          t AS (SELECT doc_id, unnest(tk) tok FROM htoks),
+          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf
+                 FROM t GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl
+                 FROM t GROUP BY 1),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                        CAST(SUM(dl) AS BIGINT) total_len FROM dl),
+          dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df
+                  FROM tf GROUP BY 1),
+          qt AS (SELECT q_id, tok FROM (
+                   SELECT tf.doc_id q_id, tf.tok,
+                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY df ASC, tf.tok) trk
+                   FROM tf JOIN dfr USING (tok)
+                   WHERE tf.doc_id % 100 = 0) x
+                 WHERE trk <= 8),
+          sc AS (SELECT qt.q_id, tf.doc_id,
+                   CAST(round(
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl /
+                         (CAST(total_len AS DOUBLE) / n_docs)))
+                     * 1000000, 0) AS BIGINT) s_e6
+                 FROM qt JOIN tf USING (tok) JOIN dfr USING (tok)
+                   JOIN dl ON tf.doc_id = dl.doc_id, st
+                 WHERE tf.doc_id != qt.q_id),
+          bma AS (SELECT q_id, doc_id, CAST(SUM(s_e6) AS BIGINT) score_e6
+                  FROM sc GROUP BY 1, 2),
+          bmr AS (SELECT q_id, doc_id, rnk FROM (
+                    SELECT q_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY score_e6 DESC, doc_id) rnk
+                    FROM bma) b WHERE rnk <= 20),
+          $semanticCtes,
+          u AS (SELECT q_id, doc_id, rnk FROM bmr
+                UNION ALL SELECT q_id, doc_id, rnk FROM annr),
+          f AS (SELECT q_id, doc_id,
+                  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) rrf_e9
+                FROM u GROUP BY 1, 2),
+          fr AS (SELECT q_id, doc_id, rrf_e9,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) rnk
+                 FROM f)"""
 
   /** One IVF-PQ serve chain (codebooks → codes → LUT → route → probe
     * → ADC → shortlist → exact rerank), CTE names prefixed with `p`,

@@ -1226,7 +1226,7 @@ trait SimilarityRegistry extends EntryHelpers {
     // argmax over the ≡11 mod 50 cells, per-query top-3 probe, ADC
     // restricted to probed cells, exact-cosine rerank.
     "q133_ann_ivf_pq" ->
-      s"""WITH $ivfPqUniverseCtes,
+      s"""WITH ${ivfPqUniverseCtes()},
           ${ivfPqChainCtes("", "")}
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",
@@ -1235,7 +1235,7 @@ trait SimilarityRegistry extends EntryHelpers {
     // (landed-drawn codebooks), "after" is q133's (codebooks from the
     // full grown corpus: the rebuilt release); union tagged.
     "q193_codebook_rebuild" ->
-      s"""WITH $ivfPqUniverseCtes,
+      s"""WITH ${ivfPqUniverseCtes()},
           ${ivfPqChainCtes("b_", " AND sid % 4 != 2")},
           ${ivfPqChainCtes("a_", "")}
           SELECT 'before' AS release, q_id, rnk, sid vec_id, cos
@@ -1249,7 +1249,7 @@ trait SimilarityRegistry extends EntryHelpers {
     // over the full union — the landed-codebook one-shot the
     // incremental face must equal
     "q158_ivfpq_incremental" ->
-      s"""WITH $ivfPqUniverseCtes,
+      s"""WITH ${ivfPqUniverseCtes()},
           ${ivfPqChainCtes("", " AND sid % 4 != 2")}
           SELECT q_id, rnk, sid vec_id, cos FROM r WHERE rnk <= 5
           ORDER BY q_id, rnk""",

@@ -160,6 +160,14 @@ object SparkEntry extends CoreRegistry with DedupRegistry
         Curation.landedDsirThresholds(landedDocsA, "src0", keepBp = 5000),
       "q184-dsir-doc-buckets" ->
         Curation.landedDsirDocBuckets(landedDocsA, "src0"),
+      // q196's landed RETRIEVAL kinds on the same %100-residue slice:
+      // the lexical index and the routed/coded ANN pair the absorb
+      // merges extend — a deployment has these before the batch
+      // arrives; the absorbed (grown) entries are seeded by the query
+      // itself, they ARE what q196 measures
+      "q196-bm25-stats" -> Curation.bm25Stats(landedDocsA),
+      "q196-ivfpq-asn" -> Similarity.landedIvfPqAssignment(landedEmbA),
+      "q196-ivfpq-codes" -> Similarity.landedIvfPqCodes(landedEmbA),
       // q130/q171/q175's landed media indexes — one landed decode /
       // frame pass / window pass each, paid here once; batches probe
       // by equi-join. ALL built over Multimodal.landedMediaSlice, the

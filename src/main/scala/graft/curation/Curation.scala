@@ -699,6 +699,52 @@ object Curation {
         tf.join(dfr, "tok").join(dl, idCol)
       })
 
+  /** Absorb an ADMITTED batch into the landed [[bm25Stats]] index —
+    * the LEXICAL-retrieval cell of the absorb family
+    * ([[graft.dedup.Dedup.absorbBatch]]): seeds "bm25-stats" for the
+    * GROWN corpus (`landed2Docs`, the frame the next
+    * [[hybridRrfTopKServed]] / BM25-family call receives) without
+    * re-tokenizing the landed corpus. Per column of the index:
+    *
+    *  - `tf` and `dl` are doc-local — the batch contributes its own
+    *    tokenize (batch-sized), landed rows carry over verbatim;
+    *  - `df` is the one corpus-global column: landed and admitted doc
+    *    id sets are disjoint (append-only allocation, the same
+    *    contract every absorb cell rests on), so the grown df is a
+    *    plain per-token SUM of the landed df and the batch's df delta
+    *    — landed rows update through ONE join against the
+    *    batch-vocab-sized delta (broadcast at production scale), batch
+    *    rows symmetrically pick up the landed per-token df.
+    *
+    * The union is integer-exact against the one-shot [[bm25Stats]]
+    * build over landed ∪ admitted (AbsorbIndexSpec pins it; the q196
+    * oracle replays the whole gate → absorb → serve chain in SQL).
+    * Corpus aggregates (n_docs, total_len, idf) derive downstream from
+    * the merged rows, so nothing else needs re-deriving. */
+  def absorbBm25(landedDocs: DataFrame, admitted: DataFrame,
+      landed2Docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val bm = bm25Stats(landedDocs, idCol, textCol)
+    val btok = admitted.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val btf = btok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val bdl = btok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val bdf = btf.groupBy("tok").agg(count(lit(1)).as("bdf"))
+    val lRows = bm.join(bdf, Seq("tok"), "left")
+      .withColumn("df", col("df") + coalesce(col("bdf"), lit(0L)))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"))
+    val ldf = bm.select(col("tok"), col("df").as("ldf")).distinct()
+    val bRows = btf.join(bdf, "tok").join(bdl, idCol)
+      .join(ldf, Seq("tok"), "left")
+      .withColumn("df", col("bdf") + coalesce(col("ldf"), lit(0L)))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"))
+    graft.util.CacheRegistry.seed(
+      graft.util.CacheRegistry.key(landed2Docs, "bm25-stats", idCol,
+        textCol),
+      lRows.unionByName(bRows))
+    ()
+  }
+
   /** HYBRID lexical+semantic retrieval via reciprocal-rank fusion —
     * the standard two-system production shape (BM25 recovers exact
     * terms an embedding smooths away; the embedding recovers

@@ -1325,26 +1325,39 @@ object Dedup {
     * Merge strategies per artifact family: [[absorbTextIndexes]]
     * (union / anti-join / distinct-union), [[graft.similarity.Similarity.absorbSemantic2L]]
     * (frozen-codebook appends, centroid-stride ids REFUSED loudly),
+    * [[graft.similarity.Similarity.absorbIvfPq]] (the ANN-SERVING
+    * kinds — frozen coarse/PQ codebooks, stride ids refused the same
+    * way), [[graft.curation.Curation.absorbBm25]] (the lexical
+    * retrieval index — df sum-merge through one batch-vocab join),
     * [[graft.curation.Curation.absorbDsir]] (count sum-merge +
-    * histogram-costed threshold re-derivation). Every merge is
-    * integer-exact against the one-shot rebuild over (landed ∪
-    * admitted): the q184 oracle replays gate → admit → one-shot
-    * landed′ in SQL and hash-matches the absorbed gate's verdicts on a
-    * SECOND batch — the absorb ≡ rebuild proof. Persisting the seeded
-    * entries across sessions is [[graft.sources.IndexStore.saveAll]]
-    * unchanged (the seeds are ordinary registry entries; IndexStoreSpec
-    * round-trips them). */
+    * histogram-costed threshold re-derivation). The two
+    * refusal-capable cells run FIRST (each probes eagerly before
+    * seeding anything), so a stride refusal leaves at most its own
+    * family's partial seeds for the stream's compaction sweep to
+    * release. Every merge is integer-exact against the one-shot
+    * rebuild over (landed ∪ admitted): the q184 oracle replays gate →
+    * admit → one-shot landed′ in SQL and hash-matches the absorbed
+    * gate's verdicts on a SECOND batch — the absorb ≡ rebuild proof —
+    * and the q196 oracle does the same for the retrieval kinds
+    * (gate → absorb → hybrid SERVE over the grown corpus). Persisting
+    * the seeded entries across sessions is
+    * [[graft.sources.IndexStore.saveAll]] unchanged (the seeds are
+    * ordinary registry entries; IndexStoreSpec round-trips them). */
   def absorbBatch(landedDocs: DataFrame, admittedDocs: DataFrame,
       landedEmb: DataFrame, admittedEmb: DataFrame,
       landed2Docs: DataFrame, landed2Emb: DataFrame, targetSource: String,
       centroidOffset: Int = 8, coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    absorbTextIndexes(landedDocs, admittedDocs, landed2Docs,
-      textCol = textCol, idCol = idCol)
     graft.similarity.Similarity.absorbSemantic2L(landedEmb, admittedEmb,
       landed2Emb, fineStride = 25, fineOffset = centroidOffset,
       coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol)
+    graft.similarity.Similarity.absorbIvfPq(landedEmb, admittedEmb,
+      landed2Emb, idCol = vecIdCol, vecCol = vecCol)
+    absorbTextIndexes(landedDocs, admittedDocs, landed2Docs,
+      textCol = textCol, idCol = idCol)
+    graft.curation.Curation.absorbBm25(landedDocs, admittedDocs,
+      landed2Docs, idCol = idCol, textCol = textCol)
     graft.curation.Curation.absorbDsir(landedDocs, admittedDocs,
       landed2Docs, targetSource, keepBp = keepBp, idCol = idCol,
       textCol = textCol)

@@ -1582,6 +1582,69 @@ object Similarity {
           m, dsub)
       })
 
+  /** Absorb an ADMITTED batch's vectors into the landed IVF-PQ SERVING
+    * kinds under the FROZEN landed codebooks — the ANN-serving cell of
+    * the absorb family ([[graft.dedup.Dedup.absorbBatch]]): seeds
+    * "ivfpq-asn" and "ivfpq-codes" for the GROWN corpus (`landed2Emb`,
+    * the frame the next [[ivfPqTopKServed]] / [[graft.curation.Curation.hybridRrfTopKServed]]
+    * call receives) as plain appends — each batch vector's cell
+    * assignment and PQ code are pure functions of (vector, frozen
+    * codebooks), so the union is byte-identical to the one-shot
+    * [[landedIvfPqAssignment]]/[[landedIvfPqCodes]] build over
+    * landed ∪ admitted.
+    *
+    * That identity NEEDS the frozen-codebook contract on BOTH stride
+    * families (the same loud requirement as [[absorbSemantic2L]]'s):
+    * an admitted id on the coarse-centroid stride (`% ivfStride ==
+    * ivfOffset`) or the PQ-codeword stride (`% codeStride ==
+    * codeOffset`) would grow a codebook and silently re-route /
+    * re-code every landed vector — REFUSED with
+    * [[CodebookStrideRefusal]] (the streaming face converts the
+    * refusal to compaction; a batch pipeline rebuilds the landed
+    * index). The serve faces recompute codebooks in-plan from the
+    * grown corpus's stride slices, which under this contract are the
+    * landed slices verbatim — so a serve over the seeded kinds is
+    * consistent by construction, never by luck. */
+  def absorbIvfPq(landedEmb: DataFrame, admittedEmb: DataFrame,
+      landed2Emb: DataFrame, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val iv = admittedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    // eager refusal probe BEFORE any seed (the stream converts the
+    // refusal to compaction, so no grown-corpus entry may exist when
+    // it throws); one short-circuiting job over the batch-sized frame
+    if (!iv.filter(
+        pmod(col("sid"), lit(ivfStride.toLong)) === ivfOffset ||
+          pmod(col("sid"), lit(codeStride.toLong)) === codeOffset)
+        .isEmpty)
+      throw new CodebookStrideRefusal(
+        s"absorbIvfPq: admitted batch contains codebook-stride ids " +
+          s"(id % $ivfStride == $ivfOffset or id % $codeStride == " +
+          s"$codeOffset) — the frozen-codebook append contract requires " +
+          "fresh ids off the centroid/codeword strides; rebuild the " +
+          "landed index instead (the q193 release path)")
+    val dim = probeDim(landedEmb, landedEmb, vecCol, m)
+    val dsub = dim / m
+    val le = landedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val coarse = coarseCodebook(le, ivfStride, ivfOffset)
+    val cw = pqCodebook(le, m, dsub, codeStride, codeOffset)
+    val bAsn = assignToCentroids(
+      iv.select(col("sid").as("vec_id"), col("vec")), coarse)
+      .select(col("vec_id").as("sid"), col("c_id"))
+    val bCodes = pqEncode(iv, cw, m, dsub)
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Emb, "ivfpq-asn", ivfStride, ivfOffset,
+        idCol, vecCol),
+      landedIvfPqAssignment(landedEmb, ivfStride, ivfOffset, idCol, vecCol)
+        .unionByName(bAsn))
+    CacheRegistry.seed(
+      CacheRegistry.key(landed2Emb, "ivfpq-codes", m, codeStride,
+        codeOffset, idCol, vecCol),
+      landedIvfPqCodes(landedEmb, m, codeStride, codeOffset, idCol, vecCol)
+        .unionByName(bCodes))
+    ()
+  }
+
   /** REBUILD + ATOMIC SWAP of an IVF-PQ release — the lifecycle step
     * the q160 drift alarm points at: when the frozen landed codebooks
     * have drifted from the grown corpus (append-only ingest adds

@@ -446,10 +446,18 @@ class DedupClusterSpec extends SparkSpec {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
     val d0 = docs.filter(pmod(col("doc_id"), lit(5L)).isin(0L, 1L, 3L))
-    val b1 = docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+    // the admitted batch must sit off EVERY frozen codebook stride —
+    // since round 18 the absorb family also appends to the IVF-PQ
+    // serving kinds, whose codeword stride (% 25 == 7) intersects the
+    // %5 == 2 slice (7 ≡ 2 mod 5); absorbIvfPq refuses such ids loudly
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5L)) === 2 &&
+      pmod(col("doc_id"), lit(25L)) =!= 7 &&
+      pmod(col("doc_id"), lit(50L)) =!= 11)
     val b2 = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
     val e0 = emb.filter(pmod(col("vec_id"), lit(5L)).isin(0L, 1L, 3L))
-    val be1 = emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+    val be1 = emb.filter(pmod(col("vec_id"), lit(5L)) === 2 &&
+      pmod(col("vec_id"), lit(25L)) =!= 7 &&
+      pmod(col("vec_id"), lit(50L)) =!= 11)
     val be2 = emb.filter(pmod(col("vec_id"), lit(5L)) === 4)
     CacheRegistry.releaseAll()
     // absorb the WHOLE batch 1 (the gated-admits flow is q184's oracle

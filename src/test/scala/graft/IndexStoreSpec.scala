@@ -78,9 +78,16 @@ class IndexStoreSpec extends SparkSpec {
     // post-append files — a file-backed plan whose fingerprint any
     // later session reproduces (an in-memory checkpoint leaf's cannot
     // be; see absorbBatch's durability note)
-    docs.filter(pmod(col("doc_id"), lit(5L)) === 2)
+    // off EVERY frozen codebook stride: since round 18 the absorb
+    // family also appends to the IVF-PQ serving kinds, whose codeword
+    // stride (% 25 == 7) intersects the %5 == 2 slice
+    docs.filter(pmod(col("doc_id"), lit(5L)) === 2 &&
+        pmod(col("doc_id"), lit(25L)) =!= 7 &&
+        pmod(col("doc_id"), lit(50L)) =!= 11)
       .write.mode("overwrite").parquet(s"$base/adm_docs")
-    emb.filter(pmod(col("vec_id"), lit(5L)) === 2)
+    emb.filter(pmod(col("vec_id"), lit(5L)) === 2 &&
+        pmod(col("vec_id"), lit(25L)) =!= 7 &&
+        pmod(col("vec_id"), lit(50L)) =!= 11)
       .write.mode("overwrite").parquet(s"$base/adm_emb")
     def admDocs = spark.read.parquet(s"$base/adm_docs")
     def admEmb = spark.read.parquet(s"$base/adm_emb")
