@@ -151,6 +151,12 @@ object Bench {
       // the query then drops
       "q193_codebook_rebuild"      -> Set("ivfpq-asn", "ivfpq-codes",
                                           "ann-release"),
+      // the drift policy measures, decides, and serves through the
+      // same release machinery (its fixture's threshold trips, so the
+      // executed path is rebuild → released serve over the full-corpus
+      // kinds)
+      "q197_drift_policy"          -> Set("ivfpq-asn", "ivfpq-codes",
+                                          "ann-release"),
       "q120_curation_funnel"       -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "ppl-scored",
                                           "sem2l-asn", "sem2l-dedup",

@@ -349,6 +349,27 @@ trait SimilarityRegistry extends EntryHelpers {
           .orderBy("release", "q_id", "rnk")
       }),
 
+      // DRIFT-TRIGGERED REBUILD POLICY — the control loop over the
+      // q160 alarm and the q193 rebuild: measure the frozen codebook's
+      // drift on the batch, decide against the threshold, then serve
+      // through the RELEASE it publishes (tripped) or the
+      // frozen-codebook append path (not tripped). maxDriftPpm = 0
+      // makes the fixture's decision deterministic at every SF (any
+      // positive batch residual trips); the oracle replays measure +
+      // decide + BOTH serve chains and selects the branch the decision
+      // picks — the policy's consequence is hash-checked, not just its
+      // scalar.
+      "q197_drift_policy" -> ((s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.similarity.Similarity.driftRebuildPolicy(
+            emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2),
+            emb.filter(pmod(col("vec_id"), lit(4L)) === 2),
+            emb,
+            emb.filter(pmod(col("vec_id"), lit(100)) === 0),
+            "q197-policy", maxDriftPpm = 0L)
+          .orderBy("q_id", "rnk")
+      }),
+
       // IVF-PQ recall audit: q133's composed index priced against
       // q21's exact truth across (nprobe, rerankFactor) — routing loss
       // and ADC-shortlist loss separated, the q98/q101 tuning pattern
@@ -1376,6 +1397,57 @@ trait SimilarityRegistry extends EntryHelpers {
                  CAST(MAX(ne4) AS BIGINT) max_norm_e4,
                  CAST(SUM(ne4) AS BIGINT) sum_norm_e4
           FROM p""",
+
+    // q197: the q160 drift measurement (d-prefixed CTEs over the
+    // shared universe) folded to the trip decision (threshold 0, the
+    // entry's maxDriftPpm; NULL drift trips iff the batch has any
+    // positive residual), then BOTH serve chains — q158's landed-
+    // codebook chain for 'keep', q133's full-corpus chain for
+    // 'rebuild' — with the final select gated on the decision scalar
+    "q197_drift_policy" ->
+      s"""WITH ${ivfPqUniverseCtes()},
+          dle AS (SELECT * FROM e WHERE sid % 4 != 2),
+          dbe AS (SELECT * FROM e WHERE sid % 4 = 2),
+          dcrs AS (SELECT sid c_id, v c_vec FROM dle WHERE sid % 50 = 11),
+          dres AS (SELECT grp, sid,
+                     10000 - CAST(round(best * 10000) AS BIGINT) res
+                   FROM (
+                     SELECT 'landed' grp, dle.sid,
+                            MAX(round(list_dot_product(dle.v, c.c_vec) /
+                              (sqrt(list_dot_product(dle.v, dle.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4))
+                              best
+                     FROM dle, dcrs c GROUP BY dle.sid
+                     UNION ALL
+                     SELECT 'batch', dbe.sid,
+                            MAX(round(list_dot_product(dbe.v, c.c_vec) /
+                              (sqrt(list_dot_product(dbe.v, dbe.v)) *
+                               sqrt(list_dot_product(c.c_vec, c.c_vec))), 4))
+                     FROM dbe, dcrs c GROUP BY dbe.sid)),
+          dfold AS (SELECT grp, CAST(COUNT(*) AS BIGINT) n,
+                           CAST(SUM(res) AS BIGINT) sum_res,
+                           CAST(MAX(res) AS BIGINT) max_res_e4
+                    FROM dres GROUP BY grp),
+          dlr AS (SELECT n ln, sum_res ls FROM dfold WHERE grp = 'landed'),
+          dtrip AS (SELECT CASE WHEN ls > 0 THEN
+                             CASE WHEN CAST(CAST(sum_res AS HUGEINT) * ln
+                                    * 1000000 // (CAST(ls AS HUGEINT) * n)
+                                    AS BIGINT) > 0 THEN 1 ELSE 0 END
+                           WHEN max_res_e4 > 0 THEN 1 ELSE 0 END trip,
+                           CASE WHEN ls > 0 THEN
+                             CAST(CAST(sum_res AS HUGEINT) * ln * 1000000
+                                  // (CAST(ls AS HUGEINT) * n) AS BIGINT)
+                           END drift_ppm
+                    FROM dfold, dlr WHERE grp = 'batch'),
+          ${ivfPqChainCtes("b_", " AND sid % 4 != 2")},
+          ${ivfPqChainCtes("a_", "")}
+          SELECT 'keep' AS "action", t.drift_ppm, r.q_id, r.rnk, r.sid vec_id,
+                 r.cos
+          FROM b_r r, dtrip t WHERE t.trip = 0 AND r.rnk <= 5
+          UNION ALL
+          SELECT 'rebuild', t.drift_ppm, r.q_id, r.rnk, r.sid, r.cos
+          FROM a_r r, dtrip t WHERE t.trip = 1 AND r.rnk <= 5
+          ORDER BY q_id, rnk""",
 
     // q160: residual = 1e4 − best e4 cosine to the LANDED stride
     // codebook, per group; drift = one cross-multiplied HUGEINT

@@ -1876,6 +1876,65 @@ object Similarity {
                 END""").as("drift_ppm"))
   }
 
+  /** Drift-triggered REBUILD POLICY — the control loop that connects
+    * the q160 staleness alarm to the q193 rebuild, so "schedule a
+    * codebook rebuild" is an operator, not a human reading a
+    * dashboard. Per invocation:
+    *
+    *  1. *measure*: [[codebookDrift]] over (landed, batch) — how much
+    *     worse does the frozen landed coarse codebook quantize the
+    *     batch than its own training corpus;
+    *  2. *decide*: trip iff `drift_ppm > maxDriftPpm`; a NULL drift
+    *     (the landed residual sum is zero — a codebook that memorized
+    *     its corpus has no denominator) trips iff the batch has ANY
+    *     positive residual (`max_res_e4 > 0`: strictly worse than the
+    *     memorizing codebook's zero) — the policy is total;
+    *  3. *act*: tripped → [[rebuildIvfPqRelease]] over `grown` (the
+    *     caller's landed ∪ batch frame — passed explicitly so a
+    *     deployment's canonical corpus frame keys the release
+    *     artifacts, the q193 idiom) and serve the queries through the
+    *     published pin ([[ivfPqTopKReleased]]); not tripped → serve
+    *     through the frozen-codebook append path ([[ivfPqIncrement]],
+    *     q158's exact contract) and publish NOTHING.
+    *
+    * The decision scalar is a one-row collect (bounded by
+    * construction, the pin-consult shape). Output: (action ∈ {keep,
+    * rebuild}, drift_ppm — the measured value, NULL-able, constant
+    * across rows, so the decision evidence rides in the answer —
+    * q_id, rnk, vec_id, cos). The q197 oracle replays measure +
+    * decide + BOTH serve chains in SQL and selects the branch the
+    * decision picks — policy and consequence hash-checked together. */
+  def driftRebuildPolicy(landed: DataFrame, batch: DataFrame,
+      grown: DataFrame, queries: DataFrame, releaseId: String,
+      maxDriftPpm: Long, k: Int = 5, nprobe: Int = 3, m: Int = 4,
+      codeStride: Int = 25, codeOffset: Int = 7, ivfStride: Int = 50,
+      ivfOffset: Int = 11, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = codebookDrift(landed, batch, ivfStride, ivfOffset, idCol,
+        vecCol)
+      .filter(col("grp") === "batch")
+      .select("drift_ppm", "max_res_e4").collect()(0)
+    val driftPpm = if (d.isNullAt(0)) None else Some(d.getLong(0))
+    val trip = driftPpm match {
+      case Some(p) => p > maxDriftPpm
+      case None => d.getLong(1) > 0
+    }
+    val served =
+      if (trip) {
+        rebuildIvfPqRelease(grown, releaseId, ivfStride, ivfOffset, m,
+          codeStride, codeOffset, idCol, vecCol)
+        ivfPqTopKReleased(grown, queries, k, releaseId, nprobe,
+          rerankFactor, idCol, vecCol)
+      } else
+        ivfPqIncrement(landed, batch, queries, k, nprobe, m, codeStride,
+          codeOffset, ivfStride, ivfOffset, rerankFactor, idCol, vecCol)
+    served.select(
+      lit(if (trip) "rebuild" else "keep").as("action"),
+      driftPpm.map(lit(_)).getOrElse(lit(null)).cast("long")
+        .as("drift_ppm"),
+      col("q_id"), col("rank").as("rnk"), col("vec_id"), col("cos"))
+  }
+
   /** Recall@k audit for [[ivfPqTopK]] — the tuning report the
     * billion-vector layout needs before anyone trusts it: for each
     * (nprobe, rerankFactor) configuration, how much of the EXACT top-k

@@ -96,4 +96,44 @@ class AnnReleaseSpec extends SparkSpec {
     assert(served == fresh, "restored release serves different answers")
     CacheRegistry.releaseAll()
   }
+
+  test("drift policy: untripped keeps the frozen path and publishes nothing; tripped rebuilds and serves the release") {
+    CacheRegistry.releaseAll()
+    val landed = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 2)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4L)) === 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk")
+        .as[(String, Option[Long], Long, Long, Long, Double)]
+        .collect().toSeq
+    // KEEP: a threshold no finite drift exceeds
+    val keep = rows(Similarity.driftRebuildPolicy(landed, batch, emb,
+      queries, "policy-keep", maxDriftPpm = Long.MaxValue))
+    assert(keep.nonEmpty && keep.forall(_._1 == "keep"))
+    assert(!CacheRegistry.entries.keys.exists(k =>
+        k.startsWith("ann-release:") && k.contains(":policy-keep:")),
+      "untripped policy must publish nothing")
+    val frozen = Similarity.ivfPqIncrement(landed, batch, queries, 5)
+      .orderBy("q_id", "rank").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(keep.map(r => (r._3, r._4, r._5, r._6)) == frozen,
+      "keep branch must serve exactly the frozen-codebook append path")
+    // REBUILD: any positive drift trips
+    val reb = rows(Similarity.driftRebuildPolicy(landed, batch, emb,
+      queries, "policy-reb", maxDriftPpm = 0L))
+    assert(reb.nonEmpty && reb.forall(_._1 == "rebuild"))
+    val released = Similarity.ivfPqTopKReleased(emb, queries, 5,
+        "policy-reb")
+      .orderBy("q_id", "rank").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(reb.map(r => (r._3, r._4, r._5, r._6)) == released,
+      "rebuild branch must serve exactly the published release")
+    // the decision evidence rides in the answer: drift_ppm constant
+    // and equal to the q160 measurement's batch row
+    val measured = Similarity.codebookDrift(landed, batch)
+      .filter(col("grp") === "batch").select("drift_ppm")
+      .as[Option[Long]].collect()(0)
+    assert(keep.map(_._2).distinct == Seq(measured))
+    assert(reb.map(_._2).distinct == Seq(measured))
+    CacheRegistry.releaseAll()
+  }
 }

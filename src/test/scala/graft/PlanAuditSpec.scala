@@ -96,6 +96,7 @@ class PlanAuditSpec extends SparkSpec {
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
     "q158_ivfpq_incremental", // the same codebook broadcasts, landed-sourced
     "q193_codebook_rebuild", // q158's + q133's codebook broadcasts (before/after union)
+    "q197_drift_policy", // the served chain's codebook broadcasts behind the drift decision
     "q159_served_ndcg", // q133's codebook broadcasts + q21's query batch
     "q160_codebook_drift", // stride codebook + one-row landed-total broadcasts
     "q163_ingest_drift", // headV-row landed head + one-row total broadcasts
