@@ -207,6 +207,10 @@ object Bench {
       // the audit runs BOTH fused pipelines over their shared indexes
       "q195_hybrid_audit"          -> Set("bm25-stats", "ivfpq-asn",
                                           "ivfpq-codes"),
+      // the streaming serve probes the same landed retrieval kinds per
+      // trigger (no per-trigger entries of its own)
+      "q198_streaming_serve"       -> Set("bm25-stats", "ivfpq-asn",
+                                          "ivfpq-codes"),
       // the rotation reads the release artifacts + the grown corpora's
       // memoized end tables (q186's entry is beside q176's above)
       "q188_split_pin_rotation"    -> Set("sem2l-asn", "sem2l-dedup",

@@ -411,6 +411,53 @@ trait CurationRegistry extends EntryHelpers {
             table(s, dir, "documents"), table(s, dir, "embeddings"))
           .orderBy("q_id")),
 
+      // CONTINUOUS SERVING, oracle-checked — the query-side twin of
+      // the q190 streaming gate: q192's query set (each ≡0-mod-100
+      // doc, carrying its own text + embedding as a retrieval request)
+      // replayed through RetrieveStream.attach in three deterministic
+      // micro-batches (q_id % 3). Queries are INDEPENDENT — unlike the
+      // gate, whose within-batch dup evidence forced a staged oracle —
+      // so the union of the per-trigger outputs equals the one-shot
+      // batch serve and q192's oracle applies VERBATIM: the hash match
+      // proves the stream face introduces no batch-boundary effects.
+      // The MemoryStream feed is the replay harness, not a data path;
+      // the landed kinds are registry-memoized and reused trigger over
+      // trigger (serving creates no per-trigger registry entries).
+      "q198_streaming_serve" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val qd = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+          .select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1)
+        val qe = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect().toMap
+        val records = qd.toSeq.flatMap { case (id, text) =>
+          qe.get(id).map(e => (id, text, e)) }
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Seq[Float])](s)
+        val stream = input.toDF().toDF("doc_id", "text", "embedding")
+        val got =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val q = graft.streaming.RetrieveStream.attach(
+          stream, docs, emb) { (_, v) =>
+          val rows = v.select("q_id", "rnk", "doc_id", "rrf_e9")
+            .as[(Long, Long, Long, Long)].collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        try {
+          records.groupBy(_._1 % 3).toSeq.sortBy(_._1)
+            .foreach { case (_, rs) =>
+              input.addData(rs.sortBy(_._1))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+        got.toSeq.toDF("q_id", "rnk", "doc_id", "rrf_e9")
+          .orderBy("q_id", "rnk")
+      }),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -1243,6 +1290,10 @@ trait CurationRegistry extends EntryHelpers {
     // generator) with full-corpus codebooks, nprobe 3, ADC shortlist ≤
     // depth·rerankFactor = 80, exact-cosine rerank, cut at depth 20.
     "q192_hybrid_served" -> hybridServedOracle,
+
+    // q198: queries are independent, so the streaming replay's union
+    // equals the one-shot batch serve — q192's oracle verbatim
+    "q198_streaming_serve" -> hybridServedOracle,
 
     // q195: both fused pipelines nested as CTEs (the q189 nested-WITH
     // device), joined on (q_id, doc_id); overlap ppm via HUGEINT floor

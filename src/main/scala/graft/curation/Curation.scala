@@ -850,19 +850,41 @@ object Curation {
   private def bm25QueryRanks(docs: DataFrame, depth: Int, kTerms: Int,
       queryStride: Int, idCol: String, textCol: String): DataFrame = {
     val bm = bm25Stats(docs, idCol, textCol)
+    bm25ScoreRanks(bm,
+      rarestTerms(
+        bm.filter(pmod(col(idCol), lit(queryStride.toLong)) === 0)
+          .select(col(idCol).as("q_id"), col("tok")),
+        bm, kTerms), depth, idCol)
+  }
+
+  /** Query-term selection shared by the corpus-stride and
+    * explicit-query faces: the `kTerms` RAREST corpus tokens (df asc,
+    * tok asc — deterministic) of each query's distinct token set.
+    * Query tokens absent from the corpus vocabulary drop (no df — they
+    * can score nothing anyway), exactly the corpus-side face's
+    * semantics. `qToks` is (q_id, tok), distinct per query. */
+  private def rarestTerms(qToks: DataFrame, bm: DataFrame,
+      kTerms: Int): DataFrame = {
+    val dfr = bm.select(col("tok"), col("df")).distinct()
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("df").asc, col("tok").asc)
+    qToks.join(dfr, "tok")
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= kTerms)
+      .select("q_id", "tok")
+  }
+
+  /** The corpus-scoring tail of the BM25 query face: given the
+    * selected query terms `qq(q_id, tok)`, score every corpus doc
+    * holding any of them with q71's integer-e6 BM25 over the memoized
+    * index `bm`, rank per query, keep top-`depth`. */
+  private def bm25ScoreRanks(bm: DataFrame, qq: DataFrame, depth: Int,
+      idCol: String): DataFrame = {
     val tf = bm.select(col(idCol), col("tok"), col("tf"))
     val dl = bm.select(col(idCol), col("dl")).distinct()
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_len"))
     val dfr = bm.select(col("tok"), col("df")).distinct()
-    val wq = Window.partitionBy("q_id")
-      .orderBy(col("df").asc, col("tok").asc)
-    val qq = tf.filter(pmod(col(idCol), lit(queryStride.toLong)) === 0)
-      .select(col(idCol).as("q_id"), col("tok"))
-      .join(dfr, "tok")
-      .withColumn("trk", row_number().over(wq))
-      .filter(col("trk") <= kTerms)
-      .select("q_id", "tok")
     val bmScored = qq
       .join(tf, "tok").join(dfr, "tok").join(dl, idCol)
       .filter(col(idCol) =!= col("q_id"))
@@ -881,6 +903,44 @@ object Curation {
     bmScored.withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= depth)
       .select(col("q_id"), col(idCol), col("rnk"))
+  }
+
+  /** [[hybridRrfTopKServed]] for an EXPLICIT query batch — the face a
+    * retrieval SERVICE runs per request batch (and the streaming face
+    * [[graft.streaming.RetrieveStream]] runs per trigger): each query
+    * record carries its own text and embedding; the lexical side
+    * tokenizes the query text and selects its `kTerms` rarest corpus
+    * terms against the memoized [[bm25Stats]] df table, the semantic
+    * side probes the memoized IVF-PQ kinds — NO corpus-side work is
+    * query-batch-sized. For a query whose (id, text, embedding) equal
+    * a corpus row's, the answer is exactly the corpus-stride face's
+    * (the tokenizer is the same one [[bm25Stats]] indexed with, so the
+    * query's distinct token set equals its corpus tf rows — pinned by
+    * RetrieveStreamSpec). Self-hits are excluded by id on both
+    * systems, as across the family.
+    *
+    * `queryDocs` is (q_id, text); `queryEmb` is (q_id, embedding) —
+    * ids must agree row-wise for the fusion to mean anything. */
+  def hybridRrfTopKServedQueries(docs: DataFrame, embeddings: DataFrame,
+      queryDocs: DataFrame, queryEmb: DataFrame, k: Int = 5,
+      depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60, nprobe: Int = 3,
+      m: Int = 4, codeStride: Int = 25, codeOffset: Int = 7,
+      ivfStride: Int = 50, ivfOffset: Int = 11, rerankFactor: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bm = bm25Stats(docs, idCol, textCol)
+    val qToks = queryDocs.select(col("q_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+    val bmRanks = bm25ScoreRanks(bm, rarestTerms(qToks, bm, kTerms),
+      depth, idCol)
+    val annRanks = graft.similarity.Similarity.ivfPqTopKServed(
+        embeddings,
+        queryEmb.select(col("q_id").as(vecIdCol), col(vecCol)),
+        depth, nprobe, m, codeStride, codeOffset, ivfStride, ivfOffset,
+        rerankFactor, vecIdCol, vecCol)
+      .select(col("q_id"), col("vec_id").as(idCol), col("rank").as("rnk"))
+    rrfFuse(bmRanks, annRanks, k, rrfK, idCol)
   }
 
   /** The fusion tail of the hybrid family: rrf contribution =
