@@ -625,6 +625,40 @@ trait DedupRegistry extends EntryHelpers {
         graft.curation.Curation.hybridRrfTopKServed(landed2d, landed2e)
           .orderBy("q_id", "rnk")
       }),
+
+      // RIGHT-TO-BE-FORGOTTEN — the inverse of q184: a delete set
+      // (every id ≡ 14 or 39 mod 100, residues off every codebook
+      // stride) RETRACTS from every landed artifact (per-doc
+      // anti-joins; set/distribution re-derivations from per-doc
+      // evidence; one fp projection pass — no explode artifact is
+      // re-paid), and the next gate call behaves exactly as if the
+      // deleted docs had never landed: the oracle replays the gate
+      // one-shot over the kept predicate, so the hash match is the
+      // retract ≡ rebuild proof (RetractSpec pins the retrieval kinds
+      // the gate cannot see). Landed/batch slices are q184's, so the
+      // same prebuilt index family serves both rows.
+      "q199_retract_gate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val landedD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val landedE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val delIds = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(14L, 39L)).select("doc_id")
+        val keptD = landedD.join(delIds, Seq("doc_id"), "left_anti")
+        val keptE = landedE.join(
+          delIds.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        Dedup.retractBatch(landedD, delIds, landedE, keptD, keptE,
+          "src0", keepBp = 5000)
+        Dedup.ingestGate(keptD, b1, keptE, be1, "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -1566,7 +1600,25 @@ trait DedupRegistry extends EntryHelpers {
     // chain over them — the absorb ≡ rebuild proof extended from gate
     // verdicts to served retrieval answers
     "q196_absorb_serve" -> absorbServeOracle,
+
+    // q199: the gate one-shot over the KEPT predicate (landed minus
+    // the delete residues) — what the Spark side computes through
+    // retracted (anti-joined, never-rebuilt) artifacts
+    "q199_retract_gate" -> retractGateOracle,
   )
+
+  /** The q199 oracle: one gate stage whose landed side excludes the
+    * delete residues — the rebuild the retract must equal. */
+  protected def retractGateOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l = (c: String) =>
+      s"($c % 100 NOT IN $allRes AND $c % 100 NOT IN (14, 39))"
+    val b = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val s1 = gateStageCtes("r1_", l, b, l, b, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1
+          SELECT doc_id, gate FROM r1_gate ORDER BY doc_id"""
+  }
 
   /** The q196 oracle: the q184 stage-1 gate replayed in SQL, its
     * admits folded into grown-corpus relations (`d2`/`e2`), and q192's

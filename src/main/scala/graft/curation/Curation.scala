@@ -1067,6 +1067,72 @@ object Curation {
     ()
   }
 
+  /** RETRACT deleted documents from the landed DSIR artifacts — the
+    * data-selection cell of the retract family
+    * ([[graft.dedup.Dedup.retractBatch]]): seeds "dsir-doc-buckets",
+    * "dsir-counts" and "dsir-thresholds" for the KEPT corpus without
+    * re-tokenizing a kept document. The per-doc histogram anti-joins
+    * the delete set; the distribution table and the thresholds then
+    * derive from the retracted histogram through the SAME fold and
+    * [[dsirDocScoresFromHist]]→[[dsirThresholdsOf]] tail as the
+    * one-shot build ([[landedDsirCounts]]/[[landedDsirThresholds]]) —
+    * equality with the rebuild over the kept corpus holds by
+    * construction, not just by proof. */
+  def retractDsir(landedDocs: DataFrame, deleteIds: DataFrame,
+      kept2Docs: DataFrame, targetSource: String, buckets: Int = 1024,
+      keepBp: Int = 2000, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.util.CacheRegistry
+    val del = deleteIds.select(col(deleteIds.columns.head).as(idCol))
+    val hist2 = CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "dsir-doc-buckets", targetSource,
+        buckets, stratum, idCol, textCol),
+      landedDsirDocBuckets(landedDocs, targetSource, buckets, stratum,
+        idCol, textCol)
+        .join(broadcast(del), Seq(idCol), "left_anti"))
+    val counts2 = CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "dsir-counts", targetSource, buckets,
+        stratum, idCol, textCol),
+      hist2.groupBy("b")
+        .agg(sum("n").as("c_raw"),
+          sum(when(col(stratum) === lit(targetSource), col("n"))
+            .otherwise(0L)).as("c_tgt")))
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "dsir-thresholds", targetSource,
+        buckets, keepBp, stratum, idCol, textCol),
+      dsirThresholdsOf(
+        dsirDocScoresFromHist(hist2, counts2, buckets, idCol, stratum),
+        keepBp, stratum, idCol))
+    ()
+  }
+
+  /** RETRACT deleted documents from the landed [[bm25Stats]] index —
+    * the lexical-retrieval cell of the retract family: the kept
+    * corpus's index is the landed table minus the deleted docs' rows
+    * (tf/dl are doc-local), with `df` — the one corpus-global column —
+    * DECREMENTED per token by the deleted docs' holdings, which come
+    * from the INDEX'S OWN tf rows for the delete set (batch-sized; no
+    * kept or deleted document is re-tokenized). A token whose every
+    * holder is deleted simply has no kept rows left — the decrement
+    * only ever lands on surviving rows, so df can never reach zero on
+    * a row that exists. */
+  def retractBm25(landedDocs: DataFrame, deleteIds: DataFrame,
+      kept2Docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val bm = bm25Stats(landedDocs, idCol, textCol)
+    val del = deleteIds.select(col(deleteIds.columns.head).as(idCol))
+    val delDf = bm.join(broadcast(del), Seq(idCol))
+      .groupBy("tok").agg(count(lit(1)).as("ddf"))
+    graft.util.CacheRegistry.seed(
+      graft.util.CacheRegistry.key(kept2Docs, "bm25-stats", idCol,
+        textCol),
+      bm.join(broadcast(del), Seq(idCol), "left_anti")
+        .join(broadcast(delDf), Seq("tok"), "left")
+        .withColumn("df", col("df") - coalesce(col("ddf"), lit(0L)))
+        .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl")))
+    ()
+  }
+
   /** Incremental DSIR scoring for append-only ingest — the
     * data-selection cell of the incremental matrix: an incoming batch
     * scores against the LANDED corpus's distributions and the LANDED

@@ -1310,6 +1310,98 @@ object Dedup {
     ()
   }
 
+  /** RETRACT deleted documents from the landed TEXT indexes — the
+    * exact/near/containment cells of [[retractBatch]]: seeds the
+    * kept corpus's "shingles", "minhash-bands", "landed-sh-set" and
+    * "landed-fp" entries from the memoized landed artifacts minus the
+    * delete set:
+    *
+    *  - shingle / band rows are per-document — anti-join by id against
+    *    the broadcast delete set, nothing re-shingles;
+    *  - the shingle SET re-derives as the distinct shingles of the
+    *    kept per-doc rows (a shingle survives iff SOME kept doc holds
+    *    it — a plain anti-join by the deleted docs' shingles would
+    *    over-remove shared n-grams); sourced from the memoized per-doc
+    *    "shingles" kind, so no text re-explodes;
+    *  - the fingerprint SET is the one artifact with no per-doc
+    *    memoized evidence (the landed kind is already DISTINCT fps, so
+    *    a fp shared by a kept and a deleted doc must stay) — it
+    *    recomputes from the kept frame directly: ONE normalize+md5
+    *    projection pass, no explode, the cheapest of the landed
+    *    builds by orders of magnitude. At 100 TB this is the same
+    *    projection scan a Delta/Iceberg delete pays to rewrite touched
+    *    files; the point of retract is never re-paying the EXPLODE
+    *    artifacts (shingles, bands, codes), and none is re-paid. */
+  def retractTextIndexes(landedDocs: DataFrame, deleteIds: DataFrame,
+      kept2Docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val del = deleteIds.select(col(deleteIds.columns.head).as(idCol))
+    val keptShingles = shingleHashes(landedDocs, n, textCol, idCol)
+      .join(broadcast(del.select(col(idCol).as("sid"))), Seq("sid"),
+        "left_anti")
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "shingles", n, textCol, idCol),
+      keptShingles)
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "minhash-bands", n, k, bands, textCol,
+        idCol),
+      bandKeyTable(landedDocs, n, k, bands, textCol, idCol)
+        .join(broadcast(del.select(col(idCol).as("sid"))), Seq("sid"),
+          "left_anti"))
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Docs, "landed-sh-set", n, textCol, idCol),
+      keptShingles.select("sh").distinct())
+    // registers under the kept frame's own key via its one-shot builder
+    // (the projection pass documented above) — no seed needed
+    landedFingerprints(kept2Docs, textCol)
+    ()
+  }
+
+  /** The right-to-be-forgotten loop: DELETE → retract → next batch —
+    * the INVERSE of [[absorbBatch]], the lifecycle cell a training
+    * pipeline owes its data subjects: remove a delete set from every
+    * landed artifact so the next gate, retrieval, or selection call
+    * behaves exactly as if the deleted documents had never landed —
+    * WITHOUT re-paying the landed index builds. Per family:
+    * [[retractTextIndexes]] (per-doc anti-joins + set re-derivations
+    * from per-doc evidence), [[graft.similarity.Similarity.retractSemantic2L]]
+    * and [[graft.similarity.Similarity.retractIvfPq]] (per-vector
+    * anti-joins under the FROZEN codebooks — a deleted centroid/
+    * codeword id is REFUSED loudly: shrinking a codebook re-routes
+    * every kept vector, that is a rebuild),
+    * [[graft.curation.Curation.retractBm25]] (df decremented from the
+    * index's own deleted tf rows) and
+    * [[graft.curation.Curation.retractDsir]] (histogram anti-join; the
+    * distribution and thresholds re-derive through the one-shot
+    * build's own tail). The two refusal-capable cells run FIRST, as
+    * in [[absorbBatch]].
+    *
+    * Equality with the one-shot rebuild over (landed ∖ deleted) is the
+    * q199 oracle's statement: the staged SQL gate over the kept
+    * predicate must hash-match the gate run through retracted
+    * (anti-joined, never-rebuilt) artifacts; RetractSpec pins the
+    * retrieval kinds the gate cannot see. Deleted ids that never
+    * landed are harmless no-ops (anti-join semantics), so a delete
+    * request needs no existence pre-check. */
+  def retractBatch(landedDocs: DataFrame, deleteIds: DataFrame,
+      landedEmb: DataFrame, kept2Docs: DataFrame, kept2Emb: DataFrame,
+      targetSource: String, centroidOffset: Int = 8,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.similarity.Similarity.retractSemantic2L(landedEmb, deleteIds,
+      kept2Emb, fineStride = 25, fineOffset = centroidOffset,
+      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol)
+    graft.similarity.Similarity.retractIvfPq(landedEmb, deleteIds,
+      kept2Emb, idCol = vecIdCol, vecCol = vecCol)
+    retractTextIndexes(landedDocs, deleteIds, kept2Docs,
+      textCol = textCol, idCol = idCol)
+    graft.curation.Curation.retractBm25(landedDocs, deleteIds, kept2Docs,
+      idCol = idCol, textCol = textCol)
+    graft.curation.Curation.retractDsir(landedDocs, deleteIds, kept2Docs,
+      targetSource, keepBp = keepBp, idCol = idCol, textCol = textCol)
+  }
+
   /** Close the operational ingest loop: gate → admit → ABSORB → next
     * batch. Folds an ADMITTED batch into every landed artifact the
     * ingest-gate family reads, by seeding the [[CacheRegistry]] entries

@@ -1645,6 +1645,91 @@ object Similarity {
     ()
   }
 
+  /** RETRACT deleted vectors from the landed two-level semantic
+    * artifacts — the semantic cell of the retract family
+    * ([[graft.dedup.Dedup.retractBatch]], the right-to-be-forgotten
+    * inverse of absorb): seeds "vec-lookup", "sem-cells-2l" and
+    * "sem-assign-2l" for the KEPT corpus (`kept2Emb`) as anti-joins of
+    * the memoized landed artifacts against the (broadcast-sized)
+    * delete set — per-vector rows leave, nothing re-encodes, no
+    * landed re-scan.
+    *
+    * The frozen-codebook contract applies in REVERSE: a deleted id on
+    * the centroid stride would SHRINK the codebook and re-route every
+    * kept vector — REFUSED with [[CodebookStrideRefusal]] (deleting a
+    * centroid is a rebuild, the q193 release path). The `% fineStride`
+    * check covers the coarse stride too (coarse = fineStride ×
+    * coarseFactor at the same offset, so a coarse id is a fine id). */
+  def retractSemantic2L(landedEmb: DataFrame, deleteIds: DataFrame,
+      kept2Emb: DataFrame, fineStride: Int = 25, fineOffset: Int = 7,
+      coarseFactor: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val del = deleteIds.select(col(deleteIds.columns.head).as("sid"))
+    if (!del.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
+        .isEmpty)
+      throw new CodebookStrideRefusal(
+        s"retractSemantic2L: delete set contains codebook-stride ids " +
+          s"(id % $fineStride == $fineOffset) — deleting a centroid " +
+          "shrinks the frozen codebook and re-routes every kept vector; " +
+          "rebuild the landed index instead")
+    val lv = landedVecLookup(landedEmb, idCol, vecCol)
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Emb, "vec-lookup", idCol, vecCol),
+      lv.join(broadcast(del), Seq("sid"), "left_anti"))
+    val cells = landedTwoLevelCells(landedEmb, fineStride, fineOffset,
+      coarseFactor, idCol, vecCol)
+    // codebook frozen → the kept corpus's cell table is the landed one
+    // verbatim; detached copy, as across the absorb family
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Emb, "sem-cells-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      cells.select(cells.columns.map(col).toIndexedSeq: _*))
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Emb, "sem-assign-2l", fineStride, fineOffset,
+        coarseFactor, idCol, vecCol),
+      landedSemanticAssignment2L(landedEmb, fineStride, fineOffset,
+        coarseFactor, idCol, vecCol)
+        .join(broadcast(del.select(col("sid").as("vec_id"))),
+          Seq("vec_id"), "left_anti"))
+    ()
+  }
+
+  /** RETRACT deleted vectors from the landed IVF-PQ serving kinds —
+    * the ANN-serving cell of the retract family: "ivfpq-asn" and
+    * "ivfpq-codes" for the KEPT corpus are anti-joins of the memoized
+    * landed tables (per-vector rows; nothing re-routes or re-encodes).
+    * Refuses deletes on EITHER codebook stride, as [[absorbIvfPq]]
+    * refuses appends on them — the serve faces recompute codebooks
+    * in-plan from the kept corpus's stride slices, which under this
+    * contract are the landed slices verbatim. */
+  def retractIvfPq(landedEmb: DataFrame, deleteIds: DataFrame,
+      kept2Emb: DataFrame, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val del = deleteIds.select(col(deleteIds.columns.head).as("sid"))
+    if (!del.filter(
+        pmod(col("sid"), lit(ivfStride.toLong)) === ivfOffset ||
+          pmod(col("sid"), lit(codeStride.toLong)) === codeOffset)
+        .isEmpty)
+      throw new CodebookStrideRefusal(
+        s"retractIvfPq: delete set contains codebook-stride ids " +
+          s"(id % $ivfStride == $ivfOffset or id % $codeStride == " +
+          s"$codeOffset) — deleting a centroid/codeword shrinks the " +
+          "frozen codebooks; rebuild the landed index instead " +
+          "(the q193 release path)")
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Emb, "ivfpq-asn", ivfStride, ivfOffset,
+        idCol, vecCol),
+      landedIvfPqAssignment(landedEmb, ivfStride, ivfOffset, idCol, vecCol)
+        .join(broadcast(del), Seq("sid"), "left_anti"))
+    CacheRegistry.seed(
+      CacheRegistry.key(kept2Emb, "ivfpq-codes", m, codeStride,
+        codeOffset, idCol, vecCol),
+      landedIvfPqCodes(landedEmb, m, codeStride, codeOffset, idCol, vecCol)
+        .join(broadcast(del), Seq("sid"), "left_anti"))
+    ()
+  }
+
   /** REBUILD + ATOMIC SWAP of an IVF-PQ release — the lifecycle step
     * the q160 drift alarm points at: when the frozen landed codebooks
     * have drifted from the grown corpus (append-only ingest adds
