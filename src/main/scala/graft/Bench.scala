@@ -93,6 +93,11 @@ object Bench {
         "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
         "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
         "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // churn composes absorb then retract over the same landed family
+      "q200_churn_gate" -> Set("shingles", "minhash-bands", "vec-lookup",
+        "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
+        "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
+        "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

@@ -659,6 +659,52 @@ trait DedupRegistry extends EntryHelpers {
         Dedup.ingestGate(keptD, b1, keptE, be1, "src0", keepBp = 5000)
           .orderBy("doc_id")
       }),
+
+      // CHURN — the lifecycle algebra COMPOSES: gate batch 1 → absorb
+      // its admits (q184) → RETRACT a delete set from the GROWN corpus
+      // (q199's operator run entirely against absorb-SEEDED artifacts,
+      // never-rebuilt merges of merges) → gate batch 2 against the
+      // churned corpus. The oracle replays the whole story one-shot
+      // (stage-1 gate → admits folded in → delete residues excluded →
+      // stage-2 gate), so the hash match proves absorb∘retract ≡
+      // rebuild — seeds compose with seeds, not just with one-shot
+      // builds.
+      "q200_churn_gate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val b2 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(12L, 37L, 62L, 87L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val be2 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(12L, 37L, 62L, 87L))
+        val adm = Dedup.ingestGate(d0, b1, e0, be1, "src0", keepBp = 5000)
+          .filter(col("gate") === "admit").select("doc_id")
+          .localCheckpoint(true)
+        val admDocs = b1.join(adm, Seq("doc_id"))
+        val admEmb = be1.join(adm.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"))
+        val landed2d = d0.unionByName(admDocs)
+        val landed2e = e0.unionByName(admEmb)
+        Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e,
+          "src0", keepBp = 5000)
+        val delIds = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(14L, 39L)).select("doc_id")
+        val keptD = landed2d.join(delIds, Seq("doc_id"), "left_anti")
+        val keptE = landed2e.join(
+          delIds.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        Dedup.retractBatch(landed2d, delIds, landed2e, keptD, keptE,
+          "src0", keepBp = 5000)
+        Dedup.ingestGate(keptD, b2, keptE, be2, "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -1605,7 +1651,32 @@ trait DedupRegistry extends EntryHelpers {
     // the delete residues) — what the Spark side computes through
     // retracted (anti-joined, never-rebuilt) artifacts
     "q199_retract_gate" -> retractGateOracle,
+
+    // q200: the churn story one-shot — stage-1 gate, admits folded
+    // into the landed predicate, delete residues excluded from it,
+    // stage-2 gate over the churned corpus
+    "q200_churn_gate" -> churnGateOracle,
   )
+
+  /** The q200 oracle: q184's staged chain with the stage-2 landed
+    * predicate additionally excluding the delete residues —
+    * absorb∘retract ≡ rebuild. */
+  protected def churnGateOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
+    val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val l2 = (c: String) =>
+      s"(($c % 100 NOT IN $allRes OR $c IN (SELECT doc_id FROM adm))" +
+        s" AND $c % 100 NOT IN (14, 39))"
+    val b2 = (c: String) => s"$c % 100 IN (12, 37, 62, 87)"
+    val s1 = gateStageCtes("s1_", l1, b1, l1, b1, keepBp = 5000)
+    val s2 = gateStageCtes("s2_", l2, b2, l2, b2, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1,
+          adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
+          $s2
+          SELECT doc_id, gate FROM s2_gate ORDER BY doc_id"""
+  }
 
   /** The q199 oracle: one gate stage whose landed side excludes the
     * delete residues — the rebuild the retract must equal. */
