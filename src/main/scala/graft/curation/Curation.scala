@@ -730,12 +730,18 @@ object Curation {
     val btf = btok.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
     val bdl = btok.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val bdf = btf.groupBy("tok").agg(count(lit(1)).as("bdf"))
-    val lRows = bm.join(bdf, Seq("tok"), "left")
+    // both df-merge joins are batch-vocab-keyed: the landed side joins
+    // the BROADCAST batch delta (never shuffles the corpus-scale
+    // index), and the batch side reads the landed per-token df through
+    // a broadcast semi-prune (corpus-vocab table cut to batch tokens
+    // BEFORE the join, so nothing vocab-scale ever ships)
+    val lRows = bm.join(broadcast(bdf), Seq("tok"), "left")
       .withColumn("df", col("df") + coalesce(col("bdf"), lit(0L)))
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"))
     val ldf = bm.select(col("tok"), col("df").as("ldf")).distinct()
-    val bRows = btf.join(bdf, "tok").join(bdl, idCol)
-      .join(ldf, Seq("tok"), "left")
+      .join(broadcast(bdf.select("tok")), Seq("tok"))
+    val bRows = btf.join(broadcast(bdf), "tok").join(bdl, idCol)
+      .join(broadcast(ldf), Seq("tok"), "left")
       .withColumn("df", col("bdf") + coalesce(col("ldf"), lit(0L)))
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"))
     graft.util.CacheRegistry.seed(

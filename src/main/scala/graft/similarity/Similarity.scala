@@ -1995,14 +1995,18 @@ object Similarity {
       codeStride: Int = 25, codeOffset: Int = 7, ivfStride: Int = 50,
       ivfOffset: Int = 11, rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // one-row bounded collect (the pin-consult shape); an EMPTY batch
+    // contributes no batch row — no evidence, no rebuild (keep)
     val d = codebookDrift(landed, batch, ivfStride, ivfOffset, idCol,
         vecCol)
       .filter(col("grp") === "batch")
-      .select("drift_ppm", "max_res_e4").collect()(0)
-    val driftPpm = if (d.isNullAt(0)) None else Some(d.getLong(0))
-    val trip = driftPpm match {
-      case Some(p) => p > maxDriftPpm
-      case None => d.getLong(1) > 0
+      .select("drift_ppm", "max_res_e4").collect().headOption
+    val driftPpm = d.filter(!_.isNullAt(0)).map(_.getLong(0))
+    val trip = d.exists { r =>
+      driftPpm match {
+        case Some(p) => p > maxDriftPpm
+        case None => r.getLong(1) > 0
+      }
     }
     val served =
       if (trip) {

@@ -134,6 +134,12 @@ class AnnReleaseSpec extends SparkSpec {
       .as[Option[Long]].collect()(0)
     assert(keep.map(_._2).distinct == Seq(measured))
     assert(reb.map(_._2).distinct == Seq(measured))
+    // an EMPTY batch is no evidence: keep, NULL drift, nothing published
+    val empty = rows(Similarity.driftRebuildPolicy(landed,
+      batch.limit(0), emb, queries, "policy-empty", maxDriftPpm = 0L))
+    assert(empty.nonEmpty && empty.forall(r =>
+      r._1 == "keep" && r._2.isEmpty))
+    assert(!CacheRegistry.entries.keys.exists(_.contains(":policy-empty:")))
     CacheRegistry.releaseAll()
   }
 }
