@@ -98,6 +98,11 @@ object Bench {
         "sem-assign-2l", "sem-cells-2l", "landed-sh-set", "dsir-counts",
         "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
         "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // the CDC stream replays the same churn story live
+      "q201_streaming_churn" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
+        "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

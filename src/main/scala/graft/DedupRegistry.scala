@@ -705,6 +705,60 @@ trait DedupRegistry extends EntryHelpers {
         Dedup.ingestGate(keptD, b2, keptE, be2, "src0", keepBp = 5000)
           .orderBy("doc_id")
       }),
+
+      // THE CDC STREAM, oracle-checked — q200's churn story as a LIVE
+      // mixed add/delete stream through attachChurn: trigger 1 adds
+      // batch 1 (gated, admits absorbed), trigger 2 carries the
+      // delete requests AND batch 2's adds — deletes retract from the
+      // absorbed corpus first, then the adds gate against the churned
+      // corpus. Delivered union = stage-1 verdicts ∪ one 'deleted'
+      // ack per delete request ∪ stage-2 verdicts; the oracle replays
+      // exactly that order one-shot. Arrival-order dependence is the
+      // CONTRACT, as across the absorbing face.
+      "q201_streaming_churn" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        def addsOf(res: Seq[Long])
+            : Seq[(String, Long, String, String, Seq[Float])] = {
+          val ds = docs.filter(pmod(col("doc_id"), lit(100L)).isin(res: _*))
+            .select("doc_id", "source", "text")
+            .as[(Long, String, String)].collect().sortBy(_._1)
+          val em = emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+            .select("vec_id", "embedding")
+            .as[(Long, Seq[Float])].collect().toMap
+          ds.toSeq.flatMap { case (id, src, text) =>
+            em.get(id).map(e => ("add", id, src, text, e)) }
+        }
+        val dels = docs.filter(pmod(col("doc_id"), lit(100L))
+            .isin(14L, 39L)).select("doc_id")
+          .as[Long].collect().sorted.toSeq
+          .map(id => ("delete", id, "", "", Seq.empty[Float]))
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, String, String, Seq[Float])](s)
+        val stream = input.toDF()
+          .toDF("op", "doc_id", "source", "text", "embedding")
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val q = graft.streaming.IngestGateStream.attachChurn(
+          stream, d0, e0, "src0", keepBp = 5000) { (_, v) =>
+          val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        try {
+          Seq(addsOf(Seq(2L, 22L, 47L, 67L)),
+              dels ++ addsOf(Seq(12L, 37L, 62L, 87L)))
+            .foreach { recs =>
+              input.addData(recs)
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+        got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
+      }),
     )
   }
 
@@ -1656,12 +1710,24 @@ trait DedupRegistry extends EntryHelpers {
     // into the landed predicate, delete residues excluded from it,
     // stage-2 gate over the churned corpus
     "q200_churn_gate" -> churnGateOracle,
+
+    // q201: the CDC stream's two delivered triggers — stage-1
+    // verdicts, a 'deleted' ack per delete request, stage-2 verdicts
+    // over the churned corpus (the q200 chain widened, the q191
+    // device)
+    "q201_streaming_churn" -> churnGateOracleWith(
+      """SELECT doc_id, gate FROM s1_gate
+         UNION ALL SELECT doc_id, 'deleted' AS gate FROM documents
+                   WHERE doc_id % 100 IN (14, 39)
+         UNION ALL SELECT doc_id, gate FROM s2_gate
+         ORDER BY doc_id"""),
   )
 
-  /** The q200 oracle: q184's staged chain with the stage-2 landed
-    * predicate additionally excluding the delete residues —
-    * absorb∘retract ≡ rebuild. */
-  protected def churnGateOracle: String = {
+  /** The churn chain (q200/q201): q184's staged oracle with the
+    * stage-2 landed predicate additionally excluding the delete
+    * residues — absorb∘retract ≡ rebuild. q200 reads stage 2 alone;
+    * q201 (the CDC stream) reads both stages plus the delete acks. */
+  protected def churnGateOracleWith(finalSelect: String): String = {
     val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
     val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
     val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
@@ -1675,8 +1741,11 @@ trait DedupRegistry extends EntryHelpers {
           $s1,
           adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
           $s2
-          SELECT doc_id, gate FROM s2_gate ORDER BY doc_id"""
+          $finalSelect"""
   }
+
+  protected def churnGateOracle: String =
+    churnGateOracleWith("SELECT doc_id, gate FROM s2_gate ORDER BY doc_id")
 
   /** The q199 oracle: one gate stage whose landed side excludes the
     * delete residues — the rebuild the retract must equal. */

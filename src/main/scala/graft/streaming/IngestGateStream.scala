@@ -288,4 +288,151 @@ object IngestGateStream {
       }
       .start()
   }
+
+  /** The CDC face — MIXED add/delete ingest, completing streaming
+    * CRUD: each record carries `opCol` ∈ {"add", "delete"} (an add is
+    * the full ingest record; a delete needs only `idCol`). Per trigger,
+    * in this order:
+    *
+    *  1. *retract*: the batch's deletes leave every landed artifact
+    *     ([[graft.dedup.Dedup.retractBatch]], the q199 merges — per-doc
+    *     anti-joins, never a rebuild); a delete on a codebook stride
+    *     converts to COMPACTION exactly like an absorb refusal;
+    *  2. *gate*: the batch's adds gate against the POST-delete corpus
+    *     (within a trigger, deletes apply first — a delete and re-add
+    *     of the same body in one trigger re-admits it fresh);
+    *  3. *deliver*: ONE `(idCol, gate)` frame per trigger — a
+    *     `gate = "deleted"` ack row per delete request (idempotent:
+    *     never-landed ids ack too, the retract no-op contract) unioned
+    *     with the adds' verdicts;
+    *  4. *absorb*: admitted adds fold into every landed artifact
+    *     ([[attachAbsorbing]]'s generation bookkeeping — retract and
+    *     absorb each rotate the two-generation window, and both count
+    *     toward `compactEvery`).
+    *
+    * Arrival order is the CONTRACT, as across the absorbing face: the
+    * q201 oracle replays the same order one-shot (stage-1 gate →
+    * admits folded in → deletes excluded → stage-2 gate) and the
+    * delivered union must hash-match it. */
+  def attachChurn(records: DataFrame, landedDocs0: DataFrame,
+      landedEmb0: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, compactEvery: Int = 16,
+      keepBp: Int = 2000,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      idCol: String = "doc_id", stratum: String = "source",
+      textCol: String = "text", vecCol: String = "embedding",
+      opCol: String = "op")(
+      onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    var landedDocs = landedDocs0
+    var landedEmb = landedEmb0
+    def projDocs(d: DataFrame): DataFrame =
+      d.select(col(idCol), col("source"), col(textCol))
+    def projEmb(e: DataFrame): DataFrame =
+      e.select(col("vec_id"), col("embedding"))
+    var mutationGens = 0
+    var fpsPrev: Seq[String] = Seq.empty
+    var fpsPrev2: Seq[String] = Seq.empty
+    def fpsOf(d: DataFrame, e: DataFrame): Seq[String] = Seq(
+      graft.util.CacheRegistry.planFingerprint(d),
+      graft.util.CacheRegistry.planFingerprint(e))
+    val protectedFps: Set[String] =
+      fpsOf(landedDocs0, landedEmb0).toSet
+    def releaseFps(fps: Seq[String]): Unit =
+      releaseByFps(fps.filterNot(protectedFps.contains))
+    def compact(nextD: DataFrame, nextE: DataFrame,
+        extraFps: Seq[String]): Unit = {
+      val toRelease = fpsOf(landedDocs, landedEmb) ++
+        fpsOf(nextD, nextE) ++ extraFps ++ fpsPrev ++ fpsPrev2
+      landedDocs = nextD.localCheckpoint(true)
+      landedEmb = nextE.localCheckpoint(true)
+      releaseFps(toRelease)
+      fpsPrev = Seq.empty; fpsPrev2 = Seq.empty
+    }
+    // one generation rotation (shared by the retract and absorb steps):
+    // adopt the next frames, release the window's oldest generation
+    def rotate(nextD: DataFrame, nextE: DataFrame,
+        extraFps: Seq[String])(mutate: => Unit): Unit = {
+      mutationGens += 1
+      if (mutationGens % compactEvery == 0)
+        compact(nextD, nextE, extraFps)
+      else try {
+        val cur = fpsOf(landedDocs, landedEmb) ++ extraFps
+        mutate
+        landedDocs = nextD
+        landedEmb = nextE
+        releaseFps(fpsPrev2)
+        fpsPrev2 = fpsPrev; fpsPrev = cur
+      } catch {
+        case _: graft.similarity.Similarity.CodebookStrideRefusal =>
+          compact(nextD, nextE, extraFps)
+      }
+    }
+    records.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val b = batch.persist()
+        var verdicts: DataFrame = null
+        var batchFps: Seq[String] = Seq.empty
+        try {
+          if (!b.isEmpty) {
+            val dels = b.filter(col(opCol) === "delete")
+              .select(col(idCol)).localCheckpoint(true)
+            // 1. retract FIRST — the adds gate against the post-delete
+            // corpus
+            if (!dels.isEmpty) {
+              val keptD = landedDocs.join(dels, Seq(idCol), "left_anti")
+              val keptE = landedEmb.join(
+                dels.select(col(idCol).as("vec_id")), Seq("vec_id"),
+                "left_anti")
+              rotate(keptD, keptE, Seq.empty) {
+                Dedup.retractBatch(landedDocs, dels, landedEmb,
+                  keptD, keptE, targetSource, centroidOffset,
+                  keepBp = keepBp, textCol = textCol, idCol = idCol)
+              }
+            }
+            val acks = dels.select(col(idCol),
+              lit("deleted").as("gate"))
+            val adds = b.filter(col(opCol) === "add")
+            if (adds.isEmpty) onVerdicts(epochId, acks)
+            else {
+              val docs = adds.select(col(idCol),
+                col(stratum).as("source"), col(textCol))
+              val emb = adds.select(col(idCol).as("vec_id"),
+                col(vecCol).as("embedding"))
+              batchFps = fpsOf(docs, emb)
+              verdicts = Dedup.ingestGate(landedDocs, docs, landedEmb,
+                emb, targetSource, centroidOffset = centroidOffset,
+                keepBp = keepBp, textCol = textCol, idCol = idCol,
+                memoizeEvidence = false).persist()
+              onVerdicts(epochId,
+                acks.unionByName(verdicts.select(col(idCol), col("gate"))))
+              val adm = verdicts.filter(col("gate") === "admit")
+                .select(col(idCol)).localCheckpoint(true)
+              if (!adm.isEmpty) {
+                val admDocs = docs.join(adm, Seq(idCol))
+                  .localCheckpoint(true)
+                val admEmb = emb.join(
+                  adm.select(col(idCol).as("vec_id")), Seq("vec_id"))
+                  .localCheckpoint(true)
+                val landed2d = projDocs(landedDocs).unionByName(admDocs)
+                val landed2e = projEmb(landedEmb).unionByName(admEmb)
+                rotate(landed2d, landed2e, fpsOf(admDocs, admEmb)) {
+                  Dedup.absorbBatch(landedDocs, admDocs, landedEmb,
+                    admEmb, landed2d, landed2e, targetSource,
+                    centroidOffset, keepBp = keepBp)
+                }
+              }
+            }
+          }
+        } finally {
+          releaseFps(batchFps)
+          if (verdicts != null) { verdicts.unpersist(); () }
+          b.unpersist()
+          ()
+        }
+      }
+      .start()
+  }
 }

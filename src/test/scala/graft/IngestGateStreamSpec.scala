@@ -170,4 +170,53 @@ class IngestGateStreamSpec extends SparkSpec {
     }
     graft.util.CacheRegistry.releaseAll()
   }
+
+  test("churn face: within ONE trigger deletes apply BEFORE adds — a deleted body re-adds fresh; without the delete it is exact_landed_dup") {
+    graft.util.CacheRegistry.releaseAll()
+    val dirA = "/root/testdata/sf0.01"
+    val landedDocsA = graft.sources.Tables.load(spark, dirA, "documents")
+    val landedEmbA = graft.sources.Tables.load(spark, dirA, "embeddings")
+    // a landed doc off every codebook stride (14 mod 25, 14 mod 50)
+    val victim = landedDocsA.filter(pmod(col("doc_id"), lit(100L)) === 14)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().minBy(_._1)
+    val vEmb = landedEmbA.filter(col("vec_id") === victim._1)
+      .select("embedding").as[Seq[Float]].collect()(0)
+    var freshId = victim._1 + 1000003L
+    while (freshId % 25L == 7L || freshId % 25L == 8L ||
+      freshId % 50L == 11L) freshId += 1L
+    def run(withDelete: Boolean): Map[Long, String] = {
+      graft.util.CacheRegistry.releaseAll()
+      val input =
+        MemoryStream[(String, Long, String, String, Seq[Float])](spark)
+      val records = input.toDF()
+        .toDF("op", "doc_id", "source", "text", "embedding")
+      val got = scala.collection.mutable.Map.empty[Long, String]
+      val q = IngestGateStream.attachChurn(records, landedDocsA,
+        landedEmbA, "src0", keepBp = 5000) { (_, v) =>
+        got.synchronized {
+          got ++= v.as[(Long, String)].collect().toMap
+        }
+        ()
+      }
+      val add = ("add", freshId, victim._2, victim._3, vEmb)
+      val recs =
+        if (withDelete)
+          Seq(("delete", victim._1, "", "", Seq.empty[Float]), add)
+        else Seq(add)
+      try { input.addData(recs); q.processAllAvailable() }
+      finally q.stop()
+      got.toMap
+    }
+    val without = run(withDelete = false)
+    assert(without(freshId) == "exact_landed_dup",
+      s"control: the landed body must flag without the delete, " +
+        s"got ${without(freshId)}")
+    val withDel = run(withDelete = true)
+    assert(withDel(victim._1) == "deleted", "delete request must ack")
+    assert(withDel(freshId) != "exact_landed_dup",
+      s"the deleted body must gate as if it never landed, " +
+        s"got ${withDel(freshId)}")
+    graft.util.CacheRegistry.releaseAll()
+  }
 }
