@@ -103,6 +103,11 @@ object Bench {
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
         "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // churn-then-serve probes the same family plus the serve tail
+      "q202_churn_serve" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
+        "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

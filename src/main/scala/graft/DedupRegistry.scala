@@ -759,6 +759,47 @@ trait DedupRegistry extends EntryHelpers {
         } finally q.stop()
         got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
       }),
+
+      // SERVING THE CHURNED CORPUS — q196's proof extended through the
+      // full lifecycle: gate → absorb admits → retract deletes (the
+      // retrieval kinds are now merges-of-merges: absorb-seeded unions
+      // anti-join-filtered by retract) → hybrid serve through them.
+      // The oracle replays the whole chain one-shot over the churned
+      // corpus, so the hash match proves the retrieval kinds stay
+      // exact through arbitrary add/delete interleavings — the q200
+      // statement for the kinds the gate cannot see.
+      "q202_churn_serve" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val adm = Dedup.ingestGate(d0, b1, e0, be1, "src0", keepBp = 5000)
+          .filter(col("gate") === "admit").select("doc_id")
+          .localCheckpoint(true)
+        val admDocs = b1.join(adm, Seq("doc_id"))
+        val admEmb = be1.join(adm.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"))
+        val landed2d = d0.unionByName(admDocs)
+        val landed2e = e0.unionByName(admEmb)
+        Dedup.absorbBatch(d0, admDocs, e0, admEmb, landed2d, landed2e,
+          "src0", keepBp = 5000)
+        val delIds = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(14L, 39L)).select("doc_id")
+        val keptD = landed2d.join(delIds, Seq("doc_id"), "left_anti")
+        val keptE = landed2e.join(
+          delIds.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        Dedup.retractBatch(landed2d, delIds, landed2e, keptD, keptE,
+          "src0", keepBp = 5000)
+        graft.curation.Curation.hybridRrfTopKServed(keptD, keptE)
+          .orderBy("q_id", "rnk")
+      }),
     )
   }
 
@@ -1721,6 +1762,11 @@ trait DedupRegistry extends EntryHelpers {
                    WHERE doc_id % 100 IN (14, 39)
          UNION ALL SELECT doc_id, gate FROM s2_gate
          ORDER BY doc_id"""),
+
+    // q202: the q196 serve proof over the CHURNED corpus — the
+    // grown-corpus CTEs additionally exclude the delete residues
+    "q202_churn_serve" -> absorbServeOracleWith(
+      " AND %ID% % 100 NOT IN (14, 39)"),
   )
 
   /** The churn chain (q200/q201): q184's staged oracle with the
@@ -1760,16 +1806,19 @@ trait DedupRegistry extends EntryHelpers {
           SELECT doc_id, gate FROM r1_gate ORDER BY doc_id"""
   }
 
-  /** The q196 oracle: the q184 stage-1 gate replayed in SQL, its
-    * admits folded into grown-corpus relations (`d2`/`e2`), and q192's
-    * hybrid BM25 + IVF-PQ serve chain run over those — exactly what
-    * the Spark side computes through absorb-seeded (merged,
-    * never-rebuilt) retrieval kinds. The IVF-PQ chain's codebook
-    * slices over `e2` equal the landed slices verbatim (the fixture's
-    * batch residues avoid both codebook strides — the frozen-codebook
-    * contract [[graft.similarity.Similarity.absorbIvfPq]] enforces),
-    * so one parametrized chain states both sides of the equivalence. */
-  protected def absorbServeOracle: String = {
+  /** The q196/q202 oracle: the q184 stage-1 gate replayed in SQL, its
+    * admits folded into grown-corpus relations (`d2`/`e2`) — with
+    * `delPred` additionally excluding a delete set (q202's churned
+    * corpus; empty for q196) — and q192's hybrid BM25 + IVF-PQ serve
+    * chain run over those: exactly what the Spark side computes
+    * through absorb-seeded (and, for q202, then retract-filtered)
+    * retrieval kinds. The IVF-PQ chain's codebook slices over `e2`
+    * equal the landed slices verbatim (the fixture's batch AND delete
+    * residues avoid both codebook strides — the frozen-codebook
+    * contract [[graft.similarity.Similarity.absorbIvfPq]] /
+    * [[graft.similarity.Similarity.retractIvfPq]] enforce), so one
+    * parametrized chain states both sides of the equivalence. */
+  protected def absorbServeOracleWith(delPred: String): String = {
     val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
     val l1 = (c: String) => s"$c % 100 NOT IN $allRes"
     val b1 = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
@@ -1778,15 +1827,19 @@ trait DedupRegistry extends EntryHelpers {
           $s1,
           adm AS MATERIALIZED (SELECT doc_id FROM s1_gate WHERE gate = 'admit'),
           d2 AS MATERIALIZED (SELECT * FROM documents
-                WHERE doc_id % 100 NOT IN $allRes
-                   OR doc_id IN (SELECT doc_id FROM adm)),
+                WHERE (doc_id % 100 NOT IN $allRes
+                   OR doc_id IN (SELECT doc_id FROM adm))${delPred
+      .replace("%ID%", "doc_id")}),
           e2 AS MATERIALIZED (SELECT * FROM embeddings
-                WHERE vec_id % 100 NOT IN $allRes
-                   OR vec_id IN (SELECT doc_id FROM adm)),
+                WHERE (vec_id % 100 NOT IN $allRes
+                   OR vec_id IN (SELECT doc_id FROM adm))${delPred
+      .replace("%ID%", "vec_id")}),
           ${hybridChainCtes(servedAnnrCtes("e2"), docsRel = "d2")}
           SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
           ORDER BY q_id, rnk"""
   }
+
+  protected def absorbServeOracle: String = absorbServeOracleWith("")
 
   /** One gate stage of the q184 absorb oracle: q129's precedence
     * lattice with every landed/batch slice predicate parametrized
