@@ -32,6 +32,12 @@ object ServeRateBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val store = args.lift(1).getOrElse("/tmp/graft_indexstore")
     val slices = args.lift(2).map(_.toInt).getOrElse(4)
+    // request density: ids ≡ 0 mod queryStride form the feed. The
+    // contract rows use 100; the RATE is measured at denser strides
+    // too because a trigger's bill is dominated by per-trigger plan
+    // work — the queries/s curve vs batch size is the amortization
+    // story, exactly as GateRateBench's
+    val queryStride = args.lift(3).map(_.toLong).getOrElse(100L)
     require(slices >= 2, "need >= 2 slices (1 warm-up + >= 1 measured)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -55,9 +61,9 @@ object ServeRateBench {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
 
-    val qd = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+    val qd = docs.filter(pmod(col("doc_id"), lit(queryStride)) === 0)
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
-    val qe = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
+    val qe = emb.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
       .select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect().toMap
     val records = qd.toSeq.flatMap { case (id, text) =>
@@ -93,7 +99,7 @@ object ServeRateBench {
       val rate = fed / measuredS
       println(s"""{"metric":"serve_queries_per_s","value":${
         "%.1f".format(rate)},"queries":$fed,"batches":${
-        groups.size - 1},"warm_s":${"%.2f".format(warmS)},"measured_s":${
+        groups.size - 1},"warm_s":${"%.2f".format(warmS)},"qstride":$queryStride,"measured_s":${
         "%.2f".format(measuredS)},"restored":$restored}""")
     } finally q.stop()
     spark.stop()
