@@ -173,11 +173,14 @@ object Bench {
       // the query then drops
       "q193_codebook_rebuild"      -> Set("ivfpq-asn", "ivfpq-codes",
                                           "ann-release"),
+      // drift monitor + policy share the memoized landed drift baseline
+      "q160_codebook_drift"        -> Set("drift-landed-res"),
       // the drift policy measures, decides, and serves through the
       // same release machinery (its fixture's threshold trips, so the
       // executed path is rebuild → released serve over the full-corpus
       // kinds)
-      "q197_drift_policy"          -> Set("ivfpq-asn", "ivfpq-codes",
+      "q197_drift_policy"          -> Set("drift-landed-res",
+                                          "ivfpq-asn", "ivfpq-codes",
                                           "ann-release"),
       "q120_curation_funnel"       -> Set("shingles", "minhash-bands",
                                           "dedup-clusters", "ppl-scored",

@@ -186,6 +186,10 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // codebook — batches union their own routing/codes on top
       "q158-ivfpq-asn" -> Similarity.landedIvfPqAssignment(landedEmb4),
       "q158-ivfpq-codes" -> Similarity.landedIvfPqCodes(landedEmb4),
+      // q160/q197's drift BASELINE: one landed assignment fold — the
+      // denominator every drift measurement shares (same %4 landed
+      // slice as q158's kinds)
+      "q160-drift-res" -> Similarity.landedDriftFold(landedEmb4),
       "q111-landed-grams" -> Dedup.landedGramHashes(landedDocs4, 8),
       "q117-landed-vecs" -> Similarity.landedVecLookup(landedEmb3),
       "q117-landed-assign" -> Similarity.landedSemanticAssignment(landedEmb3),

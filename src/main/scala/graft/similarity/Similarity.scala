@@ -1936,20 +1936,17 @@ object Similarity {
   def codebookDrift(landed: DataFrame, batch: DataFrame,
       ivfStride: Int = 50, ivfOffset: Int = 11,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val be = batch.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+    val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val coarse = le.filter(pmod(col("sid"), lit(ivfStride)) === ivfOffset)
       .select(col("sid").as("c_id"), col("vec").as("c_vec"))
-    def residuals(df: DataFrame, grp: String): DataFrame =
-      df.join(broadcast(coarse))
-        .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
-        .groupBy("sid").agg(max("cos").as("best"))
-        .select(lit(grp).as("grp"),
-          (lit(10000L) - round(col("best") * 10000).cast("long")).as("res"))
-    val folded = residuals(le, "landed").unionByName(residuals(be, "batch"))
+    val lFold = landedDriftFold(landed, ivfStride, ivfOffset, idCol,
+      vecCol)
+    val bFold = driftResiduals(be, coarse, "batch")
       .groupBy("grp").agg(count(lit(1)).as("n"), sum("res").as("sum_res"),
         max("res").as("max_res_e4"))
-    val landedRow = folded.filter(col("grp") === "landed")
+    val folded = lFold.unionByName(bFold)
+    val landedRow = lFold
       .select(col("n").as("ln"), col("sum_res").as("ls"))
     folded.crossJoin(broadcast(landedRow))
       .select(col("grp"), col("n"),
@@ -1960,6 +1957,38 @@ object Similarity {
                        div (CAST(ls AS DECIMAL(38,0)) * n) AS BIGINT)
                 END""").as("drift_ppm"))
   }
+
+  private def driftResiduals(df: DataFrame, coarse: DataFrame,
+      grp: String): DataFrame =
+    df.join(broadcast(coarse))
+      .withColumn("cos", round(cosine(col("vec"), col("c_vec")), 4))
+      .groupBy("sid").agg(max("cos").as("best"))
+      .select(lit(grp).as("grp"),
+        (lit(10000L) - round(col("best") * 10000).cast("long")).as("res"))
+
+  /** The landed corpus's memoized DRIFT BASELINE (kind
+    * "drift-landed-res"): one row — how well the landed coarse
+    * codebook quantizes its own training corpus, folded to
+    * (grp='landed', n, sum_res, max_res_e4). A property of (landed
+    * corpus, codebook), computed once: without this every
+    * [[codebookDrift]] / [[driftRebuildPolicy]] invocation re-paid a
+    * full landed-corpus assignment pass for a denominator that never
+    * changes between rebuilds (round-18 review finding). */
+  def landedDriftFold(landed: DataFrame, ivfStride: Int = 50,
+      ivfOffset: Int = 11, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "drift-landed-res", ivfStride, ivfOffset,
+        idCol, vecCol), {
+        val le = landed.select(col(idCol).as("sid"), col(vecCol).as("vec"))
+        val coarse = le.filter(
+            pmod(col("sid"), lit(ivfStride)) === ivfOffset)
+          .select(col("sid").as("c_id"), col("vec").as("c_vec"))
+        driftResiduals(le, coarse, "landed")
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("res").as("sum_res"),
+            max("res").as("max_res_e4"))
+      })
 
   /** Drift-triggered REBUILD POLICY — the control loop that connects
     * the q160 staleness alarm to the q193 rebuild, so "schedule a
