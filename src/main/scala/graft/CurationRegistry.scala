@@ -458,6 +458,18 @@ trait CurationRegistry extends EntryHelpers {
           .orderBy("q_id", "rnk")
       }),
 
+      // Lexicon scrub: denylist redaction with token-equality
+      // semantics (the corpus tokenizer's own split — a term never
+      // bleeds into a larger word) + the per-doc hit count as the
+      // audit column. The regex/PII face (redactPatterns) rides the
+      // same machinery and is spec-pinned on planted fixtures — the
+      // synthetic corpus carries no PII by construction.
+      "q203_lexicon_scrub" -> ((s, dir) =>
+        graft.curation.Curation.scrubReport(
+            table(s, dir, "documents"),
+            Seq("customer", "vector", "spark"))
+          .orderBy("doc_id")),
+
       // Head-vocabulary coverage: the share of all token occurrences
       // the top-k vocabulary entries cover, at k = 1/5/10/25 — the
       // tokenizer-sizing curve (how big must the vocab be before OOV
@@ -1294,6 +1306,21 @@ trait CurationRegistry extends EntryHelpers {
     // q198: queries are independent, so the streaming replay's union
     // equals the one-shot batch serve — q192's oracle verbatim
     "q198_streaming_serve" -> hybridServedOracle,
+
+    // q203: the same token-equality transform as a DuckDB list
+    // transform — counts and scrubbed text both hash-checked
+    "q203_lexicon_scrub" ->
+      """WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') tk
+             FROM documents)
+         SELECT doc_id,
+                CAST(len(list_filter(tk,
+                  x -> x IN ('customer', 'vector', 'spark'))) AS BIGINT)
+                  AS n_hits,
+                array_to_string(list_transform(tk,
+                  x -> CASE WHEN x IN ('customer', 'vector', 'spark')
+                       THEN '[REDACTED]' ELSE x END), ' ') AS scrubbed
+         FROM t ORDER BY doc_id""",
 
     // q195: both fused pipelines nested as CTEs (the q189 nested-WITH
     // device), joined on (q_id, doc_id); overlap ppm via HUGEINT floor

@@ -1175,6 +1175,35 @@ object Curation {
           .as("selected"))
   }
 
+  /** Lexicon SCRUB — denylist redaction, the dictionary face of the
+    * scrubbing family a training pipeline runs before release (strip a
+    * site's boilerplate vocabulary, a blocked-entity list, a leaked
+    * credential dictionary): every token exactly matching a `terms`
+    * entry is replaced by `placeholder`, and the per-document hit
+    * count rides along as the audit column. Token-EQUALITY semantics
+    * (the corpus tokenizer's own split, [[graft.functions.TextFunctions.tokens]])
+    * — not substring or regex — so a term can never bleed into a
+    * larger word and the oracle replays it as a list transform.
+    * Output: (idCol, n_hits, scrubbed). Scale: one projection, no
+    * shuffle, whole-stage-codegen'd higher-order functions; the term
+    * set is a broadcast-sized literal array. The REGEX face (PII
+    * classes — emails, phones, IPs) is the existing [[redactPii]]
+    * (q82, oracle-checked over a salted fixture); this is its
+    * dictionary twin for term sets regexes over-match (a denylist
+    * entry like "vector" must not hit "vectorized"). */
+  def scrubReport(docs: DataFrame, terms: Seq[String],
+      placeholder: String = "[REDACTED]", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "scrubReport needs at least one term")
+    val lits = terms.map(lit(_))
+    val tk = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol),
+      size(filter(tk, t => t.isin(lits: _*))).cast("long").as("n_hits"),
+      array_join(transform(tk,
+        t => when(t.isin(lits: _*), lit(placeholder)).otherwise(t)),
+        " ").as("scrubbed"))
+  }
+
   /** Trained quality classifier (the fastText-style filter of
     * CCNet/LLaMA-era pipelines: label "does this look like the
     * high-quality reference source?", score everything, keep the

@@ -1179,4 +1179,21 @@ class CurationSpec extends SparkSpec {
       (0L, 2L, 2L, 16393442L)), got.toString)
   }
 
+  test("scrubReport: token-equality redaction — no bleed into larger words, exact hit counts") {
+    val docs = Seq(
+      (1L, "the customer bought a vectorized customer record"),
+      (2L, "no sensitive words here"),
+      (3L, "customer customer customer"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.curation.Curation
+      .scrubReport(docs, Seq("customer", "vector"), "[X]")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      // "vectorized" must NOT match "vector" — token equality
+      (1L, 2L, "the [X] bought a vectorized [X] record"),
+      (2L, 0L, "no sensitive words here"),
+      (3L, 3L, "[X] [X] [X]"),
+      (4L, 0L, "")), got.toString)
+  }
+
 }
