@@ -108,6 +108,15 @@ object Bench {
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
         "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // snapshot migration retracts + absorbs the landed family off
+      // its own old-snapshot slice (no landed GATE runs, so unlike
+      // q184/q200 it reads no landed fp/DSIR-threshold kinds — retract
+      // derives those from the per-doc histogram); the migrated
+      // entries are seeded in-query — that seeding IS the measured
+      // operator
+      "q205_snapshot_migrate" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-doc-buckets", "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

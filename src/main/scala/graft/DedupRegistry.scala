@@ -800,6 +800,57 @@ trait DedupRegistry extends EntryHelpers {
         graft.curation.Curation.hybridRrfTopKServed(keptD, keptE)
           .orderBy("q_id", "rnk")
       }),
+
+      // SNAPSHOT DIFF — derive the CDC change set from two corpus
+      // snapshots (the inverse direction of q201, which consumes one):
+      // adds = ids only in new, deletes = ids only in old, updates =
+      // same id with a different normalized fingerprint (planted here
+      // by a deterministic text revision on one residue class, which
+      // the oracle replays verbatim). Unchanged ids emit nothing.
+      "q204_snapshot_diff" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val oldSnap = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(5L, 30L, 55L, 80L))
+        val newSnap = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(21L, 71L))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(100L)) === 44L,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+      }),
+
+      // SNAPSHOT MIGRATE — apply a DERIVED diff through retract +
+      // absorb-by-fiat so the landed artifacts match a new
+      // authoritative snapshot without a rebuild: old = corpus minus
+      // the add residues, new = corpus minus the delete residues
+      // (holdout residues {9, 59} in neither — they are the probe
+      // batch). migrateToSnapshot diffs, retracts {21, 71}, absorbs
+      // {5, 30, 55, 80}, and the probe batch gates through the
+      // migrated (merged, never-rebuilt) artifacts; the oracle is the
+      // one-shot staged gate whose landed side IS the new snapshot —
+      // migrate ≡ rebuild.
+      "q205_snapshot_migrate" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val oldRes = Seq(5L, 30L, 55L, 80L, 9L, 59L)
+        val newRes = Seq(21L, 71L, 9L, 59L)
+        val oD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(oldRes: _*))
+        val oE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(oldRes: _*))
+        val nD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(newRes: _*))
+        val nE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(newRes: _*))
+        val (migD, migE) = Dedup.migrateToSnapshot(oD, oE, nD, nE,
+          "src0", keepBp = 5000)
+        val probe = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(9L, 59L))
+        val probeE = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(9L, 59L))
+        Dedup.ingestGate(migD, probe, migE, probeE, "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -1767,7 +1818,58 @@ trait DedupRegistry extends EntryHelpers {
     // grown-corpus CTEs additionally exclude the delete residues
     "q202_churn_serve" -> absorbServeOracleWith(
       " AND %ID% % 100 NOT IN (14, 39)"),
+
+    // q204: the snapshot diff replayed as a fingerprint-compared full
+    // outer join — adds/deletes by presence, updates by null-safe
+    // fingerprint inequality, the planted text revision applied to
+    // the new side verbatim
+    "q204_snapshot_diff" -> snapshotDiffOracle,
+
+    // q205: the one-shot staged gate whose landed side IS the new
+    // snapshot (corpus minus delete + holdout residues) — what the
+    // Spark side computes through diff-driven retract + absorb-by-fiat
+    // (migrate ≡ rebuild)
+    "q205_snapshot_migrate" -> snapshotMigrateOracle,
   )
+
+  /** The q204 oracle: both snapshots' normalized fingerprints (the
+    * exact-dedup family's own content identity — the xfp expression),
+    * full outer join on the id, op by presence / null-safe fingerprint
+    * compare; unchanged ids drop. */
+  protected def snapshotDiffOracle: String =
+    s"""WITH o AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+          FROM documents WHERE doc_id % 100 NOT IN (5, 30, 55, 80)),
+        n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(
+                   CASE WHEN doc_id % 100 = 44 THEN text || ' rev2'
+                        ELSE text END),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) fp
+          FROM documents WHERE doc_id % 100 NOT IN (21, 71))
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'add'
+                    WHEN n.doc_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS op,
+               o.fp AS old_fp, n.fp AS new_fp
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR o.fp IS DISTINCT FROM n.fp
+        ORDER BY doc_id"""
+
+  /** The q205 oracle: one gate stage with the landed predicate = the
+    * NEW snapshot's membership and the batch = the holdout probe —
+    * the rebuild the diff-driven migration must equal. */
+  protected def snapshotMigrateOracle: String = {
+    val l = (c: String) => s"$c % 100 NOT IN (21, 71, 9, 59)"
+    val b = (c: String) => s"$c % 100 IN (9, 59)"
+    val s1 = gateStageCtes("g1_", l, b, l, b, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1
+          SELECT doc_id, gate FROM g1_gate ORDER BY doc_id"""
+  }
 
   /** The churn chain (q200/q201): q184's staged oracle with the
     * stage-2 landed predicate additionally excluding the delete

@@ -78,6 +78,12 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
     val landedEmbA = emb.filter(!pmod(col("vec_id"), lit(100L))
       .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+    // q205's OLD snapshot: corpus minus add residues {5,30,55,80} and
+    // holdout {9,59} (MUST textually match the q205 entry's slices)
+    val landedDocsM = docs.filter(!pmod(col("doc_id"), lit(100L))
+      .isin(5L, 30L, 55L, 80L, 9L, 59L))
+    val landedEmbM = emb.filter(!pmod(col("vec_id"), lit(100L))
+      .isin(5L, 30L, 55L, 80L, 9L, 59L))
     val builds: Seq[(String, DataFrame)] = Seq(
       // shingles + capped shingle space (q18/q19/q43/q69/q98/q101…)
       "shingles-capped" -> Dedup.cappedShingleHashes(docs, 3, 100, "text", "doc_id"),
@@ -168,6 +174,24 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q196-bm25-stats" -> Curation.bm25Stats(landedDocsA),
       "q196-ivfpq-asn" -> Similarity.landedIvfPqAssignment(landedEmbA),
       "q196-ivfpq-codes" -> Similarity.landedIvfPqCodes(landedEmbA),
+      // q205's OLD-snapshot landed kinds — everything the diff-driven
+      // retract anti-joins (no landed gate runs, so no fp/DSIR-count/
+      // threshold entries: retract re-derives those from the per-doc
+      // histogram); the migrated (new-snapshot) entries are seeded by
+      // the query itself — that seeding IS what q205 measures
+      "q205-shingles" -> Dedup.shingleHashes(landedDocsM, 3, "text", "doc_id"),
+      "q205-bands" -> Dedup.bandKeyTable(landedDocsM),
+      "q205-sh-set" -> Dedup.landedShingleSet(landedDocsM),
+      "q205-vec-lookup" -> Similarity.landedVecLookup(landedEmbM),
+      "q205-sem-cells-2l" ->
+        Similarity.landedTwoLevelCells(landedEmbM, 25, 8, 5),
+      "q205-sem-assign-2l" ->
+        Similarity.landedSemanticAssignment2L(landedEmbM, 25, 8, 5),
+      "q205-dsir-doc-buckets" ->
+        Curation.landedDsirDocBuckets(landedDocsM, "src0"),
+      "q205-bm25-stats" -> Curation.bm25Stats(landedDocsM),
+      "q205-ivfpq-asn" -> Similarity.landedIvfPqAssignment(landedEmbM),
+      "q205-ivfpq-codes" -> Similarity.landedIvfPqCodes(landedEmbM),
       // q130/q171/q175's landed media indexes — one landed decode /
       // frame pass / window pass each, paid here once; batches probe
       // by equi-join. ALL built over Multimodal.landedMediaSlice, the

@@ -1455,6 +1455,91 @@ object Dedup {
       textCol = textCol)
   }
 
+  /** SNAPSHOT DIFF — derive the change set between two corpus
+    * snapshots, the inverse direction of the CDC stream (q201
+    * CONSUMES a change stream; this PRODUCES one from two authoritative
+    * snapshots — the reconciliation a re-delivered corpus drop or a
+    * Delta/Iceberg-style table swap needs). A document is `add` (id
+    * only in new), `delete` (id only in old), or `update` (same id,
+    * normalized fingerprint differs — the [[exact]] family's own
+    * content identity, so whitespace/punctuation-only re-renders are
+    * NOT updates). Unchanged ids emit no row: the diff is change-set-
+    * sized, not corpus-sized. NULL fingerprints (empty bodies) compare
+    * null-safely — NULL vs NULL is unchanged, NULL vs body is an
+    * update.
+    *
+    * Scale: one fingerprint projection per side + one full outer join
+    * on the id — a single id-keyed shuffle; text never shuffles (only
+    * 128-bit fingerprints do). Output: (idCol, op, old_fp, new_fp). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldDocs.select(col(idCol),
+      fingerprint(col(textCol)).as("old_fp"), lit(1L).as("__in_old"))
+    val n = newDocs.select(col(idCol),
+      fingerprint(col(textCol)).as("new_fp"), lit(1L).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("add"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(!(col("old_fp") <=> col("new_fp")), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col(idCol), col("op"), col("old_fp"), col("new_fp"))
+  }
+
+  /** MIGRATE the landed artifacts to a new authoritative snapshot —
+    * [[snapshotDiff]] drives [[retractBatch]] (deletes + the old side
+    * of updates) then [[absorbBatch]] (adds + the new side of
+    * updates), so every landed artifact ends exactly where a one-shot
+    * rebuild over the new snapshot would put it, WITHOUT re-paying the
+    * landed index builds for the unchanged bulk. Unlike the ingest
+    * gate, a migration absorbs by FIAT: the new snapshot is
+    * authoritative, so nothing is gated — this is "make the indexes
+    * match the table", not "decide what enters the table".
+    *
+    * Updates ride the delete+add decomposition (the fingerprint
+    * changed, so every per-doc artifact row — shingles, bands, codes,
+    * tf — must be re-derived from the new body); the frozen-codebook
+    * stride contract therefore applies to update ids too, and a
+    * centroid/codeword-stride update refuses loudly
+    * ([[graft.similarity.Similarity.CodebookStrideRefusal]]) — mutating
+    * a codebook member is a rebuild (the q193 release path).
+    *
+    * Returns (migratedDocs, migratedEmb): the exact frames whose
+    * [[CacheRegistry]] entries were seeded — pass THESE to the next
+    * [[ingestGate]] / retrieval call so the seeds are hit. Equality
+    * with the one-shot rebuild is the q205 oracle's statement: a probe
+    * batch gated through migrated artifacts hash-matches the staged
+    * SQL gate whose landed side is the new snapshot. */
+  def migrateToSnapshot(landedDocs: DataFrame, landedEmb: DataFrame,
+      newDocs: DataFrame, newEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    // decided ONCE (change-set-sized), then drives both merge passes
+    val diff = snapshotDiff(landedDocs, newDocs, textCol, idCol)
+      .localCheckpoint(true)
+    val delIds = diff.filter(col("op").isin("delete", "update"))
+      .select(col(idCol))
+    val addIds = diff.filter(col("op").isin("add", "update"))
+      .select(col(idCol))
+    val keptD = landedDocs.join(delIds, Seq(idCol), "left_anti")
+    val keptE = landedEmb.join(delIds.select(col(idCol).as(vecIdCol)),
+      Seq(vecIdCol), "left_anti")
+    retractBatch(landedDocs, delIds, landedEmb, keptD, keptE,
+      targetSource, centroidOffset, coarseFactor, keepBp, textCol,
+      idCol, vecIdCol, vecCol)
+    val addD = newDocs.join(addIds, Seq(idCol))
+    val addE = newEmb.join(addIds.select(col(idCol).as(vecIdCol)),
+      Seq(vecIdCol))
+    val migD = keptD.unionByName(addD)
+    val migE = keptE.unionByName(addE)
+    absorbBatch(keptD, addD, keptE, addE, migD, migE, targetSource,
+      centroidOffset, coarseFactor, keepBp, textCol, idCol, vecIdCol,
+      vecCol)
+    (migD, migE)
+  }
+
   /** The gate family's shared precedence when-chain — one definition
     * for both faces (the Scala twin of the oracle side's
     * `ingestGateOracle(full)`), so a precedence or coalesce fix can
