@@ -117,6 +117,11 @@ object Bench {
       "q205_snapshot_migrate" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-doc-buckets", "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // migrate-then-serve re-runs the same migration (its seeds are
+      // query-private) and serves through the migrated retrieval kinds
+      "q206_migrate_serve" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-doc-buckets", "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

@@ -851,6 +851,34 @@ trait DedupRegistry extends EntryHelpers {
         Dedup.ingestGate(migD, probe, migE, probeE, "src0", keepBp = 5000)
           .orderBy("doc_id")
       }),
+
+      // SERVING THE MIGRATED CORPUS — the q202 statement for snapshot
+      // migration: after migrateToSnapshot, the hybrid BM25 + IVF-PQ
+      // serve runs entirely through the migrated (merged,
+      // never-rebuilt) retrieval kinds, and must answer exactly like a
+      // deployment that indexed the new snapshot from scratch. The
+      // frozen-codebook device makes one oracle chain state both
+      // sides: no add/delete residue touches a codebook stride, so the
+      // migrated kinds' codebooks equal the new snapshot's in-plan
+      // stride slices verbatim.
+      "q206_migrate_serve" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val oldRes = Seq(5L, 30L, 55L, 80L, 9L, 59L)
+        val newRes = Seq(21L, 71L, 9L, 59L)
+        val oD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(oldRes: _*))
+        val oE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(oldRes: _*))
+        val nD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(newRes: _*))
+        val nE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(newRes: _*))
+        val (migD, migE) = Dedup.migrateToSnapshot(oD, oE, nD, nE,
+          "src0", keepBp = 5000)
+        graft.curation.Curation.hybridRrfTopKServed(migD, migE)
+          .orderBy("q_id", "rnk")
+      }),
     )
   }
 
@@ -1830,7 +1858,27 @@ trait DedupRegistry extends EntryHelpers {
     // Spark side computes through diff-driven retract + absorb-by-fiat
     // (migrate ≡ rebuild)
     "q205_snapshot_migrate" -> snapshotMigrateOracle,
+
+    // q206: q192's hybrid serve chain over the NEW snapshot's
+    // relations — what the Spark side computes through diff-migrated
+    // retrieval kinds (migrate feeds serving, not just gating)
+    "q206_migrate_serve" -> migrateServeOracle,
   )
+
+  /** The q206 oracle: the hybrid BM25 + IVF-PQ serve chain (q192's)
+    * over the NEW snapshot's doc/embedding relations — the
+    * from-scratch deployment the diff-driven migration must equal.
+    * No gate stage, so no recursion: plain WITH. The codebook slices
+    * over `e2` equal the migrated (frozen old-corpus) codebooks
+    * verbatim because no add/delete residue touches a stride. */
+  protected def migrateServeOracle: String =
+    s"""WITH d2 AS MATERIALIZED (SELECT * FROM documents
+               WHERE doc_id % 100 NOT IN (21, 71, 9, 59)),
+          e2 AS MATERIALIZED (SELECT * FROM embeddings
+               WHERE vec_id % 100 NOT IN (21, 71, 9, 59)),
+          ${hybridChainCtes(servedAnnrCtes("e2"), docsRel = "d2")}
+          SELECT q_id, rnk, doc_id, rrf_e9 FROM fr WHERE rnk <= 5
+          ORDER BY q_id, rnk"""
 
   /** The q204 oracle: both snapshots' normalized fingerprints (the
     * exact-dedup family's own content identity — the xfp expression),

@@ -89,6 +89,36 @@ class SnapshotSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("serve through migrated kinds with UPDATES ≡ fresh serve over the new snapshot") {
+    CacheRegistry.releaseAll()
+    // same fixture as the migrate-with-updates test: the {44} text
+    // revision reaches the BM25 kinds through retract+absorb, so the
+    // served lexical side must reflect the NEW body — the serve-path
+    // statement the q206 oracle (adds+deletes only) cannot carry
+    val oldRes = Seq(5L, 30L, 55L, 80L, 9L, 59L)
+    val newRes = Seq(21L, 71L, 9L, 59L)
+    def revised(d: org.apache.spark.sql.DataFrame) = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(100L)) === 44L,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val oD = docs.filter(!pmod(col("doc_id"), lit(100L)).isin(oldRes: _*))
+    val oE = emb.filter(!pmod(col("vec_id"), lit(100L)).isin(oldRes: _*))
+    val nD = revised(
+      docs.filter(!pmod(col("doc_id"), lit(100L)).isin(newRes: _*)))
+    val nE = emb.filter(!pmod(col("vec_id"), lit(100L)).isin(newRes: _*))
+    val (migD, migE) = Dedup.migrateToSnapshot(oD, oE, nD, nE, "src0",
+      keepBp = 5000)
+    val served = graft.curation.Curation.hybridRrfTopKServed(migD, migE)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    CacheRegistry.releaseAll()
+    val fresh = graft.curation.Curation.hybridRrfTopKServed(nD, nE)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served.nonEmpty)
+    assert(served == fresh,
+      s"migrated serve ≠ fresh serve: ${served.diff(fresh).take(3)} / " +
+        s"${fresh.diff(served).take(3)}")
+    CacheRegistry.releaseAll()
+  }
+
   test("an update on a codebook-stride id refuses loudly (mutating a codebook member is a rebuild)") {
     CacheRegistry.releaseAll()
     // 33 % 25 == 8: a member of the gate-family sem2l codebook. An
