@@ -848,6 +848,25 @@ trait CurationRegistry extends EntryHelpers {
           docs.filter(pmod(col("doc_id"), lit(5L)) === 2), steps = 8)
           .orderBy("source")
       }),
+
+      // Drift-triggered tokenizer RETRAIN policy — the q197 control
+      // loop applied to the BPE artifact: measure the batch's
+      // fertility under the frozen landed merge table against the
+      // landed corpus's own memoized baseline, trip on positive drift,
+      // and either retrain over the grown corpus + publish the merge
+      // table as a release + serve through the pin, or serve the
+      // frozen q134 face publishing nothing. The oracle replays
+      // measure + decide + BOTH serve chains with the final select
+      // gated on the decision scalar — whichever branch the data
+      // picks, Spark and DuckDB pick it together.
+      "q207_tokenizer_policy" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Bpe.tokenizerRebuildPolicy(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2),
+          docs, "tok-rel-1", maxDriftE6 = 0L, steps = 8)
+          .orderBy("source")
+      }),
     )
   }
 
@@ -2201,6 +2220,11 @@ trait CurationRegistry extends EntryHelpers {
                compression_ppm
       FROM b8 GROUP BY source ORDER BY source"""
     },
+
+    // q207: measure + decide + both serve chains, final select gated
+    // on the decision scalar (the q197 device applied to the BPE
+    // artifact)
+    "q207_tokenizer_policy" -> tokenizerPolicyOracle,
   )
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
@@ -2392,6 +2416,73 @@ trait CurationRegistry extends EntryHelpers {
                          CAST(SUM(y) AS BIGINT) pos
                   FROM zf JOIN yy USING (doc_id) GROUP BY z) h) c) t""")
 
+  /** The q207 oracle: TWO unrolled BPE training chains (landed %5!=2,
+    * prefixed `l`; grown full-corpus, prefixed `g`), the landed
+    * baseline fertility (landed words dict-joined to the landed final
+    * dict — the [[bpeApplyOracle]] device restricted to landed docs),
+    * the batch segmented FROM CHARACTERS through each chain's merge
+    * sequence (the q134 device, prefixed per chain), the drift
+    * decision as a one-row scalar, and both serve branches' per-source
+    * stats UNION'd with each side gated on the decision — measure +
+    * decide + consequence all hash-checked together (the q197
+    * device). */
+  protected def tokenizerPolicyOracle: String = {
+    def segChain(bp: String, mp: String) = (1 to 8).map { i =>
+      s"""
+      $bp$i AS (SELECT source, word,
+                replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                  ' ' || m.lhs || m.rhs || ' ') seg
+              FROM $bp${i - 1}, ${mp}m$i m)"""
+    }.mkString(",")
+    def statsSel(rel: String) =
+      s"""SELECT source,
+             CAST(COUNT(*) AS BIGINT) n_words,
+             CAST(SUM(len(regexp_split_to_array(trim(seg), ' '))) AS BIGINT)
+               n_subwords,
+             CAST(SUM(len(word) + 1) AS BIGINT) n_symbols0,
+             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
+               AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+               subwords_per_mword,
+             CAST(CAST(SUM(len(regexp_split_to_array(trim(seg), ' ')))
+               AS HUGEINT) * 1000000 // SUM(len(word) + 1) AS BIGINT)
+               compression_ppm
+           FROM $rel GROUP BY source"""
+    s"""WITH ${bpeCtes(8, " WHERE doc_id % 5 != 2", "l")},
+      ${bpeCtes(8, "", "g")},
+      lwords AS (SELECT w word FROM (
+               SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) w
+               FROM documents WHERE doc_id % 5 != 2) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+      lnsub AS (SELECT word,
+                 CAST(len(regexp_split_to_array(trim(seg), ' ')) AS BIGINT)
+                   nsub
+               FROM ld8),
+      lbase AS (SELECT CAST(CAST(SUM(nsub) AS HUGEINT) * 1000000 // COUNT(*)
+                  AS BIGINT) spw
+                FROM lwords JOIN lnsub USING (word)),
+      batw AS (SELECT source, w word FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) w
+               FROM documents WHERE doc_id % 5 = 2) t
+             WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+      fb0 AS (SELECT source, word,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
+             FROM batw),${segChain("fb", "l")},
+      gb0 AS (SELECT source, word, seg FROM fb0),${segChain("gb", "g")},
+      bspw AS (SELECT CAST(CAST(SUM(len(regexp_split_to_array(trim(seg),
+                  ' '))) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) spw
+               FROM fb8),
+      dec AS (SELECT b.spw - l.spw AS drift_e6,
+                     CASE WHEN b.spw - l.spw > 0 THEN 1 ELSE 0 END trip
+              FROM bspw b, lbase l)
+      SELECT 'keep' AS "action", d.drift_e6, s.*
+      FROM (${statsSel("fb8")}) s, dec d WHERE d.trip = 0
+      UNION ALL
+      SELECT 'rebuild', d.drift_e6, s.*
+      FROM (${statsSel("gb8")}) s, dec d WHERE d.trip = 1
+      ORDER BY source"""
+  }
+
   /** The BPE merge loop unrolled to `steps` explicit CTE rounds — the
     * oracle replays the identical word dict, character segmentation,
     * weighted pair count, (count desc, lhs, rhs) argmax, and greedy
@@ -2430,33 +2521,35 @@ trait CurationRegistry extends EntryHelpers {
   /** q134's landed-slice training chain. */
   protected def ingestBpeCtes: String = bpeCtes(8, " WHERE doc_id % 5 != 2")
 
-  protected def bpeCtes(steps: Int, docWhere: String = ""): String = {
+  protected def bpeCtes(steps: Int, docWhere: String = "",
+      p: String = ""): String = {
     val base = s"""
-      w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
+      ${p}w0 AS (SELECT w word, CAST(COUNT(*) AS BIGINT) freq FROM (
                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) w
                FROM documents$docWhere) t
              WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
-      d0 AS (SELECT word, freq,
+      ${p}d0 AS (SELECT word, freq,
                ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' seg
-             FROM w0)"""
+             FROM ${p}w0)"""
     val rounds = (1 to steps).map { i =>
       s"""
-      s$i AS (SELECT freq, regexp_split_to_array(trim(seg), ' ') sy
-              FROM d${i - 1}),
-      p$i AS (SELECT u['l'] lhs, u['r'] rhs, CAST(SUM(freq) AS BIGINT) c
+      ${p}s$i AS (SELECT freq, regexp_split_to_array(trim(seg), ' ') sy
+              FROM ${p}d${i - 1}),
+      ${p}p$i AS (SELECT u['l'] lhs, u['r'] rhs, CAST(SUM(freq) AS BIGINT) c
               FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
                       k -> struct_pack(l := sy[k], r := sy[k + 1]))) u
-                    FROM s$i) GROUP BY lhs, rhs),
-      m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-      d$i AS (SELECT word, freq,
+                    FROM ${p}s$i) GROUP BY lhs, rhs),
+      ${p}m$i AS (SELECT lhs, rhs, c FROM ${p}p$i
+              ORDER BY c DESC, lhs, rhs LIMIT 1),
+      ${p}d$i AS (SELECT word, freq,
                 replace(seg, ' ' || m.lhs || ' ' || m.rhs || ' ',
                   ' ' || m.lhs || m.rhs || ' ') seg
-              FROM d${i - 1}, m$i m),
-      g$i AS (SELECT $i step, m.lhs, m.rhs, m.c pair_count,
+              FROM ${p}d${i - 1}, ${p}m$i m),
+      ${p}g$i AS (SELECT $i step, m.lhs, m.rhs, m.c pair_count,
                 CAST(CAST(SUM(('0x' || substr(md5(word || '|' || freq ||
                     '|' || seg), 1, 15))::BIGINT) AS HUGEINT)
                   % 1000000007 AS BIGINT) vocab_digest
-              FROM d$i, m$i m GROUP BY m.lhs, m.rhs, m.c)"""
+              FROM ${p}d$i, ${p}m$i m GROUP BY m.lhs, m.rhs, m.c)"""
     }.mkString(",")
     s"$base,$rounds"
   }

@@ -272,7 +272,14 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // rounds are vocab-sized and stay with the queries); q134's
       // landed-slice dict is its own entry (different input plan)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs),
-      "q134-bpe-landed-dict" -> graft.curation.Bpe.baseDict(landedDocs5))
+      "q134-bpe-landed-dict" -> graft.curation.Bpe.baseDict(landedDocs5),
+      // q207's landed fertility BASELINE (one row): the landed corpus
+      // segmented by its own merge table — a property of (landed
+      // corpus, merge table) that never changes between retrains, so
+      // the policy's measure stage reads it instead of re-paying a
+      // landed segmentation pass (the drift-landed-res idiom)
+      "q207-bpe-landed-fert" ->
+        graft.curation.Bpe.landedBpeFertility(landedDocs5))
     builds
   }
 

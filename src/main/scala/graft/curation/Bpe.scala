@@ -129,7 +129,17 @@ object Bpe {
       steps: Int = 8, stratum: String = "source",
       textCol: String = "text"): DataFrame = {
     val (merges, _, _) = learn(landed, steps, textCol)
-    val mseq = merges.map(r => (r.getString(1), r.getString(2)))
+    segStatsUnderMerges(merges.map(r => (r.getString(1), r.getString(2))),
+      incoming, stratum, textCol)
+  }
+
+  /** Segment a batch's words FROM CHARACTERS through an explicit merge
+    * sequence and fold per-stratum subword stats — the apply tail
+    * shared by [[bpeSegmentStatsIncrement]] (landed-learned sequence)
+    * and [[tokenizerRebuildPolicy]]'s released branch (pin-read
+    * sequence), one definition so the two faces can never drift. */
+  private def segStatsUnderMerges(mseq: Seq[(String, String)],
+      incoming: DataFrame, stratum: String, textCol: String): DataFrame = {
     val batchWords = incoming
       .select(col(stratum), explode(tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -149,6 +159,107 @@ object Bpe {
         expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_words"))
       .withColumn("compression_ppm",
         expr("CAST(n_subwords AS DECIMAL(38,0)) * 1000000 div n_symbols0"))
+  }
+
+  /** The landed corpus's memoized FERTILITY BASELINE (kind
+    * "bpe-landed-fert"): one row (s = total subwords, w = total words)
+    * of the landed corpus segmented by its OWN merge table — a
+    * property of (landed corpus, merge table) that never changes
+    * between retrains, so every [[tokenizerRebuildPolicy]] call shares
+    * it instead of re-paying a landed segmentation pass (the
+    * drift-landed-res idiom applied to the tokenizer). */
+  def landedBpeFertility(landed: DataFrame, steps: Int = 8,
+      stratum: String = "source", textCol: String = "text"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(landed, "bpe-landed-fert", steps, stratum, textCol),
+      bpeSegmentStats(landed, steps, stratum, textCol)
+        .agg(sum("n_subwords").as("s"), sum("n_words").as("w")))
+
+  /** Publish a trained merge table as an immutable tokenizer RELEASE
+    * (kind "bpe-release", caller-owned releaseId — the q193 pin idiom
+    * applied to the tokenizer artifact): re-publishing an existing
+    * name with IDENTICAL parameters is an idempotent no-op (the
+    * crash-retry shape); a different merge count under an existing
+    * name fails loudly — a silently-swapped tokenizer re-segments the
+    * whole corpus downstream. The pin IS the artifact here (a merge
+    * table is `steps` rows), so artifacts-before-pin collapses to one
+    * registration. */
+  def publishBpeRelease(corpus: DataFrame, releaseId: String,
+      steps: Int = 8, textCol: String = "text"): DataFrame = {
+    val key = CacheRegistry.key(corpus, "bpe-release", textCol, releaseId)
+    CacheRegistry.entries.get(key).foreach { pin =>
+      val s = pin.agg(max("step")).collect()(0).getInt(0)
+      require(s == steps,
+        s"publishBpeRelease: release '$releaseId' is already published " +
+          s"with a different merge count ($s vs $steps) — releases are " +
+          "immutable; publish under a new releaseId and switch serving")
+    }
+    CacheRegistry.cache(key, bpeMerges(corpus, steps, textCol))
+  }
+
+  /** Read a published tokenizer release's merge table; throws if the
+    * release was never published (serving from a half-built release is
+    * what the pin contract forbids). */
+  def bpeMergesReleased(corpus: DataFrame, releaseId: String,
+      textCol: String = "text"): DataFrame =
+    CacheRegistry.entries.getOrElse(
+      CacheRegistry.key(corpus, "bpe-release", textCol, releaseId),
+      throw new IllegalStateException(
+        s"bpeMergesReleased: release '$releaseId' was never published"))
+
+  /** Drift-triggered tokenizer RETRAIN policy — the q197 control loop
+    * applied to the BPE artifact, so "retrain the tokenizer" is an
+    * operator, not a human reading a fertility dashboard. Measures the
+    * batch's FERTILITY under the frozen landed merge table
+    * (subwords per million words, the [[bpeSegmentStatsIncrement]]
+    * face — unseen words segment from characters, which is exactly
+    * where drift shows up) against the landed corpus's own memoized
+    * baseline ([[landedBpeFertility]]); `drift_e6 = batch − landed`.
+    * Trips iff `drift_e6 > maxDriftE6`: retrains over the caller's
+    * grown corpus, publishes the merge table as `releaseId`
+    * ([[publishBpeRelease]]), and serves the batch's stats through the
+    * PUBLISHED pin's merge sequence (one ≤-steps-row bounded collect);
+    * untripped serves the frozen face and publishes NOTHING. An empty
+    * batch (no trainable words) has no evidence: keep, NULL drift,
+    * zero served rows.
+    *
+    * The decision evidence rides in the answer (action + drift_e6 as
+    * constant columns) and the q207 oracle replays measure + decide +
+    * BOTH serve chains in SQL with the final select gated on the
+    * decision scalar — the policy's consequence is hash-checked, not
+    * just its number. Decision collects are one-row bounded (the
+    * pin-consult shape); drift arithmetic is BigInt truncating
+    * division on non-negative operands ≡ the oracle's HUGEINT `//`. */
+  def tokenizerRebuildPolicy(landed: DataFrame, incoming: DataFrame,
+      grown: DataFrame, releaseId: String, maxDriftE6: Long,
+      steps: Int = 8, stratum: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def spwOf(r: Row): Option[BigInt] =
+      if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(1) == 0L) None
+      else Some(BigInt(r.getLong(0)) * 1000000 / BigInt(r.getLong(1)))
+    val baseSpw = spwOf(
+      landedBpeFertility(landed, steps, stratum, textCol).collect()(0))
+    val frozen = bpeSegmentStatsIncrement(landed, incoming, steps,
+      stratum, textCol)
+    val batchSpw = spwOf(frozen
+      .agg(sum("n_subwords").as("s"), sum("n_words").as("w"))
+      .collect()(0))
+    val drift = for { b <- batchSpw; l <- baseSpw } yield b - l
+    val trip = drift.exists(_ > maxDriftE6)
+    val served =
+      if (trip) {
+        publishBpeRelease(grown, releaseId, steps, textCol)
+        val mseq = bpeMergesReleased(grown, releaseId, textCol)
+          .orderBy("step").select("lhs", "rhs").collect().toSeq
+          .map(r => (r.getString(0), r.getString(1)))
+        segStatsUnderMerges(mseq, incoming, stratum, textCol)
+      } else frozen
+    served.select(
+      lit(if (trip) "rebuild" else "keep").as("action"),
+      drift.map(d => lit(d.toLong)).getOrElse(lit(null)).cast("long")
+        .as("drift_e6"),
+      col(stratum), col("n_words"), col("n_subwords"), col("n_symbols0"),
+      col("subwords_per_mword"), col("compression_ppm"))
   }
 
   /** The memoized word-frequency dictionary with its character-level

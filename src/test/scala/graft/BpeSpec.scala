@@ -107,4 +107,76 @@ class BpeSpec extends SparkSpec {
     // only "ab"×2 trains: pairs (a,b)×2, (b,</w>)×2 -> tie, 'a' < 'b'
     assert(got == (("a", "b", 2L)))
   }
+
+  // ── tokenizerRebuildPolicy (q207): both branches, pinned ──
+  // landed: short repetitive words the learned merges compress well;
+  // drifted batch: long unseen gibberish that segments poorly from
+  // characters under the frozen table → fertility spikes → trip
+  private val polLanded = Seq(
+    (1L, "see saw see saw", "A"), (2L, "saw sea see", "A"),
+    (3L, "see see saw", "B")).toDF("doc_id", "text", "source")
+  private val polDrifted = Seq(
+    (11L, "zqxjkvbn wpfmtrlg zqxjkvbn", "A"),
+    (12L, "hdcyubio wpfmtrlg", "B")).toDF("doc_id", "text", "source")
+
+  test("tokenizer policy, tripped: retrains over grown, publishes the release, serves through the pin") {
+    graft.util.CacheRegistry.releaseAll()
+    val grown = polLanded.unionByName(polDrifted)
+    val got = Bpe.tokenizerRebuildPolicy(polLanded, polDrifted, grown,
+        "tok-test-1", maxDriftE6 = 0L, steps = 3)
+      .as[(String, Long, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == "rebuild"), got.toString)
+    assert(got.map(_._2).distinct.size == 1 && got.head._2 > 0L)
+    // the served rows ARE the grown-table increment face
+    val expect = Bpe.bpeSegmentStatsIncrement(grown, polDrifted, steps = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._3, r._4, r._5, r._6, r._7, r._8)).toSet
+      == expect)
+    // the release pin exists and re-publishing identically is a no-op
+    assert(graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("bpe-release")))
+    val before = graft.util.CacheRegistry.size
+    Bpe.publishBpeRelease(grown, "tok-test-1", steps = 3)
+    assert(graft.util.CacheRegistry.size == before)
+    // a different merge count under the published name fails loudly
+    intercept[IllegalArgumentException] {
+      Bpe.publishBpeRelease(grown, "tok-test-1", steps = 2)
+    }
+    graft.util.CacheRegistry.releaseAll()
+  }
+
+  test("tokenizer policy, untripped: serves the frozen face and publishes nothing") {
+    graft.util.CacheRegistry.releaseAll()
+    // batch of the landed vocabulary's BEST-compressed word (see fully
+    // merges in 3 steps): batch fertility < the landed baseline → keep
+    val batch = Seq((21L, "see see see", "A"))
+      .toDF("doc_id", "text", "source")
+    val grown = polLanded.unionByName(batch)
+    val got = Bpe.tokenizerRebuildPolicy(polLanded, batch, grown,
+        "tok-test-2", maxDriftE6 = 0L, steps = 3)
+      .as[(String, Long, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == "keep"), got.toString)
+    val expect = Bpe.bpeSegmentStatsIncrement(polLanded, batch, steps = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._3, r._4, r._5, r._6, r._7, r._8)).toSet
+      == expect)
+    assert(!graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("bpe-release")))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
+  test("tokenizer policy, empty batch: no evidence, keep, zero rows, nothing published") {
+    graft.util.CacheRegistry.releaseAll()
+    val batch = Seq((31L, "!!! ???", "A")).toDF("doc_id", "text", "source")
+    val got = Bpe.tokenizerRebuildPolicy(polLanded, batch, polLanded,
+      "tok-test-3", maxDriftE6 = 0L, steps = 3)
+    assert(got.isEmpty)
+    assert(!graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("bpe-release")))
+    graft.util.CacheRegistry.releaseAll()
+  }
 }
