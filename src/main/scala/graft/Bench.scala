@@ -223,6 +223,10 @@ object Bench {
       // drift monitor reads the landed head distribution
       "q163_ingest_drift"          -> Set("drift-head"),
       "q155_classifier_auc"        -> Set("qc-features"),
+      // the classifier policy reads the landed feature/weight/rate
+      // kinds plus the full-corpus features for its retrain branch
+      "q208_classifier_policy"     -> Set("qc-features", "qc-weights",
+                                          "qc-landed-rate"),
       "q125_dsir_incremental"      -> Set("dsir-counts", "dsir-thresholds"),
       // the power-iteration direction: q146 builds it, q147/q149 read
       // the same memoized d-row table (round-16)

@@ -867,6 +867,23 @@ trait CurationRegistry extends EntryHelpers {
           docs, "tok-rel-1", maxDriftE6 = 0L, steps = 8)
           .orderBy("source")
       }),
+
+      // Drift-triggered classifier RETRAIN policy — the q197/q207
+      // control loop applied to the trained quality filter: the
+      // batch's pass rate under the FROZEN landed weights vs the
+      // landed corpus's own memoized baseline; |drift| over the bound
+      // trips retrain-over-grown + publish the weight release + score
+      // through the pin, else the frozen score publishing nothing.
+      // The oracle replays two full unrolled GD chains and gates the
+      // served rows on the decision scalar.
+      "q208_classifier_policy" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.curation.Curation.classifierRebuildPolicy(
+          docs.filter(pmod(col("doc_id"), lit(4L)) =!= 2),
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+          docs, "src0", "qc-rel-1", maxDriftPpm = 10000L)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -2225,7 +2242,66 @@ trait CurationRegistry extends EntryHelpers {
     // on the decision scalar (the q197 device applied to the BPE
     // artifact)
     "q207_tokenizer_policy" -> tokenizerPolicyOracle,
+
+    // q208: two unrolled GD chains (landed %4!=2, grown full) + the
+    // pass-rate drift decision + both scoring branches gated on it
+    "q208_classifier_policy" -> classifierPolicyOracle(10000L),
   )
+
+  /** The q208 oracle: the q123 training chain twice ([[qcChainCtes]]
+    * prefixed `l` over the landed slice, `g` over the grown corpus),
+    * the batch's feature/label CTEs, its scores under EACH final
+    * weight table, the pass-rate drift decision as a one-row scalar,
+    * and both scoring branches UNION'd each gated on it — the q197
+    * device applied to the trained classifier. */
+  protected def classifierPolicyOracle(maxDriftPpm: Long): String = {
+    def servedSel(zRel: String) =
+      s"""SELECT z.doc_id, d.source, y.y AS label, z.z AS z_e6,
+               CAST(CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                 predicted
+         FROM $zRel z JOIN documents d USING (doc_id)
+           JOIN byy y USING (doc_id)"""
+    def rateSel(zRel: String) =
+      s"""SELECT CAST(CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) rate
+         FROM $zRel"""
+    s"""WITH RECURSIVE ${qcChainCtes(3, " WHERE doc_id % 4 != 2", "l")},
+        ${qcChainCtes(3, "", "g")},
+        btb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
+                 SELECT doc_id,
+                   CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64
+                     AS INT) b
+                 FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           token
+                       FROM documents WHERE doc_id % 4 = 2) t) tt
+               GROUP BY doc_id, b
+               UNION ALL
+               SELECT doc_id, CAST(64 AS INT), CAST(1 AS BIGINT)
+               FROM documents WHERE doc_id % 4 = 2),
+        byy AS (SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END y
+               FROM documents WHERE doc_id % 4 = 2),
+        bzl AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM btb JOIN lw3 USING (b) GROUP BY doc_id),
+        bzg AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM btb JOIN gw3 USING (b) GROUP BY doc_id),
+        lrate AS (${rateSel("lzf")}),
+        brate AS (${rateSel("bzl")}),
+        dec AS (SELECT b.rate - l.rate AS drift_ppm,
+                  CASE WHEN abs(b.rate - l.rate) > $maxDriftPpm
+                       THEN 1 ELSE 0 END trip
+                FROM brate b, lrate l)
+        SELECT 'keep' AS "action", d.drift_ppm, s.doc_id, s.source,
+               s.label, s.z_e6, s.predicted
+        FROM (${servedSel("bzl")}) s, dec d WHERE d.trip = 0
+        UNION ALL
+        SELECT 'rebuild', d.drift_ppm, s.doc_id, s.source, s.label,
+               s.z_e6, s.predicted
+        FROM (${servedSel("bzg")}) s, dec d WHERE d.trip = 1
+        ORDER BY doc_id"""
+  }
 
   /** q123's logistic-regression training unrolled to `rounds` explicit
     * CTE rounds — exact integer dot products and gradients; the one
@@ -2233,45 +2309,56 @@ trait CurationRegistry extends EntryHelpers {
     * the weight update's double product/divide has the same IEEE
     * evaluation order as the Spark side, so every intermediate weight
     * table replays bit-identically. */
-  private def qcOracleWith(rounds: Int, tail: String): String = {
+  /** One unrolled GD training chain of the q123 oracle family, every
+    * CTE name prefixed with `p` and the training corpus restricted by
+    * `docWhere`, so two chains (landed + grown, q208) can hang off one
+    * WITH. Ends in `${p}zf(doc_id, z)` — the training docs' scores
+    * under the final weights `${p}w<rounds>`. */
+  private def qcChainCtes(rounds: Int, docWhere: String = "",
+      p: String = ""): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""z$i AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
-               FROM tb JOIN w${i - 1} USING (b) GROUP BY doc_id),
-          r$i AS (SELECT z.doc_id,
+      s"""${p}z$i AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM ${p}tb JOIN ${p}w${i - 1} USING (b) GROUP BY doc_id),
+          ${p}r$i AS (SELECT z.doc_id,
                     CAST(round((1/(1 + exp(-CAST(z.z AS DOUBLE)/1000000))
                       - y.y)*1000000) AS BIGINT) r
-                  FROM z$i z JOIN yy y USING (doc_id)),
-          g$i AS (SELECT b, CAST(SUM(r*x) AS BIGINT) g
-                  FROM tb JOIN r$i USING (doc_id) GROUP BY b),
-          w$i AS (SELECT w.b,
+                  FROM ${p}z$i z JOIN ${p}yy y USING (doc_id)),
+          ${p}g$i AS (SELECT b, CAST(SUM(r*x) AS BIGINT) g
+                  FROM ${p}tb JOIN ${p}r$i USING (doc_id) GROUP BY b),
+          ${p}w$i AS (SELECT w.b,
                     w.w - CAST(round(CAST(COALESCE(g.g, 0) AS DOUBLE)
                       * 0.5 / nn.n) AS BIGINT) w
-                  FROM w${i - 1} w LEFT JOIN g$i g USING (b), nn)"""
+                  FROM ${p}w${i - 1} w LEFT JOIN ${p}g$i g USING (b),
+                    ${p}nn nn)"""
     }.mkString(",\n          ")
-    s"""WITH RECURSIVE tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
+    s"""${p}tb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) x FROM (
                  SELECT doc_id,
                    CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64
                      AS INT) b
                  FROM (SELECT doc_id,
                          unnest(regexp_split_to_array(trim(text), '\\s+'))
                            token
-                       FROM documents) t) tt
+                       FROM documents$docWhere) t) tt
                GROUP BY doc_id, b
                UNION ALL
                SELECT doc_id, CAST(64 AS INT), CAST(1 AS BIGINT)
-               FROM documents),
-        yy AS (SELECT doc_id,
+               FROM documents$docWhere),
+        ${p}yy AS (SELECT doc_id,
                  CASE WHEN source = 'src0' THEN CAST(1 AS BIGINT)
                       ELSE CAST(0 AS BIGINT) END y
-               FROM documents),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
-        w0 AS (SELECT CAST(t.b AS INT) b, CAST(0 AS BIGINT) w
+               FROM documents$docWhere),
+        ${p}nn AS (SELECT CAST(COUNT(*) AS BIGINT) n
+               FROM documents$docWhere),
+        ${p}w0 AS (SELECT CAST(t.b AS INT) b, CAST(0 AS BIGINT) w
                FROM range(65) t(b)),
         $roundCtes,
-        zf AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
-               FROM tb JOIN w$rounds USING (b) GROUP BY doc_id)
-        $tail"""
+        ${p}zf AS (SELECT doc_id, CAST(SUM(w*x) AS BIGINT) z
+               FROM ${p}tb JOIN ${p}w$rounds USING (b) GROUP BY doc_id)"""
   }
+
+  private def qcOracleWith(rounds: Int, tail: String): String =
+    s"""WITH RECURSIVE ${qcChainCtes(rounds)}
+        $tail"""
 
   protected def qcOracle(rounds: Int): String =
     qcOracleWith(rounds,

@@ -230,6 +230,14 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       "q125-dsir-counts" -> Curation.landedDsirCounts(landedDocs4b, "src0"),
       "q125-dsir-thresholds" ->
         Curation.landedDsirThresholds(landedDocs4b, "src0"),
+      // q208's landed classifier artifacts on the same %4 slice: the
+      // feature table, the trained weight vector (buckets+1 rows — the
+      // frozen model), and the one-row pass-rate baseline the policy's
+      // drift measure reads
+      "q208-qc-features" -> Curation.qcFeatures(landedDocs4b, "src0"),
+      "q208-qc-weights" -> Curation.landedQcWeights(landedDocs4b, "src0"),
+      "q208-qc-landed-rate" ->
+        Curation.landedQcPassRate(landedDocs4b, "src0"),
       // the corpus-side BM25 statistics (q187/q192's lexical index; a
       // retrieval system computes these once per corpus, never per
       // query)

@@ -1264,16 +1264,47 @@ object Curation {
       targetSource: String, buckets: Int = 64, rounds: Int = 3,
       lr: Double = 0.5, stratum: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(slices.nonEmpty, "at least one document slice")
+    val spark = slices.head.sparkSession
+    import spark.implicits._
+    val tbs = slices.map(d =>
+      qcFeatures(d, targetSource, buckets, stratum, idCol, textCol))
+    val w = qcTrainWeights(slices, targetSource, buckets, rounds, lr,
+      stratum, idCol, textCol)
+    val wF = w.toSeq.toDF("b", "w")
+    slices.zip(tbs).map { case (d, tb) =>
+      qcZAgg(tb, wF, idCol)
+        .join(d.select(col(idCol), col(stratum)), idCol)
+        .select(col(idCol), col(stratum), col("y").as("label"),
+          col("z").as("z_e6"),
+          when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One scoring pass: exact integer dot product of each doc's hashed
+    * features against a broadcast weight table — the shared kernel of
+    * training rounds, the final scoring pass, and the policy faces. */
+  private def qcZAgg(tb: DataFrame, wDf: DataFrame,
+      idCol: String): DataFrame =
+    tb.join(broadcast(wDf), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
+
+  /** The extracted training loop of [[qualityClassifierFromParts]] —
+    * `rounds` full-batch GD steps over the slices' memoized feature
+    * tables, returning the final e6-integer weight vector. One
+    * definition so the one-shot face, the data-parallel face, and
+    * [[classifierRebuildPolicy]]'s retrain branch can never drift. */
+  def qcTrainWeights(slices: Seq[DataFrame], targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): Map[Int, Long] = {
     require(buckets > 0 && rounds >= 1, "buckets, rounds must be positive")
     require(slices.nonEmpty, "at least one document slice")
     val spark = slices.head.sparkSession
     import spark.implicits._
     val tbs = slices.map(d =>
       qcFeatures(d, targetSource, buckets, stratum, idCol, textCol))
-    def zAgg(tb: DataFrame, wDf: DataFrame): DataFrame =
-      tb.join(broadcast(wDf), "b")
-        .groupBy(col(idCol))
-        .agg(sum(col("w") * col("x")).as("z"), max("y").as("y"))
     // combined N: slice cardinalities are additive over a disjoint split
     val n = slices.map(_.count()).sum.toDouble
     var w: Map[Int, Long] = (0 to buckets).map(_ -> 0L).toMap
@@ -1282,7 +1313,7 @@ object Curation {
       // per-slice partial gradients (≤ buckets+1 rows each), folded by
       // plain sum — exactly the full-corpus gradient at the frozen w
       val grad = tbs.map { tb =>
-        zAgg(tb, wDf)
+        qcZAgg(tb, wDf, idCol)
           .withColumn("r", round(
             (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / 1e6)) -
               col("y")) * 1e6).cast("long"))
@@ -1302,14 +1333,120 @@ object Curation {
         b -> (w(b) - d)
       }
     }
-    val wF = w.toSeq.toDF("b", "w")
-    slices.zip(tbs).map { case (d, tb) =>
-      zAgg(tb, wF)
-        .join(d.select(col(idCol), col(stratum)), idCol)
-        .select(col(idCol), col(stratum), col("y").as("label"),
-          col("z").as("z_e6"),
-          when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
-    }.reduce(_ unionByName _)
+    w
+  }
+
+  /** The landed corpus's memoized classifier WEIGHTS (kind
+    * "qc-weights", buckets+1 rows) — the frozen model artifact every
+    * [[classifierRebuildPolicy]] call scores batches under; trained
+    * once per landed corpus (the bpe-release / drift-landed-res
+    * idiom: a property of the landed corpus that never changes between
+    * retrains). */
+  def landedQcWeights(landed: DataFrame, targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = landed.sparkSession
+    import spark.implicits._
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "qc-weights", targetSource,
+        buckets, rounds, stratum, idCol, textCol),
+      qcTrainWeights(Seq(landed), targetSource, buckets, rounds, lr,
+        stratum, idCol, textCol).toSeq.toDF("b", "w"))
+  }
+
+  /** The landed corpus's memoized PASS-RATE baseline (kind
+    * "qc-landed-rate", one row: n docs, n predicted-positive) under
+    * its own [[landedQcWeights]] — the denominator of the policy's
+    * drift measure. */
+  def landedQcPassRate(landed: DataFrame, targetSource: String,
+      buckets: Int = 64, rounds: Int = 3, lr: Double = 0.5,
+      stratum: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.util.CacheRegistry.cache(
+      graft.util.CacheRegistry.key(landed, "qc-landed-rate", targetSource,
+        buckets, rounds, stratum, idCol, textCol),
+      qcZAgg(
+        qcFeatures(landed, targetSource, buckets, stratum, idCol, textCol),
+        landedQcWeights(landed, targetSource, buckets, rounds, lr,
+          stratum, idCol, textCol), idCol)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_pass")))
+
+  /** Drift-triggered classifier RETRAIN policy — the q197/q207 control
+    * loop applied to the trained quality filter, completing the
+    * measure→decide→act matrix for the third corpus-derived artifact
+    * family (ANN codebooks q197, tokenizer q207, classifier here).
+    * Measures the batch's PASS RATE (fraction predicted positive, ppm)
+    * under the FROZEN landed weights against the landed corpus's own
+    * memoized baseline ([[landedQcPassRate]]); `drift_ppm = batch −
+    * landed` (a filter whose pass rate shifts is scoring a different
+    * distribution than it was trained on — the operational dial).
+    * Trips iff `|drift_ppm| > maxDriftPpm` (pass rates drift BOTH ways
+    * and both are evidence): retrains over the caller's grown corpus
+    * ([[qcTrainWeights]], the one training loop), publishes the weight
+    * table as `releaseId` (kind "qc-release" — idempotent re-publish;
+    * a different bucket count under a published name throws), and
+    * scores the batch through the PUBLISHED pin; untripped scores
+    * under the frozen landed weights and publishes nothing. An empty
+    * batch has no evidence: keep, NULL drift, zero rows.
+    *
+    * The q208 oracle replays measure + decide + BOTH scoring branches
+    * (two full unrolled GD chains) with the final select gated on the
+    * decision scalar. Decision collects are one-row bounded; the rate
+    * arithmetic is BigInt floor division on non-negative operands ≡
+    * HUGEINT `//`. Output: (action, drift_ppm, idCol, stratum, label,
+    * z_e6, predicted), one row per batch doc. */
+  def classifierRebuildPolicy(landed: DataFrame, incoming: DataFrame,
+      grown: DataFrame, targetSource: String, releaseId: String,
+      maxDriftPpm: Long, buckets: Int = 64, rounds: Int = 3,
+      lr: Double = 0.5, stratum: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.util.CacheRegistry
+    def rateOf(r: org.apache.spark.sql.Row): Option[BigInt] =
+      if (r.isNullAt(0) || r.getLong(0) == 0L || r.isNullAt(1)) None
+      else Some(BigInt(r.getLong(1)) * 1000000 / BigInt(r.getLong(0)))
+    val baseRate = rateOf(landedQcPassRate(landed, targetSource, buckets,
+      rounds, lr, stratum, idCol, textCol).collect()(0))
+    val lw = landedQcWeights(landed, targetSource, buckets, rounds, lr,
+      stratum, idCol, textCol)
+    val btb = qcFeatures(incoming, targetSource, buckets, stratum, idCol,
+      textCol)
+    val frozenZ = qcZAgg(btb, lw, idCol)
+    val batchRate = rateOf(frozenZ
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_pass"))
+      .collect()(0))
+    val drift = for { b <- batchRate; l <- baseRate } yield b - l
+    val trip = drift.exists(d => d.abs > maxDriftPpm)
+    val served =
+      if (trip) {
+        val key = CacheRegistry.key(grown, "qc-release", targetSource,
+          releaseId)
+        CacheRegistry.entries.get(key).foreach { pin =>
+          val bMax = pin.agg(max("b")).collect()(0).getInt(0)
+          require(bMax == buckets,
+            s"classifierRebuildPolicy: release '$releaseId' is already " +
+              s"published with a different bucket count ($bMax vs " +
+              s"$buckets) — releases are immutable; publish under a new " +
+              "releaseId and switch serving")
+        }
+        val spark = grown.sparkSession
+        import spark.implicits._
+        val pinned = CacheRegistry.cache(key,
+          qcTrainWeights(Seq(grown), targetSource, buckets, rounds, lr,
+            stratum, idCol, textCol).toSeq.toDF("b", "w"))
+        qcZAgg(btb, pinned, idCol)
+      } else frozenZ
+    served
+      .join(incoming.select(col(idCol), col(stratum)), idCol)
+      .select(
+        lit(if (trip) "rebuild" else "keep").as("action"),
+        drift.map(d => lit(d.toLong)).getOrElse(lit(null)).cast("long")
+          .as("drift_ppm"),
+        col(idCol), col(stratum), col("y").as("label"),
+        col("z").as("z_e6"),
+        when(col("z") >= 0, 1L).otherwise(0L).as("predicted"))
   }
 
   /** The classifier's feature table — (doc, y, bucket, count) + bias

@@ -1196,4 +1196,78 @@ class CurationSpec extends SparkSpec {
       (4L, 0L, "")), got.toString)
   }
 
+  // ── classifierRebuildPolicy (q208): both branches, pinned ──
+  // vocabulary-disjoint halves: after any GD rounds the 'good' bucket
+  // weight is positive and 'bad' negative by symmetry (bias gradient
+  // cancels), so the landed pass rate is exactly 500000 ppm
+  private val qcpLanded = (1L to 4L).map(i =>
+      (i, "good good good", "src0")) ++
+    (5L to 8L).map(i => (i, "bad bad bad", "other"))
+
+  test("classifier policy, tripped: all-positive-vocab batch shifts the pass rate, retrains + publishes + serves through the pin") {
+    graft.util.CacheRegistry.releaseAll()
+    val landed = qcpLanded.toDF("doc_id", "text", "source")
+    val batch = Seq((11L, "good good", "other"), (12L, "good", "other"))
+      .toDF("doc_id", "text", "source")
+    val grown = landed.unionByName(batch)
+    val got = Curation.classifierRebuildPolicy(landed, batch, grown,
+        "src0", "qc-test-1", maxDriftPpm = 10000L)
+      .as[(String, Long, Long, String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._3)
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == "rebuild"), got.toString)
+    // batch rate 1e6 (both docs score positive) vs landed 500000
+    assert(got.map(_._2).distinct == Seq(500000L), got.toString)
+    // served scores equal the established grown-trained face's
+    val expect = Curation.qualityClassifierFromParts(Seq(grown), "src0")
+      .filter(col("doc_id") >= 11L)
+      .select("doc_id", "z_e6", "predicted")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._3, r._6, r._7)).toSet == expect)
+    // pin exists; idempotent re-run; bucket-count conflict throws
+    assert(graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("qc-release")))
+    val again = Curation.classifierRebuildPolicy(landed, batch, grown,
+        "src0", "qc-test-1", maxDriftPpm = 10000L)
+      .as[(String, Long, Long, String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._3)
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Curation.classifierRebuildPolicy(landed, batch, grown,
+        "src0", "qc-test-1", maxDriftPpm = 10000L, buckets = 32)
+    }
+    graft.util.CacheRegistry.releaseAll()
+  }
+
+  test("classifier policy, untripped: balanced batch keeps, scores under frozen weights, publishes nothing") {
+    graft.util.CacheRegistry.releaseAll()
+    val landed = qcpLanded.toDF("doc_id", "text", "source")
+    val batch = Seq((11L, "good good", "src0"), (12L, "bad bad", "other"))
+      .toDF("doc_id", "text", "source")
+    val grown = landed.unionByName(batch)
+    val got = Curation.classifierRebuildPolicy(landed, batch, grown,
+        "src0", "qc-test-2", maxDriftPpm = 10000L)
+      .as[(String, Long, Long, String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._3)
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == "keep"), got.toString)
+    assert(got.map(_._2).distinct == Seq(0L), got.toString)
+    assert(!graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("qc-release")))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
+  test("classifier policy, empty batch: no evidence, keep, zero rows, nothing published") {
+    graft.util.CacheRegistry.releaseAll()
+    val landed = qcpLanded.toDF("doc_id", "text", "source")
+    val batch = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val got = Curation.classifierRebuildPolicy(landed, batch, landed,
+      "src0", "qc-test-3", maxDriftPpm = 10000L)
+    assert(got.isEmpty)
+    assert(!graft.util.CacheRegistry.entries.keys
+      .exists(_.startsWith("qc-release")))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
 }
