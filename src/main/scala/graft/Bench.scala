@@ -149,11 +149,12 @@ object Bench {
       // stage); the merge rounds themselves are vocab-sized
       "q113_bpe_merges"            -> Set("bpe-dict"),
       "q115_bpe_segment_stats"     -> Set("bpe-dict"),
-      "q134_bpe_incremental"       -> Set("bpe-dict"),
-      // the tokenizer policy reads the landed dict (frozen face), the
-      // full-corpus dict (retrain branch) and the memoized landed
-      // fertility baseline
-      "q207_tokenizer_policy"      -> Set("bpe-dict", "bpe-landed-fert"),
+      "q134_bpe_incremental"       -> Set("bpe-dict", "bpe-merges"),
+      // the tokenizer policy reads the landed merge table (frozen
+      // face), the full-corpus dict (retrain branch) and the memoized
+      // landed fertility baseline
+      "q207_tokenizer_policy"      -> Set("bpe-dict", "bpe-merges",
+                                          "bpe-landed-fert"),
       // incremental semantic dedup: landed vec lookup + its memoized
       // cluster assignment (the semantic index)
       "q117_semantic_incremental"  -> Set("vec-lookup", "sem-assign"),

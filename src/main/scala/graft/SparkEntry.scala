@@ -281,6 +281,12 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // landed-slice dict is its own entry (different input plan)
       "bpe-dict" -> graft.curation.Bpe.baseDict(docs),
       "q134-bpe-landed-dict" -> graft.curation.Bpe.baseDict(landedDocs5),
+      // the landed MERGE TABLE itself (kind bpe-merges): q134's
+      // incremental face and q207's frozen face both read it per
+      // batch — the training rounds are paid here once (review
+      // finding: they were re-paid per call)
+      "q134-bpe-landed-merges" ->
+        graft.curation.Bpe.landedBpeMerges(landedDocs5),
       // q207's landed fertility BASELINE (one row): the landed corpus
       // segmented by its own merge table — a property of (landed
       // corpus, merge table) that never changes between retrains, so

@@ -127,11 +127,34 @@ object Bpe {
     * stratum. */
   def bpeSegmentStatsIncrement(landed: DataFrame, incoming: DataFrame,
       steps: Int = 8, stratum: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val (merges, _, _) = learn(landed, steps, textCol)
-    segStatsUnderMerges(merges.map(r => (r.getString(1), r.getString(2))),
+      textCol: String = "text"): DataFrame =
+    segStatsUnderMerges(mergeSeqOf(landedBpeMerges(landed, steps, textCol)),
       incoming, stratum, textCol)
-  }
+
+  /** The landed corpus's memoized MERGE TABLE (kind "bpe-merges",
+    * `steps` rows: step, lhs, rhs) — the tokenizer artifact itself.
+    * The first call per landed corpus pays the training rounds
+    * ([[learn]]); every later batch (the q134 incremental face, each
+    * [[tokenizerRebuildPolicy]] trigger) reads the memo instead of
+    * re-paying `steps` vocab-sized argmax rounds per batch (review
+    * finding: the per-batch frozen face re-learned the landed table
+    * every call). IndexStore-persistable like every landed kind. */
+  def landedBpeMerges(docs: DataFrame, steps: Int = 8,
+      textCol: String = "text"): DataFrame =
+    CacheRegistry.cache(
+      CacheRegistry.key(docs, "bpe-merges", steps, textCol), {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val (merges, _, _) = learn(docs, steps, textCol)
+        merges.map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          .toDF("step", "lhs", "rhs")
+      })
+
+  /** Bounded collect of a merge table (≤ steps rows) in learned
+    * order — the sequence [[segStatsUnderMerges]] folds. */
+  private def mergeSeqOf(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.orderBy("step").select("lhs", "rhs")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 
   /** Segment a batch's words FROM CHARACTERS through an explicit merge
     * sequence and fold per-stratum subword stats — the apply tail
@@ -194,7 +217,13 @@ object Bpe {
           s"with a different merge count ($s vs $steps) — releases are " +
           "immutable; publish under a new releaseId and switch serving")
     }
-    CacheRegistry.cache(key, bpeMerges(corpus, steps, textCol))
+    // the pin is the merge TABLE alone — not bpeMerges' report row
+    // (whose vocab_digest columns would force `steps` corpus-vocab
+    // digest aggregates just to evaluate the pin); DETACHED copy so
+    // the "bpe-merges" entry and the release never alias one frame
+    // under two keys (the double-save/release hazard)
+    val m = landedBpeMerges(corpus, steps, textCol)
+    CacheRegistry.cache(key, m.select(m.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Read a published tokenizer release's merge table; throws if the
@@ -249,10 +278,9 @@ object Bpe {
     val served =
       if (trip) {
         publishBpeRelease(grown, releaseId, steps, textCol)
-        val mseq = bpeMergesReleased(grown, releaseId, textCol)
-          .orderBy("step").select("lhs", "rhs").collect().toSeq
-          .map(r => (r.getString(0), r.getString(1)))
-        segStatsUnderMerges(mseq, incoming, stratum, textCol)
+        segStatsUnderMerges(
+          mergeSeqOf(bpeMergesReleased(grown, releaseId, textCol)),
+          incoming, stratum, textCol)
       } else frozen
     served.select(
       lit(if (trip) "rebuild" else "keep").as("action"),

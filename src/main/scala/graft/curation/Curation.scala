@@ -1410,8 +1410,12 @@ object Curation {
       rounds, lr, stratum, idCol, textCol).collect()(0))
     val lw = landedQcWeights(landed, targetSource, buckets, rounds, lr,
       stratum, idCol, textCol)
+    // batch features are NOT memoized (memoize=false): a per-trigger
+    // registry entry keyed on each batch frame is the streaming-gate
+    // leak class; the rate collect + served output re-derive the
+    // batch-sized build instead
     val btb = qcFeatures(incoming, targetSource, buckets, stratum, idCol,
-      textCol)
+      textCol, memoize = false)
     val frozenZ = qcZAgg(btb, lw, idCol)
     val batchRate = rateOf(frozenZ
       .agg(count(lit(1)).as("n"),
@@ -1460,20 +1464,27 @@ object Curation {
     * exposed for the bench index phase. */
   def qcFeatures(docs: DataFrame, targetSource: String, buckets: Int = 64,
       stratum: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", memoize: Boolean = true): DataFrame = {
     val yCol = when(col(stratum) === targetSource, 1L).otherwise(0L)
-    graft.util.CacheRegistry.cache(
+    def build = docs.select(col(idCol), yCol.as("y"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("b", pmod(TextFunctions.hash60(col("token")),
+        lit(buckets.toLong)).cast("int"))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col(idCol), yCol.as("y"),
+        lit(buckets).as("b"), lit(1L).as("x"))) // bias feature
+      .repartition(col(idCol))
+    // memoize=false is the PER-BATCH face ([[classifierRebuildPolicy]]
+    // scoring an incoming batch): a registry entry keyed on each
+    // batch's frame would leak one persisted build per trigger — the
+    // streaming-gate leak class (r17 review). Training corpora keep
+    // the memo: every GD round reads it.
+    if (!memoize) build
+    else graft.util.CacheRegistry.cache(
       graft.util.CacheRegistry.key(docs, "qc-features", targetSource,
         buckets, stratum, idCol, textCol),
-      docs.select(col(idCol), yCol.as("y"),
-          explode(TextFunctions.tokens(col(textCol))).as("token"))
-        .withColumn("b", pmod(TextFunctions.hash60(col("token")),
-          lit(buckets.toLong)).cast("int"))
-        .groupBy(col(idCol), col("y"), col("b"))
-        .agg(count(lit(1)).as("x"))
-        .unionByName(docs.select(col(idCol), yCol.as("y"),
-          lit(buckets).as("b"), lit(1L).as("x"))) // bias feature
-        .repartition(col(idCol)))
+      build)
   }
 
   /** Temperature-scaled corpus rebalancing (the multilingual-training
