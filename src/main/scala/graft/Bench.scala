@@ -122,6 +122,11 @@ object Bench {
       "q206_migrate_serve" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-doc-buckets", "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // the chained migration's leg 1 reads the same q205-slice landed
+      // family; leg 2 runs against leg 1's in-query seeds
+      "q209_snapshot_chain" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-doc-buckets", "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       "q19_dedup_minhash_lsh"   -> Set("shingles", "minhash-bands"),
       "q43_dedup_clusters"      -> Set("shingles", "minhash-bands", "dedup-clusters"),
       "q54_leakage_safe_split"  -> Set("dedup-clusters"),

@@ -879,6 +879,38 @@ trait DedupRegistry extends EntryHelpers {
         graft.curation.Curation.hybridRrfTopKServed(migD, migE)
           .orderBy("q_id", "rnk")
       }),
+
+      // CHAINED MIGRATION — the q200 composition statement for
+      // snapshot reconciliation: migrate(O→S1) then migrate(S1→S2),
+      // the second leg running entirely against the first leg's
+      // migrated (merged, never-rebuilt) artifacts — merges of merges
+      // of merges. Leg 1 is q205's exact fixture (adds {5,30,55,80},
+      // deletes {21,71}); leg 2 deletes {14,64} and RE-ADDS {21} —
+      // content deleted by one snapshot returning in a later one, the
+      // tombstone edge a naive "remember deletions" design gets
+      // wrong. Oracle = the one-shot staged gate whose landed side IS
+      // S2: migrate∘migrate ≡ rebuild.
+      "q209_snapshot_chain" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val oldRes = Seq(5L, 30L, 55L, 80L, 9L, 59L)
+        val s1Res = Seq(21L, 71L, 9L, 59L)
+        val s2Res = Seq(71L, 14L, 64L, 9L, 59L)
+        def dOf(res: Seq[Long]) =
+          docs.filter(!pmod(col("doc_id"), lit(100L)).isin(res: _*))
+        def eOf(res: Seq[Long]) =
+          emb.filter(!pmod(col("vec_id"), lit(100L)).isin(res: _*))
+        val (m1D, m1E) = Dedup.migrateToSnapshot(dOf(oldRes), eOf(oldRes),
+          dOf(s1Res), eOf(s1Res), "src0", keepBp = 5000)
+        val (m2D, m2E) = Dedup.migrateToSnapshot(m1D, m1E,
+          dOf(s2Res), eOf(s2Res), "src0", keepBp = 5000)
+        val probe = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(9L, 59L))
+        val probeE = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(9L, 59L))
+        Dedup.ingestGate(m2D, probe, m2E, probeE, "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
     )
   }
 
@@ -1863,7 +1895,26 @@ trait DedupRegistry extends EntryHelpers {
     // relations — what the Spark side computes through diff-migrated
     // retrieval kinds (migrate feeds serving, not just gating)
     "q206_migrate_serve" -> migrateServeOracle,
+
+    // q209: the one-shot staged gate whose landed side IS the FINAL
+    // snapshot S2 — what the Spark side computes through two chained
+    // diff-driven migrations (migrate∘migrate ≡ rebuild, including a
+    // leg-1 delete re-added by leg 2)
+    "q209_snapshot_chain" -> snapshotChainOracle,
   )
+
+  /** The q209 oracle: one gate stage with the landed predicate = the
+    * FINAL snapshot's membership (corpus minus S2's delete residues
+    * and the holdout) — residue 21, deleted by leg 1 and re-added by
+    * leg 2, is simply IN. */
+  protected def snapshotChainOracle: String = {
+    val l = (c: String) => s"$c % 100 NOT IN (71, 14, 64, 9, 59)"
+    val b = (c: String) => s"$c % 100 IN (9, 59)"
+    val s1 = gateStageCtes("c1_", l, b, l, b, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1
+          SELECT doc_id, gate FROM c1_gate ORDER BY doc_id"""
+  }
 
   /** The q206 oracle: the hybrid BM25 + IVF-PQ serve chain (q192's)
     * over the NEW snapshot's doc/embedding relations — the

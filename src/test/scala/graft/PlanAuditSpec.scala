@@ -96,6 +96,7 @@ class PlanAuditSpec extends SparkSpec {
     "q200_churn_gate", // q184's gate-2 broadcasts over the churned (absorbed-then-retracted) kinds
     "q205_snapshot_migrate", // q184's gate broadcasts over the diff-migrated kinds
     "q206_migrate_serve", // q192's serve broadcasts over the diff-migrated kinds
+    "q209_snapshot_chain", // q184's gate broadcasts over twice-migrated kinds
     "q202_churn_serve", // q196's gate + serve broadcasts over the churned kinds
     "q189_mixture_shift", // embeds q129's gate broadcasts + its own one-row totals cross
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
