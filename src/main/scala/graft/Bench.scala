@@ -274,6 +274,11 @@ object Bench {
       "q189_mixture_shift" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "landed-fp", "gate-evidence"),
+      // the mixture controller replays q184's stage-1 gate (the
+      // admitting fixture) over the index-phase q184 landed family
+      "q210_mixture_rebalance" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp"),
       // the streaming frozen gate runs the q129 six-stage gate per
       // micro-batch over the same %5 landed family (its per-trigger
       // batch memos are released by the stream itself)

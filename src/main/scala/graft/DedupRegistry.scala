@@ -487,6 +487,31 @@ trait DedupRegistry extends EntryHelpers {
           .orderBy("source")
       }),
 
+      // THE MIXTURE CONTROLLER — act on q189's report: per-source
+      // correction rates that equalize token survival across sources
+      // (the admitted mixture returns to the incoming token shares),
+      // realized as the deterministic hash cut over the admitted docs.
+      // Runs on q184's stage-1 fixture (keepBp 5000 — the slice where
+      // DSIR genuinely ADMITS; the q129 fixture admits nothing, which
+      // would make this row vacuous), so the index-phase q184 landed
+      // family serves it. The oracle replays gate → per-source
+      // survival → min → keep_ppm → the hash draw, so the measure,
+      // the correction AND the draw are all hash-checked.
+      "q210_mixture_rebalance" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        graft.curation.Curation.mixtureRebalance(
+          docs.filter(!pmod(col("doc_id"), lit(100L))
+            .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L)),
+          docs.filter(pmod(col("doc_id"), lit(100L))
+            .isin(2L, 22L, 47L, 67L)),
+          emb.filter(!pmod(col("vec_id"), lit(100L))
+            .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L)),
+          emb.filter(pmod(col("vec_id"), lit(100L))
+            .isin(2L, 22L, 47L, 67L)), "src0", keepBp = 5000)
+          .orderBy("doc_id")
+      }),
+
       // THE STREAMING GATE, oracle-checked — the production face that
       // was spec-pinned only until round 18: the q129 batch slice
       // (%5==2, each record carrying its embedding) replayed through
@@ -1831,6 +1856,12 @@ trait DedupRegistry extends EntryHelpers {
                      AS BIGINT) END AS w_after_ppm
           FROM per, tot ORDER BY source""",
 
+    // q210: the q184 stage-1 gate (the admitting fixture) continued —
+    // per-source token survival, the min over surviving sources,
+    // keep_ppm by cross-multiplied HUGEINT division, and the hash60
+    // draw replayed per admitted doc
+    "q210_mixture_rebalance" -> mixtureRebalanceOracle,
+
     "q132_ingest_gate_full" -> ingestGateOracle(full = true),
 
     "q184_absorb_gate" -> absorbGateOracle,
@@ -1902,6 +1933,50 @@ trait DedupRegistry extends EntryHelpers {
     // leg-1 delete re-added by leg 2)
     "q209_snapshot_chain" -> snapshotChainOracle,
   )
+
+  /** The q210 oracle: q184's stage-1 gate (the fixture where DSIR
+    * genuinely admits) as one staged-CTE gate, then the rebalance
+    * chain — per-source token survival, the min over surviving
+    * sources, keep_ppm by cross-multiplied HUGEINT division, and the
+    * hash60 draw per admitted doc. */
+  protected def mixtureRebalanceOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val l = (c: String) => s"$c % 100 NOT IN $allRes"
+    val b = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val s1 = gateStageCtes("x1_", l, b, l, b, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          $s1,
+          bdocs AS (SELECT doc_id, source,
+                      CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) n_tok
+                    FROM documents WHERE doc_id % 100 IN (2, 22, 47, 67)),
+          jr AS (SELECT b.doc_id, b.source, b.n_tok,
+                  CASE WHEN g.gate = 'admit' THEN 1 ELSE 0 END adm
+                FROM bdocs b JOIN x1_gate g ON g.doc_id = b.doc_id),
+          rper AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) ti_s,
+                    CAST(SUM(CASE WHEN adm = 1 THEN n_tok ELSE 0 END)
+                      AS BIGINT) ta_s
+                  FROM jr GROUP BY source),
+          rsv AS (SELECT source,
+                   CAST(CAST(ta_s AS HUGEINT) * 1000000 // ti_s
+                     AS BIGINT) surv_ppm
+                 FROM rper),
+          rmm AS (SELECT CAST(MIN(surv_ppm) AS BIGINT) m FROM rsv
+                 WHERE surv_ppm > 0),
+          rkr AS (SELECT source, surv_ppm,
+                   CASE WHEN surv_ppm > 0 THEN
+                     CAST(CAST(m AS HUGEINT) * 1000000 // surv_ppm
+                       AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END keep_ppm
+                 FROM rsv, rmm)
+          SELECT jr.doc_id, jr.source, rkr.surv_ppm, rkr.keep_ppm,
+                 CAST(CASE WHEN ('0x' || substr(md5(
+                     CAST(jr.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000 < rkr.keep_ppm
+                   THEN 1 ELSE 0 END AS BIGINT) kept
+          FROM jr JOIN rkr USING (source) WHERE jr.adm = 1
+          ORDER BY doc_id"""
+  }
 
   /** The q209 oracle: one gate stage with the landed predicate = the
     * FINAL snapshot's membership (corpus minus S2's delete residues

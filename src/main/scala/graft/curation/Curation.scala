@@ -677,6 +677,74 @@ object Curation {
                   div ta AS BIGINT)""")).as("w_after_ppm"))
   }
 
+  /** MIXTURE REBALANCE — ACT on the q189 report: the ingest gate
+    * admits each source at its own survival rate, silently reweighting
+    * the corpus mixture; this operator derives per-source correction
+    * rates that EQUALIZE token survival across sources (every source
+    * is brought down to the binding source's rate, so the admitted
+    * mixture returns to the batch's incoming token shares — "the gate
+    * must not reweight the corpus") and realizes them as the
+    * [[stratifiedSample]] hash cut over the admitted docs — the
+    * deterministic, append-stable draw every sampling cell uses.
+    *
+    * Exactness: `surv_ppm_s = tokens_admitted_s·1e6 div tokens_in_s`
+    * (DECIMAL(38,0)-widened), `m = min surviving surv_ppm`,
+    * `keep_ppm_s = m·1e6 div surv_ppm_s` (the binding source gets
+    * exactly 1e6 — keeps everything), kept iff
+    * `hash60(idCol) % 1e6 < keep_ppm_s`. Every column replays in SQL,
+    * so the q210 oracle hash-checks measure, correction AND draw.
+    * A source whose every token was rejected has no admitted rows to
+    * emit; an empty batch emits nothing.
+    *
+    * Scale: the gate's own evidence + one batch tokenize + a
+    * sources-sized aggregate; the min folds over that |sources|-row
+    * table with one unpartitioned window (provably tiny); the draw is
+    * one codegen'd filter column over admitted rows. Output: one row
+    * per ADMITTED doc — (idCol, source, surv_ppm, keep_ppm, kept). */
+  def mixtureRebalance(landedDocs: DataFrame, batchDocs: DataFrame,
+      landedEmb: DataFrame, batchEmb: DataFrame, targetSource: String,
+      centroidOffset: Int = 8, minCosine: Double = 0.3,
+      coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      stratum: String = "source",
+      memoizeEvidence: Boolean = false): DataFrame = {
+    val ld = if (stratum == "source") landedDocs
+      else landedDocs.withColumnRenamed(stratum, "source")
+    val bd = if (stratum == "source") batchDocs
+      else batchDocs.withColumnRenamed(stratum, "source")
+    val verdicts = graft.dedup.Dedup.ingestGate(ld, bd,
+      landedEmb, batchEmb, targetSource, centroidOffset, minCosine,
+      coarseFactor, keepBp, textCol, idCol, vecIdCol, vecCol,
+      memoizeEvidence)
+    val toks = bd.select(col(idCol), col("source"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"))
+    val j = toks.join(verdicts, Seq(idCol))
+    val per = j.groupBy("source")
+      .agg(sum("n_tok").as("ti_s"),
+        sum(when(col("gate") === "admit", col("n_tok")).otherwise(0L))
+          .as("ta_s"))
+      .withColumn("surv_ppm",
+        expr("""CAST(CAST(ta_s AS DECIMAL(38,0)) * 1000000 div ti_s
+                AS BIGINT)"""))
+    // min over the |sources|-row aggregate — provably tiny window
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val kr = per
+      .withColumn("m",
+        min(when(col("surv_ppm") > 0, col("surv_ppm"))).over(w))
+      .withColumn("keep_ppm",
+        when(col("surv_ppm") > 0,
+          expr("""CAST(CAST(m AS DECIMAL(38,0)) * 1000000 div surv_ppm
+                  AS BIGINT)""")).otherwise(0L))
+      .select(col("source"), col("surv_ppm"), col("keep_ppm"))
+    j.filter(col("gate") === "admit")
+      .join(broadcast(kr), Seq("source"))
+      .select(col(idCol), col("source"), col("surv_ppm"), col("keep_ppm"),
+        when(pmod(TextFunctions.hash60(col(idCol).cast("string")),
+          lit(1000000L)) < col("keep_ppm"), 1L).otherwise(0L).as("kept"))
+  }
+
   /** The corpus-side BM25 statistics table — per-(doc, token) term
     * frequency with doc length and document frequency attached, the
     * lexical INDEX every BM25-family query probes (kind "bm25-stats":

@@ -1196,6 +1196,41 @@ class CurationSpec extends SparkSpec {
       (4L, 0L, "")), got.toString)
   }
 
+  test("mixtureRebalance: binding source keeps everything, faster-surviving sources cut to the min rate, draw is the hash60 cut") {
+    graft.util.CacheRegistry.releaseAll()
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val out = Curation.mixtureRebalance(
+        docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L)),
+        docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L)),
+        emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L)),
+        emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L)), "src0", keepBp = 5000)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // every emitted source admitted something → surv > 0; the binding
+    // source (min surv) must keep everything
+    val m = out.map(_._3).min
+    assert(m > 0)
+    def h60(s: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15), 16)
+    out.foreach { case (id, _, surv, keep, kept) =>
+      assert(keep == (BigInt(m) * 1000000 / BigInt(surv)).toLong,
+        s"$id: keep_ppm != m*1e6 div surv")
+      val drawn = if (h60(id.toString) % 1000000 < keep) 1L else 0L
+      assert(kept == drawn, s"$id: draw mismatch")
+    }
+    assert(out.filter(_._3 == m).forall(_._4 == 1000000L),
+      "binding source must keep everything")
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   // ── classifierRebuildPolicy (q208): both branches, pinned ──
   // vocabulary-disjoint halves: after any GD rounds the 'good' bucket
   // weight is positive and 'bad' negative by symmetry (bias gradient

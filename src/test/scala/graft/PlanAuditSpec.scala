@@ -35,7 +35,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-score cumsum is partitioned by block
       "q155_classifier_auc",
       // q189's totals fold over the |sources|-row per-source aggregate
-      "q189_mixture_shift")
+      "q189_mixture_shift",
+      // q210's min folds over the same |sources|-row aggregate
+      "q210_mixture_rebalance")
 
   /** Physical plan with the AQE wrapper peeled (its children are fields,
     * not `children`, so a bare `collect` sees nothing under it). */
@@ -99,6 +101,7 @@ class PlanAuditSpec extends SparkSpec {
     "q209_snapshot_chain", // q184's gate broadcasts over twice-migrated kinds
     "q202_churn_serve", // q196's gate + serve broadcasts over the churned kinds
     "q189_mixture_shift", // embeds q129's gate broadcasts + its own one-row totals cross
+    "q210_mixture_rebalance", // embeds q129's gate broadcasts + the sources-sized rate broadcast
     "q133_ann_ivf_pq", // stride coarse-cell + PQ codebook broadcasts, as q37/q119
     "q158_ivfpq_incremental", // the same codebook broadcasts, landed-sourced
     "q193_codebook_rebuild", // q158's + q133's codebook broadcasts (before/after union)
