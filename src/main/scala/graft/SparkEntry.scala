@@ -166,6 +166,24 @@ object SparkEntry extends CoreRegistry with DedupRegistry
         Curation.landedDsirThresholds(landedDocsA, "src0", keepBp = 5000),
       "q184-dsir-doc-buckets" ->
         Curation.landedDsirDocBuckets(landedDocsA, "src0"),
+      // the q184-fixture STAGE-1 gate evidence (kind "gate-evidence",
+      // the q129/q132 idiom on the %100-residue fixture): q184, q196,
+      // q200, q202 and q210 all open with the IDENTICAL
+      // ingestGate(d0, b1, …, keepBp = 5000) call, and the per-run
+      // release of mid-run keys made each of the five re-pay the
+      // stage-1 evidence join (r19 ProfileQ184: 16.4 s cold) even
+      // though the stage-1 gate is q129's operator, not theirs — their
+      // measured operators are the absorb/serve/churn tails. One
+      // build here serves all five (MUST textually match their
+      // entries' slice construction).
+      "q184-gate1-evidence" -> Dedup.gateEvidence(
+        landedDocsA,
+        docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L)),
+        landedEmbA,
+        emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L)),
+        "src0", keepBp = 5000),
       // q196's landed RETRIEVAL kinds on the same %100-residue slice:
       // the lexical index and the routed/coded ANN pair the absorb
       // merges extend — a deployment has these before the batch

@@ -195,7 +195,15 @@ object Bpe {
       stratum: String = "source", textCol: String = "text"): DataFrame =
     CacheRegistry.cache(
       CacheRegistry.key(landed, "bpe-landed-fert", steps, stratum, textCol),
-      bpeSegmentStats(landed, steps, stratum, textCol)
+      // segment the landed corpus under the MEMOIZED landed merge table
+      // (kind "bpe-merges") instead of bpeSegmentStats, whose learn()
+      // call re-paid the `steps` driver-side argmax training rounds per
+      // build (ADVICE-r18). Values are identical: every landed word is
+      // in the landed dict, so applying the learned merge sequence from
+      // characters reproduces the dict segmentation exactly.
+      segStatsUnderMerges(
+        mergeSeqOf(landedBpeMerges(landed, steps, textCol)),
+        landed, stratum, textCol)
         .agg(sum("n_subwords").as("s"), sum("n_words").as("w")))
 
   /** Publish a trained merge table as an immutable tokenizer RELEASE
@@ -210,8 +218,27 @@ object Bpe {
   def publishBpeRelease(corpus: DataFrame, releaseId: String,
       steps: Int = 8, textCol: String = "text"): DataFrame = {
     val key = CacheRegistry.key(corpus, "bpe-release", textCol, releaseId)
+    // a release NAME is immutable across corpora too: the key embeds
+    // the corpus plan's fingerprint, so publishing the same releaseId
+    // over a DIFFERENT corpus (the normal case as the grown corpus
+    // grows between policy triggers) would otherwise create a second
+    // coexisting release under one name with no immutability check
+    // (ADVICE-r18) — scan by kind+releaseId prefix, fail loudly
+    val prefix = s"bpe-release:$textCol:$releaseId:"
+    CacheRegistry.entries.keys
+      .find(k => k.startsWith(prefix) && k != key)
+      .foreach { _ =>
+        throw new IllegalStateException(
+          s"publishBpeRelease: release '$releaseId' is already published " +
+            "over a DIFFERENT corpus plan — releases are immutable; " +
+            "publish under a new releaseId and switch serving")
+      }
     CacheRegistry.entries.get(key).foreach { pin =>
-      val s = pin.agg(max("step")).collect()(0).getInt(0)
+      // null-safe one-row read (ADVICE-r18): a zero-row pin (steps = 0
+      // publish, where learn's per-step head() never ran) must hit the
+      // contract message below, not an NPE on the collected max
+      val r = pin.agg(max("step")).collect()(0)
+      val s = if (r.isNullAt(0)) 0 else r.getInt(0)
       require(s == steps,
         s"publishBpeRelease: release '$releaseId' is already published " +
           s"with a different merge count ($s vs $steps) — releases are " +

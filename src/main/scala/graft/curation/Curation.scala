@@ -812,7 +812,10 @@ object Curation {
       .join(broadcast(ldf), Seq("tok"), "left")
       .withColumn("df", col("bdf") + coalesce(col("ldf"), lit(0L)))
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"))
-    graft.util.CacheRegistry.seed(
+    // seedLazy: lRows reads the persisted landed index through a
+    // broadcast join — persisting the union would re-cache a
+    // corpus-scale copy per absorbed batch (see CacheRegistry.seedLazy)
+    graft.util.CacheRegistry.seedLazy(
       graft.util.CacheRegistry.key(landed2Docs, "bm25-stats", idCol,
         textCol),
       lRows.unionByName(bRows))
@@ -1120,19 +1123,21 @@ object Curation {
       stratum, idCol, textCol)
     val tbB = dsirBuckets(admitted, targetSource, buckets, stratum, idCol,
       textCol)
-    val hist2 = CacheRegistry.seed(
+    // seedLazy across the DSIR cells: the landed components are
+    // persisted under their own kinds (see CacheRegistry.seedLazy)
+    val hist2 = CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "dsir-doc-buckets", targetSource,
         buckets, stratum, idCol, textCol),
       histL.unionByName(dsirDocBucketsOf(tbB, idCol, stratum)))
     val countsL = landedDsirCounts(landedDocs, targetSource, buckets,
       stratum, idCol, textCol)
-    val counts2 = CacheRegistry.seed(
+    val counts2 = CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "dsir-counts", targetSource, buckets,
         stratum, idCol, textCol),
       countsL.unionByName(dsirCountsOf(tbB))
         .groupBy("b")
         .agg(sum("c_raw").as("c_raw"), sum("c_tgt").as("c_tgt")))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "dsir-thresholds", targetSource,
         buckets, keepBp, stratum, idCol, textCol),
       dsirThresholdsOf(
@@ -1158,20 +1163,21 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     import graft.util.CacheRegistry
     val del = deleteIds.select(col(deleteIds.columns.head).as(idCol))
-    val hist2 = CacheRegistry.seed(
+    // seedLazy across the retract cells (see CacheRegistry.seedLazy)
+    val hist2 = CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "dsir-doc-buckets", targetSource,
         buckets, stratum, idCol, textCol),
       landedDsirDocBuckets(landedDocs, targetSource, buckets, stratum,
         idCol, textCol)
         .join(broadcast(del), Seq(idCol), "left_anti"))
-    val counts2 = CacheRegistry.seed(
+    val counts2 = CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "dsir-counts", targetSource, buckets,
         stratum, idCol, textCol),
       hist2.groupBy("b")
         .agg(sum("n").as("c_raw"),
           sum(when(col(stratum) === lit(targetSource), col("n"))
             .otherwise(0L)).as("c_tgt")))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "dsir-thresholds", targetSource,
         buckets, keepBp, stratum, idCol, textCol),
       dsirThresholdsOf(
@@ -1197,7 +1203,9 @@ object Curation {
     val del = deleteIds.select(col(deleteIds.columns.head).as(idCol))
     val delDf = bm.join(broadcast(del), Seq(idCol))
       .groupBy("tok").agg(count(lit(1)).as("ddf"))
-    graft.util.CacheRegistry.seed(
+    // seedLazy: the anti-join reads the persisted landed index (see
+    // CacheRegistry.seedLazy)
+    graft.util.CacheRegistry.seedLazy(
       graft.util.CacheRegistry.key(kept2Docs, "bm25-stats", idCol,
         textCol),
       bm.join(broadcast(del), Seq(idCol), "left_anti")
@@ -1495,20 +1503,56 @@ object Curation {
       if (trip) {
         val key = CacheRegistry.key(grown, "qc-release", targetSource,
           releaseId)
+        // a release NAME is immutable across corpora too: the key
+        // embeds the grown plan's fingerprint, so publishing the same
+        // releaseId over a DIFFERENT corpus would otherwise create a
+        // second coexisting release under one name with no immutability
+        // check (ADVICE-r18) — scan by kind+releaseId prefix and fail
+        // loudly on a fingerprint mismatch
+        val prefix = s"qc-release:$targetSource:$releaseId:"
+        CacheRegistry.entries.keys
+          .find(k => k.startsWith(prefix) && k != key)
+          .foreach { _ =>
+            throw new IllegalStateException(
+              s"classifierRebuildPolicy: release '$releaseId' is already " +
+                "published over a DIFFERENT corpus plan — releases are " +
+                "immutable; publish under a new releaseId and switch " +
+                "serving")
+          }
         CacheRegistry.entries.get(key).foreach { pin =>
-          val bMax = pin.agg(max("b")).collect()(0).getInt(0)
-          require(bMax == buckets,
+          // the pin carries its training parameters as metadata columns
+          // (ADVICE-r18: rounds/lr were not in the key, so a re-publish
+          // with the same name+corpus but different rounds/lr passed the
+          // bucket guard and silently served the OLD weights). Null-safe
+          // one-row read: a zero-row pin must hit the contract message,
+          // not an NPE.
+          // legacy pins (saved before the metadata columns existed)
+          // still guard on buckets alone rather than failing analysis
+          val pinM =
+            if (pin.columns.contains("rounds")) pin
+            else pin.withColumn("rounds", lit(rounds))
+              .withColumn("lr", lit(lr))
+          val p = pinM.agg(max("b").as("b"), max("rounds").as("rounds"),
+            max("lr").as("lr")).collect()(0)
+          def cell(i: Int): String =
+            if (p.isNullAt(i)) "none" else p.get(i).toString
+          require(!p.isNullAt(0) && p.getInt(0) == buckets &&
+              !p.isNullAt(1) && p.getInt(1) == rounds &&
+              !p.isNullAt(2) && p.getDouble(2) == lr,
             s"classifierRebuildPolicy: release '$releaseId' is already " +
-              s"published with a different bucket count ($bMax vs " +
-              s"$buckets) — releases are immutable; publish under a new " +
-              "releaseId and switch serving")
+              s"published with different training parameters (buckets " +
+              s"${cell(0)} vs $buckets, rounds ${cell(1)} vs $rounds, " +
+              s"lr ${cell(2)} vs $lr) — releases are immutable; publish " +
+              "under a new releaseId and switch serving")
         }
         val spark = grown.sparkSession
         import spark.implicits._
         val pinned = CacheRegistry.cache(key,
           qcTrainWeights(Seq(grown), targetSource, buckets, rounds, lr,
-            stratum, idCol, textCol).toSeq.toDF("b", "w"))
-        qcZAgg(btb, pinned, idCol)
+            stratum, idCol, textCol).toSeq.toDF("b", "w")
+            .withColumn("rounds", lit(rounds))
+            .withColumn("lr", lit(lr)))
+        qcZAgg(btb, pinned.select("b", "w"), idCol)
       } else frozenZ
     served
       .join(incoming.select(col(idCol), col(stratum)), idCol)

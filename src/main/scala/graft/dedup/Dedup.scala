@@ -1289,19 +1289,24 @@ object Dedup {
     val landedFp = landedFingerprints(landedDocs, textCol)
     val admFp = admitted.select(fingerprint(col(textCol)).as("fp"))
       .filter(col("fp").isNotNull).distinct()
-    CacheRegistry.seed(
+    // seedLazy across the text cells: each union's landed component is
+    // already persisted under its own kind, and the admitted deltas are
+    // batch-sized recomputes — persisting the unions re-cached a
+    // corpus-scale copy of fp/shingles/bands/sh-set per absorbed batch
+    // (see CacheRegistry.seedLazy)
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "landed-fp", textCol),
       landedFp.unionByName(admFp.join(landedFp, Seq("fp"), "left_anti")))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "shingles", n, textCol, idCol),
       shingleHashes(landedDocs, n, textCol, idCol)
         .unionByName(shingleHashes(admitted, n, textCol, idCol)))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "minhash-bands", n, k, bands, textCol,
         idCol),
       bandKeyTable(landedDocs, n, k, bands, textCol, idCol)
         .unionByName(bandKeyTable(admitted, n, k, bands, textCol, idCol)))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Docs, "landed-sh-set", n, textCol, idCol),
       landedShingleSet(landedDocs, n, textCol, idCol)
         .unionByName(shingleHashes(admitted, n, textCol, idCol)
@@ -1339,16 +1344,19 @@ object Dedup {
     val keptShingles = shingleHashes(landedDocs, n, textCol, idCol)
       .join(broadcast(del.select(col(idCol).as("sid"))), Seq("sid"),
         "left_anti")
-    CacheRegistry.seed(
+    // seedLazy: the anti-joins read the persisted landed kinds —
+    // persisting them would re-cache a corpus-scale copy per retracted
+    // batch (see CacheRegistry.seedLazy)
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "shingles", n, textCol, idCol),
       keptShingles)
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "minhash-bands", n, k, bands, textCol,
         idCol),
       bandKeyTable(landedDocs, n, k, bands, textCol, idCol)
         .join(broadcast(del.select(col(idCol).as("sid"))), Seq("sid"),
           "left_anti"))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Docs, "landed-sh-set", n, textCol, idCol),
       keptShingles.select("sh").distinct())
     // registers under the kept frame's own key via its one-shot builder
@@ -1373,8 +1381,9 @@ object Dedup {
     * index's own deleted tf rows) and
     * [[graft.curation.Curation.retractDsir]] (histogram anti-join; the
     * distribution and thresholds re-derive through the one-shot
-    * build's own tail). The two refusal-capable cells run FIRST, as
-    * in [[absorbBatch]].
+    * build's own tail). ONE combined eager probe covering BOTH
+    * refusal-capable stride families runs before ANY cell (as in
+    * [[absorbBatch]]) — a refusal leaves ZERO kept-corpus seeds.
     *
     * Equality with the one-shot rebuild over (landed ∖ deleted) is the
     * q199 oracle's statement: the staged SQL gate over the kept
@@ -1389,11 +1398,31 @@ object Dedup {
       coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // ONE combined refusal probe for both stride families (semantic
+    // fine stride 25/centroidOffset; IVF coarse 50/11 + PQ codeword
+    // 25/7 — the per-cell defaults this method passes), run BEFORE any
+    // cell seeds: one short-circuiting job instead of two, and a
+    // refusal now leaves ZERO kept-corpus seeds (r18 verdict task #2's
+    // probe fold, applied to the retract face too)
+    val delProbe = deleteIds
+      .select(col(deleteIds.columns.head).as("sid"))
+    if (!delProbe.filter(
+        pmod(col("sid"), lit(25L)) === centroidOffset ||
+          pmod(col("sid"), lit(50L)) === 11 ||
+          pmod(col("sid"), lit(25L)) === 7)
+        .isEmpty)
+      throw new graft.similarity.Similarity.CodebookStrideRefusal(
+        s"retractBatch: delete set contains codebook-stride ids (id % 25 " +
+          s"== $centroidOffset semantic, id % 50 == 11 IVF, or id % 25 " +
+          "== 7 PQ) — deleting a centroid/codeword shrinks a frozen " +
+          "codebook and re-routes every kept vector; rebuild the landed " +
+          "index instead (the q193 release path)")
     graft.similarity.Similarity.retractSemantic2L(landedEmb, deleteIds,
       kept2Emb, fineStride = 25, fineOffset = centroidOffset,
-      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol)
+      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol,
+      probe = false)
     graft.similarity.Similarity.retractIvfPq(landedEmb, deleteIds,
-      kept2Emb, idCol = vecIdCol, vecCol = vecCol)
+      kept2Emb, idCol = vecIdCol, vecCol = vecCol, probe = false)
     retractTextIndexes(landedDocs, deleteIds, kept2Docs,
       textCol = textCol, idCol = idCol)
     graft.curation.Curation.retractBm25(landedDocs, deleteIds, kept2Docs,
@@ -1422,11 +1451,13 @@ object Dedup {
     * way), [[graft.curation.Curation.absorbBm25]] (the lexical
     * retrieval index — df sum-merge through one batch-vocab join),
     * [[graft.curation.Curation.absorbDsir]] (count sum-merge +
-    * histogram-costed threshold re-derivation). The two
-    * refusal-capable cells run FIRST (each probes eagerly before
-    * seeding anything), so a stride refusal leaves at most its own
-    * family's partial seeds for the stream's compaction sweep to
-    * release. Every merge is integer-exact against the one-shot
+    * histogram-costed threshold re-derivation). ONE combined eager
+    * probe covering BOTH refusal-capable stride families (semantic
+    * fine stride + IVF coarse/PQ codeword strides) runs before ANY
+    * cell — one short-circuiting job instead of two, and a stride
+    * refusal leaves ZERO grown-corpus seeds (r18: "at most its own
+    * family's partial seeds"; the r19 probe fold strengthens that to
+    * none, so the stream's compaction sweep has nothing to release). Every merge is integer-exact against the one-shot
     * rebuild over (landed ∪ admitted): the q184 oracle replays gate →
     * admit → one-shot landed′ in SQL and hash-matches the absorbed
     * gate's verdicts on a SECOND batch — the absorb ≡ rebuild proof —
@@ -1441,11 +1472,27 @@ object Dedup {
       centroidOffset: Int = 8, coarseFactor: Int = 5, keepBp: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // ONE combined refusal probe for both stride families (semantic
+    // fine stride 25/centroidOffset; IVF coarse 50/11 + PQ codeword
+    // 25/7 — the per-cell defaults this method passes), BEFORE any seed
+    val admProbe = admittedEmb.select(col(vecIdCol).as("sid"))
+    if (!admProbe.filter(
+        pmod(col("sid"), lit(25L)) === centroidOffset ||
+          pmod(col("sid"), lit(50L)) === 11 ||
+          pmod(col("sid"), lit(25L)) === 7)
+        .isEmpty)
+      throw new graft.similarity.Similarity.CodebookStrideRefusal(
+        s"absorbBatch: admitted batch contains codebook-stride ids (id % " +
+          s"25 == $centroidOffset semantic, id % 50 == 11 IVF, or id % " +
+          "25 == 7 PQ) — the frozen-codebook append contract requires " +
+          "fresh ids off the centroid/codeword strides; rebuild the " +
+          "landed index instead (the q193 release path)")
     graft.similarity.Similarity.absorbSemantic2L(landedEmb, admittedEmb,
       landed2Emb, fineStride = 25, fineOffset = centroidOffset,
-      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol)
+      coarseFactor = coarseFactor, idCol = vecIdCol, vecCol = vecCol,
+      probe = false)
     graft.similarity.Similarity.absorbIvfPq(landedEmb, admittedEmb,
-      landed2Emb, idCol = vecIdCol, vecCol = vecCol)
+      landed2Emb, idCol = vecIdCol, vecCol = vecCol, probe = false)
     absorbTextIndexes(landedDocs, admittedDocs, landed2Docs,
       textCol = textCol, idCol = idCol)
     graft.curation.Curation.absorbBm25(landedDocs, admittedDocs,

@@ -941,22 +941,31 @@ object Similarity {
   def absorbSemantic2L(landedEmb: DataFrame, admittedEmb: DataFrame,
       landed2Emb: DataFrame, fineStride: Int = 25, fineOffset: Int = 7,
       coarseFactor: Int = 5, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", probe: Boolean = true): Unit = {
     val iv = admittedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     // the refusal probe MUST run eagerly (before any seed below — the
     // stream converts the refusal to compaction, so no grown-corpus
     // entry may exist when it throws); it is one short-circuiting job
     // over the batch-sized admitted frame (localCheckpoint'ed in the
-    // streaming path), not a gate re-evaluation
-    if (!iv.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
-        .isEmpty)
+    // streaming path), not a gate re-evaluation. `probe = false` is for
+    // [[graft.dedup.Dedup.absorbBatch]] ONLY, which has already run the
+    // COMBINED probe covering this stride family before any cell —
+    // folding the per-family probe jobs into one (r18 verdict task #2)
+    // and strengthening the refusal contract to zero partial seeds.
+    if (probe &&
+        !iv.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
+          .isEmpty)
       throw new CodebookStrideRefusal(
         s"absorbSemantic2L: admitted batch contains codebook-stride ids " +
           s"(id % $fineStride == $fineOffset) — the frozen-codebook append " +
           "contract requires fresh ids off the centroid strides; rebuild " +
           "the landed index instead")
     val lv = landedVecLookup(landedEmb, idCol, vecCol)
-    CacheRegistry.seed(
+    // seedLazy, not seed, across every absorb/retract merge cell: the
+    // landed component is already persisted under its own kind, so
+    // persisting the union would re-cache a corpus-scale copy per
+    // absorbed batch — see [[graft.util.CacheRegistry.seedLazy]].
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Emb, "vec-lookup", idCol, vecCol),
       lv.unionByName(iv))
     val coarse = lv.filter(
@@ -969,7 +978,7 @@ object Similarity {
     // object: two registry keys sharing one frame double-save through
     // IndexStore and a release through either key would strip the
     // other's cache out from under it
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Emb, "sem-cells-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
       cells.select(cells.columns.map(col).toIndexedSeq: _*))
@@ -977,7 +986,7 @@ object Similarity {
       coarseFactor, idCol, vecCol)
     val iAsn = assignTwoLevelWithCells(
       iv.select(col("sid").as("vec_id"), col("vec")), coarse, cells)
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Emb, "sem-assign-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
       lAsn.unionByName(iAsn))
@@ -1286,6 +1295,21 @@ object Similarity {
     * yields an empty result instead of a NoSuchElementException. ONE
     * definition of the probe + divisibility convention for the whole
     * PQ family. */
+  /** Memo for [[absorbIvfPq]]'s dimension probe: one probe job per
+    * DISTINCT (landed plan, vecCol, m), not one per absorb — a
+    * streaming absorb re-runs the fold every micro-batch over the SAME
+    * landed corpus. Keyed by plan fingerprint (embeds the landed
+    * files' content signature), the [[graft.dedup.Dedup]]
+    * coarse-slice-guard idiom. */
+  private val dimProbed =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def probeDimMemo(primary: DataFrame, fallback: DataFrame,
+      vecCol: String, m: Int): Int =
+    dimProbed.getOrElseUpdate(
+      CacheRegistry.key(primary, "dim-probe", vecCol, m),
+      probeDim(primary, fallback, vecCol, m))
+
   private def probeDim(primary: DataFrame, fallback: DataFrame,
       vecCol: String, m: Int): Int = {
     val dim = primary.where(col(vecCol).isNotNull)
@@ -1608,12 +1632,14 @@ object Similarity {
   def absorbIvfPq(landedEmb: DataFrame, admittedEmb: DataFrame,
       landed2Emb: DataFrame, m: Int = 4, codeStride: Int = 25,
       codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Boolean = true): Unit = {
     val iv = admittedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     // eager refusal probe BEFORE any seed (the stream converts the
     // refusal to compaction, so no grown-corpus entry may exist when
-    // it throws); one short-circuiting job over the batch-sized frame
-    if (!iv.filter(
+    // it throws); one short-circuiting job over the batch-sized frame.
+    // `probe = false` only under absorbBatch's combined pre-probe.
+    if (probe && !iv.filter(
         pmod(col("sid"), lit(ivfStride.toLong)) === ivfOffset ||
           pmod(col("sid"), lit(codeStride.toLong)) === codeOffset)
         .isEmpty)
@@ -1623,7 +1649,7 @@ object Similarity {
           s"$codeOffset) — the frozen-codebook append contract requires " +
           "fresh ids off the centroid/codeword strides; rebuild the " +
           "landed index instead (the q193 release path)")
-    val dim = probeDim(landedEmb, landedEmb, vecCol, m)
+    val dim = probeDimMemo(landedEmb, landedEmb, vecCol, m)
     val dsub = dim / m
     val le = landedEmb.select(col(idCol).as("sid"), col(vecCol).as("vec"))
     val coarse = coarseCodebook(le, ivfStride, ivfOffset)
@@ -1632,12 +1658,12 @@ object Similarity {
       iv.select(col("sid").as("vec_id"), col("vec")), coarse)
       .select(col("vec_id").as("sid"), col("c_id"))
     val bCodes = pqEncode(iv, cw, m, dsub)
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Emb, "ivfpq-asn", ivfStride, ivfOffset,
         idCol, vecCol),
       landedIvfPqAssignment(landedEmb, ivfStride, ivfOffset, idCol, vecCol)
         .unionByName(bAsn))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(landed2Emb, "ivfpq-codes", m, codeStride,
         codeOffset, idCol, vecCol),
       landedIvfPqCodes(landedEmb, m, codeStride, codeOffset, idCol, vecCol)
@@ -1663,28 +1689,33 @@ object Similarity {
   def retractSemantic2L(landedEmb: DataFrame, deleteIds: DataFrame,
       kept2Emb: DataFrame, fineStride: Int = 25, fineOffset: Int = 7,
       coarseFactor: Int = 5, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", probe: Boolean = true): Unit = {
     val del = deleteIds.select(col(deleteIds.columns.head).as("sid"))
-    if (!del.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
-        .isEmpty)
+    // `probe = false` only under retractBatch's combined pre-probe
+    if (probe &&
+        !del.filter(pmod(col("sid"), lit(fineStride.toLong)) === fineOffset)
+          .isEmpty)
       throw new CodebookStrideRefusal(
         s"retractSemantic2L: delete set contains codebook-stride ids " +
           s"(id % $fineStride == $fineOffset) — deleting a centroid " +
           "shrinks the frozen codebook and re-routes every kept vector; " +
           "rebuild the landed index instead")
     val lv = landedVecLookup(landedEmb, idCol, vecCol)
-    CacheRegistry.seed(
+    // seedLazy across the retract cells for the same reason as absorb:
+    // the anti-join reads the persisted landed kind; persisting it
+    // would re-cache a corpus-scale copy per retracted batch
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Emb, "vec-lookup", idCol, vecCol),
       lv.join(broadcast(del), Seq("sid"), "left_anti"))
     val cells = landedTwoLevelCells(landedEmb, fineStride, fineOffset,
       coarseFactor, idCol, vecCol)
     // codebook frozen → the kept corpus's cell table is the landed one
     // verbatim; detached copy, as across the absorb family
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Emb, "sem-cells-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
       cells.select(cells.columns.map(col).toIndexedSeq: _*))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Emb, "sem-assign-2l", fineStride, fineOffset,
         coarseFactor, idCol, vecCol),
       landedSemanticAssignment2L(landedEmb, fineStride, fineOffset,
@@ -1705,9 +1736,11 @@ object Similarity {
   def retractIvfPq(landedEmb: DataFrame, deleteIds: DataFrame,
       kept2Emb: DataFrame, m: Int = 4, codeStride: Int = 25,
       codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Boolean = true): Unit = {
     val del = deleteIds.select(col(deleteIds.columns.head).as("sid"))
-    if (!del.filter(
+    // `probe = false` only under retractBatch's combined pre-probe
+    if (probe && !del.filter(
         pmod(col("sid"), lit(ivfStride.toLong)) === ivfOffset ||
           pmod(col("sid"), lit(codeStride.toLong)) === codeOffset)
         .isEmpty)
@@ -1717,12 +1750,12 @@ object Similarity {
           s"$codeOffset) — deleting a centroid/codeword shrinks the " +
           "frozen codebooks; rebuild the landed index instead " +
           "(the q193 release path)")
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Emb, "ivfpq-asn", ivfStride, ivfOffset,
         idCol, vecCol),
       landedIvfPqAssignment(landedEmb, ivfStride, ivfOffset, idCol, vecCol)
         .join(broadcast(del), Seq("sid"), "left_anti"))
-    CacheRegistry.seed(
+    CacheRegistry.seedLazy(
       CacheRegistry.key(kept2Emb, "ivfpq-codes", m, codeStride,
         codeOffset, idCol, vecCol),
       landedIvfPqCodes(landedEmb, m, codeStride, codeOffset, idCol, vecCol)

@@ -117,6 +117,26 @@ object CacheRegistry {
     * repeat consumers don't re-scan the files. */
   def seed(k: String, df: DataFrame): DataFrame = cache(k, df)
 
+  /** Register WITHOUT persisting — for the absorb/retract merge seeds,
+    * whose plans are (already-persisted landed artifact) ∪/anti-join
+    * (batch-sized delta). Persisting such a union re-caches a full
+    * corpus-scale COPY of the landed artifact under the grown key on
+    * first consumption — an O(corpus) cache write per absorbed batch
+    * that silently broke the family's "change-set-sized mutation"
+    * contract at scale (r19 ProfileQ184 finding: the gate-2 bill was
+    * seed re-materialization + first-execution JIT, not the family
+    * folds). Registered lazily, a consumer reads the landed part
+    * straight from its existing cache and recomputes only the
+    * batch-sized delta — absorb becomes O(batch) in both compute and
+    * cache footprint. Consumers that genuinely re-read a seed many
+    * times (none today read one more than twice per query) still only
+    * re-pay the delta. Entries behave identically to [[seed]]ed ones
+    * everywhere else (same keys, same [[entries]] face for IndexStore,
+    * same release paths — [[releaseIf]]'s unpersist is a no-op on an
+    * unpersisted frame). */
+  def seedLazy(k: String, df: DataFrame): DataFrame =
+    items.getOrElseUpdate(k, df)
+
   /** Snapshot of the live entries — [[graft.sources.IndexStore]]'s
     * save face iterates this. */
   def entries: Map[String, DataFrame] = items.toMap
