@@ -55,6 +55,152 @@ object IngestGateStream {
     }
   }
 
+  /** Append one trigger's MUTATIONS to the durable journal — the
+    * recovery record of the absorbing/churn faces (r18 verdict gap #1:
+    * the grown landed frames live in driver-local state backed by
+    * in-JVM `localCheckpoint` RDDs, so a driver restart lost every
+    * absorbed generation). One batch-sized parquet append per mutating
+    * trigger: the ADMITTED documents with their full canonical record
+    * (op = "add" — rejected docs never entered the corpus and are not
+    * journal material) and the delete requests id-only (op =
+    * "delete"). [[replayJournal]] folds the journal back over the
+    * generation-0 corpus through the same retract/absorb merges the
+    * live stream ran — change-set-sized recovery, no landed rebuild.
+    *
+    * Crash consistency: the append runs AFTER the trigger's mutations,
+    * inside the same `foreachBatch` epoch, so a crash between mutation
+    * and append simply re-runs the epoch from the stream checkpoint —
+    * the replayed batch re-gates against the journal-reconstructed
+    * corpus (which lacks the unjournaled admits), re-admits, and
+    * re-journals. A crash after the append but before the offset
+    * commit re-runs the epoch against a corpus that already holds the
+    * admits: the re-gate verdicts them `exact_landed_dup`, nothing
+    * re-journals, and the duplicate delete rows the re-run CAN write
+    * are absorbed by [[replayJournal]]'s per-(epoch, op, id) dedup.
+    * At-least-once delivery with idempotent durable state — the same
+    * contract the live absorb already documents. */
+  private def journalAppend(dir: String, epoch: Long,
+      dels: Option[DataFrame], admDocs: Option[DataFrame],
+      admEmb: Option[DataFrame], vecType: org.apache.spark.sql.types.DataType,
+      idCol: String, textCol: String): Unit = {
+    val adds = for (d <- admDocs; e <- admEmb) yield
+      d.join(e.withColumnRenamed("vec_id", idCol), Seq(idCol), "left")
+        .select(lit(epoch).as("epoch"), lit("add").as("op"), col(idCol),
+          col("source"), col(textCol), col("embedding"))
+    val deletes = dels.map(_.select(lit(epoch).as("epoch"),
+      lit("delete").as("op"), col(idCol),
+      lit(null).cast("string").as("source"),
+      lit(null).cast("string").as(textCol),
+      lit(null).cast(vecType).as("embedding")))
+    (adds ++ deletes).reduceOption(_ unionByName _)
+      .foreach(_.write.mode("append").parquet(dir))
+  }
+
+  /** RECOVER the grown landed corpus from a journal — the restart half
+    * of the recovery story: starting from the generation-0 frames (the
+    * ones an index phase or [[graft.sources.IndexStore.restoreAll]]
+    * re-seeded landed kinds for), fold every journaled epoch back in
+    * through the SAME merges the live stream ran — deletes retract
+    * first, admits absorb, per epoch in epoch order, with the stream's
+    * own two-generation release window and `compactEvery` LSM
+    * compaction. Returns the reconstructed (docs, emb) frames, their
+    * landed kinds seeded, ready to pass as `landedDocs0`/`landedEmb0`
+    * of a resumed [[attachChurn]]/[[attachAbsorbing]] over the same
+    * source and stream checkpoint: the resumed stream's first gate
+    * reads the seeded kinds instead of rebuilding the corpus.
+    *
+    * Cost: one retract/absorb merge pair per journaled epoch, each
+    * change-set-sized — recovery is O(Σ batch sizes), never O(corpus).
+    * Epoch replays that double-journaled a delete are deduped per
+    * (epoch, op, id); duplicate adds cannot exist (a re-gated replay
+    * verdicts absorbed docs `exact_landed_dup`, see [[journalAppend]]).
+    * A missing or empty journal returns the generation-0 frames
+    * unchanged. */
+  def replayJournal(landedDocs0: DataFrame, landedEmb0: DataFrame,
+      journalDir: String, targetSource: String,
+      centroidOffset: Int = 8, compactEvery: Int = 16,
+      keepBp: Int = 2000, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val spark = landedDocs0.sparkSession
+    val journal =
+      try spark.read.parquet(journalDir)
+        .dropDuplicates("epoch", "op", idCol)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return (landedDocs0, landedEmb0)
+      }
+    // one row per trigger — bounded by the journal's trigger count,
+    // the same cardinality the stream itself iterated
+    val epochs = journal.select("epoch").distinct().orderBy("epoch")
+      .collect().map(_.getLong(0))
+    var d = landedDocs0
+    var e = landedEmb0
+    def projDocs(x: DataFrame): DataFrame =
+      x.select(col(idCol), col("source"), col(textCol))
+    def projEmb(x: DataFrame): DataFrame =
+      x.select(col("vec_id"), col("embedding"))
+    var gens = 0
+    var fpsPrev: Seq[String] = Seq.empty
+    var fpsPrev2: Seq[String] = Seq.empty
+    def fpsOf(a: DataFrame, b: DataFrame): Seq[String] = Seq(
+      graft.util.CacheRegistry.planFingerprint(a),
+      graft.util.CacheRegistry.planFingerprint(b))
+    val protectedFps: Set[String] = fpsOf(landedDocs0, landedEmb0).toSet
+    def releaseFps(fps: Seq[String]): Unit =
+      releaseByFps(fps.filterNot(protectedFps.contains))
+    def compact(nextD: DataFrame, nextE: DataFrame,
+        extraFps: Seq[String]): Unit = {
+      val toRelease = fpsOf(d, e) ++ fpsOf(nextD, nextE) ++ extraFps ++
+        fpsPrev ++ fpsPrev2
+      d = nextD.localCheckpoint(true)
+      e = nextE.localCheckpoint(true)
+      releaseFps(toRelease)
+      fpsPrev = Seq.empty; fpsPrev2 = Seq.empty
+    }
+    def rotate(nextD: DataFrame, nextE: DataFrame,
+        extraFps: Seq[String])(mutate: => Unit): Unit = {
+      gens += 1
+      if (gens % compactEvery == 0) compact(nextD, nextE, extraFps)
+      else try {
+        val cur = fpsOf(d, e) ++ extraFps
+        mutate
+        d = nextD; e = nextE
+        releaseFps(fpsPrev2)
+        fpsPrev2 = fpsPrev; fpsPrev = cur
+      } catch {
+        case _: graft.similarity.Similarity.CodebookStrideRefusal =>
+          compact(nextD, nextE, extraFps)
+      }
+    }
+    for (ep <- epochs) {
+      val batch = journal.filter(col("epoch") === ep).localCheckpoint(true)
+      val dels = batch.filter(col("op") === "delete").select(col(idCol))
+      if (!dels.isEmpty) {
+        val keptD = d.join(dels, Seq(idCol), "left_anti")
+        val keptE = e.join(dels.select(col(idCol).as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        rotate(keptD, keptE, Seq.empty) {
+          Dedup.retractBatch(d, dels, e, keptD, keptE, targetSource,
+            centroidOffset, keepBp = keepBp, textCol = textCol,
+            idCol = idCol)
+        }
+      }
+      val adds = batch.filter(col("op") === "add")
+      if (!adds.isEmpty) {
+        val admDocs = adds.select(col(idCol), col("source"), col(textCol))
+          .localCheckpoint(true)
+        val admEmb = adds.select(col(idCol).as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val d2 = projDocs(d).unionByName(admDocs)
+        val e2 = projEmb(e).unionByName(admEmb)
+        rotate(d2, e2, fpsOf(admDocs, admEmb)) {
+          Dedup.absorbBatch(d, admDocs, e, admEmb, d2, e2, targetSource,
+            centroidOffset, keepBp = keepBp)
+        }
+      }
+    }
+    (d, e)
+  }
+
   /** Attach the gate to a streaming `records` frame with columns
     * `(idCol, stratum, textCol, vecCol)` — the stratum/vector columns
     * are renamed to the gate family's canonical `source`/`embedding`
@@ -70,11 +216,12 @@ object IngestGateStream {
       keepBp: Int = 2000,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       idCol: String = "doc_id", stratum: String = "source",
-      textCol: String = "text", vecCol: String = "embedding")(
+      textCol: String = "text", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None)(
       onVerdicts: (Long, DataFrame) => Unit): StreamingQuery =
-    records.writeStream
+    checkpointDir.foldLeft(records.writeStream
       .outputMode("append")
-      .trigger(trigger)
+      .trigger(trigger))((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val b = batch.persist()
         var batchFps: Seq[String] = Seq.empty
@@ -164,9 +311,12 @@ object IngestGateStream {
       keepBp: Int = 2000,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       idCol: String = "doc_id", stratum: String = "source",
-      textCol: String = "text", vecCol: String = "embedding")(
+      textCol: String = "text", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None,
+      journalDir: Option[String] = None)(
       onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    val vecType = landedEmb0.schema("embedding").dataType
     // single-threaded within foreachBatch (one epoch at a time).
     // Generation 0 keeps the CALLER's landed frames verbatim — their
     // registry keys are the ones an index phase / IndexStore restore
@@ -212,9 +362,9 @@ object IngestGateStream {
       releaseFps(toRelease)
       fpsPrev = Seq.empty; fpsPrev2 = Seq.empty
     }
-    records.writeStream
+    checkpointDir.foldLeft(records.writeStream
       .outputMode("append")
-      .trigger(trigger)
+      .trigger(trigger))((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val b = batch.persist()
         var verdicts: DataFrame = null
@@ -271,6 +421,10 @@ object IngestGateStream {
                 case _: graft.similarity.Similarity.CodebookStrideRefusal =>
                   compact(landed2d, landed2e, admFps)
               }
+              // durable record of the mutation AFTER it landed (see
+              // journalAppend's crash-consistency note)
+              journalDir.foreach(jd => journalAppend(jd, epochId, None,
+                Some(admDocs), Some(admEmb), vecType, idCol, textCol))
             }
           }
         } finally {
@@ -321,9 +475,12 @@ object IngestGateStream {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       idCol: String = "doc_id", stratum: String = "source",
       textCol: String = "text", vecCol: String = "embedding",
-      opCol: String = "op")(
+      opCol: String = "op",
+      checkpointDir: Option[String] = None,
+      journalDir: Option[String] = None)(
       onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    val vecType = landedEmb0.schema("embedding").dataType
     var landedDocs = landedDocs0
     var landedEmb = landedEmb0
     def projDocs(d: DataFrame): DataFrame =
@@ -368,13 +525,17 @@ object IngestGateStream {
           compact(nextD, nextE, extraFps)
       }
     }
-    records.writeStream
+    checkpointDir.foldLeft(records.writeStream
       .outputMode("append")
-      .trigger(trigger)
+      .trigger(trigger))((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val b = batch.persist()
         var verdicts: DataFrame = null
         var batchFps: Seq[String] = Seq.empty
+        // the trigger's durable-journal material, written once at the
+        // end of the mutation path (see journalAppend)
+        var delsJ: Option[DataFrame] = None
+        var admJ: Option[(DataFrame, DataFrame)] = None
         try {
           if (!b.isEmpty) {
             val dels = b.filter(col(opCol) === "delete")
@@ -391,6 +552,7 @@ object IngestGateStream {
                   keptD, keptE, targetSource, centroidOffset,
                   keepBp = keepBp, textCol = textCol, idCol = idCol)
               }
+              delsJ = Some(dels)
             }
             val acks = dels.select(col(idCol),
               lit("deleted").as("gate"))
@@ -423,8 +585,14 @@ object IngestGateStream {
                     admEmb, landed2d, landed2e, targetSource,
                     centroidOffset, keepBp = keepBp)
                 }
+                admJ = Some((admDocs, admEmb))
               }
             }
+            // durable record of this trigger's mutations AFTER they
+            // landed (see journalAppend's crash-consistency note)
+            if (delsJ.nonEmpty || admJ.nonEmpty)
+              journalDir.foreach(jd => journalAppend(jd, epochId, delsJ,
+                admJ.map(_._1), admJ.map(_._2), vecType, idCol, textCol))
           }
         } finally {
           releaseFps(batchFps)
