@@ -104,6 +104,12 @@ object Bench {
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
         "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
         "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
+      // the resumed CDC stream reads the same landed family (its
+      // journal-replay merges anti-join/extend the gen-0 kinds)
+      "q211_streaming_resume" -> Set("shingles", "minhash-bands",
+        "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",
+        "dsir-counts", "dsir-thresholds", "dsir-doc-buckets", "landed-fp",
+        "bm25-stats", "ivfpq-asn", "ivfpq-codes"),
       // churn-then-serve probes the same family plus the serve tail
       "q202_churn_serve" -> Set("shingles", "minhash-bands",
         "vec-lookup", "sem-assign-2l", "sem-cells-2l", "landed-sh-set",

@@ -785,6 +785,74 @@ trait DedupRegistry extends EntryHelpers {
         got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
       }),
 
+      // THE RESUMED CDC STREAM — q201's story with a DRIVER RESTART
+      // between the triggers: trigger 1 runs through attachChurn with
+      // the durable mutation journal, the stream is killed (its
+      // in-memory grown frames and generation seeds die with the
+      // closure — nothing of them is referenced again), the grown
+      // corpus is reconstructed from generation 0 + the journal
+      // (replayJournal: the same retract/absorb merges the live stream
+      // ran, change-set-sized, no landed rebuild), and a NEW stream
+      // resumes over the reconstructed frames for trigger 2. The
+      // delivered union across the kill must hash-match q201's
+      // UNINTERRUPTED oracle — "resumed ≡ uninterrupted" IS this row's
+      // statement (IngestGateRecoverySpec additionally proves the
+      // checkpointLocation offset-skip with a real file source).
+      "q211_streaming_resume" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        def addsOf(res: Seq[Long])
+            : Seq[(String, Long, String, String, Seq[Float])] = {
+          val ds = docs.filter(pmod(col("doc_id"), lit(100L)).isin(res: _*))
+            .select("doc_id", "source", "text")
+            .as[(Long, String, String)].collect().sortBy(_._1)
+          val em = emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+            .select("vec_id", "embedding")
+            .as[(Long, Seq[Float])].collect().toMap
+          ds.toSeq.flatMap { case (id, src, text) =>
+            em.get(id).map(e => ("add", id, src, text, e)) }
+        }
+        val dels = docs.filter(pmod(col("doc_id"), lit(100L))
+            .isin(14L, 39L)).select("doc_id")
+          .as[Long].collect().sorted.toSeq
+          .map(id => ("delete", id, "", "", Seq.empty[Float]))
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        def runTrigger(landedD: org.apache.spark.sql.DataFrame,
+            landedE: org.apache.spark.sql.DataFrame, jDir: Option[String],
+            recs: Seq[(String, Long, String, String, Seq[Float])]): Unit = {
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(String, Long, String, String, Seq[Float])](s)
+          val stream = input.toDF()
+            .toDF("op", "doc_id", "source", "text", "embedding")
+          val q = graft.streaming.IngestGateStream.attachChurn(
+            stream, landedD, landedE, "src0", keepBp = 5000,
+            journalDir = jDir) { (_, v) =>
+            val rows = v.select("doc_id", "gate").as[(Long, String)]
+              .collect()
+            got.synchronized { got ++= rows }
+            ()
+          }
+          try { input.addData(recs); q.processAllAvailable() }
+          finally q.stop()
+        }
+        val journal = java.nio.file.Files
+          .createTempDirectory("q211-journal").toString
+        // trigger 1 (journaled), then the kill
+        runTrigger(d0, e0, Some(journal), addsOf(Seq(2L, 22L, 47L, 67L)))
+        // restart: reconstruct the grown corpus from gen 0 + journal
+        val (recD, recE) = graft.streaming.IngestGateStream.replayJournal(
+          d0, e0, journal, "src0", keepBp = 5000)
+        // the resumed stream (its own journal epoch-space), trigger 2
+        runTrigger(recD, recE, None,
+          dels ++ addsOf(Seq(12L, 37L, 62L, 87L)))
+        got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
+      }),
+
       // SERVING THE CHURNED CORPUS — q196's proof extended through the
       // full lifecycle: gate → absorb admits → retract deletes (the
       // retrieval kinds are now merges-of-merges: absorb-seeded unions
@@ -1899,6 +1967,16 @@ trait DedupRegistry extends EntryHelpers {
     // over the churned corpus (the q200 chain widened, the q191
     // device)
     "q201_streaming_churn" -> churnGateOracleWith(
+      """SELECT doc_id, gate FROM s1_gate
+         UNION ALL SELECT doc_id, 'deleted' AS gate FROM documents
+                   WHERE doc_id % 100 IN (14, 39)
+         UNION ALL SELECT doc_id, gate FROM s2_gate
+         ORDER BY doc_id"""),
+
+    // q211: the SAME oracle as q201 — a kill + journal-replay + resume
+    // between the triggers must be invisible in the delivered union
+    // (resumed ≡ uninterrupted is the row's statement)
+    "q211_streaming_resume" -> churnGateOracleWith(
       """SELECT doc_id, gate FROM s1_gate
          UNION ALL SELECT doc_id, 'deleted' AS gate FROM documents
                    WHERE doc_id % 100 IN (14, 39)
