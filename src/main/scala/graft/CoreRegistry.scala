@@ -257,6 +257,74 @@ trait CoreRegistry extends EntryHelpers {
           col("group_key"), col("ts_ms"), col("agg_value"))
         .orderBy("stage", "group_key", "ts_ms")),
 
+    // THE CONTINUOUS ECA FACE, oracle-checked (r18 verdict task #5):
+    // the q185 fixture through the LIVE streaming engine over a real
+    // transport — events as a micro-batch stream (engine.writer,
+    // weekly batches in ascending order = the replay's exact feed),
+    // the parent rule arriving over the line transport (attachLines,
+    // the Kafka-face merge point) instead of a driver-side store
+    // merge. Fired alerts emit as the replay's rows under the SAME
+    // oracle as q185 — EcaLiveTransportSpec pinned this equality in
+    // the unit suite; this row makes it driver-checked per round (the
+    // q190/q191 replay-row device applied to the engine).
+    "q212_eca_live" -> ((s, dir) => {
+      import s.implicits._
+      val ms = (unix_micros(col("ts").cast("timestamp")) / lit(1000))
+        .cast("long")
+      val base = events(s, dir)
+        .withColumn("__ms", ms)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("__ms"))
+            .orderBy(col("event_id"))))
+        .filter(col("__rn") === 1)
+        .withColumn("__wk", expr("__ms div 604800000"))
+        .select(col("__wk"), col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+      val weekBatches = base.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.map(r => (r._2, r._3, r._4)).toSeq }
+      val engine = new graft.streaming.DynamicActiveEngine()
+      val fired = scala.collection.mutable.ArrayBuffer
+        .empty[graft.model.Alert]
+      engine.onAlerts(as => fired.synchronized { fired ++= as; () })
+      val ruleIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String](s)
+      val ruleQ = graft.sources.RuleFileSource.attachLines(
+        ruleIn.toDF(), engine.store,
+        org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+      val evIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)](s)
+      val q = engine.writer(
+          evIn.toDF().toDF("user_id", "ts", "value"), "ts")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        ruleIn.addData(
+          """{"queryId":4000,"groupingKeyNames":["user_id"],
+             "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+             "limitOperatorType":">","limit":250,
+             "windowMilliseconds":86400000,
+             "alertRules":[{"groupingKeyNames":["$user_id"],
+               "aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+               "limitOperatorType":">","limit":50,
+               "windowMilliseconds":21600000,"frequencyMilliseconds":0}]}"""
+            .replaceAll("\n\\s*", ""))
+        ruleQ.processAllAvailable()
+        require(engine.store.size == 1,
+          "q212: parent not merged over the transport")
+        weekBatches.foreach { b =>
+          evIn.addData(b: _*); q.processAllAvailable()
+        }
+      } finally { q.stop(); ruleQ.stop() }
+      fired.synchronized(fired.toList).map { a =>
+        (if (a.ruleId == 4000L) "parent" else "child",
+          a.key, a.tsMillis, BigDecimal(a.aggregate).toDouble)
+      }.toDF("stage", "group_key", "ts_ms", "agg_value")
+        .orderBy("stage", "group_key", "ts_ms")
+    }),
+
     // As-of join: for each purchase, the value of the user's latest click
     // at or before it — one union + running-window pass, no range explode
     // (oracle: DuckDB's native ASOF JOIN).
@@ -413,6 +481,45 @@ trait CoreRegistry extends EntryHelpers {
         .orderBy("o_orderpriority")
     })
   )
+
+  /** The ECA two-stage SQL, shared by q185 (per-batch replay) and
+    * q212 (the live engine over a real transport) — one definition so
+    * the two faces' oracles can never drift. */
+  private def ecaSpawnFireSql: String =
+    s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
+          e1 AS (SELECT * FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
+                 WHERE rn = 1),
+          e2 AS (SELECT *, tsm // 604800000 AS wk FROM e1),
+          wkmax AS (SELECT wk, MAX(tsm) mx FROM e2 GROUP BY wk),
+          wkcum AS (SELECT wk, MAX(mx) OVER (ORDER BY wk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cmx
+                    FROM wkmax),
+          pw AS (SELECT user_id, (tsm // 86400000) * 86400000 AS wstart,
+                   ${sumDec("value")} s
+                 FROM e2 GROUP BY 1, 2),
+          fw AS (SELECT p.user_id, p.wstart, CAST(p.s AS DOUBLE) agg_value,
+                   MIN(w.wk) AS fire_wk
+                 FROM pw p JOIN wkcum w ON w.cmx >= p.wstart + 86400000
+                 WHERE p.s > 250
+                 GROUP BY 1, 2, 3),
+          smin AS (SELECT user_id, MIN(fire_wk) swk FROM fw GROUP BY 1),
+          cf AS (SELECT c.user_id, c.tsm, ${sumDec("b.value")} s
+                 FROM e2 c
+                 JOIN smin m ON m.user_id = c.user_id AND c.wk > m.swk
+                 JOIN e2 b ON b.user_id = c.user_id AND b.wk > m.swk
+                   AND b.tsm >= c.tsm - 21600000 AND b.tsm <= c.tsm
+                 GROUP BY 1, 2),
+          eout AS (
+            SELECT 'parent' AS stage,
+                   '{user_id=' || user_id || '}' AS group_key,
+                   wstart AS ts_ms, agg_value FROM fw
+            UNION ALL
+            SELECT 'child', '{user_id=' || user_id || '}', tsm,
+                   CAST(s AS DOUBLE) FROM cf WHERE s > 50)
+          SELECT stage, group_key, ts_ms, agg_value FROM eout
+          ORDER BY stage, group_key, ts_ms"""
 
   protected def coreOracle: Map[String, String] = Map(
     "q01_filter_passthrough" ->
@@ -604,41 +711,11 @@ trait CoreRegistry extends EntryHelpers {
     // trailing-window evaluation over exactly the weeks after its
     // user's first parent firing. Engine tsMillis: window START for
     // periodic parents, event time for per-event children.
-    "q185_eca_spawn_fire" ->
-      s"""WITH e0 AS (SELECT *, epoch_us(ts)//1000 AS tsm FROM events),
-          e1 AS (SELECT * FROM (
-                   SELECT *, row_number() OVER
-                     (PARTITION BY user_id, tsm ORDER BY event_id) rn FROM e0) t
-                 WHERE rn = 1),
-          e2 AS (SELECT *, tsm // 604800000 AS wk FROM e1),
-          wkmax AS (SELECT wk, MAX(tsm) mx FROM e2 GROUP BY wk),
-          wkcum AS (SELECT wk, MAX(mx) OVER (ORDER BY wk
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cmx
-                    FROM wkmax),
-          pw AS (SELECT user_id, (tsm // 86400000) * 86400000 AS wstart,
-                   ${sumDec("value")} s
-                 FROM e2 GROUP BY 1, 2),
-          fw AS (SELECT p.user_id, p.wstart, CAST(p.s AS DOUBLE) agg_value,
-                   MIN(w.wk) AS fire_wk
-                 FROM pw p JOIN wkcum w ON w.cmx >= p.wstart + 86400000
-                 WHERE p.s > 250
-                 GROUP BY 1, 2, 3),
-          smin AS (SELECT user_id, MIN(fire_wk) swk FROM fw GROUP BY 1),
-          cf AS (SELECT c.user_id, c.tsm, ${sumDec("b.value")} s
-                 FROM e2 c
-                 JOIN smin m ON m.user_id = c.user_id AND c.wk > m.swk
-                 JOIN e2 b ON b.user_id = c.user_id AND b.wk > m.swk
-                   AND b.tsm >= c.tsm - 21600000 AND b.tsm <= c.tsm
-                 GROUP BY 1, 2),
-          eout AS (
-            SELECT 'parent' AS stage,
-                   '{user_id=' || user_id || '}' AS group_key,
-                   wstart AS ts_ms, agg_value FROM fw
-            UNION ALL
-            SELECT 'child', '{user_id=' || user_id || '}', tsm,
-                   CAST(s AS DOUBLE) FROM cf WHERE s > 50)
-          SELECT stage, group_key, ts_ms, agg_value FROM eout
-          ORDER BY stage, group_key, ts_ms""",
+    "q185_eca_spawn_fire" -> ecaSpawnFireSql,
+
+    // q212: the SAME oracle as q185 — the live engine over a real
+    // transport must match the one-shot SQL replay exactly
+    "q212_eca_live" -> ecaSpawnFireSql,
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window as-of.
     "q34_asof_join" ->
