@@ -853,6 +853,39 @@ trait DedupRegistry extends EntryHelpers {
         got.toSeq.toDF("doc_id", "gate").orderBy("doc_id")
       }),
 
+      // TTL / LICENSE AGE-OUT RETENTION — the q197/q207/q208 policy
+      // idiom applied to retractBatch (r18 verdict residual #3): the
+      // license for source src14 covers only its newest 200 ids
+      // (append-only allocation makes the id the ingest clock), so the
+      // policy measures the source's landed id span, trips iff span >
+      // horizon, retracts the expired set through the q199 merges
+      // (src14's ids are off every codebook stride at every SF —
+      // 14 mod 20 never hits 7/8 mod 25 or 11 mod 50), and the next
+      // gate runs against the kept corpus. Decision evidence (action,
+      // age_span) rides in the answer; the oracle replays measure +
+      // decide + the decision-GATED kept predicate in SQL, so both
+      // branches are oracle-checked on the same scalar (the q207
+      // device).
+      "q213_retention_ageout" -> ((s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val landedD = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val landedE = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val be1 = emb.filter(pmod(col("vec_id"), lit(100L))
+          .isin(2L, 22L, 47L, 67L))
+        val (action, span, keptD, keptE) = Dedup.retentionAgeOut(
+          landedD, landedE, "src14", horizonIds = 200L, "src0",
+          keepBp = 5000)
+        Dedup.ingestGate(keptD, b1, keptE, be1, "src0", keepBp = 5000)
+          .select(lit(action).as("action"), lit(span).as("age_span"),
+            col("doc_id"), col("gate"))
+          .orderBy("doc_id")
+      }),
+
       // SERVING THE CHURNED CORPUS — q196's proof extended through the
       // full lifecycle: gate → absorb admits → retract deletes (the
       // retrieval kinds are now merges-of-merges: absorb-seeded unions
@@ -1983,6 +2016,12 @@ trait DedupRegistry extends EntryHelpers {
          UNION ALL SELECT doc_id, gate FROM s2_gate
          ORDER BY doc_id"""),
 
+    // q213: measure (src14's landed id span) + decide (span > 200) +
+    // the decision-GATED kept predicate, one staged gate in SQL — both
+    // policy branches hash-checked on the same scalar (the q207
+    // device applied to retention)
+    "q213_retention_ageout" -> retentionGateOracle,
+
     // q202: the q196 serve proof over the CHURNED corpus — the
     // grown-corpus CTEs additionally exclude the delete residues
     "q202_churn_serve" -> absorbServeOracleWith(
@@ -2149,6 +2188,35 @@ trait DedupRegistry extends EntryHelpers {
 
   /** The q199 oracle: one gate stage whose landed side excludes the
     * delete residues — the rebuild the retract must equal. */
+  /** The q213 oracle: the decision scalar (src14's landed id span)
+    * measured in SQL, the kept predicate GATED on it (expired docs are
+    * excluded from the landed side only when the policy trips), and
+    * q184's stage-1 gate run over that kept corpus — exactly what the
+    * Spark side computes through the policy's one-row collect +
+    * retractBatch merges. The expired predicate is pure id arithmetic
+    * on BOTH relations (source = 'src' || id % 20 in the synthetic
+    * corpus), so the embedding side gates identically. */
+  protected def retentionGateOracle: String = {
+    val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
+    val horizon = 200
+    val expired = (c: String) =>
+      s"((SELECT mx - mn FROM q213span) > $horizon AND $c % 20 = 14 " +
+        s"AND $c < (SELECT mx - $horizon FROM q213span))"
+    val l = (c: String) =>
+      s"($c % 100 NOT IN $allRes AND NOT ${expired(c)})"
+    val b = (c: String) => s"$c % 100 IN (2, 22, 47, 67)"
+    val s1 = gateStageCtes("t1_", l, b, l, b, keepBp = 5000)
+    s"""WITH RECURSIVE $gateUniverseCtes,
+          q213span AS MATERIALIZED (
+            SELECT MAX(doc_id) mx, MIN(doc_id) mn FROM documents
+            WHERE doc_id % 100 NOT IN $allRes AND doc_id % 20 = 14),
+          $s1
+          SELECT CASE WHEN (SELECT mx - mn FROM q213span) > $horizon
+                      THEN 'retract' ELSE 'keep' END AS action,
+                 CAST((SELECT mx - mn FROM q213span) AS BIGINT) AS age_span,
+                 doc_id, gate FROM t1_gate ORDER BY doc_id"""
+  }
+
   protected def retractGateOracle: String = {
     val allRes = "(2, 22, 47, 67, 12, 37, 62, 87)"
     val l = (c: String) =>

@@ -1502,6 +1502,58 @@ object Dedup {
       textCol = textCol)
   }
 
+  /** TTL / LICENSE AGE-OUT RETENTION POLICY — the q197/q207/q208
+    * measure→decide→act idiom applied to [[retractBatch]], the
+    * time-based deletion cell next to q199's explicit-id one: a data
+    * provider's license covers only the NEWEST `horizonIds` documents
+    * of its source, so anything older must leave every landed
+    * artifact. Under append-only id allocation the id IS the ingest
+    * clock, so age is id distance:
+    *
+    *  - *measure*: the licensed source's landed id span (max − min) —
+    *    one bounded one-row collect, the q197 decision shape;
+    *  - *decide*: trip iff `span > horizonIds` (some landed doc is
+    *    older than the newest minus the horizon);
+    *  - *act* (tripped): the expired set = the source's docs below
+    *    `cutoff = max − horizonIds`, retracted from every landed
+    *    artifact through [[retractBatch]]'s merges — age-out IS an
+    *    explicit-id retract of the derived set (RetractSpec proves the
+    *    equivalence), so a licensed source whose ids land on a
+    *    codebook stride refuses loudly the same way (rebuild, the
+    *    compaction path); untripped retracts nothing.
+    *
+    * Returns (action, span, keptDocs, keptEmb) — the caller gates /
+    * serves over the kept frames and rides the decision evidence into
+    * its answer (the q213 row's oracle replays measure + decide + the
+    * decision-gated kept predicate in SQL). */
+  def retentionAgeOut(landedDocs: DataFrame, landedEmb: DataFrame,
+      licensedSource: String, horizonIds: Long, targetSource: String,
+      centroidOffset: Int = 8, coarseFactor: Int = 5, keepBp: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      stratum: String = "source"): (String, Long, DataFrame, DataFrame) = {
+    val r = landedDocs.filter(col(stratum) === licensedSource)
+      .agg(max(col(idCol)).as("mx"), min(col(idCol)).as("mn"))
+      .collect()(0)
+    val span =
+      if (r.isNullAt(0) || r.isNullAt(1)) 0L
+      else r.getLong(0) - r.getLong(1)
+    if (span <= horizonIds) ("keep", span, landedDocs, landedEmb)
+    else {
+      val cutoff = r.getLong(0) - horizonIds
+      val delIds = landedDocs
+        .filter(col(stratum) === licensedSource && col(idCol) < cutoff)
+        .select(col(idCol)).localCheckpoint(true)
+      val keptD = landedDocs.join(delIds, Seq(idCol), "left_anti")
+      val keptE = landedEmb.join(
+        delIds.select(col(idCol).as(vecIdCol)), Seq(vecIdCol), "left_anti")
+      retractBatch(landedDocs, delIds, landedEmb, keptD, keptE,
+        targetSource, centroidOffset, coarseFactor, keepBp, textCol,
+        idCol, vecIdCol, vecCol)
+      ("retract", span, keptD, keptE)
+    }
+  }
+
   /** SNAPSHOT DIFF — derive the change set between two corpus
     * snapshots, the inverse direction of the CDC stream (q201
     * CONSUMES a change stream; this PRODUCES one from two authoritative

@@ -131,4 +131,49 @@ class RetractSpec extends SparkSpec {
     assert(viaGhost == direct, "ghost delete changed the index")
     CacheRegistry.releaseAll()
   }
+
+  test("retentionAgeOut: tripped age-out ≡ explicit-id retract of the derived expired set; huge horizon keeps everything") {
+    CacheRegistry.releaseAll()
+    // the q213 fixture: src14's landed ids are off every codebook
+    // stride (14 mod 20 never hits 7/8 mod 25 or 11 mod 50)
+    val (action, span, keptPolD, keptPolE) = graft.dedup.Dedup
+      .retentionAgeOut(docs, emb, "src14", horizonIds = 200L, "src0")
+    assert(action == "retract", s"fixture must trip, got $action")
+    assert(span > 200L)
+    // the equivalence target: the explicit-id retract of the SAME set
+    val cutoff = docs.filter(col("source") === "src14")
+      .agg(max("doc_id")).as[Long].collect()(0) - 200L
+    val expIds = docs
+      .filter(col("source") === "src14" && col("doc_id") < cutoff)
+      .select("doc_id")
+    assert(expIds.count() > 0, "expired set empty — vacuous fixture")
+    val keptIds = keptPolD.select("doc_id").as[Long].collect().toSet
+    val expectedKept = docs.join(expIds, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == expectedKept,
+      "policy kept set ≠ explicit-id anti-join of the derived set")
+    // the seeded kinds equal an explicit retractBatch's over the same
+    // frames: compare the policy-seeded bm25 index against the
+    // one-shot build over the kept corpus (the retract ≡ rebuild
+    // statement, via the policy path)
+    val viaPolicy = Curation.bm25Stats(keptPolD)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    CacheRegistry.releaseAll()
+    val oneShot = Curation.bm25Stats(keptPolD)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(viaPolicy == oneShot,
+      s"policy-retracted index ≠ one-shot: ${viaPolicy.diff(oneShot).take(3)}")
+    // untripped: a horizon wider than the span keeps the corpus frames
+    // verbatim and retracts nothing
+    CacheRegistry.releaseAll()
+    val before = CacheRegistry.size
+    val (d0, e0) = (docs, emb)
+    val (a2, s2, kd2, ke2) = graft.dedup.Dedup
+      .retentionAgeOut(d0, e0, "src14", horizonIds = 1000000L, "src0")
+    assert(a2 == "keep" && s2 == span)
+    assert(kd2 eq d0, "untripped must return the landed frame itself")
+    assert(ke2 eq e0)
+    assert(CacheRegistry.size == before, "untripped must seed nothing")
+    CacheRegistry.releaseAll()
+  }
 }
