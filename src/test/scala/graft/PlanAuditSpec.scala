@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSpec {
     "q195_hybrid_audit", // both fused pipelines' broadcasts (q187 + q192)
     "q196_absorb_serve", // q184's gate broadcasts + q192's serve broadcasts over the absorbed kinds
     "q199_retract_gate", // q184's gate broadcasts over the retracted kinds
+    "q213_retention_ageout", // q199's gate broadcasts over the age-retracted kinds (verified: the BNLJ build side is the one-row DSIR totals aggregate)
     "q200_churn_gate", // q184's gate-2 broadcasts over the churned (absorbed-then-retracted) kinds
     "q205_snapshot_migrate", // q184's gate broadcasts over the diff-migrated kinds
     "q206_migrate_serve", // q192's serve broadcasts over the diff-migrated kinds
