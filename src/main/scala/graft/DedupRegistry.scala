@@ -548,8 +548,14 @@ trait DedupRegistry extends EntryHelpers {
         val stream = input.toDF()
           .toDF("doc_id", "source", "text", "embedding")
         val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        // 0-ms trigger: batch boundaries come from addData +
+        // processAllAvailable, so the default 1 s ProcessingTime adds
+        // only DEAD WAIT between the replay's 15 triggers (up to ~15 s
+        // of the row's wall — r19 finding); 0 ms fires immediately
         val q = graft.streaming.IngestGateStream.attach(
-          stream, landedD, landedE, "src0", full = false) { (_, v) =>
+          stream, landedD, landedE, "src0", full = false,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(0L)) { (_, v) =>
           val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
           got.synchronized { got ++= rows }
           ()
@@ -599,7 +605,9 @@ trait DedupRegistry extends EntryHelpers {
           .toDF("doc_id", "source", "text", "embedding")
         val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
         val q = graft.streaming.IngestGateStream.attachAbsorbing(
-          stream, d0, e0, "src0", keepBp = 5000) { (_, v) =>
+          stream, d0, e0, "src0", keepBp = 5000,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(0L)) { (_, v) =>
           val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
           got.synchronized { got ++= rows }
           ()
@@ -769,7 +777,9 @@ trait DedupRegistry extends EntryHelpers {
           .toDF("op", "doc_id", "source", "text", "embedding")
         val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
         val q = graft.streaming.IngestGateStream.attachChurn(
-          stream, d0, e0, "src0", keepBp = 5000) { (_, v) =>
+          stream, d0, e0, "src0", keepBp = 5000,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(0L)) { (_, v) =>
           val rows = v.select("doc_id", "gate").as[(Long, String)].collect()
           got.synchronized { got ++= rows }
           ()
@@ -831,6 +841,8 @@ trait DedupRegistry extends EntryHelpers {
             .toDF("op", "doc_id", "source", "text", "embedding")
           val q = graft.streaming.IngestGateStream.attachChurn(
             stream, landedD, landedE, "src0", keepBp = 5000,
+            trigger = org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(0L),
             journalDir = jDir) { (_, v) =>
             val rows = v.select("doc_id", "gate").as[(Long, String)]
               .collect()
