@@ -316,7 +316,8 @@ object SparkEntry extends CoreRegistry with DedupRegistry
   }
 
   def buildIndexes(spark: SparkSession, dir: String): Unit = {
-    indexBuilds(spark, dir).foreach { case (_, df) => df.count(); () }
+    buildIndexesTimed(spark, dir)
+    ()
   }
 
   /** Construct (but do not execute) every index build — key
@@ -328,13 +329,49 @@ object SparkEntry extends CoreRegistry with DedupRegistry
 
   /** [[buildIndexes]] with per-entry wall seconds — the bench's
     * itemized "index" metric (r14 verdict #7: a loaded-box index-phase
-    * spike should self-attribute the way queries already do). */
-  def buildIndexesTimed(spark: SparkSession, dir: String): Seq[(String, Double)] =
-    indexBuilds(spark, dir).map { case (n, df) =>
-      val t0 = System.nanoTime()
-      df.count()
-      n -> (System.nanoTime() - t0) / 1e9
+    * spike should self-attribute the way queries already do).
+    *
+    * Materialization is CONCURRENT (r19): the ~95 entries are each a
+    * few-partition count() job, so running them serially left the
+    * 32-thread box mostly idle — ~1.2 s × 95 of mostly-JIT/planning
+    * latency paid end to end. Construction and registry insertion stay
+    * SERIAL (they happen in [[indexBuilds]] before any future runs —
+    * including the eager construction-time work like the sem2l-dedup
+    * CC fixpoint — so concurrent counts only materialize
+    * already-registered persisted frames; concurrent jobs computing a
+    * shared cached subtree serialize per block in the BlockManager).
+    * Per-entry seconds remain wall-clock UNDER CONCURRENCY — they
+    * overlap and no longer sum to the phase wall; the phase wall is
+    * the bench's "index" metric. Pool width via SPARK_GRAFT_INDEX_PAR
+    * (default 8 — wide enough to hide per-job latency, narrow enough
+    * that 10× materialized runs stay memory-safe). */
+  def buildIndexesTimed(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val builds = indexBuilds(spark, dir)
+    val par = sys.env.get("SPARK_GRAFT_INDEX_PAR").map(_.toInt).getOrElse(8)
+    if (par <= 1)
+      builds.map { case (n, df) =>
+        val t0 = System.nanoTime()
+        df.count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = builds.map { case (n, df) =>
+          n -> scala.concurrent.Future {
+            val t0 = System.nanoTime()
+            df.count()
+            (System.nanoTime() - t0) / 1e9
+          }(ec)
+        }
+        futs.map { case (n, f) =>
+          n -> scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+        }
+      } finally pool.shutdown()
     }
+  }
 
 
   def oracleSql: Map[String, String] =
