@@ -327,7 +327,51 @@ object Bench {
     def cgN(): Long = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount
 
-    final case class Sample(sec: Double, gcMs: Long, jitMs: Long, cgN: Long)
+    // Streaming-row attribution (r19 verdict task #1b): the replay rows
+    // (q190/q191/q201/q211/q212) swing 5–9× across same-tree samples
+    // with gc+jit explaining <10% of the spikes — the missing columns
+    // are the micro-batch machinery's own clocks. A session-wide
+    // listener sums every StreamingQueryProgress's durationMs buckets;
+    // exec() deltas them per query:
+    //  sq_trig_ms  — wall inside trigger execution (all streams in the
+    //                region); a breach with sq_trig ≈ wall is
+    //                in-trigger (then plan vs addBatch splits it), a
+    //                breach with sq_trig ≪ wall is stream startup /
+    //                trigger-loop wait / driver-side feeder work;
+    //  sq_plan_ms  — trigger-invariant machinery: queryPlanning +
+    //                walCommit + commitOffsets + getBatch +
+    //                latestOffset (the per-trigger fixed cost dial);
+    //  sq_batch_ms — addBatch (the actual gate/engine work);
+    //  sq_n        — trigger count.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val sqTrig = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sqPlan = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sqBatch = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sqN = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryIdle(
+          e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs
+        def g(k: String): Long =
+          Option(d.get(k)).map(_.longValue).getOrElse(0L)
+        sqTrig.addAndGet(g("triggerExecution"))
+        sqBatch.addAndGet(g("addBatch"))
+        sqPlan.addAndGet(g("queryPlanning") + g("walCommit") +
+          g("commitOffsets") + g("getBatch") + g("latestOffset"))
+        sqN.incrementAndGet()
+        ()
+      }
+    })
+
+    final case class Sample(sec: Double, gcMs: Long, jitMs: Long, cgN: Long,
+        sqTrigMs: Long = 0L, sqPlanMs: Long = 0L, sqBatchMs: Long = 0L,
+        sqN: Long = 0L)
 
     // keys live at the end of the index phase — the only entries
     // cross-query reuse legitimately flows through (every shared kind
@@ -340,18 +384,22 @@ object Bench {
 
     def exec(name: String, retainKinds: Set[String]): Sample = {
       val (gc0, jit0, cg0) = (gcMs(), jitMs(), cgN())
+      val (st0, sp0, sb0, sn0) =
+        (sqTrig.get(), sqPlan.get(), sqBatch.get(), sqN.get())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         // attrib sentinel matches the -1.0 sec sentinel: a failed query
-        // reads [-1,-1,-1], never confusable with a real zero-GC/zero-JIT
-        // sample (review finding)
-        return Sample(-1.0, -1, -1, -1)
+        // reads [-1,-1,-1,…], never confusable with a real zero-GC/
+        // zero-JIT sample (review finding)
+        return Sample(-1.0, -1, -1, -1, -1, -1, -1, -1)
       }
       val t = (System.nanoTime() - t0) / 1e9
-      val sample = Sample(t, gcMs() - gc0, jitMs() - jit0, cgN() - cg0)
+      val sample = Sample(t, gcMs() - gc0, jitMs() - jit0, cgN() - cg0,
+        sqTrig.get() - st0, sqPlan.get() - sp0, sqBatch.get() - sb0,
+        sqN.get() - sn0)
       // drop in-run-created keys too (dead by construction once their
       // query finished) — but only when the index phase ran, so a
       // filtered local run without it keeps its ad-hoc cross-query hits
@@ -409,6 +457,37 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => }
 
+    // Untimed STREAMING warm-up (r19 verdict task #1a): the batch
+    // composite above never touches the micro-batch machinery, so the
+    // first streaming row in sorted order (q190) was additionally
+    // billed the one-time StreamExecution/MicroBatchExecution/
+    // foreachBatch/offset-log/listener-bus class-load + JIT — part of
+    // the 13–75 s same-tree spread the replay rows carried. Three
+    // throwaway triggers through a MemoryStream + foreachBatch
+    // (persist → agg → noop write, the contract rows' in-batch shape)
+    // compile that machinery before anything is timed.
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](spark)
+      val wq = in.toDF().writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val p = b.persist()
+          try p.groupBy(col("value") % 8).agg(count(lit(1)).as("c"))
+            .write.format("noop").mode("overwrite").save()
+          finally { p.unpersist(); () }
+        }
+        .start()
+      try (1 to 3).foreach { i =>
+        in.addData(1L to 64L * i)
+        wq.processAllAvailable()
+      } finally wq.stop()
+    } catch { case _: Throwable => }
+
     // One-time family-index build, timed as its OWN metric (r13 verdict
     // #1a): the memoized sub-plans several queries (or every batch of
     // an incremental operator) share are a per-corpus, per-session
@@ -422,6 +501,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val order = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // RESTORE-FIRST index mode (r19 verdict task #5): the production
+    // pattern is restore-from-store, not rebuild — IndexStore restore
+    // measured 9.6 s vs 47–59 s rebuild, and its keys embed the corpus
+    // content fingerprints so staleness is structurally impossible
+    // (IndexStoreSpec) — yet the bench only ever measured rebuild.
+    // Opt-in: SPARK_GRAFT_INDEX_RESTORE=<storeDir> seeds the registry
+    // from the store BEFORE the build phase (matching keys make the
+    // build thunks registry hits; non-matching kinds rebuild as usual),
+    // timed as its own metric next to the rebuild one. Pair with
+    // SPARK_GRAFT_INDEX_SAVE=<storeDir> on a prior run to produce the
+    // store. Both metrics land in the JSON record.
+    val restoreDir = sys.env.get("SPARK_GRAFT_INDEX_RESTORE")
+      .filter(_.nonEmpty)
+    var indexRestoredN = 0
+    val tRes0 = System.nanoTime()
+    restoreDir.foreach { d =>
+      try indexRestoredN = graft.sources.IndexStore.restoreAll(spark, d)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index restore failed: ${e.getMessage}")
+      }
+    }
+    val indexRestoreSec =
+      if (restoreDir.isEmpty) 0.0 else (System.nanoTime() - tRes0) / 1e9
 
     val tIdx0 = System.nanoTime()
     // per-entry seconds (r14 verdict #7): itemized into bench_out.json
@@ -440,6 +543,13 @@ object Bench {
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
         (System.nanoTime() - tIdx0) / 1e9
       }
+    // optional store write for a later restore-first run
+    sys.env.get("SPARK_GRAFT_INDEX_SAVE").filter(_.nonEmpty).foreach { d =>
+      try { graft.sources.IndexStore.saveAll(d); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index save failed: ${e.getMessage}")
+      }
+    }
     System.gc() // index-build garbage is not the first query's bill
     val results = order.zipWithIndex.map { case (n, i) =>
       // retain exactly the kinds some LATER query in this run consumes
@@ -479,36 +589,47 @@ object Bench {
     // triples — ~260 chars, inside the tail window with the ~1.3 KB
     // values array. The judge can adjudicate a loaded box from the
     // parsed record alone; bench_out.json remains the complete artifact.
+    def trip(v: Sample): String =
+      s"[${v.gcMs},${v.jitMs},${v.cgN},${v.sqTrigMs},${v.sqPlanMs},${v.sqBatchMs},${v.sqN}]"
     val attrib = results
-      .map { case (k, v) => "\"" + k + s"""\":[${v.gcMs},${v.jitMs},${v.cgN}]""" }
+      .map { case (k, v) => "\"" + k + "\":" + trip(v) }
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_.sec >= 0)
-    val attribSum = s"[${ok.map(_.gcMs).sum},${ok.map(_.jitMs).sum},${ok.map(_.cgN).sum}]"
+    val attribSum = s"[${ok.map(_.gcMs).sum},${ok.map(_.jitMs).sum}," +
+      s"${ok.map(_.cgN).sum},${ok.map(_.sqTrigMs).sum}," +
+      s"${ok.map(_.sqPlanMs).sum},${ok.map(_.sqBatchMs).sum},${ok.map(_.sqN).sum}]"
     val attribHot = results.filter(_._2.sec >= 0)
-      .sortBy { case (_, v) => -(v.gcMs + v.jitMs) }.take(8)
-      .map { case (k, v) => "\"" + k + s"""\":[${v.gcMs},${v.jitMs},${v.cgN}]""" }
+      .sortBy { case (_, v) => -(v.gcMs + v.jitMs + v.sqTrigMs) }.take(8)
+      .map { case (k, v) => "\"" + k + "\":" + trip(v) }
       .mkString("{", ",", "}")
     // total = index build + sum of the ROUNDED per-query values, so
     // re-summing the printed parts reproduces "value" exactly (no 3-dp
     // drift). "index" is the one-time family-index build (see above) —
     // inside the total, itemized next to it.
     val idxR = math.rint(indexSec * 1000) / 1000
-    val total = idxR + results.map(_._2.sec).filter(_ >= 0)
+    // restore-first mode: the restore is part of the honest total, and
+    // both metrics ride the record so the A/B is in-line
+    val resR = math.rint(indexRestoreSec * 1000) / 1000
+    val total = idxR + resR + results.map(_._2.sec).filter(_ >= 0)
       .map(v => math.rint(v * 1000) / 1000).sum
+    val restoreJson =
+      s""","index_restore":${fmt(resR)},"index_restored_n":$indexRestoredN"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
+        restoreJson +
         s""","n":${results.size},"order":"sorted-query-names"""" +
         s""","queries":$qsArray,"queries_file":"bench_out.json"""" +
-        s""","attrib_cols":["gc_ms","jit_ms","cg_n"],"attrib_sum":$attribSum""" +
+        s""","attrib_cols":["gc_ms","jit_ms","cg_n","sq_trig_ms","sq_plan_ms","sq_batch_ms","sq_n"],"attrib_sum":$attribSum""" +
         s""","attrib_hot":$attribHot,"sf":"$sfDir"}"""
     val idxDetailJson = indexDetail
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index":${fmt(idxR)}""" +
+        restoreJson +
         s""","index_detail":$idxDetailJson""" +
         s""","queries":$qsFull""" +
-        s""","attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n"],"sf":"$sfDir"}"""
+        s""","attrib":$attrib,"attrib_cols":["gc_ms","jit_ms","cg_n","sq_trig_ms","sq_plan_ms","sq_batch_ms","sq_n"],"sf":"$sfDir"}"""
     // anchored at the launch directory (the build root when run via sbt /
     // spark-submit from the checkout) rather than a hardcoded absolute
     // path, so the artifact lands next to whichever checkout ran it

@@ -131,18 +131,25 @@ final class DynamicActiveEngine(
     }
     val rules = store.snapshot()
     if (rules.isEmpty) return (None, noCkpt)
+    import DynamicActiveEngine.timed
+    DynamicActiveEngine.batches.incrementAndGet()
 
-    val fresh = FanOut.auto(batch, rules, tsCol).toDF()
-      .withColumn("fresh", lit(true))
+    val fresh = timed(DynamicActiveEngine.fanoutNanos) {
+      FanOut.auto(batch, rules, tsCol).toDF()
+        .withColumn("fresh", lit(true))
+    }
     val combined = (tail match {
       case Some(t) => t.withColumn("fresh", lit(false)).unionByName(fresh)
       case None => fresh
     }).persist()
     try {
-      val curMaxRaw = combined.agg(max(col("tsMillis"))).head().get(0)
+      val curMaxRaw = timed(DynamicActiveEngine.maxAggNanos) {
+        combined.agg(max(col("tsMillis"))).head().get(0)
+      }
       if (curMaxRaw == null) return (None, noCkpt)
       val curMax = math.max(curMaxRaw.asInstanceOf[Long], maxSeenTs)
 
+      val tPlan0 = System.nanoTime()
       val rulesById = rules.flatMap(r => r.queryId.map(_ -> r)).toMap
       val passthroughIds = rules.filter(_.isPassthrough).flatMap(_.queryId)
       val perEventIds = rules.filter(r => r.isPerEventEmission && !r.isPassthrough)
@@ -176,10 +183,13 @@ final class DynamicActiveEngine(
         (perEventAlerts.toSeq ++
           (passthroughAlerts.toSeq ++ periodicAlerts.toSeq).map(_.as[Alert]))
           .reduceOption(_ unionByName _)
+      DynamicActiveEngine.planNanos.addAndGet(System.nanoTime() - tPlan0)
       // collect (a Spark action) under the monitor — emit-once depends on
       // the horizon and the collected set advancing together; the sink
       // and ECA spawn run after the monitor is released
-      val fired = alerts.map(collectFired).getOrElse(Seq.empty)
+      val fired = timed(DynamicActiveEngine.collectNanos) {
+        alerts.map(collectFired).getOrElse(Seq.empty)
+      }
 
       emittedThrough = math.max(emittedThrough, curMax)
       maxSeenTs = curMax
@@ -192,11 +202,13 @@ final class DynamicActiveEngine(
         r.windowMilliseconds.getOrElse(0L) +
           r.frequencyMilliseconds.filter(_ > 0).getOrElse(0L))))
         .toDF("ruleId", "hz")
-      val newTail = combined
-        .join(broadcast(horizons), "ruleId")
-        .filter(col("tsMillis") >= lit(curMax) - col("hz"))
-        .select("ruleId", "key", "tsMillis", "aggIn", "payload")
-        .localCheckpoint(true)
+      val newTail = timed(DynamicActiveEngine.tailNanos) {
+        combined
+          .join(broadcast(horizons), "ruleId")
+          .filter(col("tsMillis") >= lit(curMax) - col("hz"))
+          .select("ruleId", "key", "tsMillis", "aggIn", "payload")
+          .localCheckpoint(true)
+      }
       tail.foreach(_.unpersist(false))
       tail = Some(newTail)
       // snapshot the post-batch state under the monitor; the WRITE runs
@@ -506,6 +518,33 @@ final class DynamicActiveEngine(
 }
 
 object DynamicActiveEngine {
+  /** Per-phase wall-nano counters for the micro-batch path — the q212
+    * per-trigger fixed-cost attribution (r19 verdict task #2; same
+    * diagnostic pattern as
+    * [[graft.util.CacheRegistry.fingerprintNanos]]). Cumulative across
+    * every engine instance in the JVM; a profiler resets, drives
+    * triggers, then reads the split. */
+  import java.util.concurrent.atomic.AtomicLong
+  val fanoutNanos = new AtomicLong(0L)   // FanOut.auto plan construction
+  val maxAggNanos = new AtomicLong(0L)   // the curMax agg action
+  val planNanos = new AtomicLong(0L)     // alert-plan construction (driver)
+  val collectNanos = new AtomicLong(0L)  // collectFired action
+  val tailNanos = new AtomicLong(0L)     // newTail localCheckpoint action
+  val batches = new AtomicLong(0L)
+  def resetMetrics(): Unit =
+    Seq(fanoutNanos, maxAggNanos, planNanos, collectNanos, tailNanos,
+      batches).foreach(_.set(0L))
+  def metricsString: String = {
+    def s(a: AtomicLong) = f"${a.get / 1e9}%.2f"
+    s"batches=${batches.get} fanout=${s(fanoutNanos)}s " +
+      s"maxAgg=${s(maxAggNanos)}s plan=${s(planNanos)}s " +
+      s"collect=${s(collectNanos)}s tail=${s(tailNanos)}s"
+  }
+  private[streaming] def timed[A](c: AtomicLong)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally { c.addAndGet(System.nanoTime() - t0); () }
+  }
+
   /** Parse the reference-format composite key string
     * (`KeysExtractor.java:19-41`) back to a field map. */
   def keyFields(key: String): Map[String, String] = {
