@@ -939,6 +939,99 @@ trait DedupRegistry extends EntryHelpers {
           .orderBy("q_id", "rnk")
       }),
 
+      // SERVE DURING CHURN — the two streaming faces composed over ONE
+      // corpus (r19 verdict task #8, the last untested interaction):
+      // a RetrieveStream stays attached WHILE an attachChurn stream
+      // mutates the landed corpus under it. The churn publishes each
+      // COMPLETED generation through an IngestGateStream.LandedView
+      // (one volatile write after the epoch's retract+absorb merges
+      // landed — a serve can never see a half-rotated corpus), and
+      // every serve trigger answers against the generation it read at
+      // trigger start, probing the absorb/retract-seeded retrieval
+      // kinds. The oracle is q196's chain at epoch 1 (post-absorb) and
+      // q202's at epoch 2 (post-delete) — serve-during-churn ≡ the
+      // one-shot serve over each epoch's corpus.
+      "q214_serve_during_churn" -> ((s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val allRes = Seq(2L, 22L, 47L, 67L, 12L, 37L, 62L, 87L)
+        val d0 = docs.filter(!pmod(col("doc_id"), lit(100L))
+          .isin(allRes: _*))
+        val e0 = emb.filter(!pmod(col("vec_id"), lit(100L))
+          .isin(allRes: _*))
+        type Rec = (String, Long, String, String, Seq[Float])
+        def embOf(res: Seq[Long]): Map[Long, Seq[Float]] =
+          emb.filter(pmod(col("vec_id"), lit(100L)).isin(res: _*))
+            .select("vec_id", "embedding")
+            .as[(Long, Seq[Float])].collect().toMap
+        val adds: Seq[Rec] = {
+          val em = embOf(Seq(2L, 22L, 47L, 67L))
+          docs.filter(pmod(col("doc_id"), lit(100L))
+              .isin(2L, 22L, 47L, 67L))
+            .select("doc_id", "source", "text")
+            .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+            .flatMap { case (id, src, text) =>
+              em.get(id).map(e => ("add", id, src, text, e)) }
+        }
+        val dels: Seq[Rec] = docs.filter(pmod(col("doc_id"), lit(100L))
+            .isin(14L, 39L)).select("doc_id")
+          .as[Long].collect().sorted.toSeq
+          .map(id => ("delete", id, "", "", Seq.empty[Float]))
+        // the serve queries: the corpus's %100==0 slice, the exact
+        // rows the oracle chain's query CTEs slice out of d2/e2
+        // (ids ≡ 0 mod 100 sit in no residue or delete set, so the
+        // query set is identical at both epochs)
+        val qRecords: Seq[(Long, String, Seq[Float])] = {
+          val qe = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
+            .select("vec_id", "embedding")
+            .as[(Long, Seq[Float])].collect().toMap
+          docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+            .select("doc_id", "text")
+            .as[(Long, String)].collect().sortBy(_._1).toSeq
+            .flatMap { case (id, text) =>
+              qe.get(id).map(e => (id, text, e)) }
+        }
+        val view = new graft.streaming.IngestGateStream.LandedView(d0, e0)
+        val churnIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, String, String, Seq[Float])](s)
+        val churnQ = graft.streaming.IngestGateStream.attachChurn(
+          churnIn.toDF().toDF("op", "doc_id", "source", "text",
+            "embedding"),
+          d0, e0, "src0", keepBp = 5000,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(0L),
+          view = Some(view)) { (_, _) => () }
+        val serveIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Seq[Float])](s)
+        val got = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        @volatile var epoch = 0L
+        val serveQ = graft.streaming.RetrieveStream.attachLive(
+          serveIn.toDF().toDF("doc_id", "text", "embedding"),
+          () => view.current,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(0L)) { (_, v) =>
+          val e = epoch
+          val rows = v.select("q_id", "rnk", "doc_id", "rrf_e9")
+            .as[(Long, Long, Long, Long)].collect()
+          got.synchronized {
+            got ++= rows.map(r => (e, r._1, r._2, r._3, r._4))
+          }
+          ()
+        }
+        try {
+          churnIn.addData(adds); churnQ.processAllAvailable()
+          epoch = 1L
+          serveIn.addData(qRecords); serveQ.processAllAvailable()
+          churnIn.addData(dels); churnQ.processAllAvailable()
+          epoch = 2L
+          serveIn.addData(qRecords); serveQ.processAllAvailable()
+        } finally { serveQ.stop(); churnQ.stop() }
+        got.toSeq.toDF("epoch", "q_id", "rnk", "doc_id", "rrf_e9")
+          .orderBy("epoch", "q_id", "rnk")
+      }),
+
       // SNAPSHOT DIFF — derive the CDC change set from two corpus
       // snapshots (the inverse direction of q201, which consumes one):
       // adds = ids only in new, deletes = ids only in old, updates =
@@ -2038,6 +2131,18 @@ trait DedupRegistry extends EntryHelpers {
     // grown-corpus CTEs additionally exclude the delete residues
     "q202_churn_serve" -> absorbServeOracleWith(
       " AND %ID% % 100 NOT IN (14, 39)"),
+
+    // q214: serve-during-churn ≡ the one-shot serve over each epoch's
+    // corpus — q196's chain at epoch 1 (post-absorb), q202's at epoch
+    // 2 (post-delete), union-tagged by epoch
+    "q214_serve_during_churn" ->
+      s"""SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS epoch, q_id, rnk, doc_id, rrf_e9
+            FROM ($absorbServeOracle)
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS epoch, q_id, rnk, doc_id, rrf_e9
+            FROM (${absorbServeOracleWith(" AND %ID% % 100 NOT IN (14, 39)")})
+          ) ORDER BY epoch, q_id, rnk""",
 
     // q204: the snapshot diff replayed as a fingerprint-compared full
     // outer join — adds/deletes by presence, updates by null-safe

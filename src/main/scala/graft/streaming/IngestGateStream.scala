@@ -44,6 +44,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   *    operational dedup contract of a live ingest loop. */
 object IngestGateStream {
 
+  /** Atomically-published view of a mutating stream's CURRENT landed
+    * generation — the serve-during-churn composition point (r19
+    * verdict task #8): a concurrently-attached [[RetrieveStream]]
+    * reads `current` per serve trigger and always sees the LAST
+    * COMPLETED generation, never a half-rotated one — the tuple is
+    * replaced in ONE volatile write at the END of a churn epoch, after
+    * that trigger's retract + absorb merges and journal append all
+    * landed. The frames a serve is holding stay VALID forever (they
+    * are plain plans over localCheckpoint'ed leaves); only their
+    * cached acceleration ages out when the churn's two-generation
+    * release window passes them — a late serve recomputes, it never
+    * reads a torn corpus. */
+  final class LandedView(d0: DataFrame, e0: DataFrame) {
+    @volatile private var cur: (DataFrame, DataFrame) = (d0, e0)
+    private[streaming] def publish(d: DataFrame, e: DataFrame): Unit =
+      cur = (d, e)
+    def current: (DataFrame, DataFrame) = cur
+  }
+
   /** Release every registry key whose trailing plan fingerprint is one
     * of `fps` (a key ends ":"+fingerprint) — the per-trigger and
     * per-generation release idiom both stream faces share. */
@@ -618,7 +637,11 @@ object IngestGateStream {
       textCol: String = "text", vecCol: String = "embedding",
       opCol: String = "op",
       checkpointDir: Option[String] = None,
-      journalDir: Option[String] = None)(
+      journalDir: Option[String] = None,
+      /** serve-during-churn composition point: when set, the stream
+        * publishes its landed frames here at the END of each mutating
+        * epoch (see [[LandedView]]'s visibility contract) */
+      view: Option[LandedView] = None)(
       onVerdicts: (Long, DataFrame) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     val vecType = landedEmb0.schema("embedding").dataType
@@ -737,6 +760,9 @@ object IngestGateStream {
             if (delsJ.nonEmpty || admJ.nonEmpty)
               lease.foreach(l => journalAppend(l, epochId, delsJ,
                 admJ.map(_._1), admJ.map(_._2), vecType, idCol, textCol))
+            // epoch complete — publish the generation to any attached
+            // server (one volatile write; see LandedView)
+            view.foreach(_.publish(landedDocs, landedEmb))
           }
         } finally {
           releaseFps(batchFps)

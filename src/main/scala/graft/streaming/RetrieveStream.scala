@@ -44,10 +44,39 @@ object RetrieveStream {
       idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding")(
       onResults: (Long, DataFrame) => Unit): StreamingQuery =
+    attachLive(records, () => (docs, embeddings), k, depth, kTerms,
+      rrfK, nprobe, m, codeStride, codeOffset, ivfStride, ivfOffset,
+      rerankFactor, trigger, idCol, textCol, vecCol)(onResults)
+
+  /** [[attach]] against a MUTATING corpus — the serve-during-churn
+    * composition (r19 verdict task #8): `current` is read once per
+    * serve trigger, so each query batch is answered against one
+    * coherent landed generation (an [[IngestGateStream.LandedView]]'s
+    * `current`, whose visibility contract guarantees the tuple is a
+    * COMPLETED generation — retract+absorb merges landed, journal
+    * appended — never a half-rotated one). The serve still mutates
+    * nothing; the landed kinds it probes are the generation's
+    * absorb/retract-seeded registry entries, so a serve at epoch E
+    * answers exactly like the one-shot chain over epoch E's corpus
+    * (the q214 oracle states this per epoch). */
+  def attachLive(records: DataFrame,
+      current: () => (DataFrame, DataFrame),
+      k: Int = 5, depth: Int = 20, kTerms: Int = 8, rrfK: Int = 60,
+      nprobe: Int = 3, m: Int = 4, codeStride: Int = 25,
+      codeOffset: Int = 7, ivfStride: Int = 50, ivfOffset: Int = 11,
+      rerankFactor: Int = 4,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "embedding")(
+      onResults: (Long, DataFrame) => Unit): StreamingQuery =
     records.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        // one coherent generation per trigger (read ONCE, before any
+        // plan is built — both retrieval systems must see the same
+        // corpus)
+        val (docs, embeddings) = current()
         // persisted: the query frame feeds both retrieval systems —
         // an unpersisted streaming batch would re-evaluate the source
         // under each
