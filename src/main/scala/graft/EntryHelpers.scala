@@ -82,8 +82,25 @@ trait EntryHelpers {
     try {
       val weeks = base.select(col("__wk")).distinct()
         .collect().map(_.getLong(0)).sorted
+      // Feed each weekly batch as a DRIVER-LOCAL frame (the q212
+      // device, r21): one batch-sized collect per week — never more
+      // than one week resident — re-parallelized as a local relation.
+      // The engine runs ~3 jobs per batch (curMax agg, alert collect,
+      // tail checkpoint); against `base.filter(__wk)` each of those
+      // re-scanned EVERY cached corpus partition per week (~52 weeks ×
+      // 3 jobs × 32 tasks of pure scan overhead, and at 10× a real
+      // re-read of the corpus per trigger). The batch-sized leaf makes
+      // every engine job O(batch), the same rows in the same weekly
+      // order — alert output is row-set identical (q30's dedup already
+      // makes within-batch order immaterial).
+      val batchSchema = org.apache.spark.sql.types.StructType(
+        base.drop("__ms", "__wk").schema.fields)
       weeks.foreach { wk =>
-        engine.processBatch(base.filter(col("__wk") === wk).drop("__ms", "__wk"), "ts")
+        val rows = base.filter(col("__wk") === wk).drop("__ms", "__wk")
+          .collect()
+        engine.processBatch(
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), batchSchema),
+          "ts")
       }
     } finally base.unpersist()
 

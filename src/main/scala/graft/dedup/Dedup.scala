@@ -534,11 +534,71 @@ object Dedup {
     * `maxIters` bounds diameter at 2^maxIters (default: anything). Input:
     * `pairs(a_id, b_id)` + the full vertex set (isolated vertices become
     * singleton clusters). Output: (id, lbl = component minimum id). */
+  /** Driver union-find cutoff for [[connectedComponents]] — env
+    * SPARK_GRAFT_CC_DRIVER_MAX_EDGES (0 disables the driver path);
+    * a var so the spec suite can pin both paths' parity. */
+  private[graft] var ccDriverMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES")
+      .map(_.toLong).getOrElse(1000000L)
+
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(true)
+    // SIZE-ADAPTIVE path split (optimization r21, guide §1.2/§5): the
+    // distributed fixpoint costs ~2 Spark actions + a 3-join plan PER
+    // ROUND (O(log d) rounds, plus one confirming round for the
+    // label-sum convergence check) — pure per-job fixed cost when the
+    // edge list is small, and dedup graphs are change-set-/dup-rate-
+    // sized, so the per-trigger incremental faces (absorb, churn,
+    // media batches) pay it on a few-thousand-row graph every batch.
+    // Below the threshold the edge list — ALREADY materialized by the
+    // localCheckpoint above, so the count is one cheap block-sized
+    // job — collapses to one driver union-find producing the exact
+    // same (id, min-label) table the fixpoint converges to. The
+    // threshold bounds driver residency at ~16 B/edge (default 1M
+    // edges ≈ tens of MB transient); a 100 TB corpus whose dup graph
+    // exceeds it takes the distributed path unchanged —
+    // SPARK_GRAFT_CC_DRIVER_MAX_EDGES overrides (0 disables).
+    if (edges.count() <= ccDriverMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+      // union-find, min-id root: the smaller root adopts the larger,
+      // so every component's root IS its minimum id; path-halving in
+      // find keeps the forest near-flat.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) {
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      es.foreach { case (u, v) =>
+        parent.putIfAbsent(u, u)
+        parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      var i = 0
+      parent.keySet.forEach { id => out(i) = (id, find(id)); i += 1 }
+      // sorted: HashMap iteration order is run-dependent, and a stable
+      // LocalRelation keeps downstream plan fingerprints repeatable
+      val labels = spark.createDataset(out.sortBy(_._1).toSeq)
+        .toDF("id", "lbl")
+      val isolated = vertices.select(col(idCol).as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("lbl", col("id"))
+      return labels.union(isolated)
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)

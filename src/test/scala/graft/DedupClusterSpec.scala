@@ -27,11 +27,34 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("connectedComponents: driver union-find ≡ distributed fixpoint") {
+    // the r21 size-adaptive split: below ccDriverMaxEdges a driver
+    // union-find replaces the iterated min-label fixpoint — both paths
+    // must produce the identical (id, component-min-id) table. Chains,
+    // a bridged pair of clusters, and isolated vertices in one graph.
+    val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (7L, 9L),
+      (9L, 6L), (20L, 15L), (15L, 11L))
+    val v = verts((1L to 22L): _*)
+    val viaDriver = labelsOf(p, v)
+    val saved = Dedup.ccDriverMaxEdges
+    val viaFixpoint =
+      try { Dedup.ccDriverMaxEdges = 0L; labelsOf(p, v) }
+      finally Dedup.ccDriverMaxEdges = saved
+    assert(viaDriver == viaFixpoint)
+    assert(viaDriver(20L) == 11L && viaDriver(9L) == 6L &&
+      viaDriver(5L) == 5L)
+  }
+
   test("connectedComponents: 33-vertex chain converges in O(log d) rounds") {
     // diameter 32; plain min propagation needs 32 rounds — pointer
-    // jumping must finish (and detect the fixpoint) within 10.
+    // jumping must finish (and detect the fixpoint) within 10. Forces
+    // the DISTRIBUTED path (the driver union-find would mask it).
     val chain = (1L until 33L).map(i => (i, i + 1))
-    val got = labelsOf(pairs(chain: _*), verts(1L to 33L: _*), maxIters = 10)
+    val saved = Dedup.ccDriverMaxEdges
+    val got =
+      try { Dedup.ccDriverMaxEdges = 0L
+        labelsOf(pairs(chain: _*), verts(1L to 33L: _*), maxIters = 10) }
+      finally Dedup.ccDriverMaxEdges = saved
     assert(got.values.toSet == Set(1L))
   }
 
