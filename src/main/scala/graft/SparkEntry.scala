@@ -294,10 +294,16 @@ object SparkEntry extends CoreRegistry with DedupRegistry
       // sem2l-asn/sem2l-dedup instances
       "q186-split-pin" -> (() => Similarity.pinnedSemanticSplit(
         emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3), 80)),
-      // BPE word-frequency dict (q113/q115 share it; the N merge
-      // rounds are vocab-sized and stay with the queries); q134's
+      // BPE word-frequency dict (q113/q115 share it); q134's
       // landed-slice dict is its own entry (different input plan)
       "bpe-dict" -> (() => graft.curation.Bpe.baseDict(docs)),
+      // the full-corpus TRAINING (r21): q113 emits the merge table and
+      // q115 applies the final segmented dict — identical learn()
+      // call, now shared through Bpe's session-scoped learn memo.
+      // Constructing bpeMerges here pays the `steps` serial argmax
+      // rounds in the phase, itemized, instead of twice across the
+      // two consumers (the unified-verdicts amortization pattern).
+      "bpe-train" -> (() => graft.curation.Bpe.bpeMerges(docs)),
       "q134-bpe-landed-dict" -> (() => graft.curation.Bpe.baseDict(landedDocs5)),
       // the landed MERGE TABLE itself (kind bpe-merges): q134's
       // incremental face and q207's frozen face both read it per
