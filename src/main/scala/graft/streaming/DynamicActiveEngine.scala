@@ -198,14 +198,19 @@ final class DynamicActiveEngine(
       // dropped rule's rows (= its state) vanish with it.
       val spark = batch.sparkSession
       import spark.implicits._
+      // curMax rides the broadcast horizons frame's DATA, not a literal
+      // (optimization r21, same reasoning as evalPeriodic's bounds
+      // frame): a per-batch literal re-compiles the tail stage's
+      // generated class every batch.
       val horizons = rules.flatMap(r => r.queryId.map(id => (id,
         r.windowMilliseconds.getOrElse(0L) +
-          r.frequencyMilliseconds.filter(_ > 0).getOrElse(0L))))
-        .toDF("ruleId", "hz")
+          r.frequencyMilliseconds.filter(_ > 0).getOrElse(0L),
+        curMax)))
+        .toDF("ruleId", "hz", "__cm")
       val newTail = timed(DynamicActiveEngine.tailNanos) {
         combined
           .join(broadcast(horizons), "ruleId")
-          .filter(col("tsMillis") >= lit(curMax) - col("hz"))
+          .filter(col("tsMillis") >= col("__cm") - col("hz"))
           .select("ruleId", "key", "tsMillis", "aggIn", "payload")
           .localCheckpoint(true)
       }
@@ -460,6 +465,15 @@ final class DynamicActiveEngine(
     // try_cast: COUNT-sentinel rules carry aggIn = "" (no value), which a
     // plain ANSI cast rejects; their rows must still count via __cnt_dec
     val dec = expr(s"try_cast(aggIn AS ${D.sql})")
+    // the (loEnd, hiEnd] horizon bounds ride a broadcast 1-row frame
+    // instead of literals (optimization r21): a primitive literal
+    // INLINES into the whole-stage-codegen source, so the per-batch
+    // horizon values made every batch's generated class textually new —
+    // Janino recompiled + the JVM re-JITted ~12–19 classes per batch
+    // across a replay (q185 cg_n 96–98 per run). Broadcast-side DATA is
+    // passed by reference in generated code, so the source — and the
+    // compiled class — is identical batch over batch. Same rows out.
+    val bounds = Seq((loEnd, hiEnd)).toDF("__lo_end", "__hi_end")
     val agged = combined
       .filter(col("ruleId").isin(rids: _*))
       .withColumn("__ts", timestamp_millis(col("tsMillis")))
@@ -475,7 +489,10 @@ final class DynamicActiveEngine(
         sum((dec * lit(1000000)).cast("long")).as("__sum_micro"),
         count(dec).as("__cnt"))
       .withColumn("__w_end", unix_millis(col("window.end")))
-      .filter(col("__w_end") > lit(loEnd) && col("__w_end") <= lit(hiEnd))
+      .crossJoin(broadcast(bounds))
+      .filter(col("__w_end") > col("__lo_end") &&
+        col("__w_end") <= col("__hi_end"))
+      .drop("__lo_end", "__hi_end")
     // guard: a window whose events all lack a value has __cnt = 0 — the
     // div would be an ANSI divide-by-zero at runtime even though only
     // AVG rules select this branch
